@@ -1,0 +1,86 @@
+"""Register the relational harness tables as Spark SQL views.
+
+The driver provides a deterministic TPC-H-ish star schema plus
+``events``/``documents``/``embeddings`` at /root/testdata/sf*/ (one
+parquet per table, see TESTDATA.md). The engine exposes them through
+``spark.sql`` so generic relational queries ride on Catalyst —
+reference parity for "expose a queryable catalog" (SURVEY.md §2.3, §7.1).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any scale factor: the
+# TPC-H spec keeps region/nation constant-size and supplier/part growing
+# far slower than the fact tables.
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def _nanos_ts_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS), which Spark's reader
+    rejects. Footer-only pyarrow inspection — no data read."""
+    import pyarrow.parquet as pq
+
+    try:
+        schema = pq.read_schema(path)
+    except Exception:  # noqa: BLE001 — non-local or odd layout: let Spark try
+        return []
+    import pyarrow as pa
+
+    return [
+        f.name
+        for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one harness table; transparently repair nanosecond parquet
+    timestamps (Spark reads them as long via the legacy conf, then we
+    truncate to microseconds — same semantics as DuckDB's reader)."""
+    # Deterministic timestamp semantics even on a caller-built session
+    # (the verify driver constructs its own SparkSession).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    nanos_cols = _nanos_ts_columns(path)
+    if not nanos_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nanos_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def register_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every harness table and register a temp view per table.
+
+    Returns the DataFrames keyed by table name. Views mean the whole
+    surface is also reachable via ``spark.sql(...)``.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in TESTDATA_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,327 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Training-data-pipeline surface (not present in the reference — it
+stores unique-keyed assets; SURVEY.md §2.9). All variants are built on
+shuffle-efficient primitives:
+
+- exact: hash-groupBy on a content fingerprint (one shuffle on the
+  16-byte hash, not the document text — at 100 TB only hashes move).
+- n-gram Jaccard: shingle-explode → self-join on shingle → count. The
+  join key is the shingle hash; frequent-shingle skew is the classic
+  hazard, so `shingle_pairs` drops shingles above a document-frequency
+  cap (stop-shingles), which bounds the quadratic blowup.
+- MinHash+LSH: k permutation-style hashes → b bands of r rows →
+  band-bucket join. Only band signatures shuffle; candidate pairs are
+  verified with the signature-agreement estimate.
+- SimHash: per-token hash bit-votes → 32-bit signature; near-dup if
+  small Hamming distance.
+
+The shared 60-bit integer hash is ``int(md5(x)[:15], 16)`` — chosen
+because both Spark (`conv`) and DuckDB (hex cast) compute it
+identically, so every step has an exact SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+# Deterministic affine hash family over a Mersenne prime; coefficients
+# fixed so Spark and the SQL oracle agree bit-for-bit.
+MINHASH_PRIME = 2147483647  # 2^31 - 1
+NUM_HASHES = 16
+BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // BANDS
+_A = [(2 * i + 1) * 2654435761 % MINHASH_PRIME for i in range(NUM_HASHES)]
+_B = [(i * 40503 + 7) % MINHASH_PRIME for i in range(NUM_HASHES)]
+
+
+def hash60(col: Column) -> Column:
+    """Shared 60-bit integer hash: int(md5(x)[:15], 16)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def hash60_sql(expr: str) -> str:
+    return f"CAST('0x' || substring(md5({expr}), 1, 15) AS BIGINT)"
+
+
+def shingles_col(text: str = "text", n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column."""
+    return F.expr(
+        f"CASE WHEN size(split({text}, ' ')) < {n} THEN array()"
+        f" ELSE array_distinct(transform(sequence(1, size(split({text}, ' ')) - {n - 1}),"
+        f" i -> concat_ws(' ', slice(split({text}, ' '), i, {n})))) END"
+    )
+
+
+def shingles_sql(expr: str = "text", n: int = 3) -> str:
+    toks = f"string_split({expr}, ' ')"
+    return (
+        f"list_distinct(list_transform(generate_series(1, greatest(len({toks}) - {n - 1}, 0)),"
+        f" i -> array_to_string({toks}[i:i+{n - 1}], ' ')))"
+    )
+
+
+def exploded_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    return docs.select(
+        "doc_id", F.explode(shingles_col("text", n)).alias("shingle")
+    )
+
+
+def shingle_pairs(
+    docs: DataFrame, n: int = 3, max_doc_freq: int | None = None
+) -> DataFrame:
+    """(doc_a, doc_b, shared) for doc pairs sharing ≥1 shingle.
+
+    ``max_doc_freq`` drops stop-shingles before the self-join — the
+    skew guard that keeps this from going quadratic at scale.
+    """
+    sh = exploded_shingles(docs, n)
+    if max_doc_freq is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+
+
+def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep the lowest-doc_id representative per exact content hash."""
+    return (
+        docs.withColumn("fp", F.md5(F.col(text_col)))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q25: exact dedup summary.
+def q25_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    groups = dedup_exact(docs)
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum("n_copies").alias("n_docs"),
+        (F.sum("n_copies") - F.count(F.lit(1))).alias("n_duplicates"),
+        F.sum(F.col("keep_doc_id")).alias("keep_id_checksum"),
+    )
+
+
+Q25_SQL = """
+WITH g AS (
+  SELECT md5(text) AS fp, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+  FROM documents GROUP BY md5(text)
+)
+SELECT COUNT(*) AS n_unique, SUM(n_copies) AS n_docs,
+  SUM(n_copies) - COUNT(*) AS n_duplicates,
+  SUM(keep_doc_id) AS keep_id_checksum
+FROM g
+"""
+
+
+# --------------------------------------------------------------------------
+# q26: n-gram Jaccard near-duplicate pairs. Jaccard is an exact integer
+# ratio → deterministic double on both engines.
+def q26_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = shingle_pairs(docs, n=3)
+    sizes = docs.select(
+        "doc_id", F.size(shingles_col("text", 3)).alias("n_shingles")
+    )
+    return (
+        pairs.join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"),
+                                     F.col("n_shingles").alias("na"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"),
+                                     F.col("n_shingles").alias("nb"))),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("shared")),
+                6,
+            ),
+        )
+        .filter(F.col("shared") >= 3)
+        .select("doc_a", "doc_b", "shared", "jaccard")
+    )
+
+
+Q26_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({shingles_sql('text', 3)}) AS shingle FROM documents
+), sizes AS (
+  SELECT doc_id, len({shingles_sql('text', 3)}) AS n_shingles FROM documents
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, shared,
+  ROUND(CAST(shared AS DOUBLE) / (sa.n_shingles + sb.n_shingles - shared), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE shared >= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# q27: MinHash signatures + LSH banding.
+def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, seed, minhash): min over shingles of the affine hash."""
+    sh = exploded_shingles(docs, n).withColumn(
+        "h", hash60(F.col("shingle")) % MINHASH_PRIME
+    )
+    seeds = F.explode(
+        F.arrays_zip(
+            F.array(*[F.lit(i) for i in range(NUM_HASHES)]).alias("seed"),
+            F.array(*[F.lit(a) for a in _A]).alias("a"),
+            F.array(*[F.lit(b) for b in _B]).alias("b"),
+        )
+    ).alias("s")
+    return (
+        sh.select("doc_id", "h", seeds)
+        .select(
+            "doc_id",
+            F.col("s.seed").alias("seed"),
+            ((F.col("s.a") * F.col("h") + F.col("s.b")) % MINHASH_PRIME).alias("hv"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("hv").alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
+    """Band the signature and bucket-join: pairs agreeing on ≥1 band."""
+    banded = (
+        signatures.withColumn("band", (F.col("seed") / ROWS_PER_BAND).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                ",", F.array_sort(F.collect_list(F.concat_ws(":", "seed", "minhash")))
+            ).alias("band_sig")
+        )
+    )
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_sig")
+    return (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def q27_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs)
+    # Compact checksum view: per-seed aggregate over all docs (full
+    # signatures are asserted via the checksum; pairs via q26).
+    return sig.groupBy("seed").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("minhash").alias("min_minhash"),
+        F.sum("minhash").alias("sum_minhash"),
+    )
+
+
+_SEED_TABLE = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(zip(_A, _B)))
+
+Q27_SQL = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, {hash60_sql('shingle')} % {MINHASH_PRIME} AS h
+  FROM (SELECT doc_id, unnest({shingles_sql('text', 3)}) AS shingle FROM documents)
+), seeds(seed, a, b) AS (VALUES {_SEED_TABLE}),
+sig AS (
+  SELECT doc_id, seed, MIN((a * h + b) % {MINHASH_PRIME}) AS minhash
+  FROM sh CROSS JOIN seeds
+  GROUP BY doc_id, seed
+)
+SELECT seed, COUNT(*) AS n_docs, MIN(minhash) AS min_minhash, SUM(minhash) AS sum_minhash
+FROM sig GROUP BY seed
+"""
+
+
+# --------------------------------------------------------------------------
+# q28: SimHash signatures (32-bit, token-level).
+SIMHASH_BITS = 32
+
+
+def simhash_col_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): bit-vote simhash over token hashes."""
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).withColumn("h", hash60(F.col("token")))
+    bits = tok.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
+        "h",
+    ).withColumn(
+        "vote",
+        F.when(F.expr("(shiftright(h, bit) & 1) = 1"), 1).otherwise(-1),
+    )
+    return (
+        bits.groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("votes"))
+        .withColumn(
+            "bit_val",
+            F.when(F.col("votes") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bit_val").alias("simhash"))
+    )
+
+
+def q28_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_col_df(docs)
+
+
+Q28_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {hash60_sql('token')} AS h
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+), bits AS (
+  SELECT doc_id, bit,
+    SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS votes
+  FROM tok CROSS JOIN (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS bit)
+  GROUP BY doc_id, bit
+)
+SELECT doc_id,
+  SUM(CASE WHEN votes > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+QUERIES = {
+    "q25_dedup_exact": q25_dedup_exact,
+    "q26_ngram_jaccard_pairs": q26_ngram_jaccard_pairs,
+    "q27_minhash_signatures": q27_minhash_signatures,
+    "q28_simhash": q28_simhash,
+}
+
+ORACLE = {
+    "q25_dedup_exact": Q25_SQL,
+    "q26_ngram_jaccard_pairs": Q26_SQL,
+    "q27_minhash_signatures": Q27_SQL,
+    "q28_simhash": Q28_SQL,
+}

@@ -1,0 +1,207 @@
+"""Event-stream operators: as-of join, sessionization, time windows.
+
+The reference has no streaming/temporal surface (SURVEY.md §2.9), so
+these are the Spark-first temporal operators a consumer of this engine
+needs over the ``events`` table. Each is expressed with built-in window
+/ join operators so Catalyst picks the physical plan; the as-of join
+uses the union+last_value pattern (one shuffle on user_id, no range
+explosion), which scales linearly instead of the quadratic correlated
+subquery a naive port would use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes in microseconds
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right.ts < left.ts`` for the same key (strict as-of backward join).
+
+    Implementation: union both sides tagged, sort within key by time,
+    propagate the last seen right value with ``last(..., ignorenulls)``
+    over an unbounded-preceding window. One shuffle on the key — this is
+    the scalable pattern (a correlated subquery / range join would be
+    quadratic in events per key).
+    """
+    lt = left.withColumn("_is_left", F.lit(1)).withColumn("_ts", F.col(left_ts))
+    rt = (
+        right.withColumn("_is_left", F.lit(0))
+        .withColumn("_ts", F.col(right_ts))
+        .select(
+            on,
+            "_is_left",
+            "_ts",
+            *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        )
+    )
+    # Align schemas for the union.
+    for c in [f.name for f in rt.schema.fields if f.name.startswith("_r_")]:
+        lt = lt.withColumn(c, F.lit(None).cast(rt.schema[c].dataType))
+    lt = lt.select(*[f.name for f in rt.schema.fields], *[c for c in left.columns if c != on])
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+    # Left rows sort BEFORE right rows at identical _ts (is_left asc puts
+    # right=0 first... we need strictly-before: right rows at the same
+    # timestamp must NOT match, so order right rows after left rows on ties.
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_ts"), F.col("_is_left").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    matched = unioned.select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in right_cols
+        ],
+    )
+    return matched.filter(F.col("_is_left") == 1).drop(
+        "_is_left", "_ts", *[f"_r_{c}" for c in right_cols]
+    )
+
+
+# --------------------------------------------------------------------------
+# q18: for each purchase event, the timestamp of the user's most recent
+# strictly-earlier click.
+def q18_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    joined = asof_join(
+        purchases,
+        clicks.withColumnRenamed("ts", "click_ts"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        right_cols=["click_ts"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        F.date_format("asof_click_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "last_click_ts"
+        ),
+    )
+
+
+Q18_SQL = """
+SELECT p.event_id, p.user_id,
+  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+  strftime((SELECT max(c.ts) FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts < p.ts),
+           '%Y-%m-%d %H:%M:%S.%f') AS last_click_ts
+FROM events p
+WHERE p.event_type = 'purchase'
+"""
+
+
+# --------------------------------------------------------------------------
+# q19: sessionization — a new session starts after a >30 min gap.
+def sessionize(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
+    """Assign a per-user session_id via the lag-gap-cumsum pattern."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_session = F.when(gap.isNull() | (gap > gap_us), 1).otherwise(0)
+    return events.withColumn(
+        "session_id",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+
+def q19_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        sessionize(ev)
+        .groupBy("user_id")
+        .agg(
+            F.max("session_id").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+Q19_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events
+FROM sessions GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q20: tumbling time window (the batch twin of the streaming aggregation
+# in aerovaldb_spark.streaming). F.window is the same operator Structured
+# Streaming uses — identical semantics at 100 TB with a watermark.
+def tumbling_window_stats(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    return (
+        events.groupBy(F.window("ts", width).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def q20_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_window_stats(load_table(spark, sf_dir, "events"))
+
+
+Q20_SQL = """
+SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+  event_type, COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+QUERIES = {
+    "q18_asof_purchase_click": q18_asof_purchase_click,
+    "q19_sessionize": q19_sessionize,
+    "q20_tumbling_window": q20_tumbling_window,
+}
+
+ORACLE = {
+    "q18_asof_purchase_click": Q18_SQL,
+    "q19_sessionize": Q19_SQL,
+    "q20_tumbling_window": Q20_SQL,
+}

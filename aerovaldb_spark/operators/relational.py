@@ -1,0 +1,581 @@
+"""Relational operator library over the harness star schema.
+
+Reference parity note: metno/aerovaldb implements *no* relational
+algebra (SURVEY.md §2.9 — no joins, aggregations, windows, sorts, or
+set ops; see /root/reference/src/aerovaldb/aerovaldb.py). Its data
+processing surface is point reads + catalog scans. This module supplies
+the full relational capability Spark-first, as SURVEY.md §7.1 dictates:
+every query is a declarative DataFrame plan so Catalyst handles
+predicate pushdown, partition/column pruning, join strategy selection,
+and whole-stage codegen. Dimension tables are explicitly broadcast.
+
+Oracle-parity convention (DuckDB value-hash must match bit-for-bit):
+- All money/quantity columns hold exact 2-decimal values, so sums are
+  computed in DECIMAL(18,2) (exact, order-independent) and cast to
+  DOUBLE at the end — bit-identical in Spark and DuckDB.
+- Averages: exact decimal sum → double → divide by exact count →
+  round(6). Double division on identical inputs is IEEE-deterministic.
+- Timestamps are formatted to strings so timezone conventions can't
+  differ between engines.
+- Every computed column is aliased identically in the DataFrame code
+  and in the oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+MONEY = "decimal(18,2)"
+
+
+def _money(col: str):
+    return F.col(col).cast(MONEY)
+
+
+def _dsum(col, alias: str):
+    """Exact decimal sum surfaced as a double."""
+    return F.sum(col).cast("double").alias(alias)
+
+
+def _davg(col, alias: str):
+    """Deterministic average: exact decimal sum → double / count, round(6)."""
+    return F.round(F.sum(col).cast("double") / F.count(F.lit(1)), 6).alias(alias)
+
+
+def _revenue():
+    # Column exprs need a live SparkContext, so build lazily per query.
+    return _money("l_extendedprice") * (F.lit(1) - _money("l_discount"))
+
+
+_REVENUE_SQL = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+
+
+# --------------------------------------------------------------------------
+# q01: full-scan aggregation (TPC-H Q1 shape). Map-side partial agg; the
+# shipdate predicate is pushed into the parquet scan.
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(_money("l_quantity"), "sum_qty"),
+            _dsum(_money("l_extendedprice"), "sum_base_price"),
+            _dsum(_revenue(), "sum_disc_price"),
+            _dsum(
+                _revenue() * (F.lit(1) + _money("l_tax")),
+                "sum_charge",
+            ),
+            _davg(_money("l_quantity"), "avg_qty"),
+            _davg(_money("l_extendedprice"), "avg_price"),
+            _davg(_money("l_discount"), "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q01_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM({_REVENUE_SQL} * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# q02: 3-way join + top-k (TPC-H Q3 shape). customer is broadcast; the
+# orders⋈lineitem join shuffles on the key both sides already need.
+def q02_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    return (
+        li.filter(F.col("l_shipdate") > cutoff)
+        .join(
+            orders.filter(F.col("o_orderdate") < cutoff),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dsum(_revenue(), "revenue"))
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+Q02_SQL = f"""
+SELECT o_orderkey,
+  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+  o_orderpriority,
+  CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_shipdate > TIMESTAMP '1998-03-15'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# q03: star join with broadcast dimensions (TPC-H Q5 shape): revenue per
+# nation. nation+region are tiny and broadcast; no shuffle for them.
+def q03_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", "n_name", "r_name")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("r_name", "n_name")
+        .agg(_dsum(_revenue(), "revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+Q03_SQL = f"""
+SELECT r_name, n_name,
+  CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# q04: highly selective scan-agg (TPC-H Q6 shape) — every predicate is
+# pushed down to the parquet reader (check PushedFilters in explain).
+def q04_selective_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _dsum(_money("l_extendedprice") * _money("l_discount"), "revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+Q04_SQL = """
+SELECT
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+# --------------------------------------------------------------------------
+# q05: left-semi join (TPC-H Q4 shape): orders having at least one late
+# line item, counted per priority.
+def q05_order_priority_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = li.select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            late,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+Q05_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+)
+GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# q06: anti join: customers that never placed an order, per segment.
+def q06_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(
+            orders.select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _dsum(_money("c_acctbal"), "total_acctbal"),
+        )
+    )
+
+
+Q06_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+# q07: window function — top-3 orders per customer by price. Deterministic
+# tiebreak on o_orderkey so the row_number is stable across engines.
+def q07_window_topk_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn", "o_totalprice")
+    )
+
+
+Q07_SQL = """
+SELECT o_custkey, o_orderkey, rn, o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# q08: running total per customer (cumulative window frame).
+def q08_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_money("o_totalprice")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+Q08_SQL = """
+SELECT o_custkey, o_orderkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
+# q09: exact distinct aggregation.
+def q09_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+Q09_SQL = """
+SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_customers, COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# q10: grouping sets / rollup.
+def q10_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        _dsum(_money("l_quantity"), "sum_qty"),
+    )
+
+
+Q10_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# --------------------------------------------------------------------------
+# q11: set operation (EXCEPT DISTINCT): well-funded customers that never
+# placed a high-value order.
+def q11_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    rich = cust.filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    big = orders.filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return rich.exceptAll(big.distinct()).distinct()
+
+
+Q11_SQL = """
+SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+EXCEPT
+SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+"""
+
+
+# --------------------------------------------------------------------------
+# q12: CASE-expression bucketing.
+def q12_case_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    bucket = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 3000, "low")
+        .when(F.col("c_acctbal") < 7000, "mid")
+        .otherwise("high")
+    )
+    return (
+        cust.withColumn("balance_bucket", bucket)
+        .groupBy("balance_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _dsum(_money("c_acctbal"), "total_balance"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+            WHEN c_acctbal < 3000 THEN 'low'
+            WHEN c_acctbal < 7000 THEN 'mid'
+            ELSE 'high' END AS balance_bucket,
+  COUNT(*) AS n_customers,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
+FROM customer
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q13: date bucketing on the events table (month as string → no tz drift).
+def q13_monthly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .groupBy("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(_money("value"), "total_value"),
+            _davg(_money("value"), "avg_value"),
+        )
+    )
+
+
+Q13_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# q14: string functions + filter pushdown on part.
+def q14_part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_name").like("%a%"))
+        .withColumn("brand_upper", F.upper("p_brand"))
+        .withColumn("type_prefix", F.substring("p_type", 1, 3))
+        .groupBy("brand_upper", "type_prefix")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            _davg(_money("p_retailprice"), "avg_price"),
+            F.max("p_size").alias("max_size"),
+        )
+    )
+
+
+Q14_SQL = """
+SELECT UPPER(p_brand) AS brand_upper, SUBSTRING(p_type, 1, 3) AS type_prefix,
+  COUNT(*) AS n_parts,
+  ROUND(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+  MAX(p_size) AS max_size
+FROM part
+WHERE p_name LIKE '%a%'
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# q15: semi-structured access — extract a field from the JSON props column.
+# Mirrors the reference's sub-document filtering (utils/filter.py) done
+# relationally: get_json_object is the Spark analog of its JSON path reads.
+def q15_json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "k", F.get_json_object("props", "$.k").cast("bigint")
+        )
+        .withColumn("k_mod", F.col("k") % 10)
+        .groupBy("k_mod")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(_money("value"), "total_value"),
+        )
+    )
+
+
+Q15_SQL = """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q16: exact-key point read — THE reference access pattern (every
+# get_<asset> in aerovaldb.py:126-1398 is a key-equality lookup). On a
+# partitioned/sorted table Catalyst turns this into partition pruning +
+# min-max skipping.
+def q16_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_orderkey") == 997).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("orderdate"),
+        "o_orderpriority",
+    )
+
+
+Q16_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS orderdate,
+  o_orderpriority
+FROM orders WHERE o_orderkey = 997
+"""
+
+
+# --------------------------------------------------------------------------
+# q17: top customers by lifetime spend (join + agg + top-k).
+def q17_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            _dsum(_money("o_totalprice"), "lifetime_spend"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "c_mktsegment", "lifetime_spend", "n_orders")
+        .orderBy(F.col("lifetime_spend").desc(), F.col("c_custkey"))
+        .limit(25)
+    )
+
+
+Q17_SQL = """
+SELECT c_custkey, c_name, c_mktsegment,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS lifetime_spend,
+  COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name, c_mktsegment
+ORDER BY lifetime_spend DESC, c_custkey
+LIMIT 25
+"""
+
+
+QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_top_revenue_orders": q02_top_revenue_orders,
+    "q03_revenue_by_nation": q03_revenue_by_nation,
+    "q04_selective_filter_agg": q04_selective_filter_agg,
+    "q05_order_priority_semijoin": q05_order_priority_semijoin,
+    "q06_customers_without_orders": q06_customers_without_orders,
+    "q07_window_topk_per_customer": q07_window_topk_per_customer,
+    "q08_running_total": q08_running_total,
+    "q09_distinct_counts": q09_distinct_counts,
+    "q10_rollup_agg": q10_rollup_agg,
+    "q11_set_except": q11_set_except,
+    "q12_case_buckets": q12_case_buckets,
+    "q13_monthly_event_stats": q13_monthly_event_stats,
+    "q14_part_type_stats": q14_part_type_stats,
+    "q15_json_extract_agg": q15_json_extract_agg,
+    "q16_point_read": q16_point_read,
+    "q17_top_customers": q17_top_customers,
+}
+
+ORACLE = {
+    "q01_pricing_summary": Q01_SQL,
+    "q02_top_revenue_orders": Q02_SQL,
+    "q03_revenue_by_nation": Q03_SQL,
+    "q04_selective_filter_agg": Q04_SQL,
+    "q05_order_priority_semijoin": Q05_SQL,
+    "q06_customers_without_orders": Q06_SQL,
+    "q07_window_topk_per_customer": Q07_SQL,
+    "q08_running_total": Q08_SQL,
+    "q09_distinct_counts": Q09_SQL,
+    "q10_rollup_agg": Q10_SQL,
+    "q11_set_except": Q11_SQL,
+    "q12_case_buckets": Q12_SQL,
+    "q13_monthly_event_stats": Q13_SQL,
+    "q14_part_type_stats": Q14_SQL,
+    "q15_json_extract_agg": Q15_SQL,
+    "q16_point_read": Q16_SQL,
+    "q17_top_customers": Q17_SQL,
+}

@@ -1,0 +1,167 @@
+"""Similarity search over the ``embeddings`` table (array<float>).
+
+Brute-force cosine top-k as the exact baseline, plus an LSH-bucketed
+(random-hyperplane / SRP) variant as the 100 TB scale path: hyperplane
+signs bucket the vectors so candidate generation is a bucket-equijoin
+instead of a full cross join. Dot products use built-in higher-order
+functions (``zip_with`` + ``aggregate``) — JVM-side, no Python UDF, and
+a left-to-right fold so the float summation order is deterministic.
+
+Parity note: elements are cast to double before the fold; the oracle
+(DuckDB list_dot_product on double lists) sums in the same order.
+Scores are rounded to 6 decimals on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+
+def _dbl(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot_col(a, b) -> Column:
+    """Deterministic left-fold dot product of two array columns."""
+    return F.aggregate(
+        F.zip_with(_dbl(a), _dbl(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_col(a) -> Column:
+    return F.sqrt(dot_col(a, a))
+
+
+def cosine_col(a, b) -> Column:
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine: broadcast the query row(s), score, top-k.
+
+    At scale this is the map-only scoring pattern: the (tiny) query set
+    broadcasts, each partition scores its shard, and only k rows per
+    partition survive to the final top-k — no full-data shuffle.
+    """
+    q = query.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    return (
+        vectors.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine_col(vec_col, "qvec"), 6))
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "cosine")
+        .orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+        .limit(k)
+    )
+
+
+# Random-hyperplane LSH: deterministic pseudo-random planes derived from
+# the shared 60-bit hash so the bucketing is reproducible anywhere.
+NUM_PLANES = 8
+
+
+def srp_signature_col(vec_col: str, dim: int, planes: int = NUM_PLANES) -> Column:
+    """Sign-random-projection bucket id (integer 0..2^planes-1).
+
+    Plane p has ±1 weights derived from parity of a deterministic hash
+    of (p, dimension index) — no stored model, reproducible on any
+    engine, and good enough bucketing for candidate generation.
+    """
+    sig = F.lit(0)
+    for p in range(planes):
+        # weight(p, i) = +1 if hash parity even else -1
+        proj = F.aggregate(
+            F.expr(
+                f"zip_with(transform({vec_col}, x -> CAST(x AS DOUBLE)),"
+                f" transform(sequence(0, {dim - 1}),"
+                f" i -> CASE WHEN (CAST('0x' || substring(md5(concat('p{p}_', i)), 1, 15) AS BIGINT) & 1) = 0"
+                f" THEN 1.0 ELSE -1.0 END),"
+                f" (x, w) -> x * w)"
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return sig
+
+
+def lsh_bucketed_pairs(
+    vectors: DataFrame, dim: int, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Candidate near-dup pairs: same SRP bucket → pair. One shuffle on
+    the bucket id; quadratic only within buckets (expected n/2^planes)."""
+    with_sig = vectors.withColumn("bucket", srp_signature_col(vec_col, dim))
+    a = with_sig.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "bucket")
+    b = with_sig.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_col("vec_a", "vec_b"), 6))
+        .select("bucket", "id_a", "id_b", "cosine")
+    )
+
+
+# --------------------------------------------------------------------------
+# q29: brute-force cosine top-k for a fixed query vector (vec_id = 0).
+def q29_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    return brute_force_topk(emb, query, k=10)
+
+
+Q29_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    ROUND(
+      list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[]))
+      / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+         * sqrt(list_dot_product(CAST(q.qvec AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])))), 6) AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine
+FROM scored ORDER BY cosine DESC, neighbor_id LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# q30: per-vector L2 norm (deterministic fold; round 6).
+def q30_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.round(norm_col("embedding"), 6).alias("l2_norm"),
+        F.size("embedding").alias("dim"),
+    )
+
+
+Q30_SQL = """
+SELECT vec_id, label,
+  ROUND(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS l2_norm,
+  len(embedding) AS dim
+FROM embeddings
+"""
+
+
+QUERIES = {
+    "q29_cosine_topk": q29_cosine_topk,
+    "q30_embedding_norms": q30_embedding_norms,
+}
+
+ORACLE = {
+    "q29_cosine_topk": Q29_SQL,
+    "q30_embedding_norms": Q30_SQL,
+}

@@ -1,0 +1,236 @@
+"""Text-analysis operators for the training-data pipeline surface.
+
+Language-ID, quality scoring, token counting, and fingerprinting over
+the ``documents`` table. Everything is built from JVM-side
+``pyspark.sql.functions`` (no Python UDFs in the hot path) so plans
+stay inside whole-stage codegen and scale linearly with the scan: at
+100 TB these are embarrassingly parallel map-only jobs — no shuffle
+until the final (small) aggregation.
+
+Parity notes: ratios are divisions of exact integers → IEEE-identical
+doubles in Spark and DuckDB; rounding is applied identically on both
+sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+STOPWORDS = {
+    "en": ("the", "a", "of", "and"),
+    "fr": ("le", "la", "et", "les"),
+    "es": ("el", "la", "de", "los"),
+    "de": ("der", "die", "und", "das"),
+    "zh": ("的", "是", "了", "在"),
+}
+
+
+def tokens_col(text: str | Column = "text") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def token_count_col(text: str | Column = "text") -> Column:
+    return F.size(tokens_col(text))
+
+
+def stopword_hits_col(lang: str, text: str | Column = "text") -> Column:
+    words = STOPWORDS[lang]
+    toks = tokens_col(text)
+    in_list = ", ".join(f"'{w}'" for w in words)
+    return F.expr(f"size(filter(split(text, ' '), t -> t IN ({in_list})))") if isinstance(
+        text, str
+    ) else F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def fingerprint_col(text: str | Column = "text") -> Column:
+    """Deterministic 128-bit content fingerprint (hex md5)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(c)
+
+
+# --------------------------------------------------------------------------
+# q21: token counting — per-source token statistics.
+def q21_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("n_tokens", token_count_col())
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.round(
+                F.sum("n_tokens").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_tokens"),
+        )
+    )
+
+
+Q21_SQL = """
+WITH t AS (SELECT source, len(string_split(text, ' ')) AS n_tokens FROM documents)
+SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+  MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens,
+  ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 6) AS avg_tokens
+FROM t GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# q22: quality scoring — length / mean token length / stopword ratio,
+# combined into a deterministic score. All inputs are exact ints.
+def quality_columns(df: DataFrame) -> DataFrame:
+    n_tokens = token_count_col()
+    n_chars = F.length("text")
+    alpha_chars = F.length(F.regexp_replace(F.col("text"), " ", ""))
+    stop_hits = F.expr(
+        "size(filter(split(text, ' '), t -> t IN ('the', 'a', 'of', 'and')))"
+    )
+    df = (
+        df.withColumn("n_tokens", n_tokens)
+        .withColumn("n_chars_m", n_chars)
+        .withColumn(
+            "mean_token_len",
+            F.round(alpha_chars.cast("double") / F.col("n_tokens"), 6),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.round(stop_hits.cast("double") / F.col("n_tokens"), 6),
+        )
+    )
+    return df.withColumn(
+        "quality_score",
+        F.round(
+            F.least(F.col("n_tokens").cast("double") / 100, F.lit(1.0)) * 0.5
+            + (F.lit(1.0) - F.col("stopword_ratio")) * 0.5,
+            6,
+        ),
+    )
+
+
+def q22_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_columns(docs).select(
+        "doc_id", "n_tokens", "n_chars_m", "mean_token_len", "stopword_ratio",
+        "quality_score",
+    )
+
+
+Q22_SQL = """
+WITH t AS (
+  SELECT doc_id,
+    len(string_split(text, ' ')) AS n_tokens,
+    length(text) AS n_chars_m,
+    length(replace(text, ' ', '')) AS alpha_chars,
+    len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and'))) AS stop_hits
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_chars_m,
+  ROUND(CAST(alpha_chars AS DOUBLE) / n_tokens, 6) AS mean_token_len,
+  ROUND(CAST(stop_hits AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+  ROUND(LEAST(CAST(n_tokens AS DOUBLE) / 100, 1.0) * 0.5
+        + (1.0 - ROUND(CAST(stop_hits AS DOUBLE) / n_tokens, 6)) * 0.5, 6) AS quality_score
+FROM t
+"""
+
+
+# --------------------------------------------------------------------------
+# q23: language identification — stopword-profile heuristic. The guess is
+# deterministic (argmax over per-language hit counts with a fixed
+# preference order); accuracy vs the provided label is reported.
+def lang_guess_col() -> Column:
+    hits = {
+        lang: F.expr(
+            "size(filter(split(text, ' '), t -> t IN ({})))".format(
+                ", ".join(f"'{w}'" for w in words)
+            )
+        )
+        for lang, words in STOPWORDS.items()
+    }
+    # Fixed preference order = dict order; strict > keeps argmax stable.
+    guess = F.lit("unk")
+    best = F.lit(0)
+    for lang in STOPWORDS:
+        cond = hits[lang] > best
+        guess = F.when(cond, F.lit(lang)).otherwise(guess)
+        best = F.when(cond, hits[lang]).otherwise(best)
+    return guess
+
+
+def q23_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("lang_guess", lang_guess_col())
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _sql_hits(words: tuple[str, ...]) -> str:
+    in_list = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(string_split(text, ' '), t -> t IN ({in_list})))"
+
+
+Q23_SQL = """
+WITH t AS (
+  SELECT lang,
+    CASE
+      WHEN {zh} THEN 'zh'
+      WHEN {de} THEN 'de'
+      WHEN {es} THEN 'es'
+      WHEN {fr} THEN 'fr'
+      WHEN {en} THEN 'en'
+      ELSE 'unk'
+    END AS lang_guess
+  FROM documents
+)
+SELECT lang, lang_guess, COUNT(*) AS n_docs FROM t GROUP BY lang, lang_guess
+""".format(
+    # Mirror the Spark fold: later languages win only with STRICTLY more
+    # hits than every earlier one; evaluate in reverse dict order.
+    zh=f"{_sql_hits(STOPWORDS['zh'])} > GREATEST(0, {_sql_hits(STOPWORDS['en'])}, {_sql_hits(STOPWORDS['fr'])}, {_sql_hits(STOPWORDS['es'])}, {_sql_hits(STOPWORDS['de'])})",
+    de=f"{_sql_hits(STOPWORDS['de'])} > GREATEST(0, {_sql_hits(STOPWORDS['en'])}, {_sql_hits(STOPWORDS['fr'])}, {_sql_hits(STOPWORDS['es'])})",
+    es=f"{_sql_hits(STOPWORDS['es'])} > GREATEST(0, {_sql_hits(STOPWORDS['en'])}, {_sql_hits(STOPWORDS['fr'])})",
+    fr=f"{_sql_hits(STOPWORDS['fr'])} > GREATEST(0, {_sql_hits(STOPWORDS['en'])})",
+    en=f"{_sql_hits(STOPWORDS['en'])} > 0",
+)
+
+
+# --------------------------------------------------------------------------
+# q24: document fingerprinting — md5 content hash + a shared 60-bit
+# integer hash (same function the dedup operators use on both engines).
+def q24_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        fingerprint_col().alias("fp_md5"),
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("fp_int"),
+    )
+
+
+Q24_SQL = """
+SELECT doc_id, md5(text) AS fp_md5,
+  CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS fp_int
+FROM documents
+"""
+
+
+QUERIES = {
+    "q21_token_stats": q21_token_stats,
+    "q22_quality_scores": q22_quality_scores,
+    "q23_lang_id": q23_lang_id,
+    "q24_fingerprints": q24_fingerprints,
+}
+
+ORACLE = {
+    "q21_token_stats": Q21_SQL,
+    "q22_quality_scores": Q22_SQL,
+    "q23_lang_id": Q23_SQL,
+    "q24_fingerprints": Q24_SQL,
+}

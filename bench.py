@@ -1,0 +1,76 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Queries are forced end-to-end with the noop sink (full computation, no
+driver collect bottleneck). Session startup is reported separately so
+the number reflects query execution, not JVM boot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_top_revenue_orders",
+    "q03_revenue_by_nation",
+    "q04_selective_filter_agg",
+    "q05_order_priority_semijoin",
+    "q07_window_topk_per_customer",
+    "q09_distinct_counts",
+    "q13_monthly_event_stats",
+    "q18_asof_purchase_click",
+    "q19_sessionize",
+    "q21_token_stats",
+    "q26_ngram_jaccard_pairs",
+    "q27_minhash_signatures",
+    "q28_simhash",
+    "q29_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+
+    t_boot = time.time()
+    from aerovaldb_spark.operators import ALL_QUERIES
+    from aerovaldb_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    startup_sec = time.time() - t_boot
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = ALL_QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        per_query[name] = round(time.time() - t0, 3)
+
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+                "startup_sec": round(startup_sec, 3),
+                "n_queries": len(per_query),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,116 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry at a scale factor and
+compares against ``oracle_sql()`` via DuckDB: row count, sorted column
+names, and an order-insensitive value comparison (exact on everything,
+including doubles — our parity convention is bit-exactness).
+
+Usage: python tools/parity.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == 0.0:
+            return 0.0  # normalize -0.0
+        return v
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+def _canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(out, key=repr)
+
+
+def compare(name: str, spark_df, oracle_rows, oracle_cols) -> list[str]:
+    problems = []
+    srows = [tuple(r) for r in spark_df.collect()]
+    scols = list(spark_df.columns)
+    if sorted(scols) != sorted(oracle_cols):
+        problems.append(f"schema: spark={sorted(scols)} oracle={sorted(oracle_cols)}")
+        return problems
+    if len(srows) != len(oracle_rows):
+        problems.append(f"rowcount: spark={len(srows)} oracle={len(oracle_rows)}")
+    a = _canon(srows, scols)
+    b = _canon(oracle_rows, oracle_cols)
+    if a != b:
+        n_bad = 0
+        for i, (x, y) in enumerate(zip(a, b)):
+            if x != y:
+                if n_bad < 3:
+                    problems.append(f"row {i}: spark={x!r} oracle={y!r}")
+                n_bad += 1
+        if len(a) != len(b):
+            problems.append(f"row multiset sizes differ: {len(a)} vs {len(b)}")
+        if n_bad:
+            problems.append(f"total mismatched rows: {n_bad}")
+        if not problems:
+            problems.append("value mismatch (row ordering canonicalization)")
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry_mod
+    from aerovaldb_spark.catalog import TESTDATA_TABLES
+    from aerovaldb_spark.session import get_spark
+
+    spark = get_spark("parity", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = {}
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            if name not in oracles:
+                n = df.count()
+                print(f"  {name}: NO-ORACLE rows={n} ({time.time() - t0:.1f}s)")
+                continue
+            res = con.execute(oracles[name])
+            oracle_cols = [d[0] for d in res.description]
+            oracle_rows = res.fetchall()
+            problems = compare(name, df, oracle_rows, oracle_cols)
+        except Exception as e:  # noqa: BLE001
+            problems = [f"EXCEPTION: {type(e).__name__}: {str(e)[:300]}"]
+        dt = time.time() - t0
+        if problems:
+            failures[name] = problems
+            print(f"  {name}: FAIL ({dt:.1f}s)")
+            for p in problems:
+                print(f"      {p}")
+        else:
+            print(f"  {name}: ok ({dt:.1f}s)")
+
+    print(f"\n{len(failures)} failures / {len(queries)} queries")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
