@@ -11,6 +11,19 @@ from __future__ import annotations
 
 __version__ = "0.1.0"
 
+from .db import AerovalSparkDB, copy_db_contents
+from .plugins import list_engines, open  # noqa: A004
+from .routes import Route
 from .session import get_spark
+from .types import AccessType, QueryEntry
 
-__all__ = ["get_spark"]
+__all__ = [
+    "AccessType",
+    "AerovalSparkDB",
+    "QueryEntry",
+    "Route",
+    "copy_db_contents",
+    "get_spark",
+    "list_engines",
+    "open",
+]

@@ -1,0 +1,679 @@
+"""AerovalSparkDB — the keyed-asset store on Spark.
+
+Reference parity: get/put/query/list/rm/copy + AccessType semantics of
+metno/aerovaldb (SURVEY.md §2), re-architected for Spark:
+
+- **One table per route** (parquet directory, partitioned by
+  ``project``). Key columns are real STRING columns — the reference's
+  filename-encoding / inverse-template machinery (≈300 LoC:
+  jsonfiledb.py:492-597, utils/uri.py:41-126, backwards_compatibility
+  .py) disappears because keys are stored, not encoded into paths.
+- **Writes are an append log** with (seq, tombstone); reads resolve
+  last-writer-wins per key with a window function. This is the
+  MERGE/upsert story without a Delta dependency: appends are O(new
+  data), never read-modify-write of the table. ``compact()`` folds the
+  log. Deletes rewrite only affected partitions (the Delta-DELETE
+  analog of the reference's rm_experiment_data rmtree,
+  jsonfiledb.py:415-428).
+- **A driver-side memtable** buffers puts between flushes, so
+  single-asset round-trips don't pay a Spark job each; flush() is one
+  partitioned append per table. At 100 TB the same design holds:
+  appends land as new files in the right partitions, and point reads
+  prune to one partition + min-max skip to one file.
+- Version routing / filename layouts (reference §2.6) are deliberately
+  NOT ported: this store has one canonical schema; a legacy-import
+  shim (sources/jsondb_import.py) owns compatibility.
+
+Concurrency: single-writer-per-root (the reference's default mode —
+its advisory locking is off by default, docs/locking.rst). Readers are
+snapshot-consistent per Spark job.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+import uuid
+from datetime import datetime, timezone
+from typing import Any
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .filters import (
+    filter_contour,
+    filter_heatmap,
+    filter_map,
+    filter_regional_stats,
+)
+from .jsonutil import json_dumps_wrapper, json_loads
+from .routes import (
+    BINARY_ROUTES,
+    EXTRA_KEYS,
+    FILTER_KEYS,
+    Route,
+    storage_keys,
+    table_name,
+    template_args,
+)
+from .types import AccessType, QueryEntry, normalize_access_type
+from .uri import build_uri, parse_uri
+
+_SENTINEL = object()
+
+# Routes that read from another route's table (the reference stores
+# regional_stats/heatmap in the glob_stats file, jsonfiledb.py:88-91).
+TABLE_ALIASES = {
+    Route.REGIONAL_STATS: Route.GLOB_STATS,
+    Route.HEATMAP: Route.GLOB_STATS,
+}
+
+FILTER_FUNCS = {
+    Route.REGIONAL_STATS: filter_regional_stats,
+    Route.HEATMAP: filter_heatmap,
+    Route.CONTOUR: filter_contour,
+    Route.MAP: filter_map,
+}
+
+
+def _schema_for(route: Route) -> T.StructType:
+    fields = [T.StructField(k, T.StringType()) for k in storage_keys(route)]
+    payload_t = T.BinaryType() if route in BINARY_ROUTES else T.StringType()
+    fields += [
+        T.StructField("payload", payload_t),
+        T.StructField("write_ts", T.TimestampType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("tombstone", T.BooleanType()),
+    ]
+    return T.StructType(fields)
+
+
+class AerovalSparkDB:
+    """Keyed JSON/blob asset store with the aerovaldb API surface."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        # memtable: (storage_route, key_tuple) -> row dict
+        self._mem: dict[Route, dict[tuple, dict]] = {}
+        self._df_cache: dict[Route, DataFrame | None] = {}
+
+    # -- plumbing ---------------------------------------------------------
+
+    def _storage_route(self, route: Route) -> Route:
+        return TABLE_ALIASES.get(route, route)
+
+    def _table_path(self, route: Route) -> str:
+        return os.path.join(self.root, table_name(self._storage_route(route)))
+
+    def _key_tuple(self, route: Route, key: dict[str, str | None]) -> tuple:
+        return tuple(key.get(k) for k in storage_keys(self._storage_route(route)))
+
+    def _next_seq(self) -> int:
+        return time.time_ns()
+
+    def _disk_df(self, route: Route) -> DataFrame | None:
+        """Raw on-disk append log for a route table (cached)."""
+        route = self._storage_route(route)
+        if route in self._df_cache:
+            return self._df_cache[route]
+        path = self._table_path(route)
+        df = None
+        if os.path.isdir(path) and any(
+            not e.startswith((".", "_")) for e in os.listdir(path)
+        ):
+            df = self.spark.read.schema(_schema_for(route)).parquet(path)
+        self._df_cache[route] = df
+        return df
+
+    def _log_df(self, route: Route) -> DataFrame | None:
+        """On-disk log unioned with memtable rows."""
+        route = self._storage_route(route)
+        disk = self._disk_df(route)
+        mem_rows = list(self._mem.get(route, {}).values())
+        if not mem_rows:
+            return disk
+        mem_df = self.spark.createDataFrame(
+            [Row(**r) for r in mem_rows], schema=_schema_for(route)
+        )
+        return disk.unionByName(mem_df) if disk is not None else mem_df
+
+    def _resolved_df(self, route: Route) -> DataFrame | None:
+        """Last-writer-wins view: one live row per key, with ctime/mtime."""
+        route = self._storage_route(route)
+        log = self._log_df(route)
+        if log is None:
+            return None
+        keys = storage_keys(route)
+        w = Window.partitionBy(*keys).orderBy(F.col("seq").desc())
+        return (
+            log.withColumn("_rn", F.row_number().over(w))
+            .withColumn("ctime", F.min("write_ts").over(Window.partitionBy(*keys)))
+            .filter((F.col("_rn") == 1) & (~F.col("tombstone")))
+            .withColumnRenamed("write_ts", "mtime")
+            .drop("_rn", "seq", "tombstone")
+        )
+
+    def _lookup(
+        self, route: Route, key: dict[str, str | None], need_ctime: bool = False
+    ) -> dict | None:
+        """Point read: memtable first, then pruned Spark read."""
+        sroute = self._storage_route(route)
+        kt = self._key_tuple(route, key)
+        mem = self._mem.get(sroute, {})
+        if kt in mem:
+            row = mem[kt]
+            if row["tombstone"]:
+                return None
+            out = dict(row)
+            out["mtime"] = row["write_ts"]
+            out["ctime"] = row["write_ts"]
+            if need_ctime and self._disk_df(sroute) is not None:
+                disk_row = self._lookup_disk(sroute, key)
+                if disk_row:
+                    out["ctime"] = min(disk_row["ctime"], row["write_ts"])
+            return out
+        return self._lookup_disk(sroute, key)
+
+    def _lookup_disk(self, route: Route, key: dict[str, str | None]) -> dict | None:
+        resolved = self._resolved_disk_df(route)
+        if resolved is None:
+            return None
+        cond = None
+        for k in storage_keys(route):
+            v = key.get(k)
+            c = F.col(k).isNull() if v is None else (F.col(k) == v)
+            cond = c if cond is None else (cond & c)
+        rows = resolved.filter(cond).collect()
+        return rows[0].asDict() if rows else None
+
+    def _resolved_disk_df(self, route: Route) -> DataFrame | None:
+        disk = self._disk_df(route)
+        if disk is None:
+            return None
+        keys = storage_keys(route)
+        w = Window.partitionBy(*keys).orderBy(F.col("seq").desc())
+        return (
+            disk.withColumn("_rn", F.row_number().over(w))
+            .withColumn("ctime", F.min("write_ts").over(Window.partitionBy(*keys)))
+            .filter((F.col("_rn") == 1) & (~F.col("tombstone")))
+            .withColumnRenamed("write_ts", "mtime")
+            .drop("_rn", "seq", "tombstone")
+        )
+
+    # -- write path -------------------------------------------------------
+
+    def _put_row(
+        self,
+        route: Route,
+        key: dict[str, str | None],
+        payload: str | bytes | None,
+        tombstone: bool = False,
+    ) -> None:
+        sroute = self._storage_route(route)
+        row = {k: key.get(k) for k in storage_keys(sroute)}
+        row.update(
+            payload=payload,
+            write_ts=datetime.now(timezone.utc).replace(tzinfo=None),
+            seq=self._next_seq(),
+            tombstone=tombstone,
+        )
+        self._mem.setdefault(sroute, {})[self._key_tuple(route, key)] = row
+
+    def flush(self) -> None:
+        """Append memtable contents to the on-disk log (one partitioned
+        append per table — the only Spark write jobs in the write path)."""
+        for route, rows in self._mem.items():
+            if not rows:
+                continue
+            df = self.spark.createDataFrame(
+                [Row(**r) for r in rows.values()], schema=_schema_for(route)
+            )
+            writer = df.coalesce(1).write.mode("append")
+            if "project" in storage_keys(route):
+                writer = writer.partitionBy("project")
+            writer.parquet(self._table_path(route))
+            self._df_cache.pop(route, None)
+        self._mem.clear()
+
+    def close(self) -> None:
+        self.flush()
+
+    def __enter__(self) -> AerovalSparkDB:
+        return self
+
+    def __exit__(self, *exc: Any) -> None:
+        self.close()
+
+    # -- public generic API ----------------------------------------------
+
+    def put(
+        self,
+        obj: Any,
+        route: Route,
+        route_args: dict[str, str],
+        kwargs: dict[str, str] | None = None,
+    ) -> None:
+        """Whole-document upsert (last-writer-wins), reference _put
+        semantics (jsonfiledb.py:386-413, sqlitedb.py:500-531)."""
+        kwargs = kwargs or {}
+        key = {**route_args, **kwargs}
+        if route in BINARY_ROUTES:
+            if not isinstance(obj, bytes):
+                raise TypeError(f"Route {route.name} requires bytes payload")
+            payload: str | bytes = obj
+        elif isinstance(obj, str):
+            payload = obj  # JSON_STR pass-through: stored verbatim
+        else:
+            payload = json_dumps_wrapper(obj)
+        self._put_row(route, key, payload)
+
+    def get(
+        self,
+        route: Route,
+        route_args: dict[str, str],
+        kwargs: dict[str, str] | None = None,
+        access_type: AccessType | str = AccessType.OBJ,
+        default: Any = _SENTINEL,
+    ) -> Any:
+        """Point read with sub-document filtering + representation
+        negotiation (reference _get, jsonfiledb.py:326-384)."""
+        access = normalize_access_type(access_type)
+        kwargs = dict(kwargs or {})
+
+        filter_args = {
+            k: kwargs.pop(k)
+            for k in FILTER_KEYS.get(route, ())
+            if k in kwargs and kwargs[k] is not None
+        }
+        storage_kwargs = {
+            k: kwargs[k] for k in EXTRA_KEYS.get(self._storage_route(route), ())
+            if k in kwargs
+        }
+        key = {**route_args, **storage_kwargs}
+        uri = build_uri(route, dict(route_args), dict(storage_kwargs))
+
+        if access is AccessType.URI:
+            return uri
+        if access is AccessType.FILE_PATH:
+            raise ValueError(
+                "FILE_PATH access is not supported by the Spark backend "
+                "(assets are table rows, not files)"
+            )
+
+        row = self._lookup(
+            route, key, need_ctime=(access is AccessType.CTIME)
+        )
+        if route is Route.CONTOUR and "timestep" in filter_args:
+            # Dual layout (reference jsonfiledb.py:938-1023): try the
+            # merged timestep-keyed doc, else the per-timestep asset.
+            if row is not None:
+                obj = json_loads(row["payload"])
+                ts = filter_args["timestep"]
+                if ts in obj:
+                    result = obj[ts]
+                    if access is AccessType.JSON_STR:
+                        return json_dumps_wrapper(result)
+                    if access in (AccessType.MTIME, AccessType.CTIME):
+                        return row["mtime" if access is AccessType.MTIME else "ctime"]
+                    return result
+            return self.get(
+                Route.CONTOUR_TIMESPLIT,
+                {**route_args, "timestep": filter_args["timestep"]},
+                {},
+                access_type=access,
+                default=default,
+            )
+        if row is None:
+            if default is not _SENTINEL:
+                return default
+            raise FileNotFoundError(f"No asset for {uri}")
+
+        if access is AccessType.MTIME:
+            return row["mtime"]
+        if access is AccessType.CTIME:
+            return row["ctime"]
+        if access is AccessType.BLOB:
+            if route not in BINARY_ROUTES:
+                raise ValueError(f"BLOB access not supported for {route.name}")
+            return row["payload"]
+        if route in BINARY_ROUTES:
+            return row["payload"]
+
+        payload: str = row["payload"]
+        filter_fn = FILTER_FUNCS.get(route)
+        if filter_fn is not None and filter_args:
+            # Corrupt JSON must raise even when default= is given
+            # (reference test tests/test_aerovaldb.py:488-495).
+            obj = json_loads(payload)
+            try:
+                obj = filter_fn(obj, **filter_args)
+            except KeyError:
+                if default is not _SENTINEL:
+                    return default
+                raise
+            if access is AccessType.JSON_STR:
+                return json_dumps_wrapper(obj)
+            return obj
+
+        if access is AccessType.JSON_STR:
+            return payload
+        return json_loads(payload)
+
+    # -- URI-addressed access --------------------------------------------
+
+    def get_by_uri(
+        self,
+        uri: str,
+        access_type: AccessType | str = AccessType.OBJ,
+        default: Any = _SENTINEL,
+    ) -> Any:
+        route, route_args, kwargs = parse_uri(uri)
+        if route in BINARY_ROUTES:
+            access = normalize_access_type(access_type)
+            if access is AccessType.OBJ:
+                access = AccessType.BLOB
+            return self.get(route, route_args, kwargs, access, default=default)
+        return self.get(route, route_args, kwargs, access_type, default=default)
+
+    def put_by_uri(self, obj: Any, uri: str) -> None:
+        route, route_args, kwargs = parse_uri(uri)
+        self.put(obj, route, route_args, kwargs)
+
+    def rm_by_uri(self, uri: str) -> None:
+        route, route_args, kwargs = parse_uri(uri)
+        if route in TABLE_ALIASES:
+            # Filtered views of another asset can't be deleted
+            # (reference refuses these too, jsonfiledb.py:1068-1075).
+            raise ValueError(f"Cannot delete via filtered endpoint {route.name}")
+        self._put_row(route, {**route_args, **kwargs}, None, tombstone=True)
+        # Deletes are durable immediately (the reference unlinks the
+        # file synchronously); only puts are batched in the memtable.
+        self.flush()
+
+    # -- catalog ----------------------------------------------------------
+
+    def _entries_for_route(self, route: Route) -> list[QueryEntry]:
+        if route in TABLE_ALIASES:
+            return []  # aliased views are not distinct assets
+        resolved = self._mem_and_disk_resolved(route)
+        if resolved is None:
+            return []
+        keys = storage_keys(route)
+        targs = template_args(route.value)
+        entries = []
+        for row in resolved:
+            meta = {k: row[k] for k in keys if row.get(k) is not None}
+            route_args = {k: meta.get(k, "") for k in targs}
+            kw = {k: meta[k] for k in EXTRA_KEYS.get(route, ()) if k in meta}
+            entries.append(
+                QueryEntry(build_uri(route, route_args, kw), route, meta)
+            )
+        return entries
+
+    def _mem_and_disk_resolved(self, route: Route) -> list[dict] | None:
+        """Resolved live rows as dicts (key cols only + times)."""
+        df = self._resolved_df(route)
+        if df is None:
+            return None
+        keys = storage_keys(route)
+        return [r.asDict() for r in df.select(*keys, "ctime", "mtime").collect()]
+
+    def query(
+        self, asset_type: Route | list[Route] | None = None, **kwargs: str
+    ) -> list[QueryEntry]:
+        """Catalog scan with equality predicates on meta
+        (reference: aerovaldb.py:1412-1442, jsonfiledb.py:711-763)."""
+        if asset_type is None:
+            routes = list(Route)
+        elif isinstance(asset_type, Route):
+            routes = [asset_type]
+        else:
+            routes = list(asset_type)
+        out = []
+        for route in routes:
+            for entry in self._entries_for_route(route):
+                if all(entry.meta.get(k) == v for k, v in kwargs.items()):
+                    out.append(entry)
+        return out
+
+    def list_all(self) -> list[str]:
+        return [e.uri for e in self.query()]
+
+    def list_timeseries(self, project: str, experiment: str) -> list[str]:
+        return [
+            e.uri
+            for e in self.query(
+                Route.TIMESERIES, project=project, experiment=experiment
+            )
+        ]
+
+    def list_glob_stats(self, project: str, experiment: str) -> list[str]:
+        # Name is legacy: returns HEATMAP-addressed URIs of the
+        # glob_stats assets (reference aerovaldb.py:348-363).
+        return [
+            build_uri(Route.HEATMAP, {k: e.meta.get(k, "") for k in
+                      template_args(Route.HEATMAP.value)})
+            for e in self.query(
+                Route.GLOB_STATS, project=project, experiment=experiment
+            )
+        ]
+
+    def list_map(self, project: str, experiment: str) -> list[str]:
+        return [
+            e.uri
+            for e in self.query(Route.MAP, project=project, experiment=experiment)
+        ]
+
+    def get_experiment_mtime(self, project: str, experiment: str) -> datetime:
+        return self.get(
+            Route.CONFIG,
+            {"project": project, "experiment": experiment},
+            access_type=AccessType.MTIME,
+        )
+
+    # -- deletion ---------------------------------------------------------
+
+    def rm_experiment_data(self, project: str, experiment: str) -> None:
+        """Delete every asset of (project, experiment) — the Spark analog
+        of the reference's rmtree (jsonfiledb.py:415-428): rewrite only
+        the affected project partition per table."""
+        self.flush()
+        for route in Route:
+            if route in TABLE_ALIASES:
+                continue
+            keys = storage_keys(route)
+            if "experiment" not in keys and route is not Route.EXPERIMENTS:
+                continue
+            disk = self._disk_df(route)
+            if disk is None:
+                continue
+            if route is Route.EXPERIMENTS:
+                continue  # project-level registry is not per-experiment data
+            remaining = disk.filter(
+                ~(
+                    F.col("project").eqNullSafe(project)
+                    & F.col("experiment").eqNullSafe(experiment)
+                )
+            )
+            self._rewrite_table(route, remaining)
+
+    def _rewrite_table(self, route: Route, df: DataFrame) -> None:
+        path = self._table_path(route)
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        writer = df.coalesce(1).write.mode("overwrite")
+        if "project" in storage_keys(route):
+            writer = writer.partitionBy("project")
+        writer.parquet(tmp)
+        old = f"{path}.old-{uuid.uuid4().hex[:8]}"
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+        self._df_cache.pop(self._storage_route(route), None)
+
+    def compact(self) -> None:
+        """Fold the append log: keep only the live latest row per key
+        (plus ctime), dropping superseded versions and tombstones."""
+        self.flush()
+        for route in Route:
+            if route in TABLE_ALIASES:
+                continue
+            disk = self._disk_df(route)
+            if disk is None:
+                continue
+            keys = storage_keys(route)
+            w = Window.partitionBy(*keys).orderBy(F.col("seq").desc())
+            folded = (
+                disk.withColumn("_rn", F.row_number().over(w))
+                .withColumn(
+                    "write_ts_first",
+                    F.min("write_ts").over(Window.partitionBy(*keys)),
+                )
+                .filter((F.col("_rn") == 1) & (~F.col("tombstone")))
+                .drop("_rn")
+            )
+            # Preserve ctime through compaction by re-dating the first
+            # write: keep one row per key carrying (payload, mtime=
+            # write_ts, ctime via a sidecar min row).
+            first = folded.withColumn("write_ts", F.col("write_ts_first")).withColumn(
+                "seq", F.col("seq") - 1
+            )
+            keep = folded.unionByName(first).drop("write_ts_first")
+            self._rewrite_table(route, keep)
+
+    # -- typed getters / putters (generated) ------------------------------
+
+    def __getattr__(self, name: str) -> Any:
+        if name.startswith("get_") or name.startswith("put_"):
+            verb, _, tname = name.partition("_")
+            # special names that aren't route tables
+            route = None
+            try:
+                route = Route[tname.upper()]
+            except KeyError:
+                pass
+            if route is not None:
+                if verb == "get":
+                    return self._make_getter(route)
+                if verb == "put" and route not in TABLE_ALIASES:
+                    return self._make_putter(route)
+        raise AttributeError(name)
+
+    def _make_getter(self, route: Route):
+        targs = template_args(route.value)
+        extra = EXTRA_KEYS.get(self._storage_route(route), ())
+        filt = FILTER_KEYS.get(route, ())
+
+        def getter(*args: str, access_type: AccessType | str = AccessType.OBJ,
+                   default: Any = _SENTINEL, cache: bool = False, **kw: Any) -> Any:
+            if len(args) != len(targs):
+                raise TypeError(
+                    f"get_{table_name(route)} takes {len(targs)} positional "
+                    f"args {targs}, got {len(args)}"
+                )
+            route_args = dict(zip(targs, args))
+            kwargs = {
+                k: kw[k] for k in (*extra, *filt) if k in kw and kw[k] is not None
+            }
+            return self.get(route, route_args, kwargs, access_type, default=default)
+
+        getter.__name__ = f"get_{table_name(route)}"
+        return getter
+
+    def _make_putter(self, route: Route):
+        targs = template_args(route.value)
+        extra = EXTRA_KEYS.get(route, ())
+
+        def putter(obj: Any, *args: str, **kw: Any) -> None:
+            if len(args) != len(targs):
+                raise TypeError(
+                    f"put_{table_name(route)} takes {len(targs)} positional "
+                    f"args {targs}, got {len(args)}"
+                )
+            route_args = dict(zip(targs, args))
+            kwargs = {k: kw[k] for k in extra if k in kw and kw[k] is not None}
+            self.put(obj, route, route_args, kwargs)
+
+        putter.__name__ = f"put_{table_name(route)}"
+        return putter
+
+    # -- models_style fallback (reference PriorityMapper semantics,
+    #    utils/string_mapper/mapper.py:174-216) -------------------------
+
+    def get_models_style(
+        self,
+        project: str,
+        experiment: str | None = None,
+        access_type: AccessType | str = AccessType.OBJ,
+        default: Any = _SENTINEL,
+    ) -> Any:
+        if experiment is not None:
+            try:
+                return self.get(
+                    Route.MODELS_STYLE,
+                    {"project": project},
+                    {"experiment": experiment},
+                    access_type,
+                )
+            except FileNotFoundError:
+                pass
+        return self.get(
+            Route.MODELS_STYLE, {"project": project}, {}, access_type, default=default
+        )
+
+    def put_models_style(
+        self, obj: Any, project: str, experiment: str | None = None
+    ) -> None:
+        kwargs = {"experiment": experiment} if experiment is not None else {}
+        self.put(obj, Route.MODELS_STYLE, {"project": project}, kwargs)
+
+    # -- analytics surface -------------------------------------------------
+
+    def table(self, route: Route) -> DataFrame | None:
+        """Resolved live-rows DataFrame for a route table."""
+        return self._resolved_df(route)
+
+    def register_views(self, prefix: str = "avdb_") -> list[str]:
+        """Expose every non-empty route table to spark.sql."""
+        names = []
+        for route in Route:
+            if route in TABLE_ALIASES:
+                continue
+            df = self._resolved_df(route)
+            if df is not None:
+                name = f"{prefix}{table_name(route)}"
+                df.createOrReplaceTempView(name)
+                names.append(name)
+        return names
+
+
+def copy_db_contents(source: AerovalSparkDB, dest: AerovalSparkDB) -> None:
+    """Bulk-copy every asset (reference utils/copy.py:11-50 — but
+    table-at-a-time appends instead of its per-asset O(N²) loop)."""
+    if dest.list_all():
+        raise ValueError("Destination database is not empty")
+    source.flush()
+    for route in Route:
+        if route in TABLE_ALIASES:
+            continue
+        df = source._resolved_disk_df(route)
+        if df is None:
+            continue
+        out = (
+            df.withColumnRenamed("mtime", "write_ts")
+            .withColumn("seq", F.lit(time.time_ns()))
+            .withColumn("tombstone", F.lit(False))
+            .drop("ctime")
+        )
+        writer = out.coalesce(1).write.mode("append")
+        if "project" in storage_keys(route):
+            writer = writer.partitionBy("project")
+        writer.parquet(dest._table_path(route))
+        dest._df_cache.pop(route, None)
+    n_src, n_dst = len(source.list_all()), len(dest.list_all())
+    if n_src != n_dst:
+        raise IOError(f"Copy incomplete: source={n_src} dest={n_dst}")

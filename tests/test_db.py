@@ -1,0 +1,387 @@
+"""Asset-store engine tests, modeled on the reference's strategy
+(SURVEY.md §5): round-trips per route, semantics edges (NaN→null,
+set→list, default=, missing key, timestamps), catalog counts, deletes,
+blob round-trips, copy."""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import pytest
+
+from aerovaldb_spark.db import AerovalSparkDB, copy_db_contents
+from aerovaldb_spark.routes import Route, template_args
+from aerovaldb_spark.types import AccessType
+
+PNG = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
+JPEG = b"\xff\xd8\xff\xe0" + b"\x00" * 16
+
+
+def _args_for(route: Route) -> dict[str, str]:
+    return {k: f"{k}val" for k in template_args(route.value)}
+
+
+# --- round trips for every JSON route -----------------------------------
+
+JSON_ROUTES = [
+    r
+    for r in Route
+    if r
+    not in (
+        Route.REPORT_IMAGE,
+        Route.MAP_OVERLAY,
+        Route.REGIONAL_STATS,
+        Route.HEATMAP,
+    )
+]
+
+
+@pytest.mark.parametrize("route", JSON_ROUTES, ids=lambda r: r.name)
+def test_put_get_roundtrip(tmpdb: AerovalSparkDB, route):
+    args = _args_for(route)
+    payload = {"path": f"sentinel-{route.name}"}
+    tmpdb.put(payload, route, args)
+    assert tmpdb.get(route, args) == payload
+    # JSON_STR returns the stored serialization verbatim
+    s = tmpdb.get(route, args, access_type=AccessType.JSON_STR)
+    assert isinstance(s, str) and "sentinel" in s
+
+
+def test_roundtrip_survives_flush(tmpdb):
+    args = _args_for(Route.CONFIG)
+    tmpdb.put({"path": "cfg"}, Route.CONFIG, args)
+    tmpdb.flush()
+    assert tmpdb.get(Route.CONFIG, args) == {"path": "cfg"}
+
+
+def test_last_writer_wins_after_flush(tmpdb):
+    args = _args_for(Route.CONFIG)
+    tmpdb.put({"v": 1}, Route.CONFIG, args)
+    tmpdb.flush()
+    tmpdb.put({"v": 2}, Route.CONFIG, args)
+    tmpdb.flush()
+    assert tmpdb.get(Route.CONFIG, args) == {"v": 2}
+
+
+# --- typed getter/putter generation -------------------------------------
+
+def test_typed_getters_putters(tmpdb):
+    tmpdb.put_config({"path": "cfg"}, "proj", "exp")
+    assert tmpdb.get_config("proj", "exp") == {"path": "cfg"}
+    tmpdb.put_timeseries({"path": "ts"}, "proj", "exp", "loc", "net", "ov", "lay")
+    assert tmpdb.get_timeseries("proj", "exp", "loc", "net", "ov", "lay") == {
+        "path": "ts"
+    }
+    with pytest.raises(TypeError):
+        tmpdb.get_config("only-one-arg")
+
+
+# --- semantics edges -----------------------------------------------------
+
+def test_nan_serialized_as_null(tmpdb):
+    args = _args_for(Route.CONFIG)
+    tmpdb.put({"x": float("nan"), "y": float("inf")}, Route.CONFIG, args)
+    assert tmpdb.get(Route.CONFIG, args) == {"x": None, "y": None}
+
+
+def test_set_serialized_as_list(tmpdb):
+    args = _args_for(Route.CONFIG)
+    tmpdb.put({"s": {"only"}}, Route.CONFIG, args)
+    assert tmpdb.get(Route.CONFIG, args) == {"s": ["only"]}
+
+
+def test_missing_raises_filenotfound(tmpdb):
+    with pytest.raises(FileNotFoundError):
+        tmpdb.get(Route.CONFIG, _args_for(Route.CONFIG))
+
+
+def test_default_fallback(tmpdb):
+    assert tmpdb.get(Route.CONFIG, _args_for(Route.CONFIG), default={"d": 1}) == {
+        "d": 1
+    }
+
+
+def test_corrupt_json_raises_even_with_default(tmpdb):
+    args = _args_for(Route.CONFIG)
+    tmpdb.put("{not valid json", Route.CONFIG, args)  # str stored verbatim
+    import json
+
+    with pytest.raises(json.JSONDecodeError):
+        tmpdb.get(Route.CONFIG, args, default={"d": 1})
+
+
+def test_json_str_fidelity(tmpdb):
+    args = _args_for(Route.CONFIG)
+    raw = '{"a":    1,\n "weird_spacing": true}'
+    tmpdb.put(raw, Route.CONFIG, args)
+    assert tmpdb.get(Route.CONFIG, args, access_type=AccessType.JSON_STR) == raw
+    tmpdb.flush()
+    assert tmpdb.get(Route.CONFIG, args, access_type=AccessType.JSON_STR) == raw
+
+
+def test_mtime_ctime(tmpdb):
+    args = _args_for(Route.CONFIG)
+    tmpdb.put({"v": 1}, Route.CONFIG, args)
+    tmpdb.flush()
+    m1 = tmpdb.get(Route.CONFIG, args, access_type=AccessType.MTIME)
+    c1 = tmpdb.get(Route.CONFIG, args, access_type=AccessType.CTIME)
+    assert isinstance(m1, datetime.datetime) and isinstance(c1, datetime.datetime)
+    tmpdb.put({"v": 2}, Route.CONFIG, args)
+    m2 = tmpdb.get(Route.CONFIG, args, access_type=AccessType.MTIME)
+    c2 = tmpdb.get(Route.CONFIG, args, access_type=AccessType.CTIME)
+    assert m2 > m1
+    assert c2 == c1  # creation time survives overwrites
+
+
+def test_file_path_access_rejected(tmpdb):
+    with pytest.raises(ValueError):
+        tmpdb.get(
+            Route.CONFIG, _args_for(Route.CONFIG), access_type=AccessType.FILE_PATH
+        )
+
+
+# --- filtered endpoints ---------------------------------------------------
+
+GLOB = {
+    "var1": {
+        "net1": {
+            "lay1": {
+                "mod1": {
+                    "mv1": {"regA": {"2020": {"bias": 0.5}}},
+                    "mv2": {"regB": {"2021": {"rmse": 2.0}}},
+                }
+            }
+        }
+    }
+}
+
+
+def test_heatmap_filtered_read(tmpdb):
+    tmpdb.put_glob_stats(GLOB, "p", "e", "monthly")
+    out = tmpdb.get_heatmap("p", "e", "monthly", region="regA", time="2020")
+    assert out["var1"]["net1"]["lay1"]["mod1"]["mv1"]["regA"] == {
+        "2020": {"bias": 0.5}
+    }
+    assert out["var1"]["net1"]["lay1"]["mod1"]["mv2"] == {}
+
+
+def test_regional_stats_filtered_read(tmpdb):
+    tmpdb.put_glob_stats(GLOB, "p", "e", "monthly")
+    out = tmpdb.get_regional_stats(
+        "p", "e", "monthly", variable="var1", network="net1", layer="lay1"
+    )
+    assert "mod1" in out
+
+
+def test_map_filtered_read(tmpdb):
+    stations = [
+        {
+            "station_name": "s1",
+            "latitude": 1.0,
+            "longitude": 2.0,
+            "altitude": 0.0,
+            "region": "r",
+            "station_display_name": "S1",
+            "daily": {"spring": {"x": 1}, "winter": {"x": 2}},
+            "junk": 1,
+        }
+    ]
+    tmpdb.put_map(stations, "p", "e", "net", "ov", "lay", "mod", "mv")
+    out = tmpdb.get_map(
+        "p", "e", "net", "ov", "lay", "mod", "mv", frequency="daily", season="spring"
+    )
+    assert out[0]["daily"] == {"spring": {"x": 1}}
+    assert "junk" not in out[0]
+
+
+def test_map_time_dimension(tmpdb):
+    tmpdb.put_map([{"t": "with"}], "p", "e", "n", "o", "l", "m", "v", time="2024")
+    tmpdb.put_map([{"t": "without"}], "p", "e", "n", "o", "l", "m", "v")
+    assert tmpdb.get_map("p", "e", "n", "o", "l", "m", "v", time="2024") == [
+        {"t": "with"}
+    ]
+    assert tmpdb.get_map("p", "e", "n", "o", "l", "m", "v") == [{"t": "without"}]
+
+
+def test_contour_dual_layout(tmpdb):
+    tmpdb.put_contour({"ts1": {"merged": True}}, "p", "e", "ov", "mod")
+    tmpdb.put(
+        {"split": True},
+        Route.CONTOUR_TIMESPLIT,
+        {"project": "p", "experiment": "e", "obsvar": "ov", "model": "mod",
+         "timestep": "ts2"},
+    )
+    assert tmpdb.get_contour("p", "e", "ov", "mod", timestep="ts1") == {"merged": True}
+    assert tmpdb.get_contour("p", "e", "ov", "mod", timestep="ts2") == {"split": True}
+
+
+def test_models_style_fallback(tmpdb):
+    tmpdb.put_models_style({"lvl": "project"}, "p")
+    tmpdb.put_models_style({"lvl": "experiment"}, "p", "e")
+    assert tmpdb.get_models_style("p") == {"lvl": "project"}
+    assert tmpdb.get_models_style("p", experiment="e") == {"lvl": "experiment"}
+    assert tmpdb.get_models_style("p", experiment="other") == {"lvl": "project"}
+
+
+# --- URI access -----------------------------------------------------------
+
+def test_uri_roundtrip(tmpdb):
+    args = _args_for(Route.CONFIG)
+    tmpdb.put({"path": "cfg"}, Route.CONFIG, args)
+    uri = tmpdb.get(Route.CONFIG, args, access_type=AccessType.URI)
+    assert tmpdb.get_by_uri(uri) == {"path": "cfg"}
+    tmpdb.put_by_uri({"path": "cfg2"}, uri)
+    assert tmpdb.get_by_uri(uri) == {"path": "cfg2"}
+
+
+# --- catalog --------------------------------------------------------------
+
+def _populate(db: AerovalSparkDB):
+    db.put_config({"c": 1}, "proj", "exp1")
+    db.put_config({"c": 2}, "proj", "exp2")
+    db.put_timeseries({"t": 1}, "proj", "exp1", "loc", "net", "ov", "lay")
+    db.put_glob_stats(GLOB, "proj", "exp1", "monthly")
+    db.put_experiments({"exp1": {}}, "proj")
+    db.put_report_image(PNG, "proj", "exp1", "img/pixel.png")
+
+
+def test_query_and_lists(tmpdb):
+    _populate(tmpdb)
+    assert len(tmpdb.list_all()) == 6
+    assert len(tmpdb.query(Route.CONFIG)) == 2
+    assert len(tmpdb.query(Route.CONFIG, experiment="exp1")) == 1
+    assert tmpdb.list_timeseries("proj", "exp1") == [
+        "/v0/ts/proj/exp1/loc/net/ov/lay"
+    ]
+    assert tmpdb.list_glob_stats("proj", "exp1") == [
+        "/v0/heatmap/proj/exp1/monthly"
+    ]
+    entry = tmpdb.query(Route.CONFIG, experiment="exp1")[0]
+    assert entry.meta["project"] == "proj"
+    assert str(entry) == entry.uri
+
+
+def test_query_after_flush(tmpdb):
+    _populate(tmpdb)
+    tmpdb.flush()
+    assert len(tmpdb.list_all()) == 6
+
+
+def test_rm_experiment_data(tmpdb):
+    _populate(tmpdb)
+    tmpdb.rm_experiment_data("proj", "exp1")
+    uris = tmpdb.list_all()
+    assert "/v0/config/proj/exp2" in uris
+    assert all("exp1" not in u for u in uris if "experiments" not in u)
+    # experiments doc (project-level) survives
+    assert tmpdb.get_experiments("proj") == {"exp1": {}}
+
+
+def test_rm_by_uri(tmpdb):
+    tmpdb.put_config({"c": 1}, "proj", "exp1")
+    tmpdb.rm_by_uri("/v0/config/proj/exp1")
+    with pytest.raises(FileNotFoundError):
+        tmpdb.get_config("proj", "exp1")
+    tmpdb.flush()
+    with pytest.raises(FileNotFoundError):
+        tmpdb.get_config("proj", "exp1")
+
+
+def test_rm_filtered_endpoint_refused(tmpdb):
+    with pytest.raises(ValueError):
+        tmpdb.rm_by_uri("/v0/heatmap/p/e/monthly")
+
+
+def test_get_experiment_mtime(tmpdb):
+    tmpdb.put_config({"c": 1}, "proj", "exp1")
+    assert isinstance(
+        tmpdb.get_experiment_mtime("proj", "exp1"), datetime.datetime
+    )
+
+
+# --- binary assets --------------------------------------------------------
+
+@pytest.mark.parametrize("blob", [PNG, JPEG], ids=["png", "jpeg"])
+def test_image_roundtrip(tmpdb, blob):
+    tmpdb.put_report_image(blob, "p", "e", "img/pixel")
+    assert tmpdb.get_report_image("p", "e", "img/pixel") == blob
+    tmpdb.flush()
+    assert (
+        tmpdb.get_report_image("p", "e", "img/pixel", access_type=AccessType.BLOB)
+        == blob
+    )
+
+
+def test_map_overlay_roundtrip(tmpdb):
+    tmpdb.put_map_overlay(PNG, "p", "e", "src", "var", "2024")
+    assert tmpdb.get_map_overlay("p", "e", "src", "var", "2024") == PNG
+    uri = "/v0/map-overlay/p/e/src/var/2024"
+    assert tmpdb.get_by_uri(uri) == PNG
+
+
+def test_blob_access_on_json_route_rejected(tmpdb):
+    tmpdb.put_config({"c": 1}, "p", "e")
+    with pytest.raises(ValueError):
+        tmpdb.get_config("p", "e", access_type=AccessType.BLOB)
+
+
+# --- copy -----------------------------------------------------------------
+
+def test_copy_db_contents(spark, tmp_path):
+    src = AerovalSparkDB(spark, str(tmp_path / "src"))
+    dst = AerovalSparkDB(spark, str(tmp_path / "dst"))
+    _populate(src)
+    copy_db_contents(src, dst)
+    assert sorted(dst.list_all()) == sorted(src.list_all())
+    assert dst.get_config("proj", "exp1") == {"c": 1}
+    assert dst.get_report_image("proj", "exp1", "img/pixel.png") == PNG
+
+
+def test_copy_to_nonempty_raises(spark, tmp_path):
+    src = AerovalSparkDB(spark, str(tmp_path / "src2"))
+    dst = AerovalSparkDB(spark, str(tmp_path / "dst2"))
+    _populate(src)
+    dst.put_config({"x": 1}, "other", "exp")
+    with pytest.raises(ValueError):
+        copy_db_contents(src, dst)
+
+
+# --- compaction / open ----------------------------------------------------
+
+def test_compact_preserves_state(tmpdb):
+    args = _args_for(Route.CONFIG)
+    tmpdb.put({"v": 1}, Route.CONFIG, args)
+    tmpdb.flush()
+    c1 = tmpdb.get(Route.CONFIG, args, access_type=AccessType.CTIME)
+    tmpdb.put({"v": 2}, Route.CONFIG, args)
+    tmpdb.put_config({"other": 1}, "p2", "e2")
+    tmpdb.rm_by_uri("/v0/config/p2/e2")
+    tmpdb.compact()
+    assert tmpdb.get(Route.CONFIG, args) == {"v": 2}
+    assert tmpdb.get(Route.CONFIG, args, access_type=AccessType.CTIME) == c1
+    with pytest.raises(FileNotFoundError):
+        tmpdb.get_config("p2", "e2")
+
+
+def test_open_dispatch(spark, tmp_path):
+    import aerovaldb_spark
+
+    db = aerovaldb_spark.open(f"spark:{tmp_path}/od", spark=spark)
+    db.put_config({"c": 1}, "p", "e")
+    assert db.get_config("p", "e") == {"c": 1}
+    mem = aerovaldb_spark.open(":memory:", spark=spark)
+    mem.put_config({"m": 1}, "p", "e")
+    assert mem.get_config("p", "e") == {"m": 1}
+    bare = aerovaldb_spark.open(str(tmp_path / "bare"), spark=spark)
+    assert isinstance(bare, aerovaldb_spark.AerovalSparkDB)
+
+
+def test_sql_over_catalog(tmpdb):
+    _populate(tmpdb)
+    views = tmpdb.register_views()
+    assert "avdb_config" in views
+    n = tmpdb.spark.sql(
+        "SELECT count(*) AS n FROM avdb_config WHERE project = 'proj'"
+    ).collect()[0]["n"]
+    assert n == 2
