@@ -51,7 +51,46 @@ def _nanos_ts_columns(path: str) -> list[str]:
     ]
 
 
+# Optional in-memory table cache: the harness parquet is one file with
+# ONE row group per table, so a bare scan is single-threaded no matter
+# how many cores exist. cache_tables() loads each table once,
+# repartitions to the session parallelism, and persists — every query
+# then runs against evenly-spread in-memory partitions. (At real scale
+# the table would already be many files/row-groups and this is moot.)
+_TABLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def cache_tables(
+    spark: SparkSession, sf_dir: str, parallelism: int | None = None
+) -> None:
+    parallelism = parallelism or spark.sparkContext.defaultParallelism
+    for name in TESTDATA_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = load_table(spark, sf_dir, name)
+        n = parallelism if name in ("lineitem", "orders", "events") else max(
+            parallelism // 4, 2
+        )
+        df = df.repartition(n).persist()
+        df.count()  # materialize
+        _TABLE_CACHE[(sf_dir, name)] = df
+
+
+def clear_table_cache() -> None:
+    for df in _TABLE_CACHE.values():
+        df.unpersist()
+    _TABLE_CACHE.clear()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    cached = _TABLE_CACHE.get((sf_dir, name))
+    if cached is not None:
+        return cached
+    return _load_table_uncached(spark, sf_dir, name)
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one harness table; transparently repair nanosecond parquet
     timestamps (Spark reads them as long via the legacy conf, then we
     truncate to microseconds — same semantics as DuckDB's reader)."""

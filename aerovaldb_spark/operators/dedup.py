@@ -70,6 +70,19 @@ def exploded_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def hashed_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, h): distinct 60-bit shingle hashes per document.
+
+    Joining/grouping on the 8-byte hash instead of the shingle string
+    shrinks the shuffle ~10× (the hash stands in for the text; the
+    SQL oracle computes the identical hash so collisions — ~|S|²/2⁶⁰ —
+    affect both engines identically).
+    """
+    return exploded_shingles(docs, n).select(
+        "doc_id", hash60(F.col("shingle")).alias("h")
+    ).distinct()
+
+
 def shingle_pairs(
     docs: DataFrame, n: int = 3, max_doc_freq: int | None = None
 ) -> DataFrame:
@@ -78,19 +91,19 @@ def shingle_pairs(
     ``max_doc_freq`` drops stop-shingles before the self-join — the
     skew guard that keeps this from going quadratic at scale.
     """
-    sh = exploded_shingles(docs, n)
+    sh = hashed_shingles(docs, n).persist()
     if max_doc_freq is not None:
         rare = (
-            sh.groupBy("shingle")
+            sh.groupBy("h")
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") <= max_doc_freq)
-            .select("shingle")
+            .select("h")
         )
-        sh = sh.join(rare, "shingle")
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+        sh = sh.join(rare, "h")
+    a = sh.select(F.col("doc_id").alias("doc_a"), "h")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "h")
     return (
-        a.join(b, "shingle")
+        a.join(b, "h")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared"))
@@ -137,8 +150,8 @@ FROM g
 def q26_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = shingle_pairs(docs, n=3)
-    sizes = docs.select(
-        "doc_id", F.size(shingles_col("text", 3)).alias("n_shingles")
+    sizes = hashed_shingles(docs, 3).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
     )
     return (
         pairs.join(
@@ -166,12 +179,13 @@ def q26_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q26_SQL = f"""
 WITH sh AS (
-  SELECT doc_id, unnest({shingles_sql('text', 3)}) AS shingle FROM documents
+  SELECT DISTINCT doc_id, {hash60_sql('shingle')} AS h
+  FROM (SELECT doc_id, unnest({shingles_sql('text', 3)}) AS shingle FROM documents)
 ), sizes AS (
-  SELECT doc_id, len({shingles_sql('text', 3)}) AS n_shingles FROM documents
+  SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
 ), pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT doc_a, doc_b, shared,
