@@ -1,0 +1,21 @@
+"""Column-function library: shared scalar helpers + multimodal ops."""
+
+from __future__ import annotations
+
+from .multimodal import (
+    MEDIA_SCHEMA,
+    decode_images,
+    extract_features,
+    sample_frames,
+    sniff_image_extension,
+    synthetic_media,
+)
+
+__all__ = [
+    "MEDIA_SCHEMA",
+    "decode_images",
+    "extract_features",
+    "sample_frames",
+    "sniff_image_extension",
+    "synthetic_media",
+]

@@ -1,0 +1,214 @@
+"""Multimodal columns: image/audio/video as opaque binary + metadata.
+
+Design (per the 100 TB pipeline brief): media rides in DataFrames as
+an opaque ``payload BINARY`` column with typed metadata columns, and
+every transform is an Arrow-batched Pandas UDF over ``mapInPandas`` —
+the payload bytes never round-trip through row-at-a-time Python.
+
+The actual codec step is STUBBED (this container has no image/audio
+libraries): ``decode_images`` tries Pillow and otherwise produces a
+deterministic fake decode derived from the payload hash. Everything
+around the stub — schema, batch iteration, partitioning, output
+shapes — is real and tested, so swapping in a real codec is a
+one-function change.
+
+The reference's only multimodal surface is the image-blob routes
+(REPORT_IMAGE / MAP_OVERLAY, aerovaldb.py:1322-1398) with extension
+sniffing from magic bytes (jsonfiledb.py:927-932) — reproduced here as
+``sniff_image_extension``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+        T.StructField("format", T.StringType(), True),
+    ]
+)
+
+_MAGIC = [
+    (b"\x89PNG\r\n\x1a\n", ".png"),
+    (b"\xff\xd8\xff", ".jpg"),
+    (b"GIF87a", ".gif"),
+    (b"GIF89a", ".gif"),
+    (b"RIFF", ".webp"),  # RIFF....WEBP
+    (b"<svg", ".svg"),
+    (b"<?xml", ".svg"),
+]
+
+
+def sniff_image_extension(payload: bytes) -> str | None:
+    """Magic-byte extension sniffing (reference jsonfiledb.py:927-932
+    uses the `filetype` lib; this covers the same formats)."""
+    if payload.startswith(b"RIFF") and payload[8:12] == b"WEBP":
+        return ".webp"
+    if len(payload) > 11 and payload[4:12] in (b"ftypavif", b"ftypavis"):
+        return ".avif"
+    for magic, ext in _MAGIC:
+        if payload.startswith(magic):
+            return ext
+    return None
+
+
+def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
+    """Deterministic fake media table for tests (seeded by media_id)."""
+    rows = []
+    for i in range(n):
+        kind = ("image", "audio", "video")[i % 3]
+        payload = (b"\x89PNG\r\n\x1a\n" if kind == "image" else b"RIFF") + (
+            hashlib.sha256(str(i).encode()).digest() * 4
+        )
+        rows.append(
+            (
+                i,
+                kind,
+                payload,
+                64 + (i % 8) * 16 if kind != "audio" else None,
+                48 + (i % 4) * 16 if kind != "audio" else None,
+                1000 * (1 + i % 30) if kind != "image" else None,
+                {"image": "png", "audio": "wav", "video": "webm"}[kind],
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("decoder", T.StringType()),
+    ]
+)
+
+
+def _decode_stub(payload: bytes, width: int, height: int) -> tuple[float, str]:
+    """Deterministic fake decode: 'luminance' derived from payload hash.
+
+    Swap point for a real codec: return (mean luma, decoder name).
+    """
+    h = hashlib.sha256(payload).digest()
+    return int.from_bytes(h[:4], "big") / 2**32, "stub-sha256"
+
+
+def decode_images(media: DataFrame) -> DataFrame:
+    """Decode image payloads → per-image stats via mapInPandas.
+
+    Arrow-batched: each Python call receives a pandas batch, payload
+    bytes stay in one buffer per batch. Partition-parallel — no
+    driver involvement, no shuffle.
+    """
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        try:  # pragma: no cover - Pillow not present in this container
+            from PIL import Image  # noqa: F401
+
+            use_real = True
+        except ImportError:
+            use_real = False
+
+        for batch in batches:
+            out = []
+            for row in batch.itertuples(index=False):
+                w = int(row.width or 0)
+                h = int(row.height or 0)
+                if use_real:  # pragma: no cover
+                    raise NotImplementedError(
+                        "real decode path requires a codec integration"
+                    )
+                luma, decoder = _decode_stub(bytes(row.payload), w, h)
+                out.append((row.media_id, w, h, w * h, luma, decoder))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in DECODED_SCHEMA.fields]
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        decode, schema=DECODED_SCHEMA
+    )
+
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
+    """Deterministic hash-derived feature vectors (embedding stub) —
+    the plumbing (Arrow batches, array<float> output column) is what a
+    real model-inference UDF uses."""
+
+    def featurize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for batch in batches:
+            ids, feats = [], []
+            for row in batch.itertuples(index=False):
+                h = hashlib.sha256(bytes(row.payload)).digest()
+                rng = np.frombuffer((h * ((4 * dim) // len(h) + 1))[: 4 * dim],
+                                    dtype=">u4").astype("float32")
+                feats.append((rng / 2**32).tolist())
+                ids.append(row.media_id)
+            yield pd.DataFrame({"media_id": ids, "features": feats})
+
+    return media.mapInPandas(featurize, schema=FEATURES_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_ms", T.IntegerType()),
+        T.StructField("frame_payload", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 5000) -> DataFrame:
+    """Frame sampling for video payloads: one output row per sampled
+    frame (stub slices the payload deterministically; a real codec
+    would seek/decode). Output explodes rows — partition-local, no
+    shuffle."""
+
+    def sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for batch in batches:
+            out = []
+            for row in batch.itertuples(index=False):
+                dur = int(row.duration_ms or 0)
+                payload = bytes(row.payload)
+                for idx, ms in enumerate(range(0, max(dur, 1), every_ms)):
+                    lo = (idx * 16) % max(len(payload) - 16, 1)
+                    out.append((row.media_id, idx, ms, payload[lo : lo + 16]))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in FRAMES_SCHEMA.fields]
+            )
+
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        sample, schema=FRAMES_SCHEMA
+    )

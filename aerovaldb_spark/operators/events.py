@@ -194,14 +194,49 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# q31: the built-in session_window operator (batch mode; identical
+# semantics streaming with a watermark — see aerovaldb_spark.streaming).
+# Oracle: classic lag-gap-cumsum sessionization. Boundary convention:
+# session_window treats an event at exactly start+gap as a NEW session
+# (window end is exclusive), hence >= in the oracle.
+def q31_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import session_window_stats
+
+    return session_window_stats(load_table(spark, sf_dir, "events"))
+
+
+Q31_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, ts,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+  COUNT(*) AS n_events
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
 QUERIES = {
     "q18_asof_purchase_click": q18_asof_purchase_click,
     "q19_sessionize": q19_sessionize,
     "q20_tumbling_window": q20_tumbling_window,
+    "q31_session_window": q31_session_window,
 }
 
 ORACLE = {
     "q18_asof_purchase_click": Q18_SQL,
     "q19_sessionize": Q19_SQL,
     "q20_tumbling_window": Q20_SQL,
+    "q31_session_window": Q31_SQL,
 }

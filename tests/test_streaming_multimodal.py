@@ -1,0 +1,120 @@
+"""Streaming operators (batch/stream equivalence) and multimodal UDF
+plumbing."""
+
+from __future__ import annotations
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# --- streaming ------------------------------------------------------------
+
+def test_windowed_counts_stream_matches_batch(spark):
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.streaming import (
+        read_event_stream,
+        run_stream_to_memory,
+        windowed_event_counts,
+    )
+
+    batch = windowed_event_counts(load_table(spark, SF_DIR, "events"))
+    stream = windowed_event_counts(read_event_stream(spark, SF_DIR))
+    assert stream.isStreaming
+    got = run_stream_to_memory(stream, "win_counts", spark)
+    a = sorted(map(tuple, batch.collect()))
+    b = sorted(map(tuple, got.collect()))
+    assert a == b and len(a) > 0
+
+
+def test_session_window_stream_matches_batch(spark):
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.streaming import (
+        read_event_stream,
+        run_stream_to_memory,
+        session_window_stats,
+    )
+
+    batch = session_window_stats(load_table(spark, SF_DIR, "events"))
+    stream = session_window_stats(read_event_stream(spark, SF_DIR))
+    got = run_stream_to_memory(stream, "sess_stats", spark)
+    assert sorted(map(tuple, batch.collect())) == sorted(map(tuple, got.collect()))
+
+
+def test_streaming_dedup(spark):
+    from aerovaldb_spark.streaming import (
+        read_event_stream,
+        run_stream_to_memory,
+        streaming_dedup,
+    )
+
+    stream = streaming_dedup(read_event_stream(spark, SF_DIR))
+    got = run_stream_to_memory(stream, "dedup_ev", spark, output_mode="append")
+    n = got.count()
+    assert n == got.select("event_id").distinct().count() > 0
+
+
+# --- multimodal -----------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def media(spark):
+    from aerovaldb_spark.functions import synthetic_media
+
+    return synthetic_media(spark, 60).cache()
+
+
+def test_media_schema(media):
+    from aerovaldb_spark.functions import MEDIA_SCHEMA
+
+    assert media.schema == MEDIA_SCHEMA
+    assert media.count() == 60
+
+
+def test_decode_images_stub(media):
+    from aerovaldb_spark.functions import decode_images
+
+    out = decode_images(media)
+    rows = out.collect()
+    assert len(rows) == 20  # every third media item is an image
+    r = {row["media_id"]: row for row in rows}
+    assert r[0]["decoder"] == "stub-sha256"
+    assert r[0]["n_pixels"] == r[0]["width"] * r[0]["height"]
+    assert 0.0 <= r[0]["mean_luma"] <= 1.0
+    # deterministic: same input → same fake luma
+    again = {row["media_id"]: row for row in decode_images(media).collect()}
+    assert r[0]["mean_luma"] == again[0]["mean_luma"]
+
+
+def test_extract_features(media):
+    from aerovaldb_spark.functions import extract_features
+
+    out = extract_features(media, dim=16).collect()
+    assert len(out) == 60
+    assert all(len(r["features"]) == 16 for r in out)
+    assert all(0.0 <= v <= 1.0 for r in out for v in r["features"])
+
+
+def test_sample_frames(media):
+    from aerovaldb_spark.functions import sample_frames
+
+    out = sample_frames(media, every_ms=5000)
+    rows = out.collect()
+    assert len(rows) > 0
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    for frames in by_media.values():
+        idxs = sorted(f["frame_idx"] for f in frames)
+        assert idxs == list(range(len(idxs)))
+        assert all(len(f["frame_payload"]) == 16 for f in frames)
+
+
+def test_sniff_image_extension():
+    from aerovaldb_spark.functions import sniff_image_extension
+
+    assert sniff_image_extension(b"\x89PNG\r\n\x1a\nxxxx") == ".png"
+    assert sniff_image_extension(b"\xff\xd8\xff\xe0rest") == ".jpg"
+    assert sniff_image_extension(b"GIF89a...") == ".gif"
+    assert sniff_image_extension(b"RIFF\x00\x00\x00\x00WEBPVP8") == ".webp"
+    assert sniff_image_extension(b"\x00\x00\x00 ftypavifrest") == ".avif"
+    assert sniff_image_extension(b"garbage") is None
