@@ -6,7 +6,7 @@
 
 from __future__ import annotations
 
-from . import dedup, events, relational, similarity, text
+from . import advanced, dedup, events, relational, similarity, text  # noqa: E501
 
 ALL_QUERIES = {
     **relational.QUERIES,
@@ -14,6 +14,7 @@ ALL_QUERIES = {
     **text.QUERIES,
     **dedup.QUERIES,
     **similarity.QUERIES,
+    **advanced.QUERIES,
 }
 
 ALL_ORACLE = {
@@ -22,6 +23,7 @@ ALL_ORACLE = {
     **text.ORACLE,
     **dedup.ORACLE,
     **similarity.ORACLE,
+    **advanced.ORACLE,
 }
 
 __all__ = [
@@ -30,6 +32,7 @@ __all__ = [
     "dedup",
     "events",
     "relational",
+    "advanced",
     "similarity",
     "text",
 ]

@@ -1,0 +1,317 @@
+"""Second wave of relational/pipeline operators: pivot, exact
+percentiles, correlated subqueries, sliding windows, LSH buckets,
+ranked top-k per group, unions, and the end-to-end corpus-cleaning
+pipeline. Same oracle-parity conventions as operators/relational.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+MONEY = "decimal(18,2)"
+
+
+# --------------------------------------------------------------------------
+# q32: pivot — order counts per priority (rows) × order status (columns).
+def q32_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+    )
+
+
+Q32_SQL = """
+SELECT o_orderpriority,
+  COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS n_f,
+  COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS n_o,
+  COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS n_p
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# q33: exact percentiles (percentile_disc picks actual data values →
+# deterministic across engines, unlike interpolating approximations).
+def q33_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").alias(
+            "median_price"
+        ),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)").alias(
+            "p90_price"
+        ),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+Q33_SQL = """
+SELECT o_orderstatus,
+  percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS median_price,
+  percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS p90_price,
+  MIN(o_totalprice) AS min_price,
+  MAX(o_totalprice) AS max_price
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+# --------------------------------------------------------------------------
+# q34: correlated scalar subquery — customers richer than their
+# nation's average. Spark expresses it as a broadcast join against the
+# per-nation aggregate (what a decorrelation rule produces anyway).
+def q34_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation_avg = cust.groupBy("c_nationkey").agg(
+        (
+            F.sum(F.col("c_acctbal").cast(MONEY)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("nation_avg")
+    )
+    return (
+        cust.join(F.broadcast(nation_avg), "c_nationkey")
+        .filter(F.col("c_acctbal") > F.col("nation_avg"))
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_above_avg"))
+    )
+
+
+Q34_SQL = """
+SELECT c_nationkey, COUNT(*) AS n_above_avg
+FROM customer c
+WHERE c_acctbal > (
+  SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+  FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey
+)
+GROUP BY c_nationkey
+"""
+
+
+# --------------------------------------------------------------------------
+# q35: sliding window — 1-hour windows every 15 minutes. F.window with
+# slideDuration; oracle expands each event into its 4 covering windows.
+def q35_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n_events",
+        )
+    )
+
+
+Q35_SQL = """
+SELECT strftime(time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE,
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+  COUNT(*) AS n_events
+FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q36: sign-random-projection LSH bucket histogram (the candidate
+# generator of the scale-path similarity search, operators/similarity).
+def q36_srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import NUM_PLANES, srp_signature_col
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.withColumn("bucket", srp_signature_col("embedding", 64, NUM_PLANES))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("vec_id").alias("id_checksum"),
+        )
+    )
+
+
+def _srp_proj_sql(p: int, dim: int = 64) -> str:
+    return (
+        "list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"list_transform(generate_series(0, {dim - 1}), "
+        f"i -> CASE WHEN (CAST('0x' || substring(md5('p{p}_' || i), 1, 15) AS BIGINT) & 1) = 0 "
+        "THEN 1.0 ELSE -1.0 END))"
+    )
+
+
+Q36_SQL = (
+    "SELECT "
+    + " + ".join(
+        f"(CASE WHEN {_srp_proj_sql(p)} > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(8)
+    )
+    + """ AS bucket,
+  COUNT(*) AS n_vectors, SUM(vec_id) AS id_checksum
+FROM embeddings GROUP BY 1
+"""
+)
+
+
+# --------------------------------------------------------------------------
+# q37: dense_rank top-k per group with ties (part prices per brand).
+def q37_rank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return (
+        part.withColumn("rnk", F.dense_rank().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select("p_brand", "p_partkey", "p_retailprice", "rnk")
+    )
+
+
+Q37_SQL = """
+SELECT p_brand, p_partkey, p_retailprice, rnk FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+    DENSE_RANK() OVER (PARTITION BY p_brand
+                       ORDER BY p_retailprice DESC, p_partkey) AS rnk
+  FROM part
+) WHERE rnk <= 2
+"""
+
+
+# --------------------------------------------------------------------------
+# q38: UNION ALL across heterogeneous activity sources.
+def q38_activity_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    a = ev.select(
+        F.col("user_id").alias("actor_id"),
+        F.lit("event").alias("kind"),
+        F.col("value").cast(MONEY).alias("amount"),
+    )
+    b = orders.select(
+        F.col("o_custkey").alias("actor_id"),
+        F.lit("order").alias("kind"),
+        F.col("o_totalprice").cast(MONEY).alias("amount"),
+    )
+    return (
+        a.unionAll(b)
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_actions"),
+            F.countDistinct("actor_id").alias("n_actors"),
+            F.sum("amount").cast("double").alias("total_amount"),
+        )
+    )
+
+
+Q38_SQL = """
+WITH activity AS (
+  SELECT user_id AS actor_id, 'event' AS kind,
+         CAST(value AS DECIMAL(18,2)) AS amount FROM events
+  UNION ALL
+  SELECT o_custkey AS actor_id, 'order' AS kind,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS amount FROM orders
+)
+SELECT kind, COUNT(*) AS n_actions, COUNT(DISTINCT actor_id) AS n_actors,
+  CAST(SUM(amount) AS DOUBLE) AS total_amount
+FROM activity GROUP BY kind
+"""
+
+
+# --------------------------------------------------------------------------
+# q39: the end-to-end corpus-cleaning pipeline: exact-dedup → quality
+# gate → per-language yield report. This is the composition a training
+# data pipeline runs; each stage is a pushdown-friendly DataFrame op.
+def q39_clean_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    deduped = (
+        docs.withColumn("fp", F.md5("text"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("fp").orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    scored = deduped.withColumn(
+        "n_tokens", F.size(F.split("text", " "))
+    ).withColumn(
+        "stop_hits",
+        F.expr("size(filter(split(text, ' '), t -> t IN ('the', 'a', 'of', 'and')))"),
+    )
+    kept = scored.filter(
+        (F.col("n_tokens") >= 20)
+        & (F.col("stop_hits").cast("double") / F.col("n_tokens") < 0.5)
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+
+
+Q39_SQL = """
+WITH deduped AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents
+), scored AS (
+  SELECT lang, doc_id,
+    len(string_split(text, ' ')) AS n_tokens,
+    len(list_filter(string_split(text, ' '),
+        t -> t IN ('the', 'a', 'of', 'and'))) AS stop_hits
+  FROM deduped WHERE rn = 1
+)
+SELECT lang, COUNT(*) AS n_docs_kept, SUM(n_tokens) AS total_tokens,
+  SUM(doc_id) AS id_checksum
+FROM scored
+WHERE n_tokens >= 20 AND CAST(stop_hits AS DOUBLE) / n_tokens < 0.5
+GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# q40: MinHash-LSH candidate pairs (banded bucket join). No SQL oracle —
+# the banding/bucket-join composition is the point; correctness of the
+# underlying signatures is covered by q27's oracle. The driver records
+# a rows-only check for this entry.
+def q40_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import lsh_candidate_pairs, minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(minhash_signatures(docs))
+
+
+QUERIES = {
+    "q32_pivot_status": q32_pivot_status,
+    "q33_percentiles": q33_percentiles,
+    "q34_above_nation_avg": q34_above_nation_avg,
+    "q35_sliding_window": q35_sliding_window,
+    "q36_srp_buckets": q36_srp_buckets,
+    "q37_rank_parts": q37_rank_parts,
+    "q38_activity_union": q38_activity_union,
+    "q39_clean_corpus_report": q39_clean_corpus_report,
+    "q40_lsh_candidates": q40_lsh_candidates,
+}
+
+ORACLE = {
+    "q32_pivot_status": Q32_SQL,
+    "q33_percentiles": Q33_SQL,
+    "q34_above_nation_avg": Q34_SQL,
+    "q35_sliding_window": Q35_SQL,
+    "q36_srp_buckets": Q36_SQL,
+    "q37_rank_parts": Q37_SQL,
+    "q38_activity_union": Q38_SQL,
+    "q39_clean_corpus_report": Q39_SQL,
+    # q40 intentionally has no oracle (rows-only check)
+}

@@ -85,8 +85,8 @@ def srp_signature_col(vec_col: str, dim: int, planes: int = NUM_PLANES) -> Colum
             F.expr(
                 f"zip_with(transform({vec_col}, x -> CAST(x AS DOUBLE)),"
                 f" transform(sequence(0, {dim - 1}),"
-                f" i -> CASE WHEN (CAST('0x' || substring(md5(concat('p{p}_', i)), 1, 15) AS BIGINT) & 1) = 0"
-                f" THEN 1.0 ELSE -1.0 END),"
+                f" i -> CASE WHEN (CAST(conv(substring(md5(concat('p{p}_', i)), 1, 15), 16, 10) AS BIGINT) & 1) = 0"
+                f" THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END),"
                 f" (x, w) -> x * w)"
             ),
             F.lit(0.0),
