@@ -1,0 +1,41 @@
+"""Async facade over AerovalSparkDB.
+
+The reference exposes every method both async and sync via its
+``@async_and_sync`` decorator (utils/asyncio.py:23-48). Spark's driver
+API is synchronous, so the async surface here delegates to a thread
+(``asyncio.to_thread``) — callers in an async serving layer never
+block the event loop on a Spark job.
+"""
+
+from __future__ import annotations
+
+import asyncio
+from typing import Any
+
+from .db import AerovalSparkDB
+
+
+class AsyncAerovalSparkDB:
+    """Awaitable twin of :class:`AerovalSparkDB`.
+
+    Every public method of the sync engine is available here and
+    returns a coroutine: ``await adb.get_config("p", "e")``.
+    """
+
+    def __init__(self, db: AerovalSparkDB):
+        self._db = db
+
+    @property
+    def sync(self) -> AerovalSparkDB:
+        return self._db
+
+    def __getattr__(self, name: str) -> Any:
+        attr = getattr(self._db, name)
+        if not callable(attr):
+            return attr
+
+        async def call(*args: Any, **kwargs: Any) -> Any:
+            return await asyncio.to_thread(attr, *args, **kwargs)
+
+        call.__name__ = f"a{name}"
+        return call

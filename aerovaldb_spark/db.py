@@ -95,12 +95,17 @@ class AerovalSparkDB:
     """Keyed JSON/blob asset store with the aerovaldb API surface."""
 
     def __init__(self, spark: SparkSession, root: str):
+        from .lock import make_lock
+
         self.spark = spark
         self.root = root
         os.makedirs(root, exist_ok=True)
         # memtable: (storage_route, key_tuple) -> row dict
         self._mem: dict[Route, dict[tuple, dict]] = {}
         self._df_cache: dict[Route, DataFrame | None] = {}
+        # Optional multi-process advisory lock (AVDB_USE_LOCKING env,
+        # reference parity — see aerovaldb_spark.lock).
+        self._lock = make_lock(root)
 
     # -- plumbing ---------------------------------------------------------
 
@@ -227,6 +232,10 @@ class AerovalSparkDB:
     def flush(self) -> None:
         """Append memtable contents to the on-disk log (one partitioned
         append per table — the only Spark write jobs in the write path)."""
+        with self._lock:
+            self._flush_unlocked()
+
+    def _flush_unlocked(self) -> None:
         for route, rows in self._mem.items():
             if not rows:
                 continue
@@ -503,6 +512,10 @@ class AerovalSparkDB:
             self._rewrite_table(route, remaining)
 
     def _rewrite_table(self, route: Route, df: DataFrame) -> None:
+        with self._lock:
+            self._rewrite_table_unlocked(route, df)
+
+    def _rewrite_table_unlocked(self, route: Route, df: DataFrame) -> None:
         path = self._table_path(route)
         tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
         writer = df.coalesce(1).write.mode("overwrite")
@@ -631,11 +644,95 @@ class AerovalSparkDB:
         kwargs = {"experiment": experiment} if experiment is not None else {}
         self.put(obj, Route.MODELS_STYLE, {"project": project}, kwargs)
 
+    def bulk_import(self, route: Route, df: DataFrame) -> None:
+        """Append many assets at once from a DataFrame with (some of)
+        the route's key columns + ``payload`` [+ ``write_ts``] — the
+        distributed write path (no per-asset driver loop)."""
+        sroute = self._storage_route(route)
+        cols = []
+        for k in storage_keys(sroute):
+            cols.append(
+                F.col(k).cast("string").alias(k)
+                if k in df.columns
+                else F.lit(None).cast("string").alias(k)
+            )
+        cols.append(F.col("payload"))
+        cols.append(
+            (F.col("write_ts") if "write_ts" in df.columns else F.current_timestamp())
+            .alias("write_ts")
+        )
+        out = (
+            df.select(*cols)
+            .withColumn("seq", F.lit(self._next_seq()))
+            .withColumn("tombstone", F.lit(False))
+        )
+        with self._lock:
+            writer = out.write.mode("append")
+            if "project" in storage_keys(sroute):
+                writer = writer.partitionBy("project")
+            writer.parquet(self._table_path(sroute))
+        self._df_cache.pop(sroute, None)
+
     # -- analytics surface -------------------------------------------------
 
     def table(self, route: Route) -> DataFrame | None:
         """Resolved live-rows DataFrame for a route table."""
         return self._resolved_df(route)
+
+    def glob_stats_long(
+        self, project: str | None = None, experiment: str | None = None
+    ) -> DataFrame | None:
+        """Shredded long-format view of every glob_stats document:
+        one row per stat leaf. The 100 TB analytics path — the deep
+        heatmap/regional filters become plain WHERE clauses here
+        (SURVEY.md §2.2), and shredding runs distributed via an
+        Arrow-batched mapInPandas over the payload column."""
+        from collections.abc import Iterator
+
+        from .filters import SHRED_LEVELS, shred_glob_stats_doc
+
+        df = self._resolved_df(Route.GLOB_STATS)
+        if df is None:
+            return None
+        if project is not None:
+            df = df.filter(F.col("project") == project)
+        if experiment is not None:
+            df = df.filter(F.col("experiment") == experiment)
+
+        out_schema = T.StructType(
+            [
+                T.StructField("project", T.StringType()),
+                T.StructField("experiment", T.StringType()),
+                T.StructField("frequency", T.StringType()),
+                *[T.StructField(lvl, T.StringType()) for lvl in SHRED_LEVELS],
+                T.StructField("stat_name", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        )
+
+        def shred(batches: Iterator) -> Iterator:
+            import json as _json
+
+            import pandas as pd
+
+            for batch in batches:
+                rows = []
+                for rec in batch.itertuples(index=False):
+                    try:
+                        doc = _json.loads(rec.payload)
+                    except (TypeError, ValueError):
+                        continue
+                    for leaf in shred_glob_stats_doc(doc):
+                        rows.append(
+                            (rec.project, rec.experiment, rec.frequency, *leaf)
+                        )
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in out_schema.fields]
+                )
+
+        return df.select("project", "experiment", "frequency", "payload").mapInPandas(
+            shred, schema=out_schema
+        )
 
     def register_views(self, prefix: str = "avdb_") -> list[str]:
         """Expose every non-empty route table to spark.sql."""

@@ -2,6 +2,6 @@
 
 from __future__ import annotations
 
-from .jsondb_import import import_jsondb_tree
+from .jsondb_import import import_jsondb_tree, import_jsondb_tree_distributed
 
-__all__ = ["import_jsondb_tree"]
+__all__ = ["import_jsondb_tree", "import_jsondb_tree_distributed"]

@@ -278,10 +278,73 @@ def resolve_path(
     return None
 
 
+def import_jsondb_tree_distributed(
+    db: AerovalSparkDB, basedir: str
+) -> ImportReport:
+    """Cluster-scale import: read the whole tree with Spark's binaryFile
+    source (executors do the IO), resolve paths on the driver (pure
+    metadata — file *contents* never touch the driver), and append each
+    route's rows as one partitioned write.
+
+    This is the shape that survives a 100 TB tree: the per-file loop of
+    :func:`import_jsondb_tree` is O(N) driver round-trips; here the
+    driver handles only the path list.
+    """
+    from pyspark.sql import Row, functions as F
+
+    report = ImportReport()
+    files = db.spark.read.format("binaryFile").option(
+        "recursiveFileLookup", "true"
+    ).load(basedir)
+    paths = [r.path for r in files.select("path").collect()]
+    prefix = "file:" + os.path.abspath(basedir).rstrip("/") + "/"
+
+    resolved_rows: dict[Route, list[tuple[str, dict]]] = {}
+    for full in paths:
+        rel = full.removeprefix(prefix)
+        version = _experiment_version(basedir, rel)
+        resolved = resolve_path(rel, version)
+        if resolved is None:
+            report.skipped.append(rel)
+            continue
+        route, args = resolved
+        resolved_rows.setdefault(route, []).append((full, args))
+        report.imported += 1
+        report.by_route[route.name] = report.by_route.get(route.name, 0) + 1
+
+    from ..routes import storage_keys
+
+    for route, items in resolved_rows.items():
+        # Different layout versions of one route may bind different key
+        # sets (e.g. legacy MAP has no `time`) — normalize to the
+        # route's full storage-key schema.
+        keys = storage_keys(db._storage_route(route))
+        mapping = db.spark.createDataFrame(
+            [
+                Row(path=p, **{f"k_{k}": args.get(k) for k in keys})
+                for p, args in items
+            ]
+        )
+        joined = files.join(F.broadcast(mapping), "path")
+        is_binary = route in (Route.REPORT_IMAGE, Route.MAP_OVERLAY)
+        payload = (
+            F.col("content") if is_binary else F.col("content").cast("string")
+        )
+        out = joined.select(
+            *[F.col(f"k_{k}").alias(k) for k in keys],
+            payload.alias("payload"),
+            F.col("modificationTime").alias("write_ts"),
+        )
+        db.bulk_import(route, out)
+    return report
+
+
 def import_jsondb_tree(db: AerovalSparkDB, basedir: str) -> ImportReport:
     """Walk a reference-layout tree and load every parseable asset."""
     report = ImportReport()
-    for dirpath, _dirnames, filenames in os.walk(basedir):
+    # followlinks: symlinked project dirs are valid projects (the
+    # reference's own tests cover them, tests/jsondb/test_jsonfiledb.py).
+    for dirpath, _dirnames, filenames in os.walk(basedir, followlinks=True):
         for fname in sorted(filenames):
             full = os.path.join(dirpath, fname)
             rel = os.path.relpath(full, basedir).replace(os.sep, "/")
