@@ -478,6 +478,23 @@ class AerovalSparkDB:
             for e in self.query(Route.MAP, project=project, experiment=experiment)
         ]
 
+    def list_experiments(
+        self, project: str, has_results: bool = False
+    ) -> list[str]:
+        """Experiments under a project (reference _list_experiments,
+        aerovaldb.py:483-486 — unimplemented in its backends; here it
+        is a distinct over the catalog). With ``has_results`` only
+        experiments that own at least one non-config asset count."""
+        seen: set[str] = set()
+        for entry in self.query(project=project):
+            exp = entry.meta.get("experiment")
+            if exp is None:
+                continue
+            if has_results and entry.type in (Route.CONFIG, Route.EXPERIMENTS):
+                continue
+            seen.add(exp)
+        return sorted(seen)
+
     def get_experiment_mtime(self, project: str, experiment: str) -> datetime:
         return self.get(
             Route.CONFIG,

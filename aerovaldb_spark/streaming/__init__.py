@@ -103,6 +103,64 @@ def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return events.dropDuplicates(["event_id"])
 
 
+RUNNING_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("cents", T.LongType()),
+    ]
+)
+
+
+def running_user_totals(events: DataFrame, timeout_ms: str = "NoTimeout") -> DataFrame:
+    """Custom stateful operator: running per-user event count + value
+    total via ``applyInPandasWithState`` (the arbitrary-stateful-
+    processing escape hatch — what you reach for when built-in windowed
+    aggs can't express the state machine).
+
+    State is kept in integer cents so accumulation is exact and
+    order-independent. Works batch (plain groupBy fallback) and
+    streaming (update mode).
+    """
+    if not events.isStreaming:
+        return (
+            events.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                (
+                    F.sum(F.col("value").cast("decimal(18,2)")) .cast("double")
+                ).alias("total_value"),
+            )
+        )
+
+    def update(key, pdf_iter, state):
+        import pandas as pd
+
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            cents += int(round(pdf["value"].sum() * 100))
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=timeout_ms,
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame,
     query_name: str,

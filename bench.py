@@ -51,7 +51,15 @@ def main() -> None:
     from aerovaldb_spark.operators import ALL_QUERIES
     from aerovaldb_spark.session import get_spark
 
-    spark = get_spark("bench")
+    # Shuffle width sized for the bench scale factor (600k-row fact
+    # table): 16 post-shuffle partitions keep every core busy without
+    # paying scheduling overhead for near-empty tasks. AQE coalesces
+    # further where possible. At cluster scale this is the knob you
+    # size to data volume; the session default (32) stays for general
+    # use.
+    spark = get_spark(
+        "bench", shuffle_partitions=int(os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE", "16"))
+    )
     spark.sparkContext.setLogLevel("ERROR")
     startup_sec = time.time() - t_boot
 

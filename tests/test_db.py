@@ -293,6 +293,13 @@ def test_rm_filtered_endpoint_refused(tmpdb):
         tmpdb.rm_by_uri("/v0/heatmap/p/e/monthly")
 
 
+def test_list_experiments(tmpdb):
+    _populate(tmpdb)
+    assert tmpdb.list_experiments("proj") == ["exp1", "exp2"]
+    # has_results: exp2 only has a config asset
+    assert tmpdb.list_experiments("proj", has_results=True) == ["exp1"]
+
+
 def test_get_experiment_mtime(tmpdb):
     tmpdb.put_config({"c": 1}, "proj", "exp1")
     assert isinstance(

@@ -54,6 +54,28 @@ def test_streaming_dedup(spark):
     assert n == got.select("event_id").distinct().count() > 0
 
 
+def test_stateful_running_totals(spark):
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.streaming import (
+        read_event_stream,
+        run_stream_to_memory,
+        running_user_totals,
+    )
+
+    batch = running_user_totals(load_table(spark, SF_DIR, "events"))
+    stream = running_user_totals(read_event_stream(spark, SF_DIR))
+    got = run_stream_to_memory(stream, "run_totals", spark, output_mode="update")
+    # update mode: keep the LAST emission per user (final state)
+    final = {}
+    for row in got.collect():
+        final[row["user_id"]] = (row["n_events"], round(row["total_value"], 2))
+    want = {
+        row["user_id"]: (row["n_events"], round(row["total_value"], 2))
+        for row in batch.collect()
+    }
+    assert final == want and len(want) > 0
+
+
 # --- multimodal -----------------------------------------------------------
 
 @pytest.fixture(scope="module")
