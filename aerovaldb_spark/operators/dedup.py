@@ -200,26 +200,26 @@ WHERE shared >= 3
 # --------------------------------------------------------------------------
 # q27: MinHash signatures + LSH banding.
 def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, seed, minhash): min over shingles of the affine hash."""
+    """(doc_id, seed, minhash): min over shingles of the affine hash.
+
+    All k minimums are computed in ONE aggregation over the shingle
+    set (k min-expressions), then unpivoted — no k× row explosion, so
+    the shuffle carries |shingles| rows instead of k·|shingles|.
+    """
     sh = exploded_shingles(docs, n).withColumn(
         "h", hash60(F.col("shingle")) % MINHASH_PRIME
     )
-    seeds = F.explode(
-        F.arrays_zip(
-            F.array(*[F.lit(i) for i in range(NUM_HASHES)]).alias("seed"),
-            F.array(*[F.lit(a) for a in _A]).alias("a"),
-            F.array(*[F.lit(b) for b in _B]).alias("b"),
-        )
-    ).alias("s")
-    return (
-        sh.select("doc_id", "h", seeds)
-        .select(
-            "doc_id",
-            F.col("s.seed").alias("seed"),
-            ((F.col("s.a") * F.col("h") + F.col("s.b")) % MINHASH_PRIME).alias("hv"),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("hv").alias("minhash"))
+    mins = sh.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(_A[i]) * F.col("h") + F.lit(_B[i])) % MINHASH_PRIME).alias(
+                f"m{i}"
+            )
+            for i in range(NUM_HASHES)
+        ]
+    )
+    stack = ", ".join(f"CAST({i} AS INT), m{i}" for i in range(NUM_HASHES))
+    return mins.selectExpr(
+        "doc_id", f"stack({NUM_HASHES}, {stack}) AS (seed, minhash)"
     )
 
 
@@ -279,30 +279,28 @@ SIMHASH_BITS = 32
 
 
 def simhash_col_df(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash): bit-vote simhash over token hashes."""
+    """(doc_id, simhash): bit-vote simhash over token hashes.
+
+    All 32 bit-votes aggregate in ONE pass over the tokens (32 sum
+    expressions) — no per-bit row explosion; the signature assembles
+    from the vote columns without a second shuffle.
+    """
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     ).withColumn("h", hash60(F.col("token")))
-    bits = tok.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
-        "h",
-    ).withColumn(
-        "vote",
-        F.when(F.expr("(shiftright(h, bit) & 1) = 1"), 1).otherwise(-1),
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(shiftright(h, {b}) & 1) = 1"), 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(SIMHASH_BITS)
+        ]
     )
-    return (
-        bits.groupBy("doc_id", "bit")
-        .agg(F.sum("vote").alias("votes"))
-        .withColumn(
-            "bit_val",
-            F.when(F.col("votes") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
-                F.lit(0).cast("long")
-            ),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("bit_val").alias("simhash"))
+    sig = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(SIMHASH_BITS)
     )
+    return votes.selectExpr("doc_id", f"({sig}) AS simhash")
 
 
 def q28_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
