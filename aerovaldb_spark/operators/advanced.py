@@ -292,6 +292,155 @@ def q40_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(minhash_signatures(docs))
 
 
+# --------------------------------------------------------------------------
+# q41: range join — for each error event, clicks by the same user in
+# the preceding 5 minutes. A band/interval join: equi on user_id plus a
+# range predicate; Spark executes equi-hash + range filter (the
+# scalable shape — never a pure cross product).
+def q41_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.col("ts").alias("err_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    joined = errors.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") < F.col("err_ts"))
+        & (
+            F.unix_micros("click_ts")
+            >= F.unix_micros("err_ts") - 300_000_000
+        ),
+        "left",
+    )
+    return joined.groupBy("event_id", "user_id").agg(
+        F.count("click_ts").alias("clicks_before_error")
+    )
+
+
+Q41_SQL = """
+SELECT e.event_id, e.user_id, COUNT(c.ts) AS clicks_before_error
+FROM events e
+LEFT JOIN events c
+  ON c.user_id = e.user_id AND c.event_type = 'click'
+  AND c.ts < e.ts AND epoch_us(c.ts) >= epoch_us(e.ts) - 300000000
+WHERE e.event_type = 'error'
+GROUP BY e.event_id, e.user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q42: GROUPING SETS with grouping() disambiguation.
+def q42_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               grouping(o_orderstatus) AS g_status,
+               grouping(o_orderpriority) AS g_prio,
+               COUNT(*) AS n_orders
+        FROM _orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+Q42_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus) AS TINYINT) AS g_status,
+       CAST(grouping(o_orderpriority) AS TINYINT) AS g_prio,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+# --------------------------------------------------------------------------
+# q43: lead/lag/first_value navigation functions.
+def q43_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.lead("o_orderkey").over(w).alias("next_orderkey"),
+            F.first("o_orderkey").over(w).alias("first_orderkey"),
+            (
+                F.datediff(F.lead("o_orderdate").over(w), F.col("o_orderdate"))
+            ).alias("days_to_next"),
+        )
+    )
+
+
+Q43_SQL = """
+SELECT o_custkey, o_orderkey,
+  LEAD(o_orderkey) OVER w AS next_orderkey,
+  FIRST_VALUE(o_orderkey) OVER w AS first_orderkey,
+  CAST(date_diff('day', o_orderdate, LEAD(o_orderdate) OVER w) AS INT) AS days_to_next
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+# --------------------------------------------------------------------------
+# q44: array aggregation — deterministic sorted collect.
+def q44_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_custkey") < 50)
+        .groupBy("o_custkey")
+        .agg(
+            F.array_sort(F.collect_list("o_orderkey")).alias("orderkeys"),
+            F.size(F.collect_list("o_orderkey")).alias("n_orders"),
+        )
+        .select(
+            "o_custkey",
+            F.expr("concat_ws(',', transform(orderkeys, x -> CAST(x AS STRING)))").alias(
+                "orderkeys_csv"
+            ),
+            "n_orders",
+        )
+    )
+
+
+Q44_SQL = """
+SELECT o_custkey,
+  array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys_csv,
+  COUNT(*) AS n_orders
+FROM orders WHERE o_custkey < 50
+GROUP BY o_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# q45: regexp extraction + numeric cast.
+def q45_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn(
+            "prio_num",
+            F.regexp_extract("o_orderpriority", "^([0-9]+)-", 1).cast("int"),
+        )
+        .groupBy("prio_num")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_orderpriority").alias("prio_label"),
+        )
+    )
+
+
+Q45_SQL = """
+SELECT CAST(regexp_extract(o_orderpriority, '^([0-9]+)-', 1) AS INT) AS prio_num,
+  COUNT(*) AS n_orders,
+  MIN(o_orderpriority) AS prio_label
+FROM orders GROUP BY 1
+"""
+
+
 QUERIES = {
     "q32_pivot_status": q32_pivot_status,
     "q33_percentiles": q33_percentiles,
@@ -302,6 +451,11 @@ QUERIES = {
     "q38_activity_union": q38_activity_union,
     "q39_clean_corpus_report": q39_clean_corpus_report,
     "q40_lsh_candidates": q40_lsh_candidates,
+    "q41_range_join": q41_range_join,
+    "q42_grouping_sets": q42_grouping_sets,
+    "q43_order_gaps": q43_order_gaps,
+    "q44_order_arrays": q44_order_arrays,
+    "q45_regexp_extract": q45_regexp_extract,
 }
 
 ORACLE = {
@@ -314,4 +468,9 @@ ORACLE = {
     "q38_activity_union": Q38_SQL,
     "q39_clean_corpus_report": Q39_SQL,
     # q40 intentionally has no oracle (rows-only check)
+    "q41_range_join": Q41_SQL,
+    "q42_grouping_sets": Q42_SQL,
+    "q43_order_gaps": Q43_SQL,
+    "q44_order_arrays": Q44_SQL,
+    "q45_regexp_extract": Q45_SQL,
 }

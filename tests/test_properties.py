@@ -1,0 +1,79 @@
+"""Property-based tests (hypothesis) for the pure codec layers —
+the reference leans on mutation testing for these (SURVEY.md §5.8);
+property testing covers the same ground more directly."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from aerovaldb_spark.jsonutil import json_dumps_wrapper, json_loads
+from aerovaldb_spark.routes import Route, template_args
+from aerovaldb_spark.uri import build_uri, decode_arg, encode_arg, parse_uri
+
+# Values that can appear in route args: any printable text (the codec
+# must make them path-safe).
+arg_values = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\x00"),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(arg_values)
+@settings(max_examples=300)
+def test_encode_decode_inverse(value):
+    assert decode_arg(encode_arg(value)) == value
+
+
+@given(arg_values)
+@settings(max_examples=200)
+def test_encoded_value_has_no_slash(value):
+    assert "/" not in encode_arg(value)
+
+
+@given(st.sampled_from(list(Route)), st.data())
+@settings(max_examples=200)
+def test_uri_roundtrip_any_route(route, data):
+    # '?'/'&'/'=' survive in path args but not in kwargs (querystring
+    # parsing splits on them — same as the reference); '%ENC' patterns
+    # are covered by the dedicated encode tests.
+    args = {
+        k: data.draw(arg_values.filter(lambda s: "?" not in s), label=k)
+        for k in template_args(route.value)
+    }
+    uri = build_uri(route, dict(args))
+    parsed_route, parsed_args, kwargs = parse_uri(uri)
+    assert parsed_args == args
+    assert kwargs == {}
+    # NOTE: parsed_route may differ only if two routes share a template
+    # shape — they don't (asserted by test_uri.test_every_route_roundtrips)
+    assert parsed_route is route
+
+
+json_scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**53), max_value=2**53),
+    st.floats(allow_nan=True, allow_infinity=True),
+    st.text(max_size=30),
+)
+json_values = st.recursive(
+    json_scalars,
+    lambda children: st.one_of(
+        st.lists(children, max_size=4),
+        st.dictionaries(st.text(max_size=10), children, max_size=4),
+    ),
+    max_leaves=20,
+)
+
+
+@given(json_values)
+@settings(max_examples=300)
+def test_json_dumps_always_valid_and_nan_free(obj):
+    s = json_dumps_wrapper(obj)
+    parsed = json_loads(s)  # must never raise
+    # serialized form never contains bare NaN/Infinity tokens
+    assert "NaN" not in s and "Infinity" not in s
+    # round-trip of the re-serialization is stable
+    assert json_loads(json_dumps_wrapper(parsed)) == parsed
