@@ -242,12 +242,40 @@ class AerovalSparkDB:
             df = self.spark.createDataFrame(
                 [Row(**r) for r in rows.values()], schema=_schema_for(route)
             )
-            writer = df.coalesce(1).write.mode("append")
-            if "project" in storage_keys(route):
+            keys = storage_keys(route)
+            # Sort within files by the non-partition key columns so the
+            # parquet min/max stats are tight — point reads then skip
+            # whole files, the analog of the reference's exact-path
+            # lookup (matters at scale; free here).
+            sort_keys = [k for k in keys if k != "project"]
+            out = df.coalesce(1)
+            if sort_keys:
+                out = out.sortWithinPartitions(*sort_keys)
+            writer = out.write.mode("append")
+            if "project" in keys:
                 writer = writer.partitionBy("project")
             writer.parquet(self._table_path(route))
             self._df_cache.pop(route, None)
         self._mem.clear()
+
+    def refresh(self) -> None:
+        """Drop cached table states so the next read sees other
+        writers' flushed data (call after acquiring ``lock()`` in a
+        cross-process read-modify-write)."""
+        self._df_cache.clear()
+
+    def lock(self):
+        """The database's advisory lock, for caller-managed critical
+        sections (read-modify-write across processes — the reference's
+        usage pattern, tests/lock/test_lock.py:38-66):
+
+            with db.lock():
+                n = db.get_config(...)["counter"]
+                db.put_config({"counter": n + 1}, ...)
+                db.flush()
+
+        A no-op FakeLock unless AVDB_USE_LOCKING is enabled."""
+        return self._lock
 
     def close(self) -> None:
         self.flush()

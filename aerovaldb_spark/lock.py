@@ -43,17 +43,22 @@ class FileLock(FakeLock):
         name = hashlib.md5(os.path.abspath(root).encode()).hexdigest()
         self._path = os.path.join(lock_dir, name)
         self._fd: int | None = None
+        self._depth = 0  # reentrant within a process: a caller-managed
+        # `with db.lock():` section contains flush(), which locks too
 
     def acquire(self) -> None:
         import fcntl
 
-        self._fd = os.open(self._path, os.O_CREAT | os.O_RDWR)
-        fcntl.flock(self._fd, fcntl.LOCK_EX)
+        if self._depth == 0:
+            self._fd = os.open(self._path, os.O_CREAT | os.O_RDWR)
+            fcntl.flock(self._fd, fcntl.LOCK_EX)
+        self._depth += 1
 
     def release(self) -> None:
         import fcntl
 
-        if self._fd is not None:
+        self._depth -= 1
+        if self._depth == 0 and self._fd is not None:
             fcntl.flock(self._fd, fcntl.LOCK_UN)
             os.close(self._fd)
             self._fd = None

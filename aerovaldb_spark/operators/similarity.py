@@ -156,12 +156,50 @@ FROM embeddings
 """
 
 
+# --------------------------------------------------------------------------
+# q46: the scale-path near-duplicate join end-to-end: SRP bucket →
+# within-bucket pairs → exact cosine. Candidate generation is an
+# equi-join on the bucket id (expected n²/2^planes pairs, not n²).
+def q46_srp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_bucketed_pairs(emb, dim=64)
+
+
+def _srp_proj_sql_on(alias: str, p: int, dim: int = 64) -> str:
+    return (
+        f"list_dot_product(CAST({alias}.embedding AS DOUBLE[]), "
+        f"list_transform(generate_series(0, {dim - 1}), "
+        f"i -> CASE WHEN (CAST('0x' || substring(md5('p{p}_' || i), 1, 15) AS BIGINT) & 1) = 0 "
+        "THEN 1.0 ELSE -1.0 END))"
+    )
+
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN {_srp_proj_sql_on('e', p)} > 0 THEN {1 << p} ELSE 0 END)"
+    for p in range(NUM_PLANES)
+)
+
+Q46_SQL = f"""
+WITH bucketed AS (
+  SELECT e.vec_id, e.embedding, {_BUCKET_SQL} AS bucket FROM embeddings e
+)
+SELECT a.bucket, a.vec_id AS id_a, b.vec_id AS id_b,
+  ROUND(
+    list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+       * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cosine
+FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+"""
+
+
 QUERIES = {
     "q29_cosine_topk": q29_cosine_topk,
     "q30_embedding_norms": q30_embedding_norms,
+    "q46_srp_near_dup": q46_srp_near_dup,
 }
 
 ORACLE = {
     "q29_cosine_topk": Q29_SQL,
     "q30_embedding_norms": Q30_SQL,
+    "q46_srp_near_dup": Q46_SQL,
 }

@@ -1,0 +1,75 @@
+"""End-to-end tour of the engine — what a reference (metno/aerovaldb)
+user writes after switching.
+
+Run: python examples/demo.py   (uses a temp dir; prints each step)
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+
+sys.path.insert(0, ".")
+
+import aerovaldb_spark as av
+
+
+def main() -> None:
+    root = tempfile.mkdtemp(prefix="avdb-demo-")
+    db = av.open(f"spark:{root}")
+    db.spark.sparkContext.setLogLevel("ERROR")
+
+    # -- the reference API surface, 1:1 -------------------------------
+    db.put_config({"exp_info": {"pyaerocom_version": "0.30.0"}}, "demo", "exp1")
+    db.put_glob_stats(
+        {
+            "od550aer": {
+                "AERONET-Sun": {
+                    "Column": {
+                        "TM5": {
+                            "od550aer": {
+                                "EUR": {"2020": {"bias": 0.12, "rmse": 0.3}},
+                                "ASIA": {"2020": {"bias": -0.05}},
+                            }
+                        }
+                    }
+                }
+            }
+        },
+        "demo", "exp1", "monthly",
+    )
+    print("heatmap (filtered point read):")
+    print(" ", db.get_heatmap("demo", "exp1", "monthly", region="EUR", time="2020"))
+
+    print("catalog query:")
+    for e in db.query(project="demo"):
+        print("  ", e.uri)
+
+    print("URI round-trip:", db.get_by_uri("/v0/config/demo/exp1"))
+    print("JSON_STR access:",
+          db.get_config("demo", "exp1", access_type=av.AccessType.JSON_STR))
+
+    # -- the Spark-native surface the reference never had --------------
+    db.flush()
+    views = db.register_views()
+    print("SQL views:", views)
+    db.spark.sql(
+        "SELECT project, experiment, frequency FROM avdb_glob_stats"
+    ).show()
+
+    long = db.glob_stats_long()
+    print("shredded analytics (WHERE instead of deep filters):")
+    long.filter("region = 'EUR'").show()
+
+    # relational/pipeline operators over the harness tables
+    from aerovaldb_spark.operators import ALL_QUERIES
+
+    print("as-of join over events:")
+    ALL_QUERIES["q18_asof_purchase_click"](db.spark, "/root/testdata/sf0.001").show(3)
+
+    print("near-duplicate candidates (MinHash LSH):")
+    ALL_QUERIES["q40_lsh_candidates"](db.spark, "/root/testdata/sf0.001").show(3)
+
+
+if __name__ == "__main__":
+    main()
