@@ -156,6 +156,57 @@ FROM embeddings
 """
 
 
+def ivf_topk(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize with KMeans
+    (Spark ML, seeded), probe only the n_probe nearest inverted lists.
+
+    The scale shape: scoring touches ~n_probe/n_lists of the data; the
+    centroid table broadcasts. Approximate — recall is asserted in
+    tests, not oracle-matched (KMeans is not cross-engine
+    deterministic).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = vectors.sparkSession
+    with_vec = vectors.withColumn("_features", array_to_vector(_dbl(vec_col)))
+    model = KMeans(k=n_lists, seed=42, featuresCol="_features").fit(with_vec)
+    assigned = model.transform(with_vec).withColumnRenamed(
+        "prediction", "list_id"
+    )
+
+    centers = [c.tolist() for c in model.clusterCenters()]
+    q_rows = query.select(F.col(id_col).alias("query_id"), vec_col).collect()
+    out = None
+    for qr in q_rows:
+        qv = [float(x) for x in qr[vec_col]]
+        # nearest centroids (driver-side: n_lists floats — tiny)
+        def d2(c):
+            return sum((a - b) ** 2 for a, b in zip(c, qv))
+
+        probe = sorted(range(len(centers)), key=lambda i: d2(centers[i]))[:n_probe]
+        qdf = spark.createDataFrame([(qr["query_id"], qv)], ["query_id", "qvec"])
+        scored = (
+            assigned.filter(F.col("list_id").isin(probe))
+            .filter(F.col(id_col) != qr["query_id"])
+            .crossJoin(F.broadcast(qdf))
+            .withColumn("cosine", F.round(cosine_col(vec_col, "qvec"), 6))
+            .select("query_id", F.col(id_col).alias("neighbor_id"), "cosine")
+            .orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+            .limit(k)
+        )
+        out = scored if out is None else out.unionByName(scored)
+    return out
+
+
 # --------------------------------------------------------------------------
 # q46: the scale-path near-duplicate join end-to-end: SRP bucket →
 # within-bucket pairs → exact cosine. Candidate generation is an

@@ -124,6 +124,21 @@ def test_distributed_import_matches_loop(spark, tmp_path):
     )
 
 
+# --- IVF similarity --------------------------------------------------------
+
+def test_ivf_topk_recall(spark):
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    query = emb.filter("vec_id = 0")
+    exact = {r["neighbor_id"] for r in brute_force_topk(emb, query, k=10).collect()}
+    approx = {r["neighbor_id"] for r in
+              ivf_topk(emb, query, k=10, n_lists=8, n_probe=4).collect()}
+    # probing half the lists should recover most of the true top-10
+    assert len(exact & approx) >= 5, (exact, approx)
+
+
 # --- edge-case keys (FIXTURES.md §3) --------------------------------------
 
 @pytest.mark.parametrize(
