@@ -1,0 +1,67 @@
+"""Scale-technique tests: salted joins preserve semantics; bucketed
+joins eliminate the shuffle (asserted on the physical plan)."""
+
+from __future__ import annotations
+
+import pytest
+
+from aerovaldb_spark.operators.scale import bucketed_join, salted_join, write_bucketed
+from aerovaldb_spark.plans import shuffle_count
+
+
+@pytest.fixture()
+def skewed(spark):
+    # 10k rows of one hot key + a uniform tail
+    left = spark.sql(
+        "SELECT CASE WHEN id < 10000 THEN 7 ELSE id END AS k, id AS v"
+        " FROM range(12000)"
+    )
+    right = spark.sql("SELECT id AS k, id * 10 AS w FROM range(3000)")
+    return left, right
+
+
+def test_salted_join_matches_plain(spark, skewed):
+    left, right = skewed
+    plain = left.join(right, "k").selectExpr("k", "v", "w")
+    salted = salted_join(left, right, "k").selectExpr("k", "v", "w")
+    assert plain.count() == salted.count()
+    a = sorted(map(tuple, plain.collect()))
+    b = sorted(map(tuple, salted.collect()))
+    assert a == b
+
+
+def test_salted_join_left_outer(spark, skewed):
+    left, right = skewed
+    plain = left.join(right, "k", "left")
+    salted = salted_join(left, right, "k", how="left")
+    assert plain.count() == salted.count()
+
+
+def test_bucketed_join_no_shuffle(spark):
+    # managed tables land in the default warehouse dir; dropped in finally
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    # disable broadcast so the test observes bucketing, not broadcast
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed(
+            orders.withColumnRenamed("o_orderkey", "orderkey"),
+            "b_orders", "orderkey", 4,
+        )
+        write_bucketed(
+            li.withColumnRenamed("l_orderkey", "orderkey"),
+            "b_lineitem", "orderkey", 4,
+        )
+        joined = bucketed_join(spark, "b_orders", "b_lineitem", "orderkey")
+        n_shuffles = shuffle_count(joined)
+        plain = orders.join(
+            li, orders.o_orderkey == li.l_orderkey
+        )
+        assert n_shuffles == 0, f"bucketed join still shuffles: {n_shuffles}"
+        assert shuffle_count(plain) >= 2  # both sides shuffle without buckets
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
