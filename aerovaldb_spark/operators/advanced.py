@@ -441,6 +441,58 @@ FROM orders GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# q47: INTERSECT — customers active in both halves of the order history.
+def q47_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    early = orders.filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    ).select(F.col("o_custkey").alias("custkey"))
+    late = orders.filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+    ).select(F.col("o_custkey").alias("custkey"))
+    return early.intersect(late)
+
+
+Q47_SQL = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+"""
+
+
+# --------------------------------------------------------------------------
+# q48: calendar decomposition — year/quarter/month/day-of-week stats.
+def q48_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.year("o_orderdate").alias("yr"),
+            F.quarter("o_orderdate").alias("qtr"),
+            # ISO day-of-week (Mon=1..Sun=7) matches DuckDB's isodow
+            F.expr("EXTRACT(DAYOFWEEK_ISO FROM o_orderdate)").alias("dow"),
+            F.col("o_totalprice"),
+        )
+        .groupBy("yr", "qtr", "dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(MONEY)).cast("double").alias(
+                "total_price"
+            ),
+        )
+    )
+
+
+Q48_SQL = """
+SELECT EXTRACT(year FROM o_orderdate) AS yr,
+       EXTRACT(quarter FROM o_orderdate) AS qtr,
+       CAST(EXTRACT(isodow FROM o_orderdate) AS INT) AS dow,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "q32_pivot_status": q32_pivot_status,
     "q33_percentiles": q33_percentiles,
@@ -456,6 +508,8 @@ QUERIES = {
     "q43_order_gaps": q43_order_gaps,
     "q44_order_arrays": q44_order_arrays,
     "q45_regexp_extract": q45_regexp_extract,
+    "q47_set_intersect": q47_set_intersect,
+    "q48_date_parts": q48_date_parts,
 }
 
 ORACLE = {
@@ -473,4 +527,6 @@ ORACLE = {
     "q43_order_gaps": Q43_SQL,
     "q44_order_arrays": Q44_SQL,
     "q45_regexp_extract": Q45_SQL,
+    "q47_set_intersect": Q47_SQL,
+    "q48_date_parts": Q48_SQL,
 }

@@ -68,6 +68,48 @@ json_values = st.recursive(
 )
 
 
+# glob_stats-shaped documents: 7 nested dict levels with float leaves
+_leaf = st.dictionaries(
+    st.sampled_from(["bias", "rmse", "nmb"]),
+    st.floats(allow_nan=True, allow_infinity=False),
+    max_size=2,
+)
+_names = st.sampled_from(["a", "b", "c"])
+
+
+def _nest(inner, max_size=2):
+    return st.dictionaries(_names, inner, max_size=max_size)
+
+
+glob_stats_docs = _nest(_nest(_nest(_nest(_nest(_nest(_nest(_leaf)))))))
+
+
+@given(glob_stats_docs, _names, _names)
+@settings(max_examples=100)
+def test_filter_heatmap_invariants(doc, region, time):
+    from aerovaldb_spark.filters import filter_heatmap
+
+    out = filter_heatmap(doc, region, time)
+    # skeleton: identical keys down to the modvar level
+    assert set(out) == set(doc)
+    for var, nets in doc.items():
+        assert set(out[var]) == set(nets)
+        for net, lays in nets.items():
+            assert set(out[var][net]) == set(lays)
+            for lay, mods in lays.items():
+                assert set(out[var][net][lay]) == set(mods)
+                for mod, mvs in mods.items():
+                    assert set(out[var][net][lay][mod]) == set(mvs)
+                    for mv, regions in mvs.items():
+                        kept = out[var][net][lay][mod][mv]
+                        # at most the requested region survives, with
+                        # exactly the requested time under it
+                        assert set(kept) <= {region}
+                        if region in kept:
+                            assert set(kept[region]) == {time}
+                            assert kept[region][time] == regions[region][time]
+
+
 @given(json_values)
 @settings(max_examples=300)
 def test_json_dumps_always_valid_and_nan_free(obj):
