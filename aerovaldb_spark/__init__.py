@@ -12,6 +12,7 @@ from __future__ import annotations
 __version__ = "0.1.0"
 
 from .db import AerovalSparkDB, copy_db_contents
+from .exceptions import TemplateNotFound, UnsupportedOperation, UnusedArguments
 from .plugins import list_engines, open  # noqa: A004
 from .routes import Route
 from .session import get_spark
@@ -22,6 +23,9 @@ __all__ = [
     "AerovalSparkDB",
     "QueryEntry",
     "Route",
+    "TemplateNotFound",
+    "UnsupportedOperation",
+    "UnusedArguments",
     "copy_db_contents",
     "get_spark",
     "list_engines",

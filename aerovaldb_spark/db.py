@@ -43,6 +43,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .exceptions import UnsupportedOperation
 from .filters import (
     filter_contour,
     filter_heatmap,
@@ -178,23 +179,49 @@ class AerovalSparkDB:
             out["mtime"] = row["write_ts"]
             out["ctime"] = row["write_ts"]
             if need_ctime and self._disk_df(sroute) is not None:
-                disk_row = self._lookup_disk(sroute, key)
+                disk_row = self._lookup_disk(sroute, key, need_ctime=True)
                 if disk_row:
                     out["ctime"] = min(disk_row["ctime"], row["write_ts"])
             return out
-        return self._lookup_disk(sroute, key)
+        return self._lookup_disk(sroute, key, need_ctime=need_ctime)
 
-    def _lookup_disk(self, route: Route, key: dict[str, str | None]) -> dict | None:
-        resolved = self._resolved_disk_df(route)
-        if resolved is None:
+    def _lookup_disk(
+        self, route: Route, key: dict[str, str | None], need_ctime: bool = False
+    ) -> dict | None:
+        disk = self._disk_df(route)
+        if disk is None:
             return None
         cond = None
         for k in storage_keys(route):
             v = key.get(k)
             c = F.col(k).isNull() if v is None else (F.col(k) == v)
             cond = c if cond is None else (cond & c)
-        rows = resolved.filter(cond).collect()
-        return rows[0].asDict() if rows else None
+        # Filter BEFORE the LWW window: a key-equality predicate
+        # commutes with a per-key window, and this way it reaches the
+        # parquet scan (partition pruning on project + min-max file
+        # skipping on the sorted key columns) instead of windowing the
+        # whole table for one key.
+        subset = disk.filter(cond)
+        rows = (
+            subset.orderBy(F.col("seq").desc())
+            .limit(1)
+            .withColumn(
+                "ctime",
+                F.lit(None).cast("timestamp"),  # filled below
+            )
+            .withColumnRenamed("write_ts", "mtime")
+            .drop("seq")
+            .collect()
+        )
+        if not rows or rows[0]["tombstone"]:
+            return None
+        out = rows[0].asDict()
+        del out["tombstone"]
+        if need_ctime:
+            out["ctime"] = subset.agg(F.min("write_ts").alias("c")).collect()[0]["c"]
+        else:
+            out["ctime"] = out["mtime"]
+        return out
 
     def _resolved_disk_df(self, route: Route) -> DataFrame | None:
         disk = self._disk_df(route)
@@ -337,7 +364,7 @@ class AerovalSparkDB:
         if access is AccessType.URI:
             return uri
         if access is AccessType.FILE_PATH:
-            raise ValueError(
+            raise UnsupportedOperation(
                 "FILE_PATH access is not supported by the Spark backend "
                 "(assets are table rows, not files)"
             )
@@ -376,7 +403,9 @@ class AerovalSparkDB:
             return row["ctime"]
         if access is AccessType.BLOB:
             if route not in BINARY_ROUTES:
-                raise ValueError(f"BLOB access not supported for {route.name}")
+                raise UnsupportedOperation(
+                    f"BLOB access not supported for {route.name}"
+                )
             return row["payload"]
         if route in BINARY_ROUTES:
             return row["payload"]
@@ -634,6 +663,13 @@ class AerovalSparkDB:
                     f"args {targs}, got {len(args)}"
                 )
             route_args = dict(zip(targs, args))
+            unknown = set(kw) - set(extra) - set(filt)
+            if unknown:
+                from .exceptions import UnusedArguments
+
+                raise UnusedArguments(
+                    f"get_{table_name(route)} got unexpected kwargs {sorted(unknown)}"
+                )
             kwargs = {
                 k: kw[k] for k in (*extra, *filt) if k in kw and kw[k] is not None
             }
@@ -653,6 +689,13 @@ class AerovalSparkDB:
                     f"args {targs}, got {len(args)}"
                 )
             route_args = dict(zip(targs, args))
+            unknown = set(kw) - set(extra)
+            if unknown:
+                from .exceptions import UnusedArguments
+
+                raise UnusedArguments(
+                    f"put_{table_name(route)} got unexpected kwargs {sorted(unknown)}"
+                )
             kwargs = {k: kw[k] for k in extra if k in kw and kw[k] is not None}
             self.put(obj, route, route_args, kwargs)
 

@@ -135,7 +135,9 @@ def test_mtime_ctime(tmpdb):
 
 
 def test_file_path_access_rejected(tmpdb):
-    with pytest.raises(ValueError):
+    from aerovaldb_spark.exceptions import UnsupportedOperation
+
+    with pytest.raises(UnsupportedOperation):
         tmpdb.get(
             Route.CONFIG, _args_for(Route.CONFIG), access_type=AccessType.FILE_PATH
         )
@@ -328,8 +330,10 @@ def test_map_overlay_roundtrip(tmpdb):
 
 
 def test_blob_access_on_json_route_rejected(tmpdb):
+    from aerovaldb_spark.exceptions import UnsupportedOperation
+
     tmpdb.put_config({"c": 1}, "p", "e")
-    with pytest.raises(ValueError):
+    with pytest.raises(UnsupportedOperation):
         tmpdb.get_config("p", "e", access_type=AccessType.BLOB)
 
 
@@ -392,3 +396,13 @@ def test_sql_over_catalog(tmpdb):
         "SELECT count(*) AS n FROM avdb_config WHERE project = 'proj'"
     ).collect()[0]["n"]
     assert n == 2
+
+
+def test_unused_arguments_rejected(tmpdb):
+    from aerovaldb_spark.exceptions import UnusedArguments
+
+    tmpdb.put_config({"c": 1}, "p", "e")
+    with pytest.raises(UnusedArguments):
+        tmpdb.get_config("p", "e", bogus_kwarg="x")
+    with pytest.raises(UnusedArguments):
+        tmpdb.put_timeseries({"t": 1}, "p", "e", "l", "n", "o", "la", nope=1)
