@@ -463,10 +463,12 @@ class AerovalSparkDB:
 
     # -- catalog ----------------------------------------------------------
 
-    def _entries_for_route(self, route: Route) -> list[QueryEntry]:
+    def _entries_for_route(
+        self, route: Route, prune: dict[str, str] | None = None
+    ) -> list[QueryEntry]:
         if route in TABLE_ALIASES:
             return []  # aliased views are not distinct assets
-        resolved = self._mem_and_disk_resolved(route)
+        resolved = self._mem_and_disk_resolved(route, prune)
         if resolved is None:
             return []
         keys = storage_keys(route)
@@ -481,28 +483,47 @@ class AerovalSparkDB:
             )
         return entries
 
-    def _mem_and_disk_resolved(self, route: Route) -> list[dict] | None:
-        """Resolved live rows as dicts (key cols only + times)."""
-        df = self._resolved_df(route)
-        if df is None:
+    def _mem_and_disk_resolved(
+        self, route: Route, prune: dict[str, str] | None = None
+    ) -> list[dict] | None:
+        """Resolved live rows as dicts (key cols only + times).
+
+        ``prune``: equality predicates on key columns, applied BELOW
+        the LWW window (they commute per-key) so they reach the scan —
+        the Spark analog of the reference's directory-glob pruning on
+        project/experiment (jsonfiledb.py:725-749)."""
+        log = self._log_df(route)
+        if log is None:
             return None
         keys = storage_keys(route)
+        for col, val in (prune or {}).items():
+            if col in keys:
+                log = log.filter(F.col(col) == val)
+        w = Window.partitionBy(*keys).orderBy(F.col("seq").desc())
+        df = (
+            log.withColumn("_rn", F.row_number().over(w))
+            .withColumn("ctime", F.min("write_ts").over(Window.partitionBy(*keys)))
+            .filter((F.col("_rn") == 1) & (~F.col("tombstone")))
+            .withColumnRenamed("write_ts", "mtime")
+        )
         return [r.asDict() for r in df.select(*keys, "ctime", "mtime").collect()]
 
     def query(
         self, asset_type: Route | list[Route] | None = None, **kwargs: str
     ) -> list[QueryEntry]:
         """Catalog scan with equality predicates on meta
-        (reference: aerovaldb.py:1412-1442, jsonfiledb.py:711-763)."""
+        (reference: aerovaldb.py:1412-1442, jsonfiledb.py:711-763).
+        project/experiment predicates prune partitions before the scan."""
         if asset_type is None:
             routes = list(Route)
         elif isinstance(asset_type, Route):
             routes = [asset_type]
         else:
             routes = list(asset_type)
+        prune = {k: v for k, v in kwargs.items() if k in ("project", "experiment")}
         out = []
         for route in routes:
-            for entry in self._entries_for_route(route):
+            for entry in self._entries_for_route(route, prune):
                 if all(entry.meta.get(k) == v for k, v in kwargs.items()):
                     out.append(entry)
         return out
