@@ -8,11 +8,19 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from aerovaldb_spark.operators import ALL_ORACLE, ALL_QUERIES
+# The driver may import this file with any cwd; make the sibling
+# package importable regardless.
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
+from aerovaldb_spark.operators import ALL_ORACLE, ALL_QUERIES  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -37,15 +37,6 @@ def token_count_col(text: str | Column = "text") -> Column:
     return F.size(tokens_col(text))
 
 
-def stopword_hits_col(lang: str, text: str | Column = "text") -> Column:
-    words = STOPWORDS[lang]
-    toks = tokens_col(text)
-    in_list = ", ".join(f"'{w}'" for w in words)
-    return F.expr(f"size(filter(split(text, ' '), t -> t IN ({in_list})))") if isinstance(
-        text, str
-    ) else F.size(F.filter(toks, lambda t: t.isin(*words)))
-
-
 def fingerprint_col(text: str | Column = "text") -> Column:
     """Deterministic 128-bit content fingerprint (hex md5)."""
     c = F.col(text) if isinstance(text, str) else text

@@ -6,7 +6,6 @@ blob round-trips, copy."""
 from __future__ import annotations
 
 import datetime
-import math
 
 import pytest
 
