@@ -753,6 +753,67 @@ class AerovalSparkDB:
         kwargs = {"experiment": experiment} if experiment is not None else {}
         self.put(obj, Route.MODELS_STYLE, {"project": project}, kwargs)
 
+    def materialize_contour_timesplit(self) -> int:
+        """Explode every merged CONTOUR document (timestep-keyed dict)
+        into per-timestep CONTOUR_TIMESPLIT rows — the canonicalization
+        of the reference's dual layout (its jsondb caches per-timestep
+        slices on first merged read, jsonfiledb.py:986-993; here it is
+        a one-time distributed materialization, SURVEY.md §4).
+
+        Returns the number of timestep rows written. Idempotent:
+        re-running overwrites the same (…, timestep) keys via LWW.
+        """
+        from collections.abc import Iterator
+
+        merged = self._resolved_df(Route.CONTOUR)
+        if merged is None:
+            return 0
+
+        out_schema = T.StructType(
+            [
+                T.StructField("project", T.StringType()),
+                T.StructField("experiment", T.StringType()),
+                T.StructField("obsvar", T.StringType()),
+                T.StructField("model", T.StringType()),
+                T.StructField("timestep", T.StringType()),
+                T.StructField("payload", T.StringType()),
+            ]
+        )
+
+        def split(batches: Iterator) -> Iterator:
+            import json as _json
+
+            import pandas as pd
+
+            for batch in batches:
+                rows = []
+                for rec in batch.itertuples(index=False):
+                    try:
+                        doc = _json.loads(rec.payload)
+                    except (TypeError, ValueError):
+                        continue
+                    if not isinstance(doc, dict):
+                        continue
+                    for timestep, slice_doc in doc.items():
+                        rows.append(
+                            (
+                                rec.project, rec.experiment, rec.obsvar,
+                                rec.model, str(timestep),
+                                _json.dumps(slice_doc),
+                            )
+                        )
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in out_schema.fields]
+                )
+
+        slices = merged.select(
+            "project", "experiment", "obsvar", "model", "payload"
+        ).mapInPandas(split, schema=out_schema)
+        n = slices.count()
+        if n:
+            self.bulk_import(Route.CONTOUR_TIMESPLIT, slices)
+        return n
+
     def bulk_import(self, route: Route, df: DataFrame) -> None:
         """Append many assets at once from a DataFrame with (some of)
         the route's key columns + ``payload`` [+ ``write_ts``] — the

@@ -397,6 +397,35 @@ def test_sql_over_catalog(tmpdb):
     assert n == 2
 
 
+def test_materialize_contour_timesplit(tmpdb):
+    tmpdb.put_contour({"t1": {"a": 1}, "t2": {"b": 2}}, "p", "e", "ov", "m1")
+    tmpdb.put_contour({"t3": {"c": 3}}, "p", "e", "ov", "m2")
+    n = tmpdb.materialize_contour_timesplit()
+    assert n == 3
+    # per-timestep assets now readable directly, even after the merged
+    # docs are deleted
+    tmpdb.rm_by_uri("/v0/contour/p/e/ov/m1")
+    assert tmpdb.get(
+        Route.CONTOUR_TIMESPLIT,
+        {"project": "p", "experiment": "e", "obsvar": "ov", "model": "m1",
+         "timestep": "t2"},
+    ) == {"b": 2}
+    # dual-layout getter falls back to the split rows
+    assert tmpdb.get_contour("p", "e", "ov", "m1", timestep="t1") == {"a": 1}
+
+
+def test_heatmap_json_str_access(tmpdb):
+    tmpdb.put_glob_stats(GLOB, "p", "e", "m")
+    s = tmpdb.get_heatmap(
+        "p", "e", "m", region="regA", time="2020", access_type=AccessType.JSON_STR
+    )
+    import json
+
+    assert json.loads(s)["var1"]["net1"]["lay1"]["mod1"]["mv1"]["regA"] == {
+        "2020": {"bias": 0.5}
+    }
+
+
 def test_unused_arguments_rejected(tmpdb):
     from aerovaldb_spark.exceptions import UnusedArguments
 
