@@ -442,6 +442,24 @@ FROM orders GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# q49: CUBE — all grouping combinations of (returnflag, linestatus).
+def q49_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast(MONEY)).cast("double").alias("sum_qty"),
+    )
+
+
+Q49_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+# --------------------------------------------------------------------------
 # q47: INTERSECT — customers active in both halves of the order history.
 def q47_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
@@ -510,6 +528,7 @@ QUERIES = {
     "q45_regexp_extract": q45_regexp_extract,
     "q47_set_intersect": q47_set_intersect,
     "q48_date_parts": q48_date_parts,
+    "q49_cube": q49_cube,
 }
 
 ORACLE = {
@@ -529,4 +548,5 @@ ORACLE = {
     "q45_regexp_extract": Q45_SQL,
     "q47_set_intersect": Q47_SQL,
     "q48_date_parts": Q48_SQL,
+    "q49_cube": Q49_SQL,
 }
