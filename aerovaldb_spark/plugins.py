@@ -2,9 +2,13 @@
 
 ``open(resource)`` dispatches on a scheme prefix:
 
-- ``spark:<path>``  → AerovalSparkDB rooted at <path>
-- ``:memory:``      → AerovalSparkDB in a fresh temp directory
-- bare path         → AerovalSparkDB rooted there (default engine)
+- ``spark:<path>``      → AerovalSparkDB rooted at <path>
+- ``:memory:``          → AerovalSparkDB in a fresh temp directory
+- ``json_files:<path>`` → migration shim: the reference's jsondb
+  scheme; imports the JSON-file tree into a fresh Spark store (a
+  read-snapshot, not a live view of the files)
+- bare path             → an existing reference jsondb tree is
+  imported (sniffed by content); otherwise an AerovalSparkDB root
 
 Engines register in ``ENGINES``; third parties can add entries (the
 reference uses importlib entry points for the same purpose — a
@@ -13,6 +17,7 @@ registry dict keeps this dependency-free).
 
 from __future__ import annotations
 
+import os
 import tempfile
 from typing import Callable
 
@@ -29,8 +34,43 @@ def _open_spark(path: str, spark: SparkSession | None = None) -> AerovalSparkDB:
     return AerovalSparkDB(spark, path)
 
 
+def _open_json_files(path: str, spark: SparkSession | None = None) -> AerovalSparkDB:
+    """Reference-jsondb compatibility: import the tree into a Spark
+    store rooted alongside it (cached — reopening reuses the import)."""
+    from .sources import import_jsondb_tree
+
+    db = _open_spark(
+        os.path.join(tempfile.gettempdir(), "aerovaldb-spark-imports",
+                     os.path.abspath(path).strip(os.sep).replace(os.sep, "_")),
+        spark=spark,
+    )
+    if not db.list_all():
+        import_jsondb_tree(db, path)
+    return db
+
+
+def _looks_like_jsondb_tree(path: str) -> bool:
+    """A reference jsondb root: project dirs with experiments.json or
+    cfg_* files (jsonfiledb layout)."""
+    if not os.path.isdir(path):
+        return False
+    for entry in os.listdir(path)[:50]:
+        sub = os.path.join(path, entry)
+        if os.path.isdir(sub) and (
+            os.path.exists(os.path.join(sub, "experiments.json"))
+            or any(
+                f.startswith("cfg_")
+                for d, _, files in list(os.walk(sub))[:3]
+                for f in files
+            )
+        ):
+            return True
+    return False
+
+
 ENGINES: dict[str, Callable[..., AerovalSparkDB]] = {
     "spark": _open_spark,
+    "json_files": _open_json_files,
 }
 
 
@@ -45,4 +85,8 @@ def open(resource: str, spark: SparkSession | None = None) -> AerovalSparkDB:  #
         return ENGINES[scheme](rest, spark=spark)
     if resource == ":memory:":
         return _open_spark(":memory:", spark=spark)
+    if _looks_like_jsondb_tree(resource):
+        # bare path to a reference-layout tree (the reference sniffs
+        # bare paths the same way, plugins.py:76-101)
+        return _open_json_files(resource, spark=spark)
     return _open_spark(resource, spark=spark)

@@ -58,7 +58,9 @@ def _template_pattern(template: str, force_split: str = "/") -> re.Pattern:
         pattern += f"(?P<{name}>{cls}*?)"
         pos = m.end()
     pattern += re.escape(template[pos:])
-    rx = re.compile(f"^{pattern}$")
+    # \Z, not $: '$' also matches before a trailing newline, which
+    # would silently drop a '\n' at the end of the last argument.
+    rx = re.compile(f"\\A{pattern}\\Z")
     # sanity: every placeholder surfaced as a group
     assert set(rx.groupindex) == {n.replace("-", "_") for n in names}
     return rx

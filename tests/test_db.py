@@ -434,3 +434,42 @@ def test_unused_arguments_rejected(tmpdb):
         tmpdb.get_config("p", "e", bogus_kwarg="x")
     with pytest.raises(UnusedArguments):
         tmpdb.put_timeseries({"t": 1}, "p", "e", "l", "n", "o", "la", nope=1)
+
+
+def test_open_json_files_scheme(spark, tmp_path, monkeypatch):
+    import os
+
+    if not os.path.isdir("/root/reference/tests/test-db/json"):
+        pytest.skip("reference test-db not present")
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    import tempfile
+
+    tempfile.tempdir = None  # re-read TMPDIR
+    import aerovaldb_spark
+
+    db = aerovaldb_spark.open(
+        "json_files:/root/reference/tests/test-db/json", spark=spark
+    )
+    assert db.get_config("project", "experiment")["path"] == "./project/experiment/"
+    # reopening hits the cached import (no re-walk)
+    db2 = aerovaldb_spark.open(
+        "json_files:/root/reference/tests/test-db/json", spark=spark
+    )
+    assert len(db2.list_all()) == len(db.list_all()) > 0
+    tempfile.tempdir = None
+
+
+def test_open_bare_jsondb_tree_sniffed(spark, tmp_path, monkeypatch):
+    import os
+
+    if not os.path.isdir("/root/reference/tests/test-db/json"):
+        pytest.skip("reference test-db not present")
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    import tempfile
+
+    tempfile.tempdir = None
+    import aerovaldb_spark
+
+    db = aerovaldb_spark.open("/root/reference/tests/test-db/json", spark=spark)
+    assert db.get_config("project", "experiment")["exp_info"]["pyaerocom_version"]
+    tempfile.tempdir = None
