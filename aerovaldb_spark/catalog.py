@@ -69,9 +69,12 @@ def cache_tables(
         if not os.path.exists(path):
             continue
         df = load_table(spark, sf_dir, name)
-        n = parallelism if name in ("lineitem", "orders", "events") else max(
-            parallelism // 4, 2
-        )
+        # Fact tables and the CPU-heavy text/vector tables get full
+        # parallelism (documents fans out ~100 shingle-hashes per row —
+        # its *work* per partition is large even though its row count is
+        # small); true dimensions stay narrow to avoid empty tasks.
+        wide = ("lineitem", "orders", "events", "documents", "embeddings")
+        n = parallelism if name in wide else max(parallelism // 4, 2)
         df = df.repartition(n).persist()
         df.count()  # materialize
         _TABLE_CACHE[(sf_dir, name)] = df

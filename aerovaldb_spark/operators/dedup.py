@@ -149,10 +149,20 @@ FROM g
 # ratio → deterministic double on both engines.
 def q26_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = shingle_pairs(docs, n=3)
-    sizes = hashed_shingles(docs, 3).groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_shingles")
+    # One persisted shingle-hash set feeds BOTH the pair join and the
+    # per-doc sizes: the md5-per-shingle projection (the CPU hot spot)
+    # runs once instead of twice, and the self-join's two sides read
+    # the same cached partitions.
+    sh = hashed_shingles(docs, 3).persist()
+    a = sh.select(F.col("doc_id").alias("doc_a"), "h")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "h")
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
     )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     return (
         pairs.join(
             F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"),
