@@ -212,3 +212,67 @@ def sample_frames(media: DataFrame, every_ms: int = 5000) -> DataFrame:
     return media.filter(F.col("kind") == "video").mapInPandas(
         sample, schema=FRAMES_SCHEMA
     )
+
+
+# --------------------------------------------------------------------------
+# Graded query surface for the multimodal path.
+#
+# q51: binary-column manifest over `documents` — the payload column is
+# the UTF-8 encoding of the text (deterministic on any engine), and
+# every derived column (byte length, content hash, magic-prefix sniff)
+# is computed JVM-side on the BINARY column. This is the oracle-checked
+# half: it proves binary columns flow through scan→project→aggregate
+# exactly like any other type (no Python in the plan).
+#
+# q52: the Pandas-UDF half — decode_images over a deterministic media
+# table (rows-only check: the stubbed codec's output is engine-local).
+def q51_binary_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(payload).alias("n_bytes"),
+        (F.octet_length(payload) - F.length("text")).alias("multibyte_extra"),
+        F.md5(payload).alias("payload_md5"),
+        F.when(F.col("text").startswith("<svg"), ".svg")
+        .when(F.col("text").startswith("<?xml"), ".svg")
+        .otherwise(None)
+        .alias("sniffed_ext"),
+    )
+
+
+Q51_SQL = """
+SELECT doc_id,
+  octet_length(encode(text)) AS n_bytes,
+  octet_length(encode(text)) - length(text) AS multibyte_extra,
+  md5(text) AS payload_md5,
+  CASE WHEN text LIKE '<svg%' THEN '.svg'
+       WHEN text LIKE '<?xml%' THEN '.svg'
+       ELSE NULL END AS sniffed_ext
+FROM documents
+"""
+
+
+def q52_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stub-codec decode stats over the deterministic media table.
+
+    No oracle (the decode is a Spark-side Pandas UDF; DuckDB can't run
+    it) — the driver records the weaker rows-only check. The batch
+    plumbing this exercises is the real multimodal hot path.
+    """
+    decoded = decode_images(synthetic_media(spark, n=96))
+    return decoded.select(
+        "media_id", "width", "height", "n_pixels", F.round("mean_luma", 6).alias("mean_luma"), "decoder"
+    )
+
+
+QUERIES = {
+    "q51_binary_manifest": q51_binary_manifest,
+    "q52_media_decode": q52_media_decode,
+}
+
+ORACLE = {
+    "q51_binary_manifest": Q51_SQL,
+}

@@ -7,6 +7,7 @@
 from __future__ import annotations
 
 from . import advanced, dedup, events, relational, similarity, text  # noqa: E501
+from ..functions import multimodal
 
 ALL_QUERIES = {
     **relational.QUERIES,
@@ -15,6 +16,7 @@ ALL_QUERIES = {
     **dedup.QUERIES,
     **similarity.QUERIES,
     **advanced.QUERIES,
+    **multimodal.QUERIES,
 }
 
 ALL_ORACLE = {
@@ -24,6 +26,7 @@ ALL_ORACLE = {
     **dedup.ORACLE,
     **similarity.ORACLE,
     **advanced.ORACLE,
+    **multimodal.ORACLE,
 }
 
 __all__ = [

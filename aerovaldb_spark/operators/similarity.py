@@ -243,14 +243,81 @@ FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 """
 
 
+# --------------------------------------------------------------------------
+# q50: exact embedding-cosine near-duplicate pairs (threshold join).
+# This is the correctness baseline the LSH path (q46) approximates: at
+# scale you never run the O(n²) cross product — you run q46's
+# bucket-equijoin and validate its recall against this on a sample.
+# The threshold filter is applied to the ROUNDED score on both engines
+# so borderline floats can't flip pair membership between engines.
+COSINE_NEAR_DUP_THRESHOLD = 0.35
+
+
+def cosine_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = COSINE_NEAR_DUP_THRESHOLD,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """All pairs with round(cosine, 6) >= threshold (exact, all-pairs).
+
+    Two scale-shaping choices: (1) arrays are cast to double and norms
+    are computed ONCE per vector before the join (one fold per pair
+    instead of three — higher-order folds are interpreted, not
+    codegen'd, so tripling them triples the dominant cost); (2) the
+    left side is repartitioned so the broadcast nested-loop scoring
+    parallelizes even when the source is a single parquet row group
+    (O(n²/p) work per task instead of O(n²) on one core).
+    """
+    par = vectors.sparkSession.sparkContext.defaultParallelism
+    prepped = vectors.select(
+        F.col(id_col).alias("_id"),
+        _dbl(vec_col).alias("_vec"),
+        norm_col(vec_col).alias("_norm"),
+    )
+    a = prepped.toDF("id_a", "vec_a", "norm_a").repartition(par, "id_a")
+    b = prepped.toDF("id_b", "vec_b", "norm_b")
+    dot = F.aggregate(
+        F.zip_with("vec_a", "vec_b", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(dot / (F.col("norm_a") * F.col("norm_b")), 6))
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def q50_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(emb)
+
+
+Q50_SQL = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    ROUND(
+      list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+         * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= {COSINE_NEAR_DUP_THRESHOLD}
+"""
+
+
 QUERIES = {
     "q29_cosine_topk": q29_cosine_topk,
     "q30_embedding_norms": q30_embedding_norms,
     "q46_srp_near_dup": q46_srp_near_dup,
+    "q50_cosine_near_dup": q50_cosine_near_dup,
 }
 
 ORACLE = {
     "q29_cosine_topk": Q29_SQL,
     "q30_embedding_norms": Q30_SQL,
     "q46_srp_near_dup": Q46_SQL,
+    "q50_cosine_near_dup": Q50_SQL,
 }

@@ -140,3 +140,38 @@ def test_sniff_image_extension():
     assert sniff_image_extension(b"RIFF\x00\x00\x00\x00WEBPVP8") == ".webp"
     assert sniff_image_extension(b"\x00\x00\x00 ftypavifrest") == ".avif"
     assert sniff_image_extension(b"garbage") is None
+
+
+def test_q51_binary_manifest(spark):
+    from aerovaldb_spark.functions.multimodal import q51_binary_manifest
+
+    out = q51_binary_manifest(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert len(rows) == 500
+    for r in rows[:20]:
+        # n_bytes >= n_chars always; equality iff pure-ASCII text
+        assert r["n_bytes"] >= r["n_bytes"] - r["multibyte_extra"]
+        assert r["multibyte_extra"] >= 0
+        assert len(r["payload_md5"]) == 32
+
+
+def test_q52_media_decode_deterministic(spark):
+    from aerovaldb_spark.functions.multimodal import q52_media_decode
+
+    a = {r["media_id"]: r for r in q52_media_decode(spark, "unused").collect()}
+    b = {r["media_id"]: r for r in q52_media_decode(spark, "unused").collect()}
+    assert len(a) == 32 and a == b
+
+
+def test_q50_threshold_semantics(spark):
+    from aerovaldb_spark.operators.similarity import cosine_near_dup_pairs
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.01]), (2, [0.0, 1.0]), (3, [1.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    rows = {(r["id_a"], r["id_b"]): r["cosine"] for r in
+            cosine_near_dup_pairs(df, threshold=0.9).collect()}
+    assert (0, 3) in rows and rows[(0, 3)] == 1.0   # exact duplicate pair
+    assert (0, 1) in rows                            # near-duplicate
+    assert not any(2 in pair for pair in rows)       # orthogonal vector excluded
