@@ -676,14 +676,29 @@ class AerovalSparkDB:
         extra = EXTRA_KEYS.get(self._storage_route(route), ())
         filt = FILTER_KEYS.get(route, ())
 
+        # Reference accessors take storage extras / filter args
+        # POSITIONALLY after the template args (e.g. get_map's trailing
+        # `time`, aerovaldb.py:666-720; get_heatmap_timeseries's
+        # region/network/obsvar/layer, :944-1001) — accept the same
+        # call shapes, in the reference's declared order.
+        pos_tail = (*extra, *filt)
+
         def getter(*args: str, access_type: AccessType | str = AccessType.OBJ,
                    default: Any = _SENTINEL, cache: bool = False, **kw: Any) -> Any:
-            if len(args) != len(targs):
+            if not (len(targs) <= len(args) <= len(targs) + len(pos_tail)):
                 raise TypeError(
-                    f"get_{table_name(route)} takes {len(targs)} positional "
-                    f"args {targs}, got {len(args)}"
+                    f"get_{table_name(route)} takes {len(targs)}-"
+                    f"{len(targs) + len(pos_tail)} positional args "
+                    f"{[*targs, *pos_tail]}, got {len(args)}"
                 )
             route_args = dict(zip(targs, args))
+            pos_kw = dict(zip(pos_tail, args[len(targs):]))
+            dup = set(pos_kw) & set(kw)
+            if dup:
+                raise TypeError(
+                    f"get_{table_name(route)} got {sorted(dup)} both "
+                    "positionally and as keyword"
+                )
             unknown = set(kw) - set(extra) - set(filt)
             if unknown:
                 from .exceptions import UnusedArguments
@@ -691,6 +706,7 @@ class AerovalSparkDB:
                 raise UnusedArguments(
                     f"get_{table_name(route)} got unexpected kwargs {sorted(unknown)}"
                 )
+            kw = {**pos_kw, **kw}
             kwargs = {
                 k: kw[k] for k in (*extra, *filt) if k in kw and kw[k] is not None
             }
@@ -704,12 +720,20 @@ class AerovalSparkDB:
         extra = EXTRA_KEYS.get(route, ())
 
         def putter(obj: Any, *args: str, **kw: Any) -> None:
-            if len(args) != len(targs):
+            if not (len(targs) <= len(args) <= len(targs) + len(extra)):
                 raise TypeError(
-                    f"put_{table_name(route)} takes {len(targs)} positional "
-                    f"args {targs}, got {len(args)}"
+                    f"put_{table_name(route)} takes {len(targs)}-"
+                    f"{len(targs) + len(extra)} positional args "
+                    f"{[*targs, *extra]}, got {len(args)}"
                 )
             route_args = dict(zip(targs, args))
+            pos_kw = dict(zip(extra, args[len(targs):]))
+            dup = set(pos_kw) & set(kw)
+            if dup:
+                raise TypeError(
+                    f"put_{table_name(route)} got {sorted(dup)} both "
+                    "positionally and as keyword"
+                )
             unknown = set(kw) - set(extra)
             if unknown:
                 from .exceptions import UnusedArguments
@@ -717,6 +741,7 @@ class AerovalSparkDB:
                 raise UnusedArguments(
                     f"put_{table_name(route)} got unexpected kwargs {sorted(unknown)}"
                 )
+            kw = {**pos_kw, **kw}
             kwargs = {k: kw[k] for k in extra if k in kw and kw[k] is not None}
             self.put(obj, route, route_args, kwargs)
 

@@ -56,6 +56,12 @@ EXTRA_KEYS: dict[Route, tuple[str, ...]] = {
     Route.MAP: ("time",),
     Route.SCATTER: ("time",),
     Route.MODELS_STYLE: ("experiment",),
+    # The reference's hm_ts access takes these positionally
+    # (aerovaldb.py:944-1001) and its sqlite backend stores them as key
+    # columns (sqlitedb.py:115-121 heatmap_timeseries0) even though the
+    # route template carries only project/experiment. Tuple order =
+    # the reference's positional-argument order.
+    Route.HEATMAP_TIMESERIES: ("region", "network", "obsvar", "layer"),
 }
 
 # Routes whose payload is a binary image blob rather than JSON
@@ -66,9 +72,13 @@ IMG_FILE_EXTS = {".apng", ".avif", ".gif", ".jpeg", ".jpg", ".png", ".svg", ".we
 
 # Sub-document filter kwargs per route (reference FILTERS binding,
 # jsonfiledb.py:193-197; the filters themselves are utils/filter.py).
+# Tuple order = the reference's positional-argument order where the
+# filter args are positional in its typed accessors (regional_stats /
+# heatmap, aerovaldb.py:156-196) — generated getters accept them
+# positionally in this order.
 FILTER_KEYS: dict[Route, tuple[str, ...]] = {
     Route.GLOB_STATS: (),
-    Route.REGIONAL_STATS: ("variable", "network", "layer"),
+    Route.REGIONAL_STATS: ("network", "variable", "layer"),
     Route.HEATMAP: ("region", "time"),
     Route.CONTOUR: ("timestep",),
     Route.MAP: ("frequency", "season"),

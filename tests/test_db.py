@@ -76,6 +76,25 @@ def test_typed_getters_putters(tmpdb):
         tmpdb.get_config("only-one-arg")
 
 
+def test_reference_positional_signatures(tmpdb):
+    """Storage extras are positional in the reference API
+    (aerovaldb.py:666-720, 944-1001) — accept the same call shapes."""
+    # hm_ts: region/network/obsvar/layer are key columns, not overwrites
+    tmpdb.put_heatmap_timeseries({"r": "EU"}, "p", "e", "EU", "net", "od", "Sfc")
+    tmpdb.put_heatmap_timeseries({"r": "NA"}, "p", "e", "NA", "net", "od", "Sfc")
+    assert tmpdb.get_heatmap_timeseries("p", "e", "EU", "net", "od", "Sfc") == {"r": "EU"}
+    assert tmpdb.get_heatmap_timeseries("p", "e", "NA", "net", "od", "Sfc") == {"r": "NA"}
+    tmpdb.flush()
+    assert tmpdb.get_heatmap_timeseries("p", "e", "EU", "net", "od", "Sfc") == {"r": "EU"}
+    # map: trailing `time` positional (reference get_map/put_map shape)
+    tmpdb.put_map({"m": 1}, "p", "e", "net", "od", "Sfc", "mod", "mv", "2010")
+    assert tmpdb.get_map("p", "e", "net", "od", "Sfc", "mod", "mv", "2010") == {"m": 1}
+    assert tmpdb.get_map("p", "e", "net", "od", "Sfc", "mod", "mv", time="2010") == {"m": 1}
+    # same key both positionally and as keyword is an error
+    with pytest.raises(TypeError):
+        tmpdb.get_map("p", "e", "net", "od", "Sfc", "mod", "mv", "2010", time="2010")
+
+
 # --- semantics edges -----------------------------------------------------
 
 def test_nan_serialized_as_null(tmpdb):
