@@ -7,8 +7,12 @@
 - ``json_files:<path>`` → migration shim: the reference's jsondb
   scheme; imports the JSON-file tree into a fresh Spark store (a
   read-snapshot, not a live view of the files)
-- bare path             → an existing reference jsondb tree is
-  imported (sniffed by content); otherwise an AerovalSparkDB root
+- ``sqlitedb:<path>``   → migration shim: the reference's sqlite
+  scheme; imports the .sqlite file the same way
+- bare path             → a reference jsondb tree or an aerovaldb
+  ``.db``/``.sqlite`` file is imported (sniffed the way the
+  reference sniffs bare paths, plugins.py:76-101); otherwise an
+  AerovalSparkDB root
 
 Engines register in ``ENGINES``; third parties can add entries (the
 reference uses importlib entry points for the same purpose — a
@@ -49,6 +53,22 @@ def _open_json_files(path: str, spark: SparkSession | None = None) -> AerovalSpa
     return db
 
 
+def _open_sqlitedb(path: str, spark: SparkSession | None = None) -> AerovalSparkDB:
+    """Reference-sqlitedb compatibility: import the .sqlite file into a
+    Spark store rooted alongside it (cached — reopening reuses the
+    import). A read-snapshot, not a live view of the file."""
+    from .sources.sqlitedb_io import import_sqlite_db
+
+    db = _open_spark(
+        os.path.join(tempfile.gettempdir(), "aerovaldb-spark-imports",
+                     os.path.abspath(path).strip(os.sep).replace(os.sep, "_")),
+        spark=spark,
+    )
+    if not db.list_all():
+        import_sqlite_db(db, path)
+    return db
+
+
 def _looks_like_jsondb_tree(path: str) -> bool:
     """A reference jsondb root: project dirs with experiments.json or
     cfg_* files (jsonfiledb layout)."""
@@ -71,6 +91,7 @@ def _looks_like_jsondb_tree(path: str) -> bool:
 ENGINES: dict[str, Callable[..., AerovalSparkDB]] = {
     "spark": _open_spark,
     "json_files": _open_json_files,
+    "sqlitedb": _open_sqlitedb,
 }
 
 
@@ -85,6 +106,11 @@ def open(resource: str, spark: SparkSession | None = None) -> AerovalSparkDB:  #
         return ENGINES[scheme](rest, spark=spark)
     if resource == ":memory:":
         return _open_spark(":memory:", spark=spark)
+    if os.path.splitext(resource)[1] in (".db", ".sqlite") and os.path.isfile(resource):
+        from .sources.sqlitedb_io import is_aerovaldb_sqlite
+
+        if is_aerovaldb_sqlite(resource):
+            return _open_sqlitedb(resource, spark=spark)
     if _looks_like_jsondb_tree(resource):
         # bare path to a reference-layout tree (the reference sniffs
         # bare paths the same way, plugins.py:76-101)
