@@ -368,3 +368,87 @@ def import_jsondb_tree(db: AerovalSparkDB, basedir: str) -> ImportReport:
             report.by_route[route.name] = report.by_route.get(route.name, 0) + 1
     db.flush()
     return report
+
+
+# --------------------------------------------------------------------------
+# Export: the inverse migration — write the store back out as a
+# reference-layout tree a stock aerovaldb deployment can open.
+
+FNAME_ENCODE = {"%": "%0", "/": "%1", "_": "%2"}
+
+
+def encode_fname(value: str) -> str:
+    """Reference filename encoding (utils/encode.py:9-23 via
+    jsonfiledb.py:51-65): single-pass character translation."""
+    return value.translate(str.maketrans(FNAME_ENCODE))
+
+
+def _layout_for_export(route: Route, key: dict) -> str | None:
+    """Newest template whose placeholders are exactly the non-NULL
+    keys of this row. Rows imported from legacy layouts keep NULL for
+    the keys their layout didn't bind, so they naturally select their
+    legacy template again (e.g. a pre-0.13.2 map row without `time`)."""
+    bound = {k for k, v in key.items() if v is not None}
+    for layout in LAYOUTS:
+        if layout.route is not route:
+            continue
+        placeholders = set(re.findall(r"\{([a-zA-Z-]*?)\}", layout.template))
+        if placeholders == bound:
+            return layout.template
+    return None
+
+
+def export_jsondb_tree(db: AerovalSparkDB, basedir: str) -> ImportReport:
+    """Write every live asset to a reference-layout JSON-file tree.
+
+    The driver streams rows (``toLocalIterator``) and writes local
+    files — a file tree is a single-filesystem target, so this is a
+    deliberately driver-side migration path, like the sqlite export.
+    Returns an ImportReport (imported = files written; skipped = rows
+    with no representable layout).
+    """
+    from ..functions import sniff_image_extension
+    from ..routes import BINARY_ROUTES, storage_keys
+
+    db.flush()
+    report = ImportReport()
+    for route in Route:
+        if db._storage_route(route) is not route:
+            continue  # alias views (regional_stats/heatmap) live in glob_stats
+        df = db.table(route)
+        if df is None:
+            continue
+        keys = storage_keys(route)
+        for row in df.select(*keys, "payload").toLocalIterator():
+            key = {k: row[k] for k in keys}
+            template = _layout_for_export(route, key)
+            if template is None:
+                report.skipped.append(f"{route.name}:{key}")
+                continue
+            if route is Route.REPORT_IMAGE:
+                # path spans subdirectories verbatim (reference treats
+                # it as a relative path, not an encoded field)
+                rel = template.format(**{
+                    k: (v if k == "path" else encode_fname(v))
+                    for k, v in key.items() if v is not None
+                })
+            else:
+                rel = template.format(
+                    **{k: encode_fname(v) for k, v in key.items() if v is not None}
+                )
+            payload = row["payload"]
+            if route is Route.MAP_OVERLAY:
+                # reference appends a sniffed image extension
+                # (jsonfiledb.py:891-936)
+                rel += sniff_image_extension(bytes(payload)) or ".png"
+            full = os.path.join(basedir, rel)
+            os.makedirs(os.path.dirname(full), exist_ok=True)
+            if route in BINARY_ROUTES:
+                with open(full, "wb") as fh:
+                    fh.write(bytes(payload))
+            else:
+                with open(full, "w", encoding="utf-8") as fh:
+                    fh.write(payload)
+            report.imported += 1
+            report.by_route[route.name] = report.by_route.get(route.name, 0) + 1
+    return report

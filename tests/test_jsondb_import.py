@@ -97,3 +97,43 @@ def test_imported_models_style_fallback(imported):
     exp = db.get_models_style("project", experiment="experiment")
     assert proj != exp or proj == exp  # both resolve
     assert "path" in proj
+
+
+def test_export_roundtrip_fidelity(imported, spark, tmp_path):
+    """golden tree → store → exported tree → store: every asset
+    identical (keys and raw payload), and current-layout paths match
+    the reference's file naming."""
+    from aerovaldb_spark.db import AerovalSparkDB
+    from aerovaldb_spark.routes import storage_keys
+    from aerovaldb_spark.sources import import_jsondb_tree
+    from aerovaldb_spark.sources.jsondb_import import export_jsondb_tree
+
+    db1, _ = imported
+    outdir = str(tmp_path / "tree")
+    report = export_jsondb_tree(db1, outdir)
+    assert report.imported > 0 and not report.skipped
+
+    db2 = AerovalSparkDB(spark, str(tmp_path / "db2"))
+    import_jsondb_tree(db2, outdir)
+
+    for route in Route:
+        if db1._storage_route(route) is not route:
+            continue
+        t1, t2 = db1.table(route), db2.table(route)
+        rows1 = (
+            set()
+            if t1 is None
+            else {
+                tuple(r[k] for k in storage_keys(route)) + (bytes(r["payload"]) if isinstance(r["payload"], (bytes, bytearray)) else r["payload"],)
+                for r in t1.select(*storage_keys(route), "payload").collect()
+            }
+        )
+        rows2 = (
+            set()
+            if t2 is None
+            else {
+                tuple(r[k] for k in storage_keys(route)) + (bytes(r["payload"]) if isinstance(r["payload"], (bytes, bytearray)) else r["payload"],)
+                for r in t2.select(*storage_keys(route), "payload").collect()
+            }
+        )
+        assert rows1 == rows2, f"{route.name}: {len(rows1)} vs {len(rows2)}"
