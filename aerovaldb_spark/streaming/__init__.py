@@ -178,3 +178,34 @@ def run_stream_to_memory(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def stream_ingest(
+    db,
+    route,
+    stream_df: DataFrame,
+    checkpoint_dir: str | None = None,
+    available_now: bool = False,
+):
+    """Continuous asset ingest: a streaming DataFrame of asset rows
+    (route key columns + ``payload`` [+ ``write_ts``]) appends into the
+    store via ``foreachBatch`` → :meth:`AerovalSparkDB.bulk_import`.
+
+    Semantics at scale: each micro-batch is one distributed append (no
+    per-asset driver loop); the append-log + LWW window makes replayed
+    batches harmless (same keys re-resolve to the latest write), so a
+    checkpointed restart is effectively exactly-once for readers.
+    Returns the StreamingQuery — caller owns stop()/awaitTermination.
+    """
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        db.bulk_import(route, batch_df)
+
+    writer = stream_df.writeStream.foreachBatch(_sink).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -175,3 +175,48 @@ def test_q50_threshold_semantics(spark):
     assert (0, 3) in rows and rows[(0, 3)] == 1.0   # exact duplicate pair
     assert (0, 1) in rows                            # near-duplicate
     assert not any(2 in pair for pair in rows)       # orthogonal vector excluded
+
+
+def test_stream_ingest_into_store(spark, tmp_path):
+    """File-source stream → foreachBatch bulk_import → point reads,
+    including cross-batch last-writer-wins."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from aerovaldb_spark.db import AerovalSparkDB
+    from aerovaldb_spark.routes import Route
+    from aerovaldb_spark.streaming import stream_ingest
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    schema = T.StructType(
+        [
+            T.StructField("project", T.StringType()),
+            T.StructField("experiment", T.StringType()),
+            T.StructField("payload", T.StringType()),
+        ]
+    )
+    (src / "b1.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"project": "p", "experiment": "e1", "payload": '{"v": 1}'},
+                {"project": "p", "experiment": "e2", "payload": '{"v": 2}'},
+            ]
+        )
+    )
+    (src / "b2.json").write_text(
+        json.dumps({"project": "p", "experiment": "e1", "payload": '{"v": 10}'})
+    )
+
+    db = AerovalSparkDB(spark, str(tmp_path / "db"))
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(str(src))
+    q = stream_ingest(
+        db, Route.CONFIG, stream,
+        checkpoint_dir=str(tmp_path / "ckpt"), available_now=True,
+    )
+    q.awaitTermination(120)
+    # bulk_import stamps seq per batch; the later micro-batch wins LWW
+    assert db.get_config("p", "e2") == {"v": 2}
+    assert db.get_config("p", "e1") == {"v": 10}
