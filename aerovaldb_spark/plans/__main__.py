@@ -1,6 +1,7 @@
 """Dump plan reports for the headline queries.
 
-Usage: python -m aerovaldb_spark.plans [sf_dir]
+Usage: python -m aerovaldb_spark.plans [sf_dir] [query_name ...]
+(no names → the bench HEADLINE set)
 """
 
 from __future__ import annotations
@@ -21,7 +22,8 @@ def main() -> None:
     clear_table_cache()
     from bench import HEADLINE  # noqa: E402  (repo root on sys.path)
 
-    for name in HEADLINE:
+    names = sys.argv[2:] or HEADLINE
+    for name in names:
         rep = plan_report(ALL_QUERIES[name](spark, sf_dir))
         print(name, json.dumps(rep))
 
