@@ -119,3 +119,48 @@ def test_json_dumps_always_valid_and_nan_free(obj):
     assert "NaN" not in s and "Infinity" not in s
     # round-trip of the re-serialization is stable
     assert json_loads(json_dumps_wrapper(parsed)) == parsed
+
+
+# --- model-based store semantics ------------------------------------------
+# Random op sequences (put / tombstone / flush / compact) against a
+# plain-dict model: whatever the interleaving, reads must equal the
+# model. This is the LWW + memtable + append-log + compaction state
+# machine under test as one system, the reference's
+# test_aerovaldb.py-style golden flows generalized.
+
+op_strategies = st.lists(
+    st.tuples(
+        st.sampled_from(["put", "rm", "flush", "compact"]),
+        st.sampled_from(["e1", "e2", "e3"]),
+        st.integers(min_value=0, max_value=99),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(op_strategies)
+@settings(max_examples=8, deadline=None)
+def test_store_matches_dict_model(spark, ops):
+    import tempfile
+
+    from aerovaldb_spark.db import AerovalSparkDB
+    from aerovaldb_spark.routes import Route
+
+    db = AerovalSparkDB(spark, tempfile.mkdtemp(prefix="avdb-prop-"))
+    model: dict[str, dict] = {}
+    for verb, exp, val in ops:
+        if verb == "put":
+            db.put_config({"v": val}, "p", exp)
+            model[exp] = {"v": val}
+        elif verb == "rm":
+            db.rm_by_uri(f"/v0/config/p/{exp}")
+            model.pop(exp, None)
+        elif verb == "flush":
+            db.flush()
+        elif verb == "compact":
+            db.compact()
+    for exp in ("e1", "e2", "e3"):
+        got = db.get(Route.CONFIG, {"project": "p", "experiment": exp}, default=None)
+        assert got == model.get(exp), f"{exp}: {got} != {model.get(exp)}"
+    assert sorted(e.meta["experiment"] for e in db.query(Route.CONFIG)) == sorted(model)
