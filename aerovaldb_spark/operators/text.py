@@ -212,11 +212,96 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# q53: deterministic train/val/test split — hash-bucket assignment, so
+# membership is stable under re-runs, appends, and engine changes (the
+# property a training pipeline needs; random() splits are none of
+# these). Salting the hash input ('split_' prefix) decorrelates the
+# split from every other doc_id-derived hash in the pipeline.
+def split_col(id_col: str | Column = "doc_id", salt: str = "split_") -> Column:
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    from .dedup import hash60
+
+    bucket = hash60(F.concat(F.lit(salt), c.cast("string"))) % 100
+    return (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+
+
+def q53_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = hash60(F.concat(F.lit("split_"), F.col("doc_id").cast("string"))) % 100
+    return docs.select(
+        "doc_id",
+        "source",
+        bucket.alias("bucket"),
+        split_col().alias("split"),
+    )
+
+
+Q53_SQL = """
+WITH b AS (
+  SELECT doc_id, source,
+    CAST('0x' || substring(md5('split_' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bucket
+  FROM documents
+)
+SELECT doc_id, source, bucket,
+  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+FROM b
+"""
+
+
+# --------------------------------------------------------------------------
+# q54: sequence packing — assign documents to fixed token-budget
+# shards with a running sum. Partitioned by source so the window sort
+# is distributed (one global ORDER BY would serialize on a single
+# task at 100 TB; per-source packing is the scale shape, and shard
+# identity is (source, shard_id)).
+PACK_BUDGET = 4096
+
+
+def q54_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_tokens = docs.select("doc_id", "source", token_count_col().alias("n_tokens"))
+    cum = F.sum("n_tokens").over(w)
+    return with_tokens.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / PACK_BUDGET).alias("shard_id"),
+    )
+
+
+Q54_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id, source, n_tokens,
+  CAST(FLOOR((cum - n_tokens) / {PACK_BUDGET}.0) AS BIGINT) AS shard_id
+FROM c
+"""
+
+
 QUERIES = {
     "q21_token_stats": q21_token_stats,
     "q22_quality_scores": q22_quality_scores,
     "q23_lang_id": q23_lang_id,
     "q24_fingerprints": q24_fingerprints,
+    "q53_train_split": q53_train_split,
+    "q54_pack_sequences": q54_pack_sequences,
 }
 
 ORACLE = {
@@ -224,4 +309,6 @@ ORACLE = {
     "q22_quality_scores": Q22_SQL,
     "q23_lang_id": Q23_SQL,
     "q24_fingerprints": Q24_SQL,
+    "q53_train_split": Q53_SQL,
+    "q54_pack_sequences": Q54_SQL,
 }

@@ -164,3 +164,33 @@ def test_store_matches_dict_model(spark, ops):
         got = db.get(Route.CONFIG, {"project": "p", "experiment": exp}, default=None)
         assert got == model.get(exp), f"{exp}: {got} != {model.get(exp)}"
     assert sorted(e.meta["experiment"] for e in db.query(Route.CONFIG)) == sorted(model)
+
+
+def test_train_split_fractions_and_determinism(spark):
+    from aerovaldb_spark.operators.text import q53_train_split
+
+    rows = q53_train_split(spark, "/root/testdata/sf0.001").collect()
+    n = len(rows)
+    frac = {s: sum(1 for r in rows if r["split"] == s) / n for s in ("train", "val", "test")}
+    assert 0.85 < frac["train"] < 0.95
+    assert 0.02 < frac["val"] < 0.08
+    assert 0.02 < frac["test"] < 0.08
+    again = q53_train_split(spark, "/root/testdata/sf0.001").collect()
+    assert {r["doc_id"]: r["split"] for r in rows} == {r["doc_id"]: r["split"] for r in again}
+
+
+def test_pack_sequences_invariants(spark):
+    from aerovaldb_spark.operators.text import PACK_BUDGET, q54_pack_sequences
+
+    rows = q54_pack_sequences(spark, "/root/testdata/sf0.1").collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, items in by_src.items():
+        items.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in items:
+            # shard is determined by the token offset where the doc starts
+            assert r["shard_id"] == cum // PACK_BUDGET, (src, r)
+            cum += r["n_tokens"]
+        assert items[-1]["shard_id"] >= 1  # budget actually splits the stream
