@@ -70,6 +70,21 @@ def main() -> None:
     print("near-duplicate candidates (MinHash LSH):")
     ALL_QUERIES["q40_lsh_candidates"](db.spark, "/root/testdata/sf0.001").show(3)
 
+    # -- migration: both reference backends, both directions -----------
+    import os
+
+    from aerovaldb_spark.sources import export_sqlite_db
+    from aerovaldb_spark.sources.jsondb_import import export_jsondb_tree
+
+    sqlite_file = os.path.join(root, "export.sqlite")
+    print("sqlite export:", export_sqlite_db(db, sqlite_file))
+    back = av.open(sqlite_file, spark=db.spark)  # sniffed + imported
+    print("reopened from sqlite:", back.get_config("demo", "exp1"))
+
+    tree = os.path.join(root, "tree")
+    rep = export_jsondb_tree(db, tree)
+    print(f"jsondb export: {rep.imported} files under {tree}")
+
 
 if __name__ == "__main__":
     main()
