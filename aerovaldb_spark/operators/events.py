@@ -227,11 +227,28 @@ FROM sessions GROUP BY user_id, session_id
 """
 
 
+# --------------------------------------------------------------------------
+# q55: approximate distinct counts (HyperLogLog++). The scale twin of
+# q09's exact distinct: at 100 TB an exact COUNT(DISTINCT) shuffles
+# every distinct value; HLL shuffles one ~kB sketch per partition and
+# merges. No DuckDB oracle (sketch internals are engine-specific —
+# DuckDB's approx_count_distinct uses a different estimator), so the
+# driver records the rows-only check; the accuracy bound against the
+# exact answer is asserted in tests/test_properties.py.
+def q55_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 QUERIES = {
     "q18_asof_purchase_click": q18_asof_purchase_click,
     "q19_sessionize": q19_sessionize,
     "q20_tumbling_window": q20_tumbling_window,
     "q31_session_window": q31_session_window,
+    "q55_approx_distinct": q55_approx_distinct,
 }
 
 ORACLE = {

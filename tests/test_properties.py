@@ -194,3 +194,25 @@ def test_pack_sequences_invariants(spark):
             assert r["shard_id"] == cum // PACK_BUDGET, (src, r)
             cum += r["n_tokens"]
         assert items[-1]["shard_id"] >= 1  # budget actually splits the stream
+
+
+def test_approx_distinct_within_rsd(spark):
+    from pyspark.sql import functions as F
+
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators.events import q55_approx_distinct
+
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in q55_approx_distinct(spark, "/root/testdata/sf0.01").collect()
+    }
+    exact = {
+        r["event_type"]: r["exact"]
+        for r in load_table(spark, "/root/testdata/sf0.01", "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    assert set(approx) == set(exact) and len(exact) > 0
+    for et, ex in exact.items():
+        assert abs(approx[et] - ex) <= max(0.05 * ex, 2), (et, approx[et], ex)
