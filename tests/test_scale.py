@@ -65,3 +65,28 @@ def test_bucketed_join_no_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_stop_shingle_cap_bounds_pair_blowup(spark):
+    """A shingle shared by every document makes the self-join
+    quadratic; max_doc_freq drops it while pairs from rare shingles
+    survive untouched."""
+    from aerovaldb_spark.operators.dedup import shingle_pairs
+
+    stop = "the quick brown"  # 3-gram present in every doc
+    rows = [(i, f"{stop} doc{i} unique words here") for i in range(40)]
+    # docs 0 and 1 additionally share a RARE 5-word tail
+    rows[0] = (0, f"{stop} alpha beta gamma delta epsilon")
+    rows[1] = (1, f"{stop} alpha beta gamma delta epsilon")
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    uncapped = shingle_pairs(docs, 3).count()
+    assert uncapped == 40 * 39 // 2  # stop shingle links every pair
+
+    capped = shingle_pairs(docs, 3, max_doc_freq=10)
+    capped_rows = {(r["doc_a"], r["doc_b"]): r["shared"] for r in capped.collect()}
+    assert set(capped_rows) == {(0, 1)}  # only the genuinely similar pair
+    # all 5 rare shingles survive (3 tail shingles + the 2 bridge
+    # shingles that straddle the stop phrase); only the stop shingle
+    # itself is dropped
+    assert capped_rows[(0, 1)] == 5
