@@ -334,11 +334,74 @@ FROM bits GROUP BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Duplicate-cluster resolution: near-dup PAIRS are not enough for a
+# pipeline — transitively connected docs must collapse to one
+# canonical representative. Connected components via min-label
+# propagation: every vertex repeatedly takes the minimum label among
+# itself and its neighbors until fixpoint (O(graph diameter)
+# iterations; each iteration is one shuffle on the vertex id).
+# The driver-side loop is only the convergence check (a count) —
+# label state itself never leaves the cluster, and localCheckpoint
+# truncates lineage so plans don't grow with iterations.
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(v, component) with component = min vertex id in the component."""
+    sym = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("w")
+    ).unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("w")))
+    labels = (
+        sym.select(F.col("u").alias("v")).distinct().withColumn("label", F.col("v"))
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.w == labels.v)
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new = (
+            labels.join(nbr_min, labels.v == nbr_min.u, "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.label") < F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("v"), F.col("label").alias("component"))
+
+
+def q56_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster the q26 near-dup pair graph (jaccard >= 0.2) and emit
+    one row per clustered doc with its canonical representative.
+    Iterative — no SQL oracle (rows-only gate); equivalence to a
+    union-find is asserted in tests."""
+    pairs = q26_ngram_jaccard_pairs(spark, sf_dir).filter(F.col("jaccard") >= 0.2)
+    return connected_components(pairs).withColumnRenamed("v", "doc_id").orderBy(
+        "doc_id"
+    )
+
+
 QUERIES = {
     "q25_dedup_exact": q25_dedup_exact,
     "q26_ngram_jaccard_pairs": q26_ngram_jaccard_pairs,
     "q27_minhash_signatures": q27_minhash_signatures,
     "q28_simhash": q28_simhash,
+    "q56_dedup_clusters": q56_dedup_clusters,
 }
 
 ORACLE = {

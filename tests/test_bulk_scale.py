@@ -51,3 +51,49 @@ def test_bulk_import_and_access(spark, tmp_path):
     )
     # other projects untouched
     assert len(db.query(Route.TIMESERIES, project="proj2")) == total // N_PROJECTS
+
+
+def test_connected_components_matches_union_find(spark):
+    """Distributed min-label propagation == driver union-find on the
+    same edge set (chains force multi-iteration convergence)."""
+    from aerovaldb_spark.operators.dedup import connected_components
+
+    edges = [
+        (1, 2), (2, 3), (3, 4), (4, 5),      # a 5-chain
+        (10, 11), (11, 12),                  # a triangle-ish path
+        (20, 21),                            # a pair
+        (30, 31), (31, 32), (30, 32),        # a triangle
+    ]
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {r["v"]: r["component"] for r in connected_components(df).collect()}
+
+    parent: dict[int, int] = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in edges:
+        union(a, b)
+    want = {v: find(v) for v in parent}
+    assert got == want
+
+
+def test_q56_clusters_on_documents(spark):
+    from aerovaldb_spark.operators.dedup import q56_dedup_clusters
+
+    rows = q56_dedup_clusters(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    comp = {r["doc_id"]: r["component"] for r in rows}
+    # canonical representative is a member of its own cluster
+    for c in set(comp.values()):
+        assert comp[c] == c
+    # deterministic across runs
+    again = {r["doc_id"]: r["component"]
+             for r in q56_dedup_clusters(spark, "/root/testdata/sf0.001").collect()}
+    assert comp == again
