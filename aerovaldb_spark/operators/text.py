@@ -295,6 +295,94 @@ FROM c
 """
 
 
+# --------------------------------------------------------------------------
+# q57: weighted source mixing — downsample each source to its mixture
+# weight with the same salted-hash-bucket trick as q53, so the mix is
+# deterministic and append-stable. A map-only filter: no shuffle, no
+# state; at 100 TB this is a predicate the scan itself evaluates.
+MIX_DEFAULT_WEIGHT = 0.5
+MIX_WEIGHTS = {"src0": 1.0, "src1": 0.25, "src2": 0.1}
+
+
+def q57_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = hash60(F.concat(F.lit("mix_"), F.col("doc_id").cast("string"))) % 10000
+    weight = F.lit(MIX_DEFAULT_WEIGHT)
+    for src, w in MIX_WEIGHTS.items():
+        weight = F.when(F.col("source") == src, F.lit(w)).otherwise(weight)
+    return docs.select("doc_id", "source", bucket.alias("bucket")).filter(
+        F.col("bucket") < weight * 10000
+    )
+
+
+_MIX_CASE = " ".join(
+    f"WHEN source = '{s}' THEN {w}" for s, w in MIX_WEIGHTS.items()
+)
+Q57_SQL = f"""
+WITH b AS (
+  SELECT doc_id, source,
+    CAST('0x' || substring(md5('mix_' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 AS bucket,
+    CASE {_MIX_CASE} ELSE {MIX_DEFAULT_WEIGHT} END AS w
+  FROM documents
+)
+SELECT doc_id, source, bucket FROM b WHERE bucket < w * 10000
+"""
+
+
+# --------------------------------------------------------------------------
+# q58: decontamination — flag training documents that share any
+# 3-gram shingle with the held-out test split (q53's buckets). The
+# shingle join moves 8-byte hashes only and is a LEFT SEMI join, so
+# nothing is duplicated and the output is bounded by the train set.
+def q58_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import hashed_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_split = docs.withColumn("split", split_col())
+    sh = hashed_shingles(with_split, 3)
+    splits = with_split.select("doc_id", "split")
+    train_sh = sh.join(
+        splits.filter(F.col("split") == "train"), "doc_id"
+    ).select("doc_id", "h")
+    test_sh = (
+        sh.join(splits.filter(F.col("split") == "test"), "doc_id")
+        .select("h")
+        .distinct()
+    )
+    return (
+        train_sh.join(test_sh, "h", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+
+
+Q58_SQL = """
+WITH split AS (
+  SELECT doc_id, text,
+    CASE WHEN CAST('0x' || substring(md5('split_' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 90 THEN 'train'
+         WHEN CAST('0x' || substring(md5('split_' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 95 THEN 'val'
+         ELSE 'test' END AS split
+  FROM documents
+), sh AS (
+  SELECT doc_id, split,
+    CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS h
+  FROM (
+    SELECT doc_id, split,
+      unnest(list_distinct(list_transform(
+        generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+        i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS shingle
+    FROM split
+  )
+)
+SELECT DISTINCT t.doc_id, TRUE AS contaminated
+FROM (SELECT doc_id, h FROM sh WHERE split = 'train') t
+JOIN (SELECT DISTINCT h FROM sh WHERE split = 'test') x USING (h)
+"""
+
+
 QUERIES = {
     "q21_token_stats": q21_token_stats,
     "q22_quality_scores": q22_quality_scores,
@@ -302,6 +390,8 @@ QUERIES = {
     "q24_fingerprints": q24_fingerprints,
     "q53_train_split": q53_train_split,
     "q54_pack_sequences": q54_pack_sequences,
+    "q57_source_mixing": q57_source_mixing,
+    "q58_decontaminate": q58_decontaminate,
 }
 
 ORACLE = {
@@ -311,4 +401,6 @@ ORACLE = {
     "q24_fingerprints": Q24_SQL,
     "q53_train_split": Q53_SQL,
     "q54_pack_sequences": Q54_SQL,
+    "q57_source_mixing": Q57_SQL,
+    "q58_decontaminate": Q58_SQL,
 }
