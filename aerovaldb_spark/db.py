@@ -943,9 +943,37 @@ class AerovalSparkDB:
         return names
 
 
-def copy_db_contents(source: AerovalSparkDB, dest: AerovalSparkDB) -> None:
+def copy_db_contents(source: AerovalSparkDB | Any, dest: AerovalSparkDB | Any) -> None:
     """Bulk-copy every asset (reference utils/copy.py:11-50 — but
-    table-at-a-time appends instead of its per-asset O(N²) loop)."""
+    table-at-a-time appends instead of its per-asset O(N²) loop).
+
+    Accepts resource strings (dispatched through :func:`plugins.open`)
+    and, like the reference, ANY pair of objects speaking the
+    duck-typed interchange surface (``list_all`` / ``get_by_uri`` /
+    ``put_by_uri``) — the bootstrap path the reference's
+    extending-aerovaldb doc prescribes for third-party backends. The
+    Spark→Spark case takes the distributed table-at-a-time path; mixed
+    pairs fall back to the reference's per-URI copy (also fixing its
+    unraised not-empty check, copy.py:33)."""
+    from .plugins import open as _open
+
+    if isinstance(source, str):
+        source = _open(source)
+    if isinstance(dest, str):
+        dest = _open(dest)
+    if not (isinstance(source, AerovalSparkDB) and isinstance(dest, AerovalSparkDB)):
+        if dest.list_all():
+            raise ValueError("Destination database is not empty")
+        uris = [str(u) for u in source.list_all()]
+        for uri in uris:
+            access = AccessType.JSON_STR
+            if uri.startswith("/v0/report-image/") or uri.startswith("/v0/map-overlay/"):
+                access = AccessType.BLOB
+            dest.put_by_uri(source.get_by_uri(uri, access_type=access), uri)
+        n_src, n_dst = len(uris), len(dest.list_all())
+        if n_src != n_dst:
+            raise IOError(f"Copy incomplete: source={n_src} dest={n_dst}")
+        return
     if dest.list_all():
         raise ValueError("Destination database is not empty")
     source.flush()

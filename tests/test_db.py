@@ -492,3 +492,38 @@ def test_open_bare_jsondb_tree_sniffed(spark, tmp_path, monkeypatch):
     db = aerovaldb_spark.open("/root/reference/tests/test-db/json", spark=spark)
     assert db.get_config("project", "experiment")["exp_info"]["pyaerocom_version"]
     tempfile.tempdir = None
+
+
+def test_copy_db_contents_duck_typed_backend(tmpdb, spark, tmp_path):
+    """The generic interchange path: copy to/from any object with
+    list_all/get_by_uri/put_by_uri (reference extending-aerovaldb
+    bootstrap recipe)."""
+    from aerovaldb_spark.db import AerovalSparkDB, copy_db_contents
+
+    class InMemoryDB:
+        def __init__(self):
+            self.store: dict[str, object] = {}
+
+        def list_all(self):
+            return list(self.store)
+
+        def get_by_uri(self, uri, access_type=None, **kw):
+            return self.store[uri]
+
+        def put_by_uri(self, obj, uri):
+            self.store[uri] = obj
+
+    tmpdb.put_config({"c": 1}, "p", "e")
+    tmpdb.put_report_image(b"\x89PNG\r\n\x1a\nx", "p", "e", "img.png")
+    tmpdb.flush()
+
+    mem = InMemoryDB()
+    copy_db_contents(tmpdb, mem)
+    assert len(mem.store) == 2
+    # JSON assets arrive as raw JSON strings, blobs as bytes
+    assert '"c": 1' in mem.store["/v0/config/p/e"]
+    assert bytes(mem.store["/v0/report-image/p/e/img.png"]).startswith(b"\x89PNG")
+
+    back = AerovalSparkDB(spark, str(tmp_path / "back"))
+    copy_db_contents(mem, back)
+    assert back.get_config("p", "e") == {"c": 1}
