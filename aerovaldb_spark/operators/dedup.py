@@ -349,39 +349,63 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 25,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
-    """(v, component) with component = min vertex id in the component."""
-    sym = edges.select(
-        F.col(src).alias("u"), F.col(dst).alias("w")
-    ).unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("w")))
-    labels = (
-        sym.select(F.col("u").alias("v")).distinct().withColumn("label", F.col("v"))
-    )
-    for _ in range(max_iter):
-        nbr_min = (
-            sym.join(labels, sym.w == labels.v)
-            .groupBy("u")
-            .agg(F.min("label").alias("nbr_min"))
-        )
-        new = (
-            labels.join(nbr_min, labels.v == nbr_min.u, "left")
-            .select(
-                "v",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
-                ).alias("label"),
-            )
+    """(v, component) with component = min vertex id in the component.
+
+    The convergence loop issues several shuffles PER ITERATION, all
+    keyed by vertex id, so the session-wide shuffle width multiplies
+    across iterations (a vanilla 200-partition session turns a
+    50-vertex graph into thousands of empty tasks). The loop therefore
+    pins ``spark.sql.shuffle.partitions`` — to ``shuffle_partitions``
+    if given, else the cluster's default parallelism — and restores
+    the caller's setting afterwards; every iteration's state is
+    localCheckpointed inside that window, so nothing re-executes under
+    the restored conf. At 100 TB pass an explicit width sized to the
+    vertex count."""
+    spark = edges.sparkSession
+    width = shuffle_partitions or spark.sparkContext.defaultParallelism
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(width))
+    try:
+        sym = edges.select(
+            F.col(src).alias("u"), F.col(dst).alias("w")
+        ).unionByName(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("w"))
+        ).localCheckpoint()
+        labels = (
+            sym.select(F.col("u").alias("v"))
+            .distinct()
+            .withColumn("label", F.col("v"))
             .localCheckpoint()
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "v")
-            .filter(F.col("n.label") < F.col("o.label"))
-            .count()
-        )
-        labels = new
-        if changed == 0:
-            break
+        for _ in range(max_iter):
+            nbr_min = (
+                sym.join(labels, sym.w == labels.v)
+                .groupBy("u")
+                .agg(F.min("label").alias("nbr_min"))
+            )
+            new = (
+                labels.join(nbr_min, labels.v == nbr_min.u, "left")
+                .select(
+                    "v",
+                    F.least(
+                        F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                    ).alias("label"),
+                )
+                .localCheckpoint()
+            )
+            changed = (
+                new.alias("n")
+                .join(labels.alias("o"), "v")
+                .filter(F.col("n.label") < F.col("o.label"))
+                .count()
+            )
+            labels = new
+            if changed == 0:
+                break
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return labels.select(F.col("v"), F.col("label").alias("component"))
 
 
