@@ -1,0 +1,112 @@
+"""End-to-end training-data pipeline over the documents table:
+
+  load → language filter → quality filter → exact dedup →
+  near-dup clustering → decontamination → train/val/test split →
+  source mixing → sequence packing
+
+Every stage is one of the engine's operators composing on DataFrames —
+lazy until the final action, so Catalyst optimizes across stage
+boundaries (filters merge into the scan; the per-doc columns compute
+in one codegen pass).
+
+Run: python examples/pipeline.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F
+
+from aerovaldb_spark.catalog import load_table
+from aerovaldb_spark.operators.dedup import (
+    connected_components,
+    dedup_exact,
+    shingle_pairs,
+)
+from aerovaldb_spark.operators.text import (
+    PACK_BUDGET,
+    quality_columns,
+    split_col,
+    token_count_col,
+)
+from aerovaldb_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("pipeline", cpus=8, shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = load_table(spark, sf_dir, "documents")
+    print(f"loaded: {docs.count()} docs")
+
+    # 1. language + quality gates (map-only; merge into the scan)
+    scored = quality_columns(docs)
+    kept = scored.filter(F.col("lang").isin("en", "fr", "es", "de")).filter(
+        F.col("quality_score") > 0.2
+    )
+    print(f"after lang+quality filters: {kept.count()}")
+
+    # 2. exact dedup: keep the lowest doc_id per content hash
+    reps = dedup_exact(kept)
+    kept = kept.join(
+        reps.select(F.col("keep_doc_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    print(f"after exact dedup: {kept.count()}")
+
+    # 3. near-dup clustering: drop every non-canonical cluster member
+    pairs = shingle_pairs(kept, 3, max_doc_freq=50).filter(F.col("shared") >= 5)
+    clusters = connected_components(pairs)
+    losers = clusters.filter(F.col("v") != F.col("component")).select(
+        F.col("v").alias("doc_id")
+    )
+    kept = kept.join(losers, "doc_id", "left_anti")
+    print(f"after near-dup clustering: {kept.count()}")
+
+    # 4. decontaminate: remove TRAIN docs sharing a 4-gram with the
+    # held-out test split (q58 uses 3-grams for its oracle; real
+    # decontamination uses longer n-grams — 3-gram overlap on this
+    # synthetic low-entropy vocabulary would flag nearly everything)
+    from aerovaldb_spark.operators.dedup import hashed_shingles
+
+    with_split = kept.withColumn("split", split_col())
+    sh = hashed_shingles(with_split, 4)
+    splits = with_split.select("doc_id", "split")
+    train_sh = sh.join(splits.filter("split = 'train'"), "doc_id")
+    test_sh = sh.join(splits.filter("split = 'test'"), "doc_id").select("h").distinct()
+    contaminated = train_sh.join(test_sh, "h", "left_semi").select("doc_id").distinct()
+    kept = kept.join(contaminated, "doc_id", "left_anti")
+    print(f"after decontamination: {kept.count()}")
+
+    # 5. split + pack
+    final = kept.withColumn("split", split_col()).withColumn(
+        "n_tokens", token_count_col()
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("split", "source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = final.withColumn(
+        "shard_id", F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_BUDGET)
+    )
+    summary = (
+        packed.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_tokens").alias("tokens"),
+            F.countDistinct("source", "shard_id").alias("shards"),
+        )
+        .orderBy("split")
+    )
+    print("final corpus:")
+    summary.show()
+
+
+if __name__ == "__main__":
+    main()
