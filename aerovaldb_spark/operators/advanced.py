@@ -34,9 +34,9 @@ def q32_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q32_SQL = """
 SELECT o_orderpriority,
-  COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS n_f,
-  COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS n_o,
-  COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS n_p
+  CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS n_f,
+  CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS n_o,
+  CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS n_p
 FROM orders GROUP BY o_orderpriority
 """
 
@@ -158,7 +158,7 @@ Q36_SQL = (
         for p in range(8)
     )
     + """ AS bucket,
-  COUNT(*) AS n_vectors, SUM(vec_id) AS id_checksum
+  COUNT(*) AS n_vectors, CAST(SUM(vec_id) AS BIGINT) AS id_checksum
 FROM embeddings GROUP BY 1
 """
 )
@@ -272,8 +272,8 @@ WITH deduped AS (
         t -> t IN ('the', 'a', 'of', 'and'))) AS stop_hits
   FROM deduped WHERE rn = 1
 )
-SELECT lang, COUNT(*) AS n_docs_kept, SUM(n_tokens) AS total_tokens,
-  SUM(doc_id) AS id_checksum
+SELECT lang, COUNT(*) AS n_docs_kept, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+  CAST(SUM(doc_id) AS BIGINT) AS id_checksum
 FROM scored
 WHERE n_tokens >= 20 AND CAST(stop_hits AS DOUBLE) / n_tokens < 0.5
 GROUP BY lang

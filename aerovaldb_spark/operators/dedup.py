@@ -137,9 +137,9 @@ WITH g AS (
   SELECT md5(text) AS fp, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
   FROM documents GROUP BY md5(text)
 )
-SELECT COUNT(*) AS n_unique, SUM(n_copies) AS n_docs,
-  SUM(n_copies) - COUNT(*) AS n_duplicates,
-  SUM(keep_doc_id) AS keep_id_checksum
+SELECT COUNT(*) AS n_unique, CAST(SUM(n_copies) AS BIGINT) AS n_docs,
+  CAST(SUM(n_copies) - COUNT(*) AS BIGINT) AS n_duplicates,
+  CAST(SUM(keep_doc_id) AS BIGINT) AS keep_id_checksum
 FROM g
 """
 
@@ -278,7 +278,8 @@ sig AS (
   FROM sh CROSS JOIN seeds
   GROUP BY doc_id, seed
 )
-SELECT seed, COUNT(*) AS n_docs, MIN(minhash) AS min_minhash, SUM(minhash) AS sum_minhash
+SELECT seed, COUNT(*) AS n_docs, MIN(minhash) AS min_minhash,
+  CAST(SUM(minhash) AS BIGINT) AS sum_minhash
 FROM sig GROUP BY seed
 """
 
@@ -329,7 +330,7 @@ WITH tok AS (
   GROUP BY doc_id, bit
 )
 SELECT doc_id,
-  SUM(CASE WHEN votes > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS simhash
+  CAST(SUM(CASE WHEN votes > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS BIGINT) AS simhash
 FROM bits GROUP BY doc_id
 """
 

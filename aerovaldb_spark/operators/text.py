@@ -64,7 +64,7 @@ def q21_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q21_SQL = """
 WITH t AS (SELECT source, len(string_split(text, ' ')) AS n_tokens FROM documents)
-SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
   MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens,
   ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 6) AS avg_tokens
 FROM t GROUP BY source

@@ -2,8 +2,12 @@
 
 Runs every ``__spark_entry__.queries()`` entry at a scale factor and
 compares against ``oracle_sql()`` via DuckDB: row count, sorted column
-names, and an order-insensitive value comparison (exact on everything,
-including doubles — our parity convention is bit-exactness).
+names, an order-insensitive value comparison (exact on everything,
+including doubles — our parity convention is bit-exactness), AND a
+per-column type-signature comparison (the driver's value hash encodes
+serialization types, so DuckDB HUGEINT vs Spark BIGINT fails there
+even when Python values compare equal — round 1 lost 8 queries to
+exactly that).
 
 Usage: python tools/parity.py [sf_dir] [query_name ...]
 """
@@ -11,10 +15,68 @@ Usage: python tools/parity.py [sf_dir] [query_name ...]
 from __future__ import annotations
 
 import math
+import re
 import sys
 import time
 
 import duckdb
+
+
+def _canon_arrow_type(t) -> str:
+    """Canonical signature of a DuckDB-arrow column type."""
+    import pyarrow as pa
+
+    if pa.types.is_large_string(t) or pa.types.is_string(t):
+        return "string"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_large_binary(t) or pa.types.is_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"array<{_canon_arrow_type(t.value_type)}>"
+    if pa.types.is_integer(t):
+        # The driver's value hash passes through Python ints, so signed
+        # int WIDTH doesn't matter (q22 was green with int32-vs-int64 in
+        # round 1); int-vs-float/decimal/hugeint does.
+        return "int"
+    if pa.types.is_float64(t):
+        return "float64"
+    if pa.types.is_float32(t):
+        return "float32"
+    if pa.types.is_date(t):
+        return "date"
+    return str(t)  # bool, ...
+
+
+_SPARK_CANON = {
+    "bigint": "int", "int": "int", "smallint": "int", "tinyint": "int",
+    "double": "float64", "float": "float32",
+    "boolean": "bool", "date": "date",
+}
+
+
+def _canon_spark_type(dt) -> str:
+    s = dt.simpleString()
+    if s in _SPARK_CANON:
+        return _SPARK_CANON[s]
+    m = re.match(r"array<(.*)>$", s)
+    if m:
+        inner = _SPARK_CANON.get(m.group(1), m.group(1))
+        return f"array<{inner}>"
+    return s  # string, timestamp, decimal(p,s), binary
+
+
+def type_problems(spark_df, oracle_arrow_schema) -> list[str]:
+    spark_types = {f.name: _canon_spark_type(f.dataType) for f in spark_df.schema.fields}
+    out = []
+    for field in oracle_arrow_schema:
+        st = spark_types.get(field.name)
+        ot = _canon_arrow_type(field.type)
+        if st is not None and st != ot:
+            out.append(f"type[{field.name}]: spark={st} oracle={ot}")
+    return out
 
 
 def _norm_cell(v):
@@ -93,10 +155,15 @@ def main() -> int:
                 n = df.count()
                 print(f"  {name}: NO-ORACLE rows={n} ({time.time() - t0:.1f}s)")
                 continue
-            res = con.execute(oracles[name])
-            oracle_cols = [d[0] for d in res.description]
-            oracle_rows = res.fetchall()
-            problems = compare(name, df, oracle_rows, oracle_cols)
+            arrow = con.execute(oracles[name]).arrow()
+            oracle_cols = arrow.schema.names
+            cols_data = [c.to_pylist() for c in arrow.columns]
+            oracle_rows = [
+                tuple(col[i] for col in cols_data)
+                for i in range(arrow.num_rows)
+            ]
+            problems = type_problems(df, arrow.schema)
+            problems += compare(name, df, oracle_rows, oracle_cols)
         except Exception as e:  # noqa: BLE001
             problems = [f"EXCEPTION: {type(e).__name__}: {str(e)[:300]}"]
         dt = time.time() - t0
