@@ -104,9 +104,12 @@ DECODED_SCHEMA = T.StructType(
 def _decode_stub(payload: bytes, width: int, height: int) -> tuple[float, str]:
     """Deterministic fake decode: 'luminance' derived from payload hash.
 
+    Hashes the hex ENCODING of the payload (not the raw bytes) so the
+    fake is reproducible by any engine with string hash functions —
+    q52's DuckDB oracle recomputes it with sha256(lower(hex(payload))).
     Swap point for a real codec: return (mean luma, decoder name).
     """
-    h = hashlib.sha256(payload).digest()
+    h = hashlib.sha256(payload.hex().encode()).digest()
     return int.from_bytes(h[:4], "big") / 2**32, "stub-sha256"
 
 
@@ -258,14 +261,37 @@ FROM documents
 def q52_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stub-codec decode stats over the deterministic media table.
 
-    No oracle (the decode is a Spark-side Pandas UDF; DuckDB can't run
-    it) — the driver records the weaker rows-only check. The batch
-    plumbing this exercises is the real multimodal hot path.
+    The decode runs as an Arrow-batched Pandas UDF (the real multimodal
+    hot path); because the stub derives its fake luma from the payload's
+    hex encoding, a DuckDB oracle reconstructs the identical media table
+    and decode output in pure SQL — so even the Python-UDF plumbing is
+    value-checked against an independent engine.
     """
     decoded = decode_images(synthetic_media(spark, n=96))
     return decoded.select(
         "media_id", "width", "height", "n_pixels", F.round("mean_luma", 6).alias("mean_luma"), "decoder"
     )
+
+
+# Reconstructs synthetic_media(n=96)'s image rows (payload = PNG magic
+# + sha256(str(i)) digest ×4) and the stub decode in SQL. unhex() gives
+# digest bytes; lower(hex(payload)) == Python payload.hex().
+Q52_SQL = r"""
+WITH m AS (
+  SELECT i AS media_id,
+    CAST(64 + (i % 8) * 16 AS INT) AS width,
+    CAST(48 + (i % 4) * 16 AS INT) AS height,
+    '\x89PNG\x0D\x0A\x1A\x0A'::BLOB ||
+      unhex(sha256(CAST(i AS VARCHAR))) || unhex(sha256(CAST(i AS VARCHAR))) ||
+      unhex(sha256(CAST(i AS VARCHAR))) || unhex(sha256(CAST(i AS VARCHAR))) AS payload
+  FROM generate_series(0, 95) t(i) WHERE i % 3 = 0
+)
+SELECT media_id, width, height, CAST(width AS BIGINT) * height AS n_pixels,
+  ROUND(CAST('0x' || substring(sha256(lower(hex(payload))), 1, 8) AS BIGINT)
+        / 4294967296.0, 6) AS mean_luma,
+  'stub-sha256' AS decoder
+FROM m
+"""
 
 
 QUERIES = {
@@ -275,4 +301,5 @@ QUERIES = {
 
 ORACLE = {
     "q51_binary_manifest": Q51_SQL,
+    "q52_media_decode": Q52_SQL,
 }

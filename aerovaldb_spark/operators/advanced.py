@@ -281,10 +281,9 @@ GROUP BY lang
 
 
 # --------------------------------------------------------------------------
-# q40: MinHash-LSH candidate pairs (banded bucket join). No SQL oracle —
-# the banding/bucket-join composition is the point; correctness of the
-# underlying signatures is covered by q27's oracle. The driver records
-# a rows-only check for this entry.
+# q40: MinHash-LSH candidate pairs (banded bucket join). The oracle
+# (dedup.Q40_SQL) recomputes the identical banding + bucket join in
+# SQL over q27's signature fragments.
 def q40_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import lsh_candidate_pairs, minhash_signatures
 
@@ -531,6 +530,8 @@ QUERIES = {
     "q49_cube": q49_cube,
 }
 
+from .dedup import Q40_SQL  # noqa: E402  (shared hash fragments live there)
+
 ORACLE = {
     "q32_pivot_status": Q32_SQL,
     "q33_percentiles": Q33_SQL,
@@ -540,7 +541,7 @@ ORACLE = {
     "q37_rank_parts": Q37_SQL,
     "q38_activity_union": Q38_SQL,
     "q39_clean_corpus_report": Q39_SQL,
-    # q40 intentionally has no oracle (rows-only check)
+    "q40_lsh_candidates": Q40_SQL,
     "q41_range_join": Q41_SQL,
     "q42_grouping_sets": Q42_SQL,
     "q43_order_gaps": Q43_SQL,

@@ -413,12 +413,75 @@ def connected_components(
 def q56_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster the q26 near-dup pair graph (jaccard >= 0.2) and emit
     one row per clustered doc with its canonical representative.
-    Iterative — no SQL oracle (rows-only gate); equivalence to a
-    union-find is asserted in tests."""
+
+    The Spark side is iterative min-label propagation (O(diameter)
+    shuffles — the 100 TB shape); the DuckDB oracle computes the same
+    fixpoint declaratively with a recursive reachability CTE (fine at
+    oracle scale, quadratic in component size), so even the iterative
+    operator is value-checked. Union-find equivalence is additionally
+    asserted in tests."""
     pairs = q26_ngram_jaccard_pairs(spark, sf_dir).filter(F.col("jaccard") >= 0.2)
     return connected_components(pairs).withColumnRenamed("v", "doc_id").orderBy(
         "doc_id"
     )
+
+
+# Banded-signature LSH candidate pairs — the SQL twin of
+# lsh_candidate_pairs() over q27's signatures (q40's oracle; lives here
+# next to the shared hash fragments).
+Q40_SQL = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, {hash60_sql('shingle')} % {MINHASH_PRIME} AS h
+  FROM (SELECT doc_id, unnest({shingles_sql('text', 3)}) AS shingle FROM documents)
+), seeds(seed, a, b) AS (VALUES {_SEED_TABLE}),
+sig AS (
+  SELECT doc_id, seed, MIN((a * h + b) % {MINHASH_PRIME}) AS minhash
+  FROM sh CROSS JOIN seeds
+  GROUP BY doc_id, seed
+), banded AS (
+  SELECT doc_id, seed // {ROWS_PER_BAND} AS band,
+    array_to_string(
+      list_sort(list(CAST(seed AS VARCHAR) || ':' || CAST(minhash AS VARCHAR))),
+      ',') AS band_sig
+  FROM sig GROUP BY doc_id, band
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a
+JOIN banded b ON a.band = b.band AND a.band_sig = b.band_sig
+            AND a.doc_id < b.doc_id
+"""
+
+
+# q56's oracle: q26 pair graph (jaccard >= 0.2) → symmetric edges →
+# recursive reachability → component = min reachable vertex id.
+Q56_SQL = f"""
+WITH RECURSIVE sh AS (
+  SELECT DISTINCT doc_id, {hash60_sql('shingle')} AS h
+  FROM (SELECT doc_id, unnest({shingles_sql('text', 3)}) AS shingle FROM documents)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), near AS (
+  SELECT doc_a, doc_b FROM pairs
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE shared >= 3
+    AND ROUND(CAST(shared AS DOUBLE)
+              / (sa.n_shingles + sb.n_shingles - shared), 6) >= 0.2
+), edges AS (
+  SELECT doc_a AS u, doc_b AS w FROM near
+  UNION
+  SELECT doc_b AS u, doc_a AS w FROM near
+), reach(u, w) AS (
+  SELECT u, w FROM edges
+  UNION
+  SELECT r.u, e.w FROM reach r JOIN edges e ON r.w = e.u
+)
+SELECT u AS doc_id, LEAST(u, MIN(w)) AS component FROM reach GROUP BY u
+"""
 
 
 QUERIES = {
@@ -434,4 +497,5 @@ ORACLE = {
     "q26_ngram_jaccard_pairs": Q26_SQL,
     "q27_minhash_signatures": Q27_SQL,
     "q28_simhash": Q28_SQL,
+    "q56_dedup_clusters": Q56_SQL,
 }
