@@ -393,7 +393,10 @@ class AerovalSparkDB:
                 default=default,
             )
         if row is None:
-            if default is not _SENTINEL:
+            # Reference parity (jsonfiledb.py:337): an explicit
+            # ``default=None`` means NO default — it raises. Only a
+            # non-None default is returned on a missing asset.
+            if default is not _SENTINEL and default is not None:
                 return default
             raise FileNotFoundError(f"No asset for {uri}")
 
@@ -611,9 +614,13 @@ class AerovalSparkDB:
             self._rewrite_table_unlocked(route, df)
 
     def _rewrite_table_unlocked(self, route: Route, df: DataFrame) -> None:
+        # Written at the plan's natural parallelism — a rewrite of a
+        # 100 TB route table must not funnel through one task. Small
+        # tables produce a handful of small files; AQE's partition
+        # coalescing keeps the count proportional to data size.
         path = self._table_path(route)
         tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-        writer = df.coalesce(1).write.mode("overwrite")
+        writer = df.write.mode("overwrite")
         if "project" in storage_keys(route):
             writer = writer.partitionBy("project")
         writer.parquet(tmp)
@@ -644,11 +651,19 @@ class AerovalSparkDB:
                 .filter((F.col("_rn") == 1) & (~F.col("tombstone")))
                 .drop("_rn")
             )
-            # Preserve ctime through compaction by re-dating the first
-            # write: keep one row per key carrying (payload, mtime=
-            # write_ts, ctime via a sidecar min row).
-            first = folded.withColumn("write_ts", F.col("write_ts_first")).withColumn(
-                "seq", F.col("seq") - 1
+            # Preserve ctime through compaction via a sidecar min-
+            # write_ts row per key. The sidecar carries a NULL payload
+            # — reads take payload only from the rn==1 (highest-seq)
+            # row, and storing the live payload twice would make
+            # compaction GROW single-version tables instead of
+            # shrinking them.
+            first = (
+                folded.withColumn("write_ts", F.col("write_ts_first"))
+                .withColumn("seq", F.col("seq") - 1)
+                .withColumn(
+                    "payload",
+                    F.lit(None).cast(folded.schema["payload"].dataType),
+                )
             )
             keep = folded.unionByName(first).drop("write_ts_first")
             self._rewrite_table(route, keep)
@@ -856,8 +871,20 @@ class AerovalSparkDB:
             (F.col("write_ts") if "write_ts" in df.columns else F.current_timestamp())
             .alias("write_ts")
         )
+        # Every row of the batch shares ONE seq, so two batch rows for
+        # the same key would tie in the LWW window and the survivor
+        # would be nondeterministic — dedupe keys within the batch
+        # first (latest write_ts wins; payload is the deterministic
+        # final tiebreak).
+        key_cols = list(storage_keys(sroute))
+        batch_w = Window.partitionBy(*key_cols).orderBy(
+            F.col("write_ts").desc(), F.col("payload").desc_nulls_last()
+        )
         out = (
             df.select(*cols)
+            .withColumn("_rn", F.row_number().over(batch_w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
             .withColumn("seq", F.lit(self._next_seq()))
             .withColumn("tombstone", F.lit(False))
         )
@@ -989,7 +1016,10 @@ def copy_db_contents(source: AerovalSparkDB | Any, dest: AerovalSparkDB | Any) -
             .withColumn("tombstone", F.lit(False))
             .drop("ctime")
         )
-        writer = out.coalesce(1).write.mode("append")
+        # Natural parallelism: the copy of each table runs as many
+        # tasks as the source scan produces (a coalesce(1) here would
+        # funnel the whole bulk copy through one task per table).
+        writer = out.write.mode("append")
         if "project" in storage_keys(route):
             writer = writer.partitionBy("project")
         writer.parquet(dest._table_path(route))

@@ -380,6 +380,7 @@ def connected_components(
             .withColumn("label", F.col("v"))
             .localCheckpoint()
         )
+        changed = 0
         for _ in range(max_iter):
             nbr_min = (
                 sym.join(labels, sym.w == labels.v)
@@ -405,6 +406,15 @@ def connected_components(
             labels = new
             if changed == 0:
                 break
+        if changed != 0:
+            # A component with diameter > max_iter would silently split
+            # into multiple labels — never hand that to a dedup
+            # pipeline as a final clustering.
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                f"iterations ({changed} labels still changing); raise "
+                "max_iter (iterations needed = graph diameter)"
+            )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return labels.select(F.col("v"), F.col("label").alias("component"))

@@ -53,6 +53,112 @@ def test_bulk_import_and_access(spark, tmp_path):
     assert len(db.query(Route.TIMESERIES, project="proj2")) == total // N_PROJECTS
 
 
+def _parquet_files(root):
+    import pathlib
+
+    return [
+        p for p in pathlib.Path(root).rglob("*.parquet") if p.is_file()
+    ]
+
+
+def test_rewrite_and_copy_write_in_parallel(spark, tmp_path):
+    """Neither _rewrite_table nor copy_db_contents may funnel a table
+    through one task: with one scan partition per source file, a
+    multi-file table must produce multiple output files."""
+    from aerovaldb_spark.db import copy_db_contents
+    from aerovaldb_spark.routes import table_name
+
+    db = AerovalSparkDB(spark, str(tmp_path / "src"))
+    for i in range(6):
+        db.put_config({"i": i}, "p", f"exp{i}")
+        db.flush()  # one file per flush -> 6 files in the project dir
+    table_dir = f"{db.root}/{table_name(Route.CONFIG)}"
+    assert len(_parquet_files(table_dir)) >= 2
+
+    prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    prev_open = spark.conf.get("spark.sql.files.openCostInBytes")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+    spark.conf.set("spark.sql.files.openCostInBytes", "2048")
+    # AQE legitimately coalesces this tiny shuffle to one partition;
+    # disable it so a hard coalesce(1) in the write path is the only
+    # thing that could produce a single file.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        # rewrite path (also exercised by rm_experiment_data/compact)
+        db.rm_experiment_data("p", "exp0")
+        assert len(_parquet_files(table_dir)) >= 2, "rewrite funneled to one task"
+        assert len(db.list_all()) == 5
+
+        dest = AerovalSparkDB(spark, str(tmp_path / "dst"))
+        copy_db_contents(db, dest)
+        dest_dir = f"{dest.root}/{table_name(Route.CONFIG)}"
+        assert len(_parquet_files(dest_dir)) >= 2, "copy funneled to one task"
+        assert len(dest.list_all()) == 5
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
+        spark.conf.set("spark.sql.files.openCostInBytes", prev_open)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
+def test_bulk_import_dedupes_keys_within_batch(spark, tmp_path):
+    """Two batch rows for one key share the batch seq — the import must
+    keep exactly one (latest write_ts) so LWW stays deterministic."""
+    import datetime as dt
+
+    db = AerovalSparkDB(spark, str(tmp_path / "dd"))
+    rows = spark.createDataFrame(
+        [
+            ("p", "e", '{"v": "old"}', dt.datetime(2024, 1, 1)),
+            ("p", "e", '{"v": "new"}', dt.datetime(2024, 1, 2)),
+            ("p", "e2", '{"v": "other"}', dt.datetime(2024, 1, 1)),
+        ],
+        "project string, experiment string, payload string, write_ts timestamp",
+    )
+    db.bulk_import(Route.CONFIG, rows)
+    assert db.get_config("p", "e") == {"v": "new"}
+    assert db.get_config("p", "e2") == {"v": "other"}
+    # exactly one stored row per key — the tie never reaches the LWW window
+    disk = spark.read.parquet(f"{db.root}/{_table_name(Route.CONFIG)}")
+    assert disk.filter(F.col("experiment") == "e").count() == 1
+
+
+def _table_name(route):
+    from aerovaldb_spark.routes import table_name
+
+    return table_name(route)
+
+
+def test_compact_sidecar_has_null_payload(spark, tmp_path):
+    """Compaction must not store live payloads twice: the ctime sidecar
+    row carries NULL payload, so a single-version table stays ~constant
+    in row width after compact()."""
+    db = AerovalSparkDB(spark, str(tmp_path / "cp"))
+    db.put_config({"v": 1}, "p", "e")
+    db.flush()
+    ctime = db.get_config("p", "e", access_type="CTIME")
+    db.compact()
+    disk = spark.read.parquet(f"{db.root}/{_table_name(Route.CONFIG)}")
+    rows = disk.collect()
+    assert len(rows) == 2  # live row + ctime sidecar
+    payloads = [r["payload"] for r in rows]
+    assert sum(p is not None for p in payloads) == 1
+    assert db.get_config("p", "e") == {"v": 1}
+    assert db.get_config("p", "e", access_type="CTIME") == ctime
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    import pytest
+
+    from aerovaldb_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], ["doc_a", "doc_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=1)
+
+
 def test_connected_components_matches_union_find(spark):
     """Distributed min-label propagation == driver union-find on the
     same edge set (chains force multi-iteration convergence)."""

@@ -160,9 +160,14 @@ def test_store_matches_dict_model(spark, ops):
             db.flush()
         elif verb == "compact":
             db.compact()
+    missing = object()
     for exp in ("e1", "e2", "e3"):
-        got = db.get(Route.CONFIG, {"project": "p", "experiment": exp}, default=None)
-        assert got == model.get(exp), f"{exp}: {got} != {model.get(exp)}"
+        # default=None means NO default (reference parity) — use a
+        # sentinel to probe missing keys.
+        got = db.get(
+            Route.CONFIG, {"project": "p", "experiment": exp}, default=missing
+        )
+        assert got == model.get(exp, missing), f"{exp}: {got!r}"
     assert sorted(e.meta["experiment"] for e in db.query(Route.CONFIG)) == sorted(model)
 
 
