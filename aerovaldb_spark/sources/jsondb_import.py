@@ -12,10 +12,13 @@ re-implements, import-side only:
 - filename decoding ('/'→'%1', '_'→'%2', '%'→'%0';
   utils/encode.py:9-39, jsonfiledb.py:51-65).
 
-Unparseable files are reported, not fatal. The heavy legacy-name
-disambiguation (backwards_compatibility.py:11-130 — splitting
-'AERONET-Sun'-style names against known-network lists) is out of
-scope; files needing it land in the report's ``skipped`` list.
+Unparseable files are reported, not fatal. Legacy-name disambiguation
+(reference backwards_compatibility.py:11-130) is applied after
+template matching: pre-0.29 layouts join fields with ``-``/``_`` that
+may also appear INSIDE field values ('AERONET-Sun' networks,
+'Amsterdam_Island' locations), so the first-match parse over-splits
+and the post-processing below re-assembles the compound values
+exactly as the reference does.
 """
 
 from __future__ import annotations
@@ -224,6 +227,70 @@ def _match(template: str, rel_path: str) -> dict[str, str] | None:
 _REPORT_IMAGE_RX = re.compile(r"^reports/(?P<project>[^/]+)/(?P<experiment>[^/]+)/(?P<path>.+)$")
 
 
+# -- legacy-name disambiguation (reference backwards_compatibility.py) ------
+
+def _move_dash_prefix(args: dict[str, str], src: str, dst: str) -> None:
+    """'-'-separated prefix of args[src] belongs to args[dst]:
+    (network='AERONET', obsvar='Sun-od550aer') →
+    (network='AERONET-Sun', obsvar='od550aer')."""
+    if "-" in args.get(src, ""):
+        splt = args[src].split("-")
+        args[src] = splt[-1]
+        args[dst] = args[dst] + f"-{'-'.join(splt[:-1])}"
+
+
+def _move_underscore_prefix(args: dict[str, str], src: str, dst: str) -> None:
+    if "_" in args.get(src, ""):
+        splt = args[src].split("_")
+        args[src] = splt[-1]
+        args[dst] = args[dst] + f"_{'_'.join(splt[:-1])}"
+
+
+def post_process_args(layout: _Layout, args: dict[str, str]) -> dict[str, str]:
+    """Re-assemble compound field values the legacy separators split
+    (reference backwards_compatibility.py:11-130; golden behavior in
+    reference tests/jsondb/test_jsonfiledb.py:53-96).
+
+    Runs on the RAW parsed strings before filename decoding, like the
+    reference (jsonfiledb.py:575-587). The reference gates on the
+    experiment version; the matched layout template encodes the same
+    era boundaries, which also covers trees with no version config.
+    """
+    a = dict(args)
+    t = layout.template
+    route = layout.route
+    if route is Route.MAP and "{network}-{obsvar}" in t:
+        _move_dash_prefix(a, "obsvar", "network")
+        _move_dash_prefix(a, "modvar", "model")
+    elif route is Route.SCATTER and "{network}-{obsvar}" in t:
+        _move_dash_prefix(a, "obsvar", "network")
+    elif (
+        route in (Route.TIMESERIES, Route.TIMESERIES_WEEKLY)
+        and "-{obsvar}" in t
+    ):
+        _move_dash_prefix(a, "obsvar", "network")
+        _move_underscore_prefix(a, "network", "location")
+    elif route is Route.FORECAST and "-{obsvar}" in t:
+        _move_dash_prefix(a, "obsvar", "network")
+    elif route is Route.HEATMAP_TIMESERIES and "{region}-{network}" in t:
+        # 0.13.2 ≤ v < 0.29: all four fields '-'-joined. Layer and
+        # obsvar cannot contain '-'; the first token is the region and
+        # the middle remainder is the network (reference
+        # backwards_compatibility.py:97-113).
+        splt = "-".join([a["region"], a["network"], a["obsvar"], a["layer"]]).split("-")
+        a["layer"] = splt.pop()
+        a["obsvar"] = splt.pop()
+        a["region"] = splt.pop(0)
+        a["network"] = "-".join(splt)
+    elif (
+        route is Route.HEATMAP_TIMESERIES
+        and "{network}-{obsvar}" in t
+        and "{region}" not in t
+    ):
+        _move_dash_prefix(a, "obsvar", "network")
+    return a
+
+
 @dataclass
 class ImportReport:
     imported: int = 0
@@ -274,6 +341,7 @@ def resolve_path(
             continue
         args = _match(layout.template, target)
         if args is not None:
+            args = post_process_args(layout, args)
             return layout.route, {k: decode_fname(v) for k, v in args.items()}
     return None
 

@@ -137,3 +137,105 @@ def test_export_roundtrip_fidelity(imported, spark, tmp_path):
             }
         )
         assert rows1 == rows2, f"{route.name}: {len(rows1)} vs {len(rows2)}"
+
+
+# -- legacy-name disambiguation (reference backwards_compatibility.py;
+# golden cases from reference tests/jsondb/test_jsonfiledb.py:53-96,
+# version mocked to 0.25.0 there) -------------------------------------
+
+@pytest.mark.parametrize(
+    "rel,route,want",
+    [
+        (
+            "proj/exp/ts/Amsterdam_Island_AERONET-Sun-od550aer_Column.json",
+            Route.TIMESERIES,
+            {
+                "project": "proj", "experiment": "exp",
+                "location": "Amsterdam_Island", "network": "AERONET-Sun",
+                "obsvar": "od550aer", "layer": "Column",
+            },
+        ),
+        (
+            "proj/exp/map/AERONET-Sun-od550aer_Column_TM5-AP3-CTRL-od550aer_2010.json",
+            Route.MAP,
+            {
+                "project": "proj", "experiment": "exp",
+                "network": "AERONET-Sun", "obsvar": "od550aer",
+                "layer": "Column", "model": "TM5-AP3-CTRL",
+                "modvar": "od550aer", "time": "2010",
+            },
+        ),
+        (
+            "proj/exp/hm/ts/some_region-some-network-obsvar-layer.json",
+            Route.HEATMAP_TIMESERIES,
+            {
+                "project": "proj", "experiment": "exp",
+                "region": "some_region", "network": "some-network",
+                "obsvar": "obsvar", "layer": "layer",
+            },
+        ),
+        (
+            # Reference parity: _post_process_scatter_args_kwargs
+            # (backwards_compatibility.py:70-79) re-assembles only the
+            # network/obsvar pair — unlike MAP it does NOT touch
+            # model/modvar, so the compound model stays split.
+            "proj/exp/scat/AERONET-Sun-od550aer_Column_TM5-AP3-CTRL-od550aer_2010.json",
+            Route.SCATTER,
+            {
+                "project": "proj", "experiment": "exp",
+                "network": "AERONET-Sun", "obsvar": "od550aer",
+                "layer": "Column", "model": "TM5",
+                "modvar": "AP3-CTRL-od550aer", "time": "2010",
+            },
+        ),
+        (
+            "proj/exp/forecast/Amsterdam_AERONET-Sun-od550aer_Column.json",
+            Route.FORECAST,
+            {
+                "project": "proj", "experiment": "exp",
+                "region": "Amsterdam", "network": "AERONET-Sun",
+                "obsvar": "od550aer", "layer": "Column",
+            },
+        ),
+    ],
+)
+def test_legacy_compound_name_disambiguation(rel, route, want):
+    from aerovaldb_spark.sources.jsondb_import import resolve_path
+
+    got = resolve_path(rel, "0.25.0")
+    assert got is not None
+    assert got[0] is route
+    assert got[1] == want
+
+
+def test_legacy_tree_imports_with_compound_names(spark, tmp_path):
+    """A pre-0.29 tree with compound network/location names imports
+    fully routed (nothing skipped, typed getters hit)."""
+    import json
+
+    from aerovaldb_spark.db import AerovalSparkDB
+
+    tree = tmp_path / "legacy"
+    exp = tree / "proj" / "exp"
+    (exp / "ts").mkdir(parents=True)
+    (exp / "map").mkdir(parents=True)
+    cfg = {"exp_info": {"pyaerocom_version": "0.25.0"}}
+    (exp / "cfg_proj_exp.json").write_text(json.dumps(cfg))
+    (exp / "ts" / "Amsterdam_Island_AERONET-Sun-od550aer_Column.json").write_text(
+        '{"data": 1}'
+    )
+    (exp / "map" / "AERONET-Sun-od550aer_Column_TM5-AP3-CTRL-od550aer_2010.json").write_text(
+        '{"data": 2}'
+    )
+
+    db = AerovalSparkDB(spark, str(tmp_path / "db"))
+    report = import_jsondb_tree(db, str(tree))
+    assert not report.skipped, report.skipped
+    assert report.imported == 3
+    assert db.get_timeseries(
+        "proj", "exp", "Amsterdam_Island", "AERONET-Sun", "od550aer", "Column"
+    ) == {"data": 1}
+    assert db.get_map(
+        "proj", "exp", "AERONET-Sun", "od550aer", "Column",
+        "TM5-AP3-CTRL", "od550aer", "2010",
+    ) == {"data": 2}
