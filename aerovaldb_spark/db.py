@@ -103,7 +103,8 @@ class AerovalSparkDB:
         os.makedirs(root, exist_ok=True)
         # memtable: (storage_route, key_tuple) -> row dict
         self._mem: dict[Route, dict[tuple, dict]] = {}
-        self._df_cache: dict[Route, DataFrame | None] = {}
+        # route -> (DataFrame|None, directory fingerprint at read time)
+        self._df_cache: dict[Route, tuple[DataFrame | None, tuple | None]] = {}
         # Optional multi-process advisory lock (AVDB_USE_LOCKING env,
         # reference parity — see aerovaldb_spark.lock).
         self._lock = make_lock(root)
@@ -122,18 +123,46 @@ class AerovalSparkDB:
     def _next_seq(self) -> int:
         return time.time_ns()
 
+    def _table_fingerprint(self, path: str) -> tuple | None:
+        """Cheap change detector for a table directory: mtimes of the
+        dir and its immediate children (appends create files inside
+        ``project=...`` partition dirs, bumping the child mtime;
+        rewrites swap the dir itself, bumping the root mtime).
+
+        This is the Spark analog of the reference's mtime-validated
+        read caches (jsondb/cache.py:114-264): another process's
+        flushed write is visible on the next read, no manual
+        ``refresh()`` needed. On a local filesystem this is one
+        scandir; a deployment on an object store would swap this for a
+        table-format snapshot id (Delta/Iceberg) or a metastore
+        version counter.
+        """
+        try:
+            entries = tuple(
+                sorted(
+                    (e.name, e.stat().st_mtime_ns)
+                    for e in os.scandir(path)
+                    if not e.name.startswith((".", "_"))
+                )
+            )
+        except OSError:
+            return None
+        return (os.stat(path).st_mtime_ns, entries) if entries else None
+
     def _disk_df(self, route: Route) -> DataFrame | None:
-        """Raw on-disk append log for a route table (cached)."""
+        """Raw on-disk append log for a route table (fingerprint-
+        validated cache — see _table_fingerprint)."""
         route = self._storage_route(route)
-        if route in self._df_cache:
-            return self._df_cache[route]
         path = self._table_path(route)
+        fp = self._table_fingerprint(path)
+        if route in self._df_cache:
+            df, cached_fp = self._df_cache[route]
+            if cached_fp == fp:
+                return df
         df = None
-        if os.path.isdir(path) and any(
-            not e.startswith((".", "_")) for e in os.listdir(path)
-        ):
+        if fp is not None:
             df = self.spark.read.schema(_schema_for(route)).parquet(path)
-        self._df_cache[route] = df
+        self._df_cache[route] = (df, fp)
         return df
 
     def _log_df(self, route: Route) -> DataFrame | None:
@@ -286,9 +315,11 @@ class AerovalSparkDB:
         self._mem.clear()
 
     def refresh(self) -> None:
-        """Drop cached table states so the next read sees other
-        writers' flushed data (call after acquiring ``lock()`` in a
-        cross-process read-modify-write)."""
+        """Force-drop cached table states. Reads are already
+        fingerprint-validated against the table directories (other
+        processes' flushed writes are visible automatically — see
+        _table_fingerprint); this remains as an explicit escape hatch
+        for storage that mutates without an mtime change."""
         self._df_cache.clear()
 
     def lock(self):

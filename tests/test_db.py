@@ -527,3 +527,38 @@ def test_copy_db_contents_duck_typed_backend(tmpdb, spark, tmp_path):
     back = AerovalSparkDB(spark, str(tmp_path / "back"))
     copy_db_contents(mem, back)
     assert back.get_config("p", "e") == {"c": 1}
+
+
+def test_cross_process_read_freshness(spark, tmp_path):
+    """A second db instance on the same root sees another writer's
+    flushed data on the next read, with no manual refresh() — the
+    Spark analog of the reference's mtime-validated caches
+    (jsondb/cache.py:114-264, tests/jsondb/test_cache.py:100-149)."""
+    from aerovaldb_spark.db import AerovalSparkDB
+
+    writer = AerovalSparkDB(spark, str(tmp_path / "db"))
+    reader = AerovalSparkDB(spark, str(tmp_path / "db"))
+
+    writer.put_config({"v": 1}, "p", "e")
+    writer.flush()
+    assert reader.get_config("p", "e") == {"v": 1}
+
+    # update becomes visible after the reader has a warm cache
+    writer.put_config({"v": 2}, "p", "e")
+    writer.flush()
+    assert reader.get_config("p", "e") == {"v": 2}
+
+    # deletes propagate too (tombstone append)
+    writer.rm_by_uri("/v0/config/p/e")
+    writer.flush()
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        reader.get_config("p", "e")
+
+    # and full-table rewrites (directory swap)
+    writer.put_config({"v": 3}, "p", "e")
+    writer.flush()
+    assert reader.get_config("p", "e") == {"v": 3}
+    writer.compact()
+    assert reader.get_config("p", "e") == {"v": 3}
