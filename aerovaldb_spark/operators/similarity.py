@@ -164,6 +164,7 @@ def ivf_topk(
     n_probe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    fit_sample_fraction: float | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize with KMeans
     (Spark ML, seeded), probe only the n_probe nearest inverted lists.
@@ -172,39 +173,60 @@ def ivf_topk(
     centroid table broadcasts. Approximate — recall is asserted in
     tests, not oracle-matched (KMeans is not cross-engine
     deterministic).
+    All queries score in ONE job: the query set (with its per-query
+    probe lists, computed driver-side against the tiny centroid table)
+    broadcasts as a whole, joins the assigned vectors on list_id, and
+    a per-query window takes the top k — no per-query driver loop, so
+    a batch of 10k queries costs one pass instead of 10k jobs.
+
+    At 100 TB the KMeans fit itself must train on a sample
+    (``fit_sample_fraction``) — clustering quality needs ~thousands of
+    points per centroid, not the full corpus; assignment still covers
+    every vector.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
 
     spark = vectors.sparkSession
     with_vec = vectors.withColumn("_features", array_to_vector(_dbl(vec_col)))
-    model = KMeans(k=n_lists, seed=42, featuresCol="_features").fit(with_vec)
+    fit_input = with_vec
+    if fit_sample_fraction is not None:
+        fit_input = with_vec.sample(fit_sample_fraction, seed=42)
+    model = KMeans(k=n_lists, seed=42, featuresCol="_features").fit(fit_input)
     assigned = model.transform(with_vec).withColumnRenamed(
         "prediction", "list_id"
     )
 
     centers = [c.tolist() for c in model.clusterCenters()]
     q_rows = query.select(F.col(id_col).alias("query_id"), vec_col).collect()
-    out = None
-    for qr in q_rows:
-        qv = [float(x) for x in qr[vec_col]]
-        # nearest centroids (driver-side: n_lists floats — tiny)
+
+    def probes(qv: list[float]) -> list[int]:
         def d2(c):
             return sum((a - b) ** 2 for a, b in zip(c, qv))
 
-        probe = sorted(range(len(centers)), key=lambda i: d2(centers[i]))[:n_probe]
-        qdf = spark.createDataFrame([(qr["query_id"], qv)], ["query_id", "qvec"])
-        scored = (
-            assigned.filter(F.col("list_id").isin(probe))
-            .filter(F.col(id_col) != qr["query_id"])
-            .crossJoin(F.broadcast(qdf))
-            .withColumn("cosine", F.round(cosine_col(vec_col, "qvec"), 6))
-            .select("query_id", F.col(id_col).alias("neighbor_id"), "cosine")
-            .orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-            .limit(k)
-        )
-        out = scored if out is None else out.unionByName(scored)
-    return out
+        return sorted(range(len(centers)), key=lambda i: d2(centers[i]))[:n_probe]
+
+    qdf = spark.createDataFrame(
+        [
+            (qr["query_id"], [float(x) for x in qr[vec_col]], probes([float(x) for x in qr[vec_col]]))
+            for qr in q_rows
+        ],
+        "query_id long, qvec array<double>, probe array<int>",
+    ).select("query_id", "qvec", F.explode("probe").alias("list_id"))
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        assigned.join(F.broadcast(qdf), "list_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine_col(vec_col, "qvec"), 6))
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "cosine")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -253,13 +275,25 @@ FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 COSINE_NEAR_DUP_THRESHOLD = 0.35
 
 
+# cosine_near_dup_pairs is an all-pairs VALIDATION baseline: it
+# refuses inputs above this size unless explicitly overridden, so the
+# O(n²) join can't be launched on production-scale data by accident.
+COSINE_NEAR_DUP_MAX_ROWS = 100_000
+
+
 def cosine_near_dup_pairs(
     vectors: DataFrame,
     threshold: float = COSINE_NEAR_DUP_THRESHOLD,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_rows: int | None = COSINE_NEAR_DUP_MAX_ROWS,
 ) -> DataFrame:
     """All pairs with round(cosine, 6) >= threshold (exact, all-pairs).
+
+    VALIDATION-ONLY at scale: this is the correctness baseline q46's
+    LSH path approximates — run it on samples to measure recall, never
+    on the full corpus. Inputs above ``max_rows`` raise (pass
+    ``max_rows=None`` to consciously override).
 
     Two scale-shaping choices: (1) arrays are cast to double and norms
     are computed ONCE per vector before the join (one fold per pair
@@ -269,6 +303,15 @@ def cosine_near_dup_pairs(
     parallelizes even when the source is a single parquet row group
     (O(n²/p) work per task instead of O(n²) on one core).
     """
+    if max_rows is not None:
+        n = vectors.count()
+        if n > max_rows:
+            raise ValueError(
+                f"cosine_near_dup_pairs is an O(n²) validation baseline; "
+                f"input has {n} rows > max_rows={max_rows}. Use the LSH "
+                "path (lsh_bucketed_pairs / q46) at scale, or sample, or "
+                "pass max_rows=None to override."
+            )
     par = vectors.sparkSession.sparkContext.defaultParallelism
     prepped = vectors.select(
         F.col(id_col).alias("_id"),

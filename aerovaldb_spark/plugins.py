@@ -14,9 +14,11 @@
   reference sniffs bare paths, plugins.py:76-101); otherwise an
   AerovalSparkDB root
 
-Engines register in ``ENGINES``; third parties can add entries (the
-reference uses importlib entry points for the same purpose — a
-registry dict keeps this dependency-free).
+Engines register via importlib entry points in group
+``aerovaldb_spark`` (the reference's mechanism, plugins.py:30-45,
+group ``aerovaldb``), merged over the built-in ``ENGINES`` dict —
+third-party backends install an entry point; in-process code may also
+add to ``ENGINES`` directly.
 """
 
 from __future__ import annotations
@@ -94,16 +96,44 @@ ENGINES: dict[str, Callable[..., AerovalSparkDB]] = {
     "sqlitedb": _open_sqlitedb,
 }
 
+ENTRY_POINT_GROUP = "aerovaldb_spark"
+
+
+def _entry_point_engines() -> dict[str, Callable[..., AerovalSparkDB]]:
+    """Backends registered by installed packages (reference
+    plugins.py:14-45: load each entry point, warn-and-skip on
+    duplicates and load failures)."""
+    import warnings
+    from importlib.metadata import entry_points
+
+    out: dict[str, Callable[..., AerovalSparkDB]] = {}
+    for ep in entry_points(group=ENTRY_POINT_GROUP):
+        if ep.name in out:
+            warnings.warn(
+                f"found multiple versions of {ENTRY_POINT_GROUP} "
+                f"entrypoint {ep.name} for {ep.value}"
+            )
+            continue
+        try:
+            out[ep.name] = ep.load()
+        except Exception as ex:  # noqa: BLE001 (reference behavior)
+            warnings.warn(f"Engine {ep.name!r} loading failed:\n{ex}", RuntimeWarning)
+    return out
+
 
 def list_engines() -> dict[str, Callable[..., AerovalSparkDB]]:
-    return dict(ENGINES)
+    """Built-in engines merged with installed entry points (entry
+    points win on name collision so a package can override a
+    built-in, like the reference's single-namespace registry)."""
+    return {**ENGINES, **_entry_point_engines()}
 
 
 def open(resource: str, spark: SparkSession | None = None) -> AerovalSparkDB:  # noqa: A001
     """Open a database connection for a resource identifier."""
+    engines = list_engines()
     scheme, sep, rest = resource.partition(":")
-    if sep and scheme in ENGINES and rest and rest != "memory:":
-        return ENGINES[scheme](rest, spark=spark)
+    if sep and scheme in engines and rest and rest != "memory:":
+        return engines[scheme](rest, spark=spark)
     if resource == ":memory:":
         return _open_spark(":memory:", spark=spark)
     if os.path.splitext(resource)[1] in (".db", ".sqlite") and os.path.isfile(resource):

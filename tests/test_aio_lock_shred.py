@@ -139,6 +139,47 @@ def test_ivf_topk_recall(spark):
     assert len(exact & approx) >= 5, (exact, approx)
 
 
+def test_ivf_topk_batch_of_queries_single_plan(spark):
+    """A multi-row query set scores in ONE plan (no per-query union):
+    every query gets exactly k ranked neighbors, and the plan contains
+    a single scan-join, not a UNION of per-query jobs."""
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter("vec_id IN (0, 1, 2, 3, 4)")
+    out = ivf_topk(emb, queries, k=5, n_lists=8, n_probe=8)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" not in plan
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    assert all(len(v) == 5 for v in by_q.values())
+    # n_probe == n_lists probes everything -> exact: neighbor sets must
+    # match brute force for a spot-checked query
+    from aerovaldb_spark.operators.similarity import brute_force_topk
+
+    exact = {r["neighbor_id"]
+             for r in brute_force_topk(emb, emb.filter("vec_id = 2"), k=5).collect()}
+    assert {r["neighbor_id"] for r in by_q[2]} == exact
+
+
+def test_cosine_near_dup_guard(spark):
+    """The all-pairs baseline refuses production-size inputs."""
+    import pytest as _pytest
+
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    with _pytest.raises(ValueError, match="validation baseline"):
+        cosine_near_dup_pairs(emb, max_rows=10)
+    # explicit override still works
+    assert cosine_near_dup_pairs(emb.limit(20), max_rows=None).count() >= 0
+
+
 # --- edge-case keys (FIXTURES.md §3) --------------------------------------
 
 @pytest.mark.parametrize(

@@ -562,3 +562,33 @@ def test_cross_process_read_freshness(spark, tmp_path):
     assert reader.get_config("p", "e") == {"v": 3}
     writer.compact()
     assert reader.get_config("p", "e") == {"v": 3}
+
+
+def test_entry_point_engine_discovery(spark, tmp_path, monkeypatch):
+    """A third-party backend installed with an entry point in group
+    'aerovaldb_spark' is discoverable by list_engines() and usable by
+    open() — the reference's plugin mechanism (plugins.py:30-45).
+    Exercised end-to-end with a real dist-info on sys.path."""
+    import sys
+
+    from aerovaldb_spark import plugins
+
+    site = tmp_path / "site"
+    dist = site / "dummy_backend-1.0.dist-info"
+    dist.mkdir(parents=True)
+    (dist / "METADATA").write_text("Metadata-Version: 2.1\nName: dummy-backend\nVersion: 1.0\n")
+    (dist / "entry_points.txt").write_text(
+        "[aerovaldb_spark]\ndummy = dummy_backend_mod:open_dummy\n"
+    )
+    (site / "dummy_backend_mod.py").write_text(
+        "def open_dummy(path, spark=None):\n"
+        "    return ('dummy-engine', path)\n"
+    )
+    monkeypatch.syspath_prepend(str(site))
+
+    engines = plugins.list_engines()
+    assert "dummy" in engines
+    assert set(plugins.ENGINES) <= set(engines)  # built-ins still present
+    assert plugins.open("dummy:/some/where") == ("dummy-engine", "/some/where")
+
+    sys.modules.pop("dummy_backend_mod", None)
