@@ -395,9 +395,18 @@ class AerovalSparkDB:
         if access is AccessType.URI:
             return uri
         if access is AccessType.FILE_PATH:
+            # Reference types.py:6-34 — jsondb-only by design there
+            # too (its sqlite backend raises as well). Migration
+            # recipe for FILE_PATH consumers: read the content via
+            # AccessType.BLOB / JSON_STR, or materialize a real file
+            # tree with sources.jsondb_import.export_jsondb_tree and
+            # point the consumer at that.
             raise UnsupportedOperation(
                 "FILE_PATH access is not supported by the Spark backend "
-                "(assets are table rows, not files)"
+                "(assets are table rows, not files). Use access_type="
+                "BLOB/JSON_STR for the content, or export a file tree "
+                "with aerovaldb_spark.sources.jsondb_import."
+                "export_jsondb_tree()."
             )
 
         row = self._lookup(

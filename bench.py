@@ -66,6 +66,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     startup_sec = time.time() - t_boot
 
+    # Cold pass: one run of every headline query against the raw
+    # parquet, fresh JVM, nothing cached — the number a user sees on
+    # first touch. Reported alongside steady-state so the methodology
+    # is transparent (steady-state excludes this).
+    t_cold = time.time()
+    for name in HEADLINE:
+        _run(ALL_QUERIES[name], spark, sf_dir)
+    cold_sec = time.time() - t_cold
+
     # Warm-up: materialize the tables in memory with even partitioning
     # (the harness parquet has ONE row group per table — a bare scan
     # would be single-threaded, which no real deployment is), and run
@@ -97,6 +106,7 @@ def main() -> None:
                 "sf": sf,
                 "mode": "steady_state",
                 "startup_sec": round(startup_sec, 3),
+                "cold_total_sec": round(cold_sec, 3),
                 "warmup_sec": round(warmup_sec, 3),
                 "n_queries": len(per_query),
             }
