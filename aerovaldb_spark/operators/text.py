@@ -383,6 +383,96 @@ JOIN (SELECT DISTINCT h FROM sh WHERE split = 'test') x USING (h)
 """
 
 
+# --------------------------------------------------------------------------
+# q59: repetition / boilerplate signals (the Gopher-style quality
+# filters: repeated-token fraction and top-bigram fraction — C4/Gopher
+# drop documents whose most frequent n-gram dominates). Entirely
+# map-only: per-document array expressions (JVM higher-order
+# functions), no shuffle until the tiny final aggregation a caller
+# might add — the shape that scales linearly with the scan. The
+# within-document top-bigram search is O(k²) on k = tokens per doc,
+# driver-free and embarrassingly parallel. The oracle computes the
+# same stats with an explode + window formulation — different
+# implementation, same semantics.
+def repetition_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
+    toks = f"split({text_col}, ' ')"
+    bigrams = (
+        f"CASE WHEN size({toks}) < 2 THEN array() "
+        f"ELSE transform(sequence(1, size({toks}) - 1),"
+        f" i -> concat_ws(' ', slice({toks}, i, 2))) END"
+    )
+    return (
+        df.withColumn("n_tokens", F.expr(f"size({toks})"))
+        .withColumn("n_distinct_tokens", F.expr(f"size(array_distinct({toks}))"))
+        .withColumn(
+            "repeated_token_frac",
+            F.round(
+                F.lit(1.0)
+                - F.col("n_distinct_tokens").cast("double") / F.col("n_tokens"),
+                6,
+            ),
+        )
+        .withColumn("_bg", F.expr(bigrams))
+        .withColumn(
+            "top_bigram_count",
+            F.expr(
+                "aggregate(array_distinct(_bg), 0,"
+                " (acc, d) -> greatest(acc, size(filter(_bg, x -> x = d))))"
+            ),
+        )
+        .withColumn(
+            "top_bigram_frac",
+            F.when(
+                F.size("_bg") > 0,
+                F.round(
+                    F.col("top_bigram_count").cast("double") / F.size("_bg"), 6
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+        .drop("_bg")
+    )
+
+
+def q59_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_columns(docs).select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        "repeated_token_frac",
+        "top_bigram_count",
+        "top_bigram_frac",
+    )
+
+
+Q59_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), base AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+    len(list_distinct(toks)) AS n_distinct_tokens, toks
+  FROM t
+), bg AS (
+  SELECT doc_id,
+    unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                          i -> array_to_string(toks[i:i+1], ' '))) AS bigram
+  FROM base
+), bg_counts AS (
+  SELECT doc_id, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram
+), bg_top AS (
+  SELECT doc_id, MAX(c) AS top_bigram_count, CAST(SUM(c) AS BIGINT) AS n_bigrams
+  FROM bg_counts GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens, b.n_distinct_tokens,
+  ROUND(1.0 - CAST(b.n_distinct_tokens AS DOUBLE) / b.n_tokens, 6)
+    AS repeated_token_frac,
+  CAST(COALESCE(g.top_bigram_count, 0) AS INT) AS top_bigram_count,
+  COALESCE(ROUND(CAST(g.top_bigram_count AS DOUBLE) / g.n_bigrams, 6), 0.0)
+    AS top_bigram_frac
+FROM base b LEFT JOIN bg_top g USING (doc_id)
+"""
+
+
 QUERIES = {
     "q21_token_stats": q21_token_stats,
     "q22_quality_scores": q22_quality_scores,
@@ -392,6 +482,7 @@ QUERIES = {
     "q54_pack_sequences": q54_pack_sequences,
     "q57_source_mixing": q57_source_mixing,
     "q58_decontaminate": q58_decontaminate,
+    "q59_repetition_stats": q59_repetition_stats,
 }
 
 ORACLE = {
@@ -403,4 +494,5 @@ ORACLE = {
     "q54_pack_sequences": Q54_SQL,
     "q57_source_mixing": Q57_SQL,
     "q58_decontaminate": Q58_SQL,
+    "q59_repetition_stats": Q59_SQL,
 }
