@@ -161,6 +161,53 @@ def running_user_totals(events: DataFrame, timeout_ms: str = "NoTimeout") -> Dat
     )
 
 
+def purchases_with_recent_clicks(
+    events: DataFrame,
+    horizon: str = "5 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase paired with the same
+    user's clicks in the preceding ``horizon`` (strictly before).
+
+    The streaming classic: watermarks on BOTH sides plus the time-
+    bound join condition let Spark expire join state — without the
+    interval bound the state store would grow unboundedly. Works batch
+    (plain join) and streaming (append mode) from the same code.
+    """
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    if events.isStreaming:
+        purchases = purchases.withWatermark("p_ts", watermark)
+        clicks = clicks.withWatermark("c_ts", watermark)
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") < F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {horizon}")),
+    ).select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+    )
+
+
+def enriched_events(events: DataFrame, dim: DataFrame, dim_key: str = "c_custkey") -> DataFrame:
+    """Stream-static join: enrich the event stream with a (small,
+    broadcast) dimension table. The static side is re-read per
+    micro-batch by Spark, so slowly-changing dims pick up updates; no
+    watermark needed — static joins keep no state."""
+    return events.join(
+        F.broadcast(dim), events.user_id == dim[dim_key], "left"
+    ).drop(dim_key)
+
+
 def run_stream_to_memory(
     stream_df: DataFrame,
     query_name: str,

@@ -220,3 +220,45 @@ def test_stream_ingest_into_store(spark, tmp_path):
     # bulk_import stamps seq per batch; the later micro-batch wins LWW
     assert db.get_config("p", "e2") == {"v": 2}
     assert db.get_config("p", "e1") == {"v": 10}
+
+
+def test_stream_stream_interval_join_matches_batch(spark):
+    """purchases_with_recent_clicks: stream-stream interval join with
+    two-sided watermarks produces exactly the batch join's rows."""
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.streaming import (
+        purchases_with_recent_clicks,
+        read_event_stream,
+        run_stream_to_memory,
+    )
+
+    batch = purchases_with_recent_clicks(load_table(spark, SF_DIR, "events"))
+    stream = purchases_with_recent_clicks(read_event_stream(spark, SF_DIR))
+    assert stream.isStreaming
+    got = run_stream_to_memory(stream, "pwc", spark, output_mode="append")
+    a = sorted(map(tuple, batch.collect()))
+    b = sorted(map(tuple, got.collect()))
+    assert a == b and len(a) > 0
+
+
+def test_stream_static_enrichment(spark):
+    """enriched_events: stream-static broadcast join — every event
+    passes through (left join), matched rows carry dim columns."""
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.streaming import (
+        enriched_events,
+        read_event_stream,
+        run_stream_to_memory,
+    )
+
+    dim = load_table(spark, SF_DIR, "customer").select("c_custkey", "c_name")
+    events = load_table(spark, SF_DIR, "events")
+    batch = enriched_events(events, dim)
+    assert batch.count() == events.count()  # left join preserves rows
+
+    stream = enriched_events(read_event_stream(spark, SF_DIR), dim)
+    got = run_stream_to_memory(stream, "enriched", spark, output_mode="append")
+    assert got.count() == events.count()
+    assert got.filter("c_name IS NOT NULL").count() == batch.filter(
+        "c_name IS NOT NULL"
+    ).count()
