@@ -592,3 +592,23 @@ def test_entry_point_engine_discovery(spark, tmp_path, monkeypatch):
     assert plugins.open("dummy:/some/where") == ("dummy-engine", "/some/where")
 
     sys.modules.pop("dummy_backend_mod", None)
+
+
+def test_copy_cli_main(spark, tmp_path, monkeypatch):
+    """python -m aerovaldb_spark.copy <src> <dst> (reference aerovaldbcp)."""
+    import sys
+
+    from aerovaldb_spark.copy import main
+    from aerovaldb_spark.db import AerovalSparkDB
+
+    src = AerovalSparkDB(spark, str(tmp_path / "src"))
+    src.put_config({"v": 1}, "p", "e")
+    src.flush()
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["aerovaldbcp-spark", f"spark:{tmp_path / 'src'}", f"spark:{tmp_path / 'dst'}"],
+    )
+    main()
+    dst = AerovalSparkDB(spark, str(tmp_path / "dst"))
+    assert dst.get_config("p", "e") == {"v": 1}
