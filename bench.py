@@ -85,11 +85,11 @@ def main() -> None:
         _run(ALL_QUERIES[name], spark, sf_dir)
     warmup_sec = time.time() - t_warm
 
-    # Median of 3 back-to-back trials per query: a single sample mixes
+    # Median of 5 back-to-back trials per query: a single sample mixes
     # in GC pauses and scheduler jitter (observed ±0.5 s on an idle
     # 32-core box); the median is the steady-state latency the mode
     # field claims.
-    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
+    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "5"))
     per_query: dict[str, float] = {}
     for name in HEADLINE:
         samples = sorted(_run(ALL_QUERIES[name], spark, sf_dir) for _ in range(trials))
