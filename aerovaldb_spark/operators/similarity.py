@@ -49,20 +49,34 @@ def brute_force_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Exact top-k by cosine: broadcast the query row(s), score, top-k.
+    """Exact top-k by cosine PER QUERY: broadcast the query row(s),
+    score, rank within each query.
 
     At scale this is the map-only scoring pattern: the (tiny) query set
     broadcasts, each partition scores its shard, and only k rows per
-    partition survive to the final top-k — no full-data shuffle.
+    partition survive to the final top-k. A single-row query keeps the
+    shuffle-free TakeOrderedAndProject plan (per-partition local top-k,
+    driver merge); a multi-row query ranks with a per-query window (one
+    shuffle on query_id).
     """
+    from pyspark.sql import Window
+
     q = query.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
-    return (
+    scored = (
         vectors.crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col("query_id"))
         .withColumn("cosine", F.round(cosine_col(vec_col, "qvec"), 6))
         .select("query_id", F.col(id_col).alias("neighbor_id"), "cosine")
-        .orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-        .limit(k)
+    )
+    if q.count() <= 1:  # query set is tiny by contract — cheap count
+        return scored.orderBy(F.col("cosine").desc(), F.col("neighbor_id")).limit(k)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
     )
 
 

@@ -203,3 +203,23 @@ def test_tricky_project_partition_value(tmpdb):
     tmpdb.put_config({"x": 1}, "pro/ject %odd", "e")
     tmpdb.flush()
     assert tmpdb.get_config("pro/ject %odd", "e") == {"x": 1}
+
+
+def test_brute_force_topk_multi_query_ranks_per_query(spark):
+    """With a multi-row query set, every query gets its own k
+    neighbors (not a global top-k across queries)."""
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators.similarity import brute_force_topk
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter("vec_id IN (0, 1, 2)")
+    rows = brute_force_topk(emb, queries, k=4).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert set(by_q) == {0, 1, 2}
+    assert all(len(v) == 4 for v in by_q.values())
+    # each query's set matches its own single-query run
+    solo = {r["neighbor_id"]
+            for r in brute_force_topk(emb, emb.filter("vec_id = 1"), k=4).collect()}
+    assert set(by_q[1]) == solo
