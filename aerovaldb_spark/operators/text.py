@@ -37,6 +37,21 @@ def token_count_col(text: str | Column = "text") -> Column:
     return F.size(tokens_col(text))
 
 
+# GPT-2-style pre-tokenizer regex (contractions, letter runs, digit
+# runs, punctuation runs, space runs) — the "BPE-ish" token estimate a
+# budget/packing pipeline uses when whitespace counting is too coarse.
+# No lookarounds, so Java (Spark) and RE2-family (DuckDB) engines
+# tokenize identically — verified corpus-wide + unicode edge cases.
+BPE_TOKEN_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+)
+
+
+def bpe_token_count_col(text: str | Column = "text") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_PATTERN), F.lit(0)))
+
+
 def fingerprint_col(text: str | Column = "text") -> Column:
     """Deterministic 128-bit content fingerprint (hex md5)."""
     c = F.col(text) if isinstance(text, str) else text
@@ -49,6 +64,7 @@ def q21_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
         docs.withColumn("n_tokens", token_count_col())
+        .withColumn("n_bpe", bpe_token_count_col())
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -58,15 +74,21 @@ def q21_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum("n_tokens").cast("double") / F.count(F.lit(1)), 6
             ).alias("avg_tokens"),
+            F.sum("n_bpe").alias("total_bpe_tokens"),
         )
     )
 
 
-Q21_SQL = """
-WITH t AS (SELECT source, len(string_split(text, ' ')) AS n_tokens FROM documents)
+_BPE_SQL_PAT = BPE_TOKEN_PATTERN.replace("'", "''")
+
+Q21_SQL = f"""
+WITH t AS (SELECT source, len(string_split(text, ' ')) AS n_tokens,
+           len(regexp_extract_all(text, '{_BPE_SQL_PAT}')) AS n_bpe
+           FROM documents)
 SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
   MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens,
-  ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 6) AS avg_tokens
+  ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 6) AS avg_tokens,
+  CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens
 FROM t GROUP BY source
 """
 
