@@ -451,14 +451,23 @@ def encode_fname(value: str) -> str:
     return value.translate(str.maketrans(FNAME_ENCODE))
 
 
-def _layout_for_export(route: Route, key: dict) -> str | None:
+def _layout_for_export(
+    route: Route, key: dict, version: str | None = None
+) -> str | None:
     """Newest template whose placeholders are exactly the non-NULL
-    keys of this row. Rows imported from legacy layouts keep NULL for
-    the keys their layout didn't bind, so they naturally select their
-    legacy template again (e.g. a pre-0.13.2 map row without `time`)."""
+    keys of this row AND whose version window accepts the experiment's
+    version. Rows imported from legacy layouts keep NULL for the keys
+    their layout didn't bind, so they naturally select their legacy
+    template again (e.g. a pre-0.13.2 map row without `time`); the
+    version gate matters when key SETS coincide across eras (pre-0.29
+    timeseries binds the same four keys as current — exporting the
+    current '_'-joined layout into a tree whose config still declares
+    an old pyaerocom version would be re-parsed with the legacy
+    template and corrupt the keys; reference writes pick templates by
+    version the same way, jsonfiledb.py:260-278)."""
     bound = {k for k, v in key.items() if v is not None}
     for layout in LAYOUTS:
-        if layout.route is not route:
+        if layout.route is not route or not layout.accepts(version):
             continue
         placeholders = set(re.findall(r"\{([a-zA-Z-]*?)\}", layout.template))
         if placeholders == bound:
@@ -480,6 +489,21 @@ def export_jsondb_tree(db: AerovalSparkDB, basedir: str) -> ImportReport:
 
     db.flush()
     report = ImportReport()
+
+    # Experiment versions (from each config asset) steer template
+    # choice, like the reference's version-keyed PATH_LOOKUP.
+    versions: dict[tuple[str, str], str] = {}
+    cfg_df = db.table(Route.CONFIG)
+    if cfg_df is not None:
+        for row in cfg_df.select("project", "experiment", "payload").toLocalIterator():
+            try:
+                doc = json.loads(row["payload"])
+                versions[(row["project"], row["experiment"])] = doc["exp_info"][
+                    "pyaerocom_version"
+                ]
+            except (TypeError, KeyError, ValueError):
+                continue
+
     for route in Route:
         if db._storage_route(route) is not route:
             continue  # alias views (regional_stats/heatmap) live in glob_stats
@@ -489,7 +513,8 @@ def export_jsondb_tree(db: AerovalSparkDB, basedir: str) -> ImportReport:
         keys = storage_keys(route)
         for row in df.select(*keys, "payload").toLocalIterator():
             key = {k: row[k] for k in keys}
-            template = _layout_for_export(route, key)
+            version = versions.get((key.get("project"), key.get("experiment")))
+            template = _layout_for_export(route, key, version)
             if template is None:
                 report.skipped.append(f"{route.name}:{key}")
                 continue

@@ -239,3 +239,35 @@ def test_legacy_tree_imports_with_compound_names(spark, tmp_path):
         "proj", "exp", "AERONET-Sun", "od550aer", "Column",
         "TM5-AP3-CTRL", "od550aer", "2010",
     ) == {"data": 2}
+
+
+def test_legacy_compound_names_survive_export_roundtrip(spark, tmp_path):
+    """Imported legacy compound-name assets re-export (current layout,
+    encoded fields) and re-import with identical keys and payloads."""
+    import json
+
+    from aerovaldb_spark.db import AerovalSparkDB
+    from aerovaldb_spark.sources.jsondb_import import export_jsondb_tree
+
+    tree = tmp_path / "legacy"
+    exp = tree / "proj" / "exp"
+    (exp / "ts").mkdir(parents=True)
+    cfg = {"exp_info": {"pyaerocom_version": "0.25.0"}}
+    (exp / "cfg_proj_exp.json").write_text(json.dumps(cfg))
+    (exp / "ts" / "Amsterdam_Island_AERONET-Sun-od550aer_Column.json").write_text(
+        '{"data": 1}'
+    )
+
+    db1 = AerovalSparkDB(spark, str(tmp_path / "db1"))
+    import_jsondb_tree(db1, str(tree))
+    out = tmp_path / "exported"
+    report = export_jsondb_tree(db1, str(out))
+    assert report.imported == 2 and not report.skipped
+
+    db2 = AerovalSparkDB(spark, str(tmp_path / "db2"))
+    r2 = import_jsondb_tree(db2, str(out))
+    assert not r2.skipped
+    assert db2.get_timeseries(
+        "proj", "exp", "Amsterdam_Island", "AERONET-Sun", "od550aer", "Column"
+    ) == {"data": 1}
+    assert sorted(db1.list_all()) == sorted(db2.list_all())
