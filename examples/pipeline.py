@@ -1,8 +1,8 @@
 """End-to-end training-data pipeline over the documents table:
 
-  load → language filter → quality filter → exact dedup →
-  near-dup clustering → decontamination → train/val/test split →
-  source mixing → sequence packing
+  load → language filter → quality filter → repetition filter →
+  exact dedup → near-dup clustering → decontamination →
+  train/val/test split → source mixing → sequence packing
 
 Every stage is one of the engine's operators composing on DataFrames —
 lazy until the final action, so Catalyst optimizes across stage
@@ -29,6 +29,7 @@ from aerovaldb_spark.operators.dedup import (
 from aerovaldb_spark.operators.text import (
     PACK_BUDGET,
     quality_columns,
+    repetition_columns,
     split_col,
     token_count_col,
 )
@@ -49,6 +50,15 @@ def main() -> None:
         F.col("quality_score") > 0.2
     )
     print(f"after lang+quality filters: {kept.count()}")
+
+    # 1b. repetition gate (Gopher-style, also map-only): drop docs
+    # dominated by one repeated bigram (synthetic word-soup corpus →
+    # a loose threshold; real corpora use ~0.2)
+    kept = repetition_columns(kept).filter(F.col("top_bigram_frac") < 0.2).drop(
+        "n_distinct_tokens", "repeated_token_frac", "top_bigram_count",
+        "top_bigram_frac",
+    )
+    print(f"after repetition filter: {kept.count()}")
 
     # 2. exact dedup: keep the lowest doc_id per content hash
     reps = dedup_exact(kept)

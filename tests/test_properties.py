@@ -221,3 +221,41 @@ def test_approx_distinct_within_rsd(spark):
     assert set(approx) == set(exact) and len(exact) > 0
     for et, ex in exact.items():
         assert abs(approx[et] - ex) <= max(0.05 * ex, 2), (et, approx[et], ex)
+
+
+def test_legacy_name_disambiguation_roundtrip_property():
+    """For any compound network ('-'-joined) and location ('_'-joined)
+    with '-'/'_'-free obsvar and layer, a legacy pre-0.29 timeseries
+    filename resolves back to the original fields (the reference
+    disambiguation invariant: layer/obsvar never contain '-';
+    locations may contain '_', networks may contain '-')."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aerovaldb_spark.routes import Route
+    from aerovaldb_spark.sources.jsondb_import import resolve_path
+
+    word = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyzABC0123456789", min_size=1, max_size=6
+    )
+
+    @given(
+        loc_parts=st.lists(word, min_size=1, max_size=3),
+        net_parts=st.lists(word, min_size=1, max_size=3),
+        obsvar=word,
+        layer=word,
+    )
+    @settings(max_examples=200, deadline=None)
+    def check(loc_parts, net_parts, obsvar, layer):
+        location = "_".join(loc_parts)
+        network = "-".join(net_parts)
+        rel = f"p/e/ts/{location}_{network}-{obsvar}_{layer}.json"
+        got = resolve_path(rel, "0.25.0")
+        assert got is not None and got[0] is Route.TIMESERIES
+        args = got[1]
+        assert args["location"] == location
+        assert args["network"] == network
+        assert args["obsvar"] == obsvar
+        assert args["layer"] == layer
+
+    check()
