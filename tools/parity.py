@@ -129,11 +129,26 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     sys.path.insert(0, "/root/repo")
+    import os
+
     import __spark_entry__ as entry_mod
     from aerovaldb_spark.catalog import TESTDATA_TABLES
-    from aerovaldb_spark.session import get_spark
 
-    spark = get_spark("parity", shuffle_partitions=8)
+    if os.environ.get("SPARK_GRAFT_VANILLA"):
+        # Simulate the external driver's environment: a bare session
+        # with default confs (200 shuffle partitions, no engine
+        # settings) — engine code must self-apply whatever it needs.
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        from aerovaldb_spark.session import get_spark
+
+        spark = get_spark("parity", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
