@@ -25,12 +25,14 @@ _MERGED_QUERIES = {
 # entries never yet driver-verified come first; the 8-slot tail past
 # position 50 holds only entries with a prior-round green record,
 # rotated every round so each query is re-verified periodically.
-# Round-2 tail (all green in CORRECTNESS_r01): q08 q11 q12 q14 q20 q30
-# q34 q38 + q55 (rows-only by design, r01-recorded). Every entry keeps
-# a pytest-side oracle check regardless of position (tests/test_parity_
-# sample.py runs the same gate at sf0.001).
+# Round-2 tail (all green in CORRECTNESS_r01): q07 q08 q09 q11 q12 q14
+# q20 q30 q34 q38 + q55 (rows-only by design, r01-recorded). Every
+# entry keeps a pytest-side oracle check regardless of position
+# (tests/test_parity_sample.py runs the same gate at sf0.001).
 _DEFER_ROUND = [
+    "q07_window_topk_per_customer",
     "q08_running_total",
+    "q09_distinct_counts",
     "q11_set_except",
     "q12_case_buckets",
     "q14_part_type_stats",

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import load_table
 
@@ -443,6 +444,42 @@ def q56_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q60_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative selection: each near-dup cluster keeps
+    its highest-quality document (q22's score; ties → lowest doc_id).
+
+    The step a dedup pipeline runs AFTER clustering — pairs (q26) →
+    components (q56) → one keep/drop decision per clustered doc.
+    Scale shape: clusters are a narrow (doc_id, component) projection;
+    the quality join shuffles only that projection on doc_id, and the
+    representative choice is one window over component. No extra
+    full-corpus pass beyond what q56 already does.
+    """
+    from .text import quality_columns
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = q56_dedup_clusters(spark, sf_dir)
+    quality = quality_columns(docs).select("doc_id", "quality_score")
+    joined = clusters.join(quality, "doc_id")
+    full = (
+        Window.partitionBy("component")
+        .orderBy(F.desc("quality_score"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        joined.withColumn("canonical_id", F.first("doc_id").over(full))
+        .withColumn(
+            "is_canonical",
+            (F.col("doc_id") == F.col("canonical_id")).cast("int"),
+        )
+        .select(
+            "doc_id", "component", "quality_score", "canonical_id",
+            "is_canonical",
+        )
+        .orderBy("doc_id")
+    )
+
+
 # Banded-signature LSH candidate pairs — the SQL twin of
 # lsh_candidate_pairs() over q27's signatures (q40's oracle; lives here
 # next to the shared hash fragments).
@@ -469,9 +506,10 @@ JOIN banded b ON a.band = b.band AND a.band_sig = b.band_sig
 """
 
 
-# q56's oracle: q26 pair graph (jaccard >= 0.2) → symmetric edges →
-# recursive reachability → component = min reachable vertex id.
-Q56_SQL = f"""
+# Shared cluster CTE chain (q56, q60): q26 pair graph (jaccard >= 0.2)
+# → symmetric edges → recursive reachability → component = min
+# reachable vertex id.
+_CLUSTER_CTES = f"""
 WITH RECURSIVE sh AS (
   SELECT DISTINCT doc_id, {hash60_sql('shingle')} AS h
   FROM (SELECT doc_id, unnest({shingles_sql('text', 3)}) AS shingle FROM documents)
@@ -496,9 +534,38 @@ WITH RECURSIVE sh AS (
   SELECT u, w FROM edges
   UNION
   SELECT r.u, e.w FROM reach r JOIN edges e ON r.w = e.u
-)
+)"""
+
+Q56_SQL = (
+    _CLUSTER_CTES
+    + """
 SELECT u AS doc_id, LEAST(u, MIN(w)) AS component FROM reach GROUP BY u
 """
+)
+
+
+def _q60_sql() -> str:
+    from .text import QUALITY_SCORE_SQL
+
+    return (
+        _CLUSTER_CTES
+        + f"""
+, comp AS (
+  SELECT u AS doc_id, LEAST(u, MIN(w)) AS component FROM reach GROUP BY u
+), quality AS ({QUALITY_SCORE_SQL})
+SELECT doc_id, component, quality_score, canonical_id,
+  CAST(doc_id = canonical_id AS INT) AS is_canonical
+FROM (
+  SELECT c.doc_id, c.component, q.quality_score,
+    FIRST_VALUE(c.doc_id) OVER (
+      PARTITION BY c.component
+      ORDER BY q.quality_score DESC, c.doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+    ) AS canonical_id
+  FROM comp c JOIN quality q ON q.doc_id = c.doc_id
+)
+"""
+    )
 
 
 QUERIES = {
@@ -507,6 +574,7 @@ QUERIES = {
     "q27_minhash_signatures": q27_minhash_signatures,
     "q28_simhash": q28_simhash,
     "q56_dedup_clusters": q56_dedup_clusters,
+    "q60_canonical_docs": q60_canonical_docs,
 }
 
 ORACLE = {
@@ -515,4 +583,5 @@ ORACLE = {
     "q27_minhash_signatures": Q27_SQL,
     "q28_simhash": Q28_SQL,
     "q56_dedup_clusters": Q56_SQL,
+    "q60_canonical_docs": _q60_sql(),
 }

@@ -133,6 +133,17 @@ def q22_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q22's quality_score as a standalone projection, for composition in
+# other oracles (q60 canonical-representative selection).
+QUALITY_SCORE_SQL = """
+SELECT doc_id,
+  ROUND(LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100, 1.0) * 0.5
+    + (1.0 - ROUND(CAST(len(list_filter(string_split(text, ' '),
+                                        t -> t IN ('the', 'a', 'of', 'and'))) AS DOUBLE)
+              / len(string_split(text, ' ')), 6)) * 0.5, 6) AS quality_score
+FROM documents
+"""
+
 Q22_SQL = """
 WITH t AS (
   SELECT doc_id,
@@ -495,6 +506,91 @@ FROM base b LEFT JOIN bg_top g USING (doc_id)
 """
 
 
+# --------------------------------------------------------------------------
+# q61: corpus TF-IDF — top terms ranked by summed tf-idf. The classic
+# vocabulary/term-weighting pass a curation pipeline runs to surface
+# boilerplate and topical terms. Scale shape: explode → ONE grouped
+# aggregation with map-side partial combine (count + count distinct in
+# the same shuffle); the corpus size joins in as a broadcast 1-row
+# aggregate; top-k compiles to TakeOrdered (no full sort). Skew on
+# ubiquitous tokens is absorbed by partial aggregation — per-partition
+# combiners reduce each token to one row before the shuffle.
+def q61_tfidf_top_terms(
+    spark: SparkSession, sf_dir: str, k: int = 20
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select("doc_id", F.explode(tokens_col()).alias("term"))
+    stats = terms.groupBy("term").agg(
+        F.count(F.lit(1)).alias("total_tf"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.round(
+        F.log((F.col("n_docs") + 1).cast("double") / (F.col("doc_freq") + 1)),
+        6,
+    )
+    return (
+        stats.crossJoin(F.broadcast(n))
+        .withColumn("idf", idf)
+        .withColumn("score", F.round(F.col("total_tf") * F.col("idf"), 6))
+        .select("term", "doc_freq", "total_tf", "idf", "score")
+        .orderBy(F.desc("score"), "term")
+        .limit(k)
+    )
+
+
+Q61_SQL = """
+WITH terms AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), stats AS (
+  SELECT term, COUNT(*) AS total_tf, COUNT(DISTINCT doc_id) AS doc_freq
+  FROM terms GROUP BY term
+), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT term, doc_freq, total_tf,
+  ROUND(ln(CAST(n_docs + 1 AS DOUBLE) / (doc_freq + 1)), 6) AS idf,
+  ROUND(total_tf * ROUND(ln(CAST(n_docs + 1 AS DOUBLE) / (doc_freq + 1)), 6),
+        6) AS score
+FROM stats CROSS JOIN n
+ORDER BY score DESC, term LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing — library surface (not a graded query: the synthetic
+# corpus contains no digits or '@', so a corpus-level scan would be
+# degenerately all-zero; semantics are pinned by unit tests on
+# constructed rows instead). Patterns avoid lookarounds so Java
+# (Spark) and RE2 (DuckDB) dialects agree, should a caller want an
+# oracle on a real corpus.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+}
+
+
+def pii_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII match counts (one int column per pattern).
+    Map-only: regexp_extract_all inside whole-stage codegen."""
+    for kind, pat in PII_PATTERNS.items():
+        df = df.withColumn(
+            f"n_{kind}",
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))),
+        )
+    return df
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", replacement: str = "<PII>"
+) -> DataFrame:
+    """Replace every PII match in ``text_col`` with ``replacement``.
+    Chained JVM-side regexp_replace — no Python in the row path."""
+    out = F.col(text_col)
+    for pat in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, replacement)
+    return df.withColumn(text_col, out)
+
+
 QUERIES = {
     "q21_token_stats": q21_token_stats,
     "q22_quality_scores": q22_quality_scores,
@@ -505,6 +601,7 @@ QUERIES = {
     "q57_source_mixing": q57_source_mixing,
     "q58_decontaminate": q58_decontaminate,
     "q59_repetition_stats": q59_repetition_stats,
+    "q61_tfidf_top_terms": q61_tfidf_top_terms,
 }
 
 ORACLE = {
@@ -517,4 +614,5 @@ ORACLE = {
     "q57_source_mixing": Q57_SQL,
     "q58_decontaminate": Q58_SQL,
     "q59_repetition_stats": Q59_SQL,
+    "q61_tfidf_top_terms": Q61_SQL,
 }

@@ -128,6 +128,18 @@ def list_engines() -> dict[str, Callable[..., AerovalSparkDB]]:
     return {**ENGINES, **_entry_point_engines()}
 
 
+# Hadoop-compatible filesystem schemes that a Spark cluster resolves
+# natively; resources with these prefixes are PATHS for the spark
+# backend, not engine selectors.
+_FS_SCHEMES = frozenset(
+    {
+        "file", "hdfs", "viewfs", "s3", "s3a", "s3n", "gs", "abfs",
+        "abfss", "wasb", "wasbs", "oss", "o3fs", "cosn", "alluxio",
+        "dbfs",
+    }
+)
+
+
 def open(resource: str, spark: SparkSession | None = None) -> AerovalSparkDB:  # noqa: A001
     """Open a database connection for a resource identifier."""
     engines = list_engines()
@@ -136,6 +148,24 @@ def open(resource: str, spark: SparkSession | None = None) -> AerovalSparkDB:  #
         return engines[scheme](rest, spark=spark)
     if resource == ":memory:":
         return _open_spark(":memory:", spark=spark)
+    if (
+        sep
+        and rest
+        and scheme not in _FS_SCHEMES
+        and not rest.startswith("//")
+        and "/" not in scheme
+        and os.path.sep not in scheme
+    ):
+        # 'name:path' with an unregistered name: fail at open() like
+        # the reference (plugins.py:79-99 resolves list_engines()[name]
+        # -> KeyError) instead of deferring a filesystem error to the
+        # first flush. URI-style paths (scheme://...) still pass
+        # through to Spark's Hadoop filesystem layer.
+        raise KeyError(
+            f"unknown engine {scheme!r} in resource {resource!r}; "
+            f"available engines: {sorted(engines)} (Hadoop filesystem "
+            "URIs like hdfs://... or s3a://... are also accepted)"
+        )
     if os.path.splitext(resource)[1] in (".db", ".sqlite") and os.path.isfile(resource):
         from .sources.sqlitedb_io import is_aerovaldb_sqlite
 

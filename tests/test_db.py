@@ -406,6 +406,24 @@ def test_open_dispatch(spark, tmp_path):
     assert isinstance(bare, aerovaldb_spark.AerovalSparkDB)
 
 
+def test_open_unknown_engine_raises(spark, tmp_path):
+    """A typo'd 'engine:path' resource fails AT OPEN (reference
+    plugins.py:99 KeyError), not at first flush; real Hadoop
+    filesystem URIs still route to the spark backend as paths."""
+    import aerovaldb_spark
+
+    with pytest.raises(KeyError, match="unknown engine 'spark-parquet'"):
+        aerovaldb_spark.open(f"spark-parquet:{tmp_path}/x", spark=spark)
+    # URI-style and file: paths pass through to Spark
+    db = aerovaldb_spark.open(f"file:{tmp_path}/fs", spark=spark)
+    db.put_config({"c": 2}, "p", "e")
+    assert db.get_config("p", "e") == {"c": 2}
+    # colon inside a directory name is a path, not an engine selector
+    sub = tmp_path / "a:b"
+    db2 = aerovaldb_spark.open(f"{sub}/store", spark=spark)
+    assert isinstance(db2, aerovaldb_spark.AerovalSparkDB)
+
+
 def test_sql_over_catalog(tmpdb):
     _populate(tmpdb)
     views = tmpdb.register_views()
