@@ -64,6 +64,7 @@ def cache_tables(
     spark: SparkSession, sf_dir: str, parallelism: int | None = None
 ) -> None:
     parallelism = parallelism or spark.sparkContext.defaultParallelism
+    staged: dict[str, DataFrame] = {}
     for name in TESTDATA_TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if not os.path.exists(path):
@@ -75,8 +76,16 @@ def cache_tables(
         # small); true dimensions stay narrow to avoid empty tasks.
         wide = ("lineitem", "orders", "events", "documents", "embeddings")
         n = parallelism if name in wide else max(parallelism // 4, 2)
-        df = df.repartition(n).persist()
-        df.count()  # materialize
+        staged[name] = df.repartition(n).persist()
+    # Materialize all tables CONCURRENTLY: each source file is one
+    # row group (one scan task), so sequential counts leave the
+    # cluster idle; overlapping the jobs bounds warm-up by the
+    # largest table instead of the sum.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=max(len(staged), 1)) as pool:
+        list(pool.map(lambda df: df.count(), staged.values()))
+    for name, df in staged.items():
         _TABLE_CACHE[(sf_dir, name)] = df
 
 
