@@ -103,6 +103,49 @@ def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return events.dropDuplicates(["event_id"])
 
 
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def read_document_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the harness documents parquet — the
+    continuous-ingest twin of the batch corpus."""
+    return (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def quality_filtered_documents(
+    docs: DataFrame,
+    min_quality: float = 0.5,
+    max_top_bigram_frac: float = 0.5,
+) -> DataFrame:
+    """Streaming corpus curation: q22's quality score + q59's
+    repetition gate applied to a document stream. Entirely stateless
+    map-only column expressions, so the SAME plan runs batch or
+    streaming (append mode, no watermark, no state store) — at scale
+    this is the filter you put in front of the ingest sink so
+    low-quality/boilerplate docs never land."""
+    from ..operators.text import quality_columns, repetition_columns
+
+    out = repetition_columns(quality_columns(docs))
+    return out.filter(
+        (F.col("quality_score") >= min_quality)
+        & (F.col("top_bigram_frac") <= max_top_bigram_frac)
+    ).select(
+        "doc_id", "source", "lang", "quality_score", "top_bigram_frac"
+    )
+
+
 RUNNING_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

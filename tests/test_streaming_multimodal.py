@@ -54,6 +54,25 @@ def test_streaming_dedup(spark):
     assert n == got.select("event_id").distinct().count() > 0
 
 
+def test_quality_filter_stream_matches_batch(spark):
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.streaming import (
+        quality_filtered_documents,
+        read_document_stream,
+        run_stream_to_memory,
+    )
+
+    batch = quality_filtered_documents(load_table(spark, SF_DIR, "documents"))
+    stream = quality_filtered_documents(read_document_stream(spark, SF_DIR))
+    assert stream.isStreaming
+    got = run_stream_to_memory(
+        stream, "quality_docs", spark, output_mode="append"
+    )
+    a = sorted(map(tuple, batch.collect()))
+    b = sorted(map(tuple, got.collect()))
+    assert a == b and 0 < len(a) < load_table(spark, SF_DIR, "documents").count()
+
+
 def test_stateful_running_totals(spark):
     from aerovaldb_spark.catalog import load_table
     from aerovaldb_spark.streaming import (
