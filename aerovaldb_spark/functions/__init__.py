@@ -4,8 +4,10 @@ from __future__ import annotations
 
 from .multimodal import (
     MEDIA_SCHEMA,
+    WAV_SAMPLE_RATE,
     decode_images,
     extract_features,
+    parse_media_headers,
     sample_frames,
     sniff_image_extension,
     synthetic_media,
@@ -13,8 +15,10 @@ from .multimodal import (
 
 __all__ = [
     "MEDIA_SCHEMA",
+    "WAV_SAMPLE_RATE",
     "decode_images",
     "extract_features",
+    "parse_media_headers",
     "sample_frames",
     "sniff_image_extension",
     "synthetic_media",

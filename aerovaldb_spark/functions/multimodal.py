@@ -67,26 +67,174 @@ def sniff_image_extension(payload: bytes) -> str | None:
     return None
 
 
+def _png_payload(width: int, height: int, body: bytes) -> bytes:
+    """Structurally valid PNG prefix: signature + IHDR chunk carrying
+    real dimensions (CRC zeroed — header parsers don't verify it)."""
+    ihdr = (
+        width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + b"\x08\x06\x00\x00\x00"  # bit depth 8, RGBA
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + len(ihdr).to_bytes(4, "big")
+        + b"IHDR"
+        + ihdr
+        + b"\x00\x00\x00\x00"  # CRC (unchecked)
+        + body
+    )
+
+
+def _wav_payload(sample_rate: int, body: bytes) -> bytes:
+    """Structurally valid WAV prefix: RIFF/WAVE + fmt chunk (PCM,
+    mono, 16-bit) followed by a data chunk holding ``body``."""
+    fmt = (
+        (1).to_bytes(2, "little")  # PCM
+        + (1).to_bytes(2, "little")  # mono
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * 2).to_bytes(4, "little")  # byte rate
+        + (2).to_bytes(2, "little")  # block align
+        + (16).to_bytes(2, "little")  # bits/sample
+    )
+    chunks = (
+        b"WAVEfmt "
+        + len(fmt).to_bytes(4, "little")
+        + fmt
+        + b"data"
+        + len(body).to_bytes(4, "little")
+        + body
+    )
+    return b"RIFF" + len(chunks).to_bytes(4, "little") + chunks
+
+
+WAV_SAMPLE_RATE = 16000
+
+
 def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
-    """Deterministic fake media table for tests (seeded by media_id)."""
+    """Deterministic fake media table for tests (seeded by media_id).
+
+    Image and audio payloads carry STRUCTURALLY VALID headers (PNG
+    IHDR with the declared dimensions; WAV fmt chunk with a real
+    sample rate), so header-parsing operators exercise real binary
+    decoding, not trust-the-metadata."""
     rows = []
     for i in range(n):
         kind = ("image", "audio", "video")[i % 3]
-        payload = (b"\x89PNG\r\n\x1a\n" if kind == "image" else b"RIFF") + (
-            hashlib.sha256(str(i).encode()).digest() * 4
-        )
+        body = hashlib.sha256(str(i).encode()).digest() * 4
+        width = 64 + (i % 8) * 16 if kind != "audio" else None
+        height = 48 + (i % 4) * 16 if kind != "audio" else None
+        if kind == "image":
+            payload = _png_payload(width, height, body)
+        elif kind == "audio":
+            payload = _wav_payload(WAV_SAMPLE_RATE, body)
+        else:
+            payload = b"RIFF" + body
         rows.append(
             (
                 i,
                 kind,
                 payload,
-                64 + (i % 8) * 16 if kind != "audio" else None,
-                48 + (i % 4) * 16 if kind != "audio" else None,
+                width,
+                height,
                 1000 * (1 + i % 30) if kind != "image" else None,
                 {"image": "png", "audio": "wav", "video": "webm"}[kind],
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def parse_image_dims(payload: bytes) -> tuple[str, int, int] | None:
+    """(format, width, height) parsed from REAL header bytes — no
+    codec library needed. Supports PNG (IHDR), GIF (logical screen
+    descriptor), and baseline/progressive JPEG (SOF marker walk).
+    Returns None when the payload is not a recognized image."""
+    if payload.startswith(b"\x89PNG\r\n\x1a\n") and payload[12:16] == b"IHDR":
+        return (
+            "png",
+            int.from_bytes(payload[16:20], "big"),
+            int.from_bytes(payload[20:24], "big"),
+        )
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        return (
+            "gif",
+            int.from_bytes(payload[6:8], "little"),
+            int.from_bytes(payload[8:10], "little"),
+        )
+    if payload.startswith(b"\xff\xd8\xff"):
+        # Walk JPEG segments to the first SOF0-SOF15 frame header.
+        i = 2
+        while i + 9 < len(payload) and payload[i] == 0xFF:
+            marker, seg_len = payload[i + 1], int.from_bytes(
+                payload[i + 2 : i + 4], "big"
+            )
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                return (
+                    "jpeg",
+                    int.from_bytes(payload[i + 7 : i + 9], "big"),
+                    int.from_bytes(payload[i + 5 : i + 7], "big"),
+                )
+            i += 2 + seg_len
+    return None
+
+
+def parse_wav_sample_rate(payload: bytes) -> int | None:
+    """Sample rate from a RIFF/WAVE fmt chunk (walks chunks; no codec
+    library). None when the payload is not a WAV."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    i = 12
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        size = int.from_bytes(payload[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 16 <= len(payload):
+            return int.from_bytes(payload[i + 12 : i + 16], "little")
+        i += 8 + size + (size % 2)
+    return None
+
+
+HEADERS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("header_format", T.StringType()),
+        T.StructField("header_width", T.IntegerType()),
+        T.StructField("header_height", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+    ]
+)
+
+
+def parse_media_headers(media: DataFrame) -> DataFrame:
+    """REAL binary decoding of container headers via mapInPandas: the
+    width/height/sample-rate come from the payload bytes themselves,
+    not from metadata columns — the verification step a 100 TB ingest
+    runs to catch metadata/payload drift. Arrow-batched, map-only, no
+    shuffle."""
+
+    def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for batch in batches:
+            out = []
+            for row in batch.itertuples(index=False):
+                payload = bytes(row.payload)
+                dims = parse_image_dims(payload)
+                rate = parse_wav_sample_rate(payload)
+                out.append(
+                    (
+                        row.media_id,
+                        row.kind,
+                        dims[0] if dims else None,
+                        dims[1] if dims else None,
+                        dims[2] if dims else None,
+                        rate,
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in HEADERS_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(parse, schema=HEADERS_SCHEMA)
 
 
 DECODED_SCHEMA = T.StructType(
@@ -273,15 +421,21 @@ def q52_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Reconstructs synthetic_media(n=96)'s image rows (payload = PNG magic
-# + sha256(str(i)) digest ×4) and the stub decode in SQL. unhex() gives
-# digest bytes; lower(hex(payload)) == Python payload.hex().
+# Reconstructs synthetic_media(n=96)'s image rows — PNG signature +
+# IHDR chunk (len 13, big-endian dims, bit-depth/colour bytes, zeroed
+# CRC) + sha256(str(i)) digest ×4 — and the stub decode in SQL.
+# unhex() gives digest bytes; lower(hex(payload)) == Python
+# payload.hex().
 Q52_SQL = r"""
 WITH m AS (
   SELECT i AS media_id,
     CAST(64 + (i % 8) * 16 AS INT) AS width,
     CAST(48 + (i % 4) * 16 AS INT) AS height,
     '\x89PNG\x0D\x0A\x1A\x0A'::BLOB ||
+      '\x00\x00\x00\x0D'::BLOB || 'IHDR'::BLOB ||
+      unhex(lpad(hex(64 + (i % 8) * 16), 8, '0')) ||
+      unhex(lpad(hex(48 + (i % 4) * 16), 8, '0')) ||
+      '\x08\x06\x00\x00\x00'::BLOB || '\x00\x00\x00\x00'::BLOB ||
       unhex(sha256(CAST(i AS VARCHAR))) || unhex(sha256(CAST(i AS VARCHAR))) ||
       unhex(sha256(CAST(i AS VARCHAR))) || unhex(sha256(CAST(i AS VARCHAR))) AS payload
   FROM generate_series(0, 95) t(i) WHERE i % 3 = 0

@@ -126,6 +126,49 @@ def test_decode_images_stub(media):
     assert r[0]["mean_luma"] == again[0]["mean_luma"]
 
 
+def test_parse_media_headers_from_real_bytes(media):
+    """Header parsing reads the PAYLOAD BYTES (PNG IHDR / WAV fmt),
+    not the metadata columns — parsed values must agree with what the
+    generator declared."""
+    from aerovaldb_spark.functions import WAV_SAMPLE_RATE, parse_media_headers
+
+    parsed = {r["media_id"]: r for r in parse_media_headers(media).collect()}
+    declared = {r["media_id"]: r for r in media.collect()}
+    assert len(parsed) == 60
+    for mid, r in parsed.items():
+        d = declared[mid]
+        if d["kind"] == "image":
+            assert (r["header_format"], r["header_width"], r["header_height"]) \
+                == ("png", d["width"], d["height"])
+            assert r["sample_rate"] is None
+        elif d["kind"] == "audio":
+            assert r["sample_rate"] == WAV_SAMPLE_RATE
+            assert r["header_format"] is None
+        else:  # video stub payload has no parseable container header
+            assert r["header_format"] is None and r["sample_rate"] is None
+
+
+def test_parse_image_dims_gif_and_jpeg():
+    from aerovaldb_spark.functions.multimodal import parse_image_dims
+
+    gif = (
+        b"GIF89a"
+        + (320).to_bytes(2, "little")
+        + (200).to_bytes(2, "little")
+        + b"\x00" * 8
+    )
+    assert parse_image_dims(gif) == ("gif", 320, 200)
+    jpg = (
+        b"\xff\xd8\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00"
+        + b"\x00" * 9
+        + b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+        + (480).to_bytes(2, "big") + (640).to_bytes(2, "big")
+        + b"\x03" + b"\x00" * 10
+    )
+    assert parse_image_dims(jpg) == ("jpeg", 640, 480)
+    assert parse_image_dims(b"plainly not an image") is None
+
+
 def test_extract_features(media):
     from aerovaldb_spark.functions import extract_features
 
