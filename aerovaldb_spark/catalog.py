@@ -103,20 +103,35 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one harness table; transparently repair nanosecond parquet
-    timestamps (Spark reads them as long via the legacy conf, then we
-    truncate to microseconds — same semantics as DuckDB's reader)."""
+    """Read one harness table and normalize every timestamp column to
+    plain ``TIMESTAMP`` (session-tz, pinned UTC), whatever unit/typing
+    the parquet writer chose:
+
+    - TIMESTAMP(NANOS): Spark's reader rejects it; read via the legacy
+      long conf and truncate to micros (same semantics as DuckDB).
+    - TIMESTAMP(MICROS) without tz: Spark reads TIMESTAMP_NTZ, which
+      half the temporal function surface (``unix_micros``, interval
+      arithmetic against TIMESTAMP, …) rejects. Under a UTC session tz
+      the cast is a pure relabel — identical wall-clock values, and
+      identical to DuckDB's reading of the same file.
+
+    Downstream operators can therefore assume ``TimestampType``
+    unconditionally; the unit lives only here."""
     # Deterministic timestamp semantics even on a caller-built session
     # (the verify driver constructs its own SparkSession).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     nanos_cols = _nanos_ts_columns(path)
-    if not nanos_cols:
-        return spark.read.parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if nanos_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in nanos_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    from pyspark.sql.types import TimestampNTZType
+
+    for f in df.schema.fields:
+        if isinstance(f.dataType, TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
 
 

@@ -20,32 +20,45 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos in the harness parquet
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the harness events parquet.
 
-    The parquet stores TIMESTAMP(NANOS); we read it as long and
-    truncate to microseconds, matching the batch reader
-    (catalog.load_table).
+    The timestamp unit is whatever the harness writer chose — it has
+    flipped between TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across
+    rounds — so we inspect the footer (same detection as the batch
+    reader, catalog._nanos_ts_columns) and normalize to plain
+    ``TIMESTAMP`` exactly like ``catalog.load_table`` does: nanos read
+    as long + truncate; micros read as NTZ + relabel under the pinned
+    UTC session tz. Stream and batch therefore see identical values.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from ..catalog import _nanos_ts_columns
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    nanos = "ts" in _nanos_ts_columns(os.path.join(sf_dir, "events.parquet"))
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = _events_schema(T.LongType() if nanos else T.TimestampNTZType())
     stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_event_counts(
