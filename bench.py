@@ -36,10 +36,24 @@ HEADLINE = [
 ]
 
 
+ERRORS: dict[str, str] = {}
+
+
 def _run(fn, spark, sf_dir) -> float:
     t0 = time.time()
     fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
     return time.time() - t0
+
+
+def _run_safe(name, fn, spark, sf_dir) -> float | None:
+    """Per-query fault isolation: one broken query must never abort the
+    whole bench run (round 2 shipped with no perf artifact because q19
+    threw). Errors are recorded once per query and the loop continues."""
+    try:
+        return _run(fn, spark, sf_dir)
+    except Exception as e:  # noqa: BLE001 — record and keep benching
+        ERRORS.setdefault(name, f"{type(e).__name__}: {e}"[:500])
+        return None
 
 
 def main() -> None:
@@ -72,7 +86,7 @@ def main() -> None:
     # is transparent (steady-state excludes this).
     t_cold = time.time()
     for name in HEADLINE:
-        _run(ALL_QUERIES[name], spark, sf_dir)
+        _run_safe(name, ALL_QUERIES[name], spark, sf_dir)
     cold_sec = time.time() - t_cold
 
     # Warm-up: materialize the tables in memory with even partitioning
@@ -82,7 +96,7 @@ def main() -> None:
     t_warm = time.time()
     cache_tables(spark, sf_dir, parallelism=bench_par)
     for name in HEADLINE:
-        _run(ALL_QUERIES[name], spark, sf_dir)
+        _run_safe(name, ALL_QUERIES[name], spark, sf_dir)
     warmup_sec = time.time() - t_warm
 
     # Median of 5 back-to-back trials per query: a single sample mixes
@@ -92,26 +106,32 @@ def main() -> None:
     trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "5"))
     per_query: dict[str, float] = {}
     for name in HEADLINE:
-        samples = sorted(_run(ALL_QUERIES[name], spark, sf_dir) for _ in range(trials))
-        per_query[name] = round(samples[len(samples) // 2], 3)
+        if name in ERRORS:
+            continue  # already failed cold/warm — don't retry 5 more times
+        samples = sorted(
+            s
+            for _ in range(trials)
+            if (s := _run_safe(name, ALL_QUERIES[name], spark, sf_dir)) is not None
+        )
+        if samples:
+            per_query[name] = round(samples[len(samples) // 2], 3)
 
     total = round(sum(per_query.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": sf,
-                "mode": "steady_state",
-                "startup_sec": round(startup_sec, 3),
-                "cold_total_sec": round(cold_sec, 3),
-                "warmup_sec": round(warmup_sec, 3),
-                "n_queries": len(per_query),
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+        "mode": "steady_state",
+        "startup_sec": round(startup_sec, 3),
+        "cold_total_sec": round(cold_sec, 3),
+        "warmup_sec": round(warmup_sec, 3),
+        "n_queries": len(per_query),
+    }
+    if ERRORS:
+        out["errors"] = ERRORS
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
