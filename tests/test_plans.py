@@ -95,6 +95,34 @@ def test_asset_store_point_read_prunes(spark, tmp_path):
     assert "PartitionFilters" in plan and "projA" in plan
 
 
+def test_q26_no_corpus_sized_broadcast_hint(spark):
+    # The per-doc sizes table grows with the corpus; a baked-in
+    # broadcast hint would OOM at scale. AQE may still broadcast at
+    # runtime when it fits — we assert only that no hint is hard-coded.
+    from aerovaldb_spark.operators.dedup import q26_ngram_jaccard_pairs
+
+    df = q26_ngram_jaccard_pairs(spark, SF)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "UnresolvedHint" not in analyzed and "ResolvedHint" not in analyzed
+
+
+def test_dedup_pipeline_avoids_full_pair_join(spark, monkeypatch):
+    # The scale path must generate candidates via banded LSH only: the
+    # all-pairs shingle self-join (q26/shingle_pairs) must never run.
+    from aerovaldb_spark.operators import dedup
+
+    def _boom(*a, **k):
+        raise AssertionError("full shingle self-join invoked in scale path")
+
+    monkeypatch.setattr(dedup, "shingle_pairs", _boom)
+    monkeypatch.setattr(dedup, "q26_ngram_jaccard_pairs", _boom)
+    docs = dedup.load_table(spark, SF, "documents")
+    out = dedup.dedup_pipeline(docs)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed  # nothing corpus-sized broadcast
+    assert out.count() > 0
+
+
 def test_plan_report_shape(spark):
     from aerovaldb_spark.operators.relational import q03_revenue_by_nation
 
