@@ -99,8 +99,14 @@ class AerovalSparkDB:
         from .lock import make_lock
 
         self.spark = spark
-        self.root = root
-        os.makedirs(root, exist_ok=True)
+        # Accept file: URIs (file:/p, file:///p, file://localhost/p) by
+        # normalizing to the plain local path up front: every os-level
+        # operation (makedirs, the mtime fingerprints, the lock file)
+        # and every Spark read/write then agree on ONE location. Before
+        # this, Spark resolved the URI while os.makedirs created a
+        # literal './file:/...' tree in the cwd.
+        self.root = self._local_root(root)
+        os.makedirs(self.root, exist_ok=True)
         # memtable: (storage_route, key_tuple) -> row dict
         self._mem: dict[Route, dict[tuple, dict]] = {}
         # route -> (DataFrame|None, directory fingerprint at read time)
@@ -110,6 +116,23 @@ class AerovalSparkDB:
         self._lock = make_lock(root)
 
     # -- plumbing ---------------------------------------------------------
+
+    @staticmethod
+    def _local_root(root: str) -> str:
+        """Strip a ``file:`` scheme down to the local filesystem path.
+
+        Non-file schemes (s3a:, hdfs:, …) pass through untouched — on
+        those, the os-level fingerprint/lock helpers are skipped by
+        their own OSError guards and Spark owns the path resolution.
+        """
+        if not root.startswith("file:"):
+            return root
+        from urllib.parse import urlparse
+
+        parsed = urlparse(root)
+        # file:relative/path has no netloc and parses path as-is;
+        # file://host/p keeps only the path (local-mode semantics).
+        return parsed.path or root[len("file:"):]
 
     def _storage_route(self, route: Route) -> Route:
         return TABLE_ALIASES.get(route, route)
