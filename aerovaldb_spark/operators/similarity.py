@@ -68,7 +68,9 @@ def brute_force_topk(
         .withColumn("cosine", F.round(cosine_col(vec_col, "qvec"), 6))
         .select("query_id", F.col(id_col).alias("neighbor_id"), "cosine")
     )
-    if q.count() <= 1:  # query set is tiny by contract — cheap count
+    # take(2), not count(): decides the plan shape (single-query →
+    # shuffle-free TakeOrdered) without scheduling a full extra job.
+    if len(query.take(2)) <= 1:
         return scored.orderBy(F.col("cosine").desc(), F.col("neighbor_id")).limit(k)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")

@@ -4,9 +4,10 @@
 
 - ``spark:<path>``      → AerovalSparkDB rooted at <path>
 - ``:memory:``          → AerovalSparkDB in a fresh temp directory
-- ``json_files:<path>`` → migration shim: the reference's jsondb
-  scheme; imports the JSON-file tree into a fresh Spark store (a
-  read-snapshot, not a live view of the files)
+- ``json_files:<path>`` → the reference's jsondb scheme: a LIVE view —
+  the tree is mirrored into a Spark store and incrementally re-synced
+  on access (mtime/size fingerprint), so files written by another
+  process after open() are visible, like the reference's jsonfiledb
 - ``sqlitedb:<path>``   → migration shim: the reference's sqlite
   scheme; imports the .sqlite file the same way
 - bare path             → a reference jsondb tree or an aerovaldb
@@ -40,19 +41,75 @@ def _open_spark(path: str, spark: SparkSession | None = None) -> AerovalSparkDB:
     return AerovalSparkDB(spark, path)
 
 
-def _open_json_files(path: str, spark: SparkSession | None = None) -> AerovalSparkDB:
-    """Reference-jsondb compatibility: import the tree into a Spark
-    store rooted alongside it (cached — reopening reuses the import)."""
-    from .sources import import_jsondb_tree
+class _LiveJsonFilesDB(AerovalSparkDB):
+    """`json_files:` backend with LIVE-VIEW semantics.
 
-    db = _open_spark(
-        os.path.join(tempfile.gettempdir(), "aerovaldb-spark-imports",
-                     os.path.abspath(path).strip(os.sep).replace(os.sep, "_")),
-        spark=spark,
+    The reference jsonfiledb reads the file tree on every access
+    (jsonfiledb.py:199-222), so writes made by another process
+    (pyaerocom still producing files) are visible immediately. Here
+    every Spark-side read first re-checks the source tree's
+    (mtime, size) fingerprint and incrementally re-imports what moved
+    — same observable behavior, one os.walk per access when nothing
+    changed. The fingerprint persists next to the store so a reopened
+    connection also skips the import when the tree is unchanged.
+    """
+
+    _STATE_FILE = "_source_state.json"
+
+    def __init__(self, spark: SparkSession, root: str, source_dir: str):
+        super().__init__(spark, root)
+        self._source_dir = source_dir
+        self._syncing = False
+
+    # NB: io.open, not open() — this module's ``open`` is the connector
+    # factory, which shadows the builtin here.
+    def _load_state(self) -> dict | None:
+        import io
+        import json
+
+        try:
+            with io.open(os.path.join(self.root, self._STATE_FILE)) as fh:
+                return {k: tuple(v) for k, v in json.load(fh).items()}
+        except (OSError, ValueError):
+            return None
+
+    def _save_state(self, state: dict) -> None:
+        import io
+        import json
+
+        tmp = os.path.join(self.root, self._STATE_FILE + ".tmp")
+        with io.open(tmp, "w") as fh:
+            json.dump({k: list(v) for k, v in state.items()}, fh)
+        os.replace(tmp, os.path.join(self.root, self._STATE_FILE))
+
+    def _disk_df(self, route):
+        # Single choke point: every read path (point lookups, lists,
+        # query(), table()) funnels through here. Guard against
+        # re-entry — the sync itself writes through the same db.
+        if not self._syncing:
+            self._syncing = True
+            try:
+                from .sources.jsondb_import import sync_jsondb_tree
+
+                new_state = sync_jsondb_tree(
+                    self, self._source_dir, self._load_state()
+                )
+                self._save_state(new_state)
+            finally:
+                self._syncing = False
+        return super()._disk_df(route)
+
+
+def _open_json_files(path: str, spark: SparkSession | None = None) -> AerovalSparkDB:
+    """Reference-jsondb compatibility: live view of the tree, mirrored
+    into a Spark store rooted alongside it (incrementally synced on
+    access; reopening reuses the mirror)."""
+    spark = spark or SparkSession.getActiveSession() or get_spark()
+    root = os.path.join(
+        tempfile.gettempdir(), "aerovaldb-spark-imports",
+        os.path.abspath(path).strip(os.sep).replace(os.sep, "_"),
     )
-    if not db.list_all():
-        import_jsondb_tree(db, path)
-    return db
+    return _LiveJsonFilesDB(spark, root, path)
 
 
 def _open_sqlitedb(path: str, spark: SparkSession | None = None) -> AerovalSparkDB:

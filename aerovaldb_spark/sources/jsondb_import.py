@@ -407,6 +407,74 @@ def import_jsondb_tree_distributed(
     return report
 
 
+def tree_state(basedir: str) -> dict[str, tuple[int, int]]:
+    """Source-tree fingerprint: rel path -> (mtime_ns, size).
+
+    One os.walk, no file contents — the change detector behind the
+    live-view `json_files:` backend (reference jsonfiledb reads the
+    tree live on every access, jsonfiledb.py:199-222; we get the same
+    observable behavior by re-importing only files whose signature
+    moved)."""
+    state: dict[str, tuple[int, int]] = {}
+    for dirpath, _dirnames, filenames in os.walk(basedir, followlinks=True):
+        for fname in filenames:
+            full = os.path.join(dirpath, fname)
+            try:
+                st = os.stat(full)
+            except OSError:
+                continue
+            rel = os.path.relpath(full, basedir).replace(os.sep, "/")
+            state[rel] = (st.st_mtime_ns, st.st_size)
+    return state
+
+
+def sync_jsondb_tree(
+    db: AerovalSparkDB,
+    basedir: str,
+    prev_state: dict[str, tuple[int, int]] | None,
+) -> dict[str, tuple[int, int]]:
+    """Incrementally mirror a reference tree into the store.
+
+    Re-imports files whose (mtime, size) changed since ``prev_state``
+    (LWW upsert makes re-imports idempotent) and tombstones assets
+    whose backing file disappeared. Returns the new state; with
+    ``prev_state=None`` this is a full import."""
+    cur = tree_state(basedir)
+    prev = prev_state or {}
+    if prev == cur:
+        return cur
+    changed = [rel for rel, sig in cur.items() if prev.get(rel) != sig]
+    removed = [rel for rel in prev if rel not in cur]
+    dirty = False
+    for rel in sorted(changed):
+        version = _experiment_version(basedir, rel)
+        resolved = resolve_path(rel, version)
+        if resolved is None:
+            continue
+        route, args = resolved
+        full = os.path.join(basedir, rel)
+        try:
+            if route in (Route.REPORT_IMAGE, Route.MAP_OVERLAY):
+                with open(full, "rb") as fh:
+                    db.put(fh.read(), route, args)
+            else:
+                with open(full, encoding="utf-8") as fh:
+                    db.put(fh.read(), route, args)
+        except Exception:  # noqa: BLE001 — unparseable file: skip, like import
+            continue
+        dirty = True
+    for rel in sorted(removed):
+        resolved = resolve_path(rel, _experiment_version(basedir, rel))
+        if resolved is None:
+            continue
+        route, args = resolved
+        db._put_row(route, dict(args), None, tombstone=True)
+        dirty = True
+    if dirty:
+        db.flush()
+    return cur
+
+
 def import_jsondb_tree(db: AerovalSparkDB, basedir: str) -> ImportReport:
     """Walk a reference-layout tree and load every parseable asset."""
     report = ImportReport()

@@ -496,6 +496,48 @@ def test_open_json_files_scheme(spark, tmp_path, monkeypatch):
     tempfile.tempdir = None
 
 
+def test_json_files_live_view(spark, tmp_path, monkeypatch):
+    """Reference jsonfiledb reads the tree live on every access
+    (jsonfiledb.py:199-222): files written/changed/removed AFTER open()
+    must be visible. The Spark backend mirrors incrementally on access."""
+    import json
+    import os
+    import shutil
+
+    src = "/root/reference/tests/test-db/json"
+    if not os.path.isdir(src):
+        pytest.skip("reference test-db not present")
+    tree = tmp_path / "tree"
+    shutil.copytree(src, tree)
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    import tempfile
+
+    tempfile.tempdir = None  # re-read TMPDIR
+    import aerovaldb_spark
+
+    db = aerovaldb_spark.open(f"json_files:{tree}", spark=spark)
+    cfg_file = tree / "project" / "experiment" / "cfg_project_experiment.json"
+    assert db.get_config("project", "experiment")["path"] == "./project/experiment/"
+
+    # mutate after open: changed file content is visible on next read
+    cfg = json.loads(cfg_file.read_text())
+    cfg["path"] = "./mutated/"
+    cfg_file.write_text(json.dumps(cfg))
+    os.utime(cfg_file, ns=(os.stat(cfg_file).st_mtime_ns + 2_000_000_000,) * 2)
+    assert db.get_config("project", "experiment")["path"] == "./mutated/"
+
+    # a SECOND connection to the same tree sees the same mirror
+    db2 = aerovaldb_spark.open(f"json_files:{tree}", spark=spark)
+    assert db2.get_config("project", "experiment")["path"] == "./mutated/"
+
+    # deletion after open: the asset disappears from reads (explicit
+    # default=None means NO default by reference parity — it raises)
+    cfg_file.unlink()
+    with pytest.raises(FileNotFoundError):
+        db.get_config("project", "experiment")
+    tempfile.tempdir = None
+
+
 def test_open_bare_jsondb_tree_sniffed(spark, tmp_path, monkeypatch):
     import os
 
