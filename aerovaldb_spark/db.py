@@ -95,10 +95,20 @@ def _schema_for(route: Route) -> T.StructType:
 class AerovalSparkDB:
     """Keyed JSON/blob asset store with the aerovaldb API surface."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        materialize_file_path: bool | None = None,
+    ):
         from .lock import make_lock
 
         self.spark = spark
+        if materialize_file_path is None:
+            materialize_file_path = os.environ.get(
+                "AVDB_MATERIALIZE_FILE_PATH", ""
+            ).strip().lower() in ("1", "true", "yes")
+        self._materialize_file_path = materialize_file_path
         # Accept file: URIs (file:/p, file:///p, file://localhost/p) by
         # normalizing to the plain local path up front: every os-level
         # operation (makedirs, the mtime fingerprints, the lock file)
@@ -367,6 +377,46 @@ class AerovalSparkDB:
     def __exit__(self, *exc: Any) -> None:
         self.close()
 
+    def _materialize_path(self, route: Route, uri: str, row: dict) -> str:
+        """FILE_PATH shim: write the asset payload into a per-store file
+        cache and return the absolute path.
+
+        The cache key is the asset URI; a cached file is reused only
+        while its stored mtime matches the row's mtime, so overwrites
+        re-materialize. Binary routes get a sniffed image extension
+        (aeroval web picks content-type from it); JSON routes get
+        .json. Writes are atomic (tmp + rename) so concurrent readers
+        never see a torn file."""
+        import hashlib
+
+        from .functions.multimodal import sniff_image_extension
+
+        payload = row["payload"]
+        if route in BINARY_ROUTES:
+            data: bytes = payload
+            ext = sniff_image_extension(payload) or ".bin"
+        else:
+            data = payload.encode("utf-8")
+            ext = ".json"
+        mtime = row["mtime"]
+        mtime_ns = int(mtime.timestamp() * 1e9) if mtime is not None else 0
+        cache_dir = os.path.join(self.root, "_filecache")
+        os.makedirs(cache_dir, exist_ok=True)
+        path = os.path.join(
+            cache_dir, hashlib.md5(uri.encode()).hexdigest() + ext
+        )
+        try:
+            if os.stat(path).st_mtime_ns == mtime_ns:
+                return path
+        except OSError:
+            pass
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+        os.utime(tmp, ns=(mtime_ns, mtime_ns))
+        os.replace(tmp, path)
+        return path
+
     # -- public generic API ----------------------------------------------
 
     def put(
@@ -419,18 +469,29 @@ class AerovalSparkDB:
             return uri
         if access is AccessType.FILE_PATH:
             # Reference types.py:6-34 — jsondb-only by design there
-            # too (its sqlite backend raises as well). Migration
-            # recipe for FILE_PATH consumers: read the content via
-            # AccessType.BLOB / JSON_STR, or materialize a real file
-            # tree with sources.jsondb_import.export_jsondb_tree and
-            # point the consumer at that.
-            raise UnsupportedOperation(
-                "FILE_PATH access is not supported by the Spark backend "
-                "(assets are table rows, not files). Use access_type="
-                "BLOB/JSON_STR for the content, or export a file tree "
-                "with aerovaldb_spark.sources.jsondb_import."
-                "export_jsondb_tree()."
-            )
+            # too (its sqlite backend raises as well). Assets here are
+            # table rows, not files, so FILE_PATH is an opt-in shim:
+            # with AVDB_MATERIALIZE_FILE_PATH=1 (or the constructor
+            # flag) the payload is materialized once into a per-store
+            # file cache and that path returned — enough for aeroval
+            # web's serve-image-by-path flow. Off by default to keep
+            # the no-hidden-file-IO contract explicit.
+            if not self._materialize_file_path:
+                raise UnsupportedOperation(
+                    "FILE_PATH access is disabled for the Spark backend "
+                    "(assets are table rows, not files). Use access_type="
+                    "BLOB/JSON_STR for the content, enable the "
+                    "materialization shim (AVDB_MATERIALIZE_FILE_PATH=1 "
+                    "or AerovalSparkDB(..., materialize_file_path=True)), "
+                    "or export a file tree with aerovaldb_spark.sources."
+                    "jsondb_import.export_jsondb_tree()."
+                )
+            row = self._lookup(route, key)
+            if row is None:
+                if default is not _SENTINEL and default is not None:
+                    return default
+                raise FileNotFoundError(f"No asset for {uri}")
+            return self._materialize_path(route, uri, row)
 
         row = self._lookup(
             route, key, need_ctime=(access is AccessType.CTIME)

@@ -56,9 +56,16 @@ class _LiveJsonFilesDB(AerovalSparkDB):
 
     _STATE_FILE = "_source_state.json"
 
-    def __init__(self, spark: SparkSession, root: str, source_dir: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        source_dir: str,
+        version_override: str | None = None,
+    ):
         super().__init__(spark, root)
         self._source_dir = source_dir
+        self._version_override = version_override
         self._syncing = False
 
     # NB: io.open, not open() — this module's ``open`` is the connector
@@ -92,7 +99,8 @@ class _LiveJsonFilesDB(AerovalSparkDB):
                 from .sources.jsondb_import import sync_jsondb_tree
 
                 new_state = sync_jsondb_tree(
-                    self, self._source_dir, self._load_state()
+                    self, self._source_dir, self._load_state(),
+                    version_override=self._version_override,
                 )
                 self._save_state(new_state)
             finally:
@@ -103,13 +111,21 @@ class _LiveJsonFilesDB(AerovalSparkDB):
 def _open_json_files(path: str, spark: SparkSession | None = None) -> AerovalSparkDB:
     """Reference-jsondb compatibility: live view of the tree, mirrored
     into a Spark store rooted alongside it (incrementally synced on
-    access; reopening reuses the mirror)."""
+    access; reopening reuses the mirror).
+
+    ``json_files:/tree?version=0.13.0`` pins the layout version for
+    every file instead of per-experiment detection — the mixed-version
+    escape hatch (reference StringMapper.lookup ``version=``)."""
+    version = None
+    if "?version=" in path:
+        path, _, version = path.rpartition("?version=")
     spark = spark or SparkSession.getActiveSession() or get_spark()
     root = os.path.join(
         tempfile.gettempdir(), "aerovaldb-spark-imports",
-        os.path.abspath(path).strip(os.sep).replace(os.sep, "_"),
+        os.path.abspath(path).strip(os.sep).replace(os.sep, "_")
+        + (f"@{version}" if version else ""),
     )
-    return _LiveJsonFilesDB(spark, root, path)
+    return _LiveJsonFilesDB(spark, root, path, version_override=version)
 
 
 def _open_sqlitedb(path: str, spark: SparkSession | None = None) -> AerovalSparkDB:

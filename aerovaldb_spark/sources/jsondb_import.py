@@ -347,7 +347,7 @@ def resolve_path(
 
 
 def import_jsondb_tree_distributed(
-    db: AerovalSparkDB, basedir: str
+    db: AerovalSparkDB, basedir: str, version_override: str | None = None
 ) -> ImportReport:
     """Cluster-scale import: read the whole tree with Spark's binaryFile
     source (executors do the IO), resolve paths on the driver (pure
@@ -370,7 +370,7 @@ def import_jsondb_tree_distributed(
     resolved_rows: dict[Route, list[tuple[str, dict]]] = {}
     for full in paths:
         rel = full.removeprefix(prefix)
-        version = _experiment_version(basedir, rel)
+        version = version_override or _experiment_version(basedir, rel)
         resolved = resolve_path(rel, version)
         if resolved is None:
             report.skipped.append(rel)
@@ -432,13 +432,19 @@ def sync_jsondb_tree(
     db: AerovalSparkDB,
     basedir: str,
     prev_state: dict[str, tuple[int, int]] | None,
+    version_override: str | None = None,
 ) -> dict[str, tuple[int, int]]:
     """Incrementally mirror a reference tree into the store.
 
     Re-imports files whose (mtime, size) changed since ``prev_state``
     (LWW upsert makes re-imports idempotent) and tombstones assets
     whose backing file disappeared. Returns the new state; with
-    ``prev_state=None`` this is a full import."""
+    ``prev_state=None`` this is a full import.
+
+    ``version_override`` pins the layout version for EVERY file instead
+    of per-experiment config detection — the escape hatch for trees
+    whose configs are missing or lie (reference ``version=`` kwarg on
+    StringMapper.lookup, utils/string_mapper/mapper.py:27-102)."""
     cur = tree_state(basedir)
     prev = prev_state or {}
     if prev == cur:
@@ -447,7 +453,7 @@ def sync_jsondb_tree(
     removed = [rel for rel in prev if rel not in cur]
     dirty = False
     for rel in sorted(changed):
-        version = _experiment_version(basedir, rel)
+        version = version_override or _experiment_version(basedir, rel)
         resolved = resolve_path(rel, version)
         if resolved is None:
             continue
@@ -475,8 +481,13 @@ def sync_jsondb_tree(
     return cur
 
 
-def import_jsondb_tree(db: AerovalSparkDB, basedir: str) -> ImportReport:
-    """Walk a reference-layout tree and load every parseable asset."""
+def import_jsondb_tree(
+    db: AerovalSparkDB, basedir: str, version_override: str | None = None
+) -> ImportReport:
+    """Walk a reference-layout tree and load every parseable asset.
+
+    ``version_override`` pins the layout version for every file (see
+    :func:`sync_jsondb_tree`)."""
     report = ImportReport()
     # followlinks: symlinked project dirs are valid projects (the
     # reference's own tests cover them, tests/jsondb/test_jsonfiledb.py).
@@ -484,7 +495,7 @@ def import_jsondb_tree(db: AerovalSparkDB, basedir: str) -> ImportReport:
         for fname in sorted(filenames):
             full = os.path.join(dirpath, fname)
             rel = os.path.relpath(full, basedir).replace(os.sep, "/")
-            version = _experiment_version(basedir, rel)
+            version = version_override or _experiment_version(basedir, rel)
             resolved = resolve_path(rel, version)
             if resolved is None:
                 report.skipped.append(rel)

@@ -161,6 +161,49 @@ def test_file_path_access_rejected(tmpdb):
         )
 
 
+def test_file_path_materialization_shim(spark, tmp_path):
+    """Opt-in FILE_PATH (reference jsonfiledb returns the backing file
+    path, jsonfiledb.py:344-357): the Spark backend materializes the
+    payload to a per-store cache file and returns that path."""
+    import json
+    import os
+
+    db = AerovalSparkDB(spark, str(tmp_path / "db"), materialize_file_path=True)
+    db.put_config({"k": 1}, "p", "e")
+    path = db.get(
+        Route.CONFIG, {"project": "p", "experiment": "e"},
+        access_type=AccessType.FILE_PATH,
+    )
+    assert path.endswith(".json")
+    with open(path) as fh:
+        assert json.load(fh) == {"k": 1}
+    # unchanged asset → same file reused (mtime-validated, no rewrite)
+    st1 = os.stat(path)
+    assert db.get(
+        Route.CONFIG, {"project": "p", "experiment": "e"},
+        access_type=AccessType.FILE_PATH,
+    ) == path
+    assert os.stat(path).st_mtime_ns == st1.st_mtime_ns
+    # overwrite → re-materialized content
+    db.put_config({"k": 2}, "p", "e")
+    path2 = db.get(
+        Route.CONFIG, {"project": "p", "experiment": "e"},
+        access_type=AccessType.FILE_PATH,
+    )
+    with open(path2) as fh:
+        assert json.load(fh) == {"k": 2}
+    # binary route: sniffed image extension for content-type-by-path
+    db.put_report_image(PNG, "p", "e", "img/pixel")
+    ipath = db.get(
+        Route.REPORT_IMAGE,
+        {"project": "p", "experiment": "e", "path": "img/pixel"},
+        access_type=AccessType.FILE_PATH,
+    )
+    assert ipath.endswith(".png")
+    with open(ipath, "rb") as fh:
+        assert fh.read() == PNG
+
+
 # --- filtered endpoints ---------------------------------------------------
 
 GLOB = {
@@ -535,6 +578,35 @@ def test_json_files_live_view(spark, tmp_path, monkeypatch):
     cfg_file.unlink()
     with pytest.raises(FileNotFoundError):
         db.get_config("project", "experiment")
+    tempfile.tempdir = None
+
+
+def test_json_files_version_override(spark, tmp_path, monkeypatch):
+    """`json_files:/tree?version=X` pins the layout version for every
+    file — the mixed-version escape hatch (reference StringMapper
+    ``version=`` lookup). The same ambiguous filename binds different
+    args under different versions."""
+    import json
+    import os
+
+    tree = tmp_path / "vtree"
+    ts_dir = tree / "p" / "e" / "ts"
+    os.makedirs(ts_dir)
+    # ambiguous under pre/post-0.29 layouts:
+    #   new: {location}_{network}_{obsvar}_{layer} -> NET-A / B / LAYER
+    #   old: {location}_{network}-{obsvar}_{layer} -> NET / A / B_LAYER
+    (ts_dir / "LOC_NET-A_B_LAYER.json").write_text(json.dumps({"v": 1}))
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    import tempfile
+
+    tempfile.tempdir = None
+    import aerovaldb_spark
+
+    db_new = aerovaldb_spark.open(f"json_files:{tree}", spark=spark)
+    assert db_new.get_timeseries("p", "e", "LOC", "NET-A", "B", "LAYER") == {"v": 1}
+
+    db_old = aerovaldb_spark.open(f"json_files:{tree}?version=0.13.0", spark=spark)
+    assert db_old.get_timeseries("p", "e", "LOC", "NET", "A", "B_LAYER") == {"v": 1}
     tempfile.tempdir = None
 
 
