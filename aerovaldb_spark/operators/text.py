@@ -591,6 +591,65 @@ def redact_pii(
     return df.withColumn(text_col, out)
 
 
+# --------------------------------------------------------------------------
+# q63: corpus bigram-novelty stats — the LM-flavored quality signal a
+# curation pipeline uses to separate novel prose from boilerplate
+# without an actual language model: per document, how common are its
+# word bigrams across the corpus? High avg document frequency = the
+# doc is made of phrases everyone uses (boilerplate/templates); a high
+# hapax fraction = mostly corpus-unique phrasing. All statistics are
+# integer ratios (no transcendentals), so Spark and the oracle agree
+# bit-for-bit after rounding.
+#
+# Scale shape: bigrams are per-doc distinct (array_distinct) and join
+# on the shared 60-bit hash — only 8-byte keys shuffle, one
+# aggregation for the document-frequency table, one bigram-keyed join,
+# one per-doc aggregation. No corpus-sized broadcast; AQE may
+# broadcast the df table only if it genuinely fits.
+def q63_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import hash60, shingles_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    bg = docs.select(
+        "doc_id", F.explode(shingles_col("text", 2)).alias("b")
+    ).select("doc_id", hash60(F.col("b")).alias("h"))
+    dfc = bg.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        bg.join(dfc, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(F.col("df").cast("double")), 6).alias("avg_df"),
+            F.round(
+                F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("frac_hapax"),
+            F.max("df").alias("max_df"),
+        )
+    )
+
+
+def _q63_sql() -> str:
+    from .dedup import hash60_sql, shingles_sql
+
+    return f"""
+WITH bg AS (
+  SELECT doc_id, {hash60_sql('b')} AS h
+  FROM (SELECT doc_id, unnest({shingles_sql('text', 2)}) AS b FROM documents)
+), dfc AS (
+  SELECT h, COUNT(*) AS df FROM bg GROUP BY h
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+  ROUND(AVG(CAST(df AS DOUBLE)), 6) AS avg_df,
+  ROUND(CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+    AS frac_hapax,
+  MAX(df) AS max_df
+FROM bg JOIN dfc USING (h)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "q21_token_stats": q21_token_stats,
     "q22_quality_scores": q22_quality_scores,
@@ -602,6 +661,7 @@ QUERIES = {
     "q58_decontaminate": q58_decontaminate,
     "q59_repetition_stats": q59_repetition_stats,
     "q61_tfidf_top_terms": q61_tfidf_top_terms,
+    "q63_bigram_novelty": q63_bigram_novelty,
 }
 
 ORACLE = {
@@ -615,4 +675,5 @@ ORACLE = {
     "q58_decontaminate": Q58_SQL,
     "q59_repetition_stats": Q59_SQL,
     "q61_tfidf_top_terms": Q61_SQL,
+    "q63_bigram_novelty": _q63_sql(),
 }
