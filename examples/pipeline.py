@@ -24,7 +24,9 @@ from aerovaldb_spark.catalog import load_table
 from aerovaldb_spark.operators.dedup import (
     connected_components,
     dedup_exact,
-    shingle_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    verified_jaccard_pairs,
 )
 from aerovaldb_spark.operators.text import (
     PACK_BUDGET,
@@ -67,8 +69,12 @@ def main() -> None:
     )
     print(f"after exact dedup: {kept.count()}")
 
-    # 3. near-dup clustering: drop every non-canonical cluster member
-    pairs = shingle_pairs(kept, 3, max_doc_freq=50).filter(F.col("shared") >= 5)
+    # 3. near-dup clustering: drop every non-canonical cluster member.
+    # The SCALE path (same composition as q62): banded-LSH candidates,
+    # then exact Jaccard on candidates only — the all-pairs shingle
+    # join never runs.
+    cand = lsh_candidate_pairs(minhash_signatures(kept, 3))
+    pairs = verified_jaccard_pairs(kept, cand, 3, min_shared=5, min_jaccard=0.0)
     clusters = connected_components(pairs)
     losers = clusters.filter(F.col("v") != F.col("component")).select(
         F.col("v").alias("doc_id")
