@@ -203,3 +203,53 @@ def test_q56_clusters_on_documents(spark):
     again = {r["doc_id"]: r["component"]
              for r in q56_dedup_clusters(spark, "/root/testdata/sf0.001").collect()}
     assert comp == again
+
+
+def test_lsh_pipeline_edges_subset_with_high_recall(spark):
+    """The q62 scale path must be a sound approximation of the exact
+    pair graph: every LSH-verified edge is an exact near-dup edge
+    (verification guarantees soundness), and banded LSH at these
+    parameters recovers ~all of them (recall bound; measured 1.0 at
+    this SF — bounded at 0.8 to absorb corpus regeneration)."""
+    from pyspark.sql import functions as F
+
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators import dedup
+
+    SF = "/root/testdata/sf0.001"
+    docs = load_table(spark, SF, "documents")
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.q26_ngram_jaccard_pairs(spark, SF)
+        .filter(F.col("jaccard") >= 0.2)
+        .collect()
+    }
+    cand = dedup.lsh_candidate_pairs(dedup.minhash_signatures(docs))
+    verified = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.verified_jaccard_pairs(docs, cand).collect()
+    }
+    assert verified <= exact  # soundness: no false edges survive verify
+    assert len(verified) >= 0.8 * len(exact) > 0  # recall
+
+
+def test_q62_components_refine_q56(spark):
+    """q62 clusters on an edge SUBSET of q56's graph, so each q62
+    component must sit entirely inside one q56 component (missing
+    edges can split clusters, never merge them)."""
+    from aerovaldb_spark.operators.dedup import (
+        q56_dedup_clusters,
+        q62_dedup_pipeline,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    exact = {r["doc_id"]: r["component"] for r in q56_dedup_clusters(spark, SF).collect()}
+    lsh = [(r["doc_id"], r["component"]) for r in q62_dedup_pipeline(spark, SF).collect()]
+    assert lsh, "pipeline produced no clustered docs"
+    by_lsh_comp: dict[int, set[int]] = {}
+    for doc, comp in lsh:
+        by_lsh_comp.setdefault(comp, set()).add(exact[doc])
+    for comp, exact_comps in by_lsh_comp.items():
+        assert len(exact_comps) == 1, (
+            f"q62 component {comp} spans q56 components {exact_comps}"
+        )
