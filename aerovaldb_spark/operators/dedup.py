@@ -244,6 +244,60 @@ def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def minhash_band_cols(
+    docs: DataFrame, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """MAP-ONLY banded minhash: adds ``bsig_0..bsig_{BANDS-1}`` string
+    columns, byte-identical to the band signatures
+    :func:`lsh_candidate_pairs` aggregates (same "seed:minhash" items,
+    same array_sort, same comma join — asserted in tests).
+
+    The agg-based :func:`minhash_signatures` distributes each doc's
+    shingle set across partitions, which is the safe shape for
+    arbitrarily large documents; this variant keeps the shingle array
+    in-row (array transform + array_min), trading per-doc memory for
+    ZERO shuffles — the only shape a stateless streaming gate can use,
+    and fine wherever documents are bounded (they are, in curation
+    pipelines that cap doc length upstream).
+    """
+    hashes = F.transform(
+        shingles_col(text_col, n),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+        % MINHASH_PRIME,
+    )
+
+    # single-arg closure per seed: a two-arg lambda would receive the
+    # array INDEX as its second argument from F.transform
+    def _affine(i):
+        return lambda h: (F.lit(_A[i]) * h + F.lit(_B[i])) % MINHASH_PRIME
+
+    out = docs
+    for band in range(BANDS):
+        items = F.array(
+            *[
+                F.concat_ws(
+                    ":",
+                    F.lit(str(i)),
+                    F.array_min(F.transform(hashes, _affine(i))).cast("string"),
+                )
+                for i in range(
+                    band * ROWS_PER_BAND, (band + 1) * ROWS_PER_BAND
+                )
+            ]
+        )
+        # Docs with no shingles get NULL (not a degenerate shared
+        # signature): the agg path emits no signature rows for them,
+        # and null never equi-joins, so behavior matches.
+        out = out.withColumn(
+            f"bsig_{band}",
+            F.when(
+                F.size(shingles_col(text_col, n)) > 0,
+                F.concat_ws(",", F.array_sort(items)),
+            ),
+        )
+    return out
+
+
 def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
     """Band the signature and bucket-join: pairs agreeing on ≥1 band."""
     banded = (

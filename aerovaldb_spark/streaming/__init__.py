@@ -159,6 +159,70 @@ def quality_filtered_documents(
     )
 
 
+def reference_band_buckets(reference_docs: DataFrame) -> DataFrame:
+    """(band, band_sig) distinct bucket table of an existing corpus —
+    the static side of :func:`near_dup_gate`. Built batch-side with the
+    scale-safe agg minhash; refresh it periodically (stream-static
+    joins re-read the static side every micro-batch)."""
+    from ..operators.dedup import lsh_candidate_pairs, minhash_signatures  # noqa: F401
+    from ..operators.dedup import BANDS, ROWS_PER_BAND
+
+    sig = minhash_signatures(reference_docs)
+    return (
+        sig.withColumn("band", (F.col("seed") / ROWS_PER_BAND).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                ",", F.array_sort(F.collect_list(F.concat_ws(":", "seed", "minhash")))
+            ).alias("band_sig")
+        )
+        .select("band", "band_sig")
+        .distinct()
+    )
+
+
+def near_dup_gate(docs: DataFrame, reference_buckets: DataFrame) -> DataFrame:
+    """Flag documents whose banded minhash signature collides with an
+    existing corpus — the ingest-time near-dup screen.
+
+    STATELESS by construction: the doc-side band signatures are
+    map-only columns (operators.dedup.minhash_band_cols), and the
+    corpus side is one (band, band_sig)-distinct broadcast table
+    joined once per band with at most one match each — no watermark,
+    no state store, append mode. Each incoming doc emits exactly one
+    row with ``near_dup`` set; route flagged docs to verification
+    (q62's verified_jaccard_pairs) or drop them at the sink.
+
+    At 100 TB the reference bucket table is the big side; swap the
+    broadcast for a shuffled semi-join per band, or hash-prefix the
+    bucket table — the gate's statelessness is what matters for the
+    stream.
+    """
+    from ..operators.dedup import BANDS, minhash_band_cols
+
+    out = minhash_band_cols(docs)
+    flags = []
+    for b in range(BANDS):
+        ref_b = (
+            reference_buckets.filter(F.col("band") == b)
+            .select(F.col("band_sig").alias(f"_ref_{b}"))
+            .distinct()
+        )
+        out = out.join(
+            F.broadcast(ref_b),
+            out[f"bsig_{b}"] == F.col(f"_ref_{b}"),
+            "left",
+        )
+        flags.append(F.col(f"_ref_{b}").isNotNull())
+    flag = flags[0]
+    for f in flags[1:]:
+        flag = flag | f
+    return out.withColumn("near_dup", flag).drop(
+        *[f"_ref_{b}" for b in range(BANDS)],
+        *[f"bsig_{b}" for b in range(BANDS)],
+    )
+
+
 RUNNING_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

@@ -324,3 +324,77 @@ def test_stream_static_enrichment(spark):
     assert got.filter("c_name IS NOT NULL").count() == batch.filter(
         "c_name IS NOT NULL"
     ).count()
+
+
+def test_minhash_band_cols_match_agg_signatures(spark):
+    """The map-only banded signature (stream-capable) must be
+    byte-identical to the agg-based one lsh_candidate_pairs buckets
+    on — same items, same sort, same join."""
+    from pyspark.sql import functions as F
+
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators.dedup import (
+        ROWS_PER_BAND,
+        minhash_band_cols,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    agg = (
+        minhash_signatures(docs)
+        .withColumn("band", (F.col("seed") / ROWS_PER_BAND).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.array_sort(F.collect_list(F.concat_ws(":", "seed", "minhash"))),
+            ).alias("band_sig")
+        )
+    )
+    want = {(r["doc_id"], r["band"]): r["band_sig"] for r in agg.collect()}
+    got_rows = minhash_band_cols(docs).collect()
+    got = {
+        (r["doc_id"], b): r[f"bsig_{b}"]
+        for r in got_rows
+        for b in range(4)
+        if r[f"bsig_{b}"] is not None
+    }
+    assert got == want and len(got) > 0
+
+
+def test_near_dup_gate_stream_matches_batch(spark):
+    """Ingest-time near-dup screen: stateless stream-static LSH join;
+    the stream run must flag exactly the docs the batch run flags, and
+    flagged docs must be exactly those sharing >=1 band bucket with
+    the reference corpus."""
+    from pyspark.sql import functions as F
+
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.streaming import (
+        near_dup_gate,
+        read_document_stream,
+        reference_band_buckets,
+        run_stream_to_memory,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    # reference corpus = even doc_ids; incoming = all docs (odd ids can
+    # still collide with an even near-duplicate's bucket)
+    ref = reference_band_buckets(docs.filter(F.col("doc_id") % 2 == 0))
+    batch = near_dup_gate(docs, ref).select("doc_id", "near_dup")
+    stream = near_dup_gate(read_document_stream(spark, SF_DIR), ref).select(
+        "doc_id", "near_dup"
+    )
+    assert stream.isStreaming
+    got = run_stream_to_memory(stream, "near_dup_gate", spark, output_mode="append")
+    a = sorted(map(tuple, batch.collect()))
+    b = sorted(map(tuple, got.collect()))
+    assert a == b and len(a) > 0
+    # every even doc collides with itself via the reference buckets
+    flagged = {d for d, f in a if f}
+    evens = {r["doc_id"] for r in docs.filter("doc_id % 2 = 0").collect()}
+    text_of = {r["doc_id"]: r["text"] for r in docs.collect()}
+    evens_with_shingles = {
+        d for d in evens if len(text_of[d].split()) >= 3
+    }
+    assert evens_with_shingles <= flagged
