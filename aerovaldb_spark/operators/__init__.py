@@ -32,6 +32,7 @@ _MERGED_QUERIES = {
 # a pytest-side oracle check regardless of position
 # (tests/test_parity_sample.py runs the same gate at sf0.001).
 _DEFER_ROUND = [
+    "q22_quality_scores",
     "q21_token_stats",
     "q01_pricing_summary",
     "q02_top_revenue_orders",

@@ -317,6 +317,42 @@ FROM orders
 
 
 # --------------------------------------------------------------------------
+# q64: RANGE-interval window frame — trailing 7-day revenue per
+# customer. Distinct from q08's ROWS frame: RANGE bounds are over the
+# ORDER BY *values* (all date ties included; the frame width is time,
+# not row count). One shuffle on o_custkey; the frame is evaluated
+# with a sliding aggregate inside the sorted partition — no
+# self-join/range-join explosion, which is what makes a time-bounded
+# rolling metric viable on a 100 TB fact table.
+def q64_trailing_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("long"))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.sum(_money("o_totalprice")).over(w).cast("double").alias(
+            "trailing_7d_spend"
+        ),
+    )
+
+
+Q64_SQL = """
+SELECT o_custkey, o_orderkey,
+  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate
+    RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW) AS DOUBLE)
+    AS trailing_7d_spend
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
 # q09: exact distinct aggregation.
 def q09_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
@@ -558,6 +594,7 @@ QUERIES = {
     "q15_json_extract_agg": q15_json_extract_agg,
     "q16_point_read": q16_point_read,
     "q17_top_customers": q17_top_customers,
+    "q64_trailing_revenue": q64_trailing_revenue,
 }
 
 ORACLE = {
@@ -578,4 +615,5 @@ ORACLE = {
     "q15_json_extract_agg": Q15_SQL,
     "q16_point_read": Q16_SQL,
     "q17_top_customers": Q17_SQL,
+    "q64_trailing_revenue": Q64_SQL,
 }
