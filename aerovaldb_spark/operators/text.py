@@ -610,9 +610,12 @@ def q63_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import hash60, shingles_col
 
     docs = load_table(spark, sf_dir, "documents")
+    # One persisted bigram-hash set feeds BOTH the df aggregation and
+    # the join (same shape as q26's shared shingle set): the
+    # md5-per-bigram projection runs once, not twice.
     bg = docs.select(
         "doc_id", F.explode(shingles_col("text", 2)).alias("b")
-    ).select("doc_id", hash60(F.col("b")).alias("h"))
+    ).select("doc_id", hash60(F.col("b")).alias("h")).persist()
     dfc = bg.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     return (
         bg.join(dfc, "h")
