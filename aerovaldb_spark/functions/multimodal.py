@@ -319,7 +319,10 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
         for batch in batches:
             ids, feats = [], []
             for row in batch.itertuples(index=False):
-                h = hashlib.sha256(bytes(row.payload)).digest()
+                # hex encoding first (like _decode_stub): every engine
+                # can recompute sha256 of a hex STRING, so the stub
+                # features have an exact cross-engine oracle (q65)
+                h = hashlib.sha256(bytes(row.payload).hex().encode()).digest()
                 rng = np.frombuffer((h * ((4 * dim) // len(h) + 1))[: 4 * dim],
                                     dtype=">u4").astype("float32")
                 feats.append((rng / 2**32).tolist())
@@ -448,12 +451,74 @@ FROM m
 """
 
 
+def q65_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction (the model-inference UDF shape)
+    over the deterministic image set, value-checked cross-engine.
+
+    The stub derives each float32 feature from the payload's sha256 —
+    so the DuckDB oracle reconstructs the identical payloads (q52's
+    PNG expression), re-derives the u32 lanes from the same hash, and
+    models numpy's float32 rounding with CAST(... AS FLOAT). The fold
+    for f_sum is left-associative on both sides, making even the
+    floating-point sum bit-reproducible.
+    """
+    feats = extract_features(
+        synthetic_media(spark, n=96).filter(F.col("kind") == "image")
+    )
+    fold = F.aggregate(
+        "features", F.lit(0.0), lambda a, x: a + x.cast("double")
+    )
+    return feats.select(
+        "media_id",
+        F.size("features").alias("n_features"),
+        F.round(F.col("features")[0].cast("double"), 6).alias("f00"),
+        F.round(F.col("features")[7].cast("double"), 6).alias("f07"),
+        F.round(F.col("features")[15].cast("double"), 6).alias("f15"),
+        F.round(fold, 6).alias("f_sum"),
+    )
+
+
+def _u4(j: int) -> str:
+    # j-th big-endian u32 lane of sha256(payload) repeated to 64 bytes,
+    # with numpy's u32→float32 rounding modeled by CAST(... AS FLOAT)
+    return (
+        "CAST(CAST(CAST('0x' || substring(repeat(sha256(lower(hex(payload))), 2), "
+        f"{j * 8 + 1}, 8) AS BIGINT) AS FLOAT) AS DOUBLE) / 4294967296.0"
+    )
+
+
+Q65_SQL = (
+    r"""
+WITH m AS (
+  SELECT i AS media_id,
+    '\x89PNG\x0D\x0A\x1A\x0A'::BLOB ||
+      '\x00\x00\x00\x0D'::BLOB || 'IHDR'::BLOB ||
+      unhex(lpad(hex(64 + (i % 8) * 16), 8, '0')) ||
+      unhex(lpad(hex(48 + (i % 4) * 16), 8, '0')) ||
+      '\x08\x06\x00\x00\x00'::BLOB || '\x00\x00\x00\x00'::BLOB ||
+      unhex(sha256(CAST(i AS VARCHAR))) || unhex(sha256(CAST(i AS VARCHAR))) ||
+      unhex(sha256(CAST(i AS VARCHAR))) || unhex(sha256(CAST(i AS VARCHAR))) AS payload
+  FROM generate_series(0, 95) t(i) WHERE i % 3 = 0
+)
+SELECT media_id, 16 AS n_features,
+"""
+    + f"  ROUND({_u4(0)}, 6) AS f00,\n"
+    + f"  ROUND({_u4(7)}, 6) AS f07,\n"
+    + f"  ROUND({_u4(15)}, 6) AS f15,\n"
+    + "  ROUND("
+    + " + ".join(_u4(j) for j in range(16))
+    + ", 6) AS f_sum\nFROM m\n"
+)
+
+
 QUERIES = {
     "q51_binary_manifest": q51_binary_manifest,
     "q52_media_decode": q52_media_decode,
+    "q65_media_features": q65_media_features,
 }
 
 ORACLE = {
     "q51_binary_manifest": Q51_SQL,
     "q52_media_decode": Q52_SQL,
+    "q65_media_features": Q65_SQL,
 }
