@@ -32,6 +32,7 @@ _MERGED_QUERIES = {
 # a pytest-side oracle check regardless of position
 # (tests/test_parity_sample.py runs the same gate at sf0.001).
 _DEFER_ROUND = [
+    "q24_fingerprints",
     "q23_lang_id",
     "q22_quality_scores",
     "q21_token_stats",

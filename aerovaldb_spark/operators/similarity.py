@@ -367,11 +367,25 @@ SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= {COSINE_NEAR_DUP_THRESHOLD}
 """
 
 
+# --------------------------------------------------------------------------
+# q66: IVF approximate top-k on the graded surface. No SQL oracle BY
+# DESIGN (KMeans coarse quantization is not cross-engine
+# deterministic), so the driver records the weaker rows-only check —
+# the row count IS deterministic (k rows per query vector, seeded
+# KMeans); result QUALITY is covered by the recall tests and the
+# exhaustive-probe ≡ brute-force equivalence in tests/test_scale.py.
+def q66_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(emb, queries, k=10, n_lists=16, n_probe=4)
+
+
 QUERIES = {
     "q29_cosine_topk": q29_cosine_topk,
     "q30_embedding_norms": q30_embedding_norms,
     "q46_srp_near_dup": q46_srp_near_dup,
     "q50_cosine_near_dup": q50_cosine_near_dup,
+    "q66_ivf_topk": q66_ivf_topk,
 }
 
 ORACLE = {
