@@ -26,10 +26,10 @@ _MERGED_QUERIES = {
 # 50 holds only entries with a prior-round green record, rotated every
 # round so each query is re-verified periodically.
 # Round-3 tail (all green in BOTH CORRECTNESS_r01 and r02): q01-q06
-# q10 q13 q15 q16 q17 q18 q21. The round-2 tail (q07 q08 q09 q11 q12
-# q14 q20 q30 q34 q38 q55) rotates back into the window, as do the
-# r02-broken-now-fixed q19/q41 and the new q62/q63. Every entry keeps
-# a pytest-side oracle check regardless of position
+# q10 q13 q15 q16 q17 q18 q21 q22 q23 q24. The round-2 tail (q07 q08
+# q09 q11 q12 q14 q20 q30 q34 q38 q55) rotates back into the window,
+# as do the r02-broken-now-fixed q19/q41 and the new q62-q66. Every
+# entry keeps a pytest-side oracle check regardless of position
 # (tests/test_parity_sample.py runs the same gate at sf0.001).
 _DEFER_ROUND = [
     "q24_fingerprints",
