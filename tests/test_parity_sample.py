@@ -48,7 +48,9 @@ def test_every_query_has_an_oracle_or_documented_exemption():
     missing = set(_QUERIES) - set(_ORACLES)
     # q55: HLL sketch internals are engine-specific by design (accuracy
     # bound asserted in test_properties.py).
-    assert missing == {"q55_approx_distinct"}
+    # q66: IVF KMeans quantization is engine-specific by design
+    # (recall + exhaustive-probe equivalence asserted in test_scale.py).
+    assert missing == {"q55_approx_distinct", "q66_ivf_topk"}
 
 
 @pytest.mark.parametrize("name", sorted(_QUERIES))
