@@ -430,8 +430,20 @@ def connected_components(
     the restored conf. At 100 TB pass an explicit width sized to the
     vertex count."""
     spark = edges.sparkSession
-    width = shuffle_partitions or spark.sparkContext.defaultParallelism
+    # Respect an already-tuned session: a caller that sized
+    # spark.sql.shuffle.partitions to its data (bench, a configured
+    # cluster) should not be widened back out to defaultParallelism —
+    # the pin exists to protect against the VANILLA 200-partition
+    # default multiplying across iterations, so take the smaller of
+    # the two unless an explicit width is given.
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        session_width = int(prev)
+    except (TypeError, ValueError):
+        session_width = spark.sparkContext.defaultParallelism
+    width = shuffle_partitions or min(
+        session_width, spark.sparkContext.defaultParallelism
+    )
     spark.conf.set("spark.sql.shuffle.partitions", str(width))
     try:
         sym = edges.select(

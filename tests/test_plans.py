@@ -123,6 +123,25 @@ def test_dedup_pipeline_avoids_full_pair_join(spark, monkeypatch):
     assert out.count() > 0
 
 
+def test_near_dup_gate_is_broadcast_only(spark):
+    # The ingest gate must stay stateless and shuffle-free on the doc
+    # side: banded signatures are map-only columns, the corpus buckets
+    # arrive via broadcast. A shuffle on the doc side would mean the
+    # gate can't run as a stateless streaming stage.
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.plans import has_broadcast_join
+    from aerovaldb_spark.streaming import near_dup_gate, reference_band_buckets
+
+    docs = load_table(spark, SF, "documents")
+    gated = near_dup_gate(docs, reference_band_buckets(docs))
+    assert has_broadcast_join(gated)
+    from aerovaldb_spark.plans import formatted_plan
+
+    plan = formatted_plan(gated)
+    # no sort-merge join anywhere: every corpus-bucket join broadcast
+    assert "SortMergeJoin" not in plan
+
+
 def test_plan_report_shape(spark):
     from aerovaldb_spark.operators.relational import q03_revenue_by_nation
 
