@@ -353,6 +353,157 @@ FROM orders
 
 
 # --------------------------------------------------------------------------
+# q67: market share (TPC-H Q8 shape) — per order year, the fraction of
+# ASIA-market revenue supplied from NATION_1. Six-table join: every
+# dimension (part, supplier, customer, both nation copies, region)
+# broadcasts; the fact table shuffles once for the year aggregation;
+# the share is a conditional DECIMAL ratio so both engines agree
+# exactly after round(6).
+def q67_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cust_nation = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    joined = (
+        li.join(F.broadcast(part.filter(F.col("p_type") == "PROMO")),
+                li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(cust_nation), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+              F.col("cn_region") == region.r_regionkey)
+    )
+    rev = _revenue()
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_1", rev).otherwise(
+                        F.lit(0).cast(MONEY)
+                    )
+                ).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("mkt_share"),
+            _dsum(rev, "total_revenue"),
+        )
+    )
+
+
+Q67_SQL = f"""
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+  ROUND(
+    CAST(SUM(CASE WHEN sn.n_name = 'NATION_1' THEN {_REVENUE_SQL}
+                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+    / CAST(SUM({_REVENUE_SQL}) AS DOUBLE), 6) AS mkt_share,
+  CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS total_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q68: group-by with a HAVING bound from a global scalar subquery
+# (TPC-H Q11 shape) — parts whose NATION_1-supplied revenue exceeds
+# 0.1% of the nation's total. The scalar total is a 1-row aggregate
+# cross-joined in (broadcast of one row); both aggregations reuse the
+# same filtered join, and every sum is DECIMAL-exact.
+def q68_top_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    suppliers_n1 = supplier.join(
+        F.broadcast(nation.filter(F.col("n_name") == "NATION_1")),
+        supplier.s_nationkey == nation.n_nationkey,
+    ).select("s_suppkey")
+    base = li.join(F.broadcast(suppliers_n1), li.l_suppkey == F.col("s_suppkey"))
+    per_part = base.groupBy("l_partkey").agg(
+        F.sum(_revenue()).alias("_val")
+    )
+    total = per_part.agg(F.sum("_val").alias("_total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("_val").cast("double") > F.col("_total").cast("double") * 0.001)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("_val").cast("double").alias("part_value"),
+        )
+    )
+
+
+Q68_SQL = f"""
+WITH base AS (
+  SELECT l_partkey, {_REVENUE_SQL} AS rev
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_1'
+), per_part AS (
+  SELECT l_partkey, SUM(rev) AS val FROM base GROUP BY l_partkey
+)
+SELECT l_partkey AS p_partkey, CAST(val AS DOUBLE) AS part_value
+FROM per_part
+WHERE CAST(val AS DOUBLE) > (SELECT CAST(SUM(val) AS DOUBLE) FROM per_part) * 0.001
+"""
+
+
+# --------------------------------------------------------------------------
+# q69: promo revenue ratio (TPC-H Q14 shape) — one month's revenue
+# fraction from PROMO parts. Single conditional aggregation over a
+# date-pruned scan with a broadcast part join.
+def q69_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = _revenue()
+    joined = li.filter(
+        (F.col("l_shipdate") >= "1997-03-01") & (F.col("l_shipdate") < "1997-04-01")
+    ).join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return joined.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(
+                F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                    F.lit(0).cast(MONEY)
+                )
+            ).cast("double")
+            / F.sum(rev).cast("double"),
+            6,
+        ).alias("promo_pct"),
+        _dsum(rev, "total_revenue"),
+    )
+
+
+Q69_SQL = f"""
+SELECT
+  ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REVENUE_SQL}
+                             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        / CAST(SUM({_REVENUE_SQL}) AS DOUBLE), 6) AS promo_pct,
+  CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS total_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= '1997-03-01' AND l_shipdate < '1997-04-01'
+"""
+
+
+# --------------------------------------------------------------------------
 # q09: exact distinct aggregation.
 def q09_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
@@ -595,6 +746,9 @@ QUERIES = {
     "q16_point_read": q16_point_read,
     "q17_top_customers": q17_top_customers,
     "q64_trailing_revenue": q64_trailing_revenue,
+    "q67_market_share": q67_market_share,
+    "q68_top_part_values": q68_top_part_values,
+    "q69_promo_revenue": q69_promo_revenue,
 }
 
 ORACLE = {
@@ -616,4 +770,7 @@ ORACLE = {
     "q16_point_read": Q16_SQL,
     "q17_top_customers": Q17_SQL,
     "q64_trailing_revenue": Q64_SQL,
+    "q67_market_share": Q67_SQL,
+    "q68_top_part_values": Q68_SQL,
+    "q69_promo_revenue": Q69_SQL,
 }
