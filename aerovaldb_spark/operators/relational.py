@@ -436,9 +436,11 @@ def q68_top_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         supplier.s_nationkey == nation.n_nationkey,
     ).select("s_suppkey")
     base = li.join(F.broadcast(suppliers_n1), li.l_suppkey == F.col("s_suppkey"))
+    # persisted: the per-part aggregate feeds BOTH the output and the
+    # global total — without it the fact-table join runs twice
     per_part = base.groupBy("l_partkey").agg(
         F.sum(_revenue()).alias("_val")
-    )
+    ).persist()
     total = per_part.agg(F.sum("_val").alias("_total"))
     return (
         per_part.crossJoin(F.broadcast(total))
