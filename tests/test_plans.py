@@ -123,6 +123,20 @@ def test_dedup_pipeline_avoids_full_pair_join(spark, monkeypatch):
     assert out.count() > 0
 
 
+def test_q67_star_is_single_shuffle_all_dims_broadcast(spark):
+    # Six-table star: the ONLY exchange is the final year aggregation;
+    # every dimension (part, supplier, customer, nation x2, region)
+    # must arrive via broadcast, and the selective predicates must
+    # reach the scans.
+    from aerovaldb_spark.operators.relational import q67_market_share
+
+    df = q67_market_share(spark, SF)
+    assert has_broadcast_join(df)
+    assert shuffle_count(df) <= 1
+    pf = " ".join(pushed_filters(df))
+    assert "PROMO" in pf and "ASIA" in pf
+
+
 def test_near_dup_gate_is_broadcast_only(spark):
     # The ingest gate must stay stateless and shuffle-free on the doc
     # side: banded signatures are map-only columns, the corpus buckets
