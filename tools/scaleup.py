@@ -85,6 +85,12 @@ def main() -> None:
     from aerovaldb_spark.session import get_spark
     from bench import HEADLINE
 
+    # SCALEUP_QUERIES=q62_dedup_pipeline,q63_bigram_novelty overrides
+    # the query set (the bench HEADLINE by default).
+    names = [
+        n for n in os.environ.get("SCALEUP_QUERIES", "").split(",") if n
+    ] or HEADLINE
+
     spark = get_spark("scaleup", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -97,7 +103,7 @@ def main() -> None:
             scaled.count()  # materialize before timing
             catalog._TABLE_CACHE[(vdir, name)] = scaled
         per: dict[str, float] = {}
-        for qname in HEADLINE:
+        for qname in names:
             ALL_QUERIES[qname](spark, vdir).write.mode("overwrite").format("noop").save()  # warm
             samples = []
             for _ in range(3):
@@ -115,7 +121,7 @@ def main() -> None:
     hi = max(mults)
     print(f"\n| query | {' | '.join(f'{m}x' for m in mults)} | {hi}x/{lo}x |")
     print(f"|---|{'---|' * (len(mults) + 1)}")
-    for qname in HEADLINE:
+    for qname in names:
         ratio = results[hi][qname] / max(results[lo][qname], 1e-9)
         cells = " | ".join(f"{results[m][qname]:.2f}" for m in mults)
         print(f"| {qname} | {cells} | {ratio:.1f}x |")
