@@ -32,6 +32,9 @@ _MERGED_QUERIES = {
 # entry keeps a pytest-side oracle check regardless of position
 # (tests/test_parity_sample.py runs the same gate at sf0.001).
 _DEFER_ROUND = [
+    "q26_ngram_jaccard_pairs",
+    "q29_cosine_topk",
+    "q32_pivot_status",
     "q25_dedup_exact",
     "q27_minhash_signatures",
     "q28_simhash",

@@ -243,12 +243,128 @@ def q55_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# q71: cohort retention — users grouped by first-seen month, distinct
+# active users per (cohort month, activity month). Two aggregations:
+# per-user first event (one shuffle on user_id), then the cohort
+# matrix (one shuffle on the month pair). The cohort table is narrow
+# (one row per user) so its join back to activity broadcasts at small
+# scale and shuffles on user_id at large — both correct.
+def q71_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cohort = ev.groupBy("user_id").agg(
+        F.date_format(F.date_trunc("month", F.min("ts")), "yyyy-MM").alias(
+            "cohort_month"
+        )
+    )
+    activity = ev.select(
+        "user_id",
+        F.date_format(F.date_trunc("month", F.col("ts")), "yyyy-MM").alias(
+            "active_month"
+        ),
+    ).distinct()
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy("cohort_month", "active_month")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+Q71_SQL = """
+WITH cohort AS (
+  SELECT user_id, strftime(date_trunc('month', MIN(ts)), '%Y-%m') AS cohort_month
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, strftime(date_trunc('month', ts), '%Y-%m') AS active_month
+  FROM events
+)
+SELECT cohort_month, active_month, COUNT(DISTINCT a.user_id) AS n_users
+FROM activity a JOIN cohort c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# q72: sessionized funnel — per 30-minute-gap session, how deep did
+# the user get through view → click → purchase? Depth compares the
+# conditional MIN timestamp per stage inside the session (<= because
+# simultaneous events count as progression). Reuses the q19
+# sessionizer, then one aggregation per session and one tiny one per
+# depth: the funnel is two shuffles over the events table total.
+def q72_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = sessionize(load_table(spark, sf_dir, "events"))
+    per_session = ev.groupBy("user_id", "session_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_buy"
+        ),
+    )
+    depth = (
+        F.when(
+            F.col("t_view").isNotNull()
+            & F.col("t_click").isNotNull()
+            & F.col("t_buy").isNotNull()
+            & (F.col("t_view") <= F.col("t_click"))
+            & (F.col("t_click") <= F.col("t_buy")),
+            3,
+        )
+        .when(
+            F.col("t_view").isNotNull()
+            & F.col("t_click").isNotNull()
+            & (F.col("t_view") <= F.col("t_click")),
+            2,
+        )
+        .when(F.col("t_view").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        per_session.withColumn("funnel_depth", depth)
+        .groupBy("funnel_depth")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+
+
+Q72_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_type,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, ts, event_type,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+), per_session AS (
+  SELECT user_id, session_id,
+    MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+    MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+  FROM sessions GROUP BY user_id, session_id
+)
+SELECT CASE
+    WHEN t_view IS NOT NULL AND t_click IS NOT NULL AND t_buy IS NOT NULL
+         AND t_view <= t_click AND t_click <= t_buy THEN 3
+    WHEN t_view IS NOT NULL AND t_click IS NOT NULL AND t_view <= t_click THEN 2
+    WHEN t_view IS NOT NULL THEN 1
+    ELSE 0 END AS funnel_depth,
+  COUNT(*) AS n_sessions
+FROM per_session
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q18_asof_purchase_click": q18_asof_purchase_click,
     "q19_sessionize": q19_sessionize,
     "q20_tumbling_window": q20_tumbling_window,
     "q31_session_window": q31_session_window,
     "q55_approx_distinct": q55_approx_distinct,
+    "q71_cohort_retention": q71_cohort_retention,
+    "q72_session_funnel": q72_session_funnel,
 }
 
 ORACLE = {
@@ -256,4 +372,6 @@ ORACLE = {
     "q19_sessionize": Q19_SQL,
     "q20_tumbling_window": Q20_SQL,
     "q31_session_window": Q31_SQL,
+    "q71_cohort_retention": Q71_SQL,
+    "q72_session_funnel": Q72_SQL,
 }

@@ -506,6 +506,44 @@ WHERE l_shipdate >= '1997-03-01' AND l_shipdate < '1997-04-01'
 
 
 # --------------------------------------------------------------------------
+# q70: NOT EXISTS + global-scalar threshold (TPC-H Q22 shape) —
+# wealthy-but-inactive customers per market segment: above the average
+# positive balance AND with no orders. The scalar threshold is an
+# exact DECIMAL sum / count broadcast as one row; the NOT EXISTS is a
+# left-anti join (no correlated per-row subquery — at scale that would
+# be a nested loop).
+def q70_inactive_wealthy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    bal = _money("c_acctbal")
+    threshold = customer.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(bal).cast("double") / F.count(F.lit(1))).alias("_thr")
+    )
+    return (
+        customer.crossJoin(F.broadcast(threshold))
+        .filter(bal.cast("double") > F.col("_thr"))
+        .join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _dsum(bal, "total_balance"),
+        )
+    )
+
+
+Q70_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
+FROM customer c
+WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) >
+      (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+       FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
 # q09: exact distinct aggregation.
 def q09_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
@@ -751,6 +789,7 @@ QUERIES = {
     "q67_market_share": q67_market_share,
     "q68_top_part_values": q68_top_part_values,
     "q69_promo_revenue": q69_promo_revenue,
+    "q70_inactive_wealthy": q70_inactive_wealthy,
 }
 
 ORACLE = {
@@ -775,4 +814,5 @@ ORACLE = {
     "q67_market_share": Q67_SQL,
     "q68_top_part_values": Q68_SQL,
     "q69_promo_revenue": Q69_SQL,
+    "q70_inactive_wealthy": Q70_SQL,
 }
