@@ -283,6 +283,35 @@ def test_stream_ingest_into_store(spark, tmp_path):
     assert db.get_config("p", "e2") == {"v": 2}
     assert db.get_config("p", "e1") == {"v": 10}
 
+    # restart against the SAME checkpoint: already-committed batches
+    # must not reprocess (exactly-once for readers)
+    n_rows_before = db.table(Route.CONFIG).count()
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q2 = stream_ingest(
+        db, Route.CONFIG, stream2,
+        checkpoint_dir=str(tmp_path / "ckpt"), available_now=True,
+    )
+    q2.awaitTermination(120)
+    assert db.table(Route.CONFIG).count() == n_rows_before
+    # and even a FULL replay (fresh checkpoint) converges to the same
+    # read state — LWW makes re-ingest idempotent for readers
+    stream3 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q3 = stream_ingest(
+        db, Route.CONFIG, stream3,
+        checkpoint_dir=str(tmp_path / "ckpt2"), available_now=True,
+    )
+    q3.awaitTermination(120)
+    assert db.get_config("p", "e1") == {"v": 10}
+    assert db.get_config("p", "e2") == {"v": 2}
+
 
 def test_stream_stream_interval_join_matches_batch(spark):
     """purchases_with_recent_clicks: stream-stream interval join with
