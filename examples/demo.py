@@ -85,6 +85,22 @@ def main() -> None:
     rep = export_jsondb_tree(db, tree)
     print(f"jsondb export: {rep.imported} files under {tree}")
 
+    # -- live view: json_files: tracks the tree as other processes
+    # write it (reference jsonfiledb behavior) ------------------------
+    live = av.open(f"json_files:{tree}", spark=db.spark)
+    print("live view sees:", live.get_config("demo", "exp1"))
+
+    # -- FILE_PATH shim: serve-by-path consumers (aeroval web) opt in
+    from aerovaldb_spark.db import AerovalSparkDB
+    from aerovaldb_spark.routes import Route
+
+    fp_db = AerovalSparkDB(db.spark, root, materialize_file_path=True)
+    path = fp_db.get(
+        Route.CONFIG, {"project": "demo", "experiment": "exp1"},
+        access_type="FILE_PATH",
+    )
+    print("materialized asset path:", path)
+
 
 if __name__ == "__main__":
     main()
