@@ -511,14 +511,54 @@ SELECT media_id, 16 AS n_features,
 )
 
 
+def q73_frame_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling mapInPandas path, value-checked cross-engine:
+    the stub slices the payload deterministically, so the oracle
+    reconstructs the video payloads and re-slices them in SQL. With
+    q52 (decode) and q65 (featurize) this makes all three multimodal
+    Pandas-UDF paths oracle-checked — frames are compared by md5 so
+    no cross-engine BLOB typing is involved."""
+    frames = sample_frames(synthetic_media(spark, n=96))
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        "frame_ms",
+        F.hex("frame_payload").alias("frame_hex"),
+    )
+
+
+# Video rows are i % 3 == 2: payload = 'RIFF' + sha256(str(i)) x 4
+# (132 bytes), duration_ms = 1000 * (1 + i % 30); the stub samples one
+# frame per 5000 ms, slicing 16 bytes at (idx*16) % 116. DuckDB can't
+# substring a BLOB, so the slice happens on the (uppercase, both
+# engines) hex encoding: byte offset x2, length 32.
+Q73_SQL = r"""
+WITH m AS (
+  SELECT i AS media_id,
+    upper(hex('RIFF'::BLOB)) || upper(repeat(sha256(CAST(i AS VARCHAR)), 4))
+      AS payload_hex,
+    1000 * (1 + i % 30) AS duration_ms
+  FROM generate_series(0, 95) t(i) WHERE i % 3 = 2
+)
+SELECT media_id, CAST(idx AS INT) AS frame_idx,
+  CAST(idx * 5000 AS INT) AS frame_ms,
+  substring(payload_hex, ((idx * 16) % 116) * 2 + 1, 32) AS frame_hex
+FROM m, LATERAL (
+  SELECT unnest(generate_series(0, (duration_ms - 1) // 5000)) AS idx
+)
+"""
+
+
 QUERIES = {
     "q51_binary_manifest": q51_binary_manifest,
     "q52_media_decode": q52_media_decode,
     "q65_media_features": q65_media_features,
+    "q73_frame_manifest": q73_frame_manifest,
 }
 
 ORACLE = {
     "q51_binary_manifest": Q51_SQL,
     "q52_media_decode": Q52_SQL,
     "q65_media_features": Q65_SQL,
+    "q73_frame_manifest": Q73_SQL,
 }
