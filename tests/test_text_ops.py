@@ -50,3 +50,50 @@ def test_redact_pii_custom_replacement_and_column(spark):
     df = spark.createDataFrame([(1, "x@y.io wrote")], ["id", "body"])
     out = redact_pii(df, text_col="body", replacement="[gone]").collect()[0]
     assert out["body"] == "[gone] wrote"
+
+
+def test_bigram_novelty_edges(spark):
+    """q63 semantics on edge inputs: sub-bigram docs emit no row;
+    exact duplicate docs share identical stats; a fully corpus-unique
+    doc has frac_hapax 1.0."""
+    from pyspark.sql import functions as F
+
+    from aerovaldb_spark.operators.dedup import hash60, shingles_col
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one"),                      # < 2 words: no bigrams
+            (2, "alpha beta gamma"),          # dup of 3
+            (3, "alpha beta gamma"),
+            (4, "unique words only here"),    # hapax everywhere
+        ],
+        "doc_id long, text string",
+    )
+    bg = docs.select(
+        "doc_id", F.explode(shingles_col("text", 2)).alias("b")
+    ).select("doc_id", hash60(F.col("b")).alias("h"))
+    dfc = bg.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    out = {
+        r["doc_id"]: r
+        for r in bg.join(dfc, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(F.col("df").cast("double")), 6).alias("avg_df"),
+            F.round(
+                F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("frac_hapax"),
+        )
+        .collect()
+    }
+    assert 1 not in out  # no bigrams -> no row (matches the oracle)
+    assert out[2]["n_bigrams"] == 2 and out[2]["avg_df"] == 2.0
+    assert out[2]["frac_hapax"] == 0.0
+    assert (
+        out[2]["n_bigrams"],
+        out[2]["avg_df"],
+        out[2]["frac_hapax"],
+    ) == (out[3]["n_bigrams"], out[3]["avg_df"], out[3]["frac_hapax"])
+    assert out[4]["frac_hapax"] == 1.0 and out[4]["avg_df"] == 1.0
