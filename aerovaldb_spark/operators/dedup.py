@@ -457,8 +457,8 @@ def connected_components(
             .withColumn("label", F.col("v"))
             .localCheckpoint()
         )
-        changed = 0
-        for _ in range(max_iter):
+        changed = 1
+        for it in range(max_iter):
             nbr_min = (
                 sym.join(labels, sym.w == labels.v)
                 .groupBy("u")
@@ -474,6 +474,11 @@ def connected_components(
                 )
                 .localCheckpoint()
             )
+            if it == 0 and max_iter > 1:
+                # the first pass always lowers some label when any edge
+                # exists — skip its convergence count (one job saved)
+                labels = new
+                continue
             changed = (
                 new.alias("n")
                 .join(labels.alias("o"), "v")
