@@ -32,6 +32,7 @@ _MERGED_QUERIES = {
 # entry keeps a pytest-side oracle check regardless of position
 # (tests/test_parity_sample.py runs the same gate at sf0.001).
 _DEFER_ROUND = [
+    "q35_sliding_window",
     "q33_percentiles",
     "q26_ngram_jaccard_pairs",
     "q29_cosine_topk",

@@ -653,6 +653,76 @@ GROUP BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# q74: passage-level dedup census — sub-document granularity (the
+# C4/RefinedWeb-style pipeline op: boilerplate repeats as passages
+# inside otherwise-distinct documents). Documents chunk into
+# non-overlapping 8-word passages (trailing partial kept); a passage
+# OCCURRENCE is duplicated when its hash appears more than once in
+# the corpus (within-doc repeats count). Per source: passage count,
+# duplicated occurrences, duplicate fraction — integer ratios only.
+# Scale shape: only 8-byte passage hashes shuffle (one df aggregation,
+# one hash join, one per-source aggregation).
+PASSAGE_WORDS = 8
+
+
+def passages_col(text: str = "text", n: int = PASSAGE_WORDS) -> Column:
+    """Non-overlapping n-word chunks (NOT deduped within doc)."""
+    toks = f"split({text}, ' ')"
+    return F.expr(
+        f"transform(sequence(1, CAST(ceil(size({toks}) / {n}.0) AS INT)),"
+        f" i -> concat_ws(' ', slice({toks}, (i - 1) * {n} + 1, {n})))"
+    )
+
+
+def q74_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select(
+        "source", F.explode(passages_col()).alias("p")
+    ).select("source", hash60(F.col("p")).alias("h")).persist()
+    dfc = occ.groupBy("h").agg(F.count(F.lit(1)).alias("n_occ"))
+    return (
+        occ.join(dfc, "h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0)).alias("n_dup"),
+            F.round(
+                F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def _q74_sql() -> str:
+    from .dedup import hash60_sql
+
+    n = PASSAGE_WORDS
+    toks = "string_split(text, ' ')"
+    passages = (
+        f"list_transform(generate_series(1, CAST(ceil(len({toks}) / {n}.0) AS INT)),"
+        f" i -> array_to_string({toks}[(i - 1) * {n} + 1 : (i - 1) * {n} + {n}], ' '))"
+    )
+    return f"""
+WITH occ AS (
+  SELECT source, {hash60_sql('p')} AS h
+  FROM (SELECT source, unnest({passages}) AS p FROM documents)
+), dfc AS (
+  SELECT h, COUNT(*) AS n_occ FROM occ GROUP BY h
+)
+SELECT source, COUNT(*) AS n_passages,
+  CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+  ROUND(CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+    AS dup_frac
+FROM occ JOIN dfc USING (h)
+GROUP BY source
+"""
+
+
 QUERIES = {
     "q21_token_stats": q21_token_stats,
     "q22_quality_scores": q22_quality_scores,
@@ -665,6 +735,7 @@ QUERIES = {
     "q59_repetition_stats": q59_repetition_stats,
     "q61_tfidf_top_terms": q61_tfidf_top_terms,
     "q63_bigram_novelty": q63_bigram_novelty,
+    "q74_passage_dedup": q74_passage_dedup,
 }
 
 ORACLE = {
@@ -679,4 +750,5 @@ ORACLE = {
     "q59_repetition_stats": Q59_SQL,
     "q61_tfidf_top_terms": Q61_SQL,
     "q63_bigram_novelty": _q63_sql(),
+    "q74_passage_dedup": _q74_sql(),
 }
