@@ -107,6 +107,51 @@ def session_window_stats(
     )
 
 
+def session_funnel_stats(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-session view→click→purchase funnel depth, streaming-capable:
+    conditional MIN timestamps inside the built-in session_window (state
+    merges adjacent events and expires past the watermark), then a
+    depth classification — the streaming twin of q72's batch funnel
+    (which uses the lag-gap sessionizer; boundary ties differ the same
+    way q31 differs from q19, hence its own batch twin here)."""
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    per_session = events.groupBy(
+        F.session_window("ts", gap).alias("win"), "user_id"
+    ).agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_buy"),
+    )
+    depth = (
+        F.when(
+            F.col("t_view").isNotNull()
+            & F.col("t_click").isNotNull()
+            & F.col("t_buy").isNotNull()
+            & (F.col("t_view") <= F.col("t_click"))
+            & (F.col("t_click") <= F.col("t_buy")),
+            3,
+        )
+        .when(
+            F.col("t_view").isNotNull()
+            & F.col("t_click").isNotNull()
+            & (F.col("t_view") <= F.col("t_click")),
+            2,
+        )
+        .when(F.col("t_view").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return per_session.select(
+        "user_id",
+        F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_start"
+        ),
+        depth.alias("funnel_depth"),
+    )
+
+
 def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Exactly-once-per-key projection: drop duplicate event_ids within
     the watermark horizon (the streaming twin of exact dedup)."""

@@ -427,3 +427,24 @@ def test_near_dup_gate_stream_matches_batch(spark):
         d for d in evens if len(text_of[d].split()) >= 3
     }
     assert evens_with_shingles <= flagged
+
+
+def test_session_funnel_stream_matches_batch(spark):
+    """Streaming session-window funnel produces exactly the batch
+    twin's per-session depths."""
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.streaming import (
+        read_event_stream,
+        run_stream_to_memory,
+        session_funnel_stats,
+    )
+
+    batch = session_funnel_stats(load_table(spark, SF_DIR, "events"))
+    stream = session_funnel_stats(read_event_stream(spark, SF_DIR))
+    assert stream.isStreaming
+    got = run_stream_to_memory(stream, "session_funnel", spark)
+    a = sorted(map(tuple, batch.collect()))
+    b = sorted(map(tuple, got.collect()))
+    assert a == b and len(a) > 0
+    depths = {d for _, _, d in a}
+    assert depths <= {0, 1, 2, 3} and len(depths) > 1
