@@ -118,6 +118,60 @@ def shingle_pairs(
     )
 
 
+# Stop-shingle guard shared by the graded q26 -> q56/q60 chain: a
+# shingle whose document frequency exceeds max(MIN_STOP_DF,
+# n_docs div STOP_DF_DENOM) is boilerplate ("click here to subscribe");
+# left in, the pair self-join is quadratic in that shingle's document
+# frequency. The cap is RELATIVE to corpus size (computed in-plan from
+# a one-row count, broadcast), so the same query is correctly guarded
+# at sf0.001 and at corpus scale without retuning.
+STOP_DF_DENOM = 4
+MIN_STOP_DF = 5
+
+
+def stop_filtered_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, h) shingle hashes with stop-shingles dropped.
+
+    Document frequency is computed per hash (one partial-combined
+    aggregation over 8-byte keys), the keep-set is equi-joined back on
+    ``h``, and the corpus count rides along as a one-row cross join
+    (no explicit hint — the plan-level no-broadcast-hint guarantee of
+    q26 stays intact, and Catalyst broadcasts a one-row aggregate on
+    its own) — nothing corpus-sized is ever broadcast, and only hashes
+    shuffle.
+    """
+    sh = hashed_shingles(docs, n).persist()
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    keep = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(n_docs)
+        .filter(
+            F.col("df")
+            <= F.greatest(
+                F.lit(MIN_STOP_DF), F.expr(f"n_docs div {STOP_DF_DENOM}")
+            )
+        )
+        .select("h")
+    )
+    return sh.join(keep, "h")
+
+
+# SQL twin of stop_filtered_shingles: sh0 = distinct (doc_id, h), keep =
+# hashes at-or-under the relative document-frequency cap.
+def _stop_filtered_sh_ctes(n: int = 3) -> str:
+    return f"""sh0 AS (
+  SELECT DISTINCT doc_id, {hash60_sql('shingle')} AS h
+  FROM (SELECT doc_id, unnest({shingles_sql('text', n)}) AS shingle FROM documents)
+), keep AS (
+  SELECT h FROM sh0 GROUP BY h
+  HAVING COUNT(*) <= greatest({MIN_STOP_DF},
+                              (SELECT COUNT(*) // {STOP_DF_DENOM} FROM documents))
+), sh AS (
+  SELECT sh0.doc_id, sh0.h FROM sh0 JOIN keep USING (h)
+)"""
+
+
 def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Keep the lowest-doc_id representative per exact content hash."""
     return (
@@ -155,13 +209,23 @@ FROM g
 # --------------------------------------------------------------------------
 # q26: n-gram Jaccard near-duplicate pairs. Jaccard is an exact integer
 # ratio → deterministic double on both engines.
-def q26_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    # One persisted shingle-hash set feeds BOTH the pair join and the
-    # per-doc sizes: the md5-per-shingle projection (the CPU hot spot)
-    # runs once instead of twice, and the self-join's two sides read
-    # the same cached partitions.
-    sh = hashed_shingles(docs, 3).persist()
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, min_shared: int = 3
+) -> DataFrame:
+    """(doc_a, doc_b, shared, jaccard) over the STOP-FILTERED shingle
+    sets: both the pair counts and the per-doc sizes come from
+    :func:`stop_filtered_shingles`, so ``jaccard`` is the exact Jaccard
+    of the non-stop shingle sets (consistent numerator/denominator).
+
+    One persisted filtered shingle-hash set feeds BOTH the pair join
+    and the per-doc sizes: the md5-per-shingle projection (the CPU hot
+    spot) runs once, and the self-join's two sides read the same cached
+    partitions. The stop-shingle guard bounds the self-join fan-out at
+    max(MIN_STOP_DF, n_docs div STOP_DF_DENOM) rows per hash — without
+    it, one boilerplate shingle makes this quadratic in its document
+    frequency.
+    """
+    sh = stop_filtered_shingles(docs, n).persist()
     a = sh.select(F.col("doc_id").alias("doc_a"), "h")
     b = sh.select(F.col("doc_id").alias("doc_b"), "h")
     pairs = (
@@ -193,16 +257,18 @@ def q26_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ),
         )
-        .filter(F.col("shared") >= 3)
+        .filter(F.col("shared") >= min_shared)
         .select("doc_a", "doc_b", "shared", "jaccard")
     )
 
 
+def q26_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, 3)
+
+
 Q26_SQL = f"""
-WITH sh AS (
-  SELECT DISTINCT doc_id, {hash60_sql('shingle')} AS h
-  FROM (SELECT doc_id, unnest({shingles_sql('text', 3)}) AS shingle FROM documents)
-), sizes AS (
+WITH {_stop_filtered_sh_ctes(3)}, sizes AS (
   SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
 ), pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
@@ -665,14 +731,11 @@ JOIN banded b ON a.band = b.band AND a.band_sig = b.band_sig
 """
 
 
-# Shared cluster CTE chain (q56, q60): q26 pair graph (jaccard >= 0.2)
-# → symmetric edges → recursive reachability → component = min
-# reachable vertex id.
+# Shared cluster CTE chain (q56, q60): q26 pair graph (jaccard >= 0.2,
+# stop-filtered shingles — same guard chain as Q26_SQL) → symmetric
+# edges → recursive reachability → component = min reachable vertex id.
 _CLUSTER_CTES = f"""
-WITH RECURSIVE sh AS (
-  SELECT DISTINCT doc_id, {hash60_sql('shingle')} AS h
-  FROM (SELECT doc_id, unnest({shingles_sql('text', 3)}) AS shingle FROM documents)
-), sizes AS (
+WITH RECURSIVE {_stop_filtered_sh_ctes(3)}, sizes AS (
   SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
 ), pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared

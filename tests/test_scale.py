@@ -90,3 +90,43 @@ def test_stop_shingle_cap_bounds_pair_blowup(spark):
     # shingles that straddle the stop phrase); only the stop shingle
     # itself is dropped
     assert capped_rows[(0, 1)] == 5
+
+
+def test_graded_jaccard_chain_survives_hot_shingle_corpus(spark):
+    """The graded q26 chain must carry the stop-shingle guard itself:
+    on a corpus where one boilerplate phrase appears in EVERY document,
+    the guarded pair set stays linear (only the genuinely-similar pair
+    survives) instead of the quadratic C(n,2) blowup — and the DuckDB
+    oracle, given the same corpus, agrees value-for-value."""
+    import duckdb
+
+    from aerovaldb_spark.operators.dedup import Q26_SQL, ngram_jaccard_pairs
+
+    boiler = "click here to subscribe now"  # 5-word tail, in every doc
+    rows = [
+        (i, f"uw{i}a uw{i}b uw{i}c uw{i}d uw{i}e uw{i}f {boiler}")
+        for i in range(40)
+    ]
+    # docs 0 and 1 share a rare 7-word body -> the one real near-dup
+    rare = "alpha beta gamma delta epsilon zeta eta"
+    rows[0] = (0, f"{rare} {boiler}")
+    rows[1] = (1, f"{rare} {boiler}")
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["shared"], r["jaccard"])
+        for r in ngram_jaccard_pairs(docs, 3).collect()
+    }
+    # guard active: the 3 boilerplate shingles (df=40 > cap=10) are
+    # dropped, so the 778 boilerplate-only pairs vanish; the rare pair
+    # keeps its 7 surviving shingles (5 body + 2 body/boiler bridges)
+    assert set(got) == {(0, 1)}
+    assert got[(0, 1)][0] == 7
+
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    oracle = {
+        (a, b): (s, j)
+        for a, b, s, j in con.execute(Q26_SQL).fetchall()
+    }
+    assert oracle == got
