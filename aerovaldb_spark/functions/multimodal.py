@@ -261,34 +261,55 @@ def _decode_stub(payload: bytes, width: int, height: int) -> tuple[float, str]:
     return int.from_bytes(h[:4], "big") / 2**32, "stub-sha256"
 
 
-def decode_images(media: DataFrame) -> DataFrame:
+def decode_images(media: DataFrame, use_real: bool = False) -> DataFrame:
     """Decode image payloads → per-image stats via mapInPandas.
 
     Arrow-batched: each Python call receives a pandas batch, payload
     bytes stay in one buffer per batch. Partition-parallel — no
     driver involvement, no shuffle.
+
+    The DEFAULT is the deterministic stub (:func:`_decode_stub`), which
+    never imports a codec library — installing Pillow cannot change or
+    crash the stub path (its output is the oracled q52 surface).
+    ``use_real=True`` opts into actual Pillow decoding (width/height/
+    mean-luma from the pixel data); the dependency is checked once,
+    driver-side, at call time so a missing codec fails fast with a
+    clear error instead of inside an executor task.
     """
+    if use_real:
+        try:  # driver-side fail-fast; workers re-import per batch
+            from PIL import Image  # noqa: F401
+        except ImportError as e:  # pragma: no cover - Pillow absent here
+            raise ImportError(
+                "decode_images(use_real=True) requires Pillow; install "
+                "it or use the default deterministic stub (use_real=False)"
+            ) from e
 
     def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
-        try:  # pragma: no cover - Pillow not present in this container
-            from PIL import Image  # noqa: F401
+        if use_real:  # pragma: no cover - exercised only with Pillow
+            import io
 
-            use_real = True
-        except ImportError:
-            use_real = False
+            import numpy as np
+            from PIL import Image
 
         for batch in batches:
             out = []
             for row in batch.itertuples(index=False):
-                w = int(row.width or 0)
-                h = int(row.height or 0)
+                payload = bytes(row.payload)
                 if use_real:  # pragma: no cover
-                    raise NotImplementedError(
-                        "real decode path requires a codec integration"
+                    img = Image.open(io.BytesIO(payload))
+                    w, h = img.size
+                    luma = float(
+                        np.asarray(img.convert("L"), dtype="float64").mean()
+                        / 255.0
                     )
-                luma, decoder = _decode_stub(bytes(row.payload), w, h)
+                    decoder = f"pillow-{(img.format or 'unknown').lower()}"
+                else:
+                    w = int(row.width or 0)
+                    h = int(row.height or 0)
+                    luma, decoder = _decode_stub(payload, w, h)
                 out.append((row.media_id, w, h, w * h, luma, decoder))
             yield pd.DataFrame(
                 out, columns=[f.name for f in DECODED_SCHEMA.fields]

@@ -126,6 +126,81 @@ def test_decode_images_stub(media):
     assert r[0]["mean_luma"] == again[0]["mean_luma"]
 
 
+def test_decode_images_stub_immune_to_pillow_presence(media, monkeypatch):
+    """Installing Pillow must never change or crash the DEFAULT stub
+    path (round-3 regression: an inverted guard raised
+    NotImplementedError whenever PIL imported). Inject a fake PIL that
+    explodes on attribute access: the stub path must not touch it."""
+    import sys
+    import types
+
+    fake = types.ModuleType("PIL")
+
+    class _Boom:
+        def __getattr__(self, name):
+            raise AssertionError("stub path must never touch PIL")
+
+    fake.Image = _Boom()
+    monkeypatch.setitem(sys.modules, "PIL", fake)
+
+    from aerovaldb_spark.functions import decode_images
+
+    rows = decode_images(media).collect()
+    assert len(rows) == 20
+    assert all(r["decoder"] == "stub-sha256" for r in rows)
+
+
+def test_decode_images_use_real_fails_fast_without_pillow(media):
+    """use_real=True checks the codec dependency driver-side at call
+    time — a missing Pillow is an immediate ImportError, not a task
+    failure deep inside an executor."""
+    import importlib.util
+
+    import pytest
+
+    from aerovaldb_spark.functions import decode_images
+
+    if importlib.util.find_spec("PIL") is not None:
+        pytest.skip("Pillow installed; covered by the real-path test")
+    with pytest.raises(ImportError, match="use_real=True"):
+        decode_images(media, use_real=True)
+
+
+def test_decode_images_real_path_with_pillow(spark):
+    """Real decode end-to-end (runs wherever Pillow is installed):
+    encode solid-color PNGs with Pillow, decode via
+    decode_images(use_real=True), and check dimensions, pixel count,
+    and mean luma against the known solid color."""
+    import io
+
+    import pytest
+
+    PIL_Image = pytest.importorskip("PIL.Image")
+
+    from aerovaldb_spark.functions import MEDIA_SCHEMA, decode_images
+
+    rows = []
+    colors = [(255, 255, 255), (0, 0, 0), (255, 0, 0), (10, 200, 60)]
+    for i, rgb in enumerate(colors):
+        w, h = 32 + 8 * i, 24 + 4 * i
+        img = PIL_Image.new("RGB", (w, h), rgb)
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        rows.append((i, "image", buf.getvalue(), w, h, None, "png"))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    out = {r["media_id"]: r for r in decode_images(media, use_real=True).collect()}
+    assert len(out) == len(colors)
+    for i, (r_, g, b) in enumerate(colors):
+        w, h = 32 + 8 * i, 24 + 4 * i
+        expect_luma = (r_ * 299 + g * 587 + b * 114) // 1000 / 255.0
+        row = out[i]
+        assert (row["width"], row["height"]) == (w, h)
+        assert row["n_pixels"] == w * h
+        assert row["decoder"] == "pillow-png"
+        assert abs(row["mean_luma"] - expect_luma) < 0.005
+
+
 def test_parse_media_headers_from_real_bytes(media):
     """Header parsing reads the PAYLOAD BYTES (PNG IHDR / WAV fmt),
     not the metadata columns — parsed values must agree with what the
