@@ -355,6 +355,170 @@ class AerovalSparkDB:
         for storage that mutates without an mtime change."""
         self._df_cache.clear()
 
+    # -- lock-free multi-writer commit ------------------------------------
+    #
+    # Optimistic concurrency for read-modify-write across processes,
+    # WITHOUT the advisory lock (the Delta-style answer SURVEY §2.7
+    # calls for; the reference only offers an off-by-default fcntl lock,
+    # lock/lock.py:79-108). Building blocks:
+    #
+    # - Data files never collide: Spark's parquet append names each
+    #   part file with a per-job UUID, so concurrent flushes to one
+    #   table are physically safe; ordering is the only problem.
+    # - A claim file per commit (``_commits/<n>.json``) created with
+    #   O_CREAT|O_EXCL — the filesystem's atomic uniqueness primitive —
+    #   gives commits a total order. (On an object store this maps to a
+    #   conditional PUT.) A claim starts EMPTY ("pending") and is
+    #   resolved by atomically publishing JSON content via temp-file +
+    #   os.replace: {"status": "committed"|"aborted", "max_seq": N}.
+    # - A writer that wins claim n commits iff no claim in
+    #   (snapshot, n) committed; otherwise it marks its claim aborted
+    #   (numbers burn, nothing else) and retries the whole
+    #   read-modify-write against fresh state. Committed claims chain
+    #   ``max_seq`` so every commit's rows get seq strictly above every
+    #   earlier commit — two writers can never collide on seq, which
+    #   plain wall-clock ``time_ns`` seqs cannot guarantee.
+    #
+    # Invariants: claim content is published only AFTER the parquet
+    # append completes, so observing "committed" implies the data is on
+    # disk; a writer resolves its claim only after all lower claims are
+    # resolved, so everything below the latest committed claim is
+    # resolved. A crash between data write and resolution leaves a
+    # pending claim that others presume aborted after a timeout — the
+    # orphaned data stays visible (append-only semantics), only the
+    # conflict bookkeeping burns.
+
+    _CLAIM_RESOLVE_TIMEOUT = 120.0  # s: pending claim presumed crashed
+
+    def _commits_dir(self) -> str:
+        return os.path.join(self.root, "_commits")
+
+    def _claim_path(self, n: int) -> str:
+        return os.path.join(self._commits_dir(), f"{n:020d}.json")
+
+    def _scan_claim_numbers(self) -> list[int]:
+        try:
+            names = os.listdir(self._commits_dir())
+        except OSError:
+            return []
+        out = []
+        for name in names:
+            if name.endswith(".json"):
+                try:
+                    out.append(int(name[:-5]))
+                except ValueError:
+                    pass
+        return sorted(out)
+
+    def _read_claim(self, n: int) -> dict | None:
+        """Claim metadata, or None while the claim is pending."""
+        try:
+            with open(self._claim_path(n), encoding="utf-8") as f:
+                raw = f.read()
+        except OSError:
+            return None
+        if not raw.strip():
+            return None
+        try:
+            return json_loads(raw)
+        except ValueError:
+            return None
+
+    def _wait_resolved(self, n: int) -> dict:
+        deadline = time.monotonic() + self._CLAIM_RESOLVE_TIMEOUT
+        while True:
+            meta = self._read_claim(n)
+            if meta is not None:
+                return meta
+            if time.monotonic() > deadline:
+                return {"status": "aborted", "presumed_crashed": True}
+            time.sleep(0.005)
+
+    def _latest_committed(self) -> tuple[int, dict]:
+        """(claim number, metadata) of the newest committed claim
+        (0, {}) when none. Pending claims above it are NOT waited for —
+        if one commits later, the conflict check catches it."""
+        for n in reversed(self._scan_claim_numbers()):
+            meta = self._read_claim(n)
+            if meta and meta.get("status") == "committed":
+                return n, meta
+        return 0, {}
+
+    def _claim_next(self) -> int:
+        os.makedirs(self._commits_dir(), exist_ok=True)
+        nums = self._scan_claim_numbers()
+        n = nums[-1] if nums else 0
+        while True:
+            n += 1
+            try:
+                fd = os.open(
+                    self._claim_path(n), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                )
+                os.close(fd)
+                return n
+            except FileExistsError:
+                continue
+
+    def _resolve_claim(self, n: int, meta: dict) -> None:
+        tmp = os.path.join(self._commits_dir(), f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(json_dumps_wrapper(meta))
+        os.replace(tmp, self._claim_path(n))
+
+    def _restamp_mem_seqs(self, base: int) -> int:
+        """Re-stamp memtable seqs as base..base+k (original relative
+        order preserved); returns the highest seq assigned."""
+        rows = [r for t in self._mem.values() for r in t.values()]
+        rows.sort(key=lambda r: r["seq"])
+        for rank, row in enumerate(rows):
+            row["seq"] = base + rank
+        return base + len(rows) - 1 if rows else base
+
+    def transact(self, fn, max_retries: int = 100) -> None:
+        """Run ``fn(self)`` — reads + puts, NO flush inside — and commit
+        its writes atomically iff no other process committed since the
+        reads began; on conflict, discard and re-run ``fn`` against
+        fresh state. Lock-free: safety comes from the claim-file
+        protocol above, not from ``AVDB_USE_LOCKING``. This is the
+        multi-process read-modify-write shape the reference can only do
+        under its advisory lock (tests/lock/test_lock.py:38-66):
+
+            def bump(db):
+                n = db.get_config("p", "e", default={"counter": 0})
+                db.put_config({"counter": n["counter"] + 1}, "p", "e")
+            db.transact(bump)
+        """
+        import random
+
+        if any(self._mem.values()):
+            self.flush()  # pre-existing buffered puts are not fn's
+
+        delay = 0.005
+        for _ in range(max_retries):
+            self.refresh()
+            snap, snap_meta = self._latest_committed()
+            fn(self)
+            n = self._claim_next()
+            conflict = any(
+                self._wait_resolved(k).get("status") == "committed"
+                for k in range(snap + 1, n)
+            )
+            if conflict:
+                self._resolve_claim(n, {"status": "aborted"})
+                self._mem.clear()
+                time.sleep(random.uniform(0.0, delay))
+                delay = min(delay * 2, 0.25)
+                continue
+            base = max(time.time_ns(), int(snap_meta.get("max_seq", 0)) + 1)
+            max_seq = self._restamp_mem_seqs(base)
+            self._flush_unlocked()
+            self._resolve_claim(n, {"status": "committed", "max_seq": max_seq})
+            return
+        raise RuntimeError(
+            f"transact: gave up after {max_retries} optimistic-commit "
+            "conflicts"
+        )
+
     def lock(self):
         """The database's advisory lock, for caller-managed critical
         sections (read-modify-write across processes — the reference's

@@ -744,3 +744,47 @@ def test_copy_cli_main(spark, tmp_path, monkeypatch):
     main()
     dst = AerovalSparkDB(spark, str(tmp_path / "dst"))
     assert dst.get_config("p", "e") == {"v": 1}
+
+
+def test_transact_sequential_and_conflict_retry(spark, tmp_path):
+    """Optimistic commit (lock-free): sequential transacts both land;
+    a commit landing between a transact's read and its commit forces
+    an abort + re-run of the read-modify-write, so no update is lost."""
+    from aerovaldb_spark.db import AerovalSparkDB
+
+    root = str(tmp_path / "db")
+    db1 = AerovalSparkDB(spark, root)
+    db2 = AerovalSparkDB(spark, root)
+
+    def bump(db):
+        cur = db.get_config("p", "e", default={"counter": 0})["counter"]
+        db.put_config({"counter": cur + 1}, "p", "e")
+
+    db1.transact(bump)
+    db2.transact(bump)
+    db1.refresh()
+    assert db1.get_config("p", "e")["counter"] == 2
+
+    # interference: db2 commits during db1's first attempt -> db1 must
+    # detect the conflict, discard, and re-run bump on fresh state
+    attempts = {"n": 0}
+
+    def bump_with_interference(db):
+        attempts["n"] += 1
+        if attempts["n"] == 1:
+            db2.refresh()
+            db2.transact(bump)
+        bump(db)
+
+    db1.transact(bump_with_interference)
+    assert attempts["n"] == 2  # first attempt aborted on conflict
+    db1.refresh()
+    assert db1.get_config("p", "e")["counter"] == 4
+
+    # claim ledger: every claim resolved, exactly one aborted (the
+    # conflicted first attempt), committed seq chain strictly increases
+    metas = [db1._read_claim(n) for n in db1._scan_claim_numbers()]
+    assert all(m is not None for m in metas)
+    assert sum(m["status"] == "aborted" for m in metas) == 1
+    seqs = [m["max_seq"] for m in metas if m["status"] == "committed"]
+    assert seqs == sorted(seqs) and len(set(seqs)) == len(seqs)
