@@ -6,7 +6,7 @@
 
 from __future__ import annotations
 
-from . import advanced, dedup, events, relational, similarity, text  # noqa: E501
+from . import advanced, dedup, events, relational, similarity, store_query, text  # noqa: E501
 from ..functions import multimodal
 
 _MERGED_QUERIES = {
@@ -17,45 +17,50 @@ _MERGED_QUERIES = {
     **similarity.QUERIES,
     **advanced.QUERIES,
     **multimodal.QUERIES,
+    **store_query.QUERIES,
 }
 
 # The external correctness gate records rows for the FIRST 50 entries
-# of ``queries()`` only (62 declared > 50-entry cap), so entry ORDER
+# of ``queries()`` only (75 declared > 50-entry cap), so entry ORDER
 # decides which queries get a driver-recorded check each round. Policy:
-# entries never yet driver-verified come first; the tail past position
-# 50 holds only entries with a prior-round green record, rotated every
-# round so each query is re-verified periodically.
-# Round-3 tail (all green in BOTH CORRECTNESS_r01 and r02): q01-q06
-# q10 q13 q15 q16 q17 q18 q21 q22 q23 q24. The round-2 tail (q07 q08
-# q09 q11 q12 q14 q20 q30 q34 q38 q55) rotates back into the window,
-# as do the r02-broken-now-fixed q19/q41 and the new q62-q66. Every
-# entry keeps a pytest-side oracle check regardless of position
-# (tests/test_parity_sample.py runs the same gate at sf0.001).
+# entries never yet driver-verified, green-only-once, or just-changed
+# come first; the tail past position 50 holds only entries with ≥2
+# driver-recorded greens, rotated every round so each query is
+# re-verified periodically. Every entry keeps a pytest-side oracle
+# check regardless of position (tests/test_parity_sample.py runs the
+# same gate at sf0.001).
+# Round-4 window therefore holds: q75 (new), q26/q56/q60 (stop-shingle
+# guard landed this round), all 19 once-green entries (q19 q21 q25 q27
+# q28 q32 q62-q74), the 18 twice-green entries deferred in r3
+# (q01-q06 q10 q13 q15-q18 q22-q24 q29 q33 q35), and 9 rotated back
+# from r3's window (q51-q55 q57-q59 q61). Round-4 tail: 25 entries,
+# every one green in ≥2 driver rounds INCLUDING r3.
 _DEFER_ROUND = [
-    "q35_sliding_window",
-    "q33_percentiles",
-    "q26_ngram_jaccard_pairs",
-    "q29_cosine_topk",
-    "q32_pivot_status",
-    "q25_dedup_exact",
-    "q27_minhash_signatures",
-    "q28_simhash",
-    "q24_fingerprints",
-    "q23_lang_id",
-    "q22_quality_scores",
-    "q21_token_stats",
-    "q01_pricing_summary",
-    "q02_top_revenue_orders",
-    "q03_revenue_by_nation",
-    "q04_selective_filter_agg",
-    "q05_order_priority_semijoin",
-    "q06_customers_without_orders",
-    "q10_rollup_agg",
-    "q13_monthly_event_stats",
-    "q15_json_extract_agg",
-    "q16_point_read",
-    "q17_top_customers",
-    "q18_asof_purchase_click",
+    "q07_window_topk_per_customer",
+    "q08_running_total",
+    "q09_distinct_counts",
+    "q11_set_except",
+    "q12_case_buckets",
+    "q14_part_type_stats",
+    "q20_tumbling_window",
+    "q30_embedding_norms",
+    "q31_session_window",
+    "q34_above_nation_avg",
+    "q36_srp_buckets",
+    "q37_rank_parts",
+    "q38_activity_union",
+    "q39_clean_corpus_report",
+    "q40_lsh_candidates",
+    "q41_range_join",
+    "q42_grouping_sets",
+    "q43_order_gaps",
+    "q44_order_arrays",
+    "q45_regexp_extract",
+    "q46_srp_near_dup",
+    "q47_set_intersect",
+    "q48_date_parts",
+    "q49_cube",
+    "q50_cosine_near_dup",
 ]
 
 ALL_QUERIES = {
@@ -71,6 +76,7 @@ ALL_ORACLE = {
     **similarity.ORACLE,
     **advanced.ORACLE,
     **multimodal.ORACLE,
+    **store_query.ORACLE,
 }
 
 __all__ = [
