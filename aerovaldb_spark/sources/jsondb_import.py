@@ -350,60 +350,103 @@ def import_jsondb_tree_distributed(
     db: AerovalSparkDB, basedir: str, version_override: str | None = None
 ) -> ImportReport:
     """Cluster-scale import: read the whole tree with Spark's binaryFile
-    source (executors do the IO), resolve paths on the driver (pure
-    metadata — file *contents* never touch the driver), and append each
-    route's rows as one partitioned write.
+    source (executors do the IO) and resolve paths EXECUTOR-side with an
+    Arrow-batched pandas UDF — neither file contents nor the path list
+    ever materialize on the driver, so driver memory stays O(routes),
+    not O(files).
 
     This is the shape that survives a 100 TB tree: the per-file loop of
     :func:`import_jsondb_tree` is O(N) driver round-trips; here the
-    driver handles only the path list.
+    driver handles only per-route aggregates (≤24 rows) and the skipped
+    sample. Version detection reads each experiment's config asset from
+    ``basedir`` on the executor (cached per experiment) — the tree being
+    imported must be executor-visible, which any importable tree already
+    is (it is the data source).
     """
-    from pyspark.sql import Row, functions as F
+    from pyspark.sql import functions as F
+
+    from ..routes import storage_keys
 
     report = ImportReport()
     files = db.spark.read.format("binaryFile").option(
         "recursiveFileLookup", "true"
     ).load(basedir)
-    paths = [r.path for r in files.select("path").collect()]
     prefix = "file:" + os.path.abspath(basedir).rstrip("/") + "/"
 
-    resolved_rows: dict[Route, list[tuple[str, dict]]] = {}
-    for full in paths:
-        rel = full.removeprefix(prefix)
-        version = version_override or _experiment_version(basedir, rel)
-        resolved = resolve_path(rel, version)
-        if resolved is None:
-            report.skipped.append(rel)
-            continue
-        route, args = resolved
-        resolved_rows.setdefault(route, []).append((full, args))
-        report.imported += 1
-        report.by_route[route.name] = report.by_route.get(route.name, 0) + 1
+    def _resolve_batches(batches):
+        import pandas as pd
 
-    from ..routes import storage_keys
+        version_cache: dict[str, str | None] = {}
+        for pdf in batches:
+            paths, rels, routes, argss = [], [], [], []
+            for full in pdf["path"]:
+                rel = full.removeprefix(prefix)
+                if version_override is not None:
+                    version = version_override
+                else:
+                    # one cfg read per experiment prefix, not per file
+                    exp_key = "/".join(rel.split("/")[:2])
+                    if exp_key not in version_cache:
+                        version_cache[exp_key] = _experiment_version(
+                            basedir, rel
+                        )
+                    version = version_cache[exp_key]
+                resolved = resolve_path(rel, version)
+                paths.append(full)
+                rels.append(rel)
+                routes.append(resolved[0].name if resolved else None)
+                argss.append(resolved[1] if resolved else None)
+            yield pd.DataFrame(
+                {"path": paths, "rel": rels, "route": routes, "args": argss}
+            )
 
-    for route, items in resolved_rows.items():
-        # Different layout versions of one route may bind different key
-        # sets (e.g. legacy MAP has no `time`) — normalize to the
-        # route's full storage-key schema.
-        keys = storage_keys(db._storage_route(route))
-        mapping = db.spark.createDataFrame(
-            [
-                Row(path=p, **{f"k_{k}": args.get(k) for k in keys})
-                for p, args in items
-            ]
-        )
-        joined = files.join(F.broadcast(mapping), "path")
-        is_binary = route in (Route.REPORT_IMAGE, Route.MAP_OVERLAY)
-        payload = (
-            F.col("content") if is_binary else F.col("content").cast("string")
-        )
-        out = joined.select(
-            *[F.col(f"k_{k}").alias(k) for k in keys],
-            payload.alias("payload"),
-            F.col("modificationTime").alias("write_ts"),
-        )
-        db.bulk_import(route, out)
+    # Resolution needs only the listing columns; binaryFile prunes
+    # `content` out of this scan, so the tree is not read twice.
+    resolved = files.select("path").mapInPandas(
+        _resolve_batches,
+        schema="path string, rel string, route string, args map<string,string>",
+    ).persist()
+    try:
+        report.skipped = [
+            row["rel"]
+            for row in resolved.filter(F.col("route").isNull())
+            .select("rel")
+            .collect()
+        ]
+        counts = {
+            row["route"]: row["n"]
+            for row in resolved.filter(F.col("route").isNotNull())
+            .groupBy("route")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        report.by_route = dict(counts)
+        report.imported = sum(counts.values())
+
+        for route_name in sorted(counts):
+            route = Route[route_name]
+            # Different layout versions of one route may bind different
+            # key sets (e.g. legacy MAP has no `time`) — normalize to
+            # the route's full storage-key schema.
+            keys = storage_keys(db._storage_route(route))
+            mapping = resolved.filter(F.col("route") == route_name).select(
+                "path", *[F.col("args")[k].alias(f"k_{k}") for k in keys]
+            )
+            # No broadcast hint: mapping is listing-sized and grows with
+            # the tree; AQE broadcasts at runtime when it fits.
+            joined = files.join(mapping, "path")
+            is_binary = route in (Route.REPORT_IMAGE, Route.MAP_OVERLAY)
+            payload = (
+                F.col("content") if is_binary else F.col("content").cast("string")
+            )
+            out = joined.select(
+                *[F.col(f"k_{k}").alias(k) for k in keys],
+                payload.alias("payload"),
+                F.col("modificationTime").alias("write_ts"),
+            )
+            db.bulk_import(route, out)
+    finally:
+        resolved.unpersist()
     return report
 
 
@@ -441,16 +484,33 @@ def sync_jsondb_tree(
     whose backing file disappeared. Returns the new state; with
     ``prev_state=None`` this is a full import.
 
+    State entries are ``(mtime_ns, size)`` for skipped/unresolvable
+    files and ``(mtime_ns, size, route_name, args)`` for imported ones:
+    recording the resolved (route, args) per rel means a later deletion
+    tombstones EXACTLY the asset that was imported, even when the
+    experiment's config file vanished alongside it (version detection
+    would then resolve the rel differently and the tombstone would miss
+    the live asset). Old two-element states load fine — their files
+    re-import once (idempotent) and are re-recorded with resolutions.
+
     ``version_override`` pins the layout version for EVERY file instead
     of per-experiment config detection — the escape hatch for trees
     whose configs are missing or lie (reference ``version=`` kwarg on
     StringMapper.lookup, utils/string_mapper/mapper.py:27-102)."""
     cur = tree_state(basedir)
     prev = prev_state or {}
-    if prev == cur:
-        return cur
-    changed = [rel for rel, sig in cur.items() if prev.get(rel) != sig]
+
+    def _sig(entry: tuple | None) -> tuple | None:
+        return tuple(entry[:2]) if entry else None
+
+    if {k: _sig(v) for k, v in prev.items()} == cur:
+        return prev  # unchanged: keep the recorded resolutions
+    changed = [rel for rel, sig in cur.items() if _sig(prev.get(rel)) != sig]
     removed = [rel for rel in prev if rel not in cur]
+    out: dict[str, tuple] = {
+        rel: (prev[rel] if _sig(prev.get(rel)) == sig else sig)
+        for rel, sig in cur.items()
+    }
     dirty = False
     for rel in sorted(changed):
         version = version_override or _experiment_version(basedir, rel)
@@ -468,17 +528,26 @@ def sync_jsondb_tree(
                     db.put(fh.read(), route, args)
         except Exception:  # noqa: BLE001 — unparseable file: skip, like import
             continue
+        out[rel] = (*cur[rel], route.name, dict(args))
         dirty = True
     for rel in sorted(removed):
-        resolved = resolve_path(rel, _experiment_version(basedir, rel))
-        if resolved is None:
-            continue
-        route, args = resolved
+        entry = prev.get(rel)
+        if entry is not None and len(entry) >= 4:
+            route, args = Route[entry[2]], dict(entry[3])
+        else:
+            # legacy two-element state: re-resolve, honoring the same
+            # version pin the import used
+            resolved = resolve_path(
+                rel, version_override or _experiment_version(basedir, rel)
+            )
+            if resolved is None:
+                continue
+            route, args = resolved
         db._put_row(route, dict(args), None, tombstone=True)
         dirty = True
     if dirty:
         db.flush()
-    return cur
+    return out
 
 
 def import_jsondb_tree(

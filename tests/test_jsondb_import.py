@@ -271,3 +271,38 @@ def test_legacy_compound_names_survive_export_roundtrip(spark, tmp_path):
         "proj", "exp", "Amsterdam_Island", "AERONET-Sun", "od550aer", "Column"
     ) == {"data": 1}
     assert sorted(db1.list_all()) == sorted(db2.list_all())
+
+
+def test_sync_tombstones_exact_imported_asset_when_cfg_vanishes(spark, tmp_path):
+    """Deleting an asset together with its experiment config must
+    tombstone the asset AS IMPORTED: the legacy-versioned timeseries
+    file resolves to different args once the cfg (and so the version)
+    is gone, and before resolutions were recorded in the sync state the
+    tombstone targeted those other args, leaving the real asset live."""
+    import json
+
+    from aerovaldb_spark.db import AerovalSparkDB
+    from aerovaldb_spark.sources.jsondb_import import sync_jsondb_tree
+
+    tree = tmp_path / "tree"
+    (tree / "p" / "e" / "ts").mkdir(parents=True)
+    (tree / "p" / "e" / "cfg_p_e.json").write_text(
+        json.dumps({"exp_info": {"pyaerocom_version": "0.12.0"}})
+    )
+    ts = tree / "p" / "e" / "ts" / "A_B-C_D-E_F.json"
+    ts.write_text('{"x": 1}')
+
+    db = AerovalSparkDB(spark, str(tmp_path / "db"))
+    state = sync_jsondb_tree(db, str(tree), None)
+    # legacy (0.12.0) template binds these args; the version-less parse
+    # of the same filename would bind (A, B-C, D-E, F) instead
+    assert db.get_timeseries("p", "e", "A", "B", "C", "D-E_F") == {"x": 1}
+    # imported entries record their resolution in the state
+    entry = state["p/e/ts/A_B-C_D-E_F.json"]
+    assert entry[2] == "TIMESERIES" and entry[3]["network"] == "B"
+
+    ts.unlink()
+    (tree / "p" / "e" / "cfg_p_e.json").unlink()
+    state = sync_jsondb_tree(db, str(tree), state)
+    with pytest.raises(FileNotFoundError):
+        db.get_timeseries("p", "e", "A", "B", "C", "D-E_F")
