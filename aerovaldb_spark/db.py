@@ -35,7 +35,7 @@ import os
 import shutil
 import time
 import uuid
-from datetime import datetime, timezone
+from datetime import datetime, timedelta, timezone
 from typing import Any
 
 from pyspark.sql import DataFrame, Row, SparkSession
@@ -563,7 +563,16 @@ class AerovalSparkDB:
             data = payload.encode("utf-8")
             ext = ".json"
         mtime = row["mtime"]
-        mtime_ns = int(mtime.timestamp() * 1e9) if mtime is not None else 0
+        # Exact calendar-based epoch nanos: float .timestamp() loses
+        # ~hundreds of ns at current epochs, which would silently break
+        # any future comparison against an exact microsecond mtime.
+        if mtime is not None:
+            mtime_ns = (
+                (mtime.replace(tzinfo=None) - datetime(1970, 1, 1))
+                // timedelta(microseconds=1)
+            ) * 1000
+        else:
+            mtime_ns = 0
         cache_dir = os.path.join(self.root, "_filecache")
         os.makedirs(cache_dir, exist_ok=True)
         path = os.path.join(

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
+from ._scope import scoped_persist
 
 # Deterministic affine hash family over a Mersenne prime; coefficients
 # fixed so Spark and the SQL oracle agree bit-for-bit.
@@ -99,7 +100,7 @@ def shingle_pairs(
     ``max_doc_freq`` drops stop-shingles before the self-join — the
     skew guard that keeps this from going quadratic at scale.
     """
-    sh = hashed_shingles(docs, n).persist()
+    sh = scoped_persist(hashed_shingles(docs, n))
     if max_doc_freq is not None:
         rare = (
             sh.groupBy("h")
@@ -140,7 +141,7 @@ def stop_filtered_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     its own) — nothing corpus-sized is ever broadcast, and only hashes
     shuffle.
     """
-    sh = hashed_shingles(docs, n).persist()
+    sh = scoped_persist(hashed_shingles(docs, n))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     keep = (
         sh.groupBy("h")
@@ -225,7 +226,7 @@ def ngram_jaccard_pairs(
     it, one boilerplate shingle makes this quadratic in its document
     frequency.
     """
-    sh = stop_filtered_shingles(docs, n).persist()
+    sh = scoped_persist(stop_filtered_shingles(docs, n))
     a = sh.select(F.col("doc_id").alias("doc_a"), "h")
     b = sh.select(F.col("doc_id").alias("doc_b"), "h")
     pairs = (
@@ -493,23 +494,30 @@ def connected_components(
     if given, else the cluster's default parallelism — and restores
     the caller's setting afterwards; every iteration's state is
     localCheckpointed inside that window, so nothing re-executes under
-    the restored conf. At 100 TB pass an explicit width sized to the
-    vertex count."""
+    the restored conf. The pin applies ``shuffle_partitions`` if given;
+    otherwise it replaces only the untouched 200 default with
+    defaultParallelism and leaves any deliberately-set session width
+    (narrow or wide) alone. At 100 TB pass an explicit width sized to
+    the vertex count."""
     spark = edges.sparkSession
-    # Respect an already-tuned session: a caller that sized
-    # spark.sql.shuffle.partitions to its data (bench, a configured
-    # cluster) should not be widened back out to defaultParallelism —
-    # the pin exists to protect against the VANILLA 200-partition
-    # default multiplying across iterations, so take the smaller of
-    # the two unless an explicit width is given.
+    # Respect an already-tuned session: the pin exists ONLY to protect
+    # against the VANILLA 200-partition default multiplying across
+    # iterations. A session whose shuffle width was deliberately SET —
+    # narrower for bench, or WIDER than defaultParallelism for a large
+    # cluster shuffle — keeps its value; clamping to defaultParallelism
+    # unconditionally would silently narrow a tuned-wide cluster
+    # session (the opposite of respecting it).
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         session_width = int(prev)
     except (TypeError, ValueError):
         session_width = spark.sparkContext.defaultParallelism
-    width = shuffle_partitions or min(
-        session_width, spark.sparkContext.defaultParallelism
-    )
+    if shuffle_partitions:
+        width = shuffle_partitions
+    elif session_width == 200:  # the untouched Spark default
+        width = spark.sparkContext.defaultParallelism
+    else:
+        width = session_width
     spark.conf.set("spark.sql.shuffle.partitions", str(width))
     try:
         sym = edges.select(
@@ -644,7 +652,7 @@ def verified_jaccard_pairs(
     |shingles|² / bucket. Output matches q26's columns/filters, so the
     same thresholds compose.
     """
-    sh = hashed_shingles(docs, n).persist()
+    sh = scoped_persist(hashed_shingles(docs, n))
     shared = (
         candidates.select("doc_a", "doc_b")
         .join(sh.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a")

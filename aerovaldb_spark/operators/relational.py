@@ -28,6 +28,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ._scope import scoped_persist
 
 MONEY = "decimal(18,2)"
 
@@ -438,9 +439,9 @@ def q68_top_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = li.join(F.broadcast(suppliers_n1), li.l_suppkey == F.col("s_suppkey"))
     # persisted: the per-part aggregate feeds BOTH the output and the
     # global total — without it the fact-table join runs twice
-    per_part = base.groupBy("l_partkey").agg(
+    per_part = scoped_persist(base.groupBy("l_partkey").agg(
         F.sum(_revenue()).alias("_val")
-    ).persist()
+    ))
     total = per_part.agg(F.sum("_val").alias("_total"))
     return (
         per_part.crossJoin(F.broadcast(total))
@@ -508,10 +509,16 @@ WHERE l_shipdate >= '1997-03-01' AND l_shipdate < '1997-04-01'
 # --------------------------------------------------------------------------
 # q70: NOT EXISTS + global-scalar threshold (TPC-H Q22 shape) —
 # wealthy-but-inactive customers per market segment: above the average
-# positive balance AND with no orders. The scalar threshold is an
-# exact DECIMAL sum / count broadcast as one row; the NOT EXISTS is a
-# left-anti join (no correlated per-row subquery — at scale that would
-# be a nested loop).
+# positive balance AND no orders since 2000-01-01 (every customer in
+# this corpus has SOME order, so plain "no orders" is vacuously empty —
+# the date predicate both makes the result non-trivial and pushes down
+# to the orders scan, shrinking the anti-join's build side). The scalar
+# threshold is an exact DECIMAL sum / count broadcast as one row; the
+# NOT EXISTS is a left-anti join (no correlated per-row subquery — at
+# scale that would be a nested loop).
+Q70_CUTOFF = "2000-01-01"
+
+
 def q70_inactive_wealthy(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
@@ -519,10 +526,11 @@ def q70_inactive_wealthy(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold = customer.filter(F.col("c_acctbal") > 0).agg(
         (F.sum(bal).cast("double") / F.count(F.lit(1))).alias("_thr")
     )
+    recent = orders.filter(F.col("o_orderdate") >= Q70_CUTOFF)
     return (
         customer.crossJoin(F.broadcast(threshold))
         .filter(bal.cast("double") > F.col("_thr"))
-        .join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .join(recent, customer.c_custkey == recent.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
@@ -531,14 +539,16 @@ def q70_inactive_wealthy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q70_SQL = """
+Q70_SQL = f"""
 SELECT c_mktsegment, COUNT(*) AS n_customers,
   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
 FROM customer c
 WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) >
       (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
        FROM customer WHERE c_acctbal > 0)
-  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= '{Q70_CUTOFF}')
 GROUP BY c_mktsegment
 """
 

@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ._scope import scoped_persist
 
 STOPWORDS = {
     "en": ("the", "a", "of", "and"),
@@ -613,9 +614,9 @@ def q63_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One persisted bigram-hash set feeds BOTH the df aggregation and
     # the join (same shape as q26's shared shingle set): the
     # md5-per-bigram projection runs once, not twice.
-    bg = docs.select(
+    bg = scoped_persist(docs.select(
         "doc_id", F.explode(shingles_col("text", 2)).alias("b")
-    ).select("doc_id", hash60(F.col("b")).alias("h")).persist()
+    ).select("doc_id", hash60(F.col("b")).alias("h")))
     dfc = bg.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     return (
         bg.join(dfc, "h")
@@ -679,9 +680,9 @@ def q74_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import hash60
 
     docs = load_table(spark, sf_dir, "documents")
-    occ = docs.select(
+    occ = scoped_persist(docs.select(
         "source", F.explode(passages_col()).alias("p")
-    ).select("source", hash60(F.col("p")).alias("h")).persist()
+    ).select("source", hash60(F.col("p")).alias("h")))
     dfc = occ.groupBy("h").agg(F.count(F.lit(1)).alias("n_occ"))
     return (
         occ.join(dfc, "h")

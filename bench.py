@@ -40,8 +40,15 @@ ERRORS: dict[str, str] = {}
 
 
 def _run(fn, spark, sf_dir) -> float:
+    from aerovaldb_spark.operators._scope import release_scoped_persists
+
     t0 = time.time()
-    fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    try:
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    finally:
+        # drop per-query persisted intermediates so repeated trials
+        # don't accumulate cache entries (base-table cache untouched)
+        release_scoped_persists()
     return time.time() - t0
 
 

@@ -259,3 +259,62 @@ def test_legacy_name_disambiguation_roundtrip_property():
         assert args["layer"] == layer
 
     check()
+
+
+def test_q70_result_nonvacuous(spark):
+    """Round-3 advice: q70's driver green was 0 rows on both engines
+    (vacuous). With the recent-orders cutoff the graded result must be
+    non-empty, and the intermediates must carry real cardinality."""
+    from pyspark.sql import functions as F
+
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators.relational import (
+        Q70_CUTOFF,
+        q70_inactive_wealthy,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    rows = q70_inactive_wealthy(spark, SF).collect()
+    assert sum(r["n_customers"] for r in rows) > 0
+
+    customer = load_table(spark, SF, "customer")
+    orders = load_table(spark, SF, "orders")
+    thr = customer.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum("c_acctbal") / F.count(F.lit(1))).alias("t")
+    ).collect()[0]["t"]
+    assert thr > 0
+    above = customer.filter(F.col("c_acctbal") > thr)
+    assert above.count() > 0  # pre-anti-join side is non-empty
+    # the cutoff actually bites: some orders fall on each side of it
+    n_recent = orders.filter(F.col("o_orderdate") >= Q70_CUTOFF).count()
+    assert 0 < n_recent < orders.count()
+
+
+def test_q71_first_month_retention_equals_cohort_size(spark):
+    """Round-3 advice: q71's driver green matched on a single row. The
+    non-vacuous invariant: every user is active in their own first
+    month, so the (cohort_month == active_month) diagonal must equal
+    the cohort sizes computed independently — and cohorts must contain
+    a meaningful number of users."""
+    from pyspark.sql import functions as F
+
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators.events import q71_cohort_retention
+
+    SF = "/root/testdata/sf0.01"
+    ev = load_table(spark, SF, "events")
+    cohort_sizes = {
+        r["m"]: r["n"]
+        for r in ev.groupBy("user_id")
+        .agg(F.date_format(F.date_trunc("month", F.min("ts")), "yyyy-MM").alias("m"))
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert sum(cohort_sizes.values()) > 100  # real user population
+    diag = {
+        r["cohort_month"]: r["n_users"]
+        for r in q71_cohort_retention(spark, SF).collect()
+        if r["cohort_month"] == r["active_month"]
+    }
+    assert diag == cohort_sizes

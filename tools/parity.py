@@ -182,6 +182,9 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             problems = [f"EXCEPTION: {type(e).__name__}: {str(e)[:300]}"]
         dt = time.time() - t0
+        from aerovaldb_spark.operators._scope import release_scoped_persists
+
+        release_scoped_persists()
         if problems:
             failures[name] = problems
             print(f"  {name}: FAIL ({dt:.1f}s)")
