@@ -5,12 +5,13 @@ an opaque ``payload BINARY`` column with typed metadata columns, and
 every transform is an Arrow-batched Pandas UDF over ``mapInPandas`` —
 the payload bytes never round-trip through row-at-a-time Python.
 
-The actual codec step is STUBBED (this container has no image/audio
-libraries): ``decode_images`` tries Pillow and otherwise produces a
-deterministic fake decode derived from the payload hash. Everything
-around the stub — schema, batch iteration, partitioning, output
-shapes — is real and tested, so swapping in a real codec is a
-one-function change.
+The DEFAULT codec is a deterministic stub (cross-engine oracled);
+real decoding is opt-in per call: ``decode_images(decoder=
+"builtin-png")`` runs the dependency-free pure-Python PNG codec
+(:mod:`.png_codec`, stdlib zlib — real pixels, CRC-verified), and
+``decoder="pillow"`` uses Pillow for arbitrary formats where it is
+installed. Everything around the codec — schema, batch iteration,
+partitioning, output shapes — is identical across backends.
 
 The reference's only multimodal surface is the image-blob routes
 (REPORT_IMAGE / MAP_OVERLAY, aerovaldb.py:1322-1398) with extension
@@ -261,22 +262,37 @@ def _decode_stub(payload: bytes, width: int, height: int) -> tuple[float, str]:
     return int.from_bytes(h[:4], "big") / 2**32, "stub-sha256"
 
 
-def decode_images(media: DataFrame, use_real: bool = False) -> DataFrame:
+def decode_images(
+    media: DataFrame, use_real: bool = False, decoder: str = "stub"
+) -> DataFrame:
     """Decode image payloads → per-image stats via mapInPandas.
 
     Arrow-batched: each Python call receives a pandas batch, payload
     bytes stay in one buffer per batch. Partition-parallel — no
     driver involvement, no shuffle.
 
-    The DEFAULT is the deterministic stub (:func:`_decode_stub`), which
-    never imports a codec library — installing Pillow cannot change or
-    crash the stub path (its output is the oracled q52 surface).
-    ``use_real=True`` opts into actual Pillow decoding (width/height/
-    mean-luma from the pixel data); the dependency is checked once,
-    driver-side, at call time so a missing codec fails fast with a
-    clear error instead of inside an executor task.
+    ``decoder`` selects the codec backend:
+
+    - ``"stub"`` (DEFAULT): the deterministic fake
+      (:func:`_decode_stub`), which never imports a codec library —
+      installing Pillow cannot change or crash the stub path (its
+      output is the oracled q52 surface).
+    - ``"builtin-png"``: REAL pixel decode via the pure-Python PNG
+      codec (:mod:`.png_codec` — stdlib zlib, no dependencies; 8-bit
+      grey/RGB/RGBA, CRC-verified). width/height/mean-luma come from
+      the actual pixel data. A payload the codec rejects yields a row
+      with null stats and ``decoder='error:<reason>'`` so a 100 TB run
+      quarantines bad rows instead of failing the job.
+    - ``"pillow"`` (or legacy ``use_real=True``): Pillow decoding, any
+      format Pillow supports. The dependency is checked once,
+      driver-side, at call time so a missing codec fails fast with a
+      clear error instead of inside an executor task.
     """
     if use_real:
+        decoder = "pillow"
+    if decoder not in ("stub", "builtin-png", "pillow"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+    if decoder == "pillow":
         try:  # driver-side fail-fast; workers re-import per batch
             from PIL import Image  # noqa: F401
         except ImportError as e:  # pragma: no cover - Pillow absent here
@@ -288,29 +304,41 @@ def decode_images(media: DataFrame, use_real: bool = False) -> DataFrame:
     def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
-        if use_real:  # pragma: no cover - exercised only with Pillow
+        if decoder == "pillow":  # pragma: no cover - exercised only with Pillow
             import io
 
             import numpy as np
             from PIL import Image
+        elif decoder == "builtin-png":
+            from .png_codec import png_mean_luma
 
         for batch in batches:
             out = []
             for row in batch.itertuples(index=False):
                 payload = bytes(row.payload)
-                if use_real:  # pragma: no cover
+                if decoder == "pillow":  # pragma: no cover
                     img = Image.open(io.BytesIO(payload))
                     w, h = img.size
                     luma = float(
                         np.asarray(img.convert("L"), dtype="float64").mean()
                         / 255.0
                     )
-                    decoder = f"pillow-{(img.format or 'unknown').lower()}"
+                    dec = f"pillow-{(img.format or 'unknown').lower()}"
+                elif decoder == "builtin-png":
+                    try:
+                        w, h, luma = png_mean_luma(payload)
+                        dec = "builtin-png"
+                    except ValueError as e:
+                        out.append(
+                            (row.media_id, None, None, None, None,
+                             f"error:{e}"[:120])
+                        )
+                        continue
                 else:
                     w = int(row.width or 0)
                     h = int(row.height or 0)
-                    luma, decoder = _decode_stub(payload, w, h)
-                out.append((row.media_id, w, h, w * h, luma, decoder))
+                    luma, dec = _decode_stub(payload, w, h)
+                out.append((row.media_id, w, h, w * h, luma, dec))
             yield pd.DataFrame(
                 out, columns=[f.name for f in DECODED_SCHEMA.fields]
             )

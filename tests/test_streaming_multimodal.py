@@ -523,3 +523,122 @@ def test_session_funnel_stream_matches_batch(spark):
     assert a == b and len(a) > 0
     depths = {d for _, _, d in a}
     assert depths <= {0, 1, 2, 3} and len(depths) > 1
+
+
+# ---------------------------------------------------------------- png codec
+
+
+def test_png_codec_roundtrip_all_channel_counts():
+    """encode → decode is pixel-exact for grey, RGB, and RGBA."""
+    from aerovaldb_spark.functions import decode_png, encode_png
+
+    for channels in (1, 3, 4):
+        w, h = 13, 7  # odd sizes: catches stride bugs
+        pixels = bytes(
+            (x * 31 + y * 17 + c * 11) % 256
+            for y in range(h)
+            for x in range(w)
+            for c in range(channels)
+        )
+        payload = encode_png(w, h, pixels, channels=channels)
+        assert payload.startswith(b"\x89PNG\r\n\x1a\n")
+        got = decode_png(payload)
+        assert got == (w, h, channels, pixels)
+
+
+def test_png_decoder_reverses_all_five_filters():
+    """Hand-build an IDAT stream using each scanline filter type
+    (None/Sub/Up/Average/Paeth) and check the decoder reconstructs the
+    same pixels the identity-filtered encoding yields."""
+    import struct
+    import zlib
+
+    from aerovaldb_spark.functions import decode_png
+    from aerovaldb_spark.functions.png_codec import _chunk, _paeth
+
+    w, h, ch = 6, 5, 3
+    stride = w * ch
+    pixels = bytes((x * 7 + y * 13 + c * 3) % 256
+                   for y in range(h) for x in range(w) for c in range(ch))
+
+    rows = [pixels[y * stride:(y + 1) * stride] for y in range(h)]
+    raw = bytearray()
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        cur, prev = rows[y], rows[y - 1] if y else bytes(stride)
+        raw.append(ftype)
+        for i in range(stride):
+            left = cur[i - ch] if i >= ch else 0
+            up = prev[i]
+            ul = prev[i - ch] if i >= ch else 0
+            if ftype == 0:
+                raw.append(cur[i])
+            elif ftype == 1:
+                raw.append((cur[i] - left) & 0xFF)
+            elif ftype == 2:
+                raw.append((cur[i] - up) & 0xFF)
+            elif ftype == 3:
+                raw.append((cur[i] - (left + up) // 2) & 0xFF)
+            else:
+                raw.append((cur[i] - _paeth(left, up, ul)) & 0xFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    payload = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+               + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+               + _chunk(b"IEND", b""))
+    assert decode_png(payload) == (w, h, ch, pixels)
+
+
+def test_png_decoder_rejects_corruption():
+    import pytest
+
+    from aerovaldb_spark.functions import decode_png, encode_png
+
+    good = encode_png(4, 4, bytes(48), channels=3)
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"JUNK" + good)
+    # flip one IDAT byte -> CRC mismatch
+    idx = good.index(b"IDAT") + 6
+    bad = good[:idx] + bytes([good[idx] ^ 0xFF]) + good[idx + 1:]
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bad)
+    with pytest.raises(ValueError, match="IEND"):
+        decode_png(good[:-12])
+
+
+def test_decode_images_builtin_png_end_to_end(spark):
+    """REAL decode end-to-end with no codec dependency: encode known
+    pixel data into valid PNGs, run decode_images(decoder='builtin-png')
+    through the Arrow-batched mapInPandas path, and check
+    width/height/pixel-count/mean-luma against the ground truth."""
+    from aerovaldb_spark.functions import MEDIA_SCHEMA, decode_images, encode_png
+
+    rows, expect = [], {}
+    colors = [(255, 255, 255), (0, 0, 0), (255, 0, 0), (10, 200, 60)]
+    for i, (r, g, b) in enumerate(colors):
+        w, h = 32 + 8 * i, 24 + 4 * i
+        payload = encode_png(w, h, bytes((r, g, b)) * (w * h), channels=3)
+        rows.append((i, "image", payload, w, h, None, "png"))
+        expect[i] = (w, h, (0.299 * r + 0.587 * g + 0.114 * b) / 255.0)
+    # one corrupt payload: must quarantine (null stats), not fail the job
+    rows.append((99, "image", b"\x89PNG\r\n\x1a\nnot-a-real-png", 1, 1, None, "png"))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    out = {r["media_id"]: r for r in
+           decode_images(media, decoder="builtin-png").collect()}
+    assert len(out) == len(colors) + 1
+    for i, (w, h, luma) in expect.items():
+        row = out[i]
+        assert (row["width"], row["height"], row["n_pixels"]) == (w, h, w * h)
+        assert row["decoder"] == "builtin-png"
+        assert abs(row["mean_luma"] - luma) < 1e-9
+    assert out[99]["decoder"].startswith("error:")
+    assert out[99]["width"] is None and out[99]["mean_luma"] is None
+
+
+def test_decode_images_unknown_decoder_rejected(spark):
+    import pytest
+
+    from aerovaldb_spark.functions import decode_images, synthetic_media
+
+    with pytest.raises(ValueError, match="unknown decoder"):
+        decode_images(synthetic_media(spark, 3), decoder="magick")
