@@ -102,13 +102,16 @@ def shingle_pairs(
     """
     sh = scoped_persist(hashed_shingles(docs, n))
     if max_doc_freq is not None:
-        rare = (
+        # anti-join against the (tiny) over-cap set: AQE broadcasts it,
+        # where the complementary rare-set inner join would shuffle the
+        # whole vocabulary
+        stop = (
             sh.groupBy("h")
             .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_doc_freq)
+            .filter(F.col("df") > max_doc_freq)
             .select("h")
         )
-        sh = sh.join(rare, "h")
+        sh = sh.join(stop, "h", "left_anti")
     a = sh.select(F.col("doc_id").alias("doc_a"), "h")
     b = sh.select(F.col("doc_id").alias("doc_b"), "h")
     return (
@@ -134,42 +137,47 @@ def stop_filtered_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, h) shingle hashes with stop-shingles dropped.
 
     Document frequency is computed per hash (one partial-combined
-    aggregation over 8-byte keys), the keep-set is equi-joined back on
-    ``h``, and the corpus count rides along as a one-row cross join
-    (no explicit hint — the plan-level no-broadcast-hint guarantee of
-    q26 stays intact, and Catalyst broadcasts a one-row aggregate on
-    its own) — nothing corpus-sized is ever broadcast, and only hashes
-    shuffle.
+    aggregation over 8-byte keys) and the guard is applied as a LEFT
+    ANTI join against the STOP set — the hashes *over* the cap. The
+    stop set is tiny by construction (only boilerplate shingles exceed
+    max(MIN_STOP_DF, n_docs/STOP_DF_DENOM)), so AQE turns the anti
+    join into a broadcast at runtime; the complementary keep-set inner
+    join would instead shuffle every (doc_id, h) row against a
+    keep table as large as the distinct-shingle vocabulary. No
+    explicit hint — the plan-level no-broadcast-hint guarantee of q26
+    stays intact (a one-row corpus count and a boilerplate-only hash
+    set are the only things Catalyst may broadcast; nothing
+    corpus-sized).
     """
     sh = scoped_persist(hashed_shingles(docs, n))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    keep = (
+    stop = (
         sh.groupBy("h")
         .agg(F.count(F.lit(1)).alias("df"))
         .crossJoin(n_docs)
         .filter(
             F.col("df")
-            <= F.greatest(
+            > F.greatest(
                 F.lit(MIN_STOP_DF), F.expr(f"n_docs div {STOP_DF_DENOM}")
             )
         )
         .select("h")
     )
-    return sh.join(keep, "h")
+    return sh.join(stop, "h", "left_anti")
 
 
-# SQL twin of stop_filtered_shingles: sh0 = distinct (doc_id, h), keep =
-# hashes at-or-under the relative document-frequency cap.
+# SQL twin of stop_filtered_shingles: sh0 = distinct (doc_id, h), stop =
+# hashes over the relative document-frequency cap, anti-joined away.
 def _stop_filtered_sh_ctes(n: int = 3) -> str:
     return f"""sh0 AS (
   SELECT DISTINCT doc_id, {hash60_sql('shingle')} AS h
   FROM (SELECT doc_id, unnest({shingles_sql('text', n)}) AS shingle FROM documents)
-), keep AS (
+), stop AS (
   SELECT h FROM sh0 GROUP BY h
-  HAVING COUNT(*) <= greatest({MIN_STOP_DF},
-                              (SELECT COUNT(*) // {STOP_DF_DENOM} FROM documents))
+  HAVING COUNT(*) > greatest({MIN_STOP_DF},
+                             (SELECT COUNT(*) // {STOP_DF_DENOM} FROM documents))
 ), sh AS (
-  SELECT sh0.doc_id, sh0.h FROM sh0 JOIN keep USING (h)
+  SELECT sh0.doc_id, sh0.h FROM sh0 ANTI JOIN stop USING (h)
 )"""
 
 

@@ -48,6 +48,7 @@ def brute_force_topk(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    single_query: bool | None = None,
 ) -> DataFrame:
     """Exact top-k by cosine PER QUERY: broadcast the query row(s),
     score, rank within each query.
@@ -68,9 +69,12 @@ def brute_force_topk(
         .withColumn("cosine", F.round(cosine_col(vec_col, "qvec"), 6))
         .select("query_id", F.col(id_col).alias("neighbor_id"), "cosine")
     )
-    # take(2), not count(): decides the plan shape (single-query →
-    # shuffle-free TakeOrdered) without scheduling a full extra job.
-    if len(query.take(2)) <= 1:
+    # Plan-shape decision: single-query → shuffle-free TakeOrdered.
+    # Callers that know their query cardinality pass single_query to
+    # skip the probe job entirely (a point-lookup take(2) still costs
+    # a scheduled job — ~0.4 s of pure overhead in a sub-second query);
+    # otherwise probe with take(2), not count().
+    if single_query if single_query is not None else len(query.take(2)) <= 1:
         return scored.orderBy(F.col("cosine").desc(), F.col("neighbor_id")).limit(k)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -133,7 +137,7 @@ def lsh_bucketed_pairs(
 def q29_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0)
-    return brute_force_topk(emb, query, k=10)
+    return brute_force_topk(emb, query, k=10, single_query=True)
 
 
 Q29_SQL = """

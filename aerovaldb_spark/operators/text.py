@@ -724,6 +724,157 @@ GROUP BY source
 """
 
 
+# --------------------------------------------------------------------------
+# q76: bigram language-model scoring — the CCNet-style quality filter:
+# train an add-one-smoothed bigram LM on the corpus, score every
+# document by its average negative log-likelihood (high = unusual /
+# low-quality text). Scale shape: TWO model aggregations (unigram and
+# bigram counts, both with map-side partial combine — hot tokens like
+# "the" are reduced per-partition before the shuffle), then the
+# per-instance joins back to the model run on the bigram/unigram keys
+# where AQE's skew-join splitting absorbs the Zipf head; the vocab
+# scalar joins as a broadcast 1-row aggregate. At 100 TB the model
+# tables are the distinct-n-gram sets — orders of magnitude smaller
+# than the corpus — and everything else is map-only.
+#
+# Float parity: per-bigram log-prob is rounded to 6 places and summed
+# as DECIMAL(18,6) — an EXACT, order-independent sum — so Spark and
+# DuckDB agree bit-for-bit despite different aggregation orders (the
+# convention from operators/relational.py).
+def q76_bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split("text", " ").alias("t"))
+    bi = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) < 2 THEN array() ELSE"
+                " transform(sequence(1, size(t) - 1),"
+                " i -> struct(element_at(t, i) AS w1,"
+                " element_at(t, i + 1) AS w2)) END"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    uni = (
+        t.select(F.explode("t").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    vocab = uni.agg(F.count(F.lit(1)).alias("vocab"))
+    logp = F.round(
+        F.log(
+            (F.col("c2") + F.lit(1.0))
+            / (F.col("c1") + F.col("vocab")).cast("double")
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    return (
+        bi.join(bc, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                -F.sum(logp).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_nll"),
+        )
+    )
+
+
+Q76_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), bi AS (
+  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+    SELECT doc_id,
+      unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                            i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS b
+    FROM t
+  )
+), uni AS (
+  SELECT w1, COUNT(*) AS c1
+  FROM (SELECT unnest(toks) AS w1 FROM t) GROUP BY w1
+), bc AS (
+  SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY w1, w2
+), v AS (SELECT COUNT(*) AS vocab FROM uni)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+  ROUND(-CAST(SUM(CAST(ROUND(ln((c2 + 1.0) / (c1 + vocab)), 6)
+                       AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_nll
+FROM bi JOIN bc USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q77: contamination SCORING — where q58 drops any train document that
+# shares a single shingle with the test split, q77 reports the graded
+# per-document overlap fraction (the signal an auditing pipeline
+# thresholds). Scale shape: the join moves 8-byte shingle hashes only;
+# the benchmark-side set is distinct-reduced before the join (in
+# production it is a small broadcast — here it stays a shuffle join so
+# AQE picks); ONE groupBy(doc_id) computes total and overlap in the
+# same shuffle via a left-join flag.
+def q77_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import hashed_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_split = docs.withColumn("split", split_col())
+    sh = hashed_shingles(with_split, 3)
+    splits = with_split.select("doc_id", "split")
+    train_sh = sh.join(
+        splits.filter(F.col("split") == "train"), "doc_id"
+    ).select("doc_id", "h")
+    test_sh = (
+        sh.join(splits.filter(F.col("split") == "test"), "doc_id")
+        .select("h")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    hits = F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+    return (
+        train_sh.join(test_sh, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            hits.cast("long").alias("n_overlap"),
+            F.round(hits.cast("double") / F.count(F.lit(1)), 6).alias(
+                "overlap_frac"
+            ),
+        )
+    )
+
+
+Q77_SQL = """
+WITH split AS (
+  SELECT doc_id, text,
+    CASE WHEN CAST('0x' || substring(md5('split_' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 90 THEN 'train'
+         WHEN CAST('0x' || substring(md5('split_' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 95 THEN 'val'
+         ELSE 'test' END AS split
+  FROM documents
+), sh AS (
+  SELECT doc_id, split,
+    CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS h
+  FROM (
+    SELECT doc_id, split,
+      unnest(list_distinct(list_transform(
+        generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+        i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS shingle
+    FROM split
+  )
+)
+SELECT t.doc_id, COUNT(*) AS n_shingles,
+  CAST(SUM(CASE WHEN x.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_overlap,
+  ROUND(CAST(SUM(CASE WHEN x.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        / COUNT(*), 6) AS overlap_frac
+FROM (SELECT doc_id, h FROM sh WHERE split = 'train') t
+LEFT JOIN (SELECT DISTINCT h FROM sh WHERE split = 'test') x USING (h)
+GROUP BY t.doc_id
+"""
+
+
 QUERIES = {
     "q21_token_stats": q21_token_stats,
     "q22_quality_scores": q22_quality_scores,
@@ -737,6 +888,8 @@ QUERIES = {
     "q61_tfidf_top_terms": q61_tfidf_top_terms,
     "q63_bigram_novelty": q63_bigram_novelty,
     "q74_passage_dedup": q74_passage_dedup,
+    "q76_bigram_lm_nll": q76_bigram_lm_nll,
+    "q77_contamination_score": q77_contamination_score,
 }
 
 ORACLE = {
@@ -752,4 +905,6 @@ ORACLE = {
     "q61_tfidf_top_terms": Q61_SQL,
     "q63_bigram_novelty": _q63_sql(),
     "q74_passage_dedup": _q74_sql(),
+    "q76_bigram_lm_nll": Q76_SQL,
+    "q77_contamination_score": Q77_SQL,
 }

@@ -106,22 +106,27 @@ def main() -> None:
         _run_safe(name, ALL_QUERIES[name], spark, sf_dir)
     warmup_sec = time.time() - t_warm
 
-    # Median of 5 back-to-back trials per query: a single sample mixes
-    # in GC pauses and scheduler jitter (observed ±0.5 s on an idle
-    # 32-core box); the median is the steady-state latency the mode
-    # field claims.
+    # Median of 5 trials per query, INTERLEAVED round-robin (trial i of
+    # every query, then trial i+1): a single sample mixes in GC pauses
+    # and scheduler jitter (observed ±0.5 s on an idle 32-core box, and
+    # multi-second bursts on shared hosts). Back-to-back trials let one
+    # noise burst poison all 5 samples of one query; spreading each
+    # query's samples across the whole run makes the median robust to
+    # bursts that are shorter than a full sweep.
     trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "5"))
+    samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
+    for _ in range(trials):
+        for name in HEADLINE:
+            if name in ERRORS:
+                continue  # already failed cold/warm — don't keep retrying
+            s = _run_safe(name, ALL_QUERIES[name], spark, sf_dir)
+            if s is not None:
+                samples[name].append(s)
     per_query: dict[str, float] = {}
-    for name in HEADLINE:
-        if name in ERRORS:
-            continue  # already failed cold/warm — don't retry 5 more times
-        samples = sorted(
-            s
-            for _ in range(trials)
-            if (s := _run_safe(name, ALL_QUERIES[name], spark, sf_dir)) is not None
-        )
-        if samples:
-            per_query[name] = round(samples[len(samples) // 2], 3)
+    for name, vals in samples.items():
+        if vals:
+            vals.sort()
+            per_query[name] = round(vals[len(vals) // 2], 3)
 
     total = round(sum(per_query.values()), 3)
     out = {
