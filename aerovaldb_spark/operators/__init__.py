@@ -29,18 +29,19 @@ _MERGED_QUERIES = {
 # re-verified periodically. Every entry keeps a pytest-side oracle
 # check regardless of position (tests/test_parity_sample.py runs the
 # same gate at sf0.001).
-# Round-4 window therefore holds: q75/q76/q77 (new), q26/q56/q60
+# Round-4 window therefore holds: q75/q76/q77/q78 (new), q26/q56/q60
 # (stop-shingle guard landed this round), all 19 once-green entries
-# (q19 q21 q25 q27 q28 q32 q62-q74), 16 of the 18 twice-green entries
-# deferred in r3 (q01-q06 q10 q13 q15-q18 q24 q29 q33 q35), and 9
+# (q19 q21 q25 q27 q28 q32 q62-q74), 15 of the 18 twice-green entries
+# deferred in r3 (q01-q06 q10 q13 q15-q18 q29 q33 q35), and 9
 # rotated back from r3's window (q51-q55 q57-q59 q61). Round-4 tail:
-# 27 entries — 25 green in ≥2 driver rounds INCLUDING r3, plus
-# q22/q23 (green r1+r2, map-only scalars, value-checked every CI run
-# by test_parity_sample) bumped to make room for the two new graded
-# entries; they rotate back in r5.
+# 28 entries — 25 green in ≥2 driver rounds INCLUDING r3, plus
+# q22/q23/q24 (green r1+r2, map-only scalars, value-checked every CI
+# run by test_parity_sample) bumped to make room for the three new
+# graded entries; they rotate back in r5.
 _DEFER_ROUND = [
     "q22_quality_scores",
     "q23_lang_id",
+    "q24_fingerprints",
     "q07_window_topk_per_customer",
     "q08_running_total",
     "q09_distinct_counts",

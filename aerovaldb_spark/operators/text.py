@@ -875,6 +875,101 @@ GROUP BY t.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# q78: BM25 retrieval scoring — the ranking function a retrieval-
+# augmented pipeline uses where q61's TF-IDF only weights vocabulary.
+# The query-term set is data-derived (top-3 document-frequency terms,
+# deterministic ties-by-term) so the query needs no external input.
+# Scale shape: tf / doc-length / df are partial-combined aggregations;
+# the query-term set (3 rows) and the corpus aggregate (1 row)
+# broadcast; the scoring join runs co-partitioned on doc_id. Float
+# parity: avgdl is an exact integer sum over count; per-term scores
+# round to 6 then sum as DECIMAL(18,6) (exact, order-independent).
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def q78_bm25_topk(
+    spark: SparkSession, sf_dir: str, k: int = 20, n_query_terms: int = 3
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select("doc_id", F.explode(tokens_col()).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = terms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    stats = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum("dlen").cast("double") / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    qterms = stats.orderBy(F.desc("df"), "term").limit(n_query_terms)
+    idf = F.round(
+        F.log(
+            (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+            + F.lit(1.0)
+        ),
+        6,
+    )
+    score = F.round(
+        idf
+        * (F.col("tf") * F.lit(BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(BM25_K1)
+            * (
+                F.lit(1.0 - BM25_B)
+                + F.lit(BM25_B) * F.col("dlen") / F.col("avgdl")
+            )
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    return (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn("s", score)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.sum("s").cast("double").alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(k)
+    )
+
+
+Q78_SQL = f"""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dlen FROM terms GROUP BY doc_id
+), stats AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), corpus AS (
+  SELECT COUNT(*) AS n_docs,
+    CAST(SUM(dlen) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+), qterms AS (
+  SELECT term, df FROM stats ORDER BY df DESC, term LIMIT 3
+), scored AS (
+  SELECT tf.doc_id,
+    CAST(ROUND(
+      ROUND(ln((n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0), 6)
+      * (tf.tf * {BM25_K1 + 1.0})
+      / (tf.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * dl.dlen / avgdl)),
+      6) AS DECIMAL(18,6)) AS s
+  FROM tf JOIN qterms q USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus
+)
+SELECT doc_id, COUNT(*) AS n_matched, CAST(SUM(s) AS DOUBLE) AS bm25
+FROM scored GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id LIMIT 20
+"""
+
+
 QUERIES = {
     "q21_token_stats": q21_token_stats,
     "q22_quality_scores": q22_quality_scores,
@@ -890,6 +985,7 @@ QUERIES = {
     "q74_passage_dedup": q74_passage_dedup,
     "q76_bigram_lm_nll": q76_bigram_lm_nll,
     "q77_contamination_score": q77_contamination_score,
+    "q78_bm25_topk": q78_bm25_topk,
 }
 
 ORACLE = {
@@ -907,4 +1003,5 @@ ORACLE = {
     "q74_passage_dedup": _q74_sql(),
     "q76_bigram_lm_nll": Q76_SQL,
     "q77_contamination_score": Q77_SQL,
+    "q78_bm25_topk": Q78_SQL,
 }
