@@ -120,9 +120,9 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     while pos + 8 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
         tag = payload[pos + 4 : pos + 8]
-        body = payload[pos + 8 : pos + 8 + length]
-        if len(body) != length:
+        if pos + 12 + length > len(payload):  # body + CRC must fit
             raise ValueError(f"truncated {tag!r} chunk")
+        body = payload[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
         if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
             raise ValueError(f"CRC mismatch in {tag!r} chunk")

@@ -318,3 +318,61 @@ def test_q71_first_month_retention_equals_cohort_size(spark):
         if r["cohort_month"] == r["active_month"]
     }
     assert diag == cohort_sizes
+
+
+# ---------------------------------------------------------------- png codec
+
+
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+    channels=st.sampled_from([1, 3, 4]),
+    seed=st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_property(w, h, channels, seed):
+    """encode_png → decode_png is pixel-exact for any size/channel
+    combination in the supported profile."""
+    import random
+
+    from aerovaldb_spark.functions import decode_png, encode_png
+
+    rng = random.Random(seed)
+    pixels = bytes(rng.randrange(256) for _ in range(w * h * channels))
+    assert decode_png(encode_png(w, h, pixels, channels=channels)) == (
+        w,
+        h,
+        channels,
+        pixels,
+    )
+
+
+@given(
+    data=st.binary(min_size=0, max_size=400),
+    seed=st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_decoder_never_wrong_only_loud(data, seed):
+    """Arbitrary bytes — including corrupted valid PNGs — either decode
+    to a consistent (w, h, ch, pixels) tuple or raise ValueError; no
+    other exception type escapes (the per-row quarantine contract in
+    decode_images relies on this)."""
+    import random
+
+    from aerovaldb_spark.functions import decode_png, encode_png
+
+    rng = random.Random(seed)
+    # half the examples: flip bytes inside a VALID png (targets the
+    # chunk walk / inflate / unfilter paths, not just the signature)
+    if seed % 2:
+        base = bytearray(encode_png(5, 3, bytes(rng.randrange(256) for _ in range(45))))
+        for _ in range(rng.randrange(1, 6)):
+            base[rng.randrange(len(base))] = rng.randrange(256)
+        payload = bytes(base)
+    else:
+        payload = data
+    try:
+        w, h, ch, px = decode_png(payload)
+        assert len(px) == w * h * ch
+    except ValueError:
+        pass
