@@ -771,27 +771,30 @@ class AerovalSparkDB:
         resolved = self._mem_and_disk_resolved(route, prune)
         if resolved is None:
             return []
+        return [self._row_to_entry(route, row) for row in resolved]
+
+    @staticmethod
+    def _row_to_entry(route: Route, row: dict) -> QueryEntry:
         keys = storage_keys(route)
         targs = template_args(route.value)
-        entries = []
-        for row in resolved:
-            meta = {k: row[k] for k in keys if row.get(k) is not None}
-            route_args = {k: meta.get(k, "") for k in targs}
-            kw = {k: meta[k] for k in EXTRA_KEYS.get(route, ()) if k in meta}
-            entries.append(
-                QueryEntry(build_uri(route, route_args, kw), route, meta)
-            )
-        return entries
+        meta = {k: row[k] for k in keys if row.get(k) is not None}
+        route_args = {k: meta.get(k, "") for k in targs}
+        kw = {k: meta[k] for k in EXTRA_KEYS.get(route, ()) if k in meta}
+        return QueryEntry(build_uri(route, route_args, kw), route, meta)
 
-    def _mem_and_disk_resolved(
+    def _resolved_catalog_df(
         self, route: Route, prune: dict[str, str] | None = None
-    ) -> list[dict] | None:
-        """Resolved live rows as dicts (key cols only + times).
+    ):
+        """Resolved live catalog rows as a DataFrame (key cols + times)
+        — the distributed core under both the list-returning reference
+        API and the bounded ``query_iter``.
 
         ``prune``: equality predicates on key columns, applied BELOW
-        the LWW window (they commute per-key) so they reach the scan —
-        the Spark analog of the reference's directory-glob pruning on
-        project/experiment (jsonfiledb.py:725-749)."""
+        the LWW window (they commute per-key: the window partitions by
+        ALL key columns, so filtering any key column keeps each
+        partition intact) so they reach the scan — the Spark analog of
+        the reference's directory-glob pruning on project/experiment
+        (jsonfiledb.py:725-749), generalized to every key column."""
         log = self._log_df(route)
         if log is None:
             return None
@@ -806,7 +809,18 @@ class AerovalSparkDB:
             .filter((F.col("_rn") == 1) & (~F.col("tombstone")))
             .withColumnRenamed("write_ts", "mtime")
         )
-        return [r.asDict() for r in df.select(*keys, "ctime", "mtime").collect()]
+        return df.select(*keys, "ctime", "mtime")
+
+    def _mem_and_disk_resolved(
+        self, route: Route, prune: dict[str, str] | None = None
+    ) -> list[dict] | None:
+        """Resolved live rows as dicts (key cols only + times) — the
+        reference's list-returning contract. For catalogs too large to
+        materialize on the driver, use :meth:`query_iter`."""
+        df = self._resolved_catalog_df(route, prune)
+        if df is None:
+            return None
+        return [r.asDict() for r in df.collect()]
 
     def query(
         self, asset_type: Route | list[Route] | None = None, **kwargs: str
@@ -827,6 +841,51 @@ class AerovalSparkDB:
                 if all(entry.meta.get(k) == v for k, v in kwargs.items()):
                     out.append(entry)
         return out
+
+    def query_iter(
+        self,
+        asset_type: Route | list[Route] | None = None,
+        limit: int | None = None,
+        **kwargs: str,
+    ):
+        """Bounded catalog scan: a generator of :class:`QueryEntry`
+        with driver memory O(one Arrow batch), not O(catalog).
+
+        Same matching semantics as :meth:`query`, different execution:
+        every equality predicate on a key column is pushed below the
+        LWW window into the Spark plan (a route is skipped outright
+        when a predicate names a column it doesn't have — such a route
+        can never match), ``limit`` becomes a plan-level ``LIMIT`` per
+        route, and rows stream to the driver via ``toLocalIterator()``.
+        This is the variant to point at a 10⁹-asset catalog; the
+        list-returning reference verbs (:meth:`query`, ``list_*``)
+        keep their contract and materialize."""
+        if asset_type is None:
+            routes = list(Route)
+        elif isinstance(asset_type, Route):
+            routes = [asset_type]
+        else:
+            routes = list(asset_type)
+        remaining = limit
+        for route in routes:
+            if route in TABLE_ALIASES:
+                continue
+            if remaining is not None and remaining <= 0:
+                return
+            keys = storage_keys(route)
+            if any(k not in keys for k in kwargs):
+                continue  # a predicate on a column this route lacks
+            df = self._resolved_catalog_df(route, dict(kwargs))
+            if df is None:
+                continue
+            if remaining is not None:
+                df = df.limit(remaining)
+            for row in df.toLocalIterator(prefetchPartitions=True):
+                yield self._row_to_entry(route, row.asDict())
+                if remaining is not None:
+                    remaining -= 1
+                    if remaining <= 0:
+                        return
 
     def list_all(self) -> list[str]:
         return [e.uri for e in self.query()]

@@ -788,3 +788,28 @@ def test_transact_sequential_and_conflict_retry(spark, tmp_path):
     assert sum(m["status"] == "aborted" for m in metas) == 1
     seqs = [m["max_seq"] for m in metas if m["status"] == "committed"]
     assert seqs == sorted(seqs) and len(set(seqs)) == len(seqs)
+
+
+def test_query_iter_matches_query_and_bounds(tmpdb):
+    """query_iter streams the same entries query() materializes — all
+    key-column predicates pushed into the plan — and `limit` caps both
+    the yielded count and the per-route plan (LIMIT node)."""
+    _populate(tmpdb)
+    tmpdb.flush()
+
+    full = sorted(e.uri for e in tmpdb.query())
+    streamed = sorted(e.uri for e in tmpdb.query_iter())
+    assert streamed == full and len(full) == 6
+
+    a = sorted(e.uri for e in tmpdb.query(Route.CONFIG, experiment="exp1"))
+    b = sorted(e.uri for e in tmpdb.query_iter(Route.CONFIG, experiment="exp1"))
+    assert a == b and len(a) == 1
+
+    # limit: generator stops early and never yields more than asked
+    it = tmpdb.query_iter(limit=2)
+    got = list(it)
+    assert len(got) == 2
+    assert {e.uri for e in got} <= set(full)
+
+    # predicate on a column the route lacks -> no match, no error
+    assert list(tmpdb.query_iter(Route.CONFIG, network="nope")) == []
