@@ -305,11 +305,12 @@ def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     sh = exploded_shingles(docs, n).withColumn(
         "h", hash60(F.col("shingle")) % MINHASH_PRIME
     )
+    # one F.expr per seed (not one Column DSL tree per seed): the DSL
+    # builds each min through ~6 py4j round-trips, which at k seeds is
+    # ~0.2 s of pure driver latency before the job even starts
     mins = sh.groupBy("doc_id").agg(
         *[
-            F.min((F.lit(_A[i]) * F.col("h") + F.lit(_B[i])) % MINHASH_PRIME).alias(
-                f"m{i}"
-            )
+            F.expr(f"min(({_A[i]} * h + {_B[i]}) % {MINHASH_PRIME}) AS m{i}")
             for i in range(NUM_HASHES)
         ]
     )
@@ -439,19 +440,16 @@ def simhash_col_df(docs: DataFrame) -> DataFrame:
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     ).withColumn("h", hash60(F.col("token")))
-    votes = tok.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.expr(f"(shiftright(h, {b}) & 1) = 1"), 1).otherwise(-1)
-            ).alias(f"v{b}")
-            for b in range(SIMHASH_BITS)
-        ]
-    )
+    # the whole signature is ONE expression (32 aggregate sub-trees):
+    # a single py4j call instead of ~130, and the bit assembly fuses
+    # into the aggregation projection — no second select
     sig = " + ".join(
-        f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        f"(CASE WHEN sum(CASE WHEN (shiftright(h, {b}) & 1) = 1"
+        f" THEN 1 ELSE -1 END) > 0"
+        f" THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
         for b in range(SIMHASH_BITS)
     )
-    return votes.selectExpr("doc_id", f"({sig}) AS simhash")
+    return tok.groupBy("doc_id").agg(F.expr(f"({sig}) AS simhash"))
 
 
 def q28_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
