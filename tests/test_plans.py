@@ -168,3 +168,55 @@ def test_plan_report_shape(spark):
         "codegen_spans",
     }
     assert rep["codegen_spans"] >= 1
+
+
+def test_q76_no_corpus_sized_broadcast_hint(spark):
+    # The bigram-LM scoring joins (doc bigrams x model tables) must be
+    # free to shuffle/skew-split at scale: the only broadcast HINT in
+    # the plan is the one-row vocab aggregate. (AQE may still choose a
+    # runtime broadcast at tiny SF — that's fine and not a hint.)
+    from aerovaldb_spark.operators.text import q76_bigram_lm_nll
+
+    df = q76_bigram_lm_nll(spark, SF)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 1
+    assert df.count() > 0
+
+
+def test_q77_shuffles_hashes_not_text(spark):
+    # The contamination join moves 8-byte shingle hashes only: the
+    # text column must be pruned before every exchange.
+    from aerovaldb_spark.operators.text import q77_contamination_score
+
+    df = q77_contamination_score(spark, SF)
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    for line in physical.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line, line
+    assert df.count() > 0
+
+
+def test_q78_broadcasts_only_query_terms_and_corpus(spark):
+    # BM25: exactly two broadcast hints — the top-k query-term set and
+    # the one-row corpus aggregate; tf/dl stay shuffle-joinable.
+    from aerovaldb_spark.operators.text import q78_bm25_topk
+
+    df = q78_bm25_topk(spark, SF)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 2
+    assert df.count() > 0
+
+
+def test_q26_guard_is_anti_join(spark):
+    # The stop-shingle guard must appear as a LEFT ANTI join (the tiny
+    # over-cap set), never as an inner join against the full keep set.
+    from aerovaldb_spark.operators.dedup import (
+        load_table,
+        stop_filtered_shingles,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    df = stop_filtered_shingles(docs)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "LeftAnti" in analyzed
+    assert df.count() > 0
