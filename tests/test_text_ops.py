@@ -4,6 +4,8 @@ are pinned on constructed rows)."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from aerovaldb_spark.operators.text import pii_columns, redact_pii
@@ -97,3 +99,81 @@ def test_bigram_novelty_edges(spark):
         out[2]["frac_hapax"],
     ) == (out[3]["n_bigrams"], out[3]["avg_df"], out[3]["frac_hapax"])
     assert out[4]["frac_hapax"] == 1.0 and out[4]["avg_df"] == 1.0
+
+
+# ------------------------------------------------------------- export sink
+
+
+def test_export_corpus_partitioned_roundtrip(spark, tmp_path):
+    """Partitioned parquet export: directory layout per lang, rolled
+    files under maxRecordsPerFile, and a lossless round-trip."""
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators.export_sink import (
+        corpus_manifest,
+        export_corpus,
+        file_sizes,
+        read_corpus,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = str(tmp_path / "corpus")
+    export_corpus(
+        docs,
+        out,
+        partition_by=("lang",),
+        max_records_per_file=20,
+        sort_within_partitions_by=("doc_id",),
+    )
+
+    langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    dirs = {d for d in os.listdir(out) if d.startswith("lang=")}
+    assert dirs == {f"lang={l}" for l in langs}
+
+    back = read_corpus(spark, out)
+    assert back.count() == docs.count()
+    a = sorted(map(tuple, docs.select("doc_id", "text", "lang").collect()))
+    b = sorted(map(tuple, back.select("doc_id", "text", "lang").collect()))
+    assert a == b
+
+    # maxRecordsPerFile: no data file holds more than 20 rows
+    per_file = (
+        back.withColumn("_f", F.input_file_name())
+        .groupBy("_f")
+        .count()
+        .collect()
+    )
+    assert per_file and max(r["count"] for r in per_file) <= 20
+
+    man = {tuple(r)[:1] + (r["n_rows"],) for r in
+           corpus_manifest(spark, out).collect()}
+    expect = {(r["lang"], r["count"]) for r in
+              docs.groupBy("lang").count().collect()}
+    assert man == expect
+    assert len(file_sizes(out)) >= len(langs)
+
+
+def test_export_corpus_jsonl_and_validation(spark, tmp_path):
+    import gzip
+    import json as jsonlib
+
+    import pytest
+
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators.export_sink import export_corpus, read_corpus
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = str(tmp_path / "jsonl")
+    export_corpus(docs.limit(25), out, partition_by=(), fmt="jsonl")
+    # really gzip JSONL: decode one line by hand
+    fname = next(
+        os.path.join(out, f) for f in os.listdir(out) if f.endswith(".gz")
+    )
+    with gzip.open(fname, "rt") as fh:
+        row = jsonlib.loads(fh.readline())
+    assert {"doc_id", "text", "lang"} <= set(row)
+    assert read_corpus(spark, out, fmt="jsonl").count() == 25
+
+    with pytest.raises(ValueError, match="fmt"):
+        export_corpus(docs, out, fmt="csv")
+    with pytest.raises(ValueError, match="not in DataFrame"):
+        export_corpus(docs, out, partition_by=("nope",))
