@@ -71,19 +71,29 @@ def read_corpus(
     return spark.read.json(out_dir)
 
 
-def corpus_manifest(spark: SparkSession, out_dir: str,
-                    fmt: str = "parquet") -> DataFrame:
-    """(partition dirs → n_files, n_rows, n_bytes) — the audit record
-    an export job publishes next to the data. Row counts come from a
-    metadata-only aggregation (parquet footers / file listing), not a
-    full re-read of payloads."""
+def corpus_manifest(
+    spark: SparkSession,
+    out_dir: str,
+    fmt: str = "parquet",
+    partition_by: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """(partition → n_files, n_rows) — the audit record an export job
+    publishes next to the data. ``partition_by`` names the layout
+    columns (same tuple passed to :func:`export_corpus`); when omitted
+    they are inferred from the ``col=value`` directory names Spark's
+    partition discovery found."""
     df = read_corpus(spark, out_dir, fmt)
-    part_cols = [
-        c for c in df.columns
-        if c not in ("doc_id", "text", "source", "n_chars")
-    ]
+    if partition_by is None:
+        partition_by = tuple(
+            c for c in df.columns
+            if any(
+                e.startswith(f"{c}=")
+                for e in os.listdir(out_dir)
+                if not e.startswith(("_", "."))
+            )
+        )
     meta = df.withColumn("_file", F.input_file_name())
-    keys = part_cols or [F.lit("all").alias("partition")]
+    keys = list(partition_by) or [F.lit("all").alias("partition")]
     return meta.groupBy(*keys).agg(
         F.countDistinct("_file").alias("n_files"),
         F.count(F.lit(1)).alias("n_rows"),

@@ -123,6 +123,27 @@ def main() -> None:
     print("final corpus:")
     summary.show()
 
+    # 6. export: partitioned parquet a trainer's data loader reads
+    # (directory pruning per split, bounded file sizes, no extra
+    # shuffle — see operators/export_sink.py)
+    import tempfile
+
+    from aerovaldb_spark.operators.export_sink import (
+        corpus_manifest,
+        export_corpus,
+    )
+
+    out_dir = tempfile.mkdtemp(prefix="corpus_export_")
+    export_corpus(
+        packed.select("doc_id", "text", "lang", "source", "split", "shard_id"),
+        out_dir,
+        partition_by=("split",),
+        max_records_per_file=10_000,
+        sort_within_partitions_by=("source", "doc_id"),
+    )
+    print(f"exported to {out_dir}:")
+    corpus_manifest(spark, out_dir).orderBy("split").show()
+
 
 if __name__ == "__main__":
     main()
