@@ -29,6 +29,20 @@ class AsyncAerovalSparkDB:
     def sync(self) -> AerovalSparkDB:
         return self._db
 
+    async def query_iter(self, *args: Any, **kwargs: Any):
+        """Async-generator twin of the sync ``query_iter``: each
+        ``next()`` (a Spark-batch pull on first touch) runs in a
+        thread, so iterating a large catalog never blocks the event
+        loop. The generic ``__getattr__`` path would hand back the raw
+        sync generator, whose iteration blocks — hence the override."""
+        gen = self._db.query_iter(*args, **kwargs)
+        sentinel = object()
+        while True:
+            item = await asyncio.to_thread(next, gen, sentinel)
+            if item is sentinel:
+                return
+            yield item
+
     def __getattr__(self, name: str) -> Any:
         attr = getattr(self._db, name)
         if not callable(attr):

@@ -31,6 +31,24 @@ def test_async_facade(tmpdb):
     assert adb.sync is tmpdb
 
 
+def test_async_query_iter(tmpdb):
+    from aerovaldb_spark.aio import AsyncAerovalSparkDB
+    from aerovaldb_spark.routes import Route
+
+    tmpdb.put_config({"c": 1}, "p", "e1")
+    tmpdb.put_config({"c": 2}, "p", "e2")
+    adb = AsyncAerovalSparkDB(tmpdb)
+
+    async def flow():
+        uris = [e.uri async for e in adb.query_iter(Route.CONFIG)]
+        one = [e.uri async for e in adb.query_iter(Route.CONFIG, limit=1)]
+        return uris, one
+
+    uris, one = asyncio.run(flow())
+    assert sorted(uris) == ["/v0/config/p/e1", "/v0/config/p/e2"]
+    assert len(one) == 1 and one[0] in uris
+
+
 # --- locking --------------------------------------------------------------
 
 def test_fake_lock_default():
