@@ -16,6 +16,7 @@ from .exceptions import TemplateNotFound, UnsupportedOperation, UnusedArguments
 from .plugins import list_engines, open  # noqa: A004
 from .routes import Route
 from .session import get_spark
+from .snapshot import SnapshotReader
 from .types import AccessType, QueryEntry
 
 __all__ = [
@@ -23,6 +24,7 @@ __all__ = [
     "AerovalSparkDB",
     "QueryEntry",
     "Route",
+    "SnapshotReader",
     "TemplateNotFound",
     "UnsupportedOperation",
     "UnusedArguments",

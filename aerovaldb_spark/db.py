@@ -355,6 +355,35 @@ class AerovalSparkDB:
         for storage that mutates without an mtime change."""
         self._df_cache.clear()
 
+    # -- snapshots (time travel) ------------------------------------------
+
+    def current_seq(self) -> int:
+        """Highest ``seq`` in the durable log (0 when empty) — the
+        token to pass to :meth:`snapshot` to pin the current state.
+        One max() aggregation per existing route table; parquet min/max
+        footer stats make these metadata-cheap scans."""
+        out = 0
+        for route in Route:
+            if route in TABLE_ALIASES:
+                continue
+            df = self._disk_df(route)
+            if df is None:
+                continue
+            row = df.agg(F.max("seq").alias("m")).collect()[0]
+            if row["m"] is not None:
+                out = max(out, int(row["m"]))
+        return out
+
+    def snapshot(self, as_of_seq: int | None = None):
+        """Read-only time-travel view of the durable log at
+        ``seq <= as_of_seq`` (default: :meth:`current_seq`, i.e. a
+        pinned view of now). See :mod:`aerovaldb_spark.snapshot`."""
+        from .snapshot import SnapshotReader
+
+        return SnapshotReader(
+            self, self.current_seq() if as_of_seq is None else as_of_seq
+        )
+
     # -- lock-free multi-writer commit ------------------------------------
     #
     # Optimistic concurrency for read-modify-write across processes,

@@ -813,3 +813,48 @@ def test_query_iter_matches_query_and_bounds(tmpdb):
 
     # predicate on a column the route lacks -> no match, no error
     assert list(tmpdb.query_iter(Route.CONFIG, network="nope")) == []
+
+
+def test_snapshot_time_travel(tmpdb):
+    """Every historical state of the append-log is a seq filter:
+    snapshots taken between writes keep returning their epoch's
+    payloads and catalog after later puts, overwrites, and deletes."""
+    tmpdb.put_config({"v": 1}, "proj", "exp1")
+    tmpdb.flush()
+    s1 = tmpdb.current_seq()
+    assert s1 > 0
+
+    tmpdb.put_config({"v": 2}, "proj", "exp1")  # overwrite
+    tmpdb.put_config({"v": 9}, "proj", "exp2")  # new asset
+    tmpdb.flush()
+    s2 = tmpdb.current_seq()
+    assert s2 > s1
+
+    tmpdb.rm_by_uri("/v0/config/proj/exp1")  # delete in the present
+
+    # live state: exp1 gone, exp2 at v=9
+    assert tmpdb.get_config("proj", "exp2") == {"v": 9}
+
+    snap1 = tmpdb.snapshot(s1)
+    assert snap1.get(Route.CONFIG, {"project": "proj", "experiment": "exp1"}) == {"v": 1}
+    assert snap1.get_by_uri("/v0/config/proj/exp1") == {"v": 1}
+    assert [e.uri for e in snap1.query(Route.CONFIG)] == ["/v0/config/proj/exp1"]
+
+    snap2 = tmpdb.snapshot(s2)
+    assert snap2.get_by_uri("/v0/config/proj/exp1") == {"v": 2}
+    assert sorted(e.uri for e in snap2.query(Route.CONFIG)) == [
+        "/v0/config/proj/exp1",
+        "/v0/config/proj/exp2",
+    ]
+    assert sorted(snap2.list_all()) == sorted(e.uri for e in snap2.query())
+
+    # before everything: empty catalog, reads raise
+    snap0 = tmpdb.snapshot(0)
+    assert snap0.query(Route.CONFIG) == []
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="as of seq"):
+        snap0.get_by_uri("/v0/config/proj/exp1")
+
+    # raw access returns the stored JSON string verbatim
+    assert snap1.get_by_uri("/v0/config/proj/exp1", raw=True) == '{"v": 1}'
