@@ -384,6 +384,16 @@ class AerovalSparkDB:
             self, self.current_seq() if as_of_seq is None else as_of_seq
         )
 
+    def changes(
+        self, since_seq: int, until_seq: int | None = None
+    ) -> list[dict]:
+        """Net per-key changes in ``(since_seq, until_seq]`` — the CDC
+        feed for incremental consumers. See
+        :func:`aerovaldb_spark.snapshot.changes_between`."""
+        from .snapshot import changes_between
+
+        return changes_between(self, since_seq, until_seq)
+
     # -- lock-free multi-writer commit ------------------------------------
     #
     # Optimistic concurrency for read-modify-write across processes,

@@ -139,3 +139,55 @@ class SnapshotReader:
 
     def list_all(self) -> list[str]:
         return [e.uri for e in self.query()]
+
+
+def changes_between(
+    db: "AerovalSparkDB", since_seq: int, until_seq: int | None = None
+) -> list[dict]:
+    """Change-data-capture over the asset log: the NET effect per key
+    in ``(since_seq, until_seq]`` — what an incremental consumer
+    re-processes after a catch-up poll.
+
+    Returns one dict per changed key: ``{"uri", "route", "op"
+    ("upsert" | "delete"), "seq"}``, where op reflects the LAST write
+    in the window (intermediate rewrites collapse — consumers want net
+    state, not history; the full history remains queryable by
+    snapshotting at intermediate seqs). Computed per route as one
+    windowed aggregation over the seq-range-filtered log — the same
+    shape as the LWW read, so it prunes and scales identically."""
+    from .db import TABLE_ALIASES
+    from .routes import EXTRA_KEYS
+
+    until = db.current_seq() if until_seq is None else until_seq
+    out: list[dict] = []
+    for route in Route:
+        if route in TABLE_ALIASES:
+            continue
+        log = db._disk_df(route)
+        if log is None:
+            continue
+        log = log.filter(
+            (F.col("seq") > since_seq) & (F.col("seq") <= until)
+        )
+        keys = storage_keys(route)
+        w = Window.partitionBy(*keys).orderBy(F.col("seq").desc())
+        last = (
+            log.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(*keys, "seq", "tombstone")
+        )
+        targs = template_args(route.value)
+        for row in last.collect():
+            r = row.asDict()
+            meta = {k: r[k] for k in keys if r.get(k) is not None}
+            route_args = {k: meta.get(k, "") for k in targs}
+            kw = {k: meta[k] for k in EXTRA_KEYS.get(route, ()) if k in meta}
+            out.append(
+                {
+                    "uri": build_uri(route, route_args, kw),
+                    "route": route,
+                    "op": "delete" if r["tombstone"] else "upsert",
+                    "seq": int(r["seq"]),
+                }
+            )
+    return sorted(out, key=lambda c: c["seq"])

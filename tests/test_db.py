@@ -858,3 +858,32 @@ def test_snapshot_time_travel(tmpdb):
 
     # raw access returns the stored JSON string verbatim
     assert snap1.get_by_uri("/v0/config/proj/exp1", raw=True) == '{"v": 1}'
+
+
+def test_changes_cdc_feed(tmpdb):
+    """changes(s1, s2) reports the NET op per key in the window:
+    intermediate rewrites collapse, deletes surface as 'delete', and
+    untouched keys stay out."""
+    tmpdb.put_config({"v": 1}, "proj", "e1")
+    tmpdb.put_config({"v": 1}, "proj", "e2")
+    tmpdb.flush()
+    s1 = tmpdb.current_seq()
+
+    tmpdb.put_config({"v": 2}, "proj", "e1")  # rewrite...
+    tmpdb.put_config({"v": 3}, "proj", "e1")  # ...twice (collapses)
+    tmpdb.put_config({"v": 1}, "proj", "e3")  # new
+    tmpdb.flush()
+    tmpdb.rm_by_uri("/v0/config/proj/e2")  # delete (flushes)
+    s2 = tmpdb.current_seq()
+
+    ch = {c["uri"]: c["op"] for c in tmpdb.changes(s1, s2)}
+    assert ch == {
+        "/v0/config/proj/e1": "upsert",
+        "/v0/config/proj/e3": "upsert",
+        "/v0/config/proj/e2": "delete",
+    }
+    # seqs are within the window and ordered
+    seqs = [c["seq"] for c in tmpdb.changes(s1, s2)]
+    assert seqs == sorted(seqs) and all(s1 < s <= s2 for s in seqs)
+    # empty window -> no changes
+    assert tmpdb.changes(s2) == []
