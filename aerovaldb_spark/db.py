@@ -31,6 +31,7 @@ snapshot-consistent per Spark job.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import time
@@ -380,9 +381,16 @@ class AerovalSparkDB:
         pinned view of now). See :mod:`aerovaldb_spark.snapshot`."""
         from .snapshot import SnapshotReader
 
-        return SnapshotReader(
-            self, self.current_seq() if as_of_seq is None else as_of_seq
-        )
+        s = self.current_seq() if as_of_seq is None else as_of_seq
+        horizon = self.min_snapshot_seq()
+        if s < horizon:
+            raise ValueError(
+                f"snapshot at seq {s} predates the compaction horizon "
+                f"{horizon}: superseded rows and tombstones below the "
+                "horizon were folded away, so that state can no longer "
+                "be reconstructed"
+            )
+        return SnapshotReader(self, s)
 
     def changes(
         self, since_seq: int, until_seq: int | None = None
@@ -392,6 +400,13 @@ class AerovalSparkDB:
         :func:`aerovaldb_spark.snapshot.changes_between`."""
         from .snapshot import changes_between
 
+        horizon = self.min_snapshot_seq()
+        if since_seq < horizon:
+            raise ValueError(
+                f"changes since seq {since_seq} predate the compaction "
+                f"horizon {horizon}: rows below the horizon were folded "
+                "away, so the net ops in that window cannot be computed"
+            )
         return changes_between(self, since_seq, until_seq)
 
     # -- lock-free multi-writer commit ------------------------------------
@@ -1027,8 +1042,16 @@ class AerovalSparkDB:
 
     def compact(self) -> None:
         """Fold the append log: keep only the live latest row per key
-        (plus ctime), dropping superseded versions and tombstones."""
+        (plus ctime), dropping superseded versions and tombstones.
+
+        Compaction RAISES THE SNAPSHOT HORIZON: states below the
+        pre-compaction head can no longer be reconstructed (their
+        superseded rows and tombstones are gone), so the horizon is
+        persisted (``_compaction.json``, atomic replace) and
+        :meth:`snapshot` / :meth:`changes` refuse seqs beneath it —
+        a loud error instead of a silently wrong historical read."""
         self.flush()
+        horizon = self.current_seq()
         for route in Route:
             if route in TABLE_ALIASES:
                 continue
@@ -1062,6 +1085,25 @@ class AerovalSparkDB:
             )
             keep = folded.unionByName(first).drop("write_ts_first")
             self._rewrite_table(route, keep)
+        if horizon > self.min_snapshot_seq():
+            self._write_compaction_marker(horizon)
+
+    def min_snapshot_seq(self) -> int:
+        """Lowest seq a snapshot/CDC window may reference (0 until the
+        first compaction)."""
+        try:
+            with open(os.path.join(self.root, "_compaction.json"),
+                      encoding="utf-8") as f:
+                return int(json.load(f).get("min_snapshot_seq", 0))
+        except (OSError, ValueError):
+            return 0
+
+    def _write_compaction_marker(self, horizon: int) -> None:
+        path = os.path.join(self.root, "_compaction.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump({"min_snapshot_seq": horizon}, f)
+        os.replace(tmp, path)
 
     # -- typed getters / putters (generated) ------------------------------
 

@@ -887,3 +887,37 @@ def test_changes_cdc_feed(tmpdb):
     assert seqs == sorted(seqs) and all(s1 < s <= s2 for s in seqs)
     # empty window -> no changes
     assert tmpdb.changes(s2) == []
+
+
+def test_compaction_raises_snapshot_horizon(tmpdb):
+    """Compaction folds away superseded rows and tombstones, so states
+    beneath the pre-compaction head must become LOUDLY unreachable —
+    not silently wrong — while newer snapshots stay faithful."""
+    import pytest as _pytest
+
+    tmpdb.put_config({"v": 1}, "proj", "e1")
+    tmpdb.flush()
+    s1 = tmpdb.current_seq()
+    tmpdb.put_config({"v": 2}, "proj", "e1")
+    tmpdb.flush()
+
+    assert tmpdb.min_snapshot_seq() == 0
+    assert tmpdb.snapshot(s1).get_by_uri("/v0/config/proj/e1") == {"v": 1}
+
+    tmpdb.compact()
+    horizon = tmpdb.min_snapshot_seq()
+    assert horizon >= s1
+
+    with _pytest.raises(ValueError, match="compaction horizon"):
+        tmpdb.snapshot(s1)
+    with _pytest.raises(ValueError, match="compaction horizon"):
+        tmpdb.changes(0)
+
+    # at/above the horizon everything still works, including across
+    # NEW writes after compaction
+    assert tmpdb.snapshot(horizon).get_by_uri("/v0/config/proj/e1") == {"v": 2}
+    tmpdb.put_config({"v": 3}, "proj", "e1")
+    tmpdb.flush()
+    assert tmpdb.snapshot(horizon).get_by_uri("/v0/config/proj/e1") == {"v": 2}
+    assert {c["op"] for c in tmpdb.changes(horizon)} == {"upsert"}
+    assert tmpdb.get_config("proj", "e1") == {"v": 3}
