@@ -101,6 +101,15 @@ def main() -> None:
     )
     print("materialized asset path:", path)
 
+    # -- time travel + CDC: the append-log makes history a filter ------
+    s = db.current_seq()
+    db.put_config({"generation": 2}, "demo", "exp1")
+    db.flush()
+    print("pinned snapshot still sees:",
+          db.snapshot(s).get_by_uri("/v0/config/demo/exp1"))
+    print("changes since pin:",
+          [(c["uri"], c["op"]) for c in db.changes(s)])
+
 
 if __name__ == "__main__":
     main()
