@@ -421,3 +421,40 @@ def stream_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_export_corpus(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    partition_by: tuple[str, ...] = ("lang",),
+    max_records_per_file: int | None = None,
+    available_now: bool = False,
+):
+    """Streaming twin of :func:`..operators.export_sink.export_corpus`:
+    continuously lands a curated document stream as a partitioned
+    parquet corpus.
+
+    Spark's native file sink gives exactly-once here — the checkpoint
+    plus the sink's transactional _spark_metadata log means a restarted
+    query never double-writes a batch — and ``partitionBy`` works the
+    same as in batch, so downstream readers get the identical pruned
+    layout whether the corpus was landed by a batch job or this stream.
+    Returns the StreamingQuery — caller owns stop()/awaitTermination.
+    """
+    missing = [c for c in partition_by if c not in stream_df.columns]
+    if missing:
+        raise ValueError(f"columns not in stream: {missing}")
+    writer = (
+        stream_df.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -642,3 +642,40 @@ def test_decode_images_unknown_decoder_rejected(spark):
 
     with pytest.raises(ValueError, match="unknown decoder"):
         decode_images(synthetic_media(spark, 3), decoder="magick")
+
+
+def test_stream_export_corpus_matches_batch(spark, tmp_path):
+    """Streaming corpus export lands the same rows and the same
+    partitioned layout as the batch export of the same data, and a
+    re-run over the same checkpoint does not double-write."""
+    import os as _os
+
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators.export_sink import read_corpus
+    from aerovaldb_spark.streaming import (
+        read_document_stream,
+        stream_export_corpus,
+    )
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_document_stream(spark, SF_DIR)
+    q = stream_export_corpus(stream, out, ckpt, partition_by=("lang",),
+                             available_now=True)
+    q.awaitTermination()
+
+    docs = load_table(spark, SF_DIR, "documents")
+    back = read_corpus(spark, out)
+    assert back.count() == docs.count()
+    a = sorted(map(tuple, docs.select("doc_id", "lang").collect()))
+    b = sorted(map(tuple, back.select("doc_id", "lang").collect()))
+    assert a == b
+    langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    assert {d for d in _os.listdir(out)
+            if d.startswith("lang=")} == {f"lang={l}" for l in langs}
+
+    # restart over the same checkpoint: no new data -> no duplicates
+    q2 = stream_export_corpus(read_document_stream(spark, SF_DIR), out, ckpt,
+                              partition_by=("lang",), available_now=True)
+    q2.awaitTermination()
+    assert read_corpus(spark, out).count() == docs.count()
