@@ -744,18 +744,25 @@ GROUP BY source
 def q76_bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", F.split("text", " ").alias("t"))
-    bi = t.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "CASE WHEN size(t) < 2 THEN array() ELSE"
-                " transform(sequence(1, size(t) - 1),"
-                " i -> struct(element_at(t, i) AS w1,"
-                " element_at(t, i + 1) AS w2)) END"
-            )
-        ).alias("b"),
-    ).select("doc_id", "b.w1", "b.w2")
-    uni = (
+    # one persisted bigram-instance set feeds the model aggregation AND
+    # the scoring join — without it the plan scans + re-tokenizes the
+    # corpus once per consumer (4 text scans observed in the static
+    # plan; 2 after)
+    bi = scoped_persist(
+        t.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(t) < 2 THEN array() ELSE"
+                    " transform(sequence(1, size(t) - 1),"
+                    " i -> struct(element_at(t, i) AS w1,"
+                    " element_at(t, i + 1) AS w2)) END"
+                )
+            ).alias("b"),
+        ).select("doc_id", "b.w1", "b.w2")
+    )
+    # vocabulary-sized; feeds the vocab scalar AND the scoring join
+    uni = scoped_persist(
         t.select(F.explode("t").alias("w1"))
         .groupBy("w1")
         .agg(F.count(F.lit(1)).alias("c1"))
@@ -894,8 +901,13 @@ def q78_bm25_topk(
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     terms = docs.select("doc_id", F.explode(tokens_col()).alias("term"))
-    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = terms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    # tf feeds the df aggregation AND the scoring join; persisting it
+    # halves the corpus scans (and dl derives from tf, not from a
+    # third tokenization: dlen = sum of term frequencies)
+    tf = scoped_persist(
+        terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dlen"))
     stats = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     corpus = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
