@@ -375,7 +375,8 @@ def q58_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     with_split = docs.withColumn("split", split_col())
-    sh = hashed_shingles(with_split, 3)
+    # feeds BOTH split sides: persist so the tokenize+md5 pass runs once
+    sh = scoped_persist(hashed_shingles(with_split, 3))
     splits = with_split.select("doc_id", "split")
     train_sh = sh.join(
         splits.filter(F.col("split") == "train"), "doc_id"
@@ -828,7 +829,8 @@ def q77_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     with_split = docs.withColumn("split", split_col())
-    sh = hashed_shingles(with_split, 3)
+    # feeds BOTH split sides: persist so the tokenize+md5 pass runs once
+    sh = scoped_persist(hashed_shingles(with_split, 3))
     splits = with_split.select("doc_id", "split")
     train_sh = sh.join(
         splits.filter(F.col("split") == "train"), "doc_id"
