@@ -386,8 +386,13 @@ def minhash_band_cols(
 
 
 def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
-    """Band the signature and bucket-join: pairs agreeing on ≥1 band."""
-    banded = (
+    """Band the signature and bucket-join: pairs agreeing on ≥1 band.
+
+    The banded frame is persisted: it feeds BOTH sides of the bucket
+    self-join, and without the persist the whole signature pipeline
+    upstream (shingle md5 + k minhash aggregations — the CPU hot
+    spot) executes twice."""
+    banded = scoped_persist(
         signatures.withColumn("band", (F.col("seed") / ROWS_PER_BAND).cast("int"))
         .groupBy("doc_id", "band")
         .agg(

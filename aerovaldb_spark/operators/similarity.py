@@ -120,8 +120,14 @@ def lsh_bucketed_pairs(
     vectors: DataFrame, dim: int, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:
     """Candidate near-dup pairs: same SRP bucket → pair. One shuffle on
-    the bucket id; quadratic only within buckets (expected n/2^planes)."""
-    with_sig = vectors.withColumn("bucket", srp_signature_col(vec_col, dim))
+    the bucket id; quadratic only within buckets (expected n/2^planes).
+    The signed-projection signature (8 md5-weighted dot products per
+    vector) is persisted so it computes once, not per join side."""
+    from ._scope import scoped_persist
+
+    with_sig = scoped_persist(
+        vectors.withColumn("bucket", srp_signature_col(vec_col, dim))
+    )
     a = with_sig.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "bucket")
     b = with_sig.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "bucket")
     return (
