@@ -33,6 +33,17 @@ _QUERIES = entry_mod.queries()
 _ORACLES = entry_mod.oracle_sql()
 
 
+@pytest.fixture(autouse=True)
+def _release_persists():
+    # scoped persists (shingle/signature/model frames) are per-query
+    # intermediates; drop them between the 79 sweeps so the suite's
+    # executor memory stays flat instead of relying on LRU eviction
+    yield
+    from aerovaldb_spark.operators._scope import release_scoped_persists
+
+    release_scoped_persists()
+
+
 @pytest.fixture(scope="module")
 def duck():
     from aerovaldb_spark.catalog import TESTDATA_TABLES
