@@ -390,6 +390,145 @@ def q66_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=10, n_lists=16, n_probe=4)
 
 
+class IVFIndex:
+    """Persisted IVF index: build once, serve many query batches.
+
+    On disk the index is two parquet datasets under one root:
+    ``centroids/`` (n_lists rows — tiny) and ``assignments/``
+    PARTITIONED BY ``list_id``. That layout is the point: probing
+    n_probe of n_lists lists becomes a directory-pruned scan — a
+    query batch physically reads ~n_probe/n_lists of the index,
+    which is the IVF promise at 100 TB (ephemeral :func:`ivf_topk`
+    re-fits and re-assigns per call; the index amortizes both).
+
+    Scoring is the same one-job shape as :func:`ivf_topk`: per-query
+    probe lists computed driver-side against the tiny centroid table,
+    the query batch broadcasts, one join on list_id, one per-query
+    window for top-k.
+    """
+
+    def __init__(self, centroids: DataFrame, assignments: DataFrame,
+                 vec_col: str, id_col: str):
+        self.centroids = centroids
+        self.assignments = assignments
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    @staticmethod
+    def build(
+        vectors: DataFrame,
+        n_lists: int = 16,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        fit_sample_fraction: float | None = None,
+    ) -> "IVFIndex":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        spark = vectors.sparkSession
+        with_vec = vectors.withColumn(
+            "_features", array_to_vector(_dbl(vec_col))
+        )
+        fit_input = with_vec
+        if fit_sample_fraction is not None:
+            fit_input = with_vec.sample(fit_sample_fraction, seed=42)
+        model = KMeans(k=n_lists, seed=42, featuresCol="_features").fit(
+            fit_input
+        )
+        assignments = (
+            model.transform(with_vec)
+            .withColumnRenamed("prediction", "list_id")
+            .select(id_col, vec_col, "list_id")
+        )
+        centroids = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in
+             enumerate(model.clusterCenters())],
+            "list_id int, centroid array<double>",
+        )
+        return IVFIndex(centroids, assignments, vec_col, id_col)
+
+    def save(self, path: str) -> None:
+        import os as _os
+
+        self.centroids.write.mode("overwrite").parquet(
+            _os.path.join(path, "centroids")
+        )
+        (
+            self.assignments.write.mode("overwrite")
+            .partitionBy("list_id")
+            .parquet(_os.path.join(path, "assignments"))
+        )
+
+    @staticmethod
+    def load(
+        spark: SparkSession,
+        path: str,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> "IVFIndex":
+        import os as _os
+
+        return IVFIndex(
+            spark.read.parquet(_os.path.join(path, "centroids")),
+            spark.read.parquet(_os.path.join(path, "assignments")),
+            vec_col,
+            id_col,
+        )
+
+    def topk(self, query: DataFrame, k: int = 10, n_probe: int = 4) -> DataFrame:
+        from pyspark.sql import Window
+
+        spark = self.assignments.sparkSession
+        centers = {
+            r["list_id"]: r["centroid"] for r in self.centroids.collect()
+        }
+        q_rows = query.select(
+            F.col(self.id_col).alias("query_id"), self.vec_col
+        ).collect()
+
+        def probes(qv: list[float]) -> list[int]:
+            def d2(c):
+                return sum((a - b) ** 2 for a, b in zip(c, qv))
+
+            return sorted(centers, key=lambda i: d2(centers[i]))[:n_probe]
+
+        qdf = spark.createDataFrame(
+            [
+                (
+                    qr["query_id"],
+                    [float(x) for x in qr[self.vec_col]],
+                    probes([float(x) for x in qr[self.vec_col]]),
+                )
+                for qr in q_rows
+            ],
+            "query_id long, qvec array<double>, probe array<int>",
+        ).select("query_id", "qvec", F.explode("probe").alias("list_id"))
+
+        # IN-filter on the union of probed lists reaches the scan as a
+        # PARTITION filter on the list_id layout — the join alone would
+        # read every list
+        all_probes = sorted(
+            {p for qr in q_rows
+             for p in probes([float(x) for x in qr[self.vec_col]])}
+        )
+        pruned = self.assignments.filter(F.col("list_id").isin(all_probes))
+
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id")
+        )
+        return (
+            pruned.join(F.broadcast(qdf), "list_id")
+            .filter(F.col(self.id_col) != F.col("query_id"))
+            .withColumn("cosine", F.round(cosine_col(self.vec_col, "qvec"), 6))
+            .select(
+                "query_id", F.col(self.id_col).alias("neighbor_id"), "cosine"
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+
+
 QUERIES = {
     "q29_cosine_topk": q29_cosine_topk,
     "q30_embedding_norms": q30_embedding_norms,

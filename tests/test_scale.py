@@ -172,3 +172,38 @@ def test_stop_shingle_absolute_ceiling_binds_at_large_corpora(spark):
         kept.groupBy("h").count().agg(F.max("count").alias("m")).collect()[0]["m"]
     )
     assert max_df <= ABS_MAX_STOP_DF
+
+
+def test_ivf_index_save_load_matches_ephemeral(spark, tmp_path):
+    """IVFIndex build→save→load→topk returns exactly what the
+    ephemeral ivf_topk computes (same seeded KMeans), and the on-disk
+    probe scan is partition-pruned to the probed lists."""
+    from pyspark.sql import functions as F
+
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators.similarity import IVFIndex, ivf_topk
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+
+    ephemeral = sorted(
+        map(tuple, ivf_topk(emb, queries, k=5, n_lists=8, n_probe=3).collect())
+    )
+
+    idx = IVFIndex.build(emb, n_lists=8)
+    path = str(tmp_path / "ivf")
+    idx.save(path)
+    loaded = IVFIndex.load(spark, path)
+
+    got_df = loaded.topk(queries, k=5, n_probe=3)
+    got = sorted(map(tuple, got_df.collect()))
+    assert got == ephemeral and len(got) == 15
+
+    # layout: one directory per list; probe scan prunes partitions
+    import os as _os
+
+    dirs = {d for d in _os.listdir(path + "/assignments")
+            if d.startswith("list_id=")}
+    assert len(dirs) == 8
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan
