@@ -63,6 +63,38 @@ def _run_safe(name, fn, spark, sf_dir) -> float | None:
         return None
 
 
+def _calibrate() -> float:
+    """Fixed CPU-bound workload: 16 seeded 512x512 float64 matmul
+    chains run CONCURRENTLY on a thread pool (numpy releases the GIL
+    in BLAS), measuring effective multi-core throughput at THIS
+    moment — the resource Spark's 32 task threads actually compete
+    for. The bench box is shared and shows 2x+ external load swings
+    between runs of identical code; recording this alongside the query
+    times makes any artifact interpretable — a reader can normalize
+    Spark seconds by host speed."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    a = rng.standard_normal((512, 512))
+
+    def chain(_i: int) -> float:
+        b = a
+        for _ in range(8):
+            b = b @ a
+        return float(b[0, 0])
+
+    def run() -> float:
+        t0 = time.time()
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            list(pool.map(chain, range(16)))
+        return time.time() - t0
+
+    run()  # warm pass: numpy import cost + BLAS thread-pool spin-up
+    return round(min(run(), run()), 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -116,6 +148,7 @@ def main() -> None:
     # its JIT-compiled codegen and cache state hot, which IS the
     # steady state this mode claims to measure.
     trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "5"))
+    _calibrate_start = _calibrate()
     per_query: dict[str, float] = {}
     per_query_best: dict[str, float] = {}
     for name in HEADLINE:
@@ -148,6 +181,9 @@ def main() -> None:
         # observation from the same samples; "value" stays the median.
         "best_total_sec": round(sum(per_query_best.values()), 3),
         "queries_best": per_query_best,
+        # host-speed reference points bracketing the measured section
+        # (quiet host: ~0.1 s each; a 2x-degraded host shows ~0.2+)
+        "calibration_sec": [_calibrate_start, _calibrate()],
     }
     if ERRORS:
         out["errors"] = ERRORS
