@@ -458,3 +458,126 @@ def stream_export_corpus(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def frozen_bigram_lm(
+    docs: DataFrame, max_terms: int = 1_000_000
+) -> tuple[dict, dict, int]:
+    """Freeze a corpus bigram LM for ingest-time scoring: unigram
+    counts, bigram counts (each capped at the ``max_terms`` most
+    frequent, deterministic ties by term), and the vocabulary size.
+
+    The caps bound driver/broadcast memory at corpus scale — an OOV
+    unigram or bigram backs off to count 0 under the same add-one
+    smoothing, so capping degrades scores gracefully instead of
+    failing. The counts come from the same aggregations as the batch
+    q76 (operators.text.q76_bigram_lm_nll): within the caps the gate's
+    scores are IDENTICAL to the batch query's.
+    """
+    t = docs.select(F.split("text", " ").alias("t"))
+    uni_df = (
+        t.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = uni_df.count()
+    uni = {
+        r["w"]: r["c"]
+        for r in uni_df.orderBy(F.desc("c"), "w").limit(max_terms).collect()
+    }
+    bi_df = (
+        t.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(t) < 2 THEN array() ELSE"
+                    " transform(sequence(1, size(t) - 1),"
+                    " i -> struct(element_at(t, i) AS w1,"
+                    " element_at(t, i + 1) AS w2)) END"
+                )
+            ).alias("b")
+        )
+        .groupBy("b.w1", "b.w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = {
+        (r["w1"], r["w2"]): r["c"]
+        for r in bi_df.orderBy(F.desc("c"), "w1", "w2")
+        .limit(max_terms)
+        .collect()
+    }
+    return uni, bi, vocab
+
+
+LM_GATE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bigrams", T.LongType()),
+        T.StructField("avg_nll", T.DoubleType()),
+        T.StructField("low_quality", T.BooleanType()),
+    ]
+)
+
+
+def lm_quality_gate(
+    docs: DataFrame,
+    model: tuple[dict, dict, int],
+    threshold: float = 6.0,
+) -> DataFrame:
+    """Ingest-time LM-perplexity screen: score each document's average
+    negative log-likelihood under a FROZEN bigram LM and flag docs
+    above ``threshold`` (high NLL = unusual/low-quality text — the
+    CCNet-style filter, streaming edition).
+
+    STATELESS map-only: the capped model rides to executors as a
+    SparkContext broadcast (one copy per executor, not per task), the
+    scoring is an Arrow-batched mapInPandas, and there is no
+    watermark, state store, or shuffle — works identically on batch
+    and streaming inputs. Scoring matches batch q76 exactly within
+    the model caps: per-bigram log-probs round to 6 places and sum as
+    exact Decimals (the engine's DECIMAL-sum parity convention).
+    Documents with fewer than two tokens score NULL and are not
+    flagged.
+    """
+    from collections.abc import Iterator as _Iterator
+
+    spark = docs.sparkSession
+    bc = spark.sparkContext.broadcast(model)
+    thr = float(threshold)
+
+    def score(batches: "_Iterator") -> "_Iterator":
+        import math
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import pandas as pd
+
+        uni, bi, vocab = bc.value
+        q = Decimal("0.000001")
+
+        def round6(v: float) -> Decimal:
+            # Spark's ROUND on doubles is HALF_UP over the shortest
+            # decimal repr (BigDecimal.valueOf); Python's built-in
+            # round is half-even — quantize explicitly so the gate is
+            # bit-identical to the batch q76
+            return Decimal(repr(v)).quantize(q, rounding=ROUND_HALF_UP)
+
+        out_cols = [f.name for f in LM_GATE_SCHEMA.fields]
+        for batch in batches:
+            rows = []
+            for r in batch.itertuples(index=False):
+                toks = str(r.text).split(" ")
+                n = len(toks) - 1
+                if n < 1:
+                    rows.append((r.doc_id, 0, None, False))
+                    continue
+                total = Decimal(0)
+                for i in range(n):
+                    c2 = bi.get((toks[i], toks[i + 1]), 0)
+                    c1 = uni.get(toks[i], 0)
+                    total += round6(math.log((c2 + 1.0) / (c1 + vocab)))
+                avg = float(round6(-float(total) / n))
+                rows.append((r.doc_id, n, avg, avg > thr))
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return docs.select("doc_id", "text").mapInPandas(
+        score, schema=LM_GATE_SCHEMA
+    )

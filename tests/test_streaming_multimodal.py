@@ -679,3 +679,70 @@ def test_stream_export_corpus_matches_batch(spark, tmp_path):
                               partition_by=("lang",), available_now=True)
     q2.awaitTermination()
     assert read_corpus(spark, out).count() == docs.count()
+
+
+def test_lm_quality_gate_stream_matches_batch_q76(spark):
+    """The streaming LM gate with an uncapped frozen model must score
+    every document EXACTLY as the batch q76 does (same rounding, same
+    exact Decimal sums), and flag the same docs — on both the batch
+    twin and the real stream."""
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators.text import q76_bigram_lm_nll
+    from aerovaldb_spark.streaming import (
+        frozen_bigram_lm,
+        lm_quality_gate,
+        read_document_stream,
+        run_stream_to_memory,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    model = frozen_bigram_lm(docs)
+
+    expect = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_nll"])
+        for r in q76_bigram_lm_nll(spark, SF_DIR).collect()
+    }
+    assert expect
+
+    batch = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_nll"], r["low_quality"])
+        for r in lm_quality_gate(docs, model, threshold=3.42).collect()
+    }
+    assert set(batch) >= set(expect)
+    for d, (n, nll) in expect.items():
+        assert batch[d][0] == n
+        assert batch[d][1] == nll
+        assert batch[d][2] == (nll > 3.42)
+    # threshold actually separates (non-vacuous on this corpus)
+    flags = {v[2] for v in batch.values()}
+    assert flags == {True, False}
+
+    stream = lm_quality_gate(
+        read_document_stream(spark, SF_DIR), model, threshold=3.42
+    )
+    assert stream.isStreaming
+    got = run_stream_to_memory(stream, "lm_gate", spark, output_mode="append")
+    streamed = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_nll"], r["low_quality"])
+        for r in got.collect()
+    }
+    assert streamed == batch
+
+
+def test_lm_quality_gate_capped_model_backs_off(spark):
+    """A capped model degrades gracefully: unseen bigrams back off to
+    count 0 (higher NLL), nothing errors, every doc still scores."""
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.streaming import frozen_bigram_lm, lm_quality_gate
+
+    docs = load_table(spark, SF_DIR, "documents")
+    full = frozen_bigram_lm(docs)
+    capped = frozen_bigram_lm(docs, max_terms=50)
+    a = {r["doc_id"]: r["avg_nll"]
+         for r in lm_quality_gate(docs, full).collect()}
+    b = {r["doc_id"]: r["avg_nll"]
+         for r in lm_quality_gate(docs, capped).collect()}
+    assert set(a) == set(b)
+    # backoff can only RAISE the NLL (counts drop to 0)
+    assert all(b[d] >= a[d] for d in a)
+    assert any(b[d] > a[d] for d in a)
