@@ -422,9 +422,10 @@ class AerovalSparkDB:
     # - A claim file per commit (``_commits/<n>.json``) created with
     #   O_CREAT|O_EXCL — the filesystem's atomic uniqueness primitive —
     #   gives commits a total order. (On an object store this maps to a
-    #   conditional PUT.) A claim starts EMPTY ("pending") and is
-    #   resolved by atomically publishing JSON content via temp-file +
-    #   os.replace: {"status": "committed"|"aborted", "max_seq": N}.
+    #   conditional PUT.) A claim starts pending and is resolved by a
+    #   sibling ``<n>.resolved.json`` — ALSO created with O_EXCL, so a
+    #   claim can be resolved exactly once, ever, by exactly one party:
+    #   {"status": "committed"|"aborted", "max_seq": N}.
     # - A writer that wins claim n commits iff no claim in
     #   (snapshot, n) committed; otherwise it marks its claim aborted
     #   (numbers burn, nothing else) and retries the whole
@@ -432,15 +433,21 @@ class AerovalSparkDB:
     #   ``max_seq`` so every commit's rows get seq strictly above every
     #   earlier commit — two writers can never collide on seq, which
     #   plain wall-clock ``time_ns`` seqs cannot guarantee.
+    # - A claim pending past the timeout is presumed crashed by DURABLY
+    #   writing its aborted resolution (exclusive-create arbitrates the
+    #   race against the slow owner): if the presumer wins, the still-
+    #   alive owner's commit attempt returns False and it retries with
+    #   fresh state — the two-commits-from-one-snapshot lost update is
+    #   structurally impossible.
     #
-    # Invariants: claim content is published only AFTER the parquet
-    # append completes, so observing "committed" implies the data is on
-    # disk; a writer resolves its claim only after all lower claims are
-    # resolved, so everything below the latest committed claim is
-    # resolved. A crash between data write and resolution leaves a
-    # pending claim that others presume aborted after a timeout — the
-    # orphaned data stays visible (append-only semantics), only the
-    # conflict bookkeeping burns.
+    # Invariants: the committed resolution is published only AFTER the
+    # parquet append completes, so observing "committed" implies the
+    # data is on disk; a writer resolves (or finds resolved) every
+    # lower claim before committing, so everything below the latest
+    # committed claim is resolved. A crash (or presumed-aborted slow
+    # commit) between data write and resolution leaves orphaned rows
+    # visible (append-only semantics); a retrying owner supersedes them
+    # with strictly higher seqs, and compact() folds them away.
 
     _CLAIM_RESOLVE_TIMEOUT = 120.0  # s: pending claim presumed crashed
 
@@ -464,13 +471,25 @@ class AerovalSparkDB:
                     pass
         return sorted(out)
 
+    def _resolution_path(self, n: int) -> str:
+        return os.path.join(self._commits_dir(), f"{n:020d}.resolved.json")
+
     def _read_claim(self, n: int) -> dict | None:
-        """Claim metadata, or None while the claim is pending."""
+        """Claim resolution, or None while the claim is pending.
+
+        Resolutions live in a sibling ``<n>.resolved.json`` created
+        with O_EXCL (exactly one can ever exist — see _resolve_claim);
+        the claim file's own content is read as a legacy fallback for
+        stores written by the earlier in-place-resolution format."""
         try:
-            with open(self._claim_path(n), encoding="utf-8") as f:
+            with open(self._resolution_path(n), encoding="utf-8") as f:
                 raw = f.read()
         except OSError:
-            return None
+            try:
+                with open(self._claim_path(n), encoding="utf-8") as f:
+                    raw = f.read()
+            except OSError:
+                return None
         if not raw.strip():
             return None
         try:
@@ -479,13 +498,23 @@ class AerovalSparkDB:
             return None
 
     def _wait_resolved(self, n: int) -> dict:
+        """Block until claim ``n`` resolves; after the timeout, DURABLY
+        presume it crashed by writing the aborted resolution ourselves.
+        The O_EXCL resolution file makes the presumption safe: either
+        we win (the slow writer will see "aborted" when it tries to
+        resolve, discard its attempt, and retry), or the writer won
+        first and we return its real resolution — the two-writers-
+        commit-from-one-snapshot lost update cannot happen."""
         deadline = time.monotonic() + self._CLAIM_RESOLVE_TIMEOUT
         while True:
             meta = self._read_claim(n)
             if meta is not None:
                 return meta
             if time.monotonic() > deadline:
-                return {"status": "aborted", "presumed_crashed": True}
+                self._resolve_claim(
+                    n, {"status": "aborted", "presumed_crashed": True}
+                )
+                return self._read_claim(n) or {"status": "aborted"}
             time.sleep(0.005)
 
     def _latest_committed(self) -> tuple[int, dict]:
@@ -513,11 +542,27 @@ class AerovalSparkDB:
             except FileExistsError:
                 continue
 
-    def _resolve_claim(self, n: int, meta: dict) -> None:
-        tmp = os.path.join(self._commits_dir(), f".tmp-{uuid.uuid4().hex}")
-        with open(tmp, "w", encoding="utf-8") as f:
+    def _resolve_claim(self, n: int, meta: dict) -> bool:
+        """Publish the FIRST-AND-ONLY resolution for claim ``n``.
+
+        O_CREAT|O_EXCL on the resolution file is the arbitration: a
+        claim can be resolved exactly once, ever. Returns False when a
+        resolution already exists (e.g. a peer durably presumed this
+        claim crashed) — the caller's attempt did NOT take effect and
+        it must re-read the actual resolution and react (transact
+        retries). Content is written before the fd closes; readers
+        treat an empty file as pending, so a crash mid-write parses as
+        still-pending and times out normally."""
+        try:
+            fd = os.open(
+                self._resolution_path(n),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
             f.write(json_dumps_wrapper(meta))
-        os.replace(tmp, self._claim_path(n))
+        return True
 
     def _restamp_mem_seqs(self, base: int) -> int:
         """Re-stamp memtable seqs as base..base+k (original relative
@@ -551,23 +596,49 @@ class AerovalSparkDB:
         for _ in range(max_retries):
             self.refresh()
             snap, snap_meta = self._latest_committed()
-            fn(self)
-            n = self._claim_next()
-            conflict = any(
-                self._wait_resolved(k).get("status") == "committed"
-                for k in range(snap + 1, n)
-            )
-            if conflict:
-                self._resolve_claim(n, {"status": "aborted"})
+            try:
+                fn(self)
+            except BaseException:
+                # a raising fn ABORTS: its partial puts must not ride
+                # along with some later unrelated flush
                 self._mem.clear()
-                time.sleep(random.uniform(0.0, delay))
-                delay = min(delay * 2, 0.25)
-                continue
-            base = max(time.time_ns(), int(snap_meta.get("max_seq", 0)) + 1)
-            max_seq = self._restamp_mem_seqs(base)
-            self._flush_unlocked()
-            self._resolve_claim(n, {"status": "committed", "max_seq": max_seq})
-            return
+                raise
+            n = self._claim_next()
+            try:
+                conflict = any(
+                    self._wait_resolved(k).get("status") == "committed"
+                    for k in range(snap + 1, n)
+                )
+                if conflict:
+                    self._resolve_claim(n, {"status": "aborted"})
+                    self._mem.clear()
+                    time.sleep(random.uniform(0.0, delay))
+                    delay = min(delay * 2, 0.25)
+                    continue
+                base = max(
+                    time.time_ns(), int(snap_meta.get("max_seq", 0)) + 1
+                )
+                max_seq = self._restamp_mem_seqs(base)
+                self._flush_unlocked()
+            except BaseException:
+                # flush failure (or interrupt) must not leave the claim
+                # pending forever — every later transact would stall a
+                # full timeout on it
+                self._resolve_claim(n, {"status": "aborted"})
+                raise
+            won = self._resolve_claim(
+                n, {"status": "committed", "max_seq": max_seq}
+            )
+            if won:
+                return
+            # A peer durably presumed this claim crashed while our
+            # flush ran long: our commit did NOT take effect. The
+            # appended rows are an orphaned attempt (superseded once we
+            # retry with fresh, higher seqs); re-run fn against fresh
+            # state so the read-modify-write lands exactly once.
+            self._mem.clear()
+            time.sleep(random.uniform(0.0, delay))
+            delay = min(delay * 2, 0.25)
         raise RuntimeError(
             f"transact: gave up after {max_retries} optimistic-commit "
             "conflicts"
@@ -1040,7 +1111,7 @@ class AerovalSparkDB:
         shutil.rmtree(old)
         self._df_cache.pop(self._storage_route(route), None)
 
-    def compact(self) -> None:
+    def compact(self, max_retries: int = 5) -> None:
         """Fold the append log: keep only the live latest row per key
         (plus ctime), dropping superseded versions and tombstones.
 
@@ -1049,9 +1120,69 @@ class AerovalSparkDB:
         superseded rows and tombstones are gone), so the horizon is
         persisted (``_compaction.json``, atomic replace) and
         :meth:`snapshot` / :meth:`changes` refuse seqs beneath it —
-        a loud error instead of a silently wrong historical read."""
+        a loud error instead of a silently wrong historical read.
+
+        Concurrency: the table swap (rename + rmtree) would destroy
+        parquet files a concurrent lock-free :meth:`transact` appended
+        after compaction read the table, so compaction takes a claim
+        of its own and swaps only when every lower claim is resolved
+        and none committed since its read — an in-flight transact
+        either lands before the swap (compaction retries on its
+        commit) or starts after and sees compaction's commit in its
+        own conflict check. Plain un-claimed ``flush()`` remains
+        single-writer-per-root by contract."""
         self.flush()
-        horizon = self.current_seq()
+        import random
+
+        delay = 0.01
+        for _ in range(max_retries):
+            self.refresh()
+            snap, snap_meta = self._latest_committed()
+            horizon = self.current_seq()
+            # PHASE 1 — stage: fold every table into a tmp dir. All
+            # the heavy Spark work, nothing destroyed yet.
+            staged = self._compact_stage()
+            # PHASE 2 — arbitrate: claim a slot; every lower claim must
+            # resolve (in-flight transacts land or durably abort), and
+            # none may have committed since our read — their appends
+            # would be missing from the staged fold.
+            n = self._claim_next()
+            conflict = any(
+                self._wait_resolved(k).get("status") == "committed"
+                for k in range(snap + 1, n)
+            )
+            if conflict:
+                self._resolve_claim(n, {"status": "aborted"})
+                for _route, tmp in staged:
+                    shutil.rmtree(tmp, ignore_errors=True)
+                time.sleep(random.uniform(0.0, delay))
+                delay = min(delay * 2, 0.5)
+                continue
+            # PHASE 3 — swap (renames, fast) and publish. Losing our
+            # resolution AFTER the swap (a peer presumed us crashed
+            # mid-swap) is harmless: compaction is a logical no-op, so
+            # the peer's retried commit lands on equivalent state.
+            self._compact_swap(staged)
+            if horizon > self.min_snapshot_seq():
+                self._write_compaction_marker(horizon)
+            self._resolve_claim(
+                n,
+                {
+                    "status": "committed",
+                    "max_seq": int(snap_meta.get("max_seq", 0)),
+                    "compaction": True,
+                },
+            )
+            return
+        raise RuntimeError(
+            f"compact: gave up after {max_retries} attempts (concurrent "
+            "writers kept committing)"
+        )
+
+    def _compact_stage(self) -> list[tuple[Route, str]]:
+        """Fold every route table into a tmp directory (non-destructive
+        — the live tables are untouched). Returns (route, tmp_dir)."""
+        staged: list[tuple[Route, str]] = []
         for route in Route:
             if route in TABLE_ALIASES:
                 continue
@@ -1084,9 +1215,26 @@ class AerovalSparkDB:
                 )
             )
             keep = folded.unionByName(first).drop("write_ts_first")
-            self._rewrite_table(route, keep)
-        if horizon > self.min_snapshot_seq():
-            self._write_compaction_marker(horizon)
+            path = self._table_path(route)
+            tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+            # Written at the plan's natural parallelism — a rewrite of
+            # a 100 TB route table must not funnel through one task.
+            writer = keep.write.mode("overwrite")
+            if "project" in keys:
+                writer = writer.partitionBy("project")
+            writer.parquet(tmp)
+            staged.append((route, tmp))
+        return staged
+
+    def _compact_swap(self, staged: list[tuple[Route, str]]) -> None:
+        with self._lock:
+            for route, tmp in staged:
+                path = self._table_path(route)
+                old = f"{path}.old-{uuid.uuid4().hex[:8]}"
+                os.rename(path, old)
+                os.rename(tmp, path)
+                shutil.rmtree(old)
+                self._df_cache.pop(self._storage_route(route), None)
 
     def min_snapshot_seq(self) -> int:
         """Lowest seq a snapshot/CDC window may reference (0 until the

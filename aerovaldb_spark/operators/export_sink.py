@@ -84,14 +84,18 @@ def corpus_manifest(
     partition discovery found."""
     df = read_corpus(spark, out_dir, fmt)
     if partition_by is None:
-        partition_by = tuple(
-            c for c in df.columns
-            if any(
-                e.startswith(f"{c}=")
-                for e in os.listdir(out_dir)
-                if not e.startswith(("_", "."))
-            )
-        )
+        # collect `col=value` segments at EVERY directory level (a
+        # ('lang','split') layout nests split= under lang=), ordered
+        # outermost-first as export_corpus wrote them
+        found: dict[str, int] = {}
+        for root, dirs, _files in os.walk(out_dir):
+            depth = len(os.path.relpath(root, out_dir).split(os.sep))
+            for d in dirs:
+                if "=" in d and not d.startswith(("_", ".")):
+                    col = d.split("=", 1)[0]
+                    if col in df.columns:
+                        found[col] = min(found.get(col, depth), depth)
+        partition_by = tuple(sorted(found, key=found.__getitem__))
     meta = df.withColumn("_file", F.input_file_name())
     keys = list(partition_by) or [F.lit("all").alias("partition")]
     return meta.groupBy(*keys).agg(

@@ -492,25 +492,22 @@ class IVFIndex:
 
             return sorted(centers, key=lambda i: d2(centers[i]))[:n_probe]
 
+        plists = [
+            (
+                qr["query_id"],
+                [float(x) for x in qr[self.vec_col]],
+                probes([float(x) for x in qr[self.vec_col]]),
+            )
+            for qr in q_rows
+        ]
         qdf = spark.createDataFrame(
-            [
-                (
-                    qr["query_id"],
-                    [float(x) for x in qr[self.vec_col]],
-                    probes([float(x) for x in qr[self.vec_col]]),
-                )
-                for qr in q_rows
-            ],
-            "query_id long, qvec array<double>, probe array<int>",
+            plists, "query_id long, qvec array<double>, probe array<int>"
         ).select("query_id", "qvec", F.explode("probe").alias("list_id"))
 
         # IN-filter on the union of probed lists reaches the scan as a
         # PARTITION filter on the list_id layout — the join alone would
         # read every list
-        all_probes = sorted(
-            {p for qr in q_rows
-             for p in probes([float(x) for x in qr[self.vec_col]])}
-        )
+        all_probes = sorted({p for _, _, ps in plists for p in ps})
         pruned = self.assignments.filter(F.col("list_id").isin(all_probes))
 
         w = Window.partitionBy("query_id").orderBy(

@@ -67,6 +67,14 @@ def q75_asset_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     langs = sorted({r["lang"] for r in agg})
+    if not langs:
+        # empty corpus: the oracle returns zero rows; match it instead
+        # of IndexError-ing before the store exists
+        return spark.createDataFrame(
+            [],
+            "lang string, source string, n_docs_even long,"
+            " sum_chars_even long",
+        )
     removed = langs[0]
 
     root = tempfile.mkdtemp(prefix="avdb_q75_")

@@ -82,7 +82,15 @@ class SnapshotReader:
         """Historical point read. ``raw=True`` returns the stored
         payload verbatim (JSON string, or bytes for binary routes);
         otherwise JSON payloads are parsed."""
-        key = {**route_args, **(kwargs or {})}
+        # complete the key over ALL storage columns: an unspecified
+        # extra key (e.g. MAP's `time`) must constrain to IS NULL,
+        # exactly like the live point read — otherwise limit(1) could
+        # return whichever variant sorts first
+        provided = {**route_args, **(kwargs or {})}
+        key = {
+            k: provided.get(k)
+            for k in storage_keys(self._db._storage_route(route))
+        }
         df = self._resolved(route, key)
         uri = build_uri(route, dict(route_args), dict(kwargs or {}))
         rows = df.limit(1).collect() if df is not None else []

@@ -384,8 +384,15 @@ def import_jsondb_tree_distributed(
                 if version_override is not None:
                     version = version_override
                 else:
-                    # one cfg read per experiment prefix, not per file
-                    exp_key = "/".join(rel.split("/")[:2])
+                    # one cfg read per experiment prefix, not per
+                    # file; reports/ paths resolve their experiment
+                    # one level deeper
+                    # (reports/<proj>/<exp>/...), so the cache key must
+                    # include that segment or every experiment under a
+                    # reports project would pin the first one's version
+                    parts = rel.split("/")
+                    depth = 3 if parts[0] == "reports" else 2
+                    exp_key = "/".join(parts[:depth])
                     if exp_key not in version_cache:
                         version_cache[exp_key] = _experiment_version(
                             basedir, rel
