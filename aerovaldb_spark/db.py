@@ -657,6 +657,70 @@ class AerovalSparkDB:
         A no-op FakeLock unless AVDB_USE_LOCKING is enabled."""
         return self._lock
 
+    def fsck(self, repair: bool = False) -> dict:
+        """Store integrity check — the operations tool a deployment
+        runs after a crash or before relying on a root.
+
+        Verifies: every commit claim is resolved (a pending claim past
+        the presumption timeout is a crashed writer); no orphaned
+        ``.tmp-*`` / ``.old-*`` table directories from interrupted
+        rewrites; the compaction horizon does not exceed the log head;
+        every route table parses under its declared schema. With
+        ``repair=True`` the findings are fixed where safe: stale
+        pending claims resolve aborted (exclusive-create — a racing
+        owner loses cleanly), orphan directories are removed.
+
+        Returns a report dict; ``report["ok"]`` is True when nothing
+        (remains) wrong."""
+        report: dict = {
+            "stale_pending_claims": [],
+            "orphan_dirs": [],
+            "unreadable_tables": [],
+            "horizon_above_head": False,
+            "repaired": repair,
+        }
+        now = time.time()
+        for n in self._scan_claim_numbers():
+            if self._read_claim(n) is not None:
+                continue
+            try:
+                age = now - os.path.getmtime(self._claim_path(n))
+            except OSError:
+                continue
+            if age > self._CLAIM_RESOLVE_TIMEOUT:
+                report["stale_pending_claims"].append(n)
+                if repair:
+                    self._resolve_claim(
+                        n, {"status": "aborted", "fsck_repaired": True}
+                    )
+        for entry in sorted(os.listdir(self.root)):
+            if ".tmp-" in entry or ".old-" in entry:
+                full = os.path.join(self.root, entry)
+                report["orphan_dirs"].append(entry)
+                if repair and os.path.isdir(full):
+                    shutil.rmtree(full, ignore_errors=True)
+        head = self.current_seq()
+        if self.min_snapshot_seq() > head and head > 0:
+            report["horizon_above_head"] = True  # not auto-repairable
+        for route in Route:
+            if route in TABLE_ALIASES:
+                continue
+            try:
+                df = self._disk_df(route)
+                if df is not None:
+                    df.select("seq").limit(1).collect()
+            except Exception as e:  # noqa: BLE001 — diagnostic surface
+                report["unreadable_tables"].append(
+                    (table_name(route), f"{type(e).__name__}: {e}"[:200])
+                )
+        report["ok"] = not (
+            (report["stale_pending_claims"] and not repair)
+            or (report["orphan_dirs"] and not repair)
+            or report["unreadable_tables"]
+            or report["horizon_above_head"]
+        )
+        return report
+
     def close(self) -> None:
         self.flush()
 

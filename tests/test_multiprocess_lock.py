@@ -241,3 +241,30 @@ def test_transact_fn_exception_discards_partial_puts(tmp_path):
     db.put_menu({"m": 1}, "p", "e")  # unrelated later write
     db.flush()
     assert db.get_config("p", "e") == {"v": 1}  # aborted put NOT committed
+
+
+def test_fsck_detects_and_repairs(tmp_path, monkeypatch):
+    """fsck flags crashed-writer leftovers (stale pending claim,
+    orphan rewrite dirs) and repairs them; a clean store is ok."""
+    from aerovaldb_spark.db import AerovalSparkDB
+
+    db = _mkdb(tmp_path)
+    db.put_config({"v": 1}, "p", "e")
+    db.flush()
+    assert db.fsck()["ok"]
+
+    # simulate a crashed writer: claim without resolution, old tmp dir
+    monkeypatch.setattr(AerovalSparkDB, "_CLAIM_RESOLVE_TIMEOUT", 0.0)
+    n = db._claim_next()
+    os.makedirs(os.path.join(db.root, "config.tmp-deadbeef"))
+
+    rep = db.fsck()
+    assert not rep["ok"]
+    assert n in rep["stale_pending_claims"]
+    assert "config.tmp-deadbeef" in rep["orphan_dirs"]
+
+    rep2 = db.fsck(repair=True)
+    assert rep2["ok"]
+    assert db._read_claim(n)["status"] == "aborted"
+    assert db.fsck()["ok"]  # clean after repair
+    assert db.get_config("p", "e") == {"v": 1}  # data untouched
