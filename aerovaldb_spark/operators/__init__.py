@@ -29,19 +29,26 @@ _MERGED_QUERIES = {
 # re-verified periodically. Every entry keeps a pytest-side oracle
 # check regardless of position (tests/test_parity_sample.py runs the
 # same gate at sf0.001).
-# Round-4 window therefore holds: q75/q76/q77/q78 (new), q26/q56/q60
-# (stop-shingle guard landed this round), all 19 once-green entries
-# (q19 q21 q25 q27 q28 q32 q62-q74), 15 of the 18 twice-green entries
-# deferred in r3 (q01-q06 q10 q13 q15-q18 q29 q33 q35), and 9
-# rotated back from r3's window (q51-q55 q57-q59 q61). Round-4 tail:
-# 28 entries — 25 green in ≥2 driver rounds INCLUDING r3, plus
-# q22/q23/q24 (green r1+r2, map-only scalars, value-checked every CI
-# run by test_parity_sample) bumped to make room for the three new
-# graded entries; they rotate back in r5.
+# Round-4 window therefore holds: q75-q82 (new this round — q79 kNN
+# join, q80 sliding chunks, q81 stratified sample, q82 source-overlap
+# matrix joined mid-round), q26/q56/q60 (stop-shingle guard landed
+# this round), all 19 once-green entries (q19 q21 q25 q27 q28 q32
+# q62-q74), 11 of the twice-green entries deferred in r3 (q01-q06 q10
+# q13 q15-q18 q29 q33 q35 minus the four bumped below), and 5 rotated
+# back from r3's window (q51 q52 q55 q58 q59). Round-4 tail: 32
+# entries — 29 green in ≥2 driver rounds INCLUDING r3 (q53/q54/q57
+# thrice-green and q61 twice-green bumped mid-round to make room for
+# q79-q82), plus q22/q23/q24 (green r1+r2, map-only scalars,
+# value-checked every CI run by test_parity_sample); they rotate back
+# in r5.
 _DEFER_ROUND = [
     "q22_quality_scores",
     "q23_lang_id",
     "q24_fingerprints",
+    "q53_train_split",
+    "q54_pack_sequences",
+    "q57_source_mixing",
+    "q61_tfidf_top_terms",
     "q07_window_topk_per_customer",
     "q08_running_total",
     "q09_distinct_counts",

@@ -874,6 +874,83 @@ SELECT u AS doc_id, LEAST(u, MIN(w)) AS component FROM reach GROUP BY u
 """
 
 
+# --------------------------------------------------------------------------
+# q82: cross-source shingle-overlap matrix — Jaccard similarity
+# between the distinct-shingle SETS of every source pair. The corpus-
+# level view of q77's per-document contamination: which sources share
+# boilerplate/content with which. Scale shape: the corpus collapses to
+# one (source, h) row per distinct 8-byte shingle hash per source
+# BEFORE any join (partial-combined distinct), the source×source
+# intersection is an equi-join on h whose output is |sources|² rows,
+# and the per-source set sizes (a |sources|-row frame) broadcast onto
+# the pair counts.
+def source_overlap_matrix(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(source_a, source_b, n_a, n_b, n_common, jaccard) per pair.
+
+    ``n_a``/``n_b`` are distinct-shingle-set sizes, ``jaccard`` is
+    |A∩B| / |A∪B| rounded to 6. Pairs with an empty intersection are
+    absent (at scale you don't materialize the zero cells of a
+    sources² matrix; absence == disjoint).
+    """
+    sh = scoped_persist(
+        docs.select("source", F.explode(shingles_col("text", n)).alias("shingle"))
+        .select("source", hash60(F.col("shingle")).alias("h"))
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_set"))
+    a = sh.select(F.col("source").alias("source_a"), "h")
+    b = sh.select(F.col("source").alias("source_b"), "h")
+    common = (
+        a.join(b, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(
+            F.broadcast(sizes.toDF("source_a", "n_a")), "source_a"
+        )
+        .join(F.broadcast(sizes.toDF("source_b", "n_b")), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def q82_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return source_overlap_matrix(docs)
+
+
+Q82_SQL = f"""
+WITH sh AS (
+  SELECT DISTINCT source, {hash60_sql('shingle')} AS h
+  FROM (SELECT source, unnest({shingles_sql('text', 3)}) AS shingle FROM documents)
+), sizes AS (
+  SELECT source, COUNT(*) AS n_set FROM sh GROUP BY source
+), common AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT c.source_a, c.source_b,
+  sa.n_set AS n_a, sb.n_set AS n_b, c.n_common,
+  ROUND(CAST(c.n_common AS DOUBLE) / (sa.n_set + sb.n_set - c.n_common), 6) AS jaccard
+FROM common c
+JOIN sizes sa ON sa.source = c.source_a
+JOIN sizes sb ON sb.source = c.source_b
+"""
+
+
 QUERIES = {
     "q25_dedup_exact": q25_dedup_exact,
     "q26_ngram_jaccard_pairs": q26_ngram_jaccard_pairs,
@@ -882,9 +959,11 @@ QUERIES = {
     "q56_dedup_clusters": q56_dedup_clusters,
     "q60_canonical_docs": q60_canonical_docs,
     "q62_dedup_pipeline": q62_dedup_pipeline,
+    "q82_source_overlap": q82_source_overlap,
 }
 
 ORACLE = {
+    "q82_source_overlap": Q82_SQL,
     "q25_dedup_exact": Q25_SQL,
     "q26_ngram_jaccard_pairs": Q26_SQL,
     "q27_minhash_signatures": Q27_SQL,

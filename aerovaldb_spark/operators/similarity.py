@@ -526,15 +526,105 @@ class IVFIndex:
         )
 
 
+# --------------------------------------------------------------------------
+# q79: exact batch kNN self-join — every vector's k nearest neighbors
+# in one job. This is the retrieval-eval / dedup-verification shape a
+# training pipeline runs over an embedded corpus; exact all-pairs is
+# the VALIDATION baseline (size-guarded like cosine_near_dup_pairs) —
+# the 100 TB path is IVFIndex.topk (directory-pruned probes) with this
+# as its recall oracle on samples.
+KNN_JOIN_K = 3
+KNN_JOIN_MAX_ROWS = 100_000
+
+
+def knn_join(
+    vectors: DataFrame,
+    k: int = KNN_JOIN_K,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_rows: int | None = KNN_JOIN_MAX_ROWS,
+) -> DataFrame:
+    """Exact k nearest neighbors (cosine) for EVERY vector, one plan.
+
+    Same scale-shaping as :func:`cosine_near_dup_pairs`: arrays cast to
+    double and norms computed once per vector BEFORE the join (one fold
+    per pair, not three), left side repartitioned so the O(n²) scoring
+    parallelizes off a single row group. The per-query top-k window
+    shuffles only (query_id, neighbor_id, cosine) triples — 20 bytes a
+    row, not vectors. Inputs above ``max_rows`` raise; use
+    :class:`IVFIndex` + sampled recall checks at scale.
+    """
+    from pyspark.sql import Window
+
+    if max_rows is not None:
+        n = vectors.count()
+        if n > max_rows:
+            raise ValueError(
+                f"knn_join is an O(n²) validation baseline; input has "
+                f"{n} rows > max_rows={max_rows}. Use IVFIndex.topk at "
+                "scale (validate its recall against knn_join on a "
+                "sample), or pass max_rows=None to override."
+            )
+    par = vectors.sparkSession.sparkContext.defaultParallelism
+    prepped = vectors.select(
+        F.col(id_col).alias("_id"),
+        _dbl(vec_col).alias("_vec"),
+        norm_col(vec_col).alias("_norm"),
+    )
+    a = prepped.toDF("query_id", "vec_a", "norm_a").repartition(par, "query_id")
+    b = prepped.toDF("neighbor_id", "vec_b", "norm_b")
+    dot = F.aggregate(
+        F.zip_with("vec_a", "vec_b", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        a.join(b, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(dot / (F.col("norm_a") * F.col("norm_b")), 6))
+        .select("query_id", "neighbor_id", "cosine")
+        .withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .select("query_id", "knn_rank", "neighbor_id", "cosine")
+    )
+
+
+def q79_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_join(emb, k=KNN_JOIN_K)
+
+
+Q79_SQL = f"""
+WITH scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+    ROUND(
+      list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+         * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS knn_rank
+  FROM scored
+)
+SELECT query_id, knn_rank, neighbor_id, cosine
+FROM ranked WHERE knn_rank <= {KNN_JOIN_K}
+"""
+
+
 QUERIES = {
     "q29_cosine_topk": q29_cosine_topk,
     "q30_embedding_norms": q30_embedding_norms,
     "q46_srp_near_dup": q46_srp_near_dup,
     "q50_cosine_near_dup": q50_cosine_near_dup,
     "q66_ivf_topk": q66_ivf_topk,
+    "q79_knn_join": q79_knn_join,
 }
 
 ORACLE = {
+    "q79_knn_join": Q79_SQL,
     "q29_cosine_topk": Q29_SQL,
     "q30_embedding_norms": Q30_SQL,
     "q46_srp_near_dup": Q46_SQL,

@@ -984,6 +984,146 @@ ORDER BY bm25 DESC, doc_id LIMIT 20
 """
 
 
+# --------------------------------------------------------------------------
+# q80: sliding-window chunking with overlap — the retrieval/context-
+# window preprocessing step (split each document into CHUNK_TOKENS-
+# token windows every CHUNK_STRIDE tokens, adjacent chunks overlapping
+# by CHUNK_TOKENS - CHUNK_STRIDE tokens). Map-only: sequence + explode
+# + slice are all JVM-side higher-order functions, no shuffle at all —
+# at 100 TB this is a pure scan→write job whose output is addressed by
+# (doc_id, chunk_id) and hashed for downstream chunk-level dedup.
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 16
+
+
+def sliding_chunks(
+    docs: DataFrame,
+    chunk_tokens: int = CHUNK_TOKENS,
+    stride: int = CHUNK_STRIDE,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, chunk_id, n_chunk_tokens, chunk_hash) sliding windows.
+
+    A chunk starts at every ``stride``-th token offset below the token
+    count; the final chunks are allowed to run short (the tail of the
+    document is never dropped). The chunk text itself leaves the plan
+    only as an md5 — downstream chunk-dedup joins move 16-byte hashes,
+    not text.
+    """
+    toks = docs.select(
+        "doc_id", tokens_col(text_col).alias("_toks")
+    )
+    start = F.explode(
+        F.sequence(F.lit(0), F.size("_toks") - 1, F.lit(stride))
+    )
+    chunk = F.slice(F.col("_toks"), F.col("start") + 1, chunk_tokens)
+    return (
+        toks.withColumn("start", start)
+        .withColumn("chunk", chunk)
+        .select(
+            "doc_id",
+            (F.col("start") / stride).cast("int").alias("chunk_id"),
+            F.size("chunk").alias("n_chunk_tokens"),
+            F.md5(F.array_join("chunk", " ")).alias("chunk_hash"),
+        )
+    )
+
+
+def q80_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sliding_chunks(docs)
+
+
+Q80_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 1, {CHUNK_STRIDE})) AS start FROM t),
+c AS (SELECT doc_id, start // {CHUNK_STRIDE} AS chunk_id,
+             toks[start + 1 : start + {CHUNK_TOKENS}] AS chunk FROM s)
+SELECT doc_id, chunk_id, len(chunk) AS n_chunk_tokens,
+       md5(array_to_string(chunk, ' ')) AS chunk_hash
+FROM c
+"""
+
+
+# --------------------------------------------------------------------------
+# q81: deterministic stratified sampling — per-source sampling rates
+# applied via a salted content-free hash of the key, so the sample is
+# reproducible on any engine and any cluster size (no RNG state, no
+# per-partition seed coupling). Map-only predicate: at 100 TB the
+# sample IS a filter pushed over the scan; only the audit aggregation
+# shuffles (5 rows). The same shape serves train/validation carve-outs
+# (q53) and source-weighted corpus mixing (q57); this variant reports the
+# per-source realized fraction so a pipeline can assert its mix.
+SAMPLE_RATES = {"src0": 50, "src1": 25, "src2": 10, "src3": 75}
+SAMPLE_DEFAULT_PCT = 100
+
+
+def stratified_sample_flag(
+    rates: dict[str, int] | None = None,
+    default_pct: int = SAMPLE_DEFAULT_PCT,
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+    salt: str = "strat_",
+) -> Column:
+    """Boolean keep-flag: hash(salt || id) % 100 < pct(strata)."""
+    from .dedup import hash60
+
+    rates = SAMPLE_RATES if rates is None else rates
+    bucket = F.pmod(
+        hash60(F.concat(F.lit(salt), F.col(id_col).cast("string"))), F.lit(100)
+    )
+    pct = F.lit(default_pct)
+    for src, p in rates.items():
+        pct = F.when(F.col(strata_col) == src, F.lit(p)).otherwise(pct)
+    return bucket < pct
+
+
+def q81_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("_keep", stratified_sample_flag())
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("_keep").cast("long")).alias("n_sampled"),
+            F.round(
+                F.sum(F.col("_keep").cast("long")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("sampled_frac"),
+            F.sum(
+                F.when(F.col("_keep"), F.col("n_chars")).otherwise(F.lit(0))
+            ).alias("sampled_chars"),
+            F.min(F.when(F.col("_keep"), F.col("doc_id"))).alias(
+                "first_sampled_doc"
+            ),
+        )
+    )
+
+
+def _rates_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN source = '{s}' THEN {p}" for s, p in SAMPLE_RATES.items()
+    )
+    return f"CASE {whens} ELSE {SAMPLE_DEFAULT_PCT} END"
+
+
+Q81_SQL = f"""
+WITH flagged AS (
+  SELECT *,
+    (CAST('0x' || substring(md5('strat_' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100)
+      < ({_rates_case_sql()}) AS keep
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+  ROUND(CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS sampled_frac,
+  CAST(SUM(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS sampled_chars,
+  MIN(CASE WHEN keep THEN doc_id END) AS first_sampled_doc
+FROM flagged GROUP BY source
+"""
+
+
 QUERIES = {
     "q21_token_stats": q21_token_stats,
     "q22_quality_scores": q22_quality_scores,
@@ -1000,9 +1140,13 @@ QUERIES = {
     "q76_bigram_lm_nll": q76_bigram_lm_nll,
     "q77_contamination_score": q77_contamination_score,
     "q78_bm25_topk": q78_bm25_topk,
+    "q80_sliding_chunks": q80_sliding_chunks,
+    "q81_stratified_sample": q81_stratified_sample,
 }
 
 ORACLE = {
+    "q80_sliding_chunks": Q80_SQL,
+    "q81_stratified_sample": Q81_SQL,
     "q21_token_stats": Q21_SQL,
     "q22_quality_scores": Q22_SQL,
     "q23_lang_id": Q23_SQL,

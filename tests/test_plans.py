@@ -220,3 +220,67 @@ def test_q26_guard_is_anti_join(spark):
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert "LeftAnti" in analyzed
     assert df.count() > 0
+
+
+def test_q79_knn_guard_refuses_oversized_input(spark):
+    # knn_join is the O(n²) validation baseline; the size guard must
+    # refuse production-scale input before launching the cross join.
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators.similarity import knn_join
+
+    emb = load_table(spark, SF, "embeddings")
+    with pytest.raises(ValueError, match="O\\(n²\\) validation baseline"):
+        knn_join(emb, max_rows=10)
+
+
+def test_q79_window_shuffles_triples_not_vectors(spark):
+    # The top-k window ranks (query_id, neighbor_id, cosine) triples;
+    # the embedding arrays must be projected away before the final
+    # rank exchange (only the explicit repartition carries vectors).
+    from aerovaldb_spark.operators.similarity import q79_knn_join
+
+    df = q79_knn_join(spark, SF)
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    exchanges = [
+        line for line in physical.splitlines() if "Exchange hashpartitioning" in line
+    ]
+    # exactly one vector-carrying exchange (the parallelizing
+    # repartition of the left side); the window exchange is hash-only
+    vector_exchanges = [line for line in exchanges if "vec" in line or "_vec" in line]
+    assert len(vector_exchanges) <= 1, physical
+
+
+def test_q80_chunking_is_map_only(spark):
+    # Sliding-window chunking is a pure scan→project job: zero
+    # exchanges of any kind in the physical plan.
+    from aerovaldb_spark.operators.text import q80_sliding_chunks
+
+    df = q80_sliding_chunks(spark, SF)
+    assert shuffle_count(df) == 0
+    assert df.count() > 0
+
+
+def test_q81_sample_predicate_is_map_side(spark):
+    # The stratified keep-flag must be computable without any join or
+    # shuffle — the only exchange is the 5-row audit aggregation.
+    from aerovaldb_spark.operators.text import q81_stratified_sample
+
+    df = q81_stratified_sample(spark, SF)
+    assert shuffle_count(df) <= 1  # the groupBy(source) agg only
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in physical
+
+
+def test_q82_overlap_join_moves_hashes_not_text(spark):
+    # The source×source intersection joins on the 8-byte shingle hash;
+    # text must be pruned before every exchange, and the per-source
+    # set sizes must broadcast onto the pair counts.
+    from aerovaldb_spark.operators.dedup import q82_source_overlap
+
+    df = q82_source_overlap(spark, SF)
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    for line in physical.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line, line
+    assert has_broadcast_join(df)
+    assert df.count() > 0
