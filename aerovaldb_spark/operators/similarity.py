@@ -614,6 +614,103 @@ FROM ranked WHERE knn_rank <= {KNN_JOIN_K}
 """
 
 
+# --------------------------------------------------------------------------
+# q83: embedding cluster-cohesion report — intra-label pairwise cosine
+# statistics per label. The "did my clustering / labeling hold up"
+# audit a pipeline runs after assigning embeddings to groups: a label
+# whose average intra-cosine is low (or whose min is negative) is
+# incoherent. Pairwise sums use the DECIMAL-sum convention (round to 6
+# then cast decimal(18,6)) so the aggregate is order-independent and
+# bit-equal cross-engine. Intra-label pairing is quadratic per label —
+# size-guarded like knn_join; at scale you run it per-label on a
+# deterministic sample (stratified_sample_flag) and the report shape
+# is unchanged.
+LABEL_COHESION_MAX_ROWS = 100_000
+
+
+def label_cohesion(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    max_rows: int | None = LABEL_COHESION_MAX_ROWS,
+) -> DataFrame:
+    """(label, n_vectors, n_pairs, avg_cosine, min_cosine, max_cosine).
+
+    ``avg_cosine`` averages round(cosine, 6) over all within-label
+    pairs via an exact DECIMAL sum; min/max are order-free already.
+    Norms are computed once per vector before the pair join.
+    """
+    if max_rows is not None:
+        n = vectors.count()
+        if n > max_rows:
+            raise ValueError(
+                f"label_cohesion pairs quadratically within labels; "
+                f"input has {n} rows > max_rows={max_rows}. Run it on "
+                "a stratified sample at scale, or pass max_rows=None."
+            )
+    prepped = vectors.select(
+        F.col(label_col).alias("label"),
+        F.col(id_col).alias("_id"),
+        _dbl(vec_col).alias("_vec"),
+        norm_col(vec_col).alias("_norm"),
+    )
+    a = prepped.toDF("label", "id_a", "vec_a", "norm_a")
+    b = prepped.toDF("label", "id_b", "vec_b", "norm_b")
+    dot = F.aggregate(
+        F.zip_with("vec_a", "vec_b", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(dot / (F.col("norm_a") * F.col("norm_b")), 6))
+    )
+    sizes = vectors.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+    stats = pairs.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(
+            F.sum(F.col("cosine").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_cosine"),
+        F.min("cosine").alias("min_cosine"),
+        F.max("cosine").alias("max_cosine"),
+    )
+    return stats.join(F.broadcast(sizes), "label").select(
+        "label", "n_vectors", "n_pairs", "avg_cosine", "min_cosine", "max_cosine"
+    )
+
+
+def q83_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_cohesion(emb)
+
+
+Q83_SQL = """
+WITH p AS (
+  SELECT a.label,
+    ROUND(
+      list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+         * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+), stats AS (
+  SELECT label, COUNT(*) AS n_pairs,
+    ROUND(CAST(SUM(CAST(cosine AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_cosine,
+    MIN(cosine) AS min_cosine, MAX(cosine) AS max_cosine
+  FROM p GROUP BY label
+), sizes AS (
+  SELECT label, COUNT(*) AS n_vectors FROM embeddings GROUP BY label
+)
+SELECT s.label, z.n_vectors, s.n_pairs, s.avg_cosine, s.min_cosine, s.max_cosine
+FROM stats s JOIN sizes z ON z.label = s.label
+"""
+
+
 QUERIES = {
     "q29_cosine_topk": q29_cosine_topk,
     "q30_embedding_norms": q30_embedding_norms,
@@ -621,10 +718,12 @@ QUERIES = {
     "q50_cosine_near_dup": q50_cosine_near_dup,
     "q66_ivf_topk": q66_ivf_topk,
     "q79_knn_join": q79_knn_join,
+    "q83_label_cohesion": q83_label_cohesion,
 }
 
 ORACLE = {
     "q79_knn_join": Q79_SQL,
+    "q83_label_cohesion": Q83_SQL,
     "q29_cosine_topk": Q29_SQL,
     "q30_embedding_norms": Q30_SQL,
     "q46_srp_near_dup": Q46_SQL,

@@ -1124,6 +1124,137 @@ FROM flagged GROUP BY source
 """
 
 
+# --------------------------------------------------------------------------
+# q84: adaptive per-source quality gate — instead of one global
+# quality threshold (which over-prunes clean sources and under-prunes
+# noisy ones), keep each document whose quality sits at or above the
+# QUALITY_GATE_PCT percentile WITHIN ITS SOURCE. One window over
+# (source, quality, doc_id): a single shuffle on source, ranking state
+# only — at 100 TB this is the cheap adaptive filter you run instead
+# of hand-tuning per-source thresholds.
+QUALITY_GATE_PCT = 0.25
+
+
+def quality_percentile_gate(
+    docs: DataFrame, pct: float = QUALITY_GATE_PCT
+) -> DataFrame:
+    """Docs at/above the per-source ``pct`` quality percentile.
+
+    ``q_pct`` is percent_rank over (quality_score, doc_id) within the
+    source — fully deterministic (doc_id breaks quality ties), and the
+    gate compares the ROUNDED rank so borderline floats cannot flip
+    membership between engines.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality_score").asc(), F.col("doc_id").asc()
+    )
+    return (
+        quality_columns(docs)
+        .withColumn("q_pct", F.round(F.percent_rank().over(w), 6))
+        .filter(F.col("q_pct") >= F.lit(pct))
+        .select("doc_id", "source", "quality_score", "q_pct")
+    )
+
+
+def q84_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_percentile_gate(docs)
+
+
+Q84_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source,
+    len(string_split(text, ' ')) AS n_tokens,
+    len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and'))) AS stop_hits
+  FROM documents
+), q AS (
+  SELECT doc_id, source,
+    ROUND(LEAST(CAST(n_tokens AS DOUBLE) / 100, 1.0) * 0.5
+          + (1.0 - ROUND(CAST(stop_hits AS DOUBLE) / n_tokens, 6)) * 0.5, 6) AS quality_score
+  FROM t
+), ranked AS (
+  SELECT doc_id, source, quality_score,
+    ROUND(PERCENT_RANK() OVER (PARTITION BY source ORDER BY quality_score, doc_id), 6) AS q_pct
+  FROM q
+)
+SELECT doc_id, source, quality_score, q_pct
+FROM ranked WHERE q_pct >= {QUALITY_GATE_PCT}
+"""
+
+
+# --------------------------------------------------------------------------
+# q85: token-budget corpus selection — fill a fixed per-source token
+# budget with the highest-quality documents first (the greedy knapsack
+# every pretraining-mix recipe actually runs). One window per source:
+# rank by (quality DESC, doc_id), running token total, keep while the
+# cumulative count stays inside the budget. All-integer window
+# arithmetic — exact on any engine; one shuffle on source.
+TOKEN_BUDGET_PER_SOURCE = 800
+
+
+def token_budget_selection(
+    docs: DataFrame, budget: int = TOKEN_BUDGET_PER_SOURCE
+) -> DataFrame:
+    """Greedy quality-first selection under a per-source token budget.
+
+    Returns the selected docs with their selection rank and running
+    token total (``cum_tokens`` ≤ budget). A document that would
+    overflow the budget is skipped along with everything ranked below
+    it (prefix rule — deterministic and O(1) window state; true
+    knapsack packing is NP-hard and not what data pipelines run).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        quality_columns(docs)
+        .withColumn("sel_rank", F.row_number().over(w))
+        .withColumn(
+            "cum_tokens",
+            F.sum("n_tokens").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .filter(F.col("cum_tokens") <= F.lit(budget))
+        .select(
+            "doc_id", "source", "n_tokens", "quality_score",
+            "sel_rank", "cum_tokens",
+        )
+    )
+
+
+def q85_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return token_budget_selection(docs)
+
+
+Q85_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source,
+    len(string_split(text, ' ')) AS n_tokens,
+    len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and'))) AS stop_hits
+  FROM documents
+), q AS (
+  SELECT doc_id, source, n_tokens,
+    ROUND(LEAST(CAST(n_tokens AS DOUBLE) / 100, 1.0) * 0.5
+          + (1.0 - ROUND(CAST(stop_hits AS DOUBLE) / n_tokens, 6)) * 0.5, 6) AS quality_score
+  FROM t
+), ranked AS (
+  SELECT doc_id, source, n_tokens, quality_score,
+    ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality_score DESC, doc_id) AS sel_rank,
+    SUM(n_tokens) OVER (PARTITION BY source ORDER BY quality_score DESC, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM q
+)
+SELECT doc_id, source, n_tokens, quality_score, sel_rank, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM ranked WHERE cum_tokens <= {TOKEN_BUDGET_PER_SOURCE}
+"""
+
+
 QUERIES = {
     "q21_token_stats": q21_token_stats,
     "q22_quality_scores": q22_quality_scores,
@@ -1142,11 +1273,15 @@ QUERIES = {
     "q78_bm25_topk": q78_bm25_topk,
     "q80_sliding_chunks": q80_sliding_chunks,
     "q81_stratified_sample": q81_stratified_sample,
+    "q84_quality_gate": q84_quality_gate,
+    "q85_token_budget": q85_token_budget,
 }
 
 ORACLE = {
     "q80_sliding_chunks": Q80_SQL,
     "q81_stratified_sample": Q81_SQL,
+    "q84_quality_gate": Q84_SQL,
+    "q85_token_budget": Q85_SQL,
     "q21_token_stats": Q21_SQL,
     "q22_quality_scores": Q22_SQL,
     "q23_lang_id": Q23_SQL,

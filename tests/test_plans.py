@@ -284,3 +284,45 @@ def test_q82_overlap_join_moves_hashes_not_text(spark):
             assert "text" not in line, line
     assert has_broadcast_join(df)
     assert df.count() > 0
+
+
+def test_q83_cohesion_guard_and_broadcast_sizes(spark):
+    # label_cohesion is quadratic within labels: the size guard must
+    # refuse oversized input, and the per-label size frame must
+    # broadcast onto the pair stats (never shuffle-join a 10-row dim).
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators.similarity import (
+        label_cohesion,
+        q83_label_cohesion,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    with pytest.raises(ValueError, match="quadratically within labels"):
+        label_cohesion(emb, max_rows=10)
+    df = q83_label_cohesion(spark, SF)
+    assert has_broadcast_join(df)
+    assert df.count() > 0
+
+
+def test_q84_gate_is_one_window_no_join(spark):
+    # The adaptive gate is one window over source: a single exchange,
+    # no join anywhere in the plan.
+    from aerovaldb_spark.operators.text import q84_quality_gate
+
+    df = q84_quality_gate(spark, SF)
+    assert shuffle_count(df) <= 1
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in physical
+    assert df.count() > 0
+
+
+def test_q85_budget_is_one_window_no_join(spark):
+    # Greedy budget selection: one window shuffle on source, integer
+    # running totals only, no join.
+    from aerovaldb_spark.operators.text import q85_token_budget
+
+    df = q85_token_budget(spark, SF)
+    assert shuffle_count(df) <= 1
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in physical
+    assert df.count() > 0
