@@ -29,19 +29,21 @@ _MERGED_QUERIES = {
 # re-verified periodically. Every entry keeps a pytest-side oracle
 # check regardless of position (tests/test_parity_sample.py runs the
 # same gate at sf0.001).
-# Round-4 window therefore holds: the 11 entries NEW this round
-# (q75-q85: asset-store round-trip, bigram-LM NLL, contamination,
+# Round-4 window therefore holds: the 13 entries NEW this round
+# (q75-q87: asset-store round-trip, bigram-LM NLL, contamination,
 # BM25, kNN join, sliding chunks, stratified sample, source-overlap
-# matrix, label cohesion, quality gate, token budget), q26/q56/q60
-# (stop-shingle guard landed this round), q52 + q58/q77 (decode/
-# shingle-path code touched this round), all once-green entries
-# (q19 q21 q25 q27 q28 q32 q62-q74), and the twice-green entries
-# deferred in r3 (q01-q06 q10 q13 q15-q18 q29 q33 q35 minus the four
-# bumped below). Round-4 tail: 35 entries, every one green in ≥2
-# driver rounds or (q22/q23/q24, q55) pytest-value-checked each CI
-# run — q53/q54/q57 thrice-green, q61/q51/q59 twice-green incl. r3,
-# and q55 (rows-only by design, unchanged) bumped mid-round to make
-# room for the new graded entries; they rotate back in r5.
+# matrix, label cohesion, quality gate, token budget, Q21-shape
+# waiting suppliers, Q13-shape custdist), q26/q56/q60 (stop-shingle
+# guard landed this round), q52 + q77 (decode/shingle-path code
+# touched this round), all once-green entries (q19 q21 q25 q27 q28
+# q32 q62-q74), and the twice-green entries deferred in r3 (q01-q06
+# q10 q13 q15 q17 q18 q29 q33 q35). Round-4 tail: 37 entries, every
+# one green in ≥2 driver rounds or (q22/q23/q24, q55)
+# pytest-value-checked each CI run — q53/q54/q57/q58 thrice-green,
+# q61/q51/q59/q16 twice-green incl. recent rounds (q16's point-read
+# pushdown is plan-asserted every CI run), and q55 (rows-only by
+# design, unchanged) bumped mid-round to make room for the new graded
+# entries; they rotate back in r5.
 _DEFER_ROUND = [
     "q22_quality_scores",
     "q23_lang_id",
@@ -53,6 +55,8 @@ _DEFER_ROUND = [
     "q51_binary_manifest",
     "q59_repetition_stats",
     "q55_approx_distinct",
+    "q58_decontaminate",
+    "q16_point_read",
     "q07_window_topk_per_customer",
     "q08_running_total",
     "q09_distinct_counts",

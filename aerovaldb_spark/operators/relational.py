@@ -777,6 +777,131 @@ LIMIT 25
 """
 
 
+# --------------------------------------------------------------------------
+# q86: "suppliers who kept orders waiting" — the TPC-H Q21 shape
+# (inner join + correlated EXISTS + correlated NOT-EXISTS), adapted to
+# this schema's columns: a line is LATE if it shipped more than 60
+# days after its order date; a supplier kept a finished order waiting
+# if it has a late line on that order, ANOTHER supplier also supplied
+# the order (EXISTS), and NO other supplier's line on it was late
+# (NOT EXISTS) — sole blame. Scale shape: the late-line set is
+# computed once and persisted (it feeds the probe side AND the
+# NOT-EXISTS side), both correlated predicates become shuffle
+# semi/anti joins on l_orderkey with the suppkey-inequality as a join
+# residual, and the tiny supplier dim broadcasts at the end.
+Q86_LATE_DAYS = 60
+
+
+def q86_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    finished = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    late = scoped_persist(
+        lineitem.join(
+            finished, lineitem.l_orderkey == finished.o_orderkey
+        )
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {Q86_LATE_DAYS} DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    other = lineitem.select(
+        F.col("l_orderkey").alias("o2_orderkey"),
+        F.col("l_suppkey").alias("o2_suppkey"),
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("o3_orderkey"),
+        F.col("l_suppkey").alias("o3_suppkey"),
+    )
+    blamed = (
+        late.join(
+            other,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (F.col("l_orderkey") == F.col("o3_orderkey"))
+            & (F.col("l_suppkey") != F.col("o3_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        blamed.join(
+            F.broadcast(supplier), blamed.l_suppkey == supplier.s_suppkey
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
+
+
+Q86_SQL = f"""
+WITH late AS (
+  SELECT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+    AND l.l_shipdate > o.o_orderdate + INTERVAL {Q86_LATE_DAYS} DAY
+), blamed AS (
+  SELECT l1.l_orderkey, l1.l_suppkey
+  FROM late l1
+  WHERE EXISTS (SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM late l3
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey)
+)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM blamed b JOIN supplier s ON s.s_suppkey = b.l_suppkey
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# q87: customer order-count distribution — the TPC-H Q13 shape (LEFT
+# OUTER join + double aggregation): orders-per-customer INCLUDING the
+# zero-order customers the inner join would drop, then the histogram
+# of those counts. Scale shape: one outer shuffle join on custkey, a
+# partial-combined count per customer, then a second (tiny) agg over
+# at most max-orders-per-customer distinct values.
+def q87_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(
+            orders, customer.c_custkey == orders.o_custkey, "left_outer"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+Q87_SQL = """
+WITH per_cust AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT OUTER JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -800,9 +925,13 @@ QUERIES = {
     "q68_top_part_values": q68_top_part_values,
     "q69_promo_revenue": q69_promo_revenue,
     "q70_inactive_wealthy": q70_inactive_wealthy,
+    "q86_waiting_suppliers": q86_waiting_suppliers,
+    "q87_custdist": q87_custdist,
 }
 
 ORACLE = {
+    "q86_waiting_suppliers": Q86_SQL,
+    "q87_custdist": Q87_SQL,
     "q01_pricing_summary": Q01_SQL,
     "q02_top_revenue_orders": Q02_SQL,
     "q03_revenue_by_nation": Q03_SQL,

@@ -326,3 +326,49 @@ def test_q85_budget_is_one_window_no_join(spark):
     physical = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in physical
     assert df.count() > 0
+
+
+def test_q86_correlated_exists_are_semi_anti_joins(spark):
+    # The Q21 shape must compile to one LeftSemi (EXISTS other
+    # supplier) and one LeftAnti (NOT EXISTS other late supplier) —
+    # never a row-expanding inner join that would re-aggregate — and
+    # the supplier dim must broadcast.
+    from aerovaldb_spark.operators.relational import q86_waiting_suppliers
+
+    df = q86_waiting_suppliers(spark, SF)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "LeftSemi" in analyzed
+    assert "LeftAnti" in analyzed
+    assert has_broadcast_join(df)
+    assert df.count() > 0
+
+
+def test_q87_outer_join_keeps_zero_customers(spark):
+    # Q13 shape: the LEFT OUTER join must keep order-less customers.
+    # The graded corpus gives every customer orders, so the zero
+    # bucket is asserted on an injected synthetic pair (q70/q71
+    # non-vacuity precedent): customer 99 has no orders and must
+    # surface as c_count=0 — an inner join would drop it.
+    from aerovaldb_spark import catalog
+    from aerovaldb_spark.operators.relational import q87_custdist
+
+    vdir = "plan-test://custdist"
+    cust = spark.createDataFrame(
+        [(1,), (2,), (99,)], "c_custkey long"
+    )
+    orders = spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 2)], "o_orderkey long, o_custkey long"
+    )
+    catalog._TABLE_CACHE[(vdir, "customer")] = cust
+    catalog._TABLE_CACHE[(vdir, "orders")] = orders
+    try:
+        rows = {
+            r["c_count"]: r["custdist"]
+            for r in q87_custdist(spark, vdir).collect()
+        }
+    finally:
+        catalog._TABLE_CACHE.pop((vdir, "customer"), None)
+        catalog._TABLE_CACHE.pop((vdir, "orders"), None)
+    assert rows == {2: 1, 1: 1, 0: 1}
+    # and the graded-corpus result is non-empty
+    assert q87_custdist(spark, SF).count() > 0

@@ -376,3 +376,110 @@ def test_png_decoder_never_wrong_only_loud(data, seed):
         assert len(px) == w * h * ch
     except ValueError:
         pass
+
+
+def test_sliding_chunks_cover_every_token(spark):
+    # Invariants of q80's chunker on the real corpus: (1) chunk count
+    # per doc == ceil(n_tokens / stride); (2) token conservation —
+    # stride-sized steps mean every token is counted floor/ceil-many
+    # times; concretely sum(n_chunk_tokens) is >= n_tokens (full
+    # coverage, overlap only adds); (3) no chunk exceeds the window.
+    from pyspark.sql import functions as F
+
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators.text import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        sliding_chunks,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    per_doc = (
+        sliding_chunks(docs)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.max("n_chunk_tokens").alias("max_len"),
+            F.sum("n_chunk_tokens").alias("covered"),
+        )
+        .join(docs.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens")), "doc_id")
+        .collect()
+    )
+    assert per_doc
+    for r in per_doc:
+        expected_chunks = -(-r["n_tokens"] // CHUNK_STRIDE)  # ceil
+        assert r["n_chunks"] == expected_chunks, r
+        assert r["max_len"] <= CHUNK_TOKENS, r
+        assert r["covered"] >= r["n_tokens"], r
+
+
+def test_stratified_sample_is_deterministic_and_rate_shaped(spark):
+    # Re-running the sampler yields the identical sample (salted hash,
+    # no RNG), and each source's realized fraction is within a loose
+    # binomial envelope of its configured rate.
+    from pyspark.sql import functions as F
+
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators.text import (
+        SAMPLE_DEFAULT_PCT,
+        SAMPLE_RATES,
+        stratified_sample_flag,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    flagged = docs.withColumn("keep", stratified_sample_flag())
+    first = {r["doc_id"] for r in flagged.filter("keep").select("doc_id").collect()}
+    second = {r["doc_id"] for r in flagged.filter("keep").select("doc_id").collect()}
+    assert first == second
+    stats = (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("keep").cast("int")).alias("k"),
+        )
+        .collect()
+    )
+    for r in stats:
+        pct = SAMPLE_RATES.get(r["source"], SAMPLE_DEFAULT_PCT)
+        # 25 docs per source: allow a wide but bounding envelope
+        assert abs(r["k"] / r["n"] - pct / 100) <= 0.35, (r, pct)
+
+
+def test_token_budget_selection_is_greedy_prefix(spark):
+    # Every selected set is a quality-ranked prefix whose running
+    # total never exceeds the budget, and the next-ranked document
+    # would have overflowed it (greedy maximality).
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators.text import (
+        TOKEN_BUDGET_PER_SOURCE,
+        quality_columns,
+        token_budget_selection,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    sel = token_budget_selection(docs).collect()
+    assert sel
+    by_source: dict[str, list] = {}
+    for r in sel:
+        by_source.setdefault(r["source"], []).append(r)
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    ranked = (
+        quality_columns(docs)
+        .withColumn("rank", F.row_number().over(w))
+        .select("source", "rank", "n_tokens")
+        .collect()
+    )
+    tokens_at = {(r["source"], r["rank"]): r["n_tokens"] for r in ranked}
+    for source, rows in by_source.items():
+        rows.sort(key=lambda r: r["sel_rank"])
+        # contiguous prefix of ranks starting at 1
+        assert [r["sel_rank"] for r in rows] == list(range(1, len(rows) + 1))
+        assert rows[-1]["cum_tokens"] <= TOKEN_BUDGET_PER_SOURCE
+        nxt = tokens_at.get((source, len(rows) + 1))
+        if nxt is not None:
+            assert rows[-1]["cum_tokens"] + nxt > TOKEN_BUDGET_PER_SOURCE
