@@ -902,6 +902,70 @@ ORDER BY custdist DESC, c_count DESC
 """
 
 
+# --------------------------------------------------------------------------
+# q88: small-quantity-order revenue — the TPC-H Q17 shape (correlated
+# per-group scalar subquery): lines of one brand's parts whose
+# quantity is below 20% of that part's average quantity. Spark-first
+# the correlation becomes a pre-aggregated per-part threshold frame
+# joined back to the fact table; the brand filter prunes the part dim
+# BEFORE both the threshold agg and the probe join, so only that
+# brand's lines ever aggregate or join (the thresholds frame is tiny —
+# ~|parts in brand| rows — and broadcasts). Threshold follows the
+# DECIMAL-sum convention: exact sum → double ÷ count × 0.2 → round 6,
+# identical in the oracle, so the float comparison can't diverge.
+Q88_BRAND = "Brand#1"
+
+
+def q88_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    brand_parts = part.filter(F.col("p_brand") == Q88_BRAND).select(
+        "p_partkey"
+    )
+    brand_lines = scoped_persist(
+        lineitem.join(
+            F.broadcast(brand_parts),
+            lineitem.l_partkey == brand_parts.p_partkey,
+            "left_semi",
+        )
+    )
+    thresholds = brand_lines.groupBy("l_partkey").agg(
+        F.round(
+            F.sum(_money("l_quantity")).cast("double")
+            / F.count(F.lit(1))
+            * 0.2,
+            6,
+        ).alias("qty_threshold")
+    )
+    return (
+        brand_lines.join(F.broadcast(thresholds), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(_money("l_extendedprice")).cast("double") / 7.0, 6
+            ).alias("avg_yearly"),
+        )
+    )
+
+
+Q88_SQL = f"""
+WITH brand_lines AS (
+  SELECT l.* FROM lineitem l
+  WHERE EXISTS (SELECT 1 FROM part p
+                WHERE p.p_partkey = l.l_partkey AND p.p_brand = '{Q88_BRAND}')
+), th AS (
+  SELECT l_partkey,
+    ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) * 0.2, 6) AS qty_threshold
+  FROM brand_lines GROUP BY l_partkey
+)
+SELECT COUNT(*) AS n_lines,
+  ROUND(CAST(SUM(CAST(b.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6) AS avg_yearly
+FROM brand_lines b JOIN th ON th.l_partkey = b.l_partkey
+WHERE b.l_quantity < th.qty_threshold
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -927,11 +991,13 @@ QUERIES = {
     "q70_inactive_wealthy": q70_inactive_wealthy,
     "q86_waiting_suppliers": q86_waiting_suppliers,
     "q87_custdist": q87_custdist,
+    "q88_small_qty_revenue": q88_small_qty_revenue,
 }
 
 ORACLE = {
     "q86_waiting_suppliers": Q86_SQL,
     "q87_custdist": Q87_SQL,
+    "q88_small_qty_revenue": Q88_SQL,
     "q01_pricing_summary": Q01_SQL,
     "q02_top_revenue_orders": Q02_SQL,
     "q03_revenue_by_nation": Q03_SQL,

@@ -372,3 +372,20 @@ def test_q87_outer_join_keeps_zero_customers(spark):
     assert rows == {2: 1, 1: 1, 0: 1}
     # and the graded-corpus result is non-empty
     assert q87_custdist(spark, SF).count() > 0
+
+
+def test_q88_brand_prunes_before_threshold_agg(spark):
+    # Q17 shape: the brand semi-join must prune the fact table BEFORE
+    # the per-part threshold aggregation (never aggregate the whole
+    # lineitem), and both the brand part-list and the thresholds frame
+    # must broadcast.
+    from aerovaldb_spark.operators.relational import q88_small_qty_revenue
+
+    df = q88_small_qty_revenue(spark, SF)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "LeftSemi" in analyzed
+    # 3 hints: the brand part-list hint appears once per consumer of
+    # the shared brand_lines frame (threshold agg + probe side), plus
+    # the thresholds broadcast — all tiny frames, nothing corpus-sized
+    assert analyzed.count("ResolvedHint") == 3
+    assert df.count() == 1
