@@ -204,6 +204,39 @@ def quality_filtered_documents(
     )
 
 
+def chunked_documents(
+    docs: DataFrame, chunk_tokens: int | None = None, stride: int | None = None
+) -> DataFrame:
+    """Streaming chunker: q80's sliding-window token chunking applied
+    to a document stream. Stateless map-only (sequence/explode/slice
+    higher-order functions, no shuffle, no state store), so the SAME
+    plan runs batch or streaming — at scale this sits between ingest
+    and the chunk-level sink, emitting (doc_id, chunk_id, hash) rows
+    as documents arrive."""
+    from ..operators.text import CHUNK_STRIDE, CHUNK_TOKENS, sliding_chunks
+
+    return sliding_chunks(
+        docs,
+        chunk_tokens if chunk_tokens is not None else CHUNK_TOKENS,
+        stride if stride is not None else CHUNK_STRIDE,
+    )
+
+
+def sampled_documents(
+    docs: DataFrame, rates: dict[str, int] | None = None
+) -> DataFrame:
+    """Streaming stratified sampler: q81's salted-hash keep flag as an
+    ingest-time filter. Deterministic — the flag is a pure function of
+    (doc_id, source), so replaying the stream after a checkpoint
+    restart reproduces the IDENTICAL sample (an RNG-based sampler
+    would re-roll on replay and break exactly-once semantics)."""
+    from ..operators.text import stratified_sample_flag
+
+    return docs.filter(stratified_sample_flag(rates)).select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+
+
 def reference_band_buckets(reference_docs: DataFrame) -> DataFrame:
     """(band, band_sig) distinct bucket table of an existing corpus —
     the static side of :func:`near_dup_gate`. Built batch-side with the

@@ -73,6 +73,50 @@ def test_quality_filter_stream_matches_batch(spark):
     assert a == b and 0 < len(a) < load_table(spark, SF_DIR, "documents").count()
 
 
+def test_chunker_stream_matches_batch(spark):
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.streaming import (
+        chunked_documents,
+        read_document_stream,
+        run_stream_to_memory,
+    )
+
+    batch = chunked_documents(load_table(spark, SF_DIR, "documents"))
+    stream = chunked_documents(read_document_stream(spark, SF_DIR))
+    assert stream.isStreaming
+    got = run_stream_to_memory(stream, "chunked_docs", spark, output_mode="append")
+    a = sorted(map(tuple, batch.collect()))
+    b = sorted(map(tuple, got.collect()))
+    assert a == b and len(a) > load_table(spark, SF_DIR, "documents").count()
+
+
+def test_sampler_stream_matches_batch_and_replays_identically(spark):
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.streaming import (
+        read_document_stream,
+        run_stream_to_memory,
+        sampled_documents,
+    )
+
+    batch = sampled_documents(load_table(spark, SF_DIR, "documents"))
+    stream = sampled_documents(read_document_stream(spark, SF_DIR))
+    assert stream.isStreaming
+    got = run_stream_to_memory(stream, "sampled_docs", spark, output_mode="append")
+    a = sorted(map(tuple, batch.collect()))
+    b = sorted(map(tuple, got.collect()))
+    # full replay (fresh query, same source) yields the identical
+    # sample: the keep flag is a pure function of the row
+    replay = run_stream_to_memory(
+        sampled_documents(read_document_stream(spark, SF_DIR)),
+        "sampled_docs_replay",
+        spark,
+        output_mode="append",
+    )
+    c = sorted(map(tuple, replay.collect()))
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert a == b == c and 0 < len(a) < n_docs
+
+
 def test_stateful_running_totals(spark):
     from aerovaldb_spark.catalog import load_table
     from aerovaldb_spark.streaming import (
