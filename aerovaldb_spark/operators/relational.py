@@ -922,10 +922,14 @@ def q88_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     brand_parts = part.filter(F.col("p_brand") == Q88_BRAND).select(
         "p_partkey"
     )
+    # project BEFORE the persist: the cached frame (and the parquet
+    # scan) must carry only the three columns the query touches, not
+    # the full lineitem row (plan_report showed an 11-column scan
+    # without this)
     brand_lines = scoped_persist(
-        lineitem.join(
+        lineitem.select("l_partkey", "l_quantity", "l_extendedprice").join(
             F.broadcast(brand_parts),
-            lineitem.l_partkey == brand_parts.p_partkey,
+            F.col("l_partkey") == brand_parts.p_partkey,
             "left_semi",
         )
     )
