@@ -38,6 +38,18 @@ def norm_col(a) -> Column:
     return F.sqrt(dot_col(a, a))
 
 
+def pair_dot_col(a: str = "vec_a", b: str = "vec_b") -> Column:
+    """Deterministic left-fold dot product of two ALREADY-double array
+    columns (the post-`_dbl` pair-join shape). The single definition of
+    the fold convention for every pairwise operator — change summation
+    here (e.g. Kahan) and every pair scorer changes together."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def cosine_col(a, b) -> Column:
     return dot_col(a, b) / (norm_col(a) * norm_col(b))
 
@@ -346,11 +358,7 @@ def cosine_near_dup_pairs(
     )
     a = prepped.toDF("id_a", "vec_a", "norm_a").repartition(par, "id_a")
     b = prepped.toDF("id_b", "vec_b", "norm_b")
-    dot = F.aggregate(
-        F.zip_with("vec_a", "vec_b", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    dot = pair_dot_col()
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", F.round(dot / (F.col("norm_a") * F.col("norm_b")), 6))
@@ -573,11 +581,7 @@ def knn_join(
     )
     a = prepped.toDF("query_id", "vec_a", "norm_a").repartition(par, "query_id")
     b = prepped.toDF("neighbor_id", "vec_b", "norm_b")
-    dot = F.aggregate(
-        F.zip_with("vec_a", "vec_b", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    dot = pair_dot_col()
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
@@ -657,11 +661,7 @@ def label_cohesion(
     )
     a = prepped.toDF("label", "id_a", "vec_a", "norm_a")
     b = prepped.toDF("label", "id_b", "vec_b", "norm_b")
-    dot = F.aggregate(
-        F.zip_with("vec_a", "vec_b", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    dot = pair_dot_col()
     pairs = (
         a.join(b, "label")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -680,8 +680,18 @@ def label_cohesion(
         F.min("cosine").alias("min_cosine"),
         F.max("cosine").alias("max_cosine"),
     )
-    return stats.join(F.broadcast(sizes), "label").select(
-        "label", "n_vectors", "n_pairs", "avg_cosine", "min_cosine", "max_cosine"
+    # LEFT join FROM sizes: a singleton label has no pairs (and so no
+    # stats row) but must still appear in the audit report — a
+    # mis-clustered stray in its own label would otherwise be
+    # invisible to a consumer iterating the output. n_pairs coalesces
+    # to 0; the cosine stats stay NULL (no pairs to describe).
+    return sizes.join(stats, "label", "left").select(
+        "label",
+        "n_vectors",
+        F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+        "avg_cosine",
+        "min_cosine",
+        "max_cosine",
     )
 
 
@@ -706,8 +716,9 @@ WITH p AS (
 ), sizes AS (
   SELECT label, COUNT(*) AS n_vectors FROM embeddings GROUP BY label
 )
-SELECT s.label, z.n_vectors, s.n_pairs, s.avg_cosine, s.min_cosine, s.max_cosine
-FROM stats s JOIN sizes z ON z.label = s.label
+SELECT z.label, z.n_vectors, COALESCE(s.n_pairs, 0) AS n_pairs,
+       s.avg_cosine, s.min_cosine, s.max_cosine
+FROM sizes z LEFT JOIN stats s ON s.label = z.label
 """
 
 

@@ -1127,8 +1127,8 @@ FROM flagged GROUP BY source
 # --------------------------------------------------------------------------
 # q84: adaptive per-source quality gate — instead of one global
 # quality threshold (which over-prunes clean sources and under-prunes
-# noisy ones), keep each document whose quality sits at or above the
-# QUALITY_GATE_PCT percentile WITHIN ITS SOURCE. One window over
+# noisy ones), drop the bottom QUALITY_GATE_PCT quality fraction
+# WITHIN EACH SOURCE. One window over
 # (source, quality, doc_id): a single shuffle on source, ranking state
 # only — at 100 TB this is the cheap adaptive filter you run instead
 # of hand-tuning per-source thresholds.
@@ -1138,22 +1138,31 @@ QUALITY_GATE_PCT = 0.25
 def quality_percentile_gate(
     docs: DataFrame, pct: float = QUALITY_GATE_PCT
 ) -> DataFrame:
-    """Docs at/above the per-source ``pct`` quality percentile.
+    """Drop the bottom ``pct`` quality fraction of each source.
 
-    ``q_pct`` is percent_rank over (quality_score, doc_id) within the
-    source — fully deterministic (doc_id breaks quality ties), and the
-    gate compares the ROUNDED rank so borderline floats cannot flip
-    membership between engines.
+    The gate is the INTEGER rule rank > floor(pct * n) over the
+    per-source ascending (quality_score, doc_id) order — exact on any
+    engine (no float comparison decides membership), deterministic
+    (doc_id breaks quality ties), and well-behaved on tiny strata: a
+    1-doc source keeps its document (floor(0.25*1)=0 dropped) where a
+    percent_rank >= pct gate would silently erase the whole source
+    (percent_rank of a 1-row partition is 0). ``q_pct`` — rounded
+    percent_rank — is reported for observability but never gates.
     """
     from pyspark.sql import Window
 
     w = Window.partitionBy("source").orderBy(
         F.col("quality_score").asc(), F.col("doc_id").asc()
     )
+    wn = Window.partitionBy("source")
     return (
         quality_columns(docs)
         .withColumn("q_pct", F.round(F.percent_rank().over(w), 6))
-        .filter(F.col("q_pct") >= F.lit(pct))
+        .withColumn("_rank", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wn))
+        .filter(
+            F.col("_rank") > F.floor(F.lit(pct) * F.col("_n")).cast("long")
+        )
         .select("doc_id", "source", "quality_score", "q_pct")
     )
 
@@ -1176,11 +1185,13 @@ WITH t AS (
   FROM t
 ), ranked AS (
   SELECT doc_id, source, quality_score,
-    ROUND(PERCENT_RANK() OVER (PARTITION BY source ORDER BY quality_score, doc_id), 6) AS q_pct
+    ROUND(PERCENT_RANK() OVER (PARTITION BY source ORDER BY quality_score, doc_id), 6) AS q_pct,
+    ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality_score, doc_id) AS rnk,
+    COUNT(*) OVER (PARTITION BY source) AS n
   FROM q
 )
 SELECT doc_id, source, quality_score, q_pct
-FROM ranked WHERE q_pct >= {QUALITY_GATE_PCT}
+FROM ranked WHERE rnk > CAST(floor({QUALITY_GATE_PCT} * n) AS BIGINT)
 """
 
 

@@ -384,8 +384,16 @@ def test_q88_brand_prunes_before_threshold_agg(spark):
     df = q88_small_qty_revenue(spark, SF)
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert "LeftSemi" in analyzed
-    # 3 hints: the brand part-list hint appears once per consumer of
-    # the shared brand_lines frame (threshold agg + probe side), plus
-    # the thresholds broadcast — all tiny frames, nothing corpus-sized
-    assert analyzed.count("ResolvedHint") == 3
+    # semantic assertions (not plan-string counts): broadcasts are
+    # present, the whole query needs at most the threshold-agg +
+    # final-agg exchanges, and the lineitem scan reads only the three
+    # touched columns (the persist must not block pruning)
+    assert has_broadcast_join(df)
+    assert shuffle_count(df) <= 2
+    schemas = scan_columns(df)
+    li_scans = [sch for sch in schemas if "l_partkey" in sch]
+    assert li_scans, schemas
+    for sch in li_scans:
+        assert "l_quantity" in sch and "l_extendedprice" in sch, sch
+        assert "l_orderkey" not in sch and "l_shipdate" not in sch, sch
     assert df.count() == 1

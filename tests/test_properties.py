@@ -427,12 +427,25 @@ def test_stratified_sample_is_deterministic_and_rate_shaped(spark):
     )
 
     docs = load_table(spark, "/root/testdata/sf0.001", "documents")
-    flagged = docs.withColumn("keep", stratified_sample_flag())
-    first = {r["doc_id"] for r in flagged.filter("keep").select("doc_id").collect()}
-    second = {r["doc_id"] for r in flagged.filter("keep").select("doc_id").collect()}
+    # rebuild the flag EXPRESSION from scratch for the second pass: a
+    # seeded-RNG sampler (F.rand fixes its seed at Column creation)
+    # would pass a double-collect of one plan but fail this — two
+    # independently built plans agree only if the flag is a pure
+    # function of the row
+    first = {
+        r["doc_id"]
+        for r in docs.withColumn("keep", stratified_sample_flag())
+        .filter("keep").select("doc_id").collect()
+    }
+    second = {
+        r["doc_id"]
+        for r in docs.withColumn("keep", stratified_sample_flag())
+        .filter("keep").select("doc_id").collect()
+    }
     assert first == second
     stats = (
-        flagged.groupBy("source")
+        docs.withColumn("keep", stratified_sample_flag())
+        .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("keep").cast("int")).alias("k"),
@@ -483,3 +496,61 @@ def test_token_budget_selection_is_greedy_prefix(spark):
         nxt = tokens_at.get((source, len(rows) + 1))
         if nxt is not None:
             assert rows[-1]["cum_tokens"] + nxt > TOKEN_BUDGET_PER_SOURCE
+
+
+def test_quality_gate_keeps_singleton_and_tiny_sources(spark):
+    # The gate's integer rule (rank > floor(pct*n)) must keep a
+    # 1-doc source's only document and drop exactly floor(pct*n) of
+    # larger sources — the percent_rank>=pct formulation silently
+    # erased singleton sources (percent_rank of a 1-row partition
+    # is 0).
+    from pyspark.sql import functions as F
+
+    from aerovaldb_spark import catalog
+    from aerovaldb_spark.operators.text import q84_quality_gate
+
+    vdir = "prop-test://gate"
+    rows = [(1, "w " * 30, "solo")]
+    rows += [(10 + i, "w " * (30 + i), "quad") for i in range(4)]
+    docs = (
+        spark.createDataFrame(
+            [(d, t.strip(), s) for d, t, s in rows],
+            "doc_id long, text string, source string",
+        )
+        .withColumn("n_chars", F.length("text"))
+        .withColumn("lang", F.lit("en"))
+    )
+    catalog._TABLE_CACHE[(vdir, "documents")] = docs
+    try:
+        out = q84_quality_gate(spark, vdir).collect()
+    finally:
+        catalog._TABLE_CACHE.pop((vdir, "documents"), None)
+    by_src: dict[str, set] = {}
+    for r in out:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    assert by_src["solo"] == {1}          # singleton survives
+    assert len(by_src["quad"]) == 3       # floor(0.25*4)=1 dropped
+    assert 10 not in by_src["quad"]       # the lowest-quality one
+
+
+def test_label_cohesion_reports_singleton_labels(spark):
+    # A label with one vector has no pairs but MUST appear in the
+    # audit report (n_pairs=0, NULL cosine stats) — an inner join
+    # from the pair stats made strays invisible.
+    from pyspark.sql import functions as F
+
+    from aerovaldb_spark.operators.similarity import label_cohesion
+
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [0.9, 0.1], 0),
+            (99, [0.0, 1.0], 7),  # stray in its own label
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {r["label"]: r for r in label_cohesion(vecs).collect()}
+    assert set(out) == {0, 7}
+    assert out[7]["n_vectors"] == 1 and out[7]["n_pairs"] == 0
+    assert out[7]["avg_cosine"] is None
+    assert out[0]["n_pairs"] == 1 and out[0]["avg_cosine"] is not None
