@@ -1,8 +1,9 @@
 """End-to-end training-data pipeline over the documents table:
 
-  load → language filter → quality filter → repetition filter →
-  exact dedup → near-dup clustering → decontamination →
-  train/val/test split → source mixing → sequence packing
+  load → language filter → adaptive quality gate → repetition filter →
+  stratified sampling → exact dedup → near-dup clustering →
+  decontamination → train/val/test split → sequence packing →
+  chunk manifest
 
 Every stage is one of the engine's operators composing on DataFrames —
 lazy until the final action, so Catalyst optimizes across stage
@@ -53,6 +54,15 @@ def main() -> None:
     )
     print(f"after lang+quality filters: {kept.count()}")
 
+    # 1a'. adaptive per-source quality gate (q84): additionally drop
+    # each source's bottom quality decile — per-source, so a clean
+    # source isn't over-pruned by a global threshold
+    from aerovaldb_spark.operators.text import quality_percentile_gate
+
+    gated_ids = quality_percentile_gate(docs, pct=0.10).select("doc_id")
+    kept = kept.join(gated_ids, "doc_id", "left_semi")
+    print(f"after adaptive per-source gate: {kept.count()}")
+
     # 1b. repetition gate (Gopher-style, also map-only): drop docs
     # dominated by one repeated bigram (synthetic word-soup corpus →
     # a loose threshold; real corpora use ~0.2)
@@ -61,6 +71,13 @@ def main() -> None:
         "top_bigram_frac",
     )
     print(f"after repetition filter: {kept.count()}")
+
+    # 1c. stratified sampling (q81): deterministic per-source mix
+    # control — a pure map-side predicate, reproducible on any engine
+    from aerovaldb_spark.operators.text import stratified_sample_flag
+
+    kept = kept.filter(stratified_sample_flag(rates={"src0": 60}))
+    print(f"after stratified sampling: {kept.count()}")
 
     # 2. exact dedup: keep the lowest doc_id per content hash
     reps = dedup_exact(kept)
@@ -143,6 +160,14 @@ def main() -> None:
     )
     print(f"exported to {out_dir}:")
     corpus_manifest(spark, out_dir).orderBy("split").show()
+
+    # 7. chunk manifest (q80): the retrieval-side view of the same
+    # corpus — sliding token windows, addressed by (doc_id, chunk_id),
+    # content carried as hashes for chunk-level dedup
+    from aerovaldb_spark.operators.text import sliding_chunks
+
+    n_chunks = sliding_chunks(packed).count()
+    print(f"chunk manifest: {n_chunks} chunks")
 
 
 if __name__ == "__main__":
