@@ -37,11 +37,12 @@ _MERGED_QUERIES = {
 # guard landed this round), q52 + q77 (decode/shingle-path code
 # touched this round), all once-green entries (q19 q21 q25 q27 q28
 # q32 q62-q74), and the twice-green entries deferred in r3 (q01-q06
-# q10 q13 q17 q18 q29 q33 q35) — plus q88 (Q17-shape). Round-4 tail:
-# 38 entries, every
+# q10 q13 q18 q29 q33 q35) — plus q88 (Q17-shape) and q89 (int8
+# quantization audit). Round-4 tail: 39 entries, every
 # one green in ≥2 driver rounds or (q22/q23/q24, q55)
 # pytest-value-checked each CI run — q53/q54/q57/q58 thrice-green,
-# q61/q51/q59/q16/q15 twice-green incl. recent rounds (q16 point-read
+# q61/q51/q59/q16/q15/q17 twice-green incl. recent rounds (q16/q17
+# point-read/broadcast shapes
 # pushdown is plan-asserted every CI run), and q55 (rows-only by
 # design, unchanged) bumped mid-round to make room for the new graded
 # entries; they rotate back in r5.
@@ -59,6 +60,7 @@ _DEFER_ROUND = [
     "q58_decontaminate",
     "q16_point_read",
     "q15_json_extract_agg",
+    "q17_top_customers",
     "q07_window_topk_per_customer",
     "q08_running_total",
     "q09_distinct_counts",

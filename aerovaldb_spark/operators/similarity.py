@@ -722,6 +722,74 @@ FROM sizes z LEFT JOIN stats s ON s.label = z.label
 """
 
 
+# --------------------------------------------------------------------------
+# q89: int8 embedding quantization audit — per-vector symmetric
+# quantization (scale = max|x|/127, codes = round-half-up to int8) and
+# the reconstruction error it costs. The storage-compression step an
+# embedding pipeline runs before writing a billion-vector index (4x
+# smaller, cache-friendlier scans); the report tells you per vector
+# whether int8 is safe (rmse ≪ typical inter-vector distance).
+# Map-only: transform/zip_with/aggregate higher-order functions, no
+# shuffle at all. Quantization uses floor(x/scale + 0.5) — pure
+# integer-producing double arithmetic, bit-identical cross-engine
+# (no banker's-rounding ambiguity); the error fold mirrors DuckDB's
+# in-order list_dot_product.
+def quantization_audit(
+    vectors: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    v = _dbl(vec_col)
+    max_abs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = max_abs / F.lit(127.0)
+    codes = F.transform(
+        v,
+        lambda x: F.greatest(
+            F.lit(-127.0),
+            F.least(F.lit(127.0), F.floor(x / scale + F.lit(0.5))),
+        ),
+    )
+    err = F.zip_with(v, codes, lambda x, q: x - q * scale)
+    sse = F.aggregate(err, F.lit(0.0), lambda acc, e: acc + e * e)
+    return vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.size(vec_col).alias("dim"),
+        F.round(scale, 6).alias("q_scale"),
+        F.aggregate(
+            codes, F.lit(0.0), lambda acc, q: acc + q
+        ).cast("long").alias("sum_codes"),
+        F.round(F.sqrt(sse / F.size(vec_col)), 6).alias("rmse"),
+    )
+
+
+def q89_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantization_audit(emb)
+
+
+Q89_SQL = """
+WITH prep AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, len(embedding) AS dim
+  FROM embeddings
+), scaled AS (
+  SELECT vec_id, v, dim,
+    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM prep
+), coded AS (
+  SELECT vec_id, v, dim, scale,
+    list_transform(v, x -> greatest(-127.0, least(127.0, floor(x / scale + 0.5)))) AS codes
+  FROM scaled
+), err AS (
+  SELECT vec_id, dim, scale, codes,
+    list_transform(list_zip(v, codes), p -> p[1] - p[2] * scale) AS e
+  FROM coded
+)
+SELECT vec_id, dim,
+  ROUND(scale, 6) AS q_scale,
+  CAST(list_sum(codes) AS BIGINT) AS sum_codes,
+  ROUND(sqrt(list_dot_product(e, e) / dim), 6) AS rmse
+FROM err
+"""
+
+
 QUERIES = {
     "q29_cosine_topk": q29_cosine_topk,
     "q30_embedding_norms": q30_embedding_norms,
@@ -730,11 +798,13 @@ QUERIES = {
     "q66_ivf_topk": q66_ivf_topk,
     "q79_knn_join": q79_knn_join,
     "q83_label_cohesion": q83_label_cohesion,
+    "q89_quantization_audit": q89_quantization_audit,
 }
 
 ORACLE = {
     "q79_knn_join": Q79_SQL,
     "q83_label_cohesion": Q83_SQL,
+    "q89_quantization_audit": Q89_SQL,
     "q29_cosine_topk": Q29_SQL,
     "q30_embedding_norms": Q30_SQL,
     "q46_srp_near_dup": Q46_SQL,

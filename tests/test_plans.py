@@ -397,3 +397,17 @@ def test_q88_brand_prunes_before_threshold_agg(spark):
         assert "l_quantity" in sch and "l_extendedprice" in sch, sch
         assert "l_orderkey" not in sch and "l_shipdate" not in sch, sch
     assert df.count() == 1
+
+
+def test_q89_quantization_is_map_only_and_bounded(spark):
+    # The quantization audit is a pure scan→project job (zero
+    # exchanges), and symmetric int8 guarantees per-element error
+    # <= scale/2, hence rmse <= scale/2 for every vector.
+    from aerovaldb_spark.operators.similarity import q89_quantization_audit
+
+    df = q89_quantization_audit(spark, SF)
+    assert shuffle_count(df) == 0
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r["rmse"] <= r["q_scale"] / 2 + 1e-9, r
