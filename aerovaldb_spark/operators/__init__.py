@@ -21,30 +21,29 @@ _MERGED_QUERIES = {
 }
 
 # The external correctness gate records rows for the FIRST 50 entries
-# of ``queries()`` only (75 declared > 50-entry cap), so entry ORDER
+# of ``queries()`` only (89 declared > 50-entry cap), so entry ORDER
 # decides which queries get a driver-recorded check each round. Policy:
 # entries never yet driver-verified, green-only-once, or just-changed
 # come first; the tail past position 50 holds only entries with ≥2
-# driver-recorded greens, rotated every round so each query is
-# re-verified periodically. Every entry keeps a pytest-side oracle
-# check regardless of position (tests/test_parity_sample.py runs the
-# same gate at sf0.001).
-# Round-4 window therefore holds: the 13 entries NEW this round
-# (q75-q87: asset-store round-trip, bigram-LM NLL, contamination,
+# driver-recorded greens (or documented pytest-only equivalents),
+# rotated every round so each query is re-verified periodically. Every
+# entry keeps a pytest-side oracle check regardless of position
+# (tests/test_parity_sample.py runs the same gate at sf0.001).
+# Round-4 window therefore holds: the 15 entries NEW this round
+# (q75-q89: asset-store round-trip, bigram-LM NLL, contamination,
 # BM25, kNN join, sliding chunks, stratified sample, source-overlap
 # matrix, label cohesion, quality gate, token budget, Q21-shape
-# waiting suppliers, Q13-shape custdist), q26/q56/q60 (stop-shingle
-# guard landed this round), q52 + q77 (decode/shingle-path code
-# touched this round), all once-green entries (q19 q21 q25 q27 q28
-# q32 q62-q74), and the twice-green entries deferred in r3 (q01-q06
-# q10 q13 q18 q29 q33 q35) — plus q88 (Q17-shape) and q89 (int8
-# quantization audit). Round-4 tail: 39 entries, every
-# one green in ≥2 driver rounds or (q22/q23/q24, q55)
-# pytest-value-checked each CI run — q53/q54/q57/q58 thrice-green,
-# q61/q51/q59/q16/q15/q17 twice-green incl. recent rounds (q16/q17
-# point-read/broadcast shapes
-# pushdown is plan-asserted every CI run), and q55 (rows-only by
-# design, unchanged) bumped mid-round to make room for the new graded
+# waiting suppliers, Q13-shape custdist, Q17-shape small-qty revenue,
+# int8 quantization audit), q26/q56/q60 (stop-shingle guard landed
+# this round), q52 + q77 (decode/shingle-path code touched this
+# round), all once-green entries (q19 q21 q25 q27 q28 q32 q62-q74),
+# and the twice-green entries deferred in r3 (q01-q06 q10 q13 q18
+# q29 q33 q35). Round-4 tail: 39 entries, every one green in ≥2
+# driver rounds or (q22/q23/q24, q55) pytest-value-checked each CI
+# run — q53/q54/q57/q58 thrice-green; q61/q51/q59/q16/q15/q17
+# twice-green (q16's pushdown and q17's broadcast shape are
+# additionally plan-asserted every CI run); q55 rows-only by design,
+# unchanged — bumped mid-round to make room for the new graded
 # entries; they rotate back in r5.
 _DEFER_ROUND = [
     "q22_quality_scores",
