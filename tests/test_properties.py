@@ -554,3 +554,40 @@ def test_label_cohesion_reports_singleton_labels(spark):
     assert out[7]["n_vectors"] == 1 and out[7]["n_pairs"] == 0
     assert out[7]["avg_cosine"] is None
     assert out[0]["n_pairs"] == 1 and out[0]["avg_cosine"] is not None
+
+
+def test_sliding_chunks_degenerate_documents(spark):
+    # Documents the corpus never produces: empty string (splits to
+    # [""], one 1-token chunk), single token, exactly window-sized,
+    # window+1 (two chunks, second short). Mirrors the oracle's
+    # generate_series semantics.
+    from aerovaldb_spark.operators.text import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        sliding_chunks,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, "one"),
+            (3, " ".join(f"w{i}" for i in range(CHUNK_TOKENS))),
+            (4, " ".join(f"w{i}" for i in range(CHUNK_TOKENS + 1))),
+        ],
+        "doc_id long, text string",
+    )
+    out = {}
+    for r in sliding_chunks(docs).collect():
+        out.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["n_chunk_tokens"])
+        )
+    for v in out.values():
+        v.sort()
+    assert out[1] == [(0, 1)]  # split("") -> [""] on both engines
+    assert out[2] == [(0, 1)]
+    assert out[3] == [(0, CHUNK_TOKENS), (1, CHUNK_TOKENS - CHUNK_STRIDE)]
+    assert out[4] == [
+        (0, CHUNK_TOKENS),
+        (1, CHUNK_TOKENS - CHUNK_STRIDE + 1),
+        (2, 1),
+    ]
