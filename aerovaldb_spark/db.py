@@ -668,7 +668,12 @@ class AerovalSparkDB:
         every route table parses under its declared schema. With
         ``repair=True`` the findings are fixed where safe: stale
         pending claims resolve aborted (exclusive-create — a racing
-        owner loses cleanly), orphan directories are removed.
+        owner loses cleanly), orphan entries are removed.
+
+        Staging entries younger than ``_CLAIM_RESOLVE_TIMEOUT`` are
+        presumed live (an in-flight rewrite/compaction in another
+        process stages for minutes) and are neither reported nor
+        removed — the same presumption window the claim check uses.
 
         Returns a report dict; ``report["ok"]`` is True when nothing
         (remains) wrong."""
@@ -693,15 +698,30 @@ class AerovalSparkDB:
                     self._resolve_claim(
                         n, {"status": "aborted", "fsck_repaired": True}
                     )
+        orphans_remaining = []
         for entry in sorted(os.listdir(self.root)):
             if ".tmp-" in entry or ".old-" in entry:
                 full = os.path.join(self.root, entry)
+                try:
+                    if now - os.path.getmtime(full) <= self._CLAIM_RESOLVE_TIMEOUT:
+                        continue  # presumed live staging of another writer
+                except OSError:
+                    continue  # vanished — the owning writer finished
                 report["orphan_dirs"].append(entry)
-                if repair and os.path.isdir(full):
-                    shutil.rmtree(full, ignore_errors=True)
-        head = self.current_seq()
-        if self.min_snapshot_seq() > head and head > 0:
-            report["horizon_above_head"] = True  # not auto-repairable
+                if repair:
+                    if os.path.isdir(full):
+                        shutil.rmtree(full, ignore_errors=True)
+                    else:
+                        try:
+                            os.remove(full)
+                        except OSError:
+                            pass
+                    if os.path.exists(full):
+                        orphans_remaining.append(entry)
+        # Readability probe FIRST: current_seq()/min_snapshot_seq() scan
+        # every route table, so on a corrupt store they would raise before
+        # the report is built. Probe each table under a guard, then skip
+        # the horizon check when anything is unreadable.
         for route in Route:
             if route in TABLE_ALIASES:
                 continue
@@ -713,9 +733,14 @@ class AerovalSparkDB:
                 report["unreadable_tables"].append(
                     (table_name(route), f"{type(e).__name__}: {e}"[:200])
                 )
+        if not report["unreadable_tables"]:
+            head = self.current_seq()
+            if self.min_snapshot_seq() > head and head > 0:
+                report["horizon_above_head"] = True  # not auto-repairable
         report["ok"] = not (
             (report["stale_pending_claims"] and not repair)
             or (report["orphan_dirs"] and not repair)
+            or (repair and orphans_remaining)
             or report["unreadable_tables"]
             or report["horizon_above_head"]
         )

@@ -1108,10 +1108,14 @@ def _rates_case_sql() -> str:
     return f"CASE {whens} ELSE {SAMPLE_DEFAULT_PCT} END"
 
 
-Q81_SQL = f"""
+def _q81_sql() -> str:
+    # compose hash60_sql so the oracle tracks the shared hash convention
+    from .dedup import hash60_sql
+
+    return f"""
 WITH flagged AS (
   SELECT *,
-    (CAST('0x' || substring(md5('strat_' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100)
+    ({hash60_sql("'strat_' || CAST(doc_id AS VARCHAR)")} % 100)
       < ({_rates_case_sql()}) AS keep
   FROM documents
 )
@@ -1122,6 +1126,9 @@ SELECT source, COUNT(*) AS n_docs,
   MIN(CASE WHEN keep THEN doc_id END) AS first_sampled_doc
 FROM flagged GROUP BY source
 """
+
+
+Q81_SQL = _q81_sql()
 
 
 # --------------------------------------------------------------------------

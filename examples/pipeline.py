@@ -59,7 +59,10 @@ def main() -> None:
     # source isn't over-pruned by a global threshold
     from aerovaldb_spark.operators.text import quality_percentile_gate
 
-    gated_ids = quality_percentile_gate(docs, pct=0.10).select("doc_id")
+    # gate the SURVIVING population (not the raw corpus — ranking `docs`
+    # would mostly re-drop rows stage 1 already removed, making this a
+    # near-no-op on exactly the low-quality sources it targets)
+    gated_ids = quality_percentile_gate(kept, pct=0.10).select("doc_id")
     kept = kept.join(gated_ids, "doc_id", "left_semi")
     print(f"after adaptive per-source gate: {kept.count()}")
 

@@ -253,6 +253,15 @@ def test_fsck_detects_and_repairs(tmp_path, monkeypatch):
     db.flush()
     assert db.fsck()["ok"]
 
+    # A FRESH staging dir (in-flight rewrite in another process) is
+    # presumed live under the real timeout: not reported, not removed.
+    live = os.path.join(db.root, "config.tmp-inflight")
+    os.makedirs(live)
+    rep_live = db.fsck(repair=True)
+    assert rep_live["ok"] and not rep_live["orphan_dirs"]
+    assert os.path.isdir(live)
+    os.rmdir(live)
+
     # simulate a crashed writer: claim without resolution, old tmp dir
     monkeypatch.setattr(AerovalSparkDB, "_CLAIM_RESOLVE_TIMEOUT", 0.0)
     n = db._claim_next()
