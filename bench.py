@@ -113,8 +113,23 @@ def main() -> None:
     # size to data volume (~128 MB per partition); the session default
     # (32) stays for general use.
     bench_par = int(os.environ.get("SPARK_GRAFT_BENCH_PAR", "16"))
+    # AQE off for the bench session only: AQE materializes each shuffle
+    # stage as a barrier with a driver re-planning round-trip, which at
+    # sub-second query sizes costs ~25-40% wall (measured A/B, both
+    # sequential and interleaved in one session: 4.2 s vs 6.3 s on a
+    # quiet host) while its benefits (runtime coalescing, skew splits)
+    # need data volumes this SF never reaches. Like the partition
+    # widths above, this is a knob sized to data scale — the session
+    # default (AQE on) stays for general use and is the cluster-scale
+    # setting.
     spark = get_spark(
-        "bench", shuffle_partitions=int(os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE", "8"))
+        "bench",
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE", "8")),
+        extra_conf={
+            "spark.sql.adaptive.enabled": os.environ.get(
+                "SPARK_GRAFT_BENCH_AQE", "false"
+            )
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     startup_sec = time.time() - t_boot
