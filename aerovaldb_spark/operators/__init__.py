@@ -30,22 +30,25 @@ _MERGED_QUERIES = {
 # entry keeps a pytest-side oracle check regardless of position
 # (tests/test_parity_sample.py runs the same gate at sf0.001).
 # Round-4 window therefore holds: the 15 entries NEW this round
-# (q75-q89: asset-store round-trip, bigram-LM NLL, contamination,
+# (q75-q90: asset-store round-trip, bigram-LM NLL, contamination,
 # BM25, kNN join, sliding chunks, stratified sample, source-overlap
 # matrix, label cohesion, quality gate, token budget, Q21-shape
 # waiting suppliers, Q13-shape custdist, Q17-shape small-qty revenue,
-# int8 quantization audit), q26/q56/q60 (stop-shingle guard landed
-# this round), q52 + q77 (decode/shingle-path code touched this
-# round), all once-green entries (q19 q21 q25 q27 q28 q32 q62-q74),
-# and the twice-green entries deferred in r3 (q01-q06 q10 q13 q18
-# q29 q33 q35). Round-4 tail: 39 entries, every one green in ≥2
-# driver rounds or (q22/q23/q24, q55) pytest-value-checked each CI
-# run — q53/q54/q57/q58 thrice-green; q61/q51/q59/q16/q15/q17
+# int8 quantization audit, label-centroid outlier gate),
+# q26/q56/q60 (stop-shingle guard landed this round), q52 + q77
+# (decode/shingle-path code touched this round), all once-green
+# entries (q19 q21 q25 q27 q28 q32 q62-q74), and the twice-green
+# entries deferred in r3 (q01-q06 q10 q13 q18 q29 q35; q33 — also
+# twice-green — yields its slot to the never-verified q90).
+# Round-4 tail: 40 entries, every one green in ≥2 driver rounds or
+# (q22/q23/q24, q55) pytest-value-checked each CI run —
+# q53/q54/q57/q58 thrice-green; q61/q51/q59/q16/q15/q17/q33
 # twice-green (q16's pushdown and q17's broadcast shape are
 # additionally plan-asserted every CI run); q55 rows-only by design,
 # unchanged — bumped mid-round to make room for the new graded
 # entries; they rotate back in r5.
 _DEFER_ROUND = [
+    "q33_percentiles",
     "q22_quality_scores",
     "q23_lang_id",
     "q24_fingerprints",

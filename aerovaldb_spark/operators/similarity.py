@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import load_table
 
@@ -790,6 +791,151 @@ FROM err
 """
 
 
+# --------------------------------------------------------------------------
+# q90: label-centroid outlier gate — the embedding-side sibling of the
+# q84 quality gate: drop each label's most-dissimilar bottom decile
+# (by cosine to the label centroid), the mislabeled/noise-vector
+# screen an embedding pipeline runs before training on labeled
+# clusters. Scale shape: ONE (label, pos) aggregation for the
+# centroids (labels × dims keys — balanced however skewed the labels
+# are), the centroid table is |labels| rows → broadcast back, the
+# cosine is map-only, and the gate is one per-label window (same
+# posture as q84's per-source window: partitions are corpus/|labels|).
+# Parity: centroid elements are 6dp-rounded DECIMAL sums (order-free,
+# engine-exact), the cosine fold mirrors DuckDB's in-order
+# list_dot_product, and membership is the INTEGER rule
+# rank > floor(pct * n) over ascending (cos, vec_id) — no float
+# comparison decides who is dropped (q84's convention).
+OUTLIER_PCT = 0.10
+
+
+def label_centroids(
+    vectors: DataFrame, vec_col: str = "embedding", label_col: str = "label"
+) -> DataFrame:
+    """(label, centroid): per-label mean vector.
+
+    Elements are rounded to 6dp and summed as DECIMAL(18,6), so the
+    centroid is bit-identical on any engine and any partitioning (the
+    order-free-sum convention of q83's avg_cosine); the mean divides
+    as double and re-rounds to 6dp.
+    """
+    e = vectors.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(_dbl(vec_col)).alias("pos", "x"),
+    )
+    cd = e.groupBy("label", "pos").agg(
+        F.round(
+            F.sum(F.round(F.col("x"), 6).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("c")
+    )
+    return cd.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s["c"],
+        ).alias("centroid")
+    )
+
+
+def label_outlier_gate(
+    vectors: DataFrame,
+    pct: float = OUTLIER_PCT,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Audit report of dropping each label's bottom ``pct`` fraction by
+    cosine-to-centroid: (label, n_vectors, n_dropped, kept_avg_cos,
+    kept_min_cos, kept_max_cos). ``kept_min_cos`` is the effective
+    admission threshold the gate discovered per label."""
+    cents = label_centroids(vectors, vec_col, label_col)
+    scored = (
+        vectors.select(
+            F.col(label_col).alias("label"),
+            F.col(id_col).alias("vec_id"),
+            _dbl(vec_col).alias("v"),
+        )
+        .join(F.broadcast(cents), "label")
+        .withColumn(
+            "cos",
+            F.round(
+                pair_dot_col("v", "centroid")
+                / (
+                    F.sqrt(pair_dot_col("v", "v"))
+                    * F.sqrt(pair_dot_col("centroid", "centroid"))
+                ),
+                6,
+            ),
+        )
+        .drop("v", "centroid")
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("cos").asc(), F.col("vec_id").asc()
+    )
+    wn = Window.partitionBy("label")
+    flagged = (
+        scored.withColumn("_rank", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wn))
+        .withColumn(
+            "_drop",
+            F.col("_rank")
+            <= F.floor(F.lit(pct) * F.col("_n")).cast("long"),
+        )
+    )
+    kept_cos = F.when(~F.col("_drop"), F.col("cos"))
+    return flagged.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(F.col("_drop").cast("long")).alias("n_dropped"),
+        F.round(
+            F.sum(kept_cos.cast("decimal(18,6)")).cast("double")
+            / F.sum((~F.col("_drop")).cast("long")),
+            6,
+        ).alias("kept_avg_cos"),
+        F.min(kept_cos).alias("kept_min_cos"),
+        F.max(kept_cos).alias("kept_max_cos"),
+    )
+
+
+def q90_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_outlier_gate(emb)
+
+
+Q90_SQL = f"""
+WITH e AS (
+  SELECT label, generate_subscripts(embedding, 1) AS pos,
+         ROUND(CAST(unnest(embedding) AS DOUBLE), 6) AS x
+  FROM embeddings
+), cd AS (
+  SELECT label, pos,
+    ROUND(CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS c
+  FROM e GROUP BY label, pos
+), cent AS (
+  SELECT label, list(c ORDER BY pos) AS centroid FROM cd GROUP BY label
+), scored AS (
+  SELECT v.label, v.vec_id,
+    ROUND(
+      list_dot_product(CAST(v.embedding AS DOUBLE[]), c.centroid)
+      / (sqrt(list_dot_product(CAST(v.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[])))
+         * sqrt(list_dot_product(c.centroid, c.centroid))), 6) AS cos
+  FROM embeddings v JOIN cent c ON c.label = v.label
+), flagged AS (
+  SELECT label, vec_id, cos,
+    ROW_NUMBER() OVER (PARTITION BY label ORDER BY cos ASC, vec_id ASC) AS rnk,
+    COUNT(*) OVER (PARTITION BY label) AS n
+  FROM scored
+)
+SELECT label, COUNT(*) AS n_vectors,
+  CAST(SUM(CASE WHEN rnk <= CAST(FLOOR(CAST({OUTLIER_PCT} AS DOUBLE) * n) AS BIGINT) THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+  ROUND(CAST(SUM(CASE WHEN rnk > CAST(FLOOR(CAST({OUTLIER_PCT} AS DOUBLE) * n) AS BIGINT) THEN CAST(cos AS DECIMAL(18,6)) END) AS DOUBLE)
+        / SUM(CASE WHEN rnk > CAST(FLOOR(CAST({OUTLIER_PCT} AS DOUBLE) * n) AS BIGINT) THEN 1 ELSE 0 END), 6) AS kept_avg_cos,
+  MIN(CASE WHEN rnk > CAST(FLOOR(CAST({OUTLIER_PCT} AS DOUBLE) * n) AS BIGINT) THEN cos END) AS kept_min_cos,
+  MAX(CASE WHEN rnk > CAST(FLOOR(CAST({OUTLIER_PCT} AS DOUBLE) * n) AS BIGINT) THEN cos END) AS kept_max_cos
+FROM flagged GROUP BY label
+"""
+
+
 QUERIES = {
     "q29_cosine_topk": q29_cosine_topk,
     "q30_embedding_norms": q30_embedding_norms,
@@ -799,12 +945,14 @@ QUERIES = {
     "q79_knn_join": q79_knn_join,
     "q83_label_cohesion": q83_label_cohesion,
     "q89_quantization_audit": q89_quantization_audit,
+    "q90_label_outliers": q90_label_outliers,
 }
 
 ORACLE = {
     "q79_knn_join": Q79_SQL,
     "q83_label_cohesion": Q83_SQL,
     "q89_quantization_audit": Q89_SQL,
+    "q90_label_outliers": Q90_SQL,
     "q29_cosine_topk": Q29_SQL,
     "q30_embedding_norms": Q30_SQL,
     "q46_srp_near_dup": Q46_SQL,

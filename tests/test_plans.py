@@ -411,3 +411,23 @@ def test_q89_quantization_is_map_only_and_bounded(spark):
     assert rows
     for r in rows:
         assert r["rmse"] <= r["q_scale"] / 2 + 1e-9, r
+
+
+def test_q90_outlier_gate_broadcasts_centroids(spark):
+    # The outlier gate's only join is vectors x per-label centroids —
+    # |labels| rows — and must broadcast; the rest is one (label, pos)
+    # aggregation, one per-label window, and map-only cosine. A
+    # shuffle-join here would re-exchange the corpus for a 10-row dim.
+    from aerovaldb_spark.operators.similarity import q90_label_outliers
+
+    df = q90_label_outliers(spark, SF)
+    assert has_broadcast_join(df)
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in physical
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        # integer drop rule: exactly floor(pct * n) per label, and the
+        # kept band sits at-or-above the discovered admission threshold
+        assert r["n_dropped"] == int(0.10 * r["n_vectors"])
+        assert r["kept_min_cos"] <= r["kept_avg_cos"] <= r["kept_max_cos"]

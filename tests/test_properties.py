@@ -591,3 +591,49 @@ def test_sliding_chunks_degenerate_documents(spark):
         (1, CHUNK_TOKENS - CHUNK_STRIDE + 1),
         (2, 1),
     ]
+
+
+def test_label_outlier_gate_singletons_and_exact_drop_rule(spark):
+    # Integer drop rule on a constructed corpus: a singleton label
+    # keeps its only vector (floor(0.1*1)=0), a 10-vector label drops
+    # exactly its single most-dissimilar member (floor(0.1*10)=1) —
+    # and that member is the planted outlier, not a borderline tie.
+    from aerovaldb_spark.operators.similarity import label_outlier_gate
+
+    rows = [(100, [1.0, 0.0, 0.0, 0.0], 7)]  # singleton label 7
+    # label 3: nine near-identical vectors + one planted anti-cluster
+    rows += [(i, [1.0, 0.001 * i, 0.0, 0.0], 3) for i in range(9)]
+    rows += [(99, [-1.0, 0.5, 0.0, 0.0], 3)]
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = {r["label"]: r for r in label_outlier_gate(vecs).collect()}
+    assert out[7]["n_vectors"] == 1 and out[7]["n_dropped"] == 0
+    assert out[3]["n_vectors"] == 10 and out[3]["n_dropped"] == 1
+    # the kept band excludes the planted outlier: its cosine to the
+    # centroid is negative, so the kept minimum must sit far above it
+    assert out[3]["kept_min_cos"] > 0.5
+    assert out[7]["kept_avg_cos"] == 1.0  # self-centroid, cos == 1
+
+
+def test_label_centroids_partitioning_invariant(spark):
+    # DECIMAL-summed centroids are bit-identical however the input is
+    # partitioned — the property that makes the q90 oracle exact.
+    from aerovaldb_spark.operators.similarity import label_centroids
+
+    rows = [
+        (i, [0.1 * (i % 7) - 0.3, 1.0 / (i + 1), float(i)], i % 3)
+        for i in range(50)
+    ]
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    one = {
+        r["label"]: r["centroid"]
+        for r in label_centroids(vecs.coalesce(1)).collect()
+    }
+    many = {
+        r["label"]: r["centroid"]
+        for r in label_centroids(vecs.repartition(13)).collect()
+    }
+    assert one == many
