@@ -182,6 +182,82 @@ def read_document_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMBEDDINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ]
+)
+
+
+def read_embedding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the harness embeddings parquet — the
+    continuous-ingest twin of the batch vector corpus."""
+    return (
+        spark.readStream.schema(EMBEDDINGS_SCHEMA)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def admission_table(vectors: DataFrame, pct: float = 0.10) -> DataFrame:
+    """(label, centroid, min_cos): the frozen reference a streaming
+    outlier gate screens against — per-label centroids plus the
+    admission threshold (kept minimum cosine) a batch
+    :func:`~aerovaldb_spark.operators.similarity.label_outlier_gate`
+    run discovers at ``pct``. Rebuild it whenever the reference corpus
+    is re-curated; between rebuilds the gate is a pure function."""
+    from ..operators.similarity import label_centroids, label_outlier_gate
+
+    gate = label_outlier_gate(vectors, pct).select("label", "kept_min_cos")
+    return label_centroids(vectors).join(gate, "label").select(
+        "label", "centroid", F.col("kept_min_cos").alias("min_cos")
+    )
+
+
+def embedding_outlier_gate(
+    vectors: DataFrame, admission: DataFrame
+) -> DataFrame:
+    """Ingest-time embedding outlier screen: cosine of each incoming
+    vector to its label's FROZEN centroid, flagged when it falls below
+    the label's admission threshold (both from :func:`admission_table`).
+
+    STATELESS by construction: the admission table is |labels| rows —
+    one stream-static broadcast join — and the cosine is the same
+    map-only in-order fold + 6dp round as batch q90, so the SAME plan
+    runs batch or streaming (append mode, no watermark, no state
+    store). Unseen labels pass unflagged (NULL cosine — the gate has
+    no reference to screen against, mirroring the LM gate's OOV
+    backoff). Vectors whose cosine TIES the threshold are admitted:
+    the batch rank rule breaks ties by vec_id, which a per-row stream
+    cannot see — the gate errs on keeping."""
+    from ..operators.similarity import _dbl, pair_dot_col
+
+    adm = admission.select(
+        "label", F.col("centroid").alias("_cent"), F.col("min_cos")
+    )
+    out = vectors.withColumn("_v", _dbl("embedding")).join(
+        F.broadcast(adm), "label", "left"
+    )
+    cos = F.round(
+        pair_dot_col("_v", "_cent")
+        / (
+            F.sqrt(pair_dot_col("_v", "_v"))
+            * F.sqrt(pair_dot_col("_cent", "_cent"))
+        ),
+        6,
+    )
+    return out.select(
+        "vec_id",
+        "label",
+        cos.alias("centroid_cos"),
+        F.coalesce(cos < F.col("min_cos"), F.lit(False)).alias(
+            "outlier_flagged"
+        ),
+    )
+
+
 def quality_filtered_documents(
     docs: DataFrame,
     min_quality: float = 0.5,

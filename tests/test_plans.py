@@ -431,3 +431,17 @@ def test_q90_outlier_gate_broadcasts_centroids(spark):
         # kept band sits at-or-above the discovered admission threshold
         assert r["n_dropped"] == int(0.10 * r["n_vectors"])
         assert r["kept_min_cos"] <= r["kept_avg_cos"] <= r["kept_max_cos"]
+
+
+def test_embedding_outlier_gate_is_broadcast_only(spark):
+    # The streaming outlier gate must stay stateless: admission table
+    # via broadcast, cosine map-only — a shuffle on the vector side
+    # would mean the gate can't run as a stateless streaming stage.
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.plans import formatted_plan, has_broadcast_join
+    from aerovaldb_spark.streaming import admission_table, embedding_outlier_gate
+
+    emb = load_table(spark, SF, "embeddings")
+    gated = embedding_outlier_gate(emb, admission_table(emb))
+    assert has_broadcast_join(gated)
+    assert "SortMergeJoin" not in formatted_plan(gated)

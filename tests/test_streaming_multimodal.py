@@ -790,3 +790,52 @@ def test_lm_quality_gate_capped_model_backs_off(spark):
     # backoff can only RAISE the NLL (counts drop to 0)
     assert all(b[d] >= a[d] for d in a)
     assert any(b[d] > a[d] for d in a)
+
+
+def test_embedding_outlier_gate_stream_matches_batch(spark):
+    """Stateless frozen-centroid outlier screen: the stream run flags
+    exactly the vectors the batch q90 gate drops (modulo documented
+    threshold-tie admission), via one stream-static broadcast join."""
+    from pyspark.sql import functions as F
+
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators.similarity import label_outlier_gate
+    from aerovaldb_spark.streaming import (
+        admission_table,
+        embedding_outlier_gate,
+        read_embedding_stream,
+        run_stream_to_memory,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    adm = admission_table(emb, pct=0.10)
+
+    batch = embedding_outlier_gate(emb, adm)
+    stream = embedding_outlier_gate(read_embedding_stream(spark, SF_DIR), adm)
+    assert stream.isStreaming
+    got = run_stream_to_memory(
+        stream, "emb_outlier_gate", spark, output_mode="append"
+    )
+    a = sorted(map(tuple, batch.select("vec_id", "outlier_flagged").collect()))
+    b = sorted(map(tuple, got.select("vec_id", "outlier_flagged").collect()))
+    assert a == b and len(a) > 0
+
+    # the flag set is the batch gate's drop set, except vectors whose
+    # cosine ties the admission threshold exactly (documented: admitted)
+    audit = {r["label"]: r for r in label_outlier_gate(emb, 0.10).collect()}
+    n_flagged_by_label: dict[int, int] = {}
+    ties = 0
+    for r in got.collect():
+        if r["outlier_flagged"]:
+            n_flagged_by_label[r["label"]] = (
+                n_flagged_by_label.get(r["label"], 0) + 1
+            )
+        elif (
+            r["centroid_cos"] is not None
+            and r["centroid_cos"] == audit[r["label"]]["kept_min_cos"]
+        ):
+            ties += 1  # at-threshold: gate admits, batch may drop
+    for label, rep in audit.items():
+        flagged = n_flagged_by_label.get(label, 0)
+        assert flagged <= rep["n_dropped"]
+        assert rep["n_dropped"] - flagged <= ties
