@@ -172,6 +172,29 @@ def main() -> None:
     n_chunks = sliding_chunks(packed).count()
     print(f"chunk manifest: {n_chunks} chunks")
 
+    # 8. embedding-side curation (q90 + q89): drop each label's
+    # most-dissimilar decile (mislabeled/noise vectors), freeze the
+    # discovered thresholds into the streaming admission gate, and
+    # audit int8 quantization before writing a compressed index
+    from aerovaldb_spark.operators.similarity import (
+        label_outlier_gate,
+        quantization_audit,
+    )
+    from aerovaldb_spark.streaming import admission_table, embedding_outlier_gate
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    audit = label_outlier_gate(emb)
+    n_out = audit.agg(F.sum("n_dropped")).first()[0]
+    print(f"embedding outliers dropped: {n_out} across "
+          f"{audit.count()} labels")
+    gate = embedding_outlier_gate(emb, admission_table(emb))
+    clean = gate.filter(~F.col("outlier_flagged"))
+    q = quantization_audit(
+        emb.join(clean.select("vec_id"), "vec_id", "left_semi")
+    )
+    worst = q.agg(F.max("rmse")).first()[0]
+    print(f"int8 quantization on the kept set: worst rmse {worst}")
+
 
 if __name__ == "__main__":
     main()
