@@ -21,7 +21,7 @@ _MERGED_QUERIES = {
 }
 
 # The external correctness gate records rows for the FIRST 50 entries
-# of ``queries()`` only (89 declared > 50-entry cap), so entry ORDER
+# of ``queries()`` only (90 declared > 50-entry cap), so entry ORDER
 # decides which queries get a driver-recorded check each round. Policy:
 # entries never yet driver-verified, green-only-once, or just-changed
 # come first; the tail past position 50 holds only entries with ≥2
@@ -29,7 +29,7 @@ _MERGED_QUERIES = {
 # rotated every round so each query is re-verified periodically. Every
 # entry keeps a pytest-side oracle check regardless of position
 # (tests/test_parity_sample.py runs the same gate at sf0.001).
-# Round-4 window therefore holds: the 15 entries NEW this round
+# Round-4 window therefore holds: the 16 entries NEW this round
 # (q75-q90: asset-store round-trip, bigram-LM NLL, contamination,
 # BM25, kNN join, sliding chunks, stratified sample, source-overlap
 # matrix, label cohesion, quality gate, token budget, Q21-shape

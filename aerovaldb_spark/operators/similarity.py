@@ -73,7 +73,6 @@ def brute_force_topk(
     driver merge); a multi-row query ranks with a per-query window (one
     shuffle on query_id).
     """
-    from pyspark.sql import Window
 
     q = query.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
     scored = (
@@ -225,7 +224,6 @@ def ivf_topk(
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
-    from pyspark.sql import Window
 
     spark = vectors.sparkSession
     with_vec = vectors.withColumn("_features", array_to_vector(_dbl(vec_col)))
@@ -485,7 +483,6 @@ class IVFIndex:
         )
 
     def topk(self, query: DataFrame, k: int = 10, n_probe: int = 4) -> DataFrame:
-        from pyspark.sql import Window
 
         spark = self.assignments.sparkSession
         centers = {
@@ -563,7 +560,6 @@ def knn_join(
     row, not vectors. Inputs above ``max_rows`` raise; use
     :class:`IVFIndex` + sampled recall checks at scale.
     """
-    from pyspark.sql import Window
 
     if max_rows is not None:
         n = vectors.count()
@@ -844,12 +840,26 @@ def label_outlier_gate(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     label_col: str = "label",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Audit report of dropping each label's bottom ``pct`` fraction by
     cosine-to-centroid: (label, n_vectors, n_dropped, kept_avg_cos,
     kept_min_cos, kept_max_cos). ``kept_min_cos`` is the effective
-    admission threshold the gate discovered per label."""
-    cents = label_centroids(vectors, vec_col, label_col)
+    admission threshold the gate discovered per label.
+
+    ``centroids`` accepts a precomputed :func:`label_centroids` frame
+    so a caller that also needs the centroids themselves (e.g. the
+    streaming admission table) pays the corpus aggregation once."""
+    cents = (
+        centroids
+        if centroids is not None
+        else label_centroids(vectors, vec_col, label_col)
+    )
+    # the centroid self-norm is a per-label constant: compute it on the
+    # |labels|-row side BEFORE the broadcast, not per corpus row
+    cents = cents.withColumn(
+        "_cnorm", F.sqrt(pair_dot_col("centroid", "centroid"))
+    )
     scored = (
         vectors.select(
             F.col(label_col).alias("label"),
@@ -861,17 +871,17 @@ def label_outlier_gate(
             "cos",
             F.round(
                 pair_dot_col("v", "centroid")
-                / (
-                    F.sqrt(pair_dot_col("v", "v"))
-                    * F.sqrt(pair_dot_col("centroid", "centroid"))
-                ),
+                / (F.sqrt(pair_dot_col("v", "v")) * F.col("_cnorm")),
                 6,
             ),
         )
-        .drop("v", "centroid")
+        .drop("v", "centroid", "_cnorm")
     )
+    # asc_nulls_last mirrors DuckDB's ASC default: a NULL cosine
+    # (zero-norm vector) must land at the SAME end of the ranking on
+    # both engines or n_dropped diverges
     w = Window.partitionBy("label").orderBy(
-        F.col("cos").asc(), F.col("vec_id").asc()
+        F.col("cos").asc_nulls_last(), F.col("vec_id").asc()
     )
     wn = Window.partitionBy("label")
     flagged = (

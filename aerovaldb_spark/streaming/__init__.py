@@ -210,8 +210,13 @@ def admission_table(vectors: DataFrame, pct: float = 0.10) -> DataFrame:
     is re-curated; between rebuilds the gate is a pure function."""
     from ..operators.similarity import label_centroids, label_outlier_gate
 
-    gate = label_outlier_gate(vectors, pct).select("label", "kept_min_cos")
-    return label_centroids(vectors).join(gate, "label").select(
+    cents = label_centroids(vectors)
+    # pass the centroids through so the corpus-wide (label, pos)
+    # aggregation runs once, not once per consumer
+    gate = label_outlier_gate(vectors, pct, centroids=cents).select(
+        "label", "kept_min_cos"
+    )
+    return cents.join(gate, "label").select(
         "label", "centroid", F.col("kept_min_cos").alias("min_cos")
     )
 
@@ -234,18 +239,20 @@ def embedding_outlier_gate(
     cannot see — the gate errs on keeping."""
     from ..operators.similarity import _dbl, pair_dot_col
 
+    # centroid self-norm is a per-label constant: compute it on the
+    # |labels|-row side before the broadcast, not per stream row
     adm = admission.select(
-        "label", F.col("centroid").alias("_cent"), F.col("min_cos")
+        "label",
+        F.col("centroid").alias("_cent"),
+        F.sqrt(pair_dot_col("centroid", "centroid")).alias("_cnorm"),
+        F.col("min_cos"),
     )
     out = vectors.withColumn("_v", _dbl("embedding")).join(
         F.broadcast(adm), "label", "left"
     )
     cos = F.round(
         pair_dot_col("_v", "_cent")
-        / (
-            F.sqrt(pair_dot_col("_v", "_v"))
-            * F.sqrt(pair_dot_col("_cent", "_cent"))
-        ),
+        / (F.sqrt(pair_dot_col("_v", "_v")) * F.col("_cnorm")),
         6,
     )
     return out.select(

@@ -184,9 +184,10 @@ def main() -> None:
 
     emb = load_table(spark, sf_dir, "embeddings")
     audit = label_outlier_gate(emb)
-    n_out = audit.agg(F.sum("n_dropped")).first()[0]
-    print(f"embedding outliers dropped: {n_out} across "
-          f"{audit.count()} labels")
+    n_out, n_labels = audit.agg(
+        F.sum("n_dropped"), F.count(F.lit(1))
+    ).first()
+    print(f"embedding outliers dropped: {n_out} across {n_labels} labels")
     gate = embedding_outlier_gate(emb, admission_table(emb))
     clean = gate.filter(~F.col("outlier_flagged"))
     q = quantization_audit(
