@@ -1,0 +1,49 @@
+"""Shared 6-decimal rounding, bit-identical to DuckDB's ROUND(x, 6).
+
+The two engines disagree on computed doubles near a .5 boundary at the
+6th decimal: DuckDB rounds the SCALED value (one IEEE multiply by 1e6,
+then half-away-from-zero, then unscale), while Spark's ``F.round``
+rounds the EXACT binary value of the input. When the multiply rounds a
+just-below-half product up to an exact .5 (e.g.
+0.9276314999999999 * 1e6 → 927631.5), DuckDB reports ...632 and Spark
+...631 — observed on exactly one row each of q22/q76/q84 at sf0.1
+(doc 3202's quality_score, one avg_nll).
+
+``round6`` performs DuckDB's scaled computation in Spark:
+``F.round(x * 1e6, 0) / 1e6``. Spark's round-to-integer on a double is
+HALF_UP — i.e. half away from zero — on the exact value, which on the
+shared IEEE product matches DuckDB's half-away exactly. Validated
+bit-for-bit against DuckDB over 400k random positive AND negative
+doubles (tools session, zero mismatches), plus the two observed
+divergent corpus values.
+
+Use this for any ROUND(<computed double ratio/log/score>, 6) that an
+oracle mirrors with DuckDB ROUND. Values that are already exact at 6
+decimals (DECIMAL-summed then divided and re-rounded, integer ratios
+with short decimal expansions) round identically under either form, so
+migrating them is safe but not urgent; values rounded as DECIMAL types
+must NOT be migrated (decimal rounding is exact by construction).
+``round6_py`` is the Python twin for Arrow-batched scorers that must
+stay bit-identical to a batch query (e.g. the streaming LM gate).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_SCALE = 1_000_000.0
+
+
+def round6(c: Column) -> Column:
+    return F.round(c * F.lit(_SCALE), 0) / F.lit(_SCALE)
+
+
+def round6_py(v: float) -> float:
+    y = v * _SCALE
+    a = abs(y)
+    f = math.floor(a)
+    i = f + 1.0 if a - f >= 0.5 else f
+    return (-i if y < 0 else i) / _SCALE

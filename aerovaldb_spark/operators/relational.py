@@ -19,6 +19,13 @@ Oracle-parity convention (DuckDB value-hash must match bit-for-bit):
   differ between engines.
 - Every computed column is aliased identically in the DataFrame code
   and in the oracle SQL.
+- ROUND(computed double, 6): Spark's F.round and DuckDB's ROUND
+  disagree ~1/10^5 rows on near-half edges (DuckDB rounds the scaled
+  product, Spark the exact value). Use operators/_round.round6 —
+  Spark-side scaled rounding, bit-validated against DuckDB both
+  signs — for any 6dp round of a computed ratio/log/score an oracle
+  mirrors. Values already exact at 6dp (decimal-summed averages like
+  the convention above) agree under either form.
 """
 
 from __future__ import annotations

@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ._round import round6
 from ._scope import scoped_persist
 
 STOPWORDS = {
@@ -109,19 +110,18 @@ def quality_columns(df: DataFrame) -> DataFrame:
         .withColumn("n_chars_m", n_chars)
         .withColumn(
             "mean_token_len",
-            F.round(alpha_chars.cast("double") / F.col("n_tokens"), 6),
+            round6(alpha_chars.cast("double") / F.col("n_tokens")),
         )
         .withColumn(
             "stopword_ratio",
-            F.round(stop_hits.cast("double") / F.col("n_tokens"), 6),
+            round6(stop_hits.cast("double") / F.col("n_tokens")),
         )
     )
     return df.withColumn(
         "quality_score",
-        F.round(
+        round6(
             F.least(F.col("n_tokens").cast("double") / 100, F.lit(1.0)) * 0.5
-            + (F.lit(1.0) - F.col("stopword_ratio")) * 0.5,
-            6,
+            + (F.lit(1.0) - F.col("stopword_ratio")) * 0.5
         ),
     )
 
@@ -770,12 +770,11 @@ def q76_bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     vocab = uni.agg(F.count(F.lit(1)).alias("vocab"))
-    logp = F.round(
+    logp = round6(
         F.log(
             (F.col("c2") + F.lit(1.0))
             / (F.col("c1") + F.col("vocab")).cast("double")
-        ),
-        6,
+        )
     ).cast("decimal(18,6)")
     return (
         bi.join(bc, ["w1", "w2"])
@@ -784,8 +783,8 @@ def q76_bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(
-                -F.sum(logp).cast("double") / F.count(F.lit(1)), 6
+            round6(
+                -F.sum(logp).cast("double") / F.count(F.lit(1))
             ).alias("avg_nll"),
         )
     )
@@ -1164,7 +1163,7 @@ def quality_percentile_gate(
     wn = Window.partitionBy("source")
     return (
         quality_columns(docs)
-        .withColumn("q_pct", F.round(F.percent_rank().over(w), 6))
+        .withColumn("q_pct", round6(F.percent_rank().over(w)))
         .withColumn("_rank", F.row_number().over(w))
         .withColumn("_n", F.count(F.lit(1)).over(wn))
         .filter(

@@ -662,19 +662,20 @@ def lm_quality_gate(
 
     def score(batches: "_Iterator") -> "_Iterator":
         import math
-        from decimal import ROUND_HALF_UP, Decimal
+        from decimal import Decimal
 
         import pandas as pd
 
+        from ..operators._round import round6_py
+
         uni, bi, vocab = bc.value
-        q = Decimal("0.000001")
 
         def round6(v: float) -> Decimal:
-            # Spark's ROUND on doubles is HALF_UP over the shortest
-            # decimal repr (BigDecimal.valueOf); Python's built-in
-            # round is half-even — quantize explicitly so the gate is
-            # bit-identical to the batch q76
-            return Decimal(repr(v)).quantize(q, rounding=ROUND_HALF_UP)
+            # the engine-wide scaled-rounding convention
+            # (operators/_round.py): bit-identical to batch q76's
+            # round6 column AND DuckDB's ROUND; the result is exactly
+            # 6 decimal places, so the Decimal conversion is exact
+            return Decimal(repr(round6_py(v)))
 
         out_cols = [f.name for f in LM_GATE_SCHEMA.fields]
         for batch in batches:
