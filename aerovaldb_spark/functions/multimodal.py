@@ -27,6 +27,8 @@ from typing import TYPE_CHECKING
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from .._round import round6
 from pyspark.sql import types as T
 
 if TYPE_CHECKING:
@@ -469,7 +471,7 @@ def q52_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     decoded = decode_images(synthetic_media(spark, n=96))
     return decoded.select(
-        "media_id", "width", "height", "n_pixels", F.round("mean_luma", 6).alias("mean_luma"), "decoder"
+        "media_id", "width", "height", "n_pixels", round6("mean_luma").alias("mean_luma"), "decoder"
     )
 
 
@@ -520,10 +522,10 @@ def q65_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "media_id",
         F.size("features").alias("n_features"),
-        F.round(F.col("features")[0].cast("double"), 6).alias("f00"),
-        F.round(F.col("features")[7].cast("double"), 6).alias("f07"),
-        F.round(F.col("features")[15].cast("double"), 6).alias("f15"),
-        F.round(fold, 6).alias("f_sum"),
+        round6(F.col("features")[0].cast("double")).alias("f00"),
+        round6(F.col("features")[7].cast("double")).alias("f07"),
+        round6(F.col("features")[15].cast("double")).alias("f15"),
+        round6(fold).alias("f_sum"),
     )
 
 

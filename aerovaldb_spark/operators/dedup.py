@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
+from .._round import round6
 from ._scope import scoped_persist
 
 # Deterministic affine hash family over a Mersenne prime; coefficients
@@ -271,11 +272,9 @@ def ngram_jaccard_pairs(
         )
         .withColumn(
             "jaccard",
-            F.round(
+            round6(
                 F.col("shared").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("shared")),
-                6,
-            ),
+                / (F.col("na") + F.col("nb") - F.col("shared"))),
         )
         .filter(F.col("shared") >= min_shared)
         .select("doc_a", "doc_b", "shared", "jaccard")
@@ -696,11 +695,9 @@ def verified_jaccard_pairs(
         )
         .withColumn(
             "jaccard",
-            F.round(
+            round6(
                 F.col("shared").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("shared")),
-                6,
-            ),
+                / (F.col("na") + F.col("nb") - F.col("shared"))),
         )
         .filter(
             (F.col("shared") >= min_shared) & (F.col("jaccard") >= min_jaccard)
@@ -917,11 +914,9 @@ def source_overlap_matrix(docs: DataFrame, n: int = 3) -> DataFrame:
             "n_a",
             "n_b",
             "n_common",
-            F.round(
+            round6(
                 F.col("n_common").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-                6,
-            ).alias("jaccard"),
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))).alias("jaccard"),
         )
     )
 

@@ -21,7 +21,7 @@ Oracle-parity convention (DuckDB value-hash must match bit-for-bit):
   and in the oracle SQL.
 - ROUND(computed double, 6): Spark's F.round and DuckDB's ROUND
   disagree ~1/10^5 rows on near-half edges (DuckDB rounds the scaled
-  product, Spark the exact value). Use operators/_round.round6 —
+  product, Spark the exact value). Use aerovaldb_spark/_round.round6 —
   Spark-side scaled rounding, bit-validated against DuckDB both
   signs — for any 6dp round of a computed ratio/log/score an oracle
   mirrors. Values already exact at 6dp (decimal-summed averages like
@@ -35,6 +35,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from .._round import round6
 from ._scope import scoped_persist
 
 MONEY = "decimal(18,2)"
@@ -51,7 +52,7 @@ def _dsum(col, alias: str):
 
 def _davg(col, alias: str):
     """Deterministic average: exact decimal sum → double / count, round(6)."""
-    return F.round(F.sum(col).cast("double") / F.count(F.lit(1)), 6).alias(alias)
+    return round6(F.sum(col).cast("double") / F.count(F.lit(1))).alias(alias)
 
 
 def _revenue():
@@ -396,15 +397,13 @@ def q67_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
-            F.round(
+            round6(
                 F.sum(
                     F.when(F.col("supp_nation") == "NATION_1", rev).otherwise(
                         F.lit(0).cast(MONEY)
                     )
                 ).cast("double")
-                / F.sum(rev).cast("double"),
-                6,
-            ).alias("mkt_share"),
+                / F.sum(rev).cast("double")).alias("mkt_share"),
             _dsum(rev, "total_revenue"),
         )
     )
@@ -487,16 +486,14 @@ def q69_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1997-03-01") & (F.col("l_shipdate") < "1997-04-01")
     ).join(F.broadcast(part), li.l_partkey == part.p_partkey)
     return joined.agg(
-        F.round(
+        round6(
             F.lit(100.0)
             * F.sum(
                 F.when(F.col("p_type") == "PROMO", rev).otherwise(
                     F.lit(0).cast(MONEY)
                 )
             ).cast("double")
-            / F.sum(rev).cast("double"),
-            6,
-        ).alias("promo_pct"),
+            / F.sum(rev).cast("double")).alias("promo_pct"),
         _dsum(rev, "total_revenue"),
     )
 
@@ -941,21 +938,18 @@ def q88_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     thresholds = brand_lines.groupBy("l_partkey").agg(
-        F.round(
+        round6(
             F.sum(_money("l_quantity")).cast("double")
             / F.count(F.lit(1))
-            * 0.2,
-            6,
-        ).alias("qty_threshold")
+            * 0.2).alias("qty_threshold")
     )
     return (
         brand_lines.join(F.broadcast(thresholds), "l_partkey")
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.round(
-                F.sum(_money("l_extendedprice")).cast("double") / 7.0, 6
-            ).alias("avg_yearly"),
+            round6(
+                F.sum(_money("l_extendedprice")).cast("double") / 7.0).alias("avg_yearly"),
         )
     )
 

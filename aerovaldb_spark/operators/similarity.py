@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
+from .._round import round6
 
 
 def _dbl(col) -> Column:
@@ -78,7 +79,7 @@ def brute_force_topk(
     scored = (
         vectors.crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col("query_id"))
-        .withColumn("cosine", F.round(cosine_col(vec_col, "qvec"), 6))
+        .withColumn("cosine", round6(cosine_col(vec_col, "qvec")))
         .select("query_id", F.col(id_col).alias("neighbor_id"), "cosine")
     )
     # Plan-shape decision: single-query → shuffle-free TakeOrdered.
@@ -145,7 +146,7 @@ def lsh_bucketed_pairs(
     return (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(cosine_col("vec_a", "vec_b"), 6))
+        .withColumn("cosine", round6(cosine_col("vec_a", "vec_b")))
         .select("bucket", "id_a", "id_b", "cosine")
     )
 
@@ -181,7 +182,7 @@ def q30_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         "label",
-        F.round(norm_col("embedding"), 6).alias("l2_norm"),
+        round6(norm_col("embedding")).alias("l2_norm"),
         F.size("embedding").alias("dim"),
     )
 
@@ -258,7 +259,7 @@ def ivf_topk(
     return (
         assigned.join(F.broadcast(qdf), "list_id")
         .filter(F.col(id_col) != F.col("query_id"))
-        .withColumn("cosine", F.round(cosine_col(vec_col, "qvec"), 6))
+        .withColumn("cosine", round6(cosine_col(vec_col, "qvec")))
         .select("query_id", F.col(id_col).alias("neighbor_id"), "cosine")
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
@@ -360,7 +361,7 @@ def cosine_near_dup_pairs(
     dot = pair_dot_col()
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(dot / (F.col("norm_a") * F.col("norm_b")), 6))
+        .withColumn("cosine", round6(dot / (F.col("norm_a") * F.col("norm_b"))))
         .filter(F.col("cosine") >= F.lit(threshold))
         .select("id_a", "id_b", "cosine")
     )
@@ -522,7 +523,7 @@ class IVFIndex:
         return (
             pruned.join(F.broadcast(qdf), "list_id")
             .filter(F.col(self.id_col) != F.col("query_id"))
-            .withColumn("cosine", F.round(cosine_col(self.vec_col, "qvec"), 6))
+            .withColumn("cosine", round6(cosine_col(self.vec_col, "qvec")))
             .select(
                 "query_id", F.col(self.id_col).alias("neighbor_id"), "cosine"
             )
@@ -584,7 +585,7 @@ def knn_join(
     )
     return (
         a.join(b, F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(dot / (F.col("norm_a") * F.col("norm_b")), 6))
+        .withColumn("cosine", round6(dot / (F.col("norm_a") * F.col("norm_b"))))
         .select("query_id", "neighbor_id", "cosine")
         .withColumn("knn_rank", F.row_number().over(w))
         .filter(F.col("knn_rank") <= k)
@@ -662,18 +663,16 @@ def label_cohesion(
     pairs = (
         a.join(b, "label")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(dot / (F.col("norm_a") * F.col("norm_b")), 6))
+        .withColumn("cosine", round6(dot / (F.col("norm_a") * F.col("norm_b"))))
     )
     sizes = vectors.groupBy(F.col(label_col).alias("label")).agg(
         F.count(F.lit(1)).alias("n_vectors")
     )
     stats = pairs.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_pairs"),
-        F.round(
+        round6(
             F.sum(F.col("cosine").cast("decimal(18,6)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("avg_cosine"),
+            / F.count(F.lit(1))).alias("avg_cosine"),
         F.min("cosine").alias("min_cosine"),
         F.max("cosine").alias("max_cosine"),
     )
@@ -749,11 +748,11 @@ def quantization_audit(
     return vectors.select(
         F.col(id_col).alias("vec_id"),
         F.size(vec_col).alias("dim"),
-        F.round(scale, 6).alias("q_scale"),
+        round6(scale).alias("q_scale"),
         F.aggregate(
             codes, F.lit(0.0), lambda acc, q: acc + q
         ).cast("long").alias("sum_codes"),
-        F.round(F.sqrt(sse / F.size(vec_col)), 6).alias("rmse"),
+        round6(F.sqrt(sse / F.size(vec_col))).alias("rmse"),
     )
 
 
@@ -820,11 +819,9 @@ def label_centroids(
         F.posexplode(_dbl(vec_col)).alias("pos", "x"),
     )
     cd = e.groupBy("label", "pos").agg(
-        F.round(
-            F.sum(F.round(F.col("x"), 6).cast("decimal(18,6)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("c")
+        round6(
+            F.sum(round6(F.col("x")).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))).alias("c")
     )
     return cd.groupBy("label").agg(
         F.transform(
@@ -869,11 +866,9 @@ def label_outlier_gate(
         .join(F.broadcast(cents), "label")
         .withColumn(
             "cos",
-            F.round(
+            round6(
                 pair_dot_col("v", "centroid")
-                / (F.sqrt(pair_dot_col("v", "v")) * F.col("_cnorm")),
-                6,
-            ),
+                / (F.sqrt(pair_dot_col("v", "v")) * F.col("_cnorm"))),
         )
         .drop("v", "centroid", "_cnorm")
     )
@@ -897,11 +892,9 @@ def label_outlier_gate(
     return flagged.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vectors"),
         F.sum(F.col("_drop").cast("long")).alias("n_dropped"),
-        F.round(
+        round6(
             F.sum(kept_cos.cast("decimal(18,6)")).cast("double")
-            / F.sum((~F.col("_drop")).cast("long")),
-            6,
-        ).alias("kept_avg_cos"),
+            / F.sum((~F.col("_drop")).cast("long"))).alias("kept_avg_cos"),
         F.min(kept_cos).alias("kept_min_cos"),
         F.max(kept_cos).alias("kept_max_cos"),
     )

@@ -18,7 +18,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ._round import round6
+from .._round import round6
 from ._scope import scoped_persist
 
 STOPWORDS = {
@@ -73,9 +73,8 @@ def q21_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("total_tokens"),
             F.min("n_tokens").alias("min_tokens"),
             F.max("n_tokens").alias("max_tokens"),
-            F.round(
-                F.sum("n_tokens").cast("double") / F.count(F.lit(1)), 6
-            ).alias("avg_tokens"),
+            round6(
+                F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
             F.sum("n_bpe").alias("total_bpe_tokens"),
         )
     )
@@ -441,11 +440,9 @@ def repetition_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("n_distinct_tokens", F.expr(f"size(array_distinct({toks}))"))
         .withColumn(
             "repeated_token_frac",
-            F.round(
+            round6(
                 F.lit(1.0)
-                - F.col("n_distinct_tokens").cast("double") / F.col("n_tokens"),
-                6,
-            ),
+                - F.col("n_distinct_tokens").cast("double") / F.col("n_tokens")),
         )
         .withColumn("_bg", F.expr(bigrams))
         .withColumn(
@@ -459,9 +456,8 @@ def repetition_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
             "top_bigram_frac",
             F.when(
                 F.size("_bg") > 0,
-                F.round(
-                    F.col("top_bigram_count").cast("double") / F.size("_bg"), 6
-                ),
+                round6(
+                    F.col("top_bigram_count").cast("double") / F.size("_bg")),
             ).otherwise(F.lit(0.0)),
         )
         .drop("_bg")
@@ -527,14 +523,12 @@ def q61_tfidf_top_terms(
         F.countDistinct("doc_id").alias("doc_freq"),
     )
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    idf = F.round(
-        F.log((F.col("n_docs") + 1).cast("double") / (F.col("doc_freq") + 1)),
-        6,
-    )
+    idf = round6(
+        F.log((F.col("n_docs") + 1).cast("double") / (F.col("doc_freq") + 1)))
     return (
         stats.crossJoin(F.broadcast(n))
         .withColumn("idf", idf)
-        .withColumn("score", F.round(F.col("total_tf") * F.col("idf"), 6))
+        .withColumn("score", round6(F.col("total_tf") * F.col("idf")))
         .select("term", "doc_freq", "total_tf", "idf", "score")
         .orderBy(F.desc("score"), "term")
         .limit(k)
@@ -624,12 +618,10 @@ def q63_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.avg(F.col("df").cast("double")), 6).alias("avg_df"),
-            F.round(
+            round6(F.avg(F.col("df").cast("double"))).alias("avg_df"),
+            round6(
                 F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
-                / F.count(F.lit(1)),
-                6,
-            ).alias("frac_hapax"),
+                / F.count(F.lit(1))).alias("frac_hapax"),
             F.max("df").alias("max_df"),
         )
     )
@@ -691,11 +683,9 @@ def q74_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_passages"),
             F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0)).alias("n_dup"),
-            F.round(
+            round6(
                 F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0))
-                / F.count(F.lit(1)),
-                6,
-            ).alias("dup_frac"),
+                / F.count(F.lit(1))).alias("dup_frac"),
         )
     )
 
@@ -847,7 +837,7 @@ def q77_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
             hits.cast("long").alias("n_overlap"),
-            F.round(hits.cast("double") / F.count(F.lit(1)), 6).alias(
+            round6(hits.cast("double") / F.count(F.lit(1))).alias(
                 "overlap_frac"
             ),
         )
@@ -917,15 +907,13 @@ def q78_bm25_topk(
         ).alias("avgdl"),
     )
     qterms = stats.orderBy(F.desc("df"), "term").limit(n_query_terms)
-    idf = F.round(
+    idf = round6(
         F.log(
             (F.col("n_docs") - F.col("df") + F.lit(0.5))
             / (F.col("df") + F.lit(0.5))
             + F.lit(1.0)
-        ),
-        6,
-    )
-    score = F.round(
+        ))
+    score = round6(
         idf
         * (F.col("tf") * F.lit(BM25_K1 + 1.0))
         / (
@@ -935,9 +923,7 @@ def q78_bm25_topk(
                 F.lit(1.0 - BM25_B)
                 + F.lit(BM25_B) * F.col("dlen") / F.col("avgdl")
             )
-        ),
-        6,
-    ).cast("decimal(18,6)")
+        )).cast("decimal(18,6)")
     return (
         tf.join(F.broadcast(qterms), "term")
         .join(dl, "doc_id")
@@ -1085,11 +1071,9 @@ def q81_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.col("_keep").cast("long")).alias("n_sampled"),
-            F.round(
+            round6(
                 F.sum(F.col("_keep").cast("long")).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("sampled_frac"),
+                / F.count(F.lit(1))).alias("sampled_frac"),
             F.sum(
                 F.when(F.col("_keep"), F.col("n_chars")).otherwise(F.lit(0))
             ).alias("sampled_chars"),

@@ -20,6 +20,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .._round import round6
+
+
 def _events_schema(ts_type: T.DataType) -> T.StructType:
     return T.StructType(
         [
@@ -250,11 +253,9 @@ def embedding_outlier_gate(
     out = vectors.withColumn("_v", _dbl("embedding")).join(
         F.broadcast(adm), "label", "left"
     )
-    cos = F.round(
+    cos = round6(
         pair_dot_col("_v", "_cent")
-        / (F.sqrt(pair_dot_col("_v", "_v")) * F.col("_cnorm")),
-        6,
-    )
+        / (F.sqrt(pair_dot_col("_v", "_v")) * F.col("_cnorm")))
     return out.select(
         "vec_id",
         "label",
@@ -666,7 +667,7 @@ def lm_quality_gate(
 
         import pandas as pd
 
-        from ..operators._round import round6_py
+        from .._round import round6_py
 
         uni, bi, vocab = bc.value
 
