@@ -10,12 +10,17 @@ just-below-half product up to an exact .5 (e.g.
 (doc 3202's quality_score, one avg_nll).
 
 ``round6`` performs DuckDB's scaled computation in Spark:
-``F.round(x * 1e6, 0) / 1e6``. Spark's round-to-integer on a double is
-HALF_UP — i.e. half away from zero — on the exact value, which on the
-shared IEEE product matches DuckDB's half-away exactly. Validated
-bit-for-bit against DuckDB over 400k random positive AND negative
-doubles (tools session, zero mismatches), plus the two observed
-divergent corpus values.
+``F.round(x * 1e6, 0) / 1e6``. Spark's Round rounds
+``BigDecimal.valueOf(x)`` — the SHORTEST decimal repr of x, not its
+exact binary expansion — with HALF_UP (half away from zero). At scale
+0 the two models provably agree (no double's shortest repr crosses an
+integer-half boundary its exact value doesn't), so on the shared IEEE
+product this matches DuckDB's half-away exactly; do NOT assume the
+same when generalizing to other scales — that shortcut is precisely
+the divergence this module exists to fix. Validated bit-for-bit
+against DuckDB over 400k random positive AND negative doubles (tools
+session, zero mismatches), plus the two observed divergent corpus
+values.
 
 Use this for any ROUND(<computed double ratio/log/score>, 6) that an
 oracle mirrors with DuckDB ROUND — every such site in the engine now

@@ -27,9 +27,9 @@ from typing import TYPE_CHECKING
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .._round import round6
-from pyspark.sql import types as T
 
 if TYPE_CHECKING:
     import pandas as pd

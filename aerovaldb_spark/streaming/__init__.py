@@ -673,7 +673,7 @@ def lm_quality_gate(
 
         def round6(v: float) -> Decimal:
             # the engine-wide scaled-rounding convention
-            # (operators/_round.py): bit-identical to batch q76's
+            # (aerovaldb_spark/_round.py): bit-identical to batch q76's
             # round6 column AND DuckDB's ROUND; the result is exactly
             # 6 decimal places, so the Decimal conversion is exact
             return Decimal(repr(round6_py(v)))

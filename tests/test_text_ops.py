@@ -60,6 +60,7 @@ def test_bigram_novelty_edges(spark):
     doc has frac_hapax 1.0."""
     from pyspark.sql import functions as F
 
+    from aerovaldb_spark._round import round6
     from aerovaldb_spark.operators.dedup import hash60, shingles_col
 
     docs = spark.createDataFrame(
@@ -81,11 +82,10 @@ def test_bigram_novelty_edges(spark):
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.avg(F.col("df").cast("double")), 6).alias("avg_df"),
-            F.round(
+            round6(F.avg(F.col("df").cast("double"))).alias("avg_df"),
+            round6(
                 F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
-                / F.count(F.lit(1)),
-                6,
+                / F.count(F.lit(1))
             ).alias("frac_hapax"),
         )
         .collect()
