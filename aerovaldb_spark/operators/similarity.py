@@ -53,7 +53,14 @@ def pair_dot_col(a: str = "vec_a", b: str = "vec_b") -> Column:
 
 
 def cosine_col(a, b) -> Column:
-    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+    """Cosine with a NULL (not NaN) result for zero-norm inputs.
+
+    DuckDB division-by-zero yields NULL; Spark's double 0.0/0.0 yields
+    NaN. NaN and NULL sort to the same end (NaN last under Spark ASC,
+    NULLS LAST is DuckDB's ASC default) so RANKS coincide, but any
+    EMITTED cosine would hash-diverge — nullif on the divisor makes
+    Spark produce NULL too."""
+    return dot_col(a, b) / F.nullif(norm_col(a) * norm_col(b), F.lit(0.0))
 
 
 def brute_force_topk(
@@ -195,6 +202,44 @@ FROM embeddings
 """
 
 
+def _probe_lists(
+    query: DataFrame,
+    centroids: DataFrame,
+    n_probe: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(query_id, qvec, list_id): each query's ``n_probe`` nearest
+    centroids — ENTIRELY executor-side.
+
+    The n_lists-row centroid table broadcasts onto the query frame, the
+    squared distance is one array fold per (query, centroid) pair, and
+    a per-query window keeps the n_probe best. No ``collect()`` of the
+    queries and no per-query Python loop: a 1M-query batch is one
+    distributed job of 1M × n_lists cheap rows, with driver memory
+    independent of the batch size. Ties break on list_id ascending
+    (the same order the previous driver-side stable sort produced).
+    """
+    qv = query.select(
+        F.col(id_col).alias("query_id"), _dbl(vec_col).alias("qvec")
+    )
+    d2 = F.aggregate(
+        F.zip_with("qvec", "centroid", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_d2").asc(), F.col("list_id").asc()
+    )
+    return (
+        qv.crossJoin(F.broadcast(centroids.select("list_id", "centroid")))
+        .withColumn("_d2", d2)
+        .withColumn("_pr", F.row_number().over(w))
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", "qvec", "list_id")
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     query: DataFrame,
@@ -211,12 +256,14 @@ def ivf_topk(
     The scale shape: scoring touches ~n_probe/n_lists of the data; the
     centroid table broadcasts. Approximate — recall is asserted in
     tests, not oracle-matched (KMeans is not cross-engine
-    deterministic).
-    All queries score in ONE job: the query set (with its per-query
-    probe lists, computed driver-side against the tiny centroid table)
-    broadcasts as a whole, joins the assigned vectors on list_id, and
-    a per-query window takes the top k — no per-query driver loop, so
-    a batch of 10k queries costs one pass instead of 10k jobs.
+    deterministic; see :func:`srp_ivf_topk` for the oracle-matched
+    deterministic coarse quantizer).
+    All queries score in ONE job: probe lists are assigned
+    executor-side (:func:`_probe_lists` — broadcast centroids + array
+    fold + per-query window), the probe frame joins the assigned
+    vectors on list_id, and a per-query window takes the top k — no
+    per-query driver loop ANYWHERE, so a 1M-query batch is one pass
+    with bounded driver memory.
 
     At 100 TB the KMeans fit itself must train on a sample
     (``fit_sample_fraction``) — clustering quality needs ~thousands of
@@ -236,22 +283,12 @@ def ivf_topk(
         "prediction", "list_id"
     )
 
-    centers = [c.tolist() for c in model.clusterCenters()]
-    q_rows = query.select(F.col(id_col).alias("query_id"), vec_col).collect()
-
-    def probes(qv: list[float]) -> list[int]:
-        def d2(c):
-            return sum((a - b) ** 2 for a, b in zip(c, qv))
-
-        return sorted(range(len(centers)), key=lambda i: d2(centers[i]))[:n_probe]
-
-    qdf = spark.createDataFrame(
-        [
-            (qr["query_id"], [float(x) for x in qr[vec_col]], probes([float(x) for x in qr[vec_col]]))
-            for qr in q_rows
-        ],
-        "query_id long, qvec array<double>, probe array<int>",
-    ).select("query_id", "qvec", F.explode("probe").alias("list_id"))
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in
+         enumerate(model.clusterCenters())],
+        "list_id int, centroid array<double>",
+    )
+    qdf = _probe_lists(query, centroids, n_probe, vec_col, id_col)
 
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -361,7 +398,10 @@ def cosine_near_dup_pairs(
     dot = pair_dot_col()
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", round6(dot / (F.col("norm_a") * F.col("norm_b"))))
+        .withColumn(
+            "cosine",
+            round6(dot / F.nullif(F.col("norm_a") * F.col("norm_b"), F.lit(0.0))),
+        )
         .filter(F.col("cosine") >= F.lit(threshold))
         .select("id_a", "id_b", "cosine")
     )
@@ -410,9 +450,10 @@ class IVFIndex:
     re-fits and re-assigns per call; the index amortizes both).
 
     Scoring is the same one-job shape as :func:`ivf_topk`: per-query
-    probe lists computed driver-side against the tiny centroid table,
-    the query batch broadcasts, one join on list_id, one per-query
-    window for top-k.
+    probe lists assigned executor-side (:func:`_probe_lists`), the
+    probe frame broadcasts, one join on list_id, one per-query window
+    for top-k. The only collect is the DISTINCT probed list ids
+    (≤ n_lists ints) that become the partition-pruning IN filter.
     """
 
     def __init__(self, centroids: DataFrame, assignments: DataFrame,
@@ -484,37 +525,19 @@ class IVFIndex:
         )
 
     def topk(self, query: DataFrame, k: int = 10, n_probe: int = 4) -> DataFrame:
-
-        spark = self.assignments.sparkSession
-        centers = {
-            r["list_id"]: r["centroid"] for r in self.centroids.collect()
-        }
-        q_rows = query.select(
-            F.col(self.id_col).alias("query_id"), self.vec_col
-        ).collect()
-
-        def probes(qv: list[float]) -> list[int]:
-            def d2(c):
-                return sum((a - b) ** 2 for a, b in zip(c, qv))
-
-            return sorted(centers, key=lambda i: d2(centers[i]))[:n_probe]
-
-        plists = [
-            (
-                qr["query_id"],
-                [float(x) for x in qr[self.vec_col]],
-                probes([float(x) for x in qr[self.vec_col]]),
-            )
-            for qr in q_rows
-        ]
-        qdf = spark.createDataFrame(
-            plists, "query_id long, qvec array<double>, probe array<int>"
-        ).select("query_id", "qvec", F.explode("probe").alias("list_id"))
+        qdf = _probe_lists(
+            query, self.centroids, n_probe, self.vec_col, self.id_col
+        )
 
         # IN-filter on the union of probed lists reaches the scan as a
         # PARTITION filter on the list_id layout — the join alone would
-        # read every list
-        all_probes = sorted({p for _, _, ps in plists for p in ps})
+        # read every list. Collecting the DISTINCT probed ids is
+        # bounded by n_lists (ints, not queries): driver memory stays
+        # independent of the query-batch size.
+        all_probes = sorted(
+            r["list_id"]
+            for r in qdf.select("list_id").distinct().collect()
+        )
         pruned = self.assignments.filter(F.col("list_id").isin(all_probes))
 
         w = Window.partitionBy("query_id").orderBy(
@@ -585,7 +608,10 @@ def knn_join(
     )
     return (
         a.join(b, F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", round6(dot / (F.col("norm_a") * F.col("norm_b"))))
+        .withColumn(
+            "cosine",
+            round6(dot / F.nullif(F.col("norm_a") * F.col("norm_b"), F.lit(0.0))),
+        )
         .select("query_id", "neighbor_id", "cosine")
         .withColumn("knn_rank", F.row_number().over(w))
         .filter(F.col("knn_rank") <= k)
@@ -663,7 +689,10 @@ def label_cohesion(
     pairs = (
         a.join(b, "label")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", round6(dot / (F.col("norm_a") * F.col("norm_b"))))
+        .withColumn(
+            "cosine",
+            round6(dot / F.nullif(F.col("norm_a") * F.col("norm_b"), F.lit(0.0))),
+        )
     )
     sizes = vectors.groupBy(F.col(label_col).alias("label")).agg(
         F.count(F.lit(1)).alias("n_vectors")
@@ -745,14 +774,23 @@ def quantization_audit(
     )
     err = F.zip_with(v, codes, lambda x, q: x - q * scale)
     sse = F.aggregate(err, F.lit(0.0), lambda acc, e: acc + e * e)
+    # An all-zero vector has scale 0: its codes/rmse are undefined.
+    # Explicit NULL gating (not x/0) because Spark yields NaN while
+    # DuckDB yields NULL on double /0, and Spark's least/greatest SKIP
+    # NULLs (127 would leak through) — the CASE keeps both engines at
+    # NULL. q_scale itself stays 0.0 (well-defined).
+    defined = max_abs != F.lit(0.0)
     return vectors.select(
         F.col(id_col).alias("vec_id"),
         F.size(vec_col).alias("dim"),
         round6(scale).alias("q_scale"),
-        F.aggregate(
-            codes, F.lit(0.0), lambda acc, q: acc + q
+        F.when(
+            defined,
+            F.aggregate(codes, F.lit(0.0), lambda acc, q: acc + q),
         ).cast("long").alias("sum_codes"),
-        round6(F.sqrt(sse / F.size(vec_col))).alias("rmse"),
+        F.when(
+            defined, round6(F.sqrt(sse / F.size(vec_col)))
+        ).alias("rmse"),
     )
 
 
@@ -780,8 +818,8 @@ WITH prep AS (
 )
 SELECT vec_id, dim,
   ROUND(scale, 6) AS q_scale,
-  CAST(list_sum(codes) AS BIGINT) AS sum_codes,
-  ROUND(sqrt(list_dot_product(e, e) / dim), 6) AS rmse
+  CASE WHEN scale <> 0 THEN CAST(list_sum(codes) AS BIGINT) END AS sum_codes,
+  CASE WHEN scale <> 0 THEN ROUND(sqrt(list_dot_product(e, e) / dim), 6) END AS rmse
 FROM err
 """
 
@@ -868,7 +906,10 @@ def label_outlier_gate(
             "cos",
             round6(
                 pair_dot_col("v", "centroid")
-                / (F.sqrt(pair_dot_col("v", "v")) * F.col("_cnorm"))),
+                / F.nullif(
+                    F.sqrt(pair_dot_col("v", "v")) * F.col("_cnorm"),
+                    F.lit(0.0),
+                )),
         )
         .drop("v", "centroid", "_cnorm")
     )

@@ -253,9 +253,13 @@ def embedding_outlier_gate(
     out = vectors.withColumn("_v", _dbl("embedding")).join(
         F.broadcast(adm), "label", "left"
     )
+    # nullif keeps a zero-norm vector's cosine NULL (matching batch
+    # q90's convention) instead of Spark's NaN from double /0
     cos = round6(
         pair_dot_col("_v", "_cent")
-        / (F.sqrt(pair_dot_col("_v", "_v")) * F.col("_cnorm")))
+        / F.nullif(
+            F.sqrt(pair_dot_col("_v", "_v")) * F.col("_cnorm"), F.lit(0.0)
+        ))
     return out.select(
         "vec_id",
         "label",

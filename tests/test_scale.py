@@ -207,3 +207,63 @@ def test_ivf_index_save_load_matches_ephemeral(spark, tmp_path):
     assert len(dirs) == 8
     plan = got_df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "list_id" in plan
+
+
+def test_probe_assignment_is_executor_side(spark):
+    """Probe-list assignment runs as a distributed plan (broadcast
+    centroid join + window), matches an independent numpy
+    nearest-centroid computation exactly (including list_id
+    tie-breaks), and handles a 100k-query batch whose rows never
+    touch the driver — the shape that replaced the per-query Python
+    loop."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from aerovaldb_spark.operators.similarity import _probe_lists
+
+    dim, n_lists, n_probe = 8, 16, 4
+    rng = np.random.default_rng(7)
+    cents = rng.normal(size=(n_lists, dim)).round(3)
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "list_id int, centroid array<double>",
+    )
+
+    # small batch: exact numpy cross-check (stable sort == list_id
+    # ascending tie-break)
+    qv = rng.normal(size=(50, dim)).round(3)
+    qdf = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(qv)],
+        "vec_id long, embedding array<double>",
+    )
+    probes = _probe_lists(qdf, centroids, n_probe, "embedding", "vec_id")
+
+    plan = probes._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Window" in plan
+
+    got = {}
+    for r in probes.collect():
+        got.setdefault(r["query_id"], []).append(r["list_id"])
+    for i, v in enumerate(qv):
+        d2 = ((cents - v) ** 2).sum(axis=1)
+        want = list(np.argsort(d2, kind="stable")[:n_probe])
+        assert sorted(got[i]) == sorted(int(w) for w in want), i
+
+    # 100k-query batch built entirely executor-side (spark.range →
+    # expression-generated vectors): one distributed job, driver holds
+    # no per-query state
+    big = spark.range(100_000).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            f"transform(sequence(0, {dim - 1}), "
+            "j -> cast(pmod(id * 37 + j * 11, 19) - 9 as double) / 3.0)"
+        ).alias("embedding"),
+    )
+    big_probes = _probe_lists(big, centroids, n_probe, "embedding", "vec_id")
+    assert (
+        big_probes.groupBy().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("query_id").alias("q"),
+        ).collect()[0]
+    ) == (100_000 * n_probe, 100_000)
