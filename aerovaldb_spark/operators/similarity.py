@@ -322,10 +322,14 @@ def _srp_proj_sql_on(alias: str, p: int, dim: int = 64) -> str:
     )
 
 
-_BUCKET_SQL = " + ".join(
-    f"(CASE WHEN {_srp_proj_sql_on('e', p)} > 0 THEN {1 << p} ELSE 0 END)"
-    for p in range(NUM_PLANES)
-)
+def _bucket_sql_for(planes: int, alias: str = "e") -> str:
+    return " + ".join(
+        f"(CASE WHEN {_srp_proj_sql_on(alias, p)} > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(planes)
+    )
+
+
+_BUCKET_SQL = _bucket_sql_for(NUM_PLANES)
 
 Q46_SQL = f"""
 WITH bucketed AS (
@@ -980,6 +984,188 @@ FROM flagged GROUP BY label
 """
 
 
+# --------------------------------------------------------------------------
+# q91: DETERMINISTIC coarse-quantized ANN with a full hash-matched
+# oracle. Same inverted-list shape as ivf_topk, but the coarse
+# quantizer is the SRP signature (md5-derived hyperplanes — no trained
+# model, bit-reproducible on any engine; the same machinery that
+# already oracle-matches in q36/q46) instead of KMeans, which is why
+# q66 must stay rows-only while this entry hash-matches. Multi-probe:
+# each query probes its own bucket plus all buckets at Hamming
+# distance 1 (planes+1 probes), so scoring touches
+# ~(planes+1)/2^planes of the corpus per query — the IVF promise with
+# zero model state. Probe assignment is pure column arithmetic
+# (bucket XOR one-hot masks) — executor-side by construction.
+def srp_ivf_topk(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    planes: int = NUM_PLANES,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k via SRP-bucket inverted lists, Hamming-1
+    multi-probe. Fully deterministic: same result on any engine, any
+    partitioning. Returns (query_id, ann_rank, neighbor_id, cosine).
+    """
+    assigned = vectors.withColumn(
+        "bucket", srp_signature_col(vec_col, dim, planes)
+    )
+    qb = query.withColumn(
+        "qbucket", srp_signature_col(vec_col, dim, planes)
+    ).select(
+        F.col(id_col).alias("query_id"),
+        _dbl(vec_col).alias("qvec"),
+        "qbucket",
+    )
+    probe = qb.select(
+        "query_id",
+        "qvec",
+        F.explode(
+            F.array(
+                F.col("qbucket"),
+                *[
+                    F.col("qbucket").bitwiseXOR(F.lit(1 << p))
+                    for p in range(planes)
+                ],
+            )
+        ).alias("bucket"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        assigned.join(F.broadcast(probe), "bucket")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("cosine", round6(cosine_col(vec_col, "qvec")))
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "cosine")
+        .withColumn("ann_rank", F.row_number().over(w))
+        .filter(F.col("ann_rank") <= k)
+        .select("query_id", "ann_rank", "neighbor_id", "cosine")
+    )
+
+
+# Graded instance: 4 planes (16 buckets, Hamming-1 probes 5/16 of the
+# corpus) — measured recall ~0.5 vs brute force on the synthetic
+# corpus, which is near-worst-case for LSH (iid random embeddings have
+# no cluster structure for the hyperplanes to exploit). The
+# planes/probe-radius pair is the recall/cost dial: real embedded
+# corpora cluster, so more planes keep recall at a far smaller touched
+# fraction.
+Q91_PLANES = 4
+
+
+def q91_srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return srp_ivf_topk(emb, queries, k=10, dim=64, planes=Q91_PLANES)
+
+
+Q91_SQL = f"""
+WITH bucketed AS (
+  SELECT e.vec_id, e.embedding, {_bucket_sql_for(Q91_PLANES)} AS bucket FROM embeddings e
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qvec, bucket AS qbucket
+  FROM bucketed WHERE vec_id < 5
+), probes AS (
+  SELECT query_id, qvec,
+    CASE WHEN p < 0 THEN qbucket ELSE xor(qbucket, (1 << p)) END AS bucket
+  FROM q CROSS JOIN (SELECT unnest(generate_series(-1, {Q91_PLANES - 1})) AS p)
+), scored AS (
+  SELECT pr.query_id, b.vec_id AS neighbor_id,
+    ROUND(
+      list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(pr.qvec AS DOUBLE[]))
+      / (sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))
+         * sqrt(list_dot_product(CAST(pr.qvec AS DOUBLE[]), CAST(pr.qvec AS DOUBLE[])))), 6) AS cosine
+  FROM probes pr JOIN bucketed b ON b.bucket = pr.bucket AND b.vec_id <> pr.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS ann_rank
+  FROM scored
+)
+SELECT query_id, ann_rank, neighbor_id, cosine
+FROM ranked WHERE ann_rank <= 10
+"""
+
+
+# --------------------------------------------------------------------------
+# q93: SemDeDup-style semantic-dedup composition — the embedding-side
+# twin of q62's discipline: SRP buckets generate candidates (one
+# equi-join on the bucket id, NEVER an all-pairs embedding join),
+# within-bucket exact cosine keeps pairs >= threshold, min-label
+# propagation clusters them, and each cluster's canonical keeps the
+# lowest vec_id (which IS the component label). One row per clustered
+# vector; singletons (no near-dup) are absent — at 100 TB you don't
+# materialize a row per corpus vector to say "unique".
+SEMANTIC_DEDUP_THRESHOLD = COSINE_NEAR_DUP_THRESHOLD
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    dim: int = 64,
+    threshold: float = SEMANTIC_DEDUP_THRESHOLD,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, component, cluster_size, is_canonical) per clustered
+    vector. Threshold compares the ROUNDED cosine (both engines), so
+    borderline floats can't flip cluster membership."""
+    from .dedup import connected_components
+
+    near = (
+        lsh_bucketed_pairs(vectors, dim, vec_col, id_col)
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(near, src="id_a", dst="id_b")
+    w = Window.partitionBy("component")
+    return (
+        comp.withColumnRenamed("v", "vec_id")
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "is_canonical",
+            (F.col("vec_id") == F.col("component")).cast("int"),
+        )
+        .select("vec_id", "component", "cluster_size", "is_canonical")
+        .orderBy("vec_id")
+    )
+
+
+def q93_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, dim=64)
+
+
+Q93_SQL = f"""
+WITH RECURSIVE bucketed AS (
+  SELECT e.vec_id, e.embedding, {_BUCKET_SQL} AS bucket FROM embeddings e
+), near AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE ROUND(
+      list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+         * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6)
+    >= {SEMANTIC_DEDUP_THRESHOLD}
+), edges AS (
+  SELECT id_a AS u, id_b AS w FROM near
+  UNION
+  SELECT id_b AS u, id_a AS w FROM near
+), reach(u, w) AS (
+  SELECT u, w FROM edges
+  UNION
+  SELECT r.u, e.w FROM reach r JOIN edges e ON r.w = e.u
+), comp AS (
+  SELECT u AS vec_id, LEAST(u, MIN(w)) AS component FROM reach GROUP BY u
+)
+SELECT vec_id, component,
+  COUNT(*) OVER (PARTITION BY component) AS cluster_size,
+  CAST(vec_id = component AS INT) AS is_canonical
+FROM comp
+"""
+
+
 QUERIES = {
     "q29_cosine_topk": q29_cosine_topk,
     "q30_embedding_norms": q30_embedding_norms,
@@ -990,6 +1176,8 @@ QUERIES = {
     "q83_label_cohesion": q83_label_cohesion,
     "q89_quantization_audit": q89_quantization_audit,
     "q90_label_outliers": q90_label_outliers,
+    "q91_srp_ann_topk": q91_srp_ann_topk,
+    "q93_semantic_dedup": q93_semantic_dedup,
 }
 
 ORACLE = {
@@ -1001,4 +1189,6 @@ ORACLE = {
     "q30_embedding_norms": Q30_SQL,
     "q46_srp_near_dup": Q46_SQL,
     "q50_cosine_near_dup": Q50_SQL,
+    "q91_srp_ann_topk": Q91_SQL,
+    "q93_semantic_dedup": Q93_SQL,
 }
