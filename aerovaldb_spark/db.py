@@ -1037,11 +1037,22 @@ class AerovalSparkDB:
         return [r.asDict() for r in df.collect()]
 
     def query(
-        self, asset_type: Route | list[Route] | None = None, **kwargs: str
+        self,
+        asset_type: Route | list[Route] | None = None,
+        limit: int | None = None,
+        **kwargs: str,
     ) -> list[QueryEntry]:
         """Catalog scan with equality predicates on meta
         (reference: aerovaldb.py:1412-1442, jsonfiledb.py:711-763).
-        project/experiment predicates prune partitions before the scan."""
+        project/experiment predicates prune partitions before the scan.
+
+        Returns a LIST (the reference's contract) — the whole match set
+        materializes on the driver. ``limit`` caps that materialization
+        (the scan stops as soon as ``limit`` entries matched). For a
+        catalog too large to list at all, use :meth:`query_iter`: same
+        matching semantics, but predicates and the limit are pushed
+        into the Spark plan and rows STREAM to the driver one Arrow
+        batch at a time."""
         if asset_type is None:
             routes = list(Route)
         elif isinstance(asset_type, Route):
@@ -1049,11 +1060,15 @@ class AerovalSparkDB:
         else:
             routes = list(asset_type)
         prune = {k: v for k, v in kwargs.items() if k in ("project", "experiment")}
-        out = []
+        out: list[QueryEntry] = []
         for route in routes:
+            if limit is not None and len(out) >= limit:
+                break
             for entry in self._entries_for_route(route, prune):
                 if all(entry.meta.get(k) == v for k, v in kwargs.items()):
                     out.append(entry)
+                    if limit is not None and len(out) >= limit:
+                        break
         return out
 
     def query_iter(
@@ -1102,6 +1117,10 @@ class AerovalSparkDB:
                         return
 
     def list_all(self) -> list[str]:
+        """Every asset URI, materialized (reference contract). The
+        typed ``list_*`` helpers share this shape; at catalog scale
+        prefer :meth:`query_iter`, which streams entries with pushed
+        predicates and a plan-level limit instead of listing."""
         return [e.uri for e in self.query()]
 
     def list_timeseries(self, project: str, experiment: str) -> list[str]:

@@ -52,6 +52,17 @@ def pair_dot_col(a: str = "vec_a", b: str = "vec_b") -> Column:
     )
 
 
+def _over_guard(vectors: DataFrame, id_col: str, max_rows: int) -> bool:
+    """Size guard for the O(n²) validation baselines: a column-pruned
+    ``LIMIT max_rows+1`` count instead of a full scan — short-circuits
+    as soon as the limit is hit and never ships vectors anywhere, so
+    the guard costs ~nothing when callers already know the input is
+    small."""
+    return (
+        vectors.select(id_col).limit(max_rows + 1).count() > max_rows
+    )
+
+
 def cosine_col(a, b) -> Column:
     """Cosine with a NULL (not NaN) result for zero-norm inputs.
 
@@ -382,15 +393,13 @@ def cosine_near_dup_pairs(
     parallelizes even when the source is a single parquet row group
     (O(n²/p) work per task instead of O(n²) on one core).
     """
-    if max_rows is not None:
-        n = vectors.count()
-        if n > max_rows:
-            raise ValueError(
-                f"cosine_near_dup_pairs is an O(n²) validation baseline; "
-                f"input has {n} rows > max_rows={max_rows}. Use the LSH "
-                "path (lsh_bucketed_pairs / q46) at scale, or sample, or "
-                "pass max_rows=None to override."
-            )
+    if max_rows is not None and _over_guard(vectors, id_col, max_rows):
+        raise ValueError(
+            f"cosine_near_dup_pairs is an O(n²) validation baseline; "
+            f"input has more than max_rows={max_rows} rows. Use the LSH "
+            "path (lsh_bucketed_pairs / q46) at scale, or sample, or "
+            "pass max_rows=None to override."
+        )
     par = vectors.sparkSession.sparkContext.defaultParallelism
     prepped = vectors.select(
         F.col(id_col).alias("_id"),
@@ -589,15 +598,13 @@ def knn_join(
     :class:`IVFIndex` + sampled recall checks at scale.
     """
 
-    if max_rows is not None:
-        n = vectors.count()
-        if n > max_rows:
-            raise ValueError(
-                f"knn_join is an O(n²) validation baseline; input has "
-                f"{n} rows > max_rows={max_rows}. Use IVFIndex.topk at "
-                "scale (validate its recall against knn_join on a "
-                "sample), or pass max_rows=None to override."
-            )
+    if max_rows is not None and _over_guard(vectors, id_col, max_rows):
+        raise ValueError(
+            f"knn_join is an O(n²) validation baseline; input has more "
+            f"than max_rows={max_rows} rows. Use IVFIndex.topk at "
+            "scale (validate its recall against knn_join on a "
+            "sample), or pass max_rows=None to override."
+        )
     par = vectors.sparkSession.sparkContext.defaultParallelism
     prepped = vectors.select(
         F.col(id_col).alias("_id"),
@@ -673,14 +680,12 @@ def label_cohesion(
     pairs via an exact DECIMAL sum; min/max are order-free already.
     Norms are computed once per vector before the pair join.
     """
-    if max_rows is not None:
-        n = vectors.count()
-        if n > max_rows:
-            raise ValueError(
-                f"label_cohesion pairs quadratically within labels; "
-                f"input has {n} rows > max_rows={max_rows}. Run it on "
-                "a stratified sample at scale, or pass max_rows=None."
-            )
+    if max_rows is not None and _over_guard(vectors, id_col, max_rows):
+        raise ValueError(
+            f"label_cohesion pairs quadratically within labels; "
+            f"input has more than max_rows={max_rows} rows. Run it on "
+            "a stratified sample at scale, or pass max_rows=None."
+        )
     prepped = vectors.select(
         F.col(label_col).alias("label"),
         F.col(id_col).alias("_id"),

@@ -204,16 +204,22 @@ def read_embedding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def admission_table(vectors: DataFrame, pct: float = 0.10) -> DataFrame:
+def admission_table(
+    vectors: DataFrame, pct: float = 0.10, centroids: DataFrame | None = None
+) -> DataFrame:
     """(label, centroid, min_cos): the frozen reference a streaming
     outlier gate screens against — per-label centroids plus the
     admission threshold (kept minimum cosine) a batch
     :func:`~aerovaldb_spark.operators.similarity.label_outlier_gate`
     run discovers at ``pct``. Rebuild it whenever the reference corpus
-    is re-curated; between rebuilds the gate is a pure function."""
+    is re-curated; between rebuilds the gate is a pure function.
+
+    ``centroids`` accepts a precomputed :func:`label_centroids` frame
+    so a caller that also runs the batch gate pays the corpus-wide
+    (label, pos) aggregation once, not once per consumer."""
     from ..operators.similarity import label_centroids, label_outlier_gate
 
-    cents = label_centroids(vectors)
+    cents = centroids if centroids is not None else label_centroids(vectors)
     # pass the centroids through so the corpus-wide (label, pos)
     # aggregation runs once, not once per consumer
     gate = label_outlier_gate(vectors, pct, centroids=cents).select(

@@ -177,18 +177,22 @@ def main() -> None:
     # discovered thresholds into the streaming admission gate, and
     # audit int8 quantization before writing a compressed index
     from aerovaldb_spark.operators.similarity import (
+        label_centroids,
         label_outlier_gate,
         quantization_audit,
     )
     from aerovaldb_spark.streaming import admission_table, embedding_outlier_gate
 
     emb = load_table(spark, sf_dir, "embeddings")
-    audit = label_outlier_gate(emb)
+    # one corpus-wide (label, pos) centroid aggregation feeds BOTH the
+    # audit and the admission table
+    cents = label_centroids(emb)
+    audit = label_outlier_gate(emb, centroids=cents)
     n_out, n_labels = audit.agg(
         F.sum("n_dropped"), F.count(F.lit(1))
     ).first()
     print(f"embedding outliers dropped: {n_out} across {n_labels} labels")
-    gate = embedding_outlier_gate(emb, admission_table(emb))
+    gate = embedding_outlier_gate(emb, admission_table(emb, centroids=cents))
     clean = gate.filter(~F.col("outlier_flagged"))
     q = quantization_audit(
         emb.join(clean.select("vec_id"), "vec_id", "left_semi")

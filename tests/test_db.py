@@ -814,6 +814,11 @@ def test_query_iter_matches_query_and_bounds(tmpdb):
     # predicate on a column the route lacks -> no match, no error
     assert list(tmpdb.query_iter(Route.CONFIG, network="nope")) == []
 
+    # query(limit=) caps the materialized list the same way
+    capped = tmpdb.query(limit=2)
+    assert len(capped) == 2 and {e.uri for e in capped} <= set(full)
+    assert sorted(e.uri for e in tmpdb.query(limit=100)) == full
+
 
 def test_snapshot_time_travel(tmpdb):
     """Every historical state of the append-log is a seq filter:
