@@ -200,6 +200,37 @@ def main() -> None:
     worst = q.agg(F.max("rmse")).first()[0]
     print(f"int8 quantization on the kept set: worst rmse {worst}")
 
+    # 9. semantic dedup (q93): the embedding-side near-dup pass —
+    # SRP-bucketed candidates, cosine-verified, clustered, one
+    # canonical kept per cluster (complements step 3's lexical pass:
+    # paraphrases share embeddings, not shingles)
+    from aerovaldb_spark.operators.similarity import semantic_dedup
+
+    sem = semantic_dedup(emb, dim=64)
+    n_clustered, n_kept = sem.agg(
+        F.count(F.lit(1)), F.sum("is_canonical")
+    ).first()
+    print(
+        f"semantic dedup: {n_clustered} vectors in clusters, "
+        f"{n_kept} canonicals kept"
+    )
+
+    # 10. BPE budget audit (q92): the whitespace counts that packed
+    # step 5 are a 1.3-1.7x underestimate of subword cost — the frozen
+    # corpus-trained merge table gives the budget a trainer actually
+    # pays (encode runs once per DISTINCT word, never per doc)
+    from aerovaldb_spark.functions.bpe import bpe_token_stats
+
+    bpe = bpe_token_stats(kept)
+    ws_vs_bpe = bpe.agg(
+        F.sum("n_words").alias("ws_tokens"),
+        F.sum("n_bpe_tokens").alias("bpe_tokens"),
+    ).first()
+    print(
+        f"token budget: {ws_vs_bpe['ws_tokens']} whitespace vs "
+        f"{ws_vs_bpe['bpe_tokens']} BPE tokens"
+    )
+
 
 if __name__ == "__main__":
     main()

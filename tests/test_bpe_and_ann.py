@@ -182,3 +182,50 @@ def test_semantic_dedup_no_all_pairs_join(spark):
     plan = near._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bpe_round_trip_property():
+    """Property: for ANY [a-z0-9] word, encode is lossless, bounded,
+    and agrees with an INDEPENDENT implementation of the convention
+    (the symbol-list fixpoint pass from tools/train_bpe.py, vs the
+    string-replace loop in functions/bpe.py)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aerovaldb_spark.functions.bpe import encode_word
+    from aerovaldb_spark.functions.bpe_merges import MERGES
+
+    def encode_symbol_list(word: str) -> list[str]:
+        syms = list(word)
+        for a, b in MERGES:
+            merged = a + b
+            changed = True
+            while changed:
+                changed = False
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(merged)
+                        i += 2
+                        changed = True
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+        return syms
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.text(
+            alphabet="abcdefghijklmnopqrstuvwxyz0123456789",
+            min_size=1,
+            max_size=30,
+        )
+    )
+    def check(w):
+        toks = encode_word(w)
+        assert "".join(toks) == w
+        assert 1 <= len(toks) <= len(w)
+        assert toks == encode_symbol_list(w)
+
+    check()
