@@ -1017,6 +1017,16 @@ def srp_ivf_topk(
     assigned = vectors.withColumn(
         "bucket", srp_signature_col(vec_col, dim, planes)
     )
+    probe = _srp_probe_frame(query, dim, planes, vec_col, id_col)
+    return _score_probed(assigned, probe, k, vec_col, id_col)
+
+
+def _srp_probe_frame(
+    query: DataFrame, dim: int, planes: int, vec_col: str, id_col: str
+) -> DataFrame:
+    """(query_id, qvec, bucket): each query's own SRP bucket plus all
+    Hamming-1 neighbors — pure column arithmetic (bucket XOR one-hot
+    masks), executor-side by construction."""
     qb = query.withColumn(
         "qbucket", srp_signature_col(vec_col, dim, planes)
     ).select(
@@ -1024,7 +1034,7 @@ def srp_ivf_topk(
         _dbl(vec_col).alias("qvec"),
         "qbucket",
     )
-    probe = qb.select(
+    return qb.select(
         "query_id",
         "qvec",
         F.explode(
@@ -1037,6 +1047,15 @@ def srp_ivf_topk(
             )
         ).alias("bucket"),
     )
+
+
+def _score_probed(
+    assigned: DataFrame,
+    probe: DataFrame,
+    k: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
@@ -1092,6 +1111,89 @@ WITH bucketed AS (
 SELECT query_id, ann_rank, neighbor_id, cosine
 FROM ranked WHERE ann_rank <= 10
 """
+
+
+class SRPIndex:
+    """Persisted SRP inverted-file index — the DETERMINISTIC twin of
+    :class:`IVFIndex`. No trained model at all: the quantizer is the
+    md5-derived hyperplane signature, so build/save/load/serve returns
+    bit-identical results to the ephemeral :func:`srp_ivf_topk` on any
+    engine or cluster — which is what lets the SRP ANN path keep a
+    full DuckDB oracle (q91) while the KMeans path (q66) is rows-only.
+
+    On disk: ``assignments/`` PARTITIONED BY ``bucket`` (probing is a
+    directory-pruned scan — a Hamming-1 probe set physically reads
+    ~(planes+1)/2^planes of the index) and a one-row ``meta/`` parquet
+    pinning (dim, planes) so a loaded index can't be served with
+    mismatched quantizer parameters.
+    """
+
+    def __init__(self, assignments: DataFrame, dim: int, planes: int,
+                 vec_col: str, id_col: str):
+        self.assignments = assignments
+        self.dim = dim
+        self.planes = planes
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    @staticmethod
+    def build(
+        vectors: DataFrame,
+        dim: int,
+        planes: int = NUM_PLANES,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> "SRPIndex":
+        assignments = vectors.select(
+            id_col, vec_col,
+            srp_signature_col(vec_col, dim, planes).alias("bucket"),
+        )
+        return SRPIndex(assignments, dim, planes, vec_col, id_col)
+
+    def save(self, path: str) -> None:
+        import os as _os
+
+        spark = self.assignments.sparkSession
+        (
+            self.assignments.write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(_os.path.join(path, "assignments"))
+        )
+        spark.createDataFrame(
+            [(self.dim, self.planes)], "dim int, planes int"
+        ).write.mode("overwrite").parquet(_os.path.join(path, "meta"))
+
+    @staticmethod
+    def load(
+        spark: SparkSession,
+        path: str,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> "SRPIndex":
+        import os as _os
+
+        meta = spark.read.parquet(_os.path.join(path, "meta")).collect()[0]
+        return SRPIndex(
+            spark.read.parquet(_os.path.join(path, "assignments")),
+            int(meta["dim"]),
+            int(meta["planes"]),
+            vec_col,
+            id_col,
+        )
+
+    def topk(self, query: DataFrame, k: int = 10) -> DataFrame:
+        probe = _srp_probe_frame(
+            query, self.dim, self.planes, self.vec_col, self.id_col
+        )
+        # the union of probed buckets (≤ 2^planes ints — independent of
+        # the query-batch size) becomes a literal IN filter so the
+        # bucket-partitioned layout is directory-pruned at the scan
+        probed = sorted(
+            r["bucket"]
+            for r in probe.select("bucket").distinct().collect()
+        )
+        pruned = self.assignments.filter(F.col("bucket").isin(probed))
+        return _score_probed(pruned, probe, k, self.vec_col, self.id_col)
 
 
 # --------------------------------------------------------------------------

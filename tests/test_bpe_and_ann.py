@@ -229,3 +229,78 @@ def test_bpe_round_trip_property():
         assert toks == encode_symbol_list(w)
 
     check()
+
+
+def test_srp_index_save_load_matches_ephemeral(spark, tmp_path):
+    """SRPIndex build→save→load→topk is BIT-IDENTICAL to the ephemeral
+    srp_ivf_topk (deterministic quantizer — no model state), and the
+    on-disk probe scan is partition-pruned to the probed buckets."""
+    from pyspark.sql import functions as F
+
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators.similarity import (
+        Q91_PLANES,
+        SRPIndex,
+        srp_ivf_topk,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    ephemeral = sorted(
+        map(
+            tuple,
+            srp_ivf_topk(
+                emb, queries, k=10, dim=64, planes=Q91_PLANES
+            ).collect(),
+        )
+    )
+
+    idx = SRPIndex.build(emb, dim=64, planes=Q91_PLANES)
+    path = str(tmp_path / "srp")
+    idx.save(path)
+    loaded = SRPIndex.load(spark, path)
+    assert (loaded.dim, loaded.planes) == (64, Q91_PLANES)
+
+    got_df = loaded.topk(queries, k=10)
+    got = sorted(map(tuple, got_df.collect()))
+    assert got == ephemeral and len(got) == 50
+
+    import os as _os
+
+    dirs = {
+        d
+        for d in _os.listdir(path + "/assignments")
+        if d.startswith("bucket=")
+    }
+    assert dirs  # bucket-partitioned layout
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+
+
+def test_bpe_encode_docs_sequences(spark):
+    """Doc-level token sequences: word order preserved, concatenation
+    reproduces the normalized words, and lengths agree with the count
+    path (bpe_token_stats) exactly."""
+    import re
+
+    from aerovaldb_spark.functions.bpe import (
+        bpe_encode_docs,
+        bpe_token_stats,
+    )
+    from aerovaldb_spark.catalog import load_table
+
+    docs = load_table(spark, SF, "documents").limit(50)
+    seqs = {r["doc_id"]: r["tokens"] for r in bpe_encode_docs(docs).collect()}
+    counts = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_token_stats(docs).collect()
+    }
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert seqs
+    for doc_id, toks in seqs.items():
+        words = [
+            w[:30] for w in re.split(r"[^a-z0-9]+", texts[doc_id].lower()) if w
+        ]
+        assert "".join(toks) == "".join(words), doc_id
+        assert len(toks) == counts[doc_id], doc_id
