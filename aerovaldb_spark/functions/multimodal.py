@@ -350,6 +350,75 @@ def decode_images(
     )
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("err", T.StringType()),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int
+) -> DataFrame:
+    """REAL image resize — no dependencies: decode via the pure-Python
+    PNG codec (:mod:`.png_codec`), nearest-neighbor resample with a
+    numpy index map, re-encode to PNG. Arrow-batched ``mapInPandas``,
+    partition-parallel, zero shuffles; payload bytes never leave the
+    executor. The normalization step a multimodal training pipeline
+    runs before feature extraction (uniform input dims).
+
+    Per-row error quarantine (decode_images' ``builtin-png``
+    convention): a payload the codec rejects — non-PNG, bad CRC,
+    unsupported bit depth — yields a row with NULL payload/dims and
+    the reason in ``err``, so one bad blob in a 100 TB corpus becomes
+    a filterable row, not a failed job.
+    """
+    if width <= 0 or height <= 0:
+        raise ValueError("target dimensions must be positive")
+
+    def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from .png_codec import decode_png, encode_png
+
+        ys = None  # built per source size below; cheap
+        for batch in batches:
+            out = []
+            for row in batch.itertuples(index=False):
+                try:
+                    w, h, c, pixels = decode_png(bytes(row.payload))
+                    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(
+                        h, w, c
+                    )
+                    ys = (np.arange(height) * h) // height
+                    xs = (np.arange(width) * w) // width
+                    resized = arr[ys][:, xs]
+                    payload = encode_png(
+                        width, height, resized.tobytes(), channels=c
+                    )
+                    out.append(
+                        (row.media_id, payload, width, height, c, None)
+                    )
+                except ValueError as e:
+                    out.append(
+                        (row.media_id, None, None, None, None,
+                         f"error:{e}"[:120])
+                    )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in RESIZED_SCHEMA.fields]
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        resize, schema=RESIZED_SCHEMA
+    )
+
+
 FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

@@ -850,3 +850,42 @@ def test_embedding_outlier_gate_stream_matches_batch(spark):
         flagged = n_flagged_by_label.get(label, 0)
         assert flagged <= rep["n_dropped"]
         assert rep["n_dropped"] - flagged <= ties_by_label.get(label, 0)
+
+
+def test_resize_images_real_pixels(spark):
+    """resize_images is a REAL pixel operation (dependency-free PNG
+    codec): output decodes to the exact nearest-neighbor index-map of
+    the source pixels; bad payloads quarantine as err rows."""
+    import numpy as np
+
+    from aerovaldb_spark.functions import MEDIA_SCHEMA
+    from aerovaldb_spark.functions.multimodal import resize_images
+    from aerovaldb_spark.functions.png_codec import decode_png, encode_png
+
+    rng = np.random.default_rng(11)
+    rows, srcs = [], {}
+    for i, (w, h, c) in enumerate([(16, 12, 3), (9, 7, 1), (20, 20, 4)]):
+        arr = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+        srcs[i] = arr
+        rows.append(
+            (i, "image", encode_png(w, h, arr.tobytes(), channels=c),
+             w, h, None, "png")
+        )
+    rows.append((99, "image", b"not a png", 1, 1, None, "png"))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    out = {r["media_id"]: r for r in resize_images(media, 8, 6).collect()}
+    assert len(out) == 4
+    assert out[99]["payload"] is None and out[99]["err"].startswith("error:")
+
+    for i, src in srcs.items():
+        r = out[i]
+        assert r["err"] is None
+        assert (r["width"], r["height"]) == (8, 6)
+        w2, h2, c2, pixels = decode_png(bytes(r["payload"]))
+        assert (w2, h2, c2) == (8, 6, src.shape[2])
+        got = np.frombuffer(pixels, dtype=np.uint8).reshape(6, 8, c2)
+        h, w = src.shape[:2]
+        ys = (np.arange(6) * h) // 6
+        xs = (np.arange(8) * w) // 8
+        assert np.array_equal(got, src[ys][:, xs]), i
