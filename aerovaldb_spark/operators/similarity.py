@@ -1049,6 +1049,124 @@ def _srp_probe_frame(
     )
 
 
+def _srp_proj_col(vec_col: str, dim: int, p: int) -> Column:
+    """Plane p's signed projection (the value whose SIGN is bucket bit
+    p) — the same md5-weighted fold srp_signature_col sums over."""
+    return F.aggregate(
+        F.expr(
+            f"zip_with(transform({vec_col}, x -> CAST(x AS DOUBLE)),"
+            f" transform(sequence(0, {dim - 1}),"
+            f" i -> CASE WHEN (CAST(conv(substring(md5(concat('p{p}_', i)), 1, 15), 16, 10) AS BIGINT) & 1) = 0"
+            f" THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END),"
+            f" (x, w) -> x * w)"
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def srp_margin_probe_frame(
+    query: DataFrame,
+    dim: int,
+    planes: int = NUM_PLANES,
+    n_flip: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Margin-based multi-probe (classic multi-probe LSH, Lv et al.
+    VLDB'07 shape): probe the query's own bucket plus flips of only
+    its ``n_flip`` LEAST-CONFIDENT planes (smallest |projection| — the
+    bits most likely to differ for a true near neighbor), instead of
+    all ``planes`` Hamming-1 flips.
+
+    1 + n_flip probes buy most of full Hamming-1's recall at a
+    fraction of the candidates — the knob that makes MORE planes
+    (smaller buckets) affordable. Entirely executor-side: projections
+    are the same array folds as the signature, flip ranking is one
+    array_sort over (|proj|, plane) structs, probes are bucket XOR
+    one-hot masks. Deterministic (ties break on plane index), so an
+    oracle can replay it in SQL.
+    """
+    if not 0 <= n_flip <= planes:
+        raise ValueError(f"n_flip must be in [0, {planes}]")
+    projs = F.array(
+        *[_srp_proj_col(vec_col, dim, p) for p in range(planes)]
+    )
+    qb = query.select(
+        F.col(id_col).alias("query_id"),
+        _dbl(vec_col).alias("qvec"),
+        projs.alias("_projs"),
+    ).withColumn(
+        "qbucket",
+        F.aggregate(
+            F.zip_with(
+                "_projs",
+                F.expr(f"sequence(0, {planes - 1})"),
+                lambda pr, p: F.when(
+                    pr > 0, F.pow(F.lit(2.0), p).cast("int")
+                ).otherwise(F.lit(0)),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    # rank planes by |projection| ascending (plane index tie-break via
+    # struct ordering), keep the n_flip least-confident
+    flips = F.slice(
+        F.transform(
+            F.array_sort(
+                F.zip_with(
+                    "_projs",
+                    F.expr(f"sequence(0, {planes - 1})"),
+                    lambda pr, p: F.struct(
+                        F.abs(pr).alias("m"), p.cast("int").alias("p")
+                    ),
+                )
+            ),
+            lambda s: s["p"],
+        ),
+        1,
+        n_flip,
+    )
+    return qb.select(
+        "query_id",
+        "qvec",
+        F.explode(
+            F.concat(
+                F.array(F.col("qbucket")),
+                F.transform(
+                    flips,
+                    lambda p: F.col("qbucket").bitwiseXOR(
+                        F.pow(F.lit(2.0), p).cast("int")
+                    ),
+                ),
+            )
+        ).alias("bucket"),
+    )
+
+
+def srp_margin_topk(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    planes: int = NUM_PLANES,
+    n_flip: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """:func:`srp_ivf_topk` with margin-based multi-probe candidate
+    generation — same output shape, ~(1+n_flip)/(1+planes) of the
+    candidates."""
+    assigned = vectors.withColumn(
+        "bucket", srp_signature_col(vec_col, dim, planes)
+    )
+    probe = srp_margin_probe_frame(
+        query, dim, planes, n_flip, vec_col, id_col
+    )
+    return _score_probed(assigned, probe, k, vec_col, id_col)
+
+
 def _score_probed(
     assigned: DataFrame,
     probe: DataFrame,

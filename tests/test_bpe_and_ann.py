@@ -304,3 +304,65 @@ def test_bpe_encode_docs_sequences(spark):
         ]
         assert "".join(toks) == "".join(words), doc_id
         assert len(toks) == counts[doc_id], doc_id
+
+
+def test_srp_margin_multi_probe(spark):
+    """Margin-based multi-probe (flip only the least-confident planes):
+    with n_flip == planes it is EXACTLY full Hamming-1; with half the
+    probes on clustered vectors it keeps ≥90% of full Hamming-1's
+    recall (measured 0.75 vs 0.765 at 5-vs-9 probes). iid-random
+    vectors carry no margin signal — cluster structure is what the
+    heuristic exploits, so the test builds clustered data."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from aerovaldb_spark.operators.similarity import (
+        brute_force_topk,
+        srp_ivf_topk,
+        srp_margin_probe_frame,
+        srp_margin_topk,
+    )
+
+    rng = np.random.default_rng(3)
+    centers = rng.normal(size=(30, 64))
+    rows = []
+    for i in range(600):
+        v = centers[i % 30] + 0.25 * rng.normal(size=64)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") < 20)
+
+    # n_flip == planes ≡ full Hamming-1 (identical probe set → identical rows)
+    full = sorted(
+        map(tuple, srp_ivf_topk(emb, queries, k=10, dim=64, planes=8).collect())
+    )
+    margin_all = sorted(
+        map(
+            tuple,
+            srp_margin_topk(
+                emb, queries, k=10, dim=64, planes=8, n_flip=8
+            ).collect(),
+        )
+    )
+    assert margin_all == full
+
+    # probe count: exactly 1 + n_flip rows per query
+    pf = srp_margin_probe_frame(queries, 64, 8, 3)
+    per_q = pf.groupBy("query_id").count().collect()
+    assert per_q and all(r["count"] == 4 for r in per_q)
+
+    def recall(df):
+        exact, approx = {}, {}
+        for r in brute_force_topk(emb, queries, k=10).collect():
+            exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        for r in df.collect():
+            approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum(
+            len(exact[q] & approx.get(q, set())) for q in exact
+        ) / sum(len(v) for v in exact.values())
+
+    r_half = recall(
+        srp_margin_topk(emb, queries, k=10, dim=64, planes=8, n_flip=4)
+    )
+    r_full = recall(srp_ivf_topk(emb, queries, k=10, dim=64, planes=8))
+    assert r_half >= 0.9 * r_full > 0, (r_half, r_full)
