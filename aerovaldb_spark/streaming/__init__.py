@@ -276,6 +276,59 @@ def embedding_outlier_gate(
     )
 
 
+def bpe_budget_documents(docs: DataFrame) -> DataFrame:
+    """Streaming BPE token budgeting: (doc_id, n_words, n_bpe_tokens)
+    as documents arrive — the ingest-time twin of the batch
+    :func:`~aerovaldb_spark.functions.bpe.bpe_token_stats`.
+
+    The frozen-reference pattern degenerates nicely here: the
+    "reference" is the FROZEN merge table itself (a package constant,
+    like the LM gate's model frames but with zero rows to broadcast),
+    so the gate is a single stateless Arrow-batched ``mapInPandas`` —
+    no state store, no watermark, append mode. Each batch encodes its
+    own rows with the same ``encode_word`` the batch path uses; the
+    batch path's distinct-vocabulary join is an ECONOMY (encode each
+    word once per corpus), not a semantic difference, so stream and
+    batch counts are bit-identical (tested)."""
+    import re
+    from typing import Iterator as _Iter
+
+    from ..functions.bpe import (
+        MAX_WORD_CHARS,
+        WORD_SPLIT_RE,
+        encode_word,
+    )
+
+    def score(batches: _Iter["pd.DataFrame"]) -> _Iter["pd.DataFrame"]:
+        import pandas as pd
+
+        split = re.compile(WORD_SPLIT_RE)
+        cache: dict[str, int] = {}
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = [
+                    w[:MAX_WORD_CHARS]
+                    for w in split.split(str(text).lower())
+                    if w
+                ]
+                n_tok = 0
+                for w in words:
+                    n = cache.get(w)
+                    if n is None:
+                        n = len(encode_word(w))
+                        cache[w] = n
+                    n_tok += n
+                rows.append((doc_id, len(words), n_tok))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_words", "n_bpe_tokens"]
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        score, schema="doc_id long, n_words long, n_bpe_tokens long"
+    )
+
+
 def quality_filtered_documents(
     docs: DataFrame,
     min_quality: float = 0.5,

@@ -366,3 +366,32 @@ def test_srp_margin_multi_probe(spark):
     )
     r_full = recall(srp_ivf_topk(emb, queries, k=10, dim=64, planes=8))
     assert r_half >= 0.9 * r_full > 0, (r_half, r_full)
+
+
+def test_bpe_budget_stream_matches_batch(spark):
+    """The streaming BPE budget gate is bit-identical to the batch
+    count path (the distinct-vocab join is an economy, not a semantic
+    difference)."""
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.functions.bpe import bpe_token_stats
+    from aerovaldb_spark.streaming import (
+        bpe_budget_documents,
+        read_document_stream,
+        run_stream_to_memory,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    batch = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_token_stats(docs).collect()
+    }
+    stream = bpe_budget_documents(read_document_stream(spark, SF))
+    assert stream.isStreaming
+    got = run_stream_to_memory(
+        stream, "bpe_budget", spark, output_mode="append"
+    )
+    streamed = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in got.collect()
+    }
+    assert streamed == batch and len(batch) > 0
