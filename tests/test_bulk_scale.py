@@ -253,3 +253,21 @@ def test_q62_components_refine_q56(spark):
         assert len(exact_comps) == 1, (
             f"q62 component {comp} spans q56 components {exact_comps}"
         )
+
+
+def test_connected_components_long_chain_pointer_jumping(spark):
+    """A 1000-vertex PATH graph (diameter 999) converges inside the
+    25-iteration guard: pointer jumping makes the frontier double per
+    iteration (~log2(diameter) rounds), where plain min-label
+    propagation needs one round per hop and would raise. This is the
+    percolating-near-dup-graph shape (q93 at 10x data) that exposed
+    the O(diameter) behavior."""
+    from aerovaldb_spark.operators.dedup import connected_components
+
+    edges = spark.sql(
+        "SELECT id AS doc_a, id + 1 AS doc_b FROM range(999)"
+    )
+    comp = connected_components(edges)
+    rows = comp.collect()
+    assert len(rows) == 1000
+    assert all(r["component"] == 0 for r in rows)

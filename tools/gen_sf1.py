@@ -16,8 +16,15 @@ EXACT pair semantics of q26/q56 are genuinely quadratic in
 duplicate-group size — a measured 34x wall blow-up at 10x that is a
 property of the replicated DATA, not of the plans. Per-replica
 vocabulary keeps shingle/minhash/near-dup structure per-replica so the
-sweep measures plan scaling. Embedding payloads repeat (scoring cost
-is payload-independent).
+sweep measures plan scaling. Embeddings get a per-replica CIRCULAR
+SHIFT of their coordinates — a permutation, i.e. an orthogonal
+transform: norms and all intra-replica cosines are preserved exactly,
+while cross-replica copies of the same base vector decorrelate (two
+shifts of an iid random vector are ~orthogonal). Verbatim embedding
+replication had the same quadratic-by-data artifact as verbatim text:
+every vector carried replicas-1 exact duplicates, so within-bucket
+pair counts grew with the SQUARE of the replica count (measured: q93
+61 s at 30x with all 60k vectors in dup clusters).
 
 Usage: python tools/gen_sf1.py [src_sf_dir] [out_dir] [replicas]
 """
@@ -76,6 +83,19 @@ def main() -> None:
         for k in keys:
             big = big.withColumn(
                 k, (F.col(k) + rep * F.lit(KEY_STRIDE)).cast("long")
+            )
+        if table == "embeddings":
+            # replica-r circular shift (r=0 keeps the base corpus
+            # verbatim, so sf1 ⊇ sf0.1 for spot checks)
+            dim = len(df.select("embedding").first()[0])
+            shifted_vec = F.expr(
+                f"concat(slice(embedding, cast(pmod(_rep, {dim}) + 1 as int),"
+                f" cast({dim} - pmod(_rep, {dim}) as int)),"
+                f" slice(embedding, 1, cast(pmod(_rep, {dim}) as int)))"
+            )
+            big = big.withColumn(
+                "embedding",
+                F.when(rep == 0, F.col("embedding")).otherwise(shifted_vec),
             )
         if table == "documents":
             # per-replica vocabulary (replica 0 keeps the base corpus
