@@ -1231,6 +1231,72 @@ FROM ranked WHERE ann_rank <= 10
 """
 
 
+# q94 (PRE-STAGED for the r6 window — implemented, oracled, and
+# pytest-parity-checked this round, but NOT yet in queries(): the r5
+# window is exactly full and the rotation policy forbids evicting
+# rotated entries for a new one. Register in QUERIES/ORACLE during the
+# r6 rotation.)
+Q94_PLANES = 8
+Q94_N_FLIP = 4
+
+
+def q94_margin_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return srp_margin_topk(
+        emb, queries, k=10, dim=64, planes=Q94_PLANES, n_flip=Q94_N_FLIP
+    )
+
+
+def _q94_sql() -> str:
+    planes, n_flip = Q94_PLANES, Q94_N_FLIP
+    proj_list = ", ".join(
+        _srp_proj_sql_on("e", p) for p in range(planes)
+    )
+    bucket_from_prj = " + ".join(
+        f"(CASE WHEN prj[{p + 1}] > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(planes)
+    )
+    return f"""
+WITH projs AS (
+  SELECT e.vec_id, e.embedding, [{proj_list}] AS prj FROM embeddings e
+), bucketed AS (
+  SELECT vec_id, embedding, prj, {bucket_from_prj} AS bucket FROM projs
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qvec, prj, bucket AS qbucket
+  FROM bucketed WHERE vec_id < 5
+), flips AS (
+  SELECT query_id, qvec, qbucket,
+    list_transform(
+      list_sort(list_transform(generate_series(1, {planes}),
+                               p -> struct_pack(m := abs(prj[p]), p := p - 1))),
+      s -> s.p)[1:{n_flip}] AS fl
+  FROM q
+), probes AS (
+  SELECT query_id, qvec, qbucket AS bucket FROM flips
+  UNION ALL
+  SELECT f.query_id, f.qvec, xor(f.qbucket, (1 << t.fp)) AS bucket
+  FROM flips f, unnest(f.fl) AS t(fp)
+), scored AS (
+  SELECT pr.query_id, b.vec_id AS neighbor_id,
+    ROUND(
+      list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(pr.qvec AS DOUBLE[]))
+      / (sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))
+         * sqrt(list_dot_product(CAST(pr.qvec AS DOUBLE[]), CAST(pr.qvec AS DOUBLE[])))), 6) AS cosine
+  FROM probes pr JOIN bucketed b ON b.bucket = pr.bucket AND b.vec_id <> pr.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS ann_rank
+  FROM scored
+)
+SELECT query_id, ann_rank, neighbor_id, cosine
+FROM ranked WHERE ann_rank <= 10
+"""
+
+
+Q94_SQL = _q94_sql()
+
+
 class SRPIndex:
     """Persisted SRP inverted-file index — the DETERMINISTIC twin of
     :class:`IVFIndex`. No trained model at all: the quantizer is the

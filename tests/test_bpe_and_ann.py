@@ -9,6 +9,12 @@ import sys
 import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(
+    0,
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+    ),
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -395,3 +401,36 @@ def test_bpe_budget_stream_matches_batch(spark):
         for r in got.collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+@pytest.mark.parametrize("sf_dir", [SF, "/root/testdata/sf0.01"])
+def test_q94_margin_ann_oracle_parity(spark, sf_dir):
+    """Pre-staged r6 graded entry: the margin-probe ANN hash-matches
+    its DuckDB oracle (projection list, margin-sorted flip selection
+    with plane-index tie-breaks, XOR probes, exact cosine re-rank —
+    all mirrored in SQL) at two SFs."""
+    import duckdb
+
+    from parity import compare
+
+    from aerovaldb_spark.operators.similarity import (
+        Q94_SQL,
+        q94_margin_ann_topk,
+    )
+
+    df = q94_margin_ann_topk(spark, sf_dir)
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"'{sf_dir}/embeddings.parquet'"
+        )
+        arrow = con.execute(Q94_SQL).arrow()
+    finally:
+        con.close()
+    cols = [c.to_pylist() for c in arrow.columns]
+    oracle_rows = [
+        tuple(col[i] for col in cols) for i in range(arrow.num_rows)
+    ]
+    problems = compare("q94", df, oracle_rows, list(arrow.schema.names))
+    assert not problems, problems

@@ -1,0 +1,107 @@
+"""Property-fuzz the cross-engine parity convention itself.
+
+The graded gates run the oracles against the driver's fixed synthetic
+corpus; this harness runs the SAME query + oracle SQL pairs over
+RANDOMIZED tiny corpora (hypothesis-driven: adversarial word shapes,
+empty/whitespace-only documents, single-char and repeated tokens,
+boundary doc counts) so the parity conventions (shared 60-bit hash,
+DECIMAL sums, round6, NULL edges) are exercised off the happy path.
+
+Alphabet is printable ASCII lowercase+digits+space — the graded
+envelope. (Unicode case-folding differs between engines by design —
+e.g. dotted-I — and the corpus generator never emits it; widening the
+envelope would need an explicit normalization convention first.)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(
+    0,
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+    ),
+)
+
+from parity import compare  # noqa: E402
+
+WORD = st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789", min_size=1, max_size=8)
+TEXT = st.lists(WORD, min_size=0, max_size=30).map(" ".join)
+DOC_TABLES = st.lists(
+    st.tuples(TEXT, st.sampled_from(["web", "books", "code"])),
+    min_size=1,
+    max_size=12,
+)
+
+# (query, oracle) pairs exercised per corpus — text + dedup + BPE
+# cover the hash / DECIMAL / round6 / explode conventions
+_CASES = [
+    "q21_token_stats",
+    "q24_fingerprints",
+    "q25_dedup_exact",
+    "q26_ngram_jaccard_pairs",
+    "q28_simhash",
+    "q92_bpe_token_stats",
+]
+
+
+def _write_docs(tmpdir: str, rows) -> str:
+    table = pa.table(
+        {
+            "doc_id": pa.array(range(len(rows)), pa.int64()),
+            "text": pa.array([r[0] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array([r[1] for r in rows], pa.string()),
+            "n_chars": pa.array([len(r[0]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(table, os.path.join(tmpdir, "documents.parquet"))
+    return tmpdir
+
+
+@pytest.mark.parametrize("qname", _CASES)
+def test_fuzzed_corpus_matches_oracle(qname, spark, tmp_path_factory):
+    import __spark_entry__ as entry_mod
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(DOC_TABLES)
+    def check(rows):
+        d = str(tmp_path_factory.mktemp("fuzz"))
+        _write_docs(d, rows)
+        df = queries[qname](spark, d)
+        con = duckdb.connect()
+        try:
+            con.execute(
+                "CREATE VIEW documents AS SELECT * FROM "
+                f"'{d}/documents.parquet'"
+            )
+            arrow = con.execute(oracles[qname]).arrow()
+        finally:
+            con.close()
+        cols = [c.to_pylist() for c in arrow.columns]
+        oracle_rows = [
+            tuple(col[i] for col in cols) for i in range(arrow.num_rows)
+        ]
+        problems = compare(
+            qname, df, oracle_rows, list(arrow.schema.names)
+        )
+        assert not problems, (problems, rows)
+
+    check()
