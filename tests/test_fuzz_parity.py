@@ -105,3 +105,80 @@ def test_fuzzed_corpus_matches_oracle(qname, spark, tmp_path_factory):
         assert not problems, (problems, rows)
 
     check()
+
+
+VEC = st.lists(
+    st.integers(min_value=-12, max_value=12).map(lambda i: i / 4.0),
+    min_size=8,
+    max_size=8,
+)
+EMB_TABLES = st.lists(
+    st.tuples(VEC, st.integers(min_value=0, max_value=2)),
+    min_size=2,
+    max_size=10,
+)
+
+_EMB_CASES = [
+    "q29_cosine_topk",
+    "q50_cosine_near_dup",
+    "q79_knn_join",
+    "q83_label_cohesion",
+    "q89_quantization_audit",
+    "q90_label_outliers",
+]
+
+
+def _write_emb(tmpdir: str, rows) -> str:
+    # plant a DUPLICATE of row 0 at the end: identical vectors produce
+    # cosine exactly 1.0 and exercise the (cosine, id) tie-break and
+    # round6 boundary on both engines
+    rows = list(rows) + [rows[0]]
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(len(rows)), pa.int64()),
+            "embedding": pa.array(
+                [r[0] for r in rows], pa.list_(pa.float32())
+            ),
+            "label": pa.array([r[1] for r in rows], pa.int32()),
+        }
+    )
+    pq.write_table(table, os.path.join(tmpdir, "embeddings.parquet"))
+    return tmpdir
+
+
+@pytest.mark.parametrize("qname", _EMB_CASES)
+def test_fuzzed_embeddings_match_oracle(qname, spark, tmp_path_factory):
+    import __spark_entry__ as entry_mod
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(EMB_TABLES)
+    def check(rows):
+        d = str(tmp_path_factory.mktemp("fuzzemb"))
+        _write_emb(d, rows)
+        df = queries[qname](spark, d)
+        con = duckdb.connect()
+        try:
+            con.execute(
+                "CREATE VIEW embeddings AS SELECT * FROM "
+                f"'{d}/embeddings.parquet'"
+            )
+            arrow = con.execute(oracles[qname]).arrow()
+        finally:
+            con.close()
+        cols = [c.to_pylist() for c in arrow.columns]
+        oracle_rows = [
+            tuple(col[i] for col in cols) for i in range(arrow.num_rows)
+        ]
+        problems = compare(
+            qname, df, oracle_rows, list(arrow.schema.names)
+        )
+        assert not problems, (problems, rows)
+
+    check()
