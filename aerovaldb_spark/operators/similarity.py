@@ -569,6 +569,44 @@ class IVFIndex:
         )
 
 
+def ann_recall(
+    approx: DataFrame, exact: DataFrame
+) -> DataFrame:
+    """(query_id, n_exact, n_hit, recall): per-query recall of an
+    approximate top-k result against an exact one — the executable
+    form of "validate the index's recall against the brute-force
+    baseline on samples" that the IVF/SRP docstrings prescribe.
+
+    Inputs are any two frames with (query_id, neighbor_id) columns
+    (e.g. ``IVFIndex.topk``/``srp_ivf_topk`` vs ``brute_force_topk``
+    on the same sampled queries). One semi-join + two small aggs; the
+    output is |queries| rows, so at 100 TB this runs over a sampled
+    query set and the report broadcasts anywhere.
+    """
+    ex = exact.select("query_id", "neighbor_id")
+    hits = (
+        ex.join(
+            approx.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    totals = ex.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    return totals.join(hits, "query_id", "left").select(
+        "query_id",
+        "n_exact",
+        F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+        round6(
+            F.coalesce("n_hit", F.lit(0)).cast("double")
+            / F.col("n_exact")
+        ).alias("recall"),
+    )
+
+
 # --------------------------------------------------------------------------
 # q79: exact batch kNN self-join — every vector's k nearest neighbors
 # in one job. This is the retrieval-eval / dedup-verification shape a

@@ -434,3 +434,60 @@ def test_q94_margin_ann_oracle_parity(spark, sf_dir):
     ]
     problems = compare("q94", df, oracle_rows, list(arrow.schema.names))
     assert not problems, problems
+
+
+def test_ann_recall_report(spark):
+    """ann_recall agrees with a hand-computed per-query recall and
+    keeps zero-hit queries in the report."""
+    from pyspark.sql import functions as F
+
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators.similarity import (
+        ann_recall,
+        brute_force_topk,
+        srp_ivf_topk,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact_df = brute_force_topk(emb, queries, k=10)
+    approx_df = srp_ivf_topk(emb, queries, k=10, dim=64, planes=4)
+
+    report = {r["query_id"]: r for r in ann_recall(approx_df, exact_df).collect()}
+    exact, approx = {}, {}
+    for r in exact_df.collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in approx_df.collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(report) == set(exact)
+    for q in exact:
+        want_hit = len(exact[q] & approx.get(q, set()))
+        assert report[q]["n_exact"] == len(exact[q])
+        assert report[q]["n_hit"] == want_hit
+        assert report[q]["recall"] == pytest.approx(
+            want_hit / len(exact[q]), abs=1e-6
+        )
+
+
+def test_train_from_vocab_matches_text_training(spark):
+    """The distributed-shape training path (corpus_word_freqs → merge
+    loop over the vocabulary) reproduces the frozen merge table that
+    tools/train_bpe.py derived from raw text."""
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.functions.bpe import corpus_word_freqs
+    from aerovaldb_spark.functions.bpe_merges import MERGES
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+        ),
+    )
+    from train_bpe import train_from_vocab
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    vocab = {
+        r["word"]: r["freq"] for r in corpus_word_freqs(docs).collect()
+    }
+    assert train_from_vocab(vocab, len(MERGES)) == MERGES
