@@ -195,6 +195,100 @@ def parse_wav_sample_rate(payload: bytes) -> int | None:
     return None
 
 
+def parse_wav_pcm(payload: bytes) -> tuple[int, bytes]:
+    """(sample_rate, pcm16 mono data bytes) from a RIFF/WAVE payload.
+
+    Chunk walk only — no codec library. Raises ``ValueError`` for
+    anything that is not mono 16-bit PCM (compressed codecs, multi-
+    channel, other bit depths): at scale an unsupported payload must
+    be an explicit per-row error the pipeline can quarantine, not a
+    silent wrong answer (the png_codec scope convention)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i = 12
+    rate, bits, channels, codec, data = None, None, None, None, None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        size = int.from_bytes(payload[i + 4 : i + 8], "little")
+        body = payload[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            codec = int.from_bytes(body[0:2], "little")
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size % 2)
+    if rate is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    if (codec, channels, bits) != (1, 1, 16):
+        raise ValueError(
+            f"unsupported WAV (codec={codec} channels={channels} bits={bits}); "
+            "only mono 16-bit PCM"
+        )
+    return rate, data
+
+
+RESAMPLED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("err", T.StringType()),
+    ]
+)
+
+
+def resample_audio(media: DataFrame, target_rate: int) -> DataFrame:
+    """REAL audio resample — no dependencies: RIFF chunk walk →
+    nearest-sample numpy index map → rebuilt mono-PCM16 WAV at
+    ``target_rate``. The audio twin of :func:`resize_images`
+    (uniform-sample-rate normalization before feature extraction):
+    Arrow-batched ``mapInPandas``, partition-parallel, zero shuffles,
+    per-row error quarantine for undecodable/unsupported payloads.
+    """
+    if target_rate <= 0:
+        raise ValueError("target_rate must be positive")
+
+    def resample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for batch in batches:
+            out = []
+            for row in batch.itertuples(index=False):
+                try:
+                    rate, data = parse_wav_pcm(bytes(row.payload))
+                    samples = np.frombuffer(
+                        data[: len(data) - (len(data) % 2)], dtype="<i2"
+                    )
+                    n_out = max(
+                        1, (len(samples) * target_rate) // max(rate, 1)
+                    )
+                    idx = (np.arange(n_out) * rate) // target_rate
+                    resampled = samples[np.minimum(idx, len(samples) - 1)]
+                    payload = _wav_payload(
+                        target_rate, resampled.astype("<i2").tobytes()
+                    )
+                    out.append(
+                        (row.media_id, payload, target_rate,
+                         int(len(resampled)), None)
+                    )
+                except (ValueError, IndexError) as e:
+                    out.append(
+                        (row.media_id, None, None, None,
+                         f"error:{e}"[:120])
+                    )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in RESAMPLED_SCHEMA.fields]
+            )
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        resample, schema=RESAMPLED_SCHEMA
+    )
+
+
 HEADERS_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

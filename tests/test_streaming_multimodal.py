@@ -889,3 +889,58 @@ def test_resize_images_real_pixels(spark):
         ys = (np.arange(6) * h) // 6
         xs = (np.arange(8) * w) // 8
         assert np.array_equal(got, src[ys][:, xs]), i
+
+
+def test_resample_audio_real_samples(spark):
+    """resample_audio is a REAL sample-level operation: output WAV
+    decodes to the exact nearest-sample index-map of the source PCM;
+    non-WAV and unsupported (stereo) payloads quarantine as err rows."""
+    import numpy as np
+
+    from aerovaldb_spark.functions import MEDIA_SCHEMA
+    from aerovaldb_spark.functions.multimodal import (
+        _wav_payload,
+        parse_wav_pcm,
+        resample_audio,
+    )
+
+    rng = np.random.default_rng(5)
+    rows, srcs = [], {}
+    for i, (rate, n) in enumerate([(16000, 1600), (8000, 800), (44100, 441)]):
+        pcm = rng.integers(-32768, 32767, size=n, dtype=np.int16)
+        srcs[i] = (rate, pcm)
+        rows.append(
+            (i, "audio", _wav_payload(rate, pcm.astype("<i2").tobytes()),
+             None, None, 1000 * n // rate, "wav")
+        )
+    rows.append((98, "audio", b"MP3garbage", None, None, 100, "mp3"))
+    # stereo fmt chunk: parses but unsupported -> quarantined
+    stereo_fmt = (
+        (1).to_bytes(2, "little") + (2).to_bytes(2, "little")
+        + (16000).to_bytes(4, "little") + (64000).to_bytes(4, "little")
+        + (4).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    stereo = (
+        b"RIFF" + (36).to_bytes(4, "little") + b"WAVEfmt "
+        + len(stereo_fmt).to_bytes(4, "little") + stereo_fmt
+        + b"data" + (4).to_bytes(4, "little") + b"\x00\x00\x00\x00"
+    )
+    rows.append((99, "audio", stereo, None, None, 1, "wav"))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    target = 4000
+    out = {r["media_id"]: r for r in resample_audio(media, target).collect()}
+    assert len(out) == 5
+    assert out[98]["payload"] is None and out[98]["err"].startswith("error:")
+    assert out[99]["payload"] is None and "only mono 16-bit" in out[99]["err"]
+
+    for i, (rate, pcm) in srcs.items():
+        r = out[i]
+        assert r["err"] is None and r["sample_rate"] == target
+        got_rate, got_data = parse_wav_pcm(bytes(r["payload"]))
+        assert got_rate == target
+        got = np.frombuffer(got_data, dtype="<i2")
+        n_out = max(1, (len(pcm) * target) // rate)
+        idx = np.minimum((np.arange(n_out) * rate) // target, len(pcm) - 1)
+        assert np.array_equal(got, pcm[idx]), i
+        assert r["n_samples"] == n_out
