@@ -19,6 +19,36 @@ sys.path.insert(
 SF = "/root/testdata/sf0.001"
 
 
+def _on_training_corpus() -> bool:
+    """True when sf0.01 documents still match the corpus the frozen
+    merge table was trained on. q92 PARITY never depends on this (both
+    engines apply the same frozen table to any corpus); only the
+    corpus-specific training-equivalence/compression asserts do — on a
+    regenerated corpus they skip with an actionable message instead of
+    failing misleadingly."""
+    import collections
+
+    import duckdb
+
+    from aerovaldb_spark.functions.bpe_merges import CORPUS_FINGERPRINT
+    from train_bpe import MAX_WORD_CHARS, WORD_RE, corpus_fingerprint
+
+    vocab: collections.Counter = collections.Counter()
+    for (t,) in duckdb.sql(
+        "SELECT text FROM '/root/testdata/sf0.01/documents.parquet'"
+    ).fetchall():
+        for w in WORD_RE.findall(t.lower()):
+            vocab[w[:MAX_WORD_CHARS]] += 1
+    return corpus_fingerprint(vocab) == CORPUS_FINGERPRINT
+
+
+_RETRAIN_MSG = (
+    "sf0.01 documents regenerated since the frozen BPE merge table was "
+    "trained — rerun `python tools/train_bpe.py` and commit the new "
+    "bpe_merges.py (q92 parity is unaffected either way)"
+)
+
+
 # ---------------------------------------------------------------- BPE
 def test_bpe_round_trip_and_determinism():
     """Concatenating a word's tokens reproduces the word (merges only
@@ -38,6 +68,8 @@ def test_bpe_merges_actually_compress():
     from aerovaldb_spark.functions.bpe import encode_word
     from aerovaldb_spark.functions.bpe_merges import MERGES, N_MERGES
 
+    if not _on_training_corpus():
+        pytest.skip(_RETRAIN_MSG)
     assert len(MERGES) == N_MERGES == 40
     # trained on this corpus's vocabulary: frequent corpus words must
     # encode to fewer tokens than characters
@@ -486,6 +518,8 @@ def test_train_from_vocab_matches_text_training(spark):
     )
     from train_bpe import train_from_vocab
 
+    if not _on_training_corpus():
+        pytest.skip(_RETRAIN_MSG)
     docs = load_table(spark, "/root/testdata/sf0.01", "documents")
     vocab = {
         r["word"]: r["freq"] for r in corpus_word_freqs(docs).collect()
