@@ -1052,7 +1052,17 @@ class AerovalSparkDB:
         catalog too large to list at all, use :meth:`query_iter`: same
         matching semantics, but predicates and the limit are pushed
         into the Spark plan and rows STREAM to the driver one Arrow
-        batch at a time."""
+        batch at a time.
+
+        The reference routes EVERY kwarg to a meta equality predicate,
+        so a predicate literally named ``limit`` would be shadowed by
+        the row cap. Meta values are strings and the cap is an int, so
+        a string ``limit`` is unambiguously a predicate and is
+        re-routed to kwargs (``query(limit="5")`` filters on
+        ``meta["limit"]``; ``query(limit=5)`` caps the scan)."""
+        if isinstance(limit, str):
+            kwargs["limit"] = limit
+            limit = None
         if asset_type is None:
             routes = list(Route)
         elif isinstance(asset_type, Route):
@@ -1089,6 +1099,9 @@ class AerovalSparkDB:
         This is the variant to point at a 10⁹-asset catalog; the
         list-returning reference verbs (:meth:`query`, ``list_*``)
         keep their contract and materialize."""
+        if isinstance(limit, str):  # meta predicate named "limit"
+            kwargs["limit"] = limit
+            limit = None
         if asset_type is None:
             routes = list(Route)
         elif isinstance(asset_type, Route):

@@ -275,7 +275,8 @@ def resample_audio(media: DataFrame, target_rate: int) -> DataFrame:
                         (row.media_id, payload, target_rate,
                          int(len(resampled)), None)
                     )
-                except (ValueError, IndexError) as e:
+                except (ValueError, IndexError, TypeError) as e:
+                    # TypeError covers NULL payloads.
                     out.append(
                         (row.media_id, None, None, None,
                          f"error:{e}"[:120])
@@ -481,7 +482,6 @@ def resize_images(
 
         from .png_codec import decode_png, encode_png
 
-        ys = None  # built per source size below; cheap
         for batch in batches:
             out = []
             for row in batch.itertuples(index=False):
@@ -499,7 +499,9 @@ def resize_images(
                     out.append(
                         (row.media_id, payload, width, height, c, None)
                     )
-                except ValueError as e:
+                except (ValueError, IndexError, TypeError) as e:
+                    # TypeError: NULL payload; IndexError: CRC-valid
+                    # but degenerate 0-width/0-height image.
                     out.append(
                         (row.media_id, None, None, None, None,
                          f"error:{e}"[:120])

@@ -300,6 +300,8 @@ def bpe_budget_documents(docs: DataFrame) -> DataFrame:
     )
 
     def score(batches: _Iter["pd.DataFrame"]) -> _Iter["pd.DataFrame"]:
+        import math
+
         import pandas as pd
 
         split = re.compile(WORD_SPLIT_RE)
@@ -307,6 +309,13 @@ def bpe_budget_documents(docs: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                # NULL text must count 0 words, matching the batch
+                # path (doc_words splits NULL to no rows) — str(None)
+                # would count the literal word "none".
+                if text is None or (
+                    isinstance(text, float) and math.isnan(text)
+                ):
+                    text = ""
                 words = [
                     w[:MAX_WORD_CHARS]
                     for w in split.split(str(text).lower())

@@ -435,6 +435,27 @@ def test_bpe_budget_stream_matches_batch(spark):
     assert streamed == batch and len(batch) > 0
 
 
+def test_bpe_budget_null_text_counts_zero(spark):
+    """A NULL-text doc counts 0 words / 0 tokens on BOTH paths — the
+    gate must not stringify None into the literal word 'none'."""
+    from aerovaldb_spark.functions.bpe import bpe_token_stats
+    from aerovaldb_spark.streaming import bpe_budget_documents
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "aero sol"), (3, "")], "doc_id long, text string"
+    )
+    batch = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_token_stats(docs).collect()
+    }
+    gated = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_budget_documents(docs).collect()
+    }
+    assert batch[1] == (0, 0) and batch[3] == (0, 0)
+    assert gated == batch
+
+
 @pytest.mark.parametrize("sf_dir", [SF, "/root/testdata/sf0.01"])
 def test_q94_margin_ann_oracle_parity(spark, sf_dir):
     """Pre-staged r6 graded entry: the margin-probe ANN hash-matches

@@ -819,6 +819,12 @@ def test_query_iter_matches_query_and_bounds(tmpdb):
     assert len(capped) == 2 and {e.uri for e in capped} <= set(full)
     assert sorted(e.uri for e in tmpdb.query(limit=100)) == full
 
+    # a STRING limit is a meta equality predicate (reference routes
+    # every kwarg to meta), not a row cap — no entry has
+    # meta["limit"], so both paths return nothing rather than capping
+    assert tmpdb.query(limit="5") == []
+    assert list(tmpdb.query_iter(limit="5")) == []
+
 
 def test_snapshot_time_travel(tmpdb):
     """Every historical state of the append-log is a seq filter:

@@ -858,6 +858,8 @@ def test_resize_images_real_pixels(spark):
     the source pixels; bad payloads quarantine as err rows."""
     import numpy as np
 
+    from pyspark.sql import types as T
+
     from aerovaldb_spark.functions import MEDIA_SCHEMA
     from aerovaldb_spark.functions.multimodal import resize_images
     from aerovaldb_spark.functions.png_codec import decode_png, encode_png
@@ -872,11 +874,21 @@ def test_resize_images_real_pixels(spark):
              w, h, None, "png")
         )
     rows.append((99, "image", b"not a png", 1, 1, None, "png"))
-    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    rows.append((100, "image", None, 1, 1, None, "png"))  # NULL payload
+    # CRC-valid but degenerate 0x0 PNG: quarantine, not a failed job
+    rows.append(
+        (101, "image", encode_png(0, 0, b"", channels=1), 0, 0, None, "png")
+    )
+    nullable = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in MEDIA_SCHEMA.fields]
+    )
+    media = spark.createDataFrame(rows, nullable)
 
     out = {r["media_id"]: r for r in resize_images(media, 8, 6).collect()}
-    assert len(out) == 4
-    assert out[99]["payload"] is None and out[99]["err"].startswith("error:")
+    assert len(out) == 6
+    for bad in (99, 100, 101):
+        assert out[bad]["payload"] is None
+        assert out[bad]["err"].startswith("error:")
 
     for i, src in srcs.items():
         r = out[i]
@@ -896,6 +908,8 @@ def test_resample_audio_real_samples(spark):
     decodes to the exact nearest-sample index-map of the source PCM;
     non-WAV and unsupported (stereo) payloads quarantine as err rows."""
     import numpy as np
+
+    from pyspark.sql import types as T
 
     from aerovaldb_spark.functions import MEDIA_SCHEMA
     from aerovaldb_spark.functions.multimodal import (
@@ -926,12 +940,17 @@ def test_resample_audio_real_samples(spark):
         + b"data" + (4).to_bytes(4, "little") + b"\x00\x00\x00\x00"
     )
     rows.append((99, "audio", stereo, None, None, 1, "wav"))
-    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    rows.append((97, "audio", None, None, None, 1, "wav"))  # NULL payload
+    nullable = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in MEDIA_SCHEMA.fields]
+    )
+    media = spark.createDataFrame(rows, nullable)
 
     target = 4000
     out = {r["media_id"]: r for r in resample_audio(media, target).collect()}
-    assert len(out) == 5
+    assert len(out) == 6
     assert out[98]["payload"] is None and out[98]["err"].startswith("error:")
+    assert out[97]["payload"] is None and out[97]["err"].startswith("error:")
     assert out[99]["payload"] is None and "only mono 16-bit" in out[99]["err"]
 
     for i, (rate, pcm) in srcs.items():

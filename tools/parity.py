@@ -160,9 +160,11 @@ def main() -> int:
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = {}
+    n_run = 0
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        n_run += 1
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
@@ -193,7 +195,7 @@ def main() -> int:
         else:
             print(f"  {name}: ok ({dt:.1f}s)")
 
-    print(f"\n{len(failures)} failures / {len(queries)} queries")
+    print(f"\n{len(failures)} failures / {n_run} queries run")
     return 1 if failures else 0
 
 
