@@ -1269,11 +1269,9 @@ FROM ranked WHERE ann_rank <= 10
 """
 
 
-# q94 (PRE-STAGED for the r6 window — implemented, oracled, and
-# pytest-parity-checked this round, but NOT yet in queries(): the r5
-# window is exactly full and the rotation policy forbids evicting
-# rotated entries for a new one. Register in QUERIES/ORACLE during the
-# r6 rotation.)
+# q94: margin-based multi-probe ANN (Lv et al. probe shape) over the
+# SRP quantizer. Pre-staged in r5, registered in QUERIES/ORACLE at the
+# r6 rotation as committed.
 Q94_PLANES = 8
 Q94_N_FLIP = 4
 
@@ -1507,6 +1505,7 @@ QUERIES = {
     "q90_label_outliers": q90_label_outliers,
     "q91_srp_ann_topk": q91_srp_ann_topk,
     "q93_semantic_dedup": q93_semantic_dedup,
+    "q94_margin_ann_topk": q94_margin_ann_topk,
 }
 
 ORACLE = {
@@ -1520,4 +1519,5 @@ ORACLE = {
     "q50_cosine_near_dup": Q50_SQL,
     "q91_srp_ann_topk": Q91_SQL,
     "q93_semantic_dedup": Q93_SQL,
+    "q94_margin_ann_topk": Q94_SQL,
 }

@@ -1267,6 +1267,96 @@ FROM ranked WHERE cum_tokens <= {TOKEN_BUDGET_PER_SOURCE}
 """
 
 
+# --- q95: BPE-denominated token budget ------------------------------------
+#
+# q85's greedy quality-first selection, but the budget is counted in
+# SUBWORD tokens from the frozen BPE merge table — what a training
+# pipeline actually budgets in (whitespace counts miscount 1.3-1.7x
+# and vary by language). The quality MODEL is unchanged (same score,
+# same per-source ordering); only the budget denominator changes, so
+# q85-vs-q95 differences isolate the token-counting effect.
+BPE_BUDGET_PER_SOURCE = 1200
+
+
+def bpe_token_budget_selection(
+    docs: DataFrame, budget: int = BPE_BUDGET_PER_SOURCE
+) -> DataFrame:
+    """Greedy quality-first selection under a per-source BPE-token
+    budget (prefix rule, same as :func:`token_budget_selection`).
+
+    Scale shape: the BPE count joins back per doc from the
+    distinct-vocabulary encode (``bpe_token_stats`` — one Arrow-batched
+    pass over DISTINCT words, not the corpus), then one window per
+    source. Docs with zero words carry no budget weight and are
+    excluded (they have no token cost and no content).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.bpe import bpe_token_stats
+
+    stats = (
+        bpe_token_stats(docs)
+        .filter(F.col("n_words") > 0)
+        .select("doc_id", "n_bpe_tokens")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        quality_columns(docs)
+        .select("doc_id", "source", "quality_score")
+        .join(stats, "doc_id")
+        .withColumn("sel_rank", F.row_number().over(w))
+        .withColumn(
+            "cum_bpe_tokens",
+            F.sum("n_bpe_tokens").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .filter(F.col("cum_bpe_tokens") <= F.lit(budget))
+        .select(
+            "doc_id", "source", "n_bpe_tokens", "quality_score",
+            "sel_rank", "cum_bpe_tokens",
+        )
+    )
+
+
+def q95_bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_token_budget_selection(docs)
+
+
+def _q95_sql() -> str:
+    from ..functions.bpe import bpe_vtok_ctes
+
+    return f"""
+WITH RECURSIVE {bpe_vtok_ctes()}, doc_bpe AS (
+  SELECT w.doc_id, CAST(SUM(v.n_tokens) AS BIGINT) AS n_bpe_tokens
+  FROM wtok w JOIN vtok v ON v.word = w.word
+  GROUP BY w.doc_id
+), t AS (
+  SELECT doc_id, source,
+    len(string_split(text, ' ')) AS n_tokens,
+    len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and'))) AS stop_hits
+  FROM documents
+), q AS (
+  SELECT doc_id, source,
+    ROUND(LEAST(CAST(n_tokens AS DOUBLE) / 100, 1.0) * 0.5
+          + (1.0 - ROUND(CAST(stop_hits AS DOUBLE) / n_tokens, 6)) * 0.5, 6) AS quality_score
+  FROM t
+), ranked AS (
+  SELECT q.doc_id, q.source, b.n_bpe_tokens, q.quality_score,
+    ROW_NUMBER() OVER (PARTITION BY q.source ORDER BY q.quality_score DESC, q.doc_id) AS sel_rank,
+    SUM(b.n_bpe_tokens) OVER (PARTITION BY q.source ORDER BY q.quality_score DESC, q.doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_bpe_tokens
+  FROM q JOIN doc_bpe b ON b.doc_id = q.doc_id
+)
+SELECT doc_id, source, n_bpe_tokens, quality_score, sel_rank,
+       CAST(cum_bpe_tokens AS BIGINT) AS cum_bpe_tokens
+FROM ranked WHERE cum_bpe_tokens <= {BPE_BUDGET_PER_SOURCE}
+"""
+
+
 QUERIES = {
     "q21_token_stats": q21_token_stats,
     "q22_quality_scores": q22_quality_scores,
@@ -1287,6 +1377,7 @@ QUERIES = {
     "q81_stratified_sample": q81_stratified_sample,
     "q84_quality_gate": q84_quality_gate,
     "q85_token_budget": q85_token_budget,
+    "q95_bpe_token_budget": q95_bpe_token_budget,
 }
 
 ORACLE = {
@@ -1309,4 +1400,5 @@ ORACLE = {
     "q76_bigram_lm_nll": Q76_SQL,
     "q77_contamination_score": Q77_SQL,
     "q78_bm25_topk": Q78_SQL,
+    "q95_bpe_token_budget": _q95_sql(),
 }

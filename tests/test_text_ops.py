@@ -177,3 +177,46 @@ def test_export_corpus_jsonl_and_validation(spark, tmp_path):
         export_corpus(docs, out, fmt="csv")
     with pytest.raises(ValueError, match="not in DataFrame"):
         export_corpus(docs, out, partition_by=("nope",))
+
+
+def test_q95_bpe_budget_diverges_from_whitespace(spark):
+    """The BPE-denominated budget (q95) must actually measure something
+    different from the whitespace budget (q85): subword counts differ
+    from whitespace counts on most docs, and the greedy selection under
+    an equivalent-scale budget picks a different doc set."""
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators.text import (
+        bpe_token_budget_selection,
+        token_budget_selection,
+    )
+    from aerovaldb_spark.functions.bpe import bpe_token_stats
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+
+    stats = bpe_token_stats(docs)
+    n_docs = stats.count()
+    n_diff = stats.filter(F.col("n_bpe_tokens") != F.col("n_words")).count()
+    # subword encode splits words: counts differ on most of the corpus
+    assert n_diff > 0.5 * n_docs, (n_diff, n_docs)
+
+    ws = {r["doc_id"] for r in token_budget_selection(docs, 800).collect()}
+    bpe = {
+        r["doc_id"]
+        for r in bpe_token_budget_selection(docs, 800).collect()
+    }
+    # same numeric budget, different denominator -> different doc set
+    # (BPE counts >= word counts, so the same budget admits fewer docs)
+    assert ws and bpe and bpe != ws
+
+
+def test_bpe_budget_excludes_zero_word_docs(spark):
+    """A doc with no words has no token cost and no content: it is
+    excluded from the selection on both engines (inner join vs wtok)."""
+    from aerovaldb_spark.operators.text import bpe_token_budget_selection
+
+    docs = spark.createDataFrame(
+        [(1, "aero sol data", "s"), (2, None, "s"), (3, "", "s")],
+        "doc_id long, text string, source string",
+    )
+    got = bpe_token_budget_selection(docs, 10_000).collect()
+    assert {r["doc_id"] for r in got} == {1}
