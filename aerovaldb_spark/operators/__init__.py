@@ -33,75 +33,73 @@ _MERGED_QUERIES = {
 # sf0.001; tools/parity.py was additionally run over the full surface
 # at sf0.01 AND sf0.1 this round — 0 failures).
 #
-# Round-5 window (50): the WHOLE 40-entry r4 tail rotates back in (the
-# r4-documented commitment — q33/q22/q23/q24 were 2+ rounds without a
-# driver green; q46/q50 of that tail also carry this round's
-# zero-norm-nullif change), plus the 6 remaining entries whose code
-# changed this round (q29 brute-force cosine, q66 executor-side IVF
-# probes, q79/q83 pair-cosine nullif, q89/q90 zero-vector NULL
-# gating), plus the 3 NEW entries (q91 SRP-quantized oracled ANN,
-# q92 frozen-merge BPE token stats, q93 semantic-dedup composition),
-# plus q76 (the heaviest once-green chain, taking the last slot).
+# Round-6 window (50) — executes the r5-documented commitment exactly:
+# the 3 NEW entries (q94 margin-probe ANN, pre-staged in r5; q95
+# BPE-denominated token budget; q96 bounded semantic dedup), the 11
+# once-green r4 entries that waited out r5 (q75 q77 q78 q80 q81 q82
+# q84 q85 q86 q87 q88 — q75 additionally carries this round's
+# two-flush batching change), the once-green r5 additions (q91 q92
+# q93 — q93 also carries the max_neighbors refactor this round), q76
+# (heaviest chain, second green in r5, kept in for a third), and the
+# WHOLE 32-entry twice-plus-green r5 tail rotating back in
+# (q01-q06 q10 q13 q18 q19 q21 q25-q28 q32 q35 q52 q56 q60 q62-q65
+# q67-q74).
 #
-# Round-5 tail (43): thrice-green q01-q06/q10/q13/q18/q29-era cohort
-# and the r4-verified twice-green set. One late-round EXECUTION-ONLY
-# change touches tail entries q56/q60/q62: connected_components
-# gained pointer jumping (O(log diameter) convergence — required for
-# q93-at-sf1, which is IN the window and exercises the same code
-# path); results are bit-identical and were re-verified via
-# tools/parity.py at sf0.001, sf0.01 AND sf0.1 plus the CI sf0.001
-# gate. Everything else in the tail is untouched. The
-# 11 once-green r4-new entries that did not fit
-# (q75 q77 q78 q80 q81 q82 q84 q85 q86 q87 q88) are unchanged since
-# their r4 green, value-checked at sf0.001 each CI run and re-verified
-# at sf0.01/sf0.1 via tools/parity.py this round; they are FIRST in
-# line for the r6 window together with this round's tail rotation.
+# Round-6 tail (46): the r5-window greens minus {q76 q91 q92 q93} —
+# every one has >=2 driver-recorded greens (q55/q66 rows-only by
+# design), all unchanged this round, all value-checked at sf0.001 in
+# every CI pass (tests/test_parity_sample.py) and re-runnable at any
+# SF via tools/parity.py. R7 plan: rotate this tail back into the
+# window; entries then three-plus-green can yield slots to whatever
+# r7 adds or changes.
 _DEFER_ROUND = [
-    # once-green r4 entries, unchanged — r6 window priority
-    "q75_asset_store_roundtrip",
-    "q77_contamination_score",
-    "q78_bm25_topk",
-    "q80_sliding_chunks",
-    "q81_stratified_sample",
-    "q82_source_overlap",
-    "q84_quality_gate",
-    "q85_token_budget",
-    "q86_waiting_suppliers",
-    "q87_custdist",
-    "q88_small_qty_revenue",
-    # twice-or-more-green, unchanged
-    "q01_pricing_summary",
-    "q02_top_revenue_orders",
-    "q03_revenue_by_nation",
-    "q04_selective_filter_agg",
-    "q05_order_priority_semijoin",
-    "q06_customers_without_orders",
-    "q10_rollup_agg",
-    "q13_monthly_event_stats",
-    "q18_asof_purchase_click",
-    "q19_sessionize",
-    "q21_token_stats",
-    "q25_dedup_exact",
-    "q26_ngram_jaccard_pairs",
-    "q27_minhash_signatures",
-    "q28_simhash",
-    "q32_pivot_status",
-    "q35_sliding_window",
-    "q52_media_decode",
-    "q56_dedup_clusters",
-    "q60_canonical_docs",
-    "q62_dedup_pipeline",
-    "q63_bigram_novelty",
-    "q64_trailing_revenue",
-    "q65_media_features",
-    "q67_market_share",
-    "q68_top_part_values",
-    "q69_promo_revenue",
-    "q70_inactive_wealthy",
-    "q71_cohort_retention",
-    "q72_session_funnel",
-    "q73_frame_manifest",
-    "q74_passage_dedup",
+    # twice-green r5-window cohort, unchanged
+    "q07_window_topk_per_customer",
+    "q08_running_total",
+    "q09_distinct_counts",
+    "q11_set_except",
+    "q12_case_buckets",
+    "q14_part_type_stats",
+    "q15_json_extract_agg",
+    "q16_point_read",
+    "q17_top_customers",
+    "q20_tumbling_window",
+    "q31_session_window",
+    "q55_approx_distinct",
+    "q22_quality_scores",
+    "q23_lang_id",
+    "q24_fingerprints",
+    "q53_train_split",
+    "q54_pack_sequences",
+    "q57_source_mixing",
+    "q58_decontaminate",
+    "q59_repetition_stats",
+    "q61_tfidf_top_terms",
+    "q29_cosine_topk",
+    "q30_embedding_norms",
+    "q46_srp_near_dup",
+    "q50_cosine_near_dup",
+    "q66_ivf_topk",
+    "q79_knn_join",
+    "q83_label_cohesion",
+    "q89_quantization_audit",
+    "q90_label_outliers",
+    "q33_percentiles",
+    "q34_above_nation_avg",
+    "q36_srp_buckets",
+    "q37_rank_parts",
+    "q38_activity_union",
+    "q39_clean_corpus_report",
+    "q40_lsh_candidates",
+    "q41_range_join",
+    "q42_grouping_sets",
+    "q43_order_gaps",
+    "q44_order_arrays",
+    "q45_regexp_extract",
+    "q47_set_intersect",
+    "q48_date_parts",
+    "q49_cube",
+    "q51_binary_manifest",
 ]
 
 ALL_QUERIES = {

@@ -1434,17 +1434,50 @@ def semantic_dedup(
     threshold: float = SEMANTIC_DEDUP_THRESHOLD,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_neighbors: int | None = None,
 ) -> DataFrame:
     """(vec_id, component, cluster_size, is_canonical) per clustered
     vector. Threshold compares the ROUNDED cosine (both engines), so
-    borderline floats can't flip cluster membership."""
+    borderline floats can't flip cluster membership.
+
+    ``max_neighbors`` bounds the edge set fed to the component step:
+    each vector keeps only its ``m`` STRONGEST qualifying neighbors
+    (cosine desc, neighbor id asc — deterministic on the 6dp-rounded
+    cosine). This is the scale valve for the one super-linear-OUTPUT
+    shape in fixed-threshold dedup: on a denser corpus the qualifying
+    pair count grows faster than the input (sf1 measured 65x pairs for
+    10x vectors), while the bounded edge set is <= m*n by
+    construction. Connectivity degrades gracefully — every vector
+    keeps its strongest edge, so mutual near-dups always land in one
+    component; only long weak chains can split, which for DEDUP is
+    the conservative direction (a split cluster keeps an extra doc,
+    never drops one). The qualifying pairs still stream through one
+    shuffle to be ranked, but are never materialized into the
+    iterative component computation, which is where unbounded edges
+    actually hurt (per-iteration joins over the full edge list)."""
     from .dedup import connected_components
 
     near = (
         lsh_bucketed_pairs(vectors, dim, vec_col, id_col)
         .filter(F.col("cosine") >= F.lit(threshold))
-        .select("id_a", "id_b")
+        .select("id_a", "id_b", "cosine")
     )
+    if max_neighbors is not None:
+        sym = near.select(
+            F.col("id_a").alias("u"), F.col("id_b").alias("w"), "cosine"
+        ).unionByName(
+            near.select(
+                F.col("id_b").alias("u"), F.col("id_a").alias("w"), "cosine"
+            )
+        )
+        wn = Window.partitionBy("u").orderBy(
+            F.col("cosine").desc(), F.col("w").asc()
+        )
+        near = (
+            sym.withColumn("_rn", F.row_number().over(wn))
+            .filter(F.col("_rn") <= F.lit(max_neighbors))
+            .select(F.col("u").alias("id_a"), F.col("w").alias("id_b"))
+        )
     comp = connected_components(near, src="id_a", dst="id_b")
     w = Window.partitionBy("component")
     return (
@@ -1462,6 +1495,19 @@ def semantic_dedup(
 def q93_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup(emb, dim=64)
+
+
+# q96: the BOUNDED semantic dedup — q93 with each vector keeping only
+# its m strongest qualifying neighbors before the component step. The
+# production default at scale (see semantic_dedup docstring for the
+# output-sensitivity argument); graded with its own stage-mirrored
+# oracle.
+Q96_MAX_NEIGHBORS = 4
+
+
+def q96_bounded_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, dim=64, max_neighbors=Q96_MAX_NEIGHBORS)
 
 
 Q93_SQL = f"""
@@ -1493,6 +1539,46 @@ FROM comp
 """
 
 
+Q96_SQL = f"""
+WITH RECURSIVE bucketed AS (
+  SELECT e.vec_id, e.embedding, {_BUCKET_SQL} AS bucket FROM embeddings e
+), near AS (
+  SELECT * FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      ROUND(
+        list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+           * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cosine
+    FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  ) WHERE cosine >= {SEMANTIC_DEDUP_THRESHOLD}
+), sym AS (
+  SELECT id_a AS u, id_b AS w, cosine FROM near
+  UNION ALL
+  SELECT id_b AS u, id_a AS w, cosine FROM near
+), bounded AS (
+  SELECT u, w FROM (
+    SELECT u, w,
+      ROW_NUMBER() OVER (PARTITION BY u ORDER BY cosine DESC, w) AS rn
+    FROM sym
+  ) WHERE rn <= {Q96_MAX_NEIGHBORS}
+), edges AS (
+  SELECT u, w FROM bounded
+  UNION
+  SELECT w AS u, u AS w FROM bounded
+), reach(u, w) AS (
+  SELECT u, w FROM edges
+  UNION
+  SELECT r.u, e.w FROM reach r JOIN edges e ON r.w = e.u
+), comp AS (
+  SELECT u AS vec_id, LEAST(u, MIN(w)) AS component FROM reach GROUP BY u
+)
+SELECT vec_id, component,
+  COUNT(*) OVER (PARTITION BY component) AS cluster_size,
+  CAST(vec_id = component AS INT) AS is_canonical
+FROM comp
+"""
+
+
 QUERIES = {
     "q29_cosine_topk": q29_cosine_topk,
     "q30_embedding_norms": q30_embedding_norms,
@@ -1506,6 +1592,7 @@ QUERIES = {
     "q91_srp_ann_topk": q91_srp_ann_topk,
     "q93_semantic_dedup": q93_semantic_dedup,
     "q94_margin_ann_topk": q94_margin_ann_topk,
+    "q96_bounded_semantic_dedup": q96_bounded_semantic_dedup,
 }
 
 ORACLE = {
@@ -1520,4 +1607,5 @@ ORACLE = {
     "q91_srp_ann_topk": Q91_SQL,
     "q93_semantic_dedup": Q93_SQL,
     "q94_margin_ann_topk": Q94_SQL,
+    "q96_bounded_semantic_dedup": Q96_SQL,
 }
