@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -329,24 +330,94 @@ class AerovalSparkDB:
         for route, rows in self._mem.items():
             if not rows:
                 continue
-            df = self.spark.createDataFrame(
-                [Row(**r) for r in rows.values()], schema=_schema_for(route)
-            )
-            keys = storage_keys(route)
-            # Sort within files by the non-partition key columns so the
-            # parquet min/max stats are tight — point reads then skip
-            # whole files, the analog of the reference's exact-path
-            # lookup (matters at scale; free here).
-            sort_keys = [k for k in keys if k != "project"]
-            out = df.coalesce(1)
-            if sort_keys:
-                out = out.sortWithinPartitions(*sort_keys)
-            writer = out.write.mode("append")
-            if "project" in keys:
-                writer = writer.partitionBy("project")
-            writer.parquet(self._table_path(route))
+            if not self._flush_small_arrow(route, list(rows.values())):
+                self._flush_spark(route, rows)
             self._df_cache.pop(route, None)
         self._mem.clear()
+
+    def _flush_spark(self, route: Route, rows: dict) -> None:
+        df = self.spark.createDataFrame(
+            [Row(**r) for r in rows.values()], schema=_schema_for(route)
+        )
+        keys = storage_keys(route)
+        # Sort within files by the non-partition key columns so the
+        # parquet min/max stats are tight — point reads then skip
+        # whole files, the analog of the reference's exact-path
+        # lookup (matters at scale; free here).
+        sort_keys = [k for k in keys if k != "project"]
+        out = df.coalesce(1)
+        if sort_keys:
+            out = out.sortWithinPartitions(*sort_keys)
+        writer = out.write.mode("append")
+        if "project" in keys:
+            writer = writer.partitionBy("project")
+        writer.parquet(self._table_path(route))
+
+    # Below this row count a flush is written driver-side with pyarrow
+    # into the IDENTICAL partition layout, skipping the ~2-5 s Spark
+    # job-scheduling floor a tiny append otherwise pays. The store's
+    # common write shape is exactly this (a handful of asset puts per
+    # flush); bulk loads past the threshold still go through Spark and
+    # scale out. Reads can't tell the difference: the log is read with
+    # an explicit schema, partition values come from the directory
+    # name either way, and pyarrow's timestamp('us', tz='UTC') decodes
+    # to the same TimestampType values under the session's UTC tz.
+    _SMALL_FLUSH_ROWS = 10_000
+
+    _SAFE_PARTITION_RE = re.compile(r"^[A-Za-z0-9._-]+$")
+
+    def _flush_small_arrow(self, route: Route, rows: list[dict]) -> bool:
+        """Driver-side parquet append for small memtables. Returns
+        False (caller falls back to the Spark writer) when the batch is
+        large or a partition value needs Spark's escaping rules."""
+        if len(rows) > self._SMALL_FLUSH_ROWS:
+            return False
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        keys = storage_keys(route)
+        partitioned = "project" in keys
+        if partitioned and not all(
+            isinstance(r.get("project"), str)
+            and self._SAFE_PARTITION_RE.match(r["project"])
+            for r in rows
+        ):
+            return False  # odd partition value: use Spark's escaping
+        sort_keys = [k for k in keys if k != "project"]
+        file_cols = sort_keys + ["payload", "write_ts", "seq", "tombstone"]
+        payload_t = (
+            pa.binary() if route in BINARY_ROUTES else pa.string()
+        )
+        arrow_schema = pa.schema(
+            [(k, pa.string()) for k in sort_keys]
+            + [
+                ("payload", payload_t),
+                ("write_ts", pa.timestamp("us", tz="UTC")),
+                ("seq", pa.int64()),
+                ("tombstone", pa.bool_()),
+            ]
+        )
+        groups: dict[str | None, list[dict]] = {}
+        for r in rows:
+            groups.setdefault(r["project"] if partitioned else None, []).append(r)
+        for part, grp in groups.items():
+            grp.sort(key=lambda r: tuple(
+                (r.get(k) is None, r.get(k)) for k in sort_keys
+            ))
+            table = pa.Table.from_pydict(
+                {c: [r.get(c) for r in grp] for c in file_cols},
+                schema=arrow_schema,
+            )
+            out_dir = self._table_path(route)
+            if partitioned:
+                out_dir = os.path.join(out_dir, f"project={part}")
+            os.makedirs(out_dir, exist_ok=True)
+            pq.write_table(
+                table,
+                os.path.join(out_dir, f"part-{uuid.uuid4().hex}.snappy.parquet"),
+                compression="snappy",
+            )
+        return True
 
     def refresh(self) -> None:
         """Force-drop cached table states. Reads are already

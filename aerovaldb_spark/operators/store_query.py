@@ -8,12 +8,16 @@ table inside the query:
 
 1. aggregate documents per (lang, source, doc_id-parity),
 2. put a DECOY glob_stats payload (all zeros) per lang, flush,
-3. put the REAL payload per lang, flush — the read side must resolve
-   last-writer-wins through the on-disk append log (two physical rows
-   per key),
-4. ``rm_by_uri`` the lexicographically-smallest lang, flush — the
-   tombstone must hide that asset,
-5. read each surviving lang back via the HEATMAP alias with
+3. put the REAL payload per lang (batched in the memtable), then
+   ``rm_by_uri`` the lexicographically-smallest lang — the tombstone
+   overwrites that lang's PENDING real put in-memory (memtable LWW)
+   and rm's internal flush carries everything to disk in ONE write
+   cycle. Every key then has two physical rows on disk (decoy + real,
+   or decoy + tombstone), so the read side must resolve
+   last-writer-wins through the append log AND honor the tombstone.
+   (Two flush cycles total, not three — each flush pays full store
+   machinery, and the third bought no extra semantics.)
+4. read each surviving lang back via the HEATMAP alias with
    (region="even", time="2024") slicing — ``filter_heatmap`` must
    project exactly that leaf out of the nested document.
 
@@ -104,14 +108,14 @@ def q75_asset_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         db.flush()
         for lang in langs:
             db.put_glob_stats(payload_for(lang, decoy=False), "corpus", lang, "monthly")
-        db.flush()
+        # no flush here: rm_by_uri tombstones the removed lang's
+        # pending real put in the memtable and flushes everything
         db.rm_by_uri(
             build_uri(
                 Route.GLOB_STATS,
                 {"project": "corpus", "experiment": removed, "frequency": "monthly"},
             )
         )
-        db.flush()
 
         rows = []
         for lang in langs:

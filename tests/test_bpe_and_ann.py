@@ -235,8 +235,12 @@ def test_bounded_semantic_dedup_matches_unbounded_on_samples(spark):
     )
 
     emb = load_table(spark, SF, "embeddings")
-    for frame in (emb, emb.sample(0.5, seed=2)):
+    for must_cluster, frame in ((True, emb), (False, emb.sample(0.5, seed=2))):
+        # materialize the cache first so both dedup runs read identical
+        # rows (a sample's draw depends on the parent's partitioning,
+        # which can shift with cache state between actions)
         frame = frame.cache()
+        frame.count()
         unbounded = sorted(map(tuple, semantic_dedup(frame, dim=64).collect()))
         bounded = sorted(
             map(
@@ -246,7 +250,11 @@ def test_bounded_semantic_dedup_matches_unbounded_on_samples(spark):
                 ).collect(),
             )
         )
-        assert bounded == unbounded and len(bounded) > 0
+        assert bounded == unbounded
+        if must_cluster:
+            # the full corpus always has clusters; an unlucky sample
+            # may legitimately have none (equality still checked)
+            assert len(bounded) > 0
         frame.unpersist()
 
 

@@ -35,6 +35,36 @@ def train(texts, n_merges: int) -> list[tuple[str, str]]:
     return train_from_vocab(vocab, n_merges)
 
 
+def _apply_merge(syms: list[str], a: str, b: str) -> list[str]:
+    """Left-to-right non-overlapping pass, repeated to fixpoint — the
+    string-replace convention both encoders use."""
+    merged = a + b
+    changed = True
+    while changed:
+        changed = False
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(merged)
+                i += 2
+                changed = True
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def _pair_counts(syms: list[str]) -> collections.Counter:
+    # Overlapping adjacent pairs, the zip convention ("aaa" counts
+    # (a,a) twice) — the incremental bookkeeping below must match the
+    # original full-rescan counting exactly or argmax ties shift.
+    c: collections.Counter = collections.Counter()
+    for a, b in zip(syms, syms[1:]):
+        c[(a, b)] += 1
+    return c
+
+
 def train_from_vocab(
     vocab: dict[str, int], n_merges: int
 ) -> list[tuple[str, str]]:
@@ -42,41 +72,51 @@ def train_from_vocab(
     comes from ONE distributed aggregation
     (aerovaldb_spark.functions.bpe.corpus_word_freqs) — the corpus is
     never re-scanned per merge; only the (tiny relative to corpus)
-    vocabulary iterates here."""
+    vocabulary iterates here.
+
+    Bookkeeping is INCREMENTAL (pair -> containing-words inverted
+    index; only words containing the merged pair are rewritten and
+    re-counted per step), so a realistic table — 10^4-word vocabulary,
+    10^3 merges — trains in seconds instead of rescanning the whole
+    vocabulary per merge. The counts and tie-breaking are identical to
+    the original full-rescan formulation (the frozen-table determinism
+    test replays it)."""
     words = {w: list(w) for w in vocab}
+    per_word: dict[str, collections.Counter] = {}
+    counts: collections.Counter = collections.Counter()
+    occurs: dict[tuple[str, str], set] = collections.defaultdict(set)
+    for w, syms in words.items():
+        pc = _pair_counts(syms)
+        per_word[w] = pc
+        f = vocab[w]
+        for p, k in pc.items():
+            counts[p] += f * k
+            occurs[p].add(w)
 
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
-        counts: collections.Counter = collections.Counter()
-        for w, syms in words.items():
-            f = vocab[w]
-            for a, b in zip(syms, syms[1:]):
-                counts[(a, b)] += f
-        if not counts:
+        best, top = None, 0
+        for p, c in counts.items():
+            if c > top or (c == top and c > 0 and (best is None or p < best)):
+                best, top = p, c
+        if best is None:
             break
-        # ties: highest count, then lexicographically smallest pair
-        top = max(counts.values())
-        best = min(p for p, c in counts.items() if c == top)
         merges.append(best)
         a, b = best
-        merged = a + b
-        for w, syms in words.items():
-            # left-to-right non-overlapping pass, repeated to fixpoint
-            # (the string-replace convention both encoders use)
-            changed = True
-            while changed:
-                changed = False
-                out, i = [], 0
-                while i < len(syms):
-                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
-                        out.append(merged)
-                        i += 2
-                        changed = True
-                    else:
-                        out.append(syms[i])
-                        i += 1
-                syms = out
-            words[w] = syms
+        for w in list(occurs.get(best, ())):
+            new_syms = _apply_merge(words[w], a, b)
+            new_pc = _pair_counts(new_syms)
+            f = vocab[w]
+            for p, k in per_word[w].items():
+                counts[p] -= f * k
+                if counts[p] <= 0:
+                    del counts[p]
+                occurs[p].discard(w)
+            for p, k in new_pc.items():
+                counts[p] += f * k
+                occurs[p].add(w)
+            words[w] = new_syms
+            per_word[w] = new_pc
     return merges
 
 
