@@ -457,6 +457,100 @@ def near_dup_gate(docs: DataFrame, reference_buckets: DataFrame) -> DataFrame:
     )
 
 
+def semantic_dup_gate(
+    vectors: DataFrame,
+    reference: DataFrame,
+    dim: int = 64,
+    threshold: float | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Ingest-time SEMANTIC near-dup screen — the embedding-side twin
+    of :func:`near_dup_gate`, completing q93's frozen-reference
+    streaming pattern: each incoming vector is SRP-bucketed (map-only
+    column arithmetic, the same md5-derived hyperplanes as batch
+    q93/q96 and the SRPIndex), probed against the FROZEN reference
+    corpus's same-bucket candidates, and flagged when its best rounded
+    cosine meets the semantic-dedup threshold.
+
+    STATELESS by construction: the reference collapses to ONE row per
+    bucket holding its candidate array (ids + double vectors +
+    precomputed norms), so the stream side is a single stream-static
+    broadcast equi-join on the bucket id plus array-fold column
+    expressions — no watermark, no state store, append mode; the SAME
+    plan runs batch or streaming (equivalence tested). Each input row
+    emits exactly one output row: (id, bucket, match_cosine, match_id,
+    semantic_dup). A vector with no qualifying candidate — empty
+    bucket, zero-norm (NULL cosine, both engines' convention), or
+    only a self-match — passes unflagged with NULL match columns.
+
+    ``reference`` is any (id, vector) frame: a curated batch corpus,
+    or a loaded :class:`~aerovaldb_spark.operators.similarity.SRPIndex`
+    ``assignments`` table (its precomputed ``bucket`` is recomputed
+    here — same hyperplanes, same value — keeping this entry point
+    schema-agnostic). At 100 TB the per-bucket arrays are the n/2^planes
+    expected occupancy; size ``planes`` so a bucket's candidates fit a
+    broadcast row, or swap the broadcast for a bucket-partitioned
+    stream-static join (directory-pruned like SRPIndex.topk) — the
+    gate's statelessness is what matters for the stream.
+
+    Ties at the threshold flag as dups (>=, matching batch q93's pair
+    filter); among equal-cosine candidates the lowest id wins
+    (deterministic, the batch tie convention).
+    """
+    from ..operators.similarity import (
+        SEMANTIC_DEDUP_THRESHOLD,
+        _dbl,
+        pair_dot_col,
+        srp_signature_col,
+    )
+
+    thr = SEMANTIC_DEDUP_THRESHOLD if threshold is None else threshold
+
+    cand = (
+        reference.select(
+            srp_signature_col(vec_col, dim).alias("bucket"),
+            F.struct(
+                F.col(id_col).alias("id"),
+                _dbl(vec_col).alias("emb"),
+                F.sqrt(pair_dot_col(vec_col, vec_col)).alias("nrm"),
+            ).alias("_c"),
+        )
+        .groupBy("bucket")
+        .agg(F.collect_list("_c").alias("_cands"))
+    )
+
+    out = (
+        vectors.withColumn("bucket", srp_signature_col(vec_col, dim))
+        .withColumn("_v", _dbl(vec_col))
+        .withColumn("_vnrm", F.sqrt(pair_dot_col(vec_col, vec_col)))
+        .join(F.broadcast(cand), "bucket", "left")
+    )
+    # per-candidate rounded cosine (the round6 scaled-round convention,
+    # spelled in SQL because it runs inside an array lambda), self and
+    # NULL-cosine candidates dropped; best = max cosine, ties -> lowest
+    # id (negate for ascending struct ordering)
+    scored = F.expr(
+        "filter(transform(coalesce(_cands, array()), c -> named_struct("
+        "  'neg', -(round(aggregate(zip_with(_v, c.emb, (x, y) -> x * y),"
+        "       cast(0.0 as double), (a, x) -> a + x)"
+        "     / nullif(_vnrm * c.nrm, cast(0.0 as double))"
+        "     * 1000000.0, 0) / 1000000.0),"
+        f"  'match_id', c.id)),"
+        f" s -> s.match_id != {id_col} AND s.neg IS NOT NULL)"
+    )
+    out = out.withColumn("_best", F.array_min(scored))
+    return out.select(
+        id_col,
+        "bucket",
+        (-F.col("_best.neg")).alias("match_cosine"),
+        F.col("_best.match_id").alias("match_id"),
+        F.coalesce(
+            -F.col("_best.neg") >= F.lit(thr), F.lit(False)
+        ).alias("semantic_dup"),
+    )
+
+
 RUNNING_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

@@ -445,3 +445,19 @@ def test_embedding_outlier_gate_is_broadcast_only(spark):
     gated = embedding_outlier_gate(emb, admission_table(emb))
     assert has_broadcast_join(gated)
     assert "SortMergeJoin" not in formatted_plan(gated)
+
+
+def test_semantic_dup_gate_is_broadcast_only(spark):
+    # The semantic gate must stay stateless and shuffle-free on the
+    # vector side: SRP bucket is a map-only column, the reference
+    # arrives as ONE broadcast per-bucket candidate table, scoring is
+    # array-fold expressions. A vector-side shuffle would mean the
+    # gate can't run as a stateless streaming stage.
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.plans import formatted_plan, has_broadcast_join
+    from aerovaldb_spark.streaming import semantic_dup_gate
+
+    emb = load_table(spark, SF, "embeddings")
+    gated = semantic_dup_gate(emb, emb)
+    assert has_broadcast_join(gated)
+    assert "SortMergeJoin" not in formatted_plan(gated)

@@ -963,3 +963,76 @@ def test_resample_audio_real_samples(spark):
         idx = np.minimum((np.arange(n_out) * rate) // target, len(pcm) - 1)
         assert np.array_equal(got, pcm[idx]), i
         assert r["n_samples"] == n_out
+
+
+def test_semantic_dup_gate_stream_matches_batch(spark):
+    """Ingest-time SEMANTIC near-dup screen (q93's streaming twin):
+    the stream run must flag exactly what the batch run flags, and the
+    flags must equal independent qualifying-pair participation — a
+    vector is a dup iff it has a same-bucket reference partner
+    (excluding itself) with rounded cosine >= threshold."""
+    from pyspark.sql import functions as F
+
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators.similarity import (
+        SEMANTIC_DEDUP_THRESHOLD,
+        lsh_bucketed_pairs,
+    )
+    from aerovaldb_spark.streaming import (
+        read_embedding_stream,
+        run_stream_to_memory,
+        semantic_dup_gate,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    ref = emb.filter(F.col("vec_id") % 2 == 0)  # frozen corpus = evens
+    batch = semantic_dup_gate(emb, ref)
+    stream = semantic_dup_gate(read_embedding_stream(spark, SF_DIR), ref)
+    assert stream.isStreaming
+    got = run_stream_to_memory(
+        stream, "sem_dup_gate", spark, output_mode="append"
+    )
+    a = sorted(map(tuple, batch.collect()))
+    b = sorted(map(tuple, got.collect()))
+    assert a == b and len(a) == emb.count()
+
+    # independent expectation: participation in a qualifying pair with
+    # an EVEN partner, from the batch pair generator
+    pairs = (
+        lsh_bucketed_pairs(emb, 64)
+        .filter(F.col("cosine") >= SEMANTIC_DEDUP_THRESHOLD)
+        .collect()
+    )
+    want = set()
+    for p in pairs:
+        if p["id_b"] % 2 == 0:
+            want.add(p["id_a"])
+        if p["id_a"] % 2 == 0:
+            want.add(p["id_b"])
+    flagged = {r[0] for r in a if r[4]}
+    assert flagged == want and want  # non-trivial at sf0.001
+
+    # flagged rows carry their best match; unflagged sub-threshold or
+    # isolated rows carry consistent match columns
+    by_id = {r[0]: r for r in a}
+    for v in flagged:
+        assert by_id[v][2] >= SEMANTIC_DEDUP_THRESHOLD  # match_cosine
+        assert by_id[v][3] % 2 == 0  # match_id from the reference
+
+
+def test_semantic_dup_gate_accepts_srp_index_assignments(spark):
+    """The frozen reference can be a persisted SRPIndex assignments
+    table — same flags as gating against the raw vectors (the gate
+    recomputes the bucket with its own hyperplanes, so the entry point
+    is schema-agnostic)."""
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators.similarity import SRPIndex
+    from aerovaldb_spark.streaming import semantic_dup_gate
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    idx = SRPIndex.build(emb, dim=64)
+    via_index = sorted(
+        map(tuple, semantic_dup_gate(emb, idx.assignments).collect())
+    )
+    via_raw = sorted(map(tuple, semantic_dup_gate(emb, emb).collect()))
+    assert via_index == via_raw and len(via_raw) > 0
