@@ -1428,6 +1428,89 @@ class SRPIndex:
 SEMANTIC_DEDUP_THRESHOLD = COSINE_NEAR_DUP_THRESHOLD
 
 
+def _bucket_local_clusters(
+    edges: DataFrame, max_neighbors: int | None = None
+) -> DataFrame:
+    """(vec_id, component, cluster_size, is_canonical) from a
+    bucket-confined edge list (bucket, id_a, id_b, cosine), optionally
+    keeping only each vector's ``max_neighbors`` strongest edges
+    before the union-find (the q96 bound, applied task-locally).
+
+    The SRP candidate graph can NEVER have a cross-bucket edge (the
+    pair generator is an equi-join on the bucket id and every vector
+    has exactly one bucket), so each component lives inside one bucket
+    and the whole component/canonical step collapses to a per-bucket
+    LOCAL union-find: one Arrow-batched ``applyInPandas`` over
+    ``groupBy(bucket)`` — a single shuffle, no iterations, no
+    convergence checks — versus the general iterative
+    ``connected_components`` (log-diameter shuffle ROUNDS, a
+    convergence count per round). Per-task work is bounded by bucket
+    occupancy (expected n/2^planes; size ``planes`` to the corpus —
+    the same knob every SRP operator here already scales by)."""
+    import pandas as pd
+
+    def cluster(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if max_neighbors is None:
+            edges = [
+                (int(a), int(b))
+                for a, b in zip(pdf["id_a"], pdf["id_b"])
+            ]
+        else:
+            # per-vector strongest-m bounding INSIDE the task (same
+            # semantics as the distributed window: rounded cosine
+            # desc, neighbor id asc), so the bound costs no extra
+            # shuffle in the local path
+            nbrs: dict[int, list[tuple[float, int]]] = {}
+            for a, b, c in zip(pdf["id_a"], pdf["id_b"], pdf["cosine"]):
+                a, b, c = int(a), int(b), float(c)
+                nbrs.setdefault(a, []).append((-c, b))
+                nbrs.setdefault(b, []).append((-c, a))
+            edges = []
+            for u, lst in nbrs.items():
+                lst.sort()
+                edges.extend((u, w) for _, w in lst[:max_neighbors])
+
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        verts = set()
+        for a, b in edges:
+            verts.add(a)
+            verts.add(b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        members: dict[int, list[int]] = {}
+        for v in verts:
+            members.setdefault(find(v), []).append(v)
+        rows = []
+        for comp in members.values():
+            label = min(comp)
+            size = len(comp)
+            for v in comp:
+                rows.append((v, label, size, 1 if v == label else 0))
+        return pd.DataFrame(
+            rows,
+            columns=["vec_id", "component", "cluster_size", "is_canonical"],
+        )
+
+    return edges.groupBy("bucket").applyInPandas(
+        cluster,
+        schema="vec_id long, component long, cluster_size long,"
+        " is_canonical int",
+    )
+
+
 def semantic_dedup(
     vectors: DataFrame,
     dim: int = 64,
@@ -1435,6 +1518,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_neighbors: int | None = None,
+    local_components: bool = False,
 ) -> DataFrame:
     """(vec_id, component, cluster_size, is_canonical) per clustered
     vector. Threshold compares the ROUNDED cosine (both engines), so
@@ -1454,20 +1538,36 @@ def semantic_dedup(
     never drops one). The qualifying pairs still stream through one
     shuffle to be ranked, but are never materialized into the
     iterative component computation, which is where unbounded edges
-    actually hurt (per-iteration joins over the full edge list)."""
+    actually hurt (per-iteration joins over the full edge list).
+
+    ``local_components`` switches the component step from the general
+    iterative ``connected_components`` to the per-bucket local
+    union-find (:func:`_bucket_local_clusters`) — valid because this
+    graph's edges are bucket-confined by construction; results are
+    identical (tested at three SFs and multiple densities) and the
+    iterative machinery's per-round shuffles disappear. This is the
+    production shape for THIS operator's graph; the iterative path
+    remains the general-graph operator (q56/q62's cross-bucket
+    shingle graphs genuinely need it)."""
     from .dedup import connected_components
 
     near = (
         lsh_bucketed_pairs(vectors, dim, vec_col, id_col)
         .filter(F.col("cosine") >= F.lit(threshold))
-        .select("id_a", "id_b", "cosine")
+        .select("bucket", "id_a", "id_b", "cosine")
     )
+    if local_components:
+        # the bound (if any) applies inside the same per-bucket task —
+        # no separate symmetrize+window shuffle
+        return _bucket_local_clusters(near, max_neighbors).orderBy("vec_id")
     if max_neighbors is not None:
         sym = near.select(
-            F.col("id_a").alias("u"), F.col("id_b").alias("w"), "cosine"
+            "bucket", F.col("id_a").alias("u"), F.col("id_b").alias("w"),
+            "cosine",
         ).unionByName(
             near.select(
-                F.col("id_b").alias("u"), F.col("id_a").alias("w"), "cosine"
+                "bucket", F.col("id_b").alias("u"),
+                F.col("id_a").alias("w"), "cosine",
             )
         )
         wn = Window.partitionBy("u").orderBy(
@@ -1476,7 +1576,9 @@ def semantic_dedup(
         near = (
             sym.withColumn("_rn", F.row_number().over(wn))
             .filter(F.col("_rn") <= F.lit(max_neighbors))
-            .select(F.col("u").alias("id_a"), F.col("w").alias("id_b"))
+            .select(
+                "bucket", F.col("u").alias("id_a"), F.col("w").alias("id_b")
+            )
         )
     comp = connected_components(near, src="id_a", dst="id_b")
     w = Window.partitionBy("component")
@@ -1497,17 +1599,21 @@ def q93_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, dim=64)
 
 
-# q96: the BOUNDED semantic dedup — q93 with each vector keeping only
-# its m strongest qualifying neighbors before the component step. The
-# production default at scale (see semantic_dedup docstring for the
-# output-sensitivity argument); graded with its own stage-mirrored
-# oracle.
+# q96: the BOUNDED semantic dedup — q93 with (a) each vector keeping
+# only its m strongest qualifying neighbors (edge volume <= m*n
+# instead of output-sensitive) and (b) the per-bucket LOCAL
+# component step (one shuffle, no iterations — the graph is
+# bucket-confined by construction). The production shape at scale;
+# graded with its own stage-mirrored oracle, results identical to
+# q93's on every tested corpus/density.
 Q96_MAX_NEIGHBORS = 4
 
 
 def q96_bounded_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, dim=64, max_neighbors=Q96_MAX_NEIGHBORS)
+    return semantic_dedup(
+        emb, dim=64, max_neighbors=Q96_MAX_NEIGHBORS, local_components=True
+    )
 
 
 Q93_SQL = f"""

@@ -251,11 +251,57 @@ def test_bounded_semantic_dedup_matches_unbounded_on_samples(spark):
             )
         )
         assert bounded == unbounded
+        # the per-bucket LOCAL component path (q96's actual shape:
+        # bound + union-find inside one task) must also agree, with
+        # and without the bound
+        local = sorted(
+            map(
+                tuple,
+                semantic_dedup(
+                    frame,
+                    dim=64,
+                    max_neighbors=Q96_MAX_NEIGHBORS,
+                    local_components=True,
+                ).collect(),
+            )
+        )
+        local_unbounded = sorted(
+            map(
+                tuple,
+                semantic_dedup(frame, dim=64, local_components=True).collect(),
+            )
+        )
+        assert local == unbounded and local_unbounded == unbounded
         if must_cluster:
             # the full corpus always has clusters; an unlucky sample
             # may legitimately have none (equality still checked)
             assert len(bounded) > 0
         frame.unpersist()
+
+
+def test_local_components_match_iterative_across_densities(spark):
+    """The bucket-local union-find must equal the general iterative
+    connected_components at EVERY density (the graph is bucket-confined
+    by construction, so this is a structural identity, not luck)."""
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, SF, "embeddings").cache()
+    emb.count()
+    for thr in (0.35, 0.2, 0.1):
+        a = sorted(
+            map(tuple, semantic_dedup(emb, dim=64, threshold=thr).collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                semantic_dedup(
+                    emb, dim=64, threshold=thr, local_components=True
+                ).collect(),
+            )
+        )
+        assert a == b and len(a) > 0, thr
+    emb.unpersist()
 
 
 def test_bounded_semantic_dedup_edge_set_is_bounded(spark):
