@@ -121,6 +121,17 @@ def brute_force_topk(
 # the shared 60-bit hash so the bucketing is reproducible anywhere.
 NUM_PLANES = 8
 
+# Asserted default operating points, picked from the measured
+# recall-vs-touched-fraction sweep (tools/ann_operating_points.py;
+# tables in SCALING.md "ANN operating points"; floors enforced by
+# tests/test_bpe_and_ann.py::test_ann_default_operating_points):
+# margin-probe with n_flip=5 at 8 planes reaches ~the full Hamming-1
+# recall for ~70% of its touched fraction; IVF at n_probe=4 of 16
+# lists is the knee of its recall curve on both iid and clustered
+# corpora.
+SRP_RECOMMENDED_N_FLIP = 5
+IVF_DEFAULT_N_PROBE = 4
+
 
 def srp_signature_col(vec_col: str, dim: int, planes: int = NUM_PLANES) -> Column:
     """Sign-random-projection bucket id (integer 0..2^planes-1).
@@ -537,7 +548,10 @@ class IVFIndex:
             id_col,
         )
 
-    def topk(self, query: DataFrame, k: int = 10, n_probe: int = 4) -> DataFrame:
+    def topk(
+        self, query: DataFrame, k: int = 10,
+        n_probe: int = IVF_DEFAULT_N_PROBE,
+    ) -> DataFrame:
         qdf = _probe_lists(
             query, self.centroids, n_probe, self.vec_col, self.id_col
         )
@@ -1401,10 +1415,26 @@ class SRPIndex:
             id_col,
         )
 
-    def topk(self, query: DataFrame, k: int = 10) -> DataFrame:
-        probe = _srp_probe_frame(
-            query, self.dim, self.planes, self.vec_col, self.id_col
-        )
+    def topk(
+        self, query: DataFrame, k: int = 10, n_flip: int | None = None
+    ) -> DataFrame:
+        """``n_flip=None`` probes the full Hamming-1 ring (planes+1
+        buckets per query — the deterministic default, bit-identical
+        to ``srp_ivf_topk``); an integer probes only the ``n_flip``
+        LOWEST-MARGIN flips (Lv et al. multi-probe). The measured
+        operating points (SCALING.md "ANN operating points") put
+        ``n_flip=SRP_RECOMMENDED_N_FLIP`` at ~the Hamming-1 recall for
+        ~70% of its touched fraction — the dial to turn when read
+        volume matters more than the last recall point."""
+        if n_flip is None:
+            probe = _srp_probe_frame(
+                query, self.dim, self.planes, self.vec_col, self.id_col
+            )
+        else:
+            probe = srp_margin_probe_frame(
+                query, self.dim, self.planes, n_flip,
+                self.vec_col, self.id_col,
+            )
         # the union of probed buckets (≤ 2^planes ints — independent of
         # the query-batch size) becomes a literal IN filter so the
         # bucket-partitioned layout is directory-pruned at the scan

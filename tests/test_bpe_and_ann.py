@@ -663,3 +663,89 @@ def test_train_from_vocab_matches_text_training(spark):
         r["word"]: r["freq"] for r in corpus_word_freqs(docs).collect()
     }
     assert train_from_vocab(vocab, len(MERGES)) == MERGES
+
+
+def test_ann_default_operating_points(spark):
+    """The shipped ANN defaults sit where the measured operating-point
+    tables (SCALING.md) say they do — on the deterministic clustered
+    corpus (the shape real embedded corpora have):
+    - margin-probe at SRP_RECOMMENDED_N_FLIP keeps >= 90% of the full
+      Hamming-1 recall while touching a strictly smaller corpus
+      fraction;
+    - IVF at its default n_probe holds a recall floor at ~1/3 of the
+      corpus touched."""
+    import os
+    import sys
+
+    from pyspark.sql import functions as F
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+        ),
+    )
+    from ann_operating_points import (
+        clustered_corpus,
+        mean_recall,
+        touched_fraction_srp,
+    )
+
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators.similarity import (
+        IVFIndex,
+        SRP_RECOMMENDED_N_FLIP,
+        brute_force_topk,
+        srp_ivf_topk,
+        srp_margin_topk,
+    )
+
+    emb = clustered_corpus(
+        load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    ).cache()
+    queries = emb.filter(F.col("vec_id") < 20).cache()
+    exact = brute_force_topk(emb, queries, k=10).cache()
+    exact.count()
+
+    r_h1 = mean_recall(spark, srp_ivf_topk(emb, queries, k=10, dim=64), exact)
+    r_margin = mean_recall(
+        spark,
+        srp_margin_topk(
+            emb, queries, k=10, dim=64, n_flip=SRP_RECOMMENDED_N_FLIP
+        ),
+        exact,
+    )
+    f_h1 = touched_fraction_srp(emb, queries, 64, 8)
+    f_margin = touched_fraction_srp(
+        emb, queries, 64, 8, n_flip=SRP_RECOMMENDED_N_FLIP
+    )
+    assert r_margin >= 0.9 * r_h1 > 0, (r_margin, r_h1)
+    assert f_margin < f_h1, (f_margin, f_h1)
+
+    index = IVFIndex.build(emb, n_lists=16)
+    r_ivf = mean_recall(spark, index.topk(queries, k=10), exact)
+    assert r_ivf >= 0.75, r_ivf
+
+    # SRPIndex serves the same margin-probe dial
+    from aerovaldb_spark.operators.similarity import SRPIndex
+
+    idx = SRPIndex.build(emb, dim=64)
+    via_index = sorted(
+        map(
+            tuple,
+            idx.topk(queries, k=10, n_flip=SRP_RECOMMENDED_N_FLIP).collect(),
+        )
+    )
+    via_ephemeral = sorted(
+        map(
+            tuple,
+            srp_margin_topk(
+                emb, queries, k=10, dim=64, n_flip=SRP_RECOMMENDED_N_FLIP
+            ).collect(),
+        )
+    )
+    assert via_index == via_ephemeral and len(via_index) > 0
+    emb.unpersist()
+    queries.unpersist()
+    exact.unpersist()
