@@ -167,8 +167,13 @@ def lsh_bucketed_pairs(
     vector) is persisted so it computes once, not per join side."""
     from ._scope import scoped_persist
 
+    # project to (id, vec) BEFORE the persist so unrelated columns
+    # (e.g. the embeddings table's label) never reach the scan or the
+    # cached partitions — column pruning an InMemoryRelation can't do
     with_sig = scoped_persist(
-        vectors.withColumn("bucket", srp_signature_col(vec_col, dim))
+        vectors.select(id_col, vec_col).withColumn(
+            "bucket", srp_signature_col(vec_col, dim)
+        )
     )
     a = with_sig.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "bucket")
     b = with_sig.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "bucket")
