@@ -34,26 +34,27 @@ _MERGED_QUERIES = {
 # at sf0.01 AND sf0.1 this round — 0 failures).
 #
 # Round-6 window (50) — executes the r5-documented commitment exactly:
-# the 3 NEW entries (q94 margin-probe ANN, pre-staged in r5; q95
-# BPE-denominated token budget; q96 bounded semantic dedup), the 11
-# once-green r4 entries that waited out r5 (q75 q77 q78 q80 q81 q82
-# q84 q85 q86 q87 q88 — q75 additionally carries this round's
-# two-flush batching change), the once-green r5 additions (q91 q92
-# q93 — q93 also carries the max_neighbors refactor this round), q76
-# (heaviest chain, second green in r5, kept in for a third), and the
-# WHOLE 32-entry twice-plus-green r5 tail rotating back in
-# (q01-q06 q10 q13 q18 q19 q21 q25-q28 q32 q35 q52 q56 q60 q62-q65
-# q67-q74).
+# the 4 NEW entries (q94 margin-probe ANN, pre-staged in r5; q95
+# BPE-denominated token budget; q96 bounded semantic dedup; q97
+# BPE-denominated packing), the 11 once-green r4 entries that waited
+# out r5 (q75 q77 q78 q80 q81 q82 q84 q85 q86 q87 q88 — q75
+# additionally carries this round's two-flush batching change), the
+# once-green r5 additions (q91 q92 q93 — q93 also carries the
+# max_neighbors/local-components refactor this round), and the WHOLE
+# 32-entry twice-plus-green r5 tail rotating back in (q01-q06 q10 q13
+# q18 q19 q21 q25-q28 q32 q35 q52 q56 q60 q62-q65 q67-q74).
 #
-# Round-6 tail (46): the r5-window greens minus {q76 q91 q92 q93} —
+# Round-6 tail (47): the r5-window greens minus {q91 q92 q93} —
 # every one has >=2 driver-recorded greens (q55/q66 rows-only by
-# design), all unchanged this round, all value-checked at sf0.001 in
-# every CI pass (tests/test_parity_sample.py) and re-runnable at any
-# SF via tools/parity.py. R7 plan: rotate this tail back into the
-# window; entries then three-plus-green can yield slots to whatever
-# r7 adds or changes.
+# design; q76's second green was r5), all unchanged this round, all
+# value-checked at sf0.001 in every CI pass
+# (tests/test_parity_sample.py) and re-runnable at any SF via
+# tools/parity.py. R7 plan: rotate this tail back into the window;
+# entries then three-plus-green can yield slots to whatever r7 adds
+# or changes.
 _DEFER_ROUND = [
     # twice-green r5-window cohort, unchanged
+    "q76_bigram_lm_nll",
     "q07_window_topk_per_customer",
     "q08_running_total",
     "q09_distinct_counts",

@@ -1431,6 +1431,19 @@ class SRPIndex:
         ``n_flip=SRP_RECOMMENDED_N_FLIP`` at ~the Hamming-1 recall for
         ~70% of its touched fraction — the dial to turn when read
         volume matters more than the last recall point."""
+        # The probed-bucket collect below is bounded by 2^planes ints —
+        # negligible at the default 16 planes (<=65k) but EXPONENTIAL
+        # in planes: a 32-plane index could silently pull 4B ints to
+        # the driver. Refuse past the point where the bound stops
+        # being a bound; such an index should probe via a
+        # bucket-partitioned join instead of an IN filter.
+        if self.planes > 24:
+            raise ValueError(
+                f"SRPIndex.topk's directory-pruning collect is bounded "
+                f"by 2^planes buckets ({self.planes} planes = "
+                f"{1 << self.planes:,}); beyond 24 planes use a "
+                "bucket-partitioned join against `assignments` instead"
+            )
         if n_flip is None:
             probe = _srp_probe_frame(
                 query, self.dim, self.planes, self.vec_col, self.id_col

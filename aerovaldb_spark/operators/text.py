@@ -1357,6 +1357,67 @@ FROM ranked WHERE cum_bpe_tokens <= {BPE_BUDGET_PER_SOURCE}
 """
 
 
+# --- q97: BPE-denominated sequence packing --------------------------------
+#
+# q54's greedy shard assignment (running token total, floor-divided by
+# the shard budget) with the count denominated in frozen-merge subword
+# tokens — the unit a training run actually packs context windows by.
+# Zero-word docs carry no packable content and are excluded (inner
+# join against the distinct-vocab counts, mirrored by the oracle).
+BPE_PACK_BUDGET = 2000
+
+
+def q97_bpe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.bpe import bpe_token_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = (
+        bpe_token_stats(docs)
+        .filter(F.col("n_words") > 0)
+        .select("doc_id", "n_bpe_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_bpe_tokens").over(w)
+    return (
+        docs.select("doc_id", "source")
+        .join(stats, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "n_bpe_tokens",
+            F.floor(
+                (cum - F.col("n_bpe_tokens")) / BPE_PACK_BUDGET
+            ).alias("shard_id"),
+        )
+    )
+
+
+def _q97_sql() -> str:
+    from ..functions.bpe import bpe_vtok_ctes
+
+    return f"""
+WITH RECURSIVE {bpe_vtok_ctes()}, doc_bpe AS (
+  SELECT w.doc_id, CAST(SUM(v.n_tokens) AS BIGINT) AS n_bpe_tokens
+  FROM wtok w JOIN vtok v ON v.word = w.word
+  GROUP BY w.doc_id
+), c AS (
+  SELECT d.doc_id, d.source, b.n_bpe_tokens,
+    SUM(b.n_bpe_tokens) OVER (PARTITION BY d.source ORDER BY d.doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents d JOIN doc_bpe b ON b.doc_id = d.doc_id
+)
+SELECT doc_id, source, n_bpe_tokens,
+  CAST(FLOOR((cum - n_bpe_tokens) / {BPE_PACK_BUDGET}.0) AS BIGINT) AS shard_id
+FROM c
+"""
+
+
 QUERIES = {
     "q21_token_stats": q21_token_stats,
     "q22_quality_scores": q22_quality_scores,
@@ -1378,6 +1439,7 @@ QUERIES = {
     "q84_quality_gate": q84_quality_gate,
     "q85_token_budget": q85_token_budget,
     "q95_bpe_token_budget": q95_bpe_token_budget,
+    "q97_bpe_pack_sequences": q97_bpe_pack_sequences,
 }
 
 ORACLE = {
@@ -1401,4 +1463,5 @@ ORACLE = {
     "q77_contamination_score": Q77_SQL,
     "q78_bm25_topk": Q78_SQL,
     "q95_bpe_token_budget": _q95_sql(),
+    "q97_bpe_pack_sequences": _q97_sql(),
 }

@@ -749,3 +749,17 @@ def test_ann_default_operating_points(spark):
     emb.unpersist()
     queries.unpersist()
     exact.unpersist()
+
+
+def test_srp_index_refuses_unbounded_probe_collect(spark):
+    """The directory-pruning collect is bounded by 2^planes — the
+    guard refuses a plane count where that stops being a bound."""
+    from pyspark.sql import functions as F
+
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators.similarity import SRPIndex
+
+    emb = load_table(spark, SF, "embeddings")
+    idx = SRPIndex.build(emb, dim=64, planes=26)
+    with pytest.raises(ValueError, match="bucket-partitioned join"):
+        idx.topk(emb.filter(F.col("vec_id") < 2))

@@ -220,3 +220,41 @@ def test_bpe_budget_excludes_zero_word_docs(spark):
     )
     got = bpe_token_budget_selection(docs, 10_000).collect()
     assert {r["doc_id"] for r in got} == {1}
+
+
+def test_q97_bpe_packing_shards_and_divergence(spark):
+    """BPE-denominated packing: shard ids are contiguous from 0 per
+    source, a shard's token total stays under budget + one doc
+    (greedy prefix rule), and the assignment actually differs from
+    whitespace-denominated q54 packing."""
+    from aerovaldb_spark.operators.text import (
+        q54_pack_sequences,
+        q97_bpe_pack_sequences,
+        BPE_PACK_BUDGET,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = q97_bpe_pack_sequences(spark, sf).collect()
+    assert rows
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault((r["source"], r["shard_id"]), []).append(r)
+    for (src, sid), members in by_shard.items():
+        assert sid >= 0
+        total = sum(m["n_bpe_tokens"] for m in members)
+        biggest = max(m["n_bpe_tokens"] for m in members)
+        assert total < BPE_PACK_BUDGET + biggest, (src, sid, total)
+    shards_per_src = {}
+    for src, sid in by_shard:
+        shards_per_src.setdefault(src, set()).add(sid)
+    for src, sids in shards_per_src.items():
+        assert sids == set(range(len(sids))), (src, sids)  # contiguous
+
+    ws = {
+        (r["doc_id"]): r["shard_id"]
+        for r in q54_pack_sequences(spark, sf).collect()
+    }
+    bpe = {r["doc_id"]: r["shard_id"] for r in rows}
+    assert any(
+        ws[d] != bpe[d] for d in bpe
+    ), "BPE packing must differ from whitespace packing somewhere"
