@@ -52,6 +52,8 @@ _CASES = [
     "q26_ngram_jaccard_pairs",
     "q28_simhash",
     "q92_bpe_token_stats",
+    "q95_bpe_token_budget",
+    "q97_bpe_pack_sequences",
 ]
 
 
@@ -161,6 +163,70 @@ def test_fuzzed_embeddings_match_oracle(qname, spark, tmp_path_factory):
     @given(EMB_TABLES)
     def check(rows):
         d = str(tmp_path_factory.mktemp("fuzzemb"))
+        _write_emb(d, rows)
+        df = queries[qname](spark, d)
+        con = duckdb.connect()
+        try:
+            con.execute(
+                "CREATE VIEW embeddings AS SELECT * FROM "
+                f"'{d}/embeddings.parquet'"
+            )
+            arrow = con.execute(oracles[qname]).arrow()
+        finally:
+            con.close()
+        cols = [c.to_pylist() for c in arrow.columns]
+        oracle_rows = [
+            tuple(col[i] for col in cols) for i in range(arrow.num_rows)
+        ]
+        problems = compare(
+            qname, df, oracle_rows, list(arrow.schema.names)
+        )
+        assert not problems, (problems, rows)
+
+    check()
+
+
+# SRP-quantized queries need full-width vectors (the signature folds
+# over sequence(0, dim-1); a short array would zip_with-pad with NULLs
+# whose cross-engine semantics we deliberately do not rely on).
+VEC64 = st.lists(
+    st.integers(min_value=-12, max_value=12).map(lambda i: i / 4.0),
+    min_size=64,
+    max_size=64,
+)
+SRP_TABLES = st.lists(
+    st.tuples(VEC64, st.integers(min_value=0, max_value=2)),
+    min_size=2,
+    max_size=8,
+)
+
+# random tiny graphs through the full semantic-dedup compositions:
+# identical-vector duplicates (planted by _write_emb) force cosine
+# exactly 1.0 ties; q96 additionally fuzzes the per-bucket union-find
+# + in-task strongest-m bound against the recursive-CTE oracle
+_SRP_CASES = [
+    "q91_srp_ann_topk",
+    "q93_semantic_dedup",
+    "q94_margin_ann_topk",
+    "q96_bounded_semantic_dedup",
+]
+
+
+@pytest.mark.parametrize("qname", _SRP_CASES)
+def test_fuzzed_srp_queries_match_oracle(qname, spark, tmp_path_factory):
+    import __spark_entry__ as entry_mod
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(SRP_TABLES)
+    def check(rows):
+        d = str(tmp_path_factory.mktemp("fuzzsrp"))
         _write_emb(d, rows)
         df = queries[qname](spark, d)
         con = duckdb.connect()
