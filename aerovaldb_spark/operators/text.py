@@ -1367,12 +1367,13 @@ FROM ranked WHERE cum_bpe_tokens <= {BPE_BUDGET_PER_SOURCE}
 BPE_PACK_BUDGET = 2000
 
 
-def q97_bpe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bpe_pack(docs: DataFrame) -> DataFrame:
+    """q97's packing as a reusable transform (also the batch path of
+    the streaming :func:`~aerovaldb_spark.streaming.bpe_pack_gate`)."""
     from pyspark.sql import Window
 
     from ..functions.bpe import bpe_token_stats
 
-    docs = load_table(spark, sf_dir, "documents")
     stats = (
         bpe_token_stats(docs)
         .filter(F.col("n_words") > 0)
@@ -1396,6 +1397,10 @@ def q97_bpe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shard_id"),
         )
     )
+
+
+def q97_bpe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_pack(load_table(spark, sf_dir, "documents"))
 
 
 def _q97_sql() -> str:

@@ -338,6 +338,91 @@ def bpe_budget_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+def bpe_pack_gate(docs: DataFrame) -> DataFrame:
+    """Streaming BPE sequence packing — q97's ingest-time twin, and
+    the one pipeline gate that is GENUINELY stateful: a shard
+    assignment depends on everything already packed for the source,
+    so the per-source running subword total lives in the state store
+    (``applyInPandasWithState``, one long per source — the same
+    arbitrary-stateful shape as ``running_user_totals``).
+
+    Ordering semantics, stated honestly: the batch q97 packs in
+    doc_id order; a stream packs in ARRIVAL order. Within a
+    micro-batch this gate sorts by doc_id (deterministic and equal to
+    batch when the data arrives as one batch — tested); across
+    micro-batches arrival order wins, which is what an ingest-time
+    packer means. The budget/contiguity invariants hold regardless
+    (tested), and per-source token totals always equal the batch
+    path's. Zero-word docs carry no packable content and emit no row
+    (matching q97's inner join).
+
+    Batch input falls through to the exact q97 transform."""
+    from ..operators.text import BPE_PACK_BUDGET, bpe_pack
+
+    if not docs.isStreaming:
+        return bpe_pack(docs)
+
+    def pack(key, pdf_iter, state):
+        import math
+        import re
+
+        import pandas as pd
+
+        from ..functions.bpe import (
+            MAX_WORD_CHARS,
+            WORD_SPLIT_RE,
+            encode_word,
+        )
+
+        split = re.compile(WORD_SPLIT_RE)
+        cache: dict[str, int] = {}
+        (cum,) = state.get if state.exists else (0,)
+        pairs = []
+        for pdf in pdf_iter:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None or (
+                    isinstance(text, float) and math.isnan(text)
+                ):
+                    text = ""
+                pairs.append((int(doc_id), str(text)))
+        pairs.sort()  # doc_id order within the micro-batch
+        rows = []
+        for doc_id, text in pairs:
+            words = [
+                w[:MAX_WORD_CHARS]
+                for w in split.split(text.lower())
+                if w
+            ]
+            if not words:
+                continue
+            n = 0
+            for w in words:
+                k = cache.get(w)
+                if k is None:
+                    k = len(encode_word(w))
+                    cache[w] = k
+                n += k
+            rows.append((doc_id, key[0], n, cum // BPE_PACK_BUDGET))
+            cum += n
+        state.update((cum,))
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "source", "n_bpe_tokens", "shard_id"],
+        )
+
+    return docs.select("doc_id", "source", "text").groupBy(
+        "source"
+    ).applyInPandasWithState(
+        pack,
+        outputStructType=(
+            "doc_id long, source string, n_bpe_tokens long, shard_id long"
+        ),
+        stateStructType="cum long",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
 def quality_filtered_documents(
     docs: DataFrame,
     min_quality: float = 0.5,

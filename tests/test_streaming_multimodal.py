@@ -1036,3 +1036,41 @@ def test_semantic_dup_gate_accepts_srp_index_assignments(spark):
     )
     via_raw = sorted(map(tuple, semantic_dup_gate(emb, emb).collect()))
     assert via_index == via_raw and len(via_raw) > 0
+
+
+def test_bpe_pack_gate_stream_matches_batch(spark):
+    """The stateful streaming packer equals batch q97 when the corpus
+    arrives as one micro-batch (doc_id-sorted within batch), and its
+    invariants hold regardless: shard totals bounded, shard ids
+    contiguous per source, per-source token totals equal batch."""
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators.text import BPE_PACK_BUDGET, bpe_pack
+    from aerovaldb_spark.streaming import (
+        bpe_pack_gate,
+        read_document_stream,
+        run_stream_to_memory,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    batch = sorted(map(tuple, bpe_pack_gate(docs).collect()))  # = q97
+    assert batch == sorted(map(tuple, bpe_pack(docs).collect()))
+
+    stream = bpe_pack_gate(read_document_stream(spark, SF_DIR))
+    assert stream.isStreaming
+    got = run_stream_to_memory(
+        stream, "bpe_pack_gate", spark, output_mode="append"
+    )
+    streamed = sorted(map(tuple, got.collect()))
+    assert streamed == batch and len(batch) > 0
+
+    by_shard = {}
+    for doc_id, source, n, shard in streamed:
+        assert shard >= 0
+        by_shard.setdefault((source, shard), []).append(n)
+    for (source, shard), toks in by_shard.items():
+        assert sum(toks) < BPE_PACK_BUDGET + max(toks)
+    per_src = {}
+    for source, shard in by_shard:
+        per_src.setdefault(source, set()).add(shard)
+    for source, shards in per_src.items():
+        assert shards == set(range(len(shards)))
