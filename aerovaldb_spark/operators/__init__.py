@@ -53,8 +53,11 @@ _MERGED_QUERIES = {
 # entries then three-plus-green can yield slots to whatever r7 adds
 # or changes.
 _DEFER_ROUND = [
-    # twice-green r5-window cohort, unchanged
+    # three-plus-green entries yielding their slots to late r6
+    # additions (q97 BPE packing, q98 quantized ANN) per policy
     "q76_bigram_lm_nll",
+    "q01_pricing_summary",
+    # twice-green r5-window cohort, unchanged
     "q07_window_topk_per_customer",
     "q08_running_total",
     "q09_distinct_counts",

@@ -865,6 +865,107 @@ def q89_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantization_audit(emb)
 
 
+# --------------------------------------------------------------------------
+# q98: ANN served FROM the int8-quantized storage q89 audits — the
+# step after "is int8 safe?" is "retrieve from it". Per-vector
+# symmetric scales CANCEL in the cosine
+# (dot(q_a*s_a, q_b*s_b) / (|q_a|s_a * |q_b|s_b) = dot(q_a, q_b) /
+# (|q_a| |q_b|)), so scoring is EXACT integer arithmetic over the
+# codes — bit-identical cross-engine with no float-accumulation
+# divergence, and the scan reads 1/4 the bytes of the float32 column
+# at 100 TB. Zero-norm vectors have undefined codes (scale 0) and are
+# excluded on both engines. Per-query cost is O(n) (a batch of k
+# point lookups, the q29 family shape — not a pair join); the scale
+# path composes the same codes with SRP buckets (signatures over
+# codes equal signatures over dequantized vectors up to the scale
+# factor, which is positive — bucketing is unchanged).
+def _q8_codes(vec_col: str) -> Column:
+    """The exact q89 quantization: integer-valued double codes, NULL
+    for a zero vector (scale 0 — CASE-gated so ANSI mode never sees
+    the division; DuckDB reaches the same NULL through its /0 → NULL
+    propagation)."""
+    v = _dbl(vec_col)
+    max_abs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = max_abs / F.lit(127.0)
+    codes = F.transform(
+        v,
+        lambda x: F.greatest(
+            F.lit(-127.0),
+            F.least(F.lit(127.0), F.floor(x / scale + F.lit(0.5))),
+        ),
+    )
+    return F.when(max_abs > F.lit(0.0), codes)
+
+
+def quantized_topk(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    corpus = vectors.select(
+        F.col(id_col).alias("neighbor_id"), _q8_codes(vec_col).alias("_qc")
+    ).filter(F.col("_qc").isNotNull())
+    probes = query.select(
+        F.col(id_col).alias("query_id"), _q8_codes(vec_col).alias("_qq")
+    ).filter(F.col("_qq").isNotNull())
+    dot = F.aggregate(
+        F.zip_with("_qc", "_qq", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_q8").desc(), F.col("neighbor_id")
+    )
+    return (
+        corpus.join(F.broadcast(probes), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine_q8", round6(dot / (nrm(F.col("_qc")) * nrm(F.col("_qq"))))
+        )
+        .withColumn("ann_rank", F.row_number().over(w))
+        .filter(F.col("ann_rank") <= k)
+        .select("query_id", "ann_rank", "neighbor_id", "cosine_q8")
+    )
+
+
+def q98_quantized_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantized_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+Q98_SQL = """
+WITH live AS (
+  SELECT vec_id,
+    list_transform(CAST(embedding AS DOUBLE[]),
+      x -> greatest(-127.0, least(127.0,
+             floor(x / (list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))) / 127.0) + 0.5)))) AS codes
+  FROM embeddings
+  -- zero vectors have scale 0 / undefined codes: exclude on the SAME
+  -- max|x| > 0 predicate the Spark side CASE-gates on (DuckDB's
+  -- double 0/0 is NaN, not NULL, so a codes-based guard would differ)
+  WHERE list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))) > 0
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    ROUND(list_dot_product(c.codes, q.codes)
+      / (sqrt(list_dot_product(c.codes, c.codes))
+         * sqrt(list_dot_product(q.codes, q.codes))), 6) AS cosine_q8
+  FROM live c JOIN (SELECT * FROM live WHERE vec_id < 5) q
+    ON c.vec_id <> q.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine_q8,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine_q8 DESC, neighbor_id) AS ann_rank
+  FROM scored
+)
+SELECT query_id, ann_rank, neighbor_id, cosine_q8
+FROM ranked WHERE ann_rank <= 10
+"""
+
+
 Q89_SQL = """
 WITH prep AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, len(embedding) AS dim
@@ -1747,6 +1848,7 @@ QUERIES = {
     "q93_semantic_dedup": q93_semantic_dedup,
     "q94_margin_ann_topk": q94_margin_ann_topk,
     "q96_bounded_semantic_dedup": q96_bounded_semantic_dedup,
+    "q98_quantized_ann_topk": q98_quantized_ann_topk,
 }
 
 ORACLE = {
@@ -1762,4 +1864,5 @@ ORACLE = {
     "q93_semantic_dedup": Q93_SQL,
     "q94_margin_ann_topk": Q94_SQL,
     "q96_bounded_semantic_dedup": Q96_SQL,
+    "q98_quantized_ann_topk": Q98_SQL,
 }

@@ -763,3 +763,59 @@ def test_srp_index_refuses_unbounded_probe_collect(spark):
     idx = SRPIndex.build(emb, dim=64, planes=26)
     with pytest.raises(ValueError, match="bucket-partitioned join"):
         idx.topk(emb.filter(F.col("vec_id") < 2))
+
+
+def test_quantized_ann_tracks_exact(spark):
+    """q98 retrieves from int8 codes; on this corpus its top-10 must
+    overlap the exact-cosine top-10 heavily (int8 perturbs cosines by
+    ~1e-2), and the score ordering per query must be internally
+    consistent (rank follows cosine_q8 desc, neighbor asc)."""
+    from pyspark.sql import functions as F
+
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators.similarity import (
+        brute_force_topk,
+        quantized_topk,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {}
+    for r in brute_force_topk(emb, queries, k=10).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got = quantized_topk(emb, queries, k=10).collect()
+    approx = {}
+    by_q = {}
+    for r in got:
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        by_q.setdefault(r["query_id"], []).append(r)
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.8, (hits, total)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r["ann_rank"])
+        keys = [(-r["cosine_q8"], r["neighbor_id"]) for r in rows]
+        assert keys == sorted(keys), q
+
+
+def test_quantized_ann_excludes_zero_vectors(spark):
+    """A zero vector has undefined codes (scale 0): it is neither a
+    query nor a neighbor, on either engine."""
+    from pyspark.sql import functions as F
+
+    from aerovaldb_spark.operators.similarity import quantized_topk
+
+    rows = [
+        (0, [0.0] * 8),
+        (1, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        (3, [-1.0, 0.5, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    got = quantized_topk(emb, emb.filter(F.col("vec_id") < 2), k=10).collect()
+    qids = {r["query_id"] for r in got}
+    nids = {r["neighbor_id"] for r in got}
+    assert 0 not in qids and 0 not in nids
+    assert qids == {1} and nids == {2, 3}

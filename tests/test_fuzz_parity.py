@@ -122,6 +122,7 @@ EMB_TABLES = st.lists(
 
 _EMB_CASES = [
     "q29_cosine_topk",
+    "q98_quantized_ann_topk",
     "q50_cosine_near_dup",
     "q79_knn_join",
     "q83_label_cohesion",
