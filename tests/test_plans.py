@@ -461,3 +461,49 @@ def test_semantic_dup_gate_is_broadcast_only(spark):
     gated = semantic_dup_gate(emb, emb)
     assert has_broadcast_join(gated)
     assert "SortMergeJoin" not in formatted_plan(gated)
+
+
+def test_q95_q97_budget_windows_carry_no_text(spark):
+    # the BPE-denominated budget/packing queries join per-doc token
+    # counts back and window over (source); the document text must be
+    # consumed by the word split / quality scans only — scans read the
+    # minimal columns and no scan pulls unrelated ones
+    from aerovaldb_spark.operators.text import (
+        q95_bpe_token_budget,
+        q97_bpe_pack_sequences,
+    )
+    from aerovaldb_spark.plans import scan_columns
+
+    import re
+
+    for fn, allowed in (
+        (q95_bpe_token_budget, {"doc_id", "text", "source"}),
+        (q97_bpe_pack_sequences, {"doc_id", "text", "source"}),
+    ):
+        cols = set()
+        for schema in scan_columns(fn(spark, SF)):
+            cols.update(re.findall(r"(\w+):", schema))
+        assert cols <= allowed, cols
+
+
+def test_q98_broadcasts_probes_only(spark):
+    # quantized ANN: the 5-row probe side broadcasts; the corpus scan
+    # reads exactly (vec_id, embedding); no shuffle other than the
+    # per-query top-k window
+    from aerovaldb_spark.operators.similarity import q98_quantized_ann_topk
+    from aerovaldb_spark.plans import (
+        formatted_plan,
+        scan_columns,
+        shuffle_count,
+    )
+
+    df = q98_quantized_ann_topk(spark, SF)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan  # tiny probe side, by design
+    assert "SortMergeJoin" not in plan
+    assert shuffle_count(df) <= 1
+    import re
+
+    for schema in scan_columns(df):
+        names = set(re.findall(r"(\w+):", schema))
+        assert names <= {"vec_id", "embedding"}, schema
