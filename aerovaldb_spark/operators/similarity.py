@@ -133,15 +133,22 @@ SRP_RECOMMENDED_N_FLIP = 5
 IVF_DEFAULT_N_PROBE = 4
 
 
-def srp_signature_col(vec_col: str, dim: int, planes: int = NUM_PLANES) -> Column:
+def srp_signature_col(
+    vec_col: str, dim: int, planes: int = NUM_PLANES,
+    plane_offset: int = 0,
+) -> Column:
     """Sign-random-projection bucket id (integer 0..2^planes-1).
 
     Plane p has ±1 weights derived from parity of a deterministic hash
     of (p, dimension index) — no stored model, reproducible on any
     engine, and good enough bucketing for candidate generation.
+    ``plane_offset`` shifts the plane indices so multiple INDEPENDENT
+    signatures can coexist (band k of :func:`srp_banded_pairs` uses
+    planes [k*r, (k+1)*r) — disjoint hyperplane sets, zero offset for
+    every existing single-table caller).
     """
     sig = F.lit(0)
-    for p in range(planes):
+    for p in range(plane_offset, plane_offset + planes):
         # weight(p, i) = +1 if hash parity even else -1
         proj = F.aggregate(
             F.expr(
@@ -154,7 +161,9 @@ def srp_signature_col(vec_col: str, dim: int, planes: int = NUM_PLANES) -> Colum
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        sig = sig + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        sig = sig + F.when(
+            proj > 0, F.lit(1 << (p - plane_offset))
+        ).otherwise(F.lit(0))
     return sig
 
 
@@ -182,6 +191,61 @@ def lsh_bucketed_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", round6(cosine_col("vec_a", "vec_b")))
         .select("bucket", "id_a", "id_b", "cosine")
+    )
+
+
+def srp_banded_pairs(
+    vectors: DataFrame,
+    dim: int,
+    planes_per_band: int = 6,
+    bands: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Candidate pairs via OR-amplified SRP: ``bands`` INDEPENDENT
+    signature tables (disjoint hyperplane sets per band), a pair
+    qualifies if it collides in ANY band. (id_a, id_b, cosine), each
+    pair once.
+
+    This is the RECALL dial the single-table planes parameter is not:
+    the measured sf1 retention of 0.35-cosine pairs under single-bucket
+    conditioning falls off a cliff with planes (planes=10 keeps 40%,
+    =12 keeps 16% — SCALING.md), because a single AND-only signature's
+    collision curve is p^planes. Banding steepens the S-curve:
+    P(candidate) = 1-(1-p^r)^b keeps high-cosine pairs while each
+    band's candidate volume stays n²/2^r. Scale shape: b bucket
+    equi-joins over the SAME persisted signature frame (one corpus
+    scan, b narrow shuffles), distinct pair ids before the one cosine
+    evaluation per pair — the SRP twin of the minhash banding q40
+    runs on text."""
+    from ._scope import scoped_persist
+
+    sigs = vectors.select(id_col, vec_col)
+    for k in range(bands):
+        sigs = sigs.withColumn(
+            f"_b{k}",
+            srp_signature_col(
+                vec_col, dim, planes_per_band,
+                plane_offset=k * planes_per_band,
+            ),
+        )
+    sigs = scoped_persist(sigs)
+    cand = None
+    for k in range(bands):
+        a = sigs.select(F.col(id_col).alias("id_a"), F.col(f"_b{k}").alias("_k"))
+        b = sigs.select(F.col(id_col).alias("id_b"), F.col(f"_b{k}").alias("_k"))
+        pairs_k = a.join(b, "_k").filter(
+            F.col("id_a") < F.col("id_b")
+        ).select("id_a", "id_b")
+        cand = pairs_k if cand is None else cand.unionByName(pairs_k)
+    cand = cand.distinct()
+    va = sigs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = sigs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", round6(cosine_col("_va", "_vb")))
+        .select("id_a", "id_b", "cosine")
     )
 
 

@@ -819,3 +819,61 @@ def test_quantized_ann_excludes_zero_vectors(spark):
     nids = {r["neighbor_id"] for r in got}
     assert 0 not in qids and 0 not in nids
     assert qids == {1} and nids == {2, 3}
+
+
+def test_srp_banded_pairs_recall_beats_single_table(spark):
+    """OR-amplified banding at matched per-band selectivity recovers
+    strictly more of the true threshold pairs than one AND-only table
+    of the same per-band width, each pair exactly once, and existing
+    single-table signatures are unchanged by the plane_offset
+    refactor (offset 0 = the historical hash inputs)."""
+    from pyspark.sql import functions as F
+
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators.similarity import (
+        SEMANTIC_DEDUP_THRESHOLD,
+        lsh_bucketed_pairs,
+        srp_banded_pairs,
+        srp_signature_col,
+    )
+
+    emb = load_table(spark, SF, "embeddings").cache()
+    emb.count()
+
+    # ground truth: ALL pairs >= threshold (exact, 500 vectors)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b"))
+    from aerovaldb_spark.operators.similarity import cosine_col
+    from aerovaldb_spark._round import round6
+
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", round6(cosine_col("vec_a", "vec_b")))
+        .filter(F.col("cosine") >= SEMANTIC_DEDUP_THRESHOLD)
+        .collect()
+    }
+    assert truth
+
+    def found(df):
+        rows = df.filter(
+            F.col("cosine") >= SEMANTIC_DEDUP_THRESHOLD
+        ).collect()
+        pairs = [(r["id_a"], r["id_b"]) for r in rows]
+        assert len(pairs) == len(set(pairs))  # each pair once
+        return set(pairs)
+
+    single = found(lsh_bucketed_pairs(emb, 64))  # 8-plane AND table
+    banded = found(srp_banded_pairs(emb, 64, planes_per_band=8, bands=4))
+    assert single <= truth and banded <= truth
+    assert len(banded) > len(single)  # OR-amplification recovers pairs
+    assert banded >= single & banded  # sanity
+
+    # plane_offset=0 reproduces the historical signature exactly
+    s0 = emb.select(srp_signature_col("embedding", 64).alias("s")).collect()
+    s1 = emb.select(
+        srp_signature_col("embedding", 64, plane_offset=0).alias("s")
+    ).collect()
+    assert s0 == s1
+    emb.unpersist()
