@@ -1732,6 +1732,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     max_neighbors: int | None = None,
     local_components: bool = False,
+    bands: int | None = None,
 ) -> DataFrame:
     """(vec_id, component, cluster_size, is_canonical) per clustered
     vector. Threshold compares the ROUNDED cosine (both engines), so
@@ -1764,11 +1765,32 @@ def semantic_dedup(
     shingle graphs genuinely need it)."""
     from .dedup import connected_components
 
-    near = (
-        lsh_bucketed_pairs(vectors, dim, vec_col, id_col)
-        .filter(F.col("cosine") >= F.lit(threshold))
-        .select("bucket", "id_a", "id_b", "cosine")
-    )
+    if bands is not None:
+        # OR-amplified candidates (srp_banded_pairs): ~b x the recall
+        # of one AND-only table at linear extra cost (SCALING.md). A
+        # banded pair can collide in ANY band, so edges are NOT
+        # bucket-confined and the per-bucket local union-find does
+        # not apply — banding routes to the general iterative CC.
+        if local_components:
+            raise ValueError(
+                "bands and local_components are mutually exclusive: "
+                "banded candidate edges span band-buckets"
+            )
+        near = (
+            srp_banded_pairs(
+                vectors, dim, planes_per_band=NUM_PLANES, bands=bands,
+                vec_col=vec_col, id_col=id_col,
+            )
+            .filter(F.col("cosine") >= F.lit(threshold))
+            .withColumn("bucket", F.lit(0))
+            .select("bucket", "id_a", "id_b", "cosine")
+        )
+    else:
+        near = (
+            lsh_bucketed_pairs(vectors, dim, vec_col, id_col)
+            .filter(F.col("cosine") >= F.lit(threshold))
+            .select("bucket", "id_a", "id_b", "cosine")
+        )
     if local_components:
         # the bound (if any) applies inside the same per-bucket task —
         # no separate symmetrize+window shuffle

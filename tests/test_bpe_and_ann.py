@@ -877,3 +877,30 @@ def test_srp_banded_pairs_recall_beats_single_table(spark):
     ).collect()
     assert s0 == s1
     emb.unpersist()
+
+
+def test_semantic_dedup_banded_recall(spark):
+    """bands=4 clusters a superset-or-equal vector set vs the single
+    table (OR-amplification can only ADD qualifying edges), clusters
+    stay valid, and bands+local_components is refused."""
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, SF, "embeddings").cache()
+    emb.count()
+    base = {r["vec_id"] for r in semantic_dedup(emb, dim=64).collect()}
+    rows = semantic_dedup(emb, dim=64, bands=4).collect()
+    banded = {r["vec_id"] for r in rows}
+    assert base <= banded and len(banded) > len(base)
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], []).append(r)
+    for comp, members in by_comp.items():
+        ids = [m["vec_id"] for m in members]
+        assert comp == min(ids)
+        assert all(m["cluster_size"] == len(members) for m in members)
+        assert sum(m["is_canonical"] for m in members) == 1
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        semantic_dedup(emb, dim=64, bands=2, local_components=True)
+    emb.unpersist()
