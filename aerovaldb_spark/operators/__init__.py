@@ -54,9 +54,11 @@ _MERGED_QUERIES = {
 # or changes.
 _DEFER_ROUND = [
     # three-plus-green entries yielding their slots to late r6
-    # additions (q97 BPE packing, q98 quantized ANN) per policy
+    # additions (q97 BPE packing, q98 quantized ANN, q99 TF-IDF
+    # cosine kNN graph) per policy
     "q76_bigram_lm_nll",
     "q01_pricing_summary",
+    "q02_top_revenue_orders",
     # twice-green r5-window cohort, unchanged
     "q07_window_topk_per_customer",
     "q08_running_total",

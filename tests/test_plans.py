@@ -507,3 +507,27 @@ def test_q98_broadcasts_probes_only(spark):
     for schema in scan_columns(df):
         names = set(re.findall(r"(\w+):", schema))
         assert names <= {"vec_id", "embedding"}, schema
+
+
+def test_q99_candidates_are_equi_join_and_text_never_shuffles(spark):
+    # The AllPairs candidate stage must be a prefix-to-prefix EQUI-join
+    # on term (never a cartesian/nested-loop all-pairs), and the text
+    # column must be pruned before every exchange — only (doc, term,
+    # weight) keyed rows move.
+    from aerovaldb_spark.operators.text import q99_tfidf_cosine_knn
+
+    df = q99_tfidf_cosine_knn(spark, SF)
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in physical
+    # every nested-loop join in the tree is the broadcast 1-row
+    # doc-count scalar (the analyzed tree replays the cached weights
+    # subtree once per reference, so counts scale together): each
+    # conditionless Join Cross must be paired with a broadcast hint —
+    # an unhinted cross join would be the all-pairs plan this operator
+    # exists to avoid.
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("Join Cross") == analyzed.count("ResolvedHint")
+    for line in physical.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line, line
+    assert df.count() > 0

@@ -258,3 +258,87 @@ def test_q97_bpe_packing_shards_and_divergence(spark):
     assert any(
         ws[d] != bpe[d] for d in bpe
     ), "BPE packing must differ from whitespace packing somewhere"
+
+
+def test_tfidf_cosine_knn_semantics(spark):
+    from aerovaldb_spark.operators.text import tfidf_cosine_knn
+
+    rows = [
+        # 0 and 1 are identical -> cosine 1.0
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "alpha beta gamma delta epsilon zeta"),
+        # 2 shares most of its mass with 0/1
+        (2, "alpha beta gamma delta epsilon eta"),
+        # 3 is disjoint vocabulary -> no qualifying neighbor
+        (3, "omicron pi rho sigma tau upsilon"),
+        # 4 repeats one rare word -> only near itself, below threshold
+        (4, "phi phi phi phi chi psi"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = tfidf_cosine_knn(docs, threshold=0.6, max_neighbors=3).collect()
+    got = {(r["doc_id"], r["neighbor_id"]): r for r in out}
+    # identical docs are mutual rank-1 neighbors at cosine 1.0
+    assert got[(0, 1)]["cosine"] == 1.0 and got[(0, 1)]["nn_rank"] == 1
+    assert got[(1, 0)]["cosine"] == 1.0 and got[(1, 0)]["nn_rank"] == 1
+    # the graph is symmetric: (a,b) present iff (b,a) present
+    keys = set(got)
+    assert keys == {(b, a) for a, b in keys}
+    # disjoint-vocab docs have no edges
+    assert not [k for k in keys if 3 in k]
+    assert not [k for k in keys if 4 in k]
+    # per-doc degree bound and dense rank
+    by_doc = {}
+    for a, _b in keys:
+        by_doc.setdefault(a, []).append(got[(a, _b)]["nn_rank"])
+    for d, ranks in by_doc.items():
+        assert len(ranks) <= 3
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    # cosine in (0, 1] and monotone in rank
+    for d, _n in keys:
+        assert 0.0 < got[(d, _n)]["cosine"] <= 1.0
+
+
+def test_tfidf_cosine_knn_prefix_is_lossless(spark):
+    # The prefix filter may only drop candidates the bound PROVES are
+    # below threshold: against a brute-force pairwise cosine over the
+    # same weights, the kNN graph must contain every qualifying pair.
+    import itertools
+    import math
+
+    from aerovaldb_spark.operators.text import tfidf_cosine_knn
+
+    rows = [
+        (i, " ".join(f"w{(i * 7 + j * 3) % 11}" for j in range(8)))
+        for i in range(12)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    t = 0.5
+    out = tfidf_cosine_knn(docs, threshold=t, max_neighbors=100).collect()
+    got = {(r["doc_id"], r["neighbor_id"]) for r in out}
+
+    # brute force in python, mirroring the engine's weight definition
+    texts = dict(rows)
+    n = len(rows)
+    tf = {
+        i: {
+            w: texts[i].split(" ").count(w)
+            for w in set(texts[i].split(" "))
+        }
+        for i in texts
+    }
+    df_ = {}
+    for i in tf:
+        for w in tf[i]:
+            df_[w] = df_.get(w, 0) + 1
+    vec = {}
+    for i in tf:
+        raw = {
+            w: c * round(math.log((n + 1) / (df_[w] + 1)), 6)
+            for w, c in tf[i].items()
+        }
+        nrm = math.sqrt(sum(v * v for v in raw.values()))
+        vec[i] = {w: v / nrm for w, v in raw.items()}
+    for a, b in itertools.combinations(range(n), 2):
+        dot = sum(vec[a][w] * vec[b].get(w, 0.0) for w in vec[a])
+        if dot >= t + 1e-6:
+            assert (a, b) in got and (b, a) in got, (a, b, dot)
