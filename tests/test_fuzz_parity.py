@@ -54,6 +54,7 @@ _CASES = [
     "q92_bpe_token_stats",
     "q95_bpe_token_budget",
     "q97_bpe_pack_sequences",
+    "q99_tfidf_cosine_knn",
 ]
 
 
