@@ -1468,13 +1468,12 @@ FROM c
 # helps when suffix mass decays, which Zipfian template text defeats
 # by design. The oracle is the semantic spec (all-pairs shared-term
 # join + window); the Spark side is the scale path.
-def tfidf_cosine_knn(
-    docs: DataFrame,
-    threshold: float = 0.8,
-    max_neighbors: int = 10,
-) -> DataFrame:
-    from pyspark.sql import Window
-
+def tfidf_weight_frame(docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Unit-normalized round6 tf-idf weights: ``(w, stats, n)`` where
+    ``w`` is (doc_id, term, df, w) for every doc with a nonzero norm,
+    ``stats`` is (term, df) and ``n`` the 1-row corpus count. Shared
+    by batch q99 and the streaming ``tfidf_dup_gate`` so the weight
+    definition cannot drift between the two."""
     # (doc_id, term, tf) — one explode, one keyed agg
     terms = (
         docs.select("doc_id", F.explode(tokens_col()).alias("term"))
@@ -1516,6 +1515,17 @@ def tfidf_cosine_knn(
             round6(F.col("w_raw") / F.col("nrm")).alias("w"),
         )
     )
+    return w, stats, n
+
+
+def tfidf_cosine_knn(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    max_neighbors: int = 10,
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    w, _stats, _n = tfidf_weight_frame(docs)
     # suffix norms in rarity-first order; eps slack only OVER-generates
     # (verification is exact, so extra candidates cost time, never
     # correctness)

@@ -14,6 +14,7 @@ events, no custom stateful code needed).
 
 from __future__ import annotations
 
+import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -633,6 +634,190 @@ def semantic_dup_gate(
         F.coalesce(
             -F.col("_best.neg") >= F.lit(thr), F.lit(False)
         ).alias("semantic_dup"),
+    )
+
+
+def tfidf_reference_index(
+    reference_docs: DataFrame, threshold: float = 0.8
+) -> dict:
+    """Freeze a reference corpus for ingest-time sparse near-dup
+    screening — the TF-IDF side of the frozen-reference pattern
+    (minhash: :func:`reference_band_buckets`; embeddings:
+    :func:`semantic_dup_gate`; sparse vectors: this).
+
+    The index holds (a) the corpus idf table and doc count — SPARK-
+    computed with batch q99's exact expressions (collected, never
+    recomputed in Python, so reference weights are bit-identical to
+    the batch self-join's), (b) each reference doc's normalized
+    sparse vector, and (c) an inverted index over PREFIX terms only
+    (rarity-first suffix-norm rule at ``threshold`` — the same
+    AllPairs bound as batch q99, so no qualifying match can hide
+    behind a non-indexed term).
+
+    Driver/broadcast memory is O(reference weights). A dedup
+    reference set is typically orders of magnitude smaller than the
+    stream it screens; at 100 TB shard the reference (run the gate
+    once per shard and OR the flags — the prefix bound holds per
+    shard) or fall back to the minhash/SimHash gates whose reference
+    state is constant-size per doc.
+    """
+    from ..operators.text import tfidf_weight_frame
+    from .._round import round6
+
+    w, stats, n = tfidf_weight_frame(reference_docs)
+    idf_rows = (
+        stats.crossJoin(F.broadcast(n))
+        .select(
+            "term",
+            "df",
+            round6(
+                F.log(
+                    (F.col("n_docs") + 1).cast("double") / (F.col("df") + 1)
+                )
+            ).alias("idf"),
+        )
+        .collect()
+    )
+    n_docs = n.collect()[0]["n_docs"]
+    # OOV idf (df = 0) computed Spark-side too: one expression, same
+    # engine ln as every other idf value
+    oov = (
+        n.select(
+            round6(F.log((F.col("n_docs") + 1).cast("double"))).alias("v")
+        ).collect()[0]["v"]
+    )
+    df_map = {r["term"]: r["df"] for r in idf_rows}
+    idf_map = {r["term"]: r["idf"] for r in idf_rows}
+    vec: dict = {}
+    for r in w.collect():
+        vec.setdefault(r["doc_id"], {})[r["term"]] = r["w"]
+    # prefix postings: rarity-first (df ASC, term ASC) suffix-norm
+    # rule, identical to the batch candidate stage
+    eps = 1e-9
+    postings: dict = {}
+    for doc_id, terms in vec.items():
+        ordered = sorted(terms, key=lambda t: (df_map[t], t))
+        suffix = sum(terms[t] * terms[t] for t in ordered)
+        for t in ordered:
+            if math.sqrt(suffix) < threshold - eps:
+                break
+            postings.setdefault(t, []).append(doc_id)
+            suffix -= terms[t] * terms[t]
+    return {
+        "df": df_map,
+        "idf": idf_map,
+        "oov_idf": oov,
+        "n_docs": n_docs,
+        "vec": vec,
+        "postings": postings,
+        "threshold": float(threshold),
+    }
+
+
+TFIDF_GATE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("match_id", T.LongType()),
+        T.StructField("match_cosine", T.DoubleType()),
+        T.StructField("tfidf_dup", T.BooleanType()),
+    ]
+)
+
+
+def tfidf_dup_gate(docs: DataFrame, index: dict) -> DataFrame:
+    """Ingest-time sparse near-dup screen — batch q99's streaming
+    twin: each incoming document is TF-IDF-weighted under the FROZEN
+    reference idf (OOV terms take the df=0 idf), prefix-probed against
+    the reference's inverted index, exact-verified against only the
+    candidate reference vectors, and flagged when its best cosine
+    meets the threshold the index was built with.
+
+    STATELESS map-only: the frozen index rides to executors as a
+    SparkContext broadcast, scoring is one Arrow-batched mapInPandas
+    — no watermark, state store, or shuffle; the SAME plan runs batch
+    or streaming (equivalence tested). Scoring is bit-identical to
+    batch q99 on the reference corpus itself: weights replay the
+    round6 scaled-rounding convention on the collected Spark idf
+    values, dots sum round6'd products as exact Decimals, and the
+    flag compares the unrounded decimal-as-double exactly like the
+    batch filter. Each input row emits exactly one output row;
+    self-matches (same doc_id as a reference doc) are excluded; a doc
+    with no prefix candidates or a zero norm passes unflagged with
+    NULL match columns. Ties at equal cosine resolve to the lowest
+    reference id (the batch window's tie convention).
+    """
+    from collections.abc import Iterator as _Iterator
+
+    spark = docs.sparkSession
+    bc = spark.sparkContext.broadcast(index)
+
+    def score(batches: "_Iterator") -> "_Iterator":
+        import math as _math
+        from decimal import Decimal
+
+        import pandas as pd
+
+        from .._round import round6_py
+
+        ix = bc.value
+        df_map, idf_map = ix["df"], ix["idf"]
+        oov, thr = ix["oov_idf"], ix["threshold"]
+        vec, postings = ix["vec"], ix["postings"]
+        eps = 1e-9
+        out_cols = [f.name for f in TFIDF_GATE_SCHEMA.fields]
+        for batch in batches:
+            rows = []
+            for r in batch.itertuples(index=False):
+                text = "" if r.text is None else str(r.text)
+                toks = text.split(" ")
+                tf: dict = {}
+                for t in toks:
+                    tf[t] = tf.get(t, 0) + 1
+                raw = {t: c * idf_map.get(t, oov) for t, c in tf.items()}
+                nrm_sq = Decimal(0)
+                for v in raw.values():
+                    nrm_sq += Decimal(repr(round6_py(v * v)))
+                nrm = _math.sqrt(float(nrm_sq))
+                if nrm <= 0.0:
+                    rows.append((r.doc_id, None, None, False))
+                    continue
+                w = {t: round6_py(v / nrm) for t, v in raw.items()}
+                # incoming-side prefix, same rarity-first rule (OOV
+                # terms sort first with df 0 and hit no posting)
+                ordered = sorted(w, key=lambda t: (df_map.get(t, 0), t))
+                suffix = sum(w[t] * w[t] for t in ordered)
+                cands: set = set()
+                for t in ordered:
+                    if _math.sqrt(suffix) < thr - eps:
+                        break
+                    cands.update(postings.get(t, ()))
+                    suffix -= w[t] * w[t]
+                cands.discard(r.doc_id)
+                best_id, best_cos = None, None
+                for rid in sorted(cands):
+                    rv = vec[rid]
+                    shared = w.keys() & rv.keys()
+                    if not shared:
+                        continue
+                    dot = Decimal(0)
+                    for t in shared:
+                        dot += Decimal(repr(round6_py(w[t] * rv[t])))
+                    cos = float(dot)
+                    if best_cos is None or cos > best_cos:
+                        best_id, best_cos = rid, cos
+                flagged = best_cos is not None and best_cos >= thr
+                rows.append(
+                    (
+                        r.doc_id,
+                        best_id,
+                        None if best_cos is None else round6_py(best_cos),
+                        bool(flagged),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return docs.select("doc_id", "text").mapInPandas(
+        score, schema=TFIDF_GATE_SCHEMA
     )
 
 

@@ -1074,3 +1074,84 @@ def test_bpe_pack_gate_stream_matches_batch(spark):
         per_src.setdefault(source, set()).add(shard)
     for source, shards in per_src.items():
         assert shards == set(range(len(shards)))
+
+
+def test_tfidf_dup_gate_stream_matches_batch_q99(spark):
+    """Ingest-time SPARSE near-dup screen (q99's streaming twin): the
+    stream run must equal the batch run bit-for-bit, the flag set must
+    equal q99 pair participation at the same threshold, and flagged
+    rows must carry exactly q99's rank-1 neighbor (id and cosine)."""
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators.text import tfidf_cosine_knn
+    from aerovaldb_spark.streaming import (
+        read_document_stream,
+        run_stream_to_memory,
+        tfidf_dup_gate,
+        tfidf_reference_index,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    ix = tfidf_reference_index(docs, threshold=0.8)
+    batch = tfidf_dup_gate(docs, ix)
+    # map-only: no exchange anywhere in the gate's plan
+    physical = batch._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in physical
+
+    a = sorted(map(tuple, batch.collect()))
+    assert len(a) == docs.count()  # exactly one row per doc
+
+    stream = tfidf_dup_gate(read_document_stream(spark, SF_DIR), ix)
+    assert stream.isStreaming
+    got = run_stream_to_memory(
+        stream, "tfidf_dup_gate", spark, output_mode="append"
+    )
+    assert sorted(map(tuple, got.collect())) == a
+
+    # independent expectation from the batch self-join: a doc is a
+    # dup iff it appears in q99's kNN graph (rank-1 edge exists at
+    # the same threshold), and its match is the rank-1 neighbor
+    knn = tfidf_cosine_knn(docs, threshold=0.8, max_neighbors=1).collect()
+    rank1 = {r["doc_id"]: r for r in knn}
+    flagged = {r[0] for r in a if r[3]}
+    assert flagged == set(rank1) and flagged  # non-trivial corpus
+    by_id = {r[0]: r for r in a}
+    for d, r1 in rank1.items():
+        assert by_id[d][1] == r1["neighbor_id"], d
+        assert by_id[d][2] == r1["cosine"], d
+
+
+def test_tfidf_dup_gate_oov_and_edge_docs(spark):
+    """Documents outside the frozen vocabulary, empty documents, and
+    exact duplicates of reference docs behave per the contract."""
+    from aerovaldb_spark.streaming import (
+        tfidf_dup_gate,
+        tfidf_reference_index,
+    )
+
+    ref = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),
+            (1, "alpha beta gamma delta epsilon eta"),
+            (2, "omicron pi rho sigma tau upsilon"),
+        ],
+        ["doc_id", "text"],
+    )
+    ix = tfidf_reference_index(ref, threshold=0.7)
+    incoming = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma delta epsilon zeta"),  # = ref 0
+            (101, "qqq www eee rrr"),  # fully OOV
+            (102, ""),  # zero norm after idf weighting? (no: '' is a term)
+            (0, "alpha beta gamma delta epsilon zeta"),  # self id excluded
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in tfidf_dup_gate(incoming, ix).collect()}
+    assert out[100]["tfidf_dup"] and out[100]["match_id"] == 0
+    assert out[100]["match_cosine"] == 1.0
+    # fully-OOV doc: nonzero norm, no candidates, unflagged
+    assert not out[101]["tfidf_dup"] and out[101]["match_id"] is None
+    # '' tokenizes to a single OOV empty-string term -> no candidates
+    assert not out[102]["tfidf_dup"]
+    # id 0 excludes its self-match but still matches near-dup ref 1
+    assert out[0]["match_id"] == 1
