@@ -744,7 +744,11 @@ def tfidf_dup_gate(docs: DataFrame, index: dict) -> DataFrame:
     self-matches (same doc_id as a reference doc) are excluded; a doc
     with no prefix candidates or a zero norm passes unflagged with
     NULL match columns. Ties at equal cosine resolve to the lowest
-    reference id (the batch window's tie convention).
+    reference id (the batch window's tie convention). Note: an EXACT
+    duplicate of a reference doc scores <= 1.0 by up to ~k*5e-7 for a
+    k-term doc (unit weights are round6'd before the dot — the batch
+    convention); consumers must compare against the threshold, never
+    against 1.0.
     """
     from collections.abc import Iterator as _Iterator
 

@@ -1148,10 +1148,33 @@ def test_tfidf_dup_gate_oov_and_edge_docs(spark):
     )
     out = {r["doc_id"]: r for r in tfidf_dup_gate(incoming, ix).collect()}
     assert out[100]["tfidf_dup"] and out[100]["match_id"] == 0
-    assert out[100]["match_cosine"] == 1.0
+    # Exact duplicates score <= 1.0 by up to ~k*5e-7 for a k-term doc:
+    # unit weights are round6'd BEFORE the dot (batch q99's scoring
+    # convention, which the gate mirrors bit-for-bit), so the self-dot
+    # is sum(round6(round6(w_t)^2)) — computable from the frozen index
+    # itself. Assert THAT value, not 1.0.
+    from decimal import Decimal
+
+    from aerovaldb_spark._round import round6_py
+
+    v0 = ix["vec"][0]
+    expect = round6_py(
+        float(sum(Decimal(repr(round6_py(x * x))) for x in v0.values()))
+    )
+    assert out[100]["match_cosine"] == expect
+    assert 1.0 - 5e-6 <= expect <= 1.0 and expect >= ix["threshold"]
     # fully-OOV doc: nonzero norm, no candidates, unflagged
     assert not out[101]["tfidf_dup"] and out[101]["match_id"] is None
     # '' tokenizes to a single OOV empty-string term -> no candidates
     assert not out[102]["tfidf_dup"]
-    # id 0 excludes its self-match but still matches near-dup ref 1
-    assert out[0]["match_id"] == 1
+    # id 0 excludes its self-match; ref 1 (5/6 shared terms) sits at
+    # cosine ~0.46 < 0.7, so the prefix filter correctly prunes it
+    # (the bound is lossless only for pairs >= threshold)
+    assert out[0]["match_id"] is None and not out[0]["tfidf_dup"]
+    # at a threshold below that cosine, self-exclusion still
+    # surfaces the near-dup reference
+    lo = tfidf_reference_index(ref, threshold=0.4)
+    out_lo = {
+        r["doc_id"]: r for r in tfidf_dup_gate(incoming, lo).collect()
+    }
+    assert out_lo[0]["match_id"] == 1 and out_lo[0]["tfidf_dup"]
