@@ -1526,31 +1526,74 @@ def tfidf_cosine_knn(
     from pyspark.sql import Window
 
     w, _stats, _n = tfidf_weight_frame(docs)
-    # suffix norms in rarity-first order; eps slack only OVER-generates
-    # (verification is exact, so extra candidates cost time, never
-    # correctness)
+    # Candidate bounds must dominate what VERIFICATION computes: a sum
+    # of round6'd per-term products, each of which can exceed the
+    # exact product by <= 5e-7 — so every bound carries a slack of
+    # 5e-7 * (max possible shared-term count) on top of the float eps.
+    # Slack only OVER-generates (verification is exact, so extra
+    # candidates cost time, never correctness), and at ~5e-7 * nterms
+    # it is numerically invisible in the candidate counts.
     sufw = (
         Window.partitionBy("doc_id")
         .orderBy(F.col("df").asc(), F.col("term").asc())
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
+    sufw_next = (
+        Window.partitionBy("doc_id")
+        .orderBy(F.col("df").asc(), F.col("term").asc())
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    docw = Window.partitionBy("doc_id")
     eps = 1e-9
+    slack_self = eps + 5e-7 * F.col("nterms")
     pre = (
         w.withColumn(
             "sufnorm", F.sqrt(F.sum(F.col("w") * F.col("w")).over(sufw))
         )
-        .where(F.col("sufnorm") >= threshold - eps)
-        .select("doc_id", "term", "sufnorm")
+        # suffix norm AFTER this term — the PPJoin positional bound's
+        # residual (Xiao et al. WWW'08 §3.2 adapted to unit vectors)
+        .withColumn(
+            "sufnext",
+            F.sqrt(
+                F.coalesce(
+                    F.sum(F.col("w") * F.col("w")).over(sufw_next),
+                    F.lit(0.0),
+                )
+            ),
+        )
+        # per-doc stats for the Bayardo size filter (WWW'07 §3.1):
+        # dot(x, y) <= min(maxw_x * l1_y, maxw_y * l1_x)
+        .withColumn("maxw", F.max("w").over(docw))
+        .withColumn(
+            "l1",
+            F.sum(F.col("w").cast("decimal(18,6)"))
+            .over(docw)
+            .cast("double"),
+        )
+        .withColumn("nterms", F.count(F.lit(1)).over(docw))
+        .where(F.col("sufnorm") >= threshold - slack_self)
+        .select(
+            "doc_id", "term", "w", "sufnext", "maxw", "l1", "nterms"
+        )
     )
+    # per-pair slack: shared terms <= min(nterms_a, nterms_b)
+    slack = eps + 5e-7 * F.least(F.col("a.nterms"), F.col("b.nterms"))
     cand = (
         pre.alias("a")
         .join(pre.alias("b"), "term")
         .where(
             (F.col("a.doc_id") < F.col("b.doc_id"))
+            # positional bound at the first shared term: this term's
+            # product plus Cauchy-Schwarz over both residuals —
+            # strictly tighter than sufnorm_a * sufnorm_b
             & (
-                F.col("a.sufnorm") * F.col("b.sufnorm")
-                >= threshold - eps
+                F.col("a.w") * F.col("b.w")
+                + F.col("a.sufnext") * F.col("b.sufnext")
+                >= threshold - slack
             )
+            # size filter, both directions
+            & (F.col("a.maxw") * F.col("b.l1") >= threshold - slack)
+            & (F.col("b.maxw") * F.col("a.l1") >= threshold - slack)
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),

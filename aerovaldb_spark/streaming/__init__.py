@@ -692,14 +692,19 @@ def tfidf_reference_index(
     for r in w.collect():
         vec.setdefault(r["doc_id"], {})[r["term"]] = r["w"]
     # prefix postings: rarity-first (df ASC, term ASC) suffix-norm
-    # rule, identical to the batch candidate stage
+    # rule, identical to the batch candidate stage. The slack covers
+    # the rounding model: verification sums round6'd per-term products
+    # (each <= 5e-7 over the exact product), so the bound must yield
+    # to threshold - 5e-7 * (max shared terms <= this doc's terms) to
+    # provably dominate the verified dot (mirrors batch q99's slack).
     eps = 1e-9
     postings: dict = {}
     for doc_id, terms in vec.items():
         ordered = sorted(terms, key=lambda t: (df_map[t], t))
         suffix = sum(terms[t] * terms[t] for t in ordered)
+        slack = eps + 5e-7 * len(terms)
         for t in ordered:
-            if math.sqrt(suffix) < threshold - eps:
+            if math.sqrt(suffix) < threshold - slack:
                 break
             postings.setdefault(t, []).append(doc_id)
             suffix -= terms[t] * terms[t]
@@ -791,8 +796,10 @@ def tfidf_dup_gate(docs: DataFrame, index: dict) -> DataFrame:
                 ordered = sorted(w, key=lambda t: (df_map.get(t, 0), t))
                 suffix = sum(w[t] * w[t] for t in ordered)
                 cands: set = set()
+                # same rounding-model slack as the index build
+                slack = eps + 5e-7 * len(w)
                 for t in ordered:
-                    if _math.sqrt(suffix) < thr - eps:
+                    if _math.sqrt(suffix) < thr - slack:
                         break
                     cands.update(postings.get(t, ()))
                     suffix -= w[t] * w[t]

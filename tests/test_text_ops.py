@@ -342,3 +342,58 @@ def test_tfidf_cosine_knn_prefix_is_lossless(spark):
         dot = sum(vec[a][w] * vec[b].get(w, 0.0) for w in vec[a])
         if dot >= t + 1e-6:
             assert (a, b) in got and (b, a) in got, (a, b, dot)
+
+
+def test_tfidf_cosine_knn_size_filter_is_lossless(spark):
+    # Heterogeneous doc lengths actively exercise the Bayardo size
+    # filter (maxw * l1 bound) and the positional residual bound: one
+    # long flat doc against many short docs, plus near-identical short
+    # pairs that must survive. Brute force over the engine's weight
+    # definition is the ground truth.
+    import itertools
+    import math
+
+    from aerovaldb_spark.operators.text import tfidf_cosine_knn
+
+    rows = [
+        # long, flat-mass doc — tiny maxw, large l1
+        (0, " ".join(f"t{j}" for j in range(40))),
+        # short spiky docs, pairwise near-identical
+        (1, "aa bb cc"),
+        (2, "aa bb cc"),
+        (3, "aa bb dd"),
+        # short doc overlapping the long one's vocabulary
+        (4, "t0 t1 t2"),
+        (5, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    t = 0.5
+    out = tfidf_cosine_knn(docs, threshold=t, max_neighbors=100).collect()
+    got = {(r["doc_id"], r["neighbor_id"]) for r in out}
+    assert (1, 2) in got and (2, 1) in got  # identical pair survives
+
+    texts = dict(rows)
+    n = len(rows)
+    tf = {
+        i: {
+            w: texts[i].split(" ").count(w)
+            for w in set(texts[i].split(" "))
+        }
+        for i in texts
+    }
+    df_: dict = {}
+    for i in tf:
+        for w in tf[i]:
+            df_[w] = df_.get(w, 0) + 1
+    vec = {}
+    for i in tf:
+        raw = {
+            w: c * round(math.log((n + 1) / (df_[w] + 1)), 6)
+            for w, c in tf[i].items()
+        }
+        nrm = math.sqrt(sum(v * v for v in raw.values()))
+        vec[i] = {w: v / nrm for w, v in raw.items()}
+    for a, b in itertools.combinations(range(n), 2):
+        dot = sum(vec[a][w] * vec[b].get(w, 0.0) for w in vec[a])
+        if dot >= t + 1e-6:
+            assert (a, b) in got and (b, a) in got, (a, b, dot)
