@@ -637,8 +637,13 @@ def semantic_dup_gate(
     )
 
 
+TFIDF_INDEX_MAX_WEIGHTS = 5_000_000
+
+
 def tfidf_reference_index(
-    reference_docs: DataFrame, threshold: float = 0.8
+    reference_docs: DataFrame,
+    threshold: float = 0.8,
+    max_weights: int = TFIDF_INDEX_MAX_WEIGHTS,
 ) -> dict:
     """Freeze a reference corpus for ingest-time sparse near-dup
     screening — the TF-IDF side of the frozen-reference pattern
@@ -654,13 +659,29 @@ def tfidf_reference_index(
     AllPairs bound as batch q99, so no qualifying match can hide
     behind a non-indexed term).
 
-    Driver/broadcast memory is O(reference weights). A dedup
-    reference set is typically orders of magnitude smaller than the
-    stream it screens; at 100 TB shard the reference (run the gate
-    once per shard and OR the flags — the prefix bound holds per
-    shard) or fall back to the minhash/SimHash gates whose reference
-    state is constant-size per doc.
+    Driver/broadcast memory is O(reference weights), ENFORCED: a
+    reference whose total weight count exceeds ``max_weights`` is
+    refused (the SRPIndex planes>24 pattern — fail loudly before an
+    unbounded collect) with a pointer to
+    :func:`tfidf_reference_index_shards`, which never materializes
+    more than one shard's vectors at a time.
     """
+    total = _tfidf_index_stats(reference_docs)
+    n_weights = total["w"].count()
+    if n_weights > max_weights:
+        raise ValueError(
+            f"reference corpus has {n_weights} tf-idf weights, over the"
+            f" {max_weights} single-index broadcast budget — build"
+            " tfidf_reference_index_shards(...) and screen with"
+            " tfidf_dup_gate_sharded instead"
+        )
+    return _finish_index(total["w"], total, threshold)
+
+
+def _tfidf_index_stats(reference_docs: DataFrame) -> dict:
+    """Corpus-global pieces every (shard) index shares: the weight
+    frame and the collected idf/df/oov/n_docs maps — computed ONCE
+    with batch q99's exact Spark expressions."""
     from ..operators.text import tfidf_weight_frame
     from .._round import round6
 
@@ -686,17 +707,29 @@ def tfidf_reference_index(
             round6(F.log((F.col("n_docs") + 1).cast("double"))).alias("v")
         ).collect()[0]["v"]
     )
-    df_map = {r["term"]: r["df"] for r in idf_rows}
-    idf_map = {r["term"]: r["idf"] for r in idf_rows}
+    return {
+        "w": w,
+        "df": {r["term"]: r["df"] for r in idf_rows},
+        "idf": {r["term"]: r["idf"] for r in idf_rows},
+        "oov_idf": oov,
+        "n_docs": n_docs,
+    }
+
+
+def _finish_index(w_shard: DataFrame, total: dict, threshold: float) -> dict:
+    """Collect one (shard's) weight frame into vec + prefix postings.
+
+    Prefix postings: rarity-first (df ASC, term ASC) suffix-norm rule,
+    identical to the batch candidate stage. The slack covers the
+    rounding model: verification sums round6'd per-term products (each
+    <= 5e-7 over the exact product), so the bound must yield to
+    threshold - 5e-7 * (max shared terms <= this doc's terms) to
+    provably dominate the verified dot (mirrors batch q99's slack).
+    """
+    df_map = total["df"]
     vec: dict = {}
-    for r in w.collect():
+    for r in w_shard.select("doc_id", "term", "w").collect():
         vec.setdefault(r["doc_id"], {})[r["term"]] = r["w"]
-    # prefix postings: rarity-first (df ASC, term ASC) suffix-norm
-    # rule, identical to the batch candidate stage. The slack covers
-    # the rounding model: verification sums round6'd per-term products
-    # (each <= 5e-7 over the exact product), so the bound must yield
-    # to threshold - 5e-7 * (max shared terms <= this doc's terms) to
-    # provably dominate the verified dot (mirrors batch q99's slack).
     eps = 1e-9
     postings: dict = {}
     for doc_id, terms in vec.items():
@@ -710,13 +743,81 @@ def tfidf_reference_index(
             suffix -= terms[t] * terms[t]
     return {
         "df": df_map,
-        "idf": idf_map,
-        "oov_idf": oov,
-        "n_docs": n_docs,
+        "idf": total["idf"],
+        "oov_idf": total["oov_idf"],
+        "n_docs": total["n_docs"],
         "vec": vec,
         "postings": postings,
         "threshold": float(threshold),
     }
+
+
+def tfidf_reference_index_shards(
+    reference_docs: DataFrame,
+    threshold: float = 0.8,
+    n_shards: int = 2,
+    max_weights: int = TFIDF_INDEX_MAX_WEIGHTS,
+) -> list:
+    """The shard-and-OR path for references that outgrow one broadcast:
+    corpus-global idf/df are computed ONCE over the full reference
+    (weights are therefore bit-identical to the unsharded index), then
+    each shard collects only the vectors of doc_ids with
+    ``doc_id % n_shards == k`` — the driver holds one shard's vectors
+    at a time, and each gate pass broadcasts one shard. The prefix
+    bound is per-document, so it holds unchanged within a shard: a
+    qualifying (incoming, reference) match is found by exactly the
+    shard owning that reference doc. Screen with
+    :func:`tfidf_dup_gate_sharded` (or run the per-shard gates as
+    independent streaming passes and OR the flags downstream — each
+    pass is stateless map-only).
+
+    The idf/df maps (O(vocabulary)) are shared by all shards; only the
+    O(weights) vector/posting state is sharded. ``max_weights`` guards
+    each SHARD's collect."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    total = _tfidf_index_stats(reference_docs)
+    shards = []
+    for k in range(n_shards):
+        w_shard = total["w"].where(
+            F.pmod(F.col("doc_id"), F.lit(n_shards)) == k
+        )
+        n_weights = w_shard.count()
+        if n_weights > max_weights:
+            raise ValueError(
+                f"shard {k} has {n_weights} weights, over the"
+                f" {max_weights} per-shard budget — raise n_shards"
+            )
+        shards.append(_finish_index(w_shard, total, threshold))
+    return shards
+
+
+def tfidf_dup_gate_sharded(docs: DataFrame, shards: list) -> DataFrame:
+    """Batch combinator over per-shard :func:`tfidf_dup_gate` passes:
+    one row per doc with the best match across all shards (highest
+    cosine, ties to the lowest reference id — the unsharded gate's
+    exact convention, so sharded output == unsharded output,
+    equivalence-tested). The per-doc reduce is a window, so this
+    combinator is for BATCH screens; on a stream, run the per-shard
+    gates as independent map-only passes and OR the flags downstream.
+    """
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    if not shards:
+        raise ValueError("shards must be non-empty")
+    outs = [tfidf_dup_gate(docs, ix) for ix in shards]
+    union = reduce(lambda a, b: a.unionAll(b), outs)
+    best = Window.partitionBy("doc_id").orderBy(
+        F.col("match_cosine").desc_nulls_last(),
+        F.col("match_id").asc_nulls_last(),
+    )
+    return (
+        union.withColumn("_rk", F.row_number().over(best))
+        .where(F.col("_rk") == 1)
+        .drop("_rk")
+    )
 
 
 TFIDF_GATE_SCHEMA = T.StructType(

@@ -1178,3 +1178,63 @@ def test_tfidf_dup_gate_oov_and_edge_docs(spark):
         r["doc_id"]: r for r in tfidf_dup_gate(incoming, lo).collect()
     }
     assert out_lo[0]["match_id"] == 1 and out_lo[0]["tfidf_dup"]
+
+
+def test_tfidf_reference_index_guard_and_shards(spark):
+    """The single-index builder refuses references over the broadcast
+    budget (the SRPIndex planes>24 pattern); the sharded builder +
+    combinator reproduce the unsharded gate bit-for-bit."""
+    import pytest as _pytest
+
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.streaming import (
+        tfidf_dup_gate,
+        tfidf_dup_gate_sharded,
+        tfidf_reference_index,
+        tfidf_reference_index_shards,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    with _pytest.raises(ValueError, match="broadcast budget"):
+        tfidf_reference_index(docs, threshold=0.8, max_weights=10)
+    with _pytest.raises(ValueError, match="per-shard budget"):
+        tfidf_reference_index_shards(
+            docs, threshold=0.8, n_shards=2, max_weights=10
+        )
+
+    ix = tfidf_reference_index(docs, threshold=0.8)
+    for n_shards in (1, 3):
+        shards = tfidf_reference_index_shards(
+            docs, threshold=0.8, n_shards=n_shards
+        )
+        # corpus-global stats are shared, vectors partitioned exactly
+        assert all(s["idf"] == ix["idf"] for s in shards)
+        merged: dict = {}
+        for s in shards:
+            assert not (set(merged) & set(s["vec"]))
+            merged.update(s["vec"])
+        assert merged == ix["vec"]
+        a = sorted(map(tuple, tfidf_dup_gate(docs, ix).collect()))
+        b = sorted(
+            map(tuple, tfidf_dup_gate_sharded(docs, shards).collect())
+        )
+        assert a == b and len(a) == docs.count()
+
+    # the sharded path runs on a stream: each per-shard gate is the
+    # same stateless map-only plan — stream == batch for a shard pass
+    from aerovaldb_spark.streaming import (
+        read_document_stream,
+        run_stream_to_memory,
+    )
+
+    shards = tfidf_reference_index_shards(docs, threshold=0.8, n_shards=3)
+    batch_shard = sorted(
+        map(tuple, tfidf_dup_gate(docs, shards[1]).collect())
+    )
+    got = run_stream_to_memory(
+        tfidf_dup_gate(read_document_stream(spark, SF_DIR), shards[1]),
+        "tfidf_dup_gate_shard",
+        spark,
+        output_mode="append",
+    )
+    assert sorted(map(tuple, got.collect())) == batch_shard
