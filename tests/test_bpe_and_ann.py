@@ -821,6 +821,102 @@ def test_quantized_ann_excludes_zero_vectors(spark):
     assert qids == {1} and nids == {2, 3}
 
 
+def test_quantized_srp_index_save_load_matches_ephemeral(spark, tmp_path):
+    """QuantizedSRPIndex build→save→load→topk is BIT-IDENTICAL to the
+    ephemeral quantized_srp_topk (deterministic quantizer over
+    deterministic codes), the on-disk scan is partition-pruned to the
+    probed buckets, and the stored codes are tinyint (the 1/4-bytes
+    point)."""
+    from pyspark.sql import functions as F
+
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators.similarity import (
+        Q101_PLANES,
+        QuantizedSRPIndex,
+        quantized_srp_topk,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    ephemeral = sorted(
+        map(
+            tuple,
+            quantized_srp_topk(
+                emb, queries, k=10, dim=64, planes=Q101_PLANES
+            ).collect(),
+        )
+    )
+
+    idx = QuantizedSRPIndex.build(emb, dim=64, planes=Q101_PLANES)
+    path = str(tmp_path / "qsrp")
+    idx.save(path)
+    loaded = QuantizedSRPIndex.load(spark, path)
+    assert (loaded.dim, loaded.planes) == (64, Q101_PLANES)
+    elem = loaded.assignments.schema["codes"].dataType.elementType
+    assert elem.typeName() == "byte"  # tinyint storage
+
+    got_df = loaded.topk(queries, k=10)
+    got = sorted(map(tuple, got_df.collect()))
+    assert got == ephemeral and len(got) == 50
+
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+
+    # margin-probe dial serves from the same loaded table
+    flip = sorted(
+        map(
+            tuple,
+            loaded.topk(queries, k=10, n_flip=2).collect(),
+        )
+    )
+    flip_eph = sorted(
+        map(
+            tuple,
+            quantized_srp_topk(
+                emb, queries, k=10, dim=64, planes=Q101_PLANES, n_flip=2
+            ).collect(),
+        )
+    )
+    assert flip == flip_eph
+
+    with pytest.raises(ValueError, match="bucket-partitioned join"):
+        QuantizedSRPIndex.build(emb, dim=64, planes=26).topk(queries)
+
+
+def test_quantized_srp_recall_floor(spark):
+    """The composed path (int8 codes + SRP bucket pruning) must keep a
+    measured recall floor against exact float cosine top-10 — the
+    honest operating point for 1/4-bytes scans over a probed-bucket
+    fraction of rows."""
+    from pyspark.sql import functions as F
+
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators.similarity import (
+        Q101_PLANES,
+        brute_force_topk,
+        quantized_srp_topk,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {}
+    for r in brute_force_topk(emb, queries, k=10).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx = {}
+    got = quantized_srp_topk(
+        emb, queries, k=10, dim=64, planes=Q101_PLANES
+    ).collect()
+    for r in got:
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    # iid-random corpus is LSH's worst case; Hamming-1 at 6 planes
+    # touches 7/64 of buckets (~11% of rows) — measured recall 0.18
+    # here (deterministic: md5 planes, fixed data), floor with margin
+    assert hits / total >= 0.15, (hits, total)
+
+
 def test_srp_banded_pairs_recall_beats_single_table(spark):
     """OR-amplified banding at matched per-band selectivity recovers
     strictly more of the true threshold pairs than one AND-only table
