@@ -52,6 +52,7 @@ _CASES = [
     "q26_ngram_jaccard_pairs",
     "q28_simhash",
     "q92_bpe_token_stats",
+    "q100_bpe_large_token_stats",
     "q95_bpe_token_budget",
     "q97_bpe_pack_sequences",
     "q99_tfidf_cosine_knn",
@@ -211,6 +212,7 @@ _SRP_CASES = [
     "q93_semantic_dedup",
     "q94_margin_ann_topk",
     "q96_bounded_semantic_dedup",
+    "q101_quantized_srp_ann",
 ]
 
 
@@ -248,5 +250,207 @@ def test_fuzzed_srp_queries_match_oracle(qname, spark, tmp_path_factory):
             qname, df, oracle_rows, list(arrow.schema.names)
         )
         assert not problems, (problems, rows)
+
+    check()
+
+
+# --------------------------------------------------------------------------
+# Streaming-gate fuzz: the r6 red test showed the gates' edge cases
+# (NULL/empty/OOV/exact-dup/zero-norm) were hand-enumerated. These
+# drive tfidf_dup_gate / semantic_dup_gate / bpe_pack_gate with
+# random corpora, asserting stream == batch bit-for-bit on the same
+# data plus the contract invariants. Each incoming corpus plants
+# exact duplicates of reference docs (shifted ids) and overlapping
+# ids (self-exclusion), on top of hypothesis's empty/OOV shapes.
+
+_GATE_SEQ = [0]
+
+
+def _gate_name(prefix: str) -> str:
+    _GATE_SEQ[0] += 1
+    return f"{prefix}_{_GATE_SEQ[0]}"
+
+
+def _write_incoming_docs(tmpdir: str, rows) -> str:
+    # original ids (self-exclusion) + exact dups at id+1000 + one OOV
+    all_rows = [(i, r[0], r[1]) for i, r in enumerate(rows)]
+    all_rows += [
+        (i + 1000, r[0], r[1]) for i, r in enumerate(rows[:2])
+    ]
+    all_rows.append((5000, "zzqqxx yyvvww", "web"))
+    table = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in all_rows], pa.int64()),
+            "text": pa.array([r[1] for r in all_rows], pa.string()),
+            "lang": pa.array(["en"] * len(all_rows), pa.string()),
+            "source": pa.array([r[2] for r in all_rows], pa.string()),
+            "n_chars": pa.array(
+                [len(r[1]) for r in all_rows], pa.int64()
+            ),
+        }
+    )
+    pq.write_table(table, os.path.join(tmpdir, "documents.parquet"))
+    return tmpdir
+
+
+def test_fuzzed_tfidf_dup_gate_stream_matches_batch(
+    spark, tmp_path_factory
+):
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.streaming import (
+        read_document_stream,
+        run_stream_to_memory,
+        tfidf_dup_gate,
+        tfidf_reference_index,
+    )
+
+    @settings(
+        max_examples=4,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(DOC_TABLES)
+    def check(rows):
+        ref_dir = str(tmp_path_factory.mktemp("gref"))
+        _write_docs(ref_dir, rows)
+        inc_dir = str(tmp_path_factory.mktemp("ginc"))
+        _write_incoming_docs(inc_dir, rows)
+        ref = load_table(spark, ref_dir, "documents")
+        ix = tfidf_reference_index(ref, threshold=0.8)
+        incoming = load_table(spark, inc_dir, "documents")
+        batch = sorted(
+            map(tuple, tfidf_dup_gate(incoming, ix).collect())
+        )
+        got = run_stream_to_memory(
+            tfidf_dup_gate(read_document_stream(spark, inc_dir), ix),
+            _gate_name("fuzz_tfidf_gate"),
+            spark,
+            output_mode="append",
+        )
+        assert sorted(map(tuple, got.collect())) == batch
+        by_id = {r[0]: r for r in batch}
+        assert len(by_id) == len(batch)  # one row per doc
+        ref_has_norm = {
+            i for i, terms in ix["vec"].items() if terms
+        }
+        for doc_id, _mid, cos, flag in batch:
+            # flag agrees with the threshold comparison
+            assert flag == (cos is not None and cos >= 0.8 - 1e-9)
+            # planted exact dup of a nonzero-norm ref doc must flag
+            if doc_id >= 1000 and doc_id < 5000:
+                if (doc_id - 1000) in ref_has_norm:
+                    assert flag, (doc_id, cos)
+
+    check()
+
+
+def _write_incoming_emb(tmpdir: str, rows) -> str:
+    all_rows = [(i, r[0], r[1]) for i, r in enumerate(rows)]
+    all_rows += [
+        (i + 1000, r[0], r[1]) for i, r in enumerate(rows[:2])
+    ]
+    all_rows.append((5000, [0.0] * 64, 0))  # zero norm -> unflagged
+    table = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in all_rows], pa.int64()),
+            "embedding": pa.array(
+                [r[1] for r in all_rows], pa.list_(pa.float32())
+            ),
+            "label": pa.array([r[2] for r in all_rows], pa.int32()),
+        }
+    )
+    pq.write_table(table, os.path.join(tmpdir, "embeddings.parquet"))
+    return tmpdir
+
+
+def test_fuzzed_semantic_dup_gate_stream_matches_batch(
+    spark, tmp_path_factory
+):
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.streaming import (
+        read_embedding_stream,
+        run_stream_to_memory,
+        semantic_dup_gate,
+    )
+
+    @settings(
+        max_examples=4,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(SRP_TABLES)
+    def check(rows):
+        ref_dir = str(tmp_path_factory.mktemp("sref"))
+        _write_emb(ref_dir, rows)
+        inc_dir = str(tmp_path_factory.mktemp("sinc"))
+        _write_incoming_emb(inc_dir, rows)
+        ref = load_table(spark, ref_dir, "embeddings")
+        incoming = load_table(spark, inc_dir, "embeddings")
+        batch = sorted(
+            map(tuple, semantic_dup_gate(incoming, ref).collect())
+        )
+        got = run_stream_to_memory(
+            semantic_dup_gate(
+                read_embedding_stream(spark, inc_dir), ref
+            ),
+            _gate_name("fuzz_sem_gate"),
+            spark,
+            output_mode="append",
+        )
+        assert sorted(map(tuple, got.collect())) == batch
+        by_id = {r[0]: r for r in batch}
+        assert len(by_id) == len(batch)
+        # zero-norm planted vector passes unflagged with NULL match
+        z = by_id[5000]
+        assert not z[4] and z[2] is None and z[3] is None
+        # planted exact dup of a nonzero reference vector must flag
+        # (cosine 1.0 with its source, which shares its bucket)
+        for i, (vec, _lbl) in enumerate(rows[:2]):
+            if any(x != 0.0 for x in vec):
+                assert by_id[i + 1000][4], (i, by_id[i + 1000])
+
+    check()
+
+
+def test_fuzzed_bpe_pack_gate_stream_matches_batch(
+    spark, tmp_path_factory
+):
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators.text import (
+        BPE_PACK_BUDGET,
+        bpe_pack,
+    )
+    from aerovaldb_spark.streaming import (
+        bpe_pack_gate,
+        read_document_stream,
+        run_stream_to_memory,
+    )
+
+    @settings(
+        max_examples=4,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(DOC_TABLES)
+    def check(rows):
+        d = str(tmp_path_factory.mktemp("gpack"))
+        _write_docs(d, rows)
+        docs = load_table(spark, d, "documents")
+        batch = sorted(map(tuple, bpe_pack(docs).collect()))
+        got = run_stream_to_memory(
+            bpe_pack_gate(read_document_stream(spark, d)),
+            _gate_name("fuzz_pack_gate"),
+            spark,
+            output_mode="append",
+        )
+        streamed = sorted(map(tuple, got.collect()))
+        # single micro-batch -> stream == batch exactly
+        assert streamed == batch
+        by_shard: dict = {}
+        for _doc, source, n, shard in streamed:
+            assert shard >= 0 and n > 0
+            by_shard.setdefault((source, shard), []).append(n)
+        for toks in by_shard.values():
+            assert sum(toks) < BPE_PACK_BUDGET + max(toks)
 
     check()
