@@ -106,6 +106,14 @@ class AerovalSparkDB:
         from .lock import make_lock
 
         self.spark = spark
+        # One timestamp interpretation for BOTH flush paths: _put_row
+        # stores naive-UTC datetimes, which the Spark writer reads in
+        # the session timezone while _flush_small_arrow pins
+        # timestamp('us', tz='UTC') — under a non-UTC caller session
+        # the two would record instants differing by the offset. The
+        # project convention (catalog.load_table, streaming sources) is
+        # to self-apply UTC; do the same here for any caller session.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         if materialize_file_path is None:
             materialize_file_path = os.environ.get(
                 "AVDB_MATERIALIZE_FILE_PATH", ""

@@ -22,90 +22,93 @@ _MERGED_QUERIES = {
 }
 
 # The external correctness gate records rows for the FIRST 50 entries
-# of ``queries()`` only (93 declared > 50-entry cap), so entry ORDER
+# of ``queries()`` only (101 declared > 50-entry cap), so entry ORDER
 # decides which queries get a driver-recorded check each round. Policy:
 # entries never yet driver-verified, green-only-once, or just-changed
 # come first; the tail past position 50 holds entries with >=2
-# driver-recorded greens (or once-green entries explicitly listed
-# below), rotated every round so each query is re-verified
-# periodically. Every entry keeps a pytest-side oracle check regardless
-# of position (tests/test_parity_sample.py runs the same gate at
-# sf0.001; tools/parity.py was additionally run over the full surface
-# at sf0.01 AND sf0.1 this round — 0 failures).
+# driver-recorded greens, rotated every round so each query is
+# re-verified periodically. Every entry keeps a pytest-side oracle
+# check regardless of position (tests/test_parity_sample.py runs the
+# same gate at sf0.001; tools/parity.py re-runnable at any SF).
 #
-# Round-6 window (50) — executes the r5-documented commitment exactly:
-# the 4 NEW entries (q94 margin-probe ANN, pre-staged in r5; q95
-# BPE-denominated token budget; q96 bounded semantic dedup; q97
-# BPE-denominated packing), the 11 once-green r4 entries that waited
-# out r5 (q75 q77 q78 q80 q81 q82 q84 q85 q86 q87 q88 — q75
-# additionally carries this round's two-flush batching change), the
-# once-green r5 additions (q91 q92 q93 — q93 also carries the
-# max_neighbors/local-components refactor this round), and the WHOLE
-# 32-entry twice-plus-green r5 tail rotating back in (q01-q06 q10 q13
-# q18 q19 q21 q25-q28 q32 q35 q52 q56 q60 q62-q65 q67-q74).
+# Round-7 window (50) — executes the r6-documented rotation:
+# - never driver-verified (2): q100 (BPE budget over the 1200-merge
+#   frozen table, new this round), q101 (quantized-SRP ANN, new this
+#   round);
+# - just-changed (1): q99 (candidate join gained the Bayardo size
+#   filter + PPJoin positional bound + rounding-model eps this round
+#   — lossless, parity re-verified locally at sf0.001/0.01);
+# - once-green, first driver green r6 (5): q94 q95 q96 q97 q98;
+# - the r6 tail rotating back in, 42 of 49: q02 q08 q09 q11 q12 q14
+#   q15 q16 q17 q20 q23 q24 q29 q30 q31 q33 q34 q36-q51 q55 q57 q59
+#   q61 q66 q79 q83 q89 q90 (every one >=2 driver greens, last
+#   driver-checked r5).
 #
-# Round-6 tail (47): the r5-window greens minus {q91 q92 q93} —
-# every one has >=2 driver-recorded greens (q55/q66 rows-only by
-# design; q76's second green was r5), all unchanged this round, all
-# value-checked at sf0.001 in every CI pass
-# (tests/test_parity_sample.py) and re-runnable at any SF via
-# tools/parity.py. R7 plan: rotate this tail back into the window;
-# entries then three-plus-green can yield slots to whatever r7 adds
-# or changes.
+# Round-7 tail (51):
+# - 7 entries from the r6 tail holding the strongest recent evidence,
+#   deferred one more round to make room: q76 q01 (3 driver greens
+#   each) and q07 q22 q53 q54 q58 (2 driver greens AND independently
+#   re-verified by the r6 judge at sf0.01);
+# - the 44 r6-window entries now retired at 2-or-more greens:
+#   q03-q06 q10 q13 q18 q19 q21 q25-q28 q32 q35 q52 q56 q60 q62-q65
+#   q67-q75 q77 q78 q80-q82 q84-q88 q91 q92 q93.
+# R8 plan: rotate this tail back in; three-plus-green entries yield
+# slots to whatever r8 adds or changes, starting with the 7 deferred
+# twice (q76 q01 q07 q22 q53 q54 q58 MUST be in the r8 window).
 _DEFER_ROUND = [
-    # three-plus-green entries yielding their slots to late r6
-    # additions (q97 BPE packing, q98 quantized ANN, q99 TF-IDF
-    # cosine kNN graph) per policy
+    # strongest-evidence r6-tail entries, deferred one more round
     "q76_bigram_lm_nll",
     "q01_pricing_summary",
-    "q02_top_revenue_orders",
-    # twice-green r5-window cohort, unchanged
     "q07_window_topk_per_customer",
-    "q08_running_total",
-    "q09_distinct_counts",
-    "q11_set_except",
-    "q12_case_buckets",
-    "q14_part_type_stats",
-    "q15_json_extract_agg",
-    "q16_point_read",
-    "q17_top_customers",
-    "q20_tumbling_window",
-    "q31_session_window",
-    "q55_approx_distinct",
     "q22_quality_scores",
-    "q23_lang_id",
-    "q24_fingerprints",
     "q53_train_split",
     "q54_pack_sequences",
-    "q57_source_mixing",
     "q58_decontaminate",
-    "q59_repetition_stats",
-    "q61_tfidf_top_terms",
-    "q29_cosine_topk",
-    "q30_embedding_norms",
-    "q46_srp_near_dup",
-    "q50_cosine_near_dup",
-    "q66_ivf_topk",
-    "q79_knn_join",
-    "q83_label_cohesion",
-    "q89_quantization_audit",
-    "q90_label_outliers",
-    "q33_percentiles",
-    "q34_above_nation_avg",
-    "q36_srp_buckets",
-    "q37_rank_parts",
-    "q38_activity_union",
-    "q39_clean_corpus_report",
-    "q40_lsh_candidates",
-    "q41_range_join",
-    "q42_grouping_sets",
-    "q43_order_gaps",
-    "q44_order_arrays",
-    "q45_regexp_extract",
-    "q47_set_intersect",
-    "q48_date_parts",
-    "q49_cube",
-    "q51_binary_manifest",
+    # r6-window cohort, retired at >=2 driver greens
+    "q03_revenue_by_nation",
+    "q04_selective_filter_agg",
+    "q05_order_priority_semijoin",
+    "q06_customers_without_orders",
+    "q10_rollup_agg",
+    "q13_monthly_event_stats",
+    "q18_asof_purchase_click",
+    "q19_sessionize",
+    "q21_token_stats",
+    "q25_dedup_exact",
+    "q26_ngram_jaccard_pairs",
+    "q27_minhash_signatures",
+    "q28_simhash",
+    "q32_pivot_status",
+    "q35_sliding_window",
+    "q52_media_decode",
+    "q56_dedup_clusters",
+    "q60_canonical_docs",
+    "q62_dedup_pipeline",
+    "q63_bigram_novelty",
+    "q64_trailing_revenue",
+    "q65_media_features",
+    "q67_market_share",
+    "q68_top_part_values",
+    "q69_promo_revenue",
+    "q70_inactive_wealthy",
+    "q71_cohort_retention",
+    "q72_session_funnel",
+    "q73_frame_manifest",
+    "q74_passage_dedup",
+    "q75_asset_store_roundtrip",
+    "q77_contamination_score",
+    "q78_bm25_topk",
+    "q80_sliding_chunks",
+    "q81_stratified_sample",
+    "q82_source_overlap",
+    "q84_quality_gate",
+    "q85_token_budget",
+    "q86_waiting_suppliers",
+    "q87_custdist",
+    "q88_small_qty_revenue",
+    "q91_srp_ann_topk",
+    "q92_bpe_token_stats",
+    "q93_semantic_dedup",
 ]
 
 ALL_QUERIES = {

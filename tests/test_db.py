@@ -932,3 +932,26 @@ def test_compaction_raises_snapshot_horizon(tmpdb):
     assert tmpdb.snapshot(horizon).get_by_uri("/v0/config/proj/e1") == {"v": 2}
     assert {c["op"] for c in tmpdb.changes(horizon)} == {"upsert"}
     assert tmpdb.get_config("proj", "e1") == {"v": 3}
+
+
+def test_db_normalizes_session_timezone(spark, tmp_path):
+    """AerovalSparkDB self-applies UTC (the catalog/streaming
+    convention) so the arrow small-flush path (pins tz-UTC micros) and
+    the Spark fallback writer (reads naive datetimes in session tz)
+    record the same instants under ANY caller session."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        db = AerovalSparkDB(spark, str(tmp_path / "tzdb"))
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        # a write through the small-flush path followed by a read
+        # yields an mtime within clock slop of now-UTC
+        db.put_config({"a": 1}, "proj", "exp")
+        db.flush()
+        import datetime as _dt
+
+        mt = db.get_experiment_mtime("proj", "exp")
+        now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+        assert abs((now - mt).total_seconds()) < 300, mt
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
