@@ -1655,6 +1655,154 @@ def q99_tfidf_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_cosine_knn(load_table(spark, sf_dir, "documents"))
 
 
+def tfidf_screen_join(
+    incoming: DataFrame,
+    reference: DataFrame,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Fully JOIN-BASED TF-IDF reference screen — the distributed twin
+    of the streaming ``tfidf_dup_gate`` for reference corpora that
+    outgrow any broadcast (the gate's broadcast index is bounded at 5M
+    weights; its sharded build is bounded per shard — this path has NO
+    driver-side state at all: reference weights stay a DataFrame, the
+    prefix probe is a term equi-join, verification is a keyed join).
+
+    Semantics are the gate's, bit-for-bit (equivalence-tested): each
+    incoming doc is weighted under the FROZEN reference idf (OOV terms
+    take the df=0 idf), candidates come from the same rarity-first
+    prefix rule on both sides (with the rounding-model slack), the
+    exact DECIMAL dot runs over candidate pairs' shared terms only,
+    and every incoming doc emits one row: (doc_id, match_id,
+    match_cosine, tfidf_dup) — best cosine across the reference,
+    ties to the lowest reference id, self-ids excluded, zero-norm or
+    candidate-less docs unflagged with NULL match columns.
+    """
+    from pyspark.sql import Window
+
+    w_ref, stats, n = tfidf_weight_frame(reference)
+    # incoming weighted under the reference idf; OOV df -> 0, idf ->
+    # ln(n+1) (the gate's oov_idf, same engine ln)
+    in_terms = (
+        incoming.select("doc_id", F.explode(tokens_col()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = round6(
+        F.log((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1))
+    )
+    oov_idf = round6(F.log((F.col("n_docs") + 1).cast("double")))
+    w0 = scoped_persist(
+        in_terms.join(stats, "term", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.coalesce("df", F.lit(0)).alias("df"),
+            (
+                F.col("tf")
+                * F.when(F.col("df").isNull(), oov_idf).otherwise(idf)
+            ).alias("w_raw"),
+        )
+    )
+    norms = w0.groupBy("doc_id").agg(
+        F.sqrt(
+            F.sum(
+                round6(F.col("w_raw") * F.col("w_raw")).cast("decimal(18,6)")
+            ).cast("double")
+        ).alias("nrm")
+    )
+    w_in = scoped_persist(
+        w0.join(norms, "doc_id")
+        .where(F.col("nrm") > 0)
+        .select(
+            "doc_id",
+            "term",
+            "df",
+            round6(F.col("w_raw") / F.col("nrm")).alias("w"),
+        )
+    )
+
+    def prefix(w: DataFrame) -> DataFrame:
+        sufw = (
+            Window.partitionBy("doc_id")
+            .orderBy(F.col("df").asc(), F.col("term").asc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        docw = Window.partitionBy("doc_id")
+        slack = F.lit(1e-9) + 5e-7 * F.count(F.lit(1)).over(docw)
+        return (
+            w.withColumn(
+                "sufnorm",
+                F.sqrt(F.sum(F.col("w") * F.col("w")).over(sufw)),
+            )
+            .withColumn("_slack", slack)
+            .where(F.col("sufnorm") >= threshold - F.col("_slack"))
+            .select("doc_id", "term")
+        )
+    cand = (
+        prefix(w_in)
+        .withColumnRenamed("doc_id", "in_id")
+        .join(
+            prefix(w_ref).withColumnRenamed("doc_id", "ref_id"), "term"
+        )
+        .where(F.col("in_id") != F.col("ref_id"))
+        .select("in_id", "ref_id")
+        .distinct()
+    )
+    dots = (
+        cand.join(
+            w_in.select(
+                F.col("doc_id").alias("in_id"), "term",
+                F.col("w").alias("w_in"),
+            ),
+            "in_id",
+        )
+        .join(
+            w_ref.select(
+                F.col("doc_id").alias("ref_id"), "term",
+                F.col("w").alias("w_ref"),
+            ),
+            ["ref_id", "term"],
+        )
+        .groupBy("in_id", "ref_id")
+        .agg(
+            F.sum(
+                round6(F.col("w_in") * F.col("w_ref")).cast("decimal(18,6)")
+            ).alias("dot")
+        )
+    )
+    best = Window.partitionBy("in_id").orderBy(
+        F.col("dot").desc(), F.col("ref_id").asc()
+    )
+    top = (
+        dots.withColumn("_rk", F.row_number().over(best))
+        .where(F.col("_rk") == 1)
+        .select(
+            F.col("in_id").alias("doc_id"),
+            F.col("ref_id").alias("match_id"),
+            round6(F.col("dot").cast("double")).alias("match_cosine"),
+            (F.col("dot").cast("double") >= threshold).alias("_flag"),
+        )
+    )
+    return incoming.select("doc_id").join(top, "doc_id", "left").select(
+        "doc_id",
+        "match_id",
+        "match_cosine",
+        F.coalesce("_flag", F.lit(False)).alias("tfidf_dup"),
+    )
+
+
+def q102_tfidf_reference_screen(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Self-screen of the corpus under the frozen-idf convention: one
+    row per document with its best other-document cosine and the dup
+    flag — the fully distributed form of the ingest gate (reference =
+    incoming = documents; self-matches excluded)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_screen_join(docs, docs, threshold=0.8)
+
+
 Q99_SQL = """
 WITH terms AS (
   SELECT doc_id, term, COUNT(*) AS tf FROM (
@@ -1698,6 +1846,52 @@ WHERE nn_rank <= 10
 """
 
 
+# q102 oracle: the all-pairs spec of the self-screen — reference =
+# incoming = documents, so the frozen reference idf IS the corpus idf
+# and no term is OOV; best other-doc DECIMAL dot per doc (ties to the
+# lowest id), flag on the unrounded decimal-as-double, one row per
+# document including zero-norm / matchless docs.
+Q102_SQL = """
+WITH terms AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+  ) GROUP BY doc_id, term
+), stats AS (
+  SELECT term, COUNT(*) AS df FROM terms GROUP BY term
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+w0 AS (
+  SELECT doc_id, terms.term,
+         tf * ROUND(ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)), 6) AS w_raw
+  FROM terms JOIN stats USING (term) CROSS JOIN n
+), norms AS (
+  SELECT doc_id,
+         sqrt(CAST(SUM(CAST(ROUND(w_raw * w_raw, 6) AS DECIMAL(18,6)))
+                   AS DOUBLE)) AS nrm
+  FROM w0 GROUP BY doc_id
+), w AS (
+  SELECT doc_id, term, ROUND(w_raw / nrm, 6) AS w
+  FROM w0 JOIN norms USING (doc_id) WHERE nrm > 0
+), dots AS (
+  SELECT a.doc_id AS doc_id, b.doc_id AS match_id,
+         SUM(CAST(ROUND(a.w * b.w, 6) AS DECIMAL(18,6))) AS dot
+  FROM w a JOIN w b ON a.term = b.term AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+), best AS (
+  SELECT doc_id, match_id, dot FROM (
+    SELECT doc_id, match_id, dot,
+      ROW_NUMBER() OVER (PARTITION BY doc_id
+                         ORDER BY dot DESC, match_id) AS rn
+    FROM dots
+  ) WHERE rn = 1
+)
+SELECT d.doc_id,
+  b.match_id,
+  ROUND(CAST(b.dot AS DOUBLE), 6) AS match_cosine,
+  COALESCE(CAST(b.dot AS DOUBLE) >= 0.8, FALSE) AS tfidf_dup
+FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id
+"""
+
+
 QUERIES = {
     "q21_token_stats": q21_token_stats,
     "q22_quality_scores": q22_quality_scores,
@@ -1721,6 +1915,7 @@ QUERIES = {
     "q95_bpe_token_budget": q95_bpe_token_budget,
     "q97_bpe_pack_sequences": q97_bpe_pack_sequences,
     "q99_tfidf_cosine_knn": q99_tfidf_cosine_knn,
+    "q102_tfidf_reference_screen": q102_tfidf_reference_screen,
 }
 
 ORACLE = {
@@ -1746,4 +1941,5 @@ ORACLE = {
     "q95_bpe_token_budget": _q95_sql(),
     "q97_bpe_pack_sequences": _q97_sql(),
     "q99_tfidf_cosine_knn": Q99_SQL,
+    "q102_tfidf_reference_screen": Q102_SQL,
 }

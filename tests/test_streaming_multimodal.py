@@ -1238,3 +1238,36 @@ def test_tfidf_reference_index_guard_and_shards(spark):
         output_mode="append",
     )
     assert sorted(map(tuple, got.collect())) == batch_shard
+
+
+def test_tfidf_screen_join_matches_gate(spark):
+    """The fully join-based screen (no driver-side reference state)
+    must equal the broadcast gate bit-for-bit on the same inputs —
+    including OOV docs, overlapping ids, and exact duplicates."""
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators.text import tfidf_screen_join
+    from aerovaldb_spark.streaming import (
+        tfidf_dup_gate,
+        tfidf_reference_index,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    ix = tfidf_reference_index(docs, threshold=0.8)
+    a = sorted(map(tuple, tfidf_dup_gate(docs, ix).collect()))
+    b = sorted(map(tuple, tfidf_screen_join(docs, docs, 0.8).collect()))
+    assert a == b and len(a) == docs.count()
+
+    # distinct incoming corpus with OOV + exact-dup + overlapping ids
+    incoming = spark.createDataFrame(
+        [r for r in [
+            (0, docs.where("doc_id = 0").collect()[0]["text"]),
+            (7777, docs.where("doc_id = 1").collect()[0]["text"]),
+            (8888, "zzz www qqq"),
+        ]],
+        ["doc_id", "text"],
+    )
+    a2 = sorted(map(tuple, tfidf_dup_gate(incoming, ix).collect()))
+    b2 = sorted(
+        map(tuple, tfidf_screen_join(incoming, docs, 0.8).collect())
+    )
+    assert a2 == b2 and len(a2) == 3
