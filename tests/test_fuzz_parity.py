@@ -53,6 +53,7 @@ _CASES = [
     "q28_simhash",
     "q92_bpe_token_stats",
     "q100_bpe_large_token_stats",
+    "q103_bpe_doc_fingerprints",
     "q95_bpe_token_budget",
     "q97_bpe_pack_sequences",
     "q99_tfidf_cosine_knn",
