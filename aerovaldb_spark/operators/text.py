@@ -1601,29 +1601,59 @@ def tfidf_cosine_knn(
         )
         .distinct()
     )
-    # exact verification over shared terms of candidate pairs only —
-    # each unordered pair scored ONCE, then exploded to both
-    # directions for the per-doc window
-    wa = w.select(
-        F.col("doc_id").alias("doc_a"),
-        "term",
-        F.col("w").alias("w_a"),
+    # exact verification over candidate pairs only — each unordered
+    # pair scored ONCE via per-doc weight MAPS (map_zip_with over the
+    # shared keys, decimal sum of the same round6'd products the
+    # keyed-join form aggregates; decimal addition is exact, so map
+    # iteration order is irrelevant). This joins the candidate list
+    # twice against an n-row (doc -> map) frame instead of exploding
+    # to (pair, term) rows and re-aggregating: at sf0.1 that removes
+    # a ~260M-row shuffle + pair groupBy (measured 60 s -> 34 s
+    # Spark-side; SCALING.md). Trade-off, stated: each candidate
+    # carries both WHOLE vectors (|a|+|b| entries) where the keyed
+    # join moves only shared-term rows — the map form wins when docs
+    # are short or candidates share most of their mass (the near-dup
+    # regime this operator serves); for very long documents with thin
+    # overlaps the keyed (pair, term) join is the right shape.
+    wmap = scoped_persist(
+        w.groupBy("doc_id").agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "w"))
+            ).alias("m")
+        )
     )
-    wb = w.select(
-        F.col("doc_id").alias("doc_b"),
-        "term",
-        F.col("w").alias("w_b"),
+    dot_col = F.aggregate(
+        F.map_values(
+            F.map_zip_with(
+                "ma",
+                "mb",
+                lambda k, x, y: F.when(
+                    x.isNotNull() & y.isNotNull(),
+                    round6(x * y).cast("decimal(18,6)"),
+                ),
+            )
+        ),
+        F.lit(0).cast("decimal(18,6)"),
+        lambda acc, x: (
+            acc + F.coalesce(x, F.lit(0).cast("decimal(18,6)"))
+        ).cast("decimal(18,6)"),
     )
     dots = (
-        cand.join(wa, "doc_a")
-        .join(wb, ["doc_b", "term"])
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.sum(
-                round6(F.col("w_a") * F.col("w_b")).cast("decimal(18,6)")
-            ).alias("dot")
+        cand.join(
+            wmap.select(
+                F.col("doc_id").alias("doc_a"), F.col("m").alias("ma")
+            ),
+            "doc_a",
         )
+        .join(
+            wmap.select(
+                F.col("doc_id").alias("doc_b"), F.col("m").alias("mb")
+            ),
+            "doc_b",
+        )
+        .withColumn("dot", dot_col)
         .where(F.col("dot").cast("double") >= threshold)
+        .select("doc_a", "doc_b", "dot")
     )
     sym = dots.select(
         F.col("doc_a").alias("doc_id"),
