@@ -1779,27 +1779,64 @@ def tfidf_screen_join(
         .select("in_id", "ref_id")
         .distinct()
     )
+    # exact verification via per-doc weight maps (q99's shape — the
+    # 260M-row (pair, term) exchange removed); pairs are kept on the
+    # gate's rule "at least one shared term", NOT on dot > 0, so a
+    # shared-vocabulary pair whose idf-zero terms sum to 0.0 still
+    # reports a best match exactly like the broadcast gate
+    in_map = scoped_persist(
+        w_in.groupBy("doc_id").agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "w"))
+            ).alias("m")
+        )
+    )
+    ref_map = scoped_persist(
+        w_ref.groupBy("doc_id").agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "w"))
+            ).alias("m")
+        )
+    )
+    zipped = F.map_zip_with(
+        "ma",
+        "mb",
+        lambda k, x, y: F.when(
+            x.isNotNull() & y.isNotNull(),
+            round6(x * y).cast("decimal(18,6)"),
+        ),
+    )
     dots = (
         cand.join(
-            w_in.select(
-                F.col("doc_id").alias("in_id"), "term",
-                F.col("w").alias("w_in"),
+            in_map.select(
+                F.col("doc_id").alias("in_id"), F.col("m").alias("ma")
             ),
             "in_id",
         )
         .join(
-            w_ref.select(
-                F.col("doc_id").alias("ref_id"), "term",
-                F.col("w").alias("w_ref"),
+            ref_map.select(
+                F.col("doc_id").alias("ref_id"), F.col("m").alias("mb")
             ),
-            ["ref_id", "term"],
+            "ref_id",
         )
-        .groupBy("in_id", "ref_id")
-        .agg(
-            F.sum(
-                round6(F.col("w_in") * F.col("w_ref")).cast("decimal(18,6)")
-            ).alias("dot")
+        .withColumn("_z", zipped)
+        .where(
+            F.size(
+                F.map_filter(F.col("_z"), lambda k, v: v.isNotNull())
+            )
+            > 0
         )
+        .withColumn(
+            "dot",
+            F.aggregate(
+                F.map_values("_z"),
+                F.lit(0).cast("decimal(18,6)"),
+                lambda acc, x: (
+                    acc + F.coalesce(x, F.lit(0).cast("decimal(18,6)"))
+                ).cast("decimal(18,6)"),
+            ),
+        )
+        .select("in_id", "ref_id", "dot")
     )
     best = Window.partitionBy("in_id").orderBy(
         F.col("dot").desc(), F.col("ref_id").asc()
