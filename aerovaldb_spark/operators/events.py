@@ -100,6 +100,73 @@ def q18_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PAIR_LOOKBACK_HOURS = 24
+
+
+def purchase_click_pairs(
+    events: DataFrame, lookback_hours: int = PAIR_LOOKBACK_HOURS
+) -> DataFrame:
+    """Every (purchase, click) pair per user with the click strictly
+    before the purchase and within a BOUNDED lookback window — the
+    attribution-pair join underlying q18's as-of reduction, with the
+    bound that makes it streamable: an unbounded "any click before"
+    needs infinite join state on a stream, while a lookback window
+    bounds both sides' state to window + watermark (the streaming twin
+    :func:`aerovaldb_spark.streaming.stream_purchase_click_pairs` runs
+    THIS predicate as a watermarked stream-stream join, equivalence-
+    tested). Batch shape: one keyed shuffle on user_id; the range
+    predicates ride the join as filters — never a cross product."""
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") < F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts")
+            - F.expr(f"INTERVAL {int(lookback_hours)} HOURS")
+        ),
+    )
+    return joined.select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "purchase_ts"
+        ),
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "click_ts"
+        ),
+    )
+
+
+def q104_purchase_click_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return purchase_click_pairs(load_table(spark, sf_dir, "events"))
+
+
+Q104_SQL = f"""
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts < p.ts
+ AND c.ts >= p.ts - INTERVAL {PAIR_LOOKBACK_HOURS} HOUR
+"""
+
+
 Q18_SQL = """
 SELECT p.event_id, p.user_id,
   strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
@@ -365,6 +432,7 @@ QUERIES = {
     "q55_approx_distinct": q55_approx_distinct,
     "q71_cohort_retention": q71_cohort_retention,
     "q72_session_funnel": q72_session_funnel,
+    "q104_purchase_click_pairs": q104_purchase_click_pairs,
 }
 
 ORACLE = {
@@ -374,4 +442,5 @@ ORACLE = {
     "q31_session_window": Q31_SQL,
     "q71_cohort_retention": Q71_SQL,
     "q72_session_funnel": Q72_SQL,
+    "q104_purchase_click_pairs": Q104_SQL,
 }

@@ -640,6 +640,72 @@ def semantic_dup_gate(
 TFIDF_INDEX_MAX_WEIGHTS = 5_000_000
 
 
+def stream_purchase_click_pairs(
+    events: DataFrame,
+    lookback_hours: int | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join — batch q104's streaming
+    twin and the one two-stream stateful operator in the library:
+    purchases and clicks arrive on the same event stream, each side is
+    event-time watermarked, and the join condition is q104's exact
+    bounded-lookback predicate. The time-range bound plus the
+    watermark is what lets Structured Streaming EVICT state: a click
+    older than (max event time - lookback - watermark) can never join
+    a future purchase and is dropped; without the bound the join would
+    buffer every click forever (which is why q18's unbounded as-of
+    form is NOT streamable and the bounded pair form is the streaming
+    attribution shape). Emits the same formatted columns as batch
+    q104; batch input falls through to the exact batch operator
+    (equivalence-tested)."""
+    from ..operators.events import (
+        PAIR_LOOKBACK_HOURS,
+        purchase_click_pairs,
+    )
+
+    hours = PAIR_LOOKBACK_HOURS if lookback_hours is None else lookback_hours
+    if not events.isStreaming:
+        return purchase_click_pairs(events, hours)
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") < F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {int(hours)} HOURS")
+        ),
+    )
+    return joined.select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "purchase_ts"
+        ),
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "click_ts"
+        ),
+    )
+
+
 def tfidf_reference_index(
     reference_docs: DataFrame,
     threshold: float = 0.8,

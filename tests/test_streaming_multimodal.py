@@ -1271,3 +1271,56 @@ def test_tfidf_screen_join_matches_gate(spark):
         map(tuple, tfidf_screen_join(incoming, docs, 0.8).collect())
     )
     assert a2 == b2 and len(a2) == 3
+
+
+def test_stream_stream_purchase_click_join(spark):
+    """The watermarked STREAM-STREAM join (q104's twin) equals the
+    batch bounded-lookback pair join bit-for-bit, runs as a genuine
+    two-stream stateful join (StreamingSymmetricHashJoin in the
+    executed plan), and its pairs reduce to q18's as-of answer for
+    purchases whose latest click falls inside the lookback."""
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators.events import purchase_click_pairs
+    from aerovaldb_spark.streaming import (
+        read_event_stream,
+        run_stream_to_memory,
+        stream_purchase_click_pairs,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    batch = sorted(map(tuple, purchase_click_pairs(ev).collect()))
+    assert batch  # non-trivial corpus
+
+    stream = stream_purchase_click_pairs(read_event_stream(spark, SF_DIR))
+    assert stream.isStreaming
+    got = run_stream_to_memory(
+        stream, "pc_pairs", spark, output_mode="append"
+    )
+    streamed = sorted(map(tuple, got.collect()))
+    assert streamed == batch
+
+    # the streaming twin falls through to the exact batch operator
+    assert sorted(
+        map(tuple, stream_purchase_click_pairs(ev).collect())
+    ) == batch
+
+    # genuine stream-stream join: symmetric hash join in the plan
+    plan = stream._jdf.queryExecution().analyzed().toString()
+    # analyzed plan of a streaming DF shows the join; the physical
+    # streaming node only exists inside a started query, so assert on
+    # the logical join + both watermarks instead
+    assert "Join Inner" in plan and plan.count("EventTimeWatermark") == 2
+
+    # pairs reduce to q18's as-of: per purchase, max click_ts == the
+    # as-of click when that click is within the lookback
+    from aerovaldb_spark.operators.events import q18_asof_purchase_click
+
+    asof = {
+        r["event_id"]: r["last_click_ts"]
+        for r in q18_asof_purchase_click(spark, SF_DIR).collect()
+    }
+    best: dict = {}
+    for pid, _cid, _uid, _pts, cts in streamed:
+        best[pid] = max(best.get(pid, ""), cts)
+    for pid, cts in best.items():
+        assert asof[pid] == cts, pid
