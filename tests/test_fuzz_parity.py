@@ -455,3 +455,93 @@ def test_fuzzed_bpe_pack_gate_stream_matches_batch(
             assert sum(toks) < BPE_PACK_BUDGET + max(toks)
 
     check()
+
+
+# Events-table fuzz: the temporal queries' cross-engine risk is
+# timestamp semantics (strictly-before boundaries, identical-instant
+# events, micros precision). Random event tables with deliberately
+# colliding timestamps drive the graded temporal pairs through the
+# same oracle gate.
+EVENT = st.tuples(
+    st.integers(min_value=0, max_value=5),  # user
+    st.integers(min_value=0, max_value=60 * 60 * 30),  # seconds offset
+    st.integers(min_value=0, max_value=999999),  # micros
+    st.sampled_from(["click", "purchase", "view", "signup", "error"]),
+)
+EVENT_TABLES = st.lists(EVENT, min_size=2, max_size=40)
+
+_EVENT_CASES = [
+    "q104_purchase_click_pairs",
+    "q18_asof_purchase_click",
+    "q19_sessionize",
+]
+
+
+def _write_events(tmpdir: str, rows) -> str:
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    # plant one exact click/purchase timestamp collision for the same
+    # user: strictly-before predicates must EXCLUDE it on both engines
+    rows = list(rows) + [
+        (0, 3600, 0, "click"),
+        (0, 3600, 0, "purchase"),
+    ]
+    table = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array(
+                [
+                    base + dt.timedelta(seconds=r[1], microseconds=r[2])
+                    for r in rows
+                ],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array(
+                [float(i % 7) for i in range(len(rows))], pa.float64()
+            ),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(table, os.path.join(tmpdir, "events.parquet"))
+    return tmpdir
+
+
+@pytest.mark.parametrize("qname", _EVENT_CASES)
+def test_fuzzed_events_match_oracle(qname, spark, tmp_path_factory):
+    import __spark_entry__ as entry_mod
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(EVENT_TABLES)
+    def check(rows):
+        d = str(tmp_path_factory.mktemp("fuzzev"))
+        _write_events(d, rows)
+        df = queries[qname](spark, d)
+        con = duckdb.connect()
+        try:
+            con.execute(
+                "CREATE VIEW events AS SELECT * FROM "
+                f"'{d}/events.parquet'"
+            )
+            arrow = con.execute(oracles[qname]).arrow()
+        finally:
+            con.close()
+        cols = [c.to_pylist() for c in arrow.columns]
+        oracle_rows = [
+            tuple(col[i] for col in cols) for i in range(arrow.num_rows)
+        ]
+        problems = compare(
+            qname, df, oracle_rows, list(arrow.schema.names)
+        )
+        assert not problems, (problems, rows)
+
+    check()
