@@ -1,0 +1,301 @@
+"""Cross-micro-batch behavior of the STATEFUL streaming operators.
+
+Every other streaming test drives a single-file source — one
+micro-batch — which never exercises state carried BETWEEN batches.
+These tests split the corpus across two parquet files and force one
+file per trigger (maxFilesPerTrigger=1 + availableNow), so:
+- the stream-stream join must match batch-2 purchases against clicks
+  BUFFERED from batch 1,
+- the stateful BPE packer's per-source running totals must continue
+  across the batch boundary (shard ids keep counting, budgets hold),
+- dropDuplicatesWithinWatermark must suppress a duplicate arriving in
+  a LATER batch,
+- running_user_totals must accumulate across batches to the batch
+  answer.
+
+Files are split by event time / doc id so event-time watermarks only
+ever advance (no late-data drops) and arrival order equals id order —
+making stream == batch an EXACT expectation, not an approximation.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _write_split_events(spark, tmpdir: str, split_at=None) -> None:
+    """The sf0.001 events table, split at a timestamp into two files
+    (older half first — lexicographic file order is the processing
+    order for the file source). Default split point: the median."""
+    rows = sorted(
+        spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+        .selectExpr(
+            "event_id",
+            "cast(ts as timestamp) as ts",
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        .collect(),
+        key=lambda r: (r["ts"], r["event_id"]),
+    )
+    if split_at is None:
+        halves = [rows[: len(rows) // 2], rows[len(rows) // 2:]]
+    else:
+        halves = [
+            [r for r in rows if r["ts"] <= split_at],
+            [r for r in rows if r["ts"] > split_at],
+        ]
+    for i, half in enumerate(halves):
+        table = pa.table(
+            {
+                "event_id": pa.array(
+                    [r["event_id"] for r in half], pa.int64()
+                ),
+                "ts": pa.array(
+                    [
+                        r["ts"].replace(tzinfo=dt.timezone.utc)
+                        for r in half
+                    ],
+                    pa.timestamp("us", tz="UTC"),
+                ),
+                "user_id": pa.array(
+                    [r["user_id"] for r in half], pa.int64()
+                ),
+                "event_type": pa.array(
+                    [r["event_type"] for r in half], pa.string()
+                ),
+                "value": pa.array(
+                    [r["value"] for r in half], pa.float64()
+                ),
+                "props": pa.array(
+                    [r["props"] for r in half], pa.string()
+                ),
+            }
+        )
+        pq.write_table(table, os.path.join(tmpdir, f"part{i}.parquet"))
+
+
+_EV_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _event_stream_two_batches(spark, tmpdir: str):
+    return (
+        spark.readStream.schema(_EV_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(tmpdir)
+    )
+
+
+def test_stream_stream_join_across_batches(spark, tmp_path):
+    """Purchases in batch 2 must join clicks buffered from batch 1 —
+    the state the single-batch test never exercises. Split is by event
+    time, so watermarks only advance and stream == batch exactly."""
+    from aerovaldb_spark.operators.events import purchase_click_pairs
+    from aerovaldb_spark.streaming import (
+        run_stream_to_memory,
+        stream_purchase_click_pairs,
+    )
+
+    # choose the split point INSIDE a known (click, purchase) pair so
+    # at least one join match is guaranteed to span the two batches
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    probe = purchase_click_pairs(ev.selectExpr(
+        "event_id", "cast(ts as timestamp) as ts", "user_id",
+        "event_type", "value", "props",
+    )).collect()
+    assert probe
+    widest = max(
+        probe, key=lambda r: (r["purchase_ts"], r["click_ts"])
+    )
+    c_ts = dt.datetime.strptime(
+        widest["click_ts"], "%Y-%m-%d %H:%M:%S.%f"
+    )
+    p_ts = dt.datetime.strptime(
+        widest["purchase_ts"], "%Y-%m-%d %H:%M:%S.%f"
+    )
+    split_at = c_ts + (p_ts - c_ts) / 2
+
+    d = str(tmp_path / "ev2")
+    os.makedirs(d)
+    _write_split_events(spark, d, split_at=split_at)
+
+    batch_df = spark.read.schema(_EV_SCHEMA).parquet(d)
+    batch = sorted(map(tuple, purchase_click_pairs(batch_df).collect()))
+    assert batch
+
+    got = run_stream_to_memory(
+        stream_purchase_click_pairs(_event_stream_two_batches(spark, d)),
+        "pc_pairs_2b",
+        spark,
+        output_mode="append",
+    )
+    streamed = sorted(map(tuple, got.collect()))
+    assert streamed == batch
+
+    # prove the split actually crosses batches: at least one pair's
+    # click is in file 0 and purchase in file 1
+    f0_ids = {
+        r["event_id"]
+        for r in spark.read.parquet(os.path.join(d, "part0.parquet")).collect()
+    }
+    cross = [
+        (pid, cid)
+        for pid, cid, *_ in streamed
+        if cid in f0_ids and pid not in f0_ids
+    ]
+    assert cross, "time split produced no cross-batch pairs"
+
+
+def test_running_totals_accumulate_across_batches(spark, tmp_path):
+    from aerovaldb_spark.streaming import (
+        run_stream_to_memory,
+        running_user_totals,
+    )
+
+    d = str(tmp_path / "ev3")
+    os.makedirs(d)
+    _write_split_events(spark, d)
+
+    batch_df = spark.read.schema(_EV_SCHEMA).parquet(d)
+    want = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 2))
+        for r in running_user_totals(batch_df).collect()
+    }
+    got = run_stream_to_memory(
+        running_user_totals(_event_stream_two_batches(spark, d)),
+        "totals_2b",
+        spark,
+        output_mode="update",
+    )
+    final = {}
+    for row in got.collect():
+        final[row["user_id"]] = (
+            row["n_events"],
+            round(row["total_value"], 2),
+        )
+    assert final == want and len(want) > 0
+
+
+def test_streaming_dedup_suppresses_cross_batch_duplicate(spark, tmp_path):
+    """A duplicate event_id arriving in the SECOND batch (within the
+    watermark horizon) must be dropped by
+    dropDuplicatesWithinWatermark's cross-batch state."""
+    from aerovaldb_spark.streaming import (
+        run_stream_to_memory,
+        streaming_dedup,
+    )
+
+    d = str(tmp_path / "ev4")
+    os.makedirs(d)
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+
+    def _write(path, rows):
+        table = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [base + dt.timedelta(minutes=r[1]) for r in rows],
+                    pa.timestamp("us", tz="UTC"),
+                ),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array(["click"] * len(rows), pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        )
+        pq.write_table(table, path)
+
+    _write(os.path.join(d, "part0.parquet"), [(1, 0), (2, 5)])
+    # id 2 duplicated 10 minutes later, well inside the 2h watermark
+    _write(os.path.join(d, "part1.parquet"), [(2, 15), (3, 20)])
+
+    got = run_stream_to_memory(
+        streaming_dedup(_event_stream_two_batches(spark, d)),
+        "dedup_2b",
+        spark,
+        output_mode="append",
+    )
+    ids = sorted(r["event_id"] for r in got.collect())
+    assert ids == [1, 2, 3]
+
+
+def test_bpe_pack_gate_state_continues_across_batches(spark, tmp_path):
+    """The per-source running subword total must survive the batch
+    boundary: splitting the corpus by doc_id (arrival order == id
+    order) makes the two-batch stream equal the batch packing, which
+    can only happen if batch 2 resumes batch 1's totals instead of
+    restarting shard 0 at budget 0."""
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators.text import bpe_pack
+    from aerovaldb_spark.streaming import (
+        DOCUMENTS_SCHEMA,
+        bpe_pack_gate,
+        run_stream_to_memory,
+    )
+
+    docs = sorted(
+        load_table(spark, SF_DIR, "documents").collect(),
+        key=lambda r: r["doc_id"],
+    )
+    d = str(tmp_path / "docs2")
+    os.makedirs(d)
+    halves = [docs[: len(docs) // 2], docs[len(docs) // 2:]]
+    for i, half in enumerate(halves):
+        table = pa.table(
+            {
+                "doc_id": pa.array([r["doc_id"] for r in half], pa.int64()),
+                "text": pa.array([r["text"] for r in half], pa.string()),
+                "lang": pa.array([r["lang"] for r in half], pa.string()),
+                "source": pa.array(
+                    [r["source"] for r in half], pa.string()
+                ),
+                "n_chars": pa.array(
+                    [r["n_chars"] for r in half], pa.int64()
+                ),
+            }
+        )
+        pq.write_table(table, os.path.join(d, f"part{i}.parquet"))
+
+    batch = sorted(
+        map(
+            tuple,
+            bpe_pack(spark.read.schema(DOCUMENTS_SCHEMA).parquet(d)).collect(),
+        )
+    )
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    got = run_stream_to_memory(
+        bpe_pack_gate(stream), "pack_2b", spark, output_mode="append"
+    )
+    streamed = sorted(map(tuple, got.collect()))
+    assert streamed == batch and len(batch) > 0
+    # shard ids in batch 2's docs continue (some doc in the second
+    # half lands in a shard > 0 for its source, proving carried state)
+    second_half_ids = {r["doc_id"] for r in halves[1]}
+    assert any(
+        shard > 0
+        for doc_id, _src, _n, shard in streamed
+        if doc_id in second_half_ids
+    )
