@@ -22,7 +22,7 @@ _MERGED_QUERIES = {
 }
 
 # The external correctness gate records rows for the FIRST 50 entries
-# of ``queries()`` only (104 declared > 50-entry cap), so entry ORDER
+# of ``queries()`` only (105 declared > 50-entry cap), so entry ORDER
 # decides which queries get a driver-recorded check each round. Policy:
 # entries never yet driver-verified, green-only-once, or just-changed
 # come first; the tail past position 50 holds entries with >=2
@@ -43,17 +43,19 @@ _MERGED_QUERIES = {
 #   purchase-click pair join, the stream-stream join's batch anchor
 #   — q29 yields its slot: 2 driver greens, judge-re-verified at
 #   sf0.01 in r6, and exercised by every bench run; committed to
+#   r8), q105 (span-level decontamination — q90 yields its slot: 2
+#   driver greens + judge re-verified at sf0.01 in r6; committed to
 #   r8);
 # - just-changed (1): q99 (candidate join gained the Bayardo size
 #   filter + PPJoin positional bound + rounding-model eps this round
 #   — lossless, parity re-verified locally at sf0.001/0.01);
 # - once-green, first driver green r6 (5): q94 q95 q96 q97 q98;
-# - the r6 tail rotating back in, 39 of 49: q08 q09 q11 q12 q14
+# - the r6 tail rotating back in, 38 of 49: q08 q09 q11 q12 q14
 #   q15 q16 q17 q20 q23 q24 q30 q31 q33 q34 q36-q51 q57 q59
-#   q61 q66 q79 q83 q89 q90 (every one >=2 driver greens, last
+#   q61 q66 q79 q83 q89 (every one >=2 driver greens, last
 #   driver-checked r5).
 #
-# Round-7 tail (54):
+# Round-7 tail (55):
 # - 8 entries from the r6 tail holding the strongest recent evidence,
 #   deferred one more round to make room: q76 q01 q02 (3 driver
 #   greens each) and q07 q22 q53 q54 q58 (2 driver greens AND
@@ -62,9 +64,9 @@ _MERGED_QUERIES = {
 #   q03-q06 q10 q13 q18 q19 q21 q25-q28 q32 q35 q52 q56 q60 q62-q65
 #   q67-q75 q77 q78 q80-q82 q84-q88 q91 q92 q93.
 # R8 plan: rotate this tail back in; three-plus-green entries yield
-# slots to whatever r8 adds or changes, starting with the 10
-# deferred twice (q76 q01 q02 q07 q22 q53 q54 q58 q55 q29 MUST be in
-# the r8 window).
+# slots to whatever r8 adds or changes, starting with the 11
+# deferred twice (q76 q01 q02 q07 q22 q53 q54 q58 q55 q29 q90 MUST
+# be in the r8 window).
 _DEFER_ROUND = [
     # strongest-evidence r6-tail entries, deferred one more round
     "q76_bigram_lm_nll",
@@ -77,6 +79,7 @@ _DEFER_ROUND = [
     "q58_decontaminate",
     "q55_approx_distinct",
     "q29_cosine_topk",
+    "q90_label_outliers",
     # r6-window cohort, retired at >=2 driver greens
     "q03_revenue_by_nation",
     "q04_selective_filter_agg",

@@ -1913,6 +1913,140 @@ WHERE nn_rank <= 10
 """
 
 
+DECONTAM_NGRAM = 3
+
+
+def decontaminate_spans(docs: DataFrame, n: int = DECONTAM_NGRAM) -> DataFrame:
+    """SURGICAL test-set decontamination — q58's span-level sibling:
+    instead of dropping every training document sharing a single
+    ``n``-gram with the test split (q58's census, which at realistic
+    contamination rates discards documents wholesale for one leaked
+    sentence), remove exactly the words covered by a contaminated
+    ``n``-gram and keep the rest. The standard production shape
+    (GPT-3/PaLM-style span excision).
+
+    Per train doc: (doc_id, n_words, n_removed, clean_md5) — the md5
+    of the redacted space-joined text, so the oracle certifies the
+    exact surviving byte sequence, not just counts. Uncontaminated
+    docs pass through with n_removed = 0 and the original text's md5.
+
+    Scale shape: the test-shingle set is 8-byte hashes (distinct,
+    broadcast-or-shuffle semi-join); train-side n-grams explode one
+    row per start position but carry only (doc_id, pos, hash) —
+    never text — and collapse back to one starts-array row per
+    contaminated doc; the rewrite is a single array expression over
+    the original words column (no UDF, no shuffle of text)."""
+    with_split = docs.withColumn("split", split_col())
+    from .dedup import hashed_shingles
+
+    test_h = (
+        hashed_shingles(with_split, n)
+        .join(
+            with_split.filter(F.col("split") == "test").select("doc_id"),
+            "doc_id",
+        )
+        .select("h")
+        .distinct()
+    )
+    from .dedup import hash60
+
+    train = with_split.filter(F.col("split") == "train").select(
+        "doc_id", F.split(F.col("text"), " ").alias("ws")
+    )
+    tr_ng = (
+        train.select(
+            "doc_id",
+            "ws",
+            F.explode(
+                F.when(
+                    F.size("ws") >= n,
+                    F.expr(f"sequence(1, size(ws) - {n - 1})"),
+                ).otherwise(F.expr("array()"))
+            ).alias("i"),
+        )
+        .withColumn(
+            "h",
+            hash60(F.expr(f"array_join(slice(ws, i, {n}), ' ')")),
+        )
+        .select("doc_id", "i", "h")
+    )
+    starts = (
+        tr_ng.join(test_h, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("i")).alias("starts"))
+    )
+    kept = F.expr(
+        "filter(transform(ws, (w, j) -> struct(w as w, j as j)),"
+        " x -> NOT exists(coalesce(starts, array()),"
+        f" s -> s <= x.j + 1 AND x.j + 1 <= s + {n - 1}))"
+    )
+    return (
+        train.join(starts, "doc_id", "left")
+        .withColumn("_kept", kept)
+        .select(
+            "doc_id",
+            F.size("ws").cast("long").alias("n_words"),
+            (F.size("ws") - F.size("_kept")).cast("long").alias("n_removed"),
+            F.md5(
+                F.array_join(
+                    F.expr("transform(_kept, x -> x.w)"), " "
+                )
+            ).alias("clean_md5"),
+        )
+    )
+
+
+def q105_decontaminate_spans(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return decontaminate_spans(load_table(spark, sf_dir, "documents"))
+
+
+Q105_SQL = f"""
+WITH split AS (
+  SELECT doc_id, text,
+    CASE WHEN CAST('0x' || substring(md5('split_' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 90 THEN 'train'
+         WHEN CAST('0x' || substring(md5('split_' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 95 THEN 'val'
+         ELSE 'test' END AS split
+  FROM documents
+), test_h AS (
+  SELECT DISTINCT
+    CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS h
+  FROM (
+    SELECT unnest(list_distinct(list_transform(
+      generate_series(1, greatest(len(string_split(text, ' ')) - {DECONTAM_NGRAM - 1}, 0)),
+      i -> array_to_string(string_split(text, ' ')[i:i+{DECONTAM_NGRAM - 1}], ' ')))) AS shingle
+    FROM split WHERE split = 'test'
+  )
+), tws AS (
+  SELECT doc_id, string_split(text, ' ') AS ws
+  FROM split WHERE split = 'train'
+), tr_ng AS (
+  SELECT doc_id, i,
+    CAST('0x' || substring(md5(array_to_string(ws[i:i+{DECONTAM_NGRAM - 1}], ' ')), 1, 15) AS BIGINT) AS h
+  FROM tws, LATERAL unnest(generate_series(1, greatest(len(ws) - {DECONTAM_NGRAM - 1}, 0))) AS u(i)
+), cont AS (
+  SELECT doc_id, list_sort(list(i)) AS starts
+  FROM tr_ng JOIN test_h USING (h)
+  GROUP BY doc_id
+), redacted AS (
+  SELECT t.doc_id, t.ws,
+    list_filter(generate_series(1, len(t.ws)),
+      j -> len(list_filter(coalesce(c.starts, []),
+                s -> s <= j AND j <= s + {DECONTAM_NGRAM - 1})) = 0) AS kept
+  FROM tws t LEFT JOIN cont c ON c.doc_id = t.doc_id
+)
+SELECT doc_id,
+  CAST(len(ws) AS BIGINT) AS n_words,
+  CAST(len(ws) - len(kept) AS BIGINT) AS n_removed,
+  -- COALESCE: DuckDB's array_to_string([]) is NULL where Spark's
+  -- array_join([]) is '' — a fully-redacted doc hashes md5('')
+  md5(COALESCE(array_to_string(list_transform(kept, j -> ws[j]), ' '), ''))
+    AS clean_md5
+FROM redacted
+"""
+
+
 # q102 oracle: the all-pairs spec of the self-screen — reference =
 # incoming = documents, so the frozen reference idf IS the corpus idf
 # and no term is OOV; best other-doc DECIMAL dot per doc (ties to the
@@ -1983,6 +2117,7 @@ QUERIES = {
     "q97_bpe_pack_sequences": q97_bpe_pack_sequences,
     "q99_tfidf_cosine_knn": q99_tfidf_cosine_knn,
     "q102_tfidf_reference_screen": q102_tfidf_reference_screen,
+    "q105_decontaminate_spans": q105_decontaminate_spans,
 }
 
 ORACLE = {
@@ -2009,4 +2144,5 @@ ORACLE = {
     "q97_bpe_pack_sequences": _q97_sql(),
     "q99_tfidf_cosine_knn": Q99_SQL,
     "q102_tfidf_reference_screen": Q102_SQL,
+    "q105_decontaminate_spans": Q105_SQL,
 }

@@ -54,6 +54,7 @@ _CASES = [
     "q92_bpe_token_stats",
     "q100_bpe_large_token_stats",
     "q103_bpe_doc_fingerprints",
+    "q105_decontaminate_spans",
     "q95_bpe_token_budget",
     "q97_bpe_pack_sequences",
     "q99_tfidf_cosine_knn",
