@@ -117,6 +117,21 @@ def main() -> None:
     kept = kept.join(contaminated, "doc_id", "left_anti")
     print(f"after decontamination: {kept.count()}")
 
+    # 4b. the SURGICAL alternative (q105): instead of dropping whole
+    # documents, excise exactly the words covered by a leaked n-gram —
+    # at realistic contamination rates this keeps most of a flagged
+    # document's tokens
+    from aerovaldb_spark.operators.text import decontaminate_spans
+
+    spans = decontaminate_spans(docs)
+    tot, removed = spans.agg(
+        F.sum("n_words"), F.sum("n_removed")
+    ).first()
+    print(
+        f"span-level alternative: {removed}/{tot} words excised "
+        f"({100.0 * removed / tot:.1f}% — vs dropping whole docs)"
+    )
+
     # 5. split + pack
     final = kept.withColumn("split", split_col()).withColumn(
         "n_tokens", token_count_col()
@@ -215,13 +230,25 @@ def main() -> None:
         f"{n_kept} canonicals kept"
     )
 
+    # 9b. serve similarity from the compressed index (q101): int8
+    # codes bucketed by their own SRP signature — probes directory-
+    # prune the bucket-partitioned tinyint table and re-rank with
+    # exact integer arithmetic (4x fewer bytes per probed row)
+    from aerovaldb_spark.operators.similarity import quantized_srp_topk
+
+    served = quantized_srp_topk(
+        emb, emb.limit(3), k=5, dim=64, planes=6
+    )
+    print(f"quantized-SRP serving: {served.count()} results for 3 probes")
+
     # 10. BPE budget audit (q92): the whitespace counts that packed
     # step 5 are a 1.3-1.7x underestimate of subword cost — the frozen
     # corpus-trained merge table gives the budget a trainer actually
     # pays (encode runs once per DISTINCT word, never per doc)
     from aerovaldb_spark.functions.bpe import bpe_token_stats
 
-    bpe = bpe_token_stats(kept)
+    bpe = bpe_token_stats(kept)  # q100's bpe_token_stats_with(...,
+    # LARGE_MERGES) is the production-table path; same plan shape
     ws_vs_bpe = bpe.agg(
         F.sum("n_words").alias("ws_tokens"),
         F.sum("n_bpe_tokens").alias("bpe_tokens"),
