@@ -543,6 +543,51 @@ def near_dup_gate(docs: DataFrame, reference_buckets: DataFrame) -> DataFrame:
     )
 
 
+def near_dup_screen_join(
+    docs: DataFrame, reference_buckets: DataFrame
+) -> DataFrame:
+    """:func:`near_dup_gate` for reference corpora that outgrow a
+    broadcast — the minhash rung of the same reference-size ladder as
+    the TF-IDF family (broadcast gate -> this join-based screen):
+    band signatures unpivot to (doc_id, band, band_sig) rows and ONE
+    shuffled left-semi join against the (band, band_sig) reference
+    replaces the per-band broadcast joins; no driver-side or
+    executor-broadcast copy of the reference ever exists. Output is
+    bit-identical to the broadcast gate (equivalence-tested).
+
+    This is the BATCH screen (the flag aggregation makes it a
+    shuffle); on a stream keep the broadcast gate, or run this form
+    inside foreachBatch per micro-batch."""
+    from ..operators.dedup import BANDS, minhash_band_cols
+
+    out = minhash_band_cols(docs)
+    long = out.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.col(f"bsig_{b}").alias("band_sig"),
+                    )
+                    for b in range(BANDS)
+                ]
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.band").alias("band"), F.col("s.band_sig").alias("band_sig"))
+    hits = (
+        long.join(reference_buckets, ["band", "band_sig"], "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("near_dup", F.lit(True))
+    )
+    return (
+        out.drop(*[f"bsig_{b}" for b in range(BANDS)])
+        .join(hits, "doc_id", "left")
+        .withColumn("near_dup", F.coalesce("near_dup", F.lit(False)))
+    )
+
+
 def semantic_dup_gate(
     vectors: DataFrame,
     reference: DataFrame,

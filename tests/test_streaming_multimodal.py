@@ -1324,3 +1324,26 @@ def test_stream_stream_purchase_click_join(spark):
         best[pid] = max(best.get(pid, ""), cts)
     for pid, cts in best.items():
         assert asof[pid] == cts, pid
+
+
+def test_near_dup_screen_join_matches_broadcast_gate(spark):
+    """The shuffled join-based minhash screen (for over-broadcast
+    references) is bit-identical to the per-band broadcast gate, and
+    its plan carries no broadcast of the reference side."""
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.streaming import (
+        near_dup_gate,
+        near_dup_screen_join,
+        reference_band_buckets,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    ref = reference_band_buckets(docs)
+    a = sorted(
+        map(tuple, near_dup_gate(docs, ref).collect())
+    )
+    b = sorted(
+        map(tuple, near_dup_screen_join(docs, ref).collect())
+    )
+    assert a == b and len(a) == docs.count()
+    assert any(r[-1] for r in b)  # self-screen flags everything real
