@@ -116,6 +116,18 @@ def purchase_click_pairs(
     THIS predicate as a watermarked stream-stream join, equivalence-
     tested). Batch shape: one keyed shuffle on user_id; the range
     predicates ride the join as filters — never a cross product."""
+    p, c = pair_join_sides(events)
+    return pair_join_output(
+        p.join(c, pair_join_condition(lookback_hours))
+    )
+
+
+# the three pieces below are SHARED with the streaming twin
+# (streaming.stream_purchase_click_pairs wraps the sides with
+# event-time watermarks and reuses the condition and projection
+# verbatim), so the batch/stream equivalence the tests assert cannot
+# drift out from under either form
+def pair_join_sides(events: DataFrame) -> tuple[DataFrame, DataFrame]:
     p = events.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
         "user_id",
@@ -126,16 +138,22 @@ def purchase_click_pairs(
         F.col("user_id").alias("c_user_id"),
         F.col("ts").alias("click_ts"),
     )
-    joined = p.join(
-        c,
+    return p, c
+
+
+def pair_join_condition(lookback_hours: int):
+    return (
         (F.col("user_id") == F.col("c_user_id"))
         & (F.col("click_ts") < F.col("purchase_ts"))
         & (
             F.col("click_ts")
             >= F.col("purchase_ts")
             - F.expr(f"INTERVAL {int(lookback_hours)} HOURS")
-        ),
+        )
     )
+
+
+def pair_join_output(joined: DataFrame) -> DataFrame:
     return joined.select(
         "purchase_id",
         "click_id",

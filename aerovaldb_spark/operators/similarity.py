@@ -1636,6 +1636,13 @@ class SRPIndex:
                 query, self.dim, self.planes, n_flip,
                 self.vec_col, self.id_col,
             )
+        # persist the probe frame: it feeds TWO actions (the bucket
+        # collect below and the scoring join), and an unpersisted
+        # nondeterministic query lineage (e.g. limit() without order)
+        # could otherwise yield inconsistent probe sets between them
+        from ._scope import scoped_persist
+
+        probe = scoped_persist(probe)
         # the union of probed buckets (≤ 2^planes ints — independent of
         # the query-batch size) becomes a literal IN filter so the
         # bucket-partitioned layout is directory-pruned at the scan
@@ -1786,6 +1793,11 @@ class QuantizedSRPIndex:
                 qf, self.dim, self.planes, n_flip, "codes", self.id_col
             )
         )
+        # same two-action probe reuse as SRPIndex.topk: persist so the
+        # collect and the scoring join see one probe set
+        from ._scope import scoped_persist
+
+        probe = scoped_persist(probe)
         probed = sorted(
             r["bucket"]
             for r in probe.select("bucket").distinct().collect()

@@ -1518,6 +1518,43 @@ def tfidf_weight_frame(docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame
     return w, stats, n
 
 
+def _map_dot_col(ma: str = "ma", mb: str = "mb"):
+    """Exact decimal dot of two (term -> round6 weight) map columns:
+    sum of round6'd per-term products over the SHARED keys, as
+    DECIMAL(18,6) — the one verification convention q99 and q102 must
+    share bit-for-bit (decimal addition is exact, so map iteration
+    order is irrelevant)."""
+    return F.aggregate(
+        F.map_values(
+            F.map_zip_with(
+                ma,
+                mb,
+                lambda k, x, y: F.when(
+                    x.isNotNull() & y.isNotNull(),
+                    round6(x * y).cast("decimal(18,6)"),
+                ),
+            )
+        ),
+        F.lit(0).cast("decimal(18,6)"),
+        lambda acc, x: (
+            acc + F.coalesce(x, F.lit(0).cast("decimal(18,6)"))
+        ).cast("decimal(18,6)"),
+    )
+
+
+def _weight_map_frame(w: DataFrame) -> DataFrame:
+    """(doc_id, m): each doc's (term -> weight) map — the verification
+    side's compact form (joined per candidate instead of exploding to
+    (pair, term) rows; see the trade-off note in tfidf_cosine_knn)."""
+    return scoped_persist(
+        w.groupBy("doc_id").agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "w"))
+            ).alias("m")
+        )
+    )
+
+
 def tfidf_cosine_knn(
     docs: DataFrame,
     threshold: float = 0.8,
@@ -1615,29 +1652,7 @@ def tfidf_cosine_knn(
     # are short or candidates share most of their mass (the near-dup
     # regime this operator serves); for very long documents with thin
     # overlaps the keyed (pair, term) join is the right shape.
-    wmap = scoped_persist(
-        w.groupBy("doc_id").agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("term", "w"))
-            ).alias("m")
-        )
-    )
-    dot_col = F.aggregate(
-        F.map_values(
-            F.map_zip_with(
-                "ma",
-                "mb",
-                lambda k, x, y: F.when(
-                    x.isNotNull() & y.isNotNull(),
-                    round6(x * y).cast("decimal(18,6)"),
-                ),
-            )
-        ),
-        F.lit(0).cast("decimal(18,6)"),
-        lambda acc, x: (
-            acc + F.coalesce(x, F.lit(0).cast("decimal(18,6)"))
-        ).cast("decimal(18,6)"),
-    )
+    wmap = _weight_map_frame(w)
     dots = (
         cand.join(
             wmap.select(
@@ -1651,7 +1666,7 @@ def tfidf_cosine_knn(
             ),
             "doc_b",
         )
-        .withColumn("dot", dot_col)
+        .withColumn("dot", _map_dot_col())
         .where(F.col("dot").cast("double") >= threshold)
         .select("doc_a", "doc_b", "dot")
     )
@@ -1703,9 +1718,12 @@ def tfidf_screen_join(
     prefix rule on both sides (with the rounding-model slack), the
     exact DECIMAL dot runs over candidate pairs' shared terms only,
     and every incoming doc emits one row: (doc_id, match_id,
-    match_cosine, tfidf_dup) — best cosine across the reference,
-    ties to the lowest reference id, self-ids excluded, zero-norm or
-    candidate-less docs unflagged with NULL match columns.
+    match_cosine, tfidf_dup) — the best QUALIFYING match (>= the
+    threshold; for such pairs the prefix bound is lossless, so this
+    equals the best over ALL references), ties to the lowest
+    reference id, self-ids excluded; unflagged docs (no qualifying
+    match, zero norm, no candidates) carry NULL match columns —
+    the gate's exact contract.
     """
     from pyspark.sql import Window
 
@@ -1780,32 +1798,16 @@ def tfidf_screen_join(
         .distinct()
     )
     # exact verification via per-doc weight maps (q99's shape — the
-    # 260M-row (pair, term) exchange removed); pairs are kept on the
-    # gate's rule "at least one shared term", NOT on dot > 0, so a
-    # shared-vocabulary pair whose idf-zero terms sum to 0.0 still
-    # reports a best match exactly like the broadcast gate
-    in_map = scoped_persist(
-        w_in.groupBy("doc_id").agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("term", "w"))
-            ).alias("m")
-        )
-    )
-    ref_map = scoped_persist(
-        w_ref.groupBy("doc_id").agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("term", "w"))
-            ).alias("m")
-        )
-    )
-    zipped = F.map_zip_with(
-        "ma",
-        "mb",
-        lambda k, x, y: F.when(
-            x.isNotNull() & y.isNotNull(),
-            round6(x * y).cast("decimal(18,6)"),
-        ),
-    )
+    # 260M-row (pair, term) exchange removed), then the CONTRACT
+    # filter: only pairs at or above the threshold are reported. For
+    # those pairs the prefix bound is lossless, so best-over-
+    # candidates equals best-over-ALL-references — which is exactly
+    # what lets the all-pairs oracle stay exact. A sub-threshold
+    # "best" would depend on which candidates the bound happens to
+    # admit (not a portable semantics), so unflagged docs carry NULL
+    # match columns, mirroring the gate.
+    in_map = _weight_map_frame(w_in)
+    ref_map = _weight_map_frame(w_ref)
     dots = (
         cand.join(
             in_map.select(
@@ -1819,23 +1821,8 @@ def tfidf_screen_join(
             ),
             "ref_id",
         )
-        .withColumn("_z", zipped)
-        .where(
-            F.size(
-                F.map_filter(F.col("_z"), lambda k, v: v.isNotNull())
-            )
-            > 0
-        )
-        .withColumn(
-            "dot",
-            F.aggregate(
-                F.map_values("_z"),
-                F.lit(0).cast("decimal(18,6)"),
-                lambda acc, x: (
-                    acc + F.coalesce(x, F.lit(0).cast("decimal(18,6)"))
-                ).cast("decimal(18,6)"),
-            ),
-        )
+        .withColumn("dot", _map_dot_col())
+        .where(F.col("dot").cast("double") >= threshold)
         .select("in_id", "ref_id", "dot")
     )
     best = Window.partitionBy("in_id").orderBy(
@@ -1848,7 +1835,7 @@ def tfidf_screen_join(
             F.col("in_id").alias("doc_id"),
             F.col("ref_id").alias("match_id"),
             round6(F.col("dot").cast("double")).alias("match_cosine"),
-            (F.col("dot").cast("double") >= threshold).alias("_flag"),
+            F.lit(True).alias("_flag"),
         )
     )
     return incoming.select("doc_id").join(top, "doc_id", "left").select(
@@ -1939,11 +1926,13 @@ def decontaminate_spans(docs: DataFrame, n: int = DECONTAM_NGRAM) -> DataFrame:
     with_split = docs.withColumn("split", split_col())
     from .dedup import hashed_shingles
 
+    # shingle ONLY the test split (~5% of the corpus): the filter
+    # must sit below the generator explicitly — Catalyst cannot push
+    # an equi-join beneath it, so joining after hashing would explode
+    # and md5 the whole corpus's shingles to discard 95%
     test_h = (
-        hashed_shingles(with_split, n)
-        .join(
-            with_split.filter(F.col("split") == "test").select("doc_id"),
-            "doc_id",
+        hashed_shingles(
+            with_split.filter(F.col("split") == "test"), n
         )
         .select("h")
         .distinct()
@@ -2078,17 +2067,21 @@ w0 AS (
   FROM w a JOIN w b ON a.term = b.term AND a.doc_id <> b.doc_id
   GROUP BY 1, 2
 ), best AS (
+  -- contract: only QUALIFYING matches are reported (>= threshold);
+  -- for those the engine's prefix bound is lossless, so this
+  -- all-pairs best equals the engine's best-over-candidates
   SELECT doc_id, match_id, dot FROM (
     SELECT doc_id, match_id, dot,
       ROW_NUMBER() OVER (PARTITION BY doc_id
                          ORDER BY dot DESC, match_id) AS rn
     FROM dots
+    WHERE CAST(dot AS DOUBLE) >= 0.8
   ) WHERE rn = 1
 )
 SELECT d.doc_id,
   b.match_id,
   ROUND(CAST(b.dot AS DOUBLE), 6) AS match_cosine,
-  COALESCE(CAST(b.dot AS DOUBLE) >= 0.8, FALSE) AS tfidf_dup
+  b.match_id IS NOT NULL AS tfidf_dup
 FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id
 """
 

@@ -711,43 +711,18 @@ def stream_purchase_click_pairs(
     hours = PAIR_LOOKBACK_HOURS if lookback_hours is None else lookback_hours
     if not events.isStreaming:
         return purchase_click_pairs(events, hours)
-    p = (
-        events.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            "user_id",
-            F.col("ts").alias("purchase_ts"),
+    from ..operators.events import (
+        pair_join_condition,
+        pair_join_output,
+        pair_join_sides,
+    )
+
+    p, c = pair_join_sides(events)
+    return pair_join_output(
+        p.withWatermark("purchase_ts", watermark).join(
+            c.withWatermark("click_ts", watermark),
+            pair_join_condition(hours),
         )
-        .withWatermark("purchase_ts", watermark)
-    )
-    c = (
-        events.filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user_id"),
-            F.col("ts").alias("click_ts"),
-        )
-        .withWatermark("click_ts", watermark)
-    )
-    joined = p.join(
-        c,
-        (F.col("user_id") == F.col("c_user_id"))
-        & (F.col("click_ts") < F.col("purchase_ts"))
-        & (
-            F.col("click_ts")
-            >= F.col("purchase_ts") - F.expr(f"INTERVAL {int(hours)} HOURS")
-        ),
-    )
-    return joined.select(
-        "purchase_id",
-        "click_id",
-        "user_id",
-        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
-            "purchase_ts"
-        ),
-        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
-            "click_ts"
-        ),
     )
 
 
@@ -958,9 +933,15 @@ def tfidf_dup_gate(docs: DataFrame, index: dict) -> DataFrame:
     values, dots sum round6'd products as exact Decimals, and the
     flag compares the unrounded decimal-as-double exactly like the
     batch filter. Each input row emits exactly one output row;
-    self-matches (same doc_id as a reference doc) are excluded; a doc
-    with no prefix candidates or a zero norm passes unflagged with
-    NULL match columns. Ties at equal cosine resolve to the lowest
+    self-matches (same doc_id as a reference doc) are excluded; an
+    UNFLAGGED doc always carries NULL match columns — the match is
+    reported only when it made the doc a duplicate. (For a flagged
+    doc, best-over-candidates equals best-over-ALL-references exactly,
+    by the prefix bound's losslessness; a sub-threshold "best" would
+    depend on which candidates the bound happens to admit, so it is
+    deliberately outside the contract — this is also what keeps the
+    all-pairs oracle of the join-based screen exact.) Ties at equal
+    cosine resolve to the lowest
     reference id (the batch window's tie convention). Note: an EXACT
     duplicate of a reference doc scores <= 1.0 by up to ~k*5e-7 for a
     k-term doc (unit weights are round6'd before the dot — the batch
@@ -1028,12 +1009,18 @@ def tfidf_dup_gate(docs: DataFrame, index: dict) -> DataFrame:
                     cos = float(dot)
                     if best_cos is None or cos > best_cos:
                         best_id, best_cos = rid, cos
+                # match columns are part of the contract ONLY for
+                # flagged docs (best-over-candidates == best-over-all-
+                # pairs exactly when the best clears the threshold —
+                # the prefix bound's losslessness guarantee); a
+                # sub-threshold "best" depends on which candidates the
+                # bound happens to admit and is NOT reported
                 flagged = best_cos is not None and best_cos >= thr
                 rows.append(
                     (
                         r.doc_id,
-                        best_id,
-                        None if best_cos is None else round6_py(best_cos),
+                        best_id if flagged else None,
+                        round6_py(best_cos) if flagged else None,
                         bool(flagged),
                     )
                 )

@@ -202,7 +202,8 @@ def main() -> None:
         "best_total_sec": round(sum(per_query_best.values()), 3),
         "queries_best": per_query_best,
         # host-speed reference points bracketing the measured section
-        # (quiet host: ~0.1 s each; a 2x-degraded host shows ~0.2+)
+        # (quiet host: ~CALIBRATION_REF_SEC each; a 2x-degraded host
+        # shows ~2x that — host_load_factor below is the ratio)
         "calibration_sec": [_calibrate_start, _calibrate()],
     }
     # Load annotation (r6 lesson: the artifact shipped on a ~23%-slower

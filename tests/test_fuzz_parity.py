@@ -55,6 +55,7 @@ _CASES = [
     "q100_bpe_large_token_stats",
     "q103_bpe_doc_fingerprints",
     "q105_decontaminate_spans",
+    "q102_tfidf_reference_screen",
     "q95_bpe_token_budget",
     "q97_bpe_pack_sequences",
     "q99_tfidf_cosine_knn",

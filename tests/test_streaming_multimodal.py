@@ -1347,3 +1347,76 @@ def test_near_dup_screen_join_matches_broadcast_gate(spark):
     )
     assert a == b and len(a) == docs.count()
     assert any(r[-1] for r in b)  # self-screen flags everything real
+
+
+def test_tfidf_screen_sub_threshold_best_is_null(spark):
+    """Regression (r7 review finding): a doc whose best SUB-threshold
+    match shares no prefix term must report NULL match columns — the
+    contract reports a match only when it made the doc a duplicate,
+    which is what keeps the all-pairs oracle exact. Corpus shape: two
+    docs dominated by unique heavy terms whose only overlap with the
+    rest is low-weight tail vocabulary."""
+    import duckdb
+
+    from aerovaldb_spark.operators.text import (
+        Q102_SQL,
+        tfidf_screen_join,
+    )
+    from aerovaldb_spark.streaming import (
+        tfidf_dup_gate,
+        tfidf_reference_index,
+    )
+
+    common = " ".join(f"c{j}" for j in range(20))
+    rows = [
+        (1, ("uniqa " * 10) + common),
+        (2, ("uniqb " * 10) + common),
+        # identical pair with its own vocabulary -> flagged
+        (3, "dupword dupword dupword"),
+        (4, "dupword dupword dupword"),
+    ] + [
+        # tail-vocabulary docs: df(c_j) < n so the c-terms carry
+        # nonzero weight, giving docs 1/2 a real sub-threshold best
+        (i, common)
+        for i in range(5, 9)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    screen = {
+        r["doc_id"]: r
+        for r in tfidf_screen_join(docs, docs, 0.8).collect()
+    }
+    # doc 1's best match (a sub-threshold tail-overlap) is NOT
+    # reported; docs 3-8 are identical -> flagged with a real match
+    assert screen[1]["match_id"] is None and not screen[1]["tfidf_dup"]
+    assert screen[3]["tfidf_dup"] and screen[3]["match_id"] == 4
+
+    # gate mirrors the screen bit-for-bit on the same corpus
+    gate = {
+        r["doc_id"]: r
+        for r in tfidf_dup_gate(
+            docs, tfidf_reference_index(docs, threshold=0.8)
+        ).collect()
+    }
+    assert sorted(map(tuple, gate.values())) == sorted(
+        map(tuple, screen.values())
+    )
+
+    # and the all-pairs oracle agrees exactly
+    import pandas as pd  # noqa: F401
+
+    con = duckdb.connect()
+    try:
+        pdf = docs.toPandas()
+        con.register("documents", pdf)
+        oracle = {
+            r[0]: r for r in con.execute(Q102_SQL).fetchall()
+        }
+    finally:
+        con.close()
+    for d, r in screen.items():
+        o = oracle[d]
+        assert (r["match_id"], r["match_cosine"], r["tfidf_dup"]) == (
+            o[1],
+            o[2],
+            o[3],
+        ), d
