@@ -95,7 +95,14 @@ def _schema_for(route: Route) -> T.StructType:
 
 
 class AerovalSparkDB:
-    """Keyed JSON/blob asset store with the aerovaldb API surface."""
+    """Keyed JSON/blob asset store with the aerovaldb API surface.
+
+    Constructing a DB sets ``spark.sql.session.timeZone=UTC`` on the
+    *caller's* session (both flush paths must agree on one timestamp
+    interpretation; see the inline note in ``__init__``). Callers that
+    rely on a non-UTC session timezone for unrelated queries should use
+    a dedicated session or restore the conf after construction.
+    """
 
     def __init__(
         self,

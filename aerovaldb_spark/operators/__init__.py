@@ -55,11 +55,14 @@ _MERGED_QUERIES = {
 #   q61 q66 q79 q83 q89 (every one >=2 driver greens, last
 #   driver-checked r5).
 #
-# Round-7 tail (55):
+# Round-7 tail (55 = 8 + 3 + 44):
 # - 8 entries from the r6 tail holding the strongest recent evidence,
 #   deferred one more round to make room: q76 q01 q02 (3 driver
 #   greens each) and q07 q22 q53 q54 q58 (2 driver greens AND
 #   independently re-verified by the r6 judge at sf0.01);
+# - 3 entries that yielded their r7 window slots to new queries:
+#   q55 (rows-only check, least slot value), q29 and q90 (2 driver
+#   greens + judge-re-verified at sf0.01 in r6);
 # - the 44 r6-window entries now retired at 2-or-more greens:
 #   q03-q06 q10 q13 q18 q19 q21 q25-q28 q32 q35 q52 q56 q60 q62-q65
 #   q67-q75 q77 q78 q80-q82 q84-q88 q91 q92 q93.

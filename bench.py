@@ -219,7 +219,12 @@ def main() -> None:
     out["calibration_ref_sec"] = CALIBRATION_REF_SEC
     out["host_load_factor"] = load
     out["host_loaded"] = load > 1.25
-    out["value_load_normalized_advisory"] = round(total / max(load, 1.0), 3)
+    # Symmetric normalization: a faster-than-reference host (load < 1)
+    # is normalized UP just as a loaded host is normalized down, so
+    # round-over-round comparisons can't read host speed as a plan
+    # improvement in either direction. Guard only against a degenerate
+    # near-zero calibration.
+    out["value_load_normalized_advisory"] = round(total / max(load, 0.05), 3)
     if ERRORS:
         out["errors"] = ERRORS
     print(json.dumps(out))
