@@ -173,6 +173,42 @@ def q104_purchase_click_pairs(
     return purchase_click_pairs(load_table(spark, sf_dir, "events"))
 
 
+def purchase_click_pairs_outer(
+    events: DataFrame, lookback_hours: int = PAIR_LOOKBACK_HOURS
+) -> DataFrame:
+    """q104's LEFT-OUTER twin: every purchase appears exactly once per
+    qualifying click, and purchases with NO click in the lookback
+    window appear once with NULL click_id/click_ts — the production
+    attribution shape (unattributed conversions are data, not absence).
+    Same shared sides/condition/projection as the inner form, so the
+    streaming twin (:func:`aerovaldb_spark.streaming.
+    stream_purchase_click_pairs_outer` — a watermarked left-outer
+    stream-stream join, where unmatched purchases emit after watermark
+    expiry) cannot drift from this batch shape."""
+    p, c = pair_join_sides(events)
+    return pair_join_output(
+        p.join(c, pair_join_condition(lookback_hours), "left")
+    )
+
+
+def q107_purchase_click_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return purchase_click_pairs_outer(load_table(spark, sf_dir, "events"))
+
+
+Q107_SQL = f"""
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts < p.ts
+ AND c.ts >= p.ts - INTERVAL {PAIR_LOOKBACK_HOURS} HOUR
+"""
+
+
 Q104_SQL = f"""
 SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
   strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
@@ -329,6 +365,115 @@ def q55_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q106: deterministic bottom-k (KMV) distinct sketch — q55's
+# engine-exact sibling. HLL's sketch internals are engine-specific
+# (q55 is rows-only graded by design); the KMV estimator is pure
+# order-free arithmetic over md5-derived hashes, so the SAME estimate
+# is replayable in any engine (full rows+schema+hash grade). The
+# sketch state (the k smallest distinct hashes) is mergeable — the
+# bottom-k of a union is the bottom-k of the concatenated bottom-k's —
+# which is the one-sketch-per-partition promise at 100 TB; this
+# DataFrame form expresses the merge as a two-level window (hash-split
+# buckets bound every window partition at k rows regardless of how
+# many distinct values one key has; uniform hashes keep the split
+# balanced) after the same dedup shuffle an exact COUNT(DISTINCT)
+# pays. What KMV buys over exact distinct is bounded OUTPUT per key
+# (k hashes, resumable/mergeable across corpus increments), and over
+# HLL it buys cross-engine exactness of the estimate itself.
+KMV_K = 64
+KMV_SPLIT = 16
+_POW2_60 = float(1 << 60)  # hash60 values are uniform in [0, 2^60)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    k: int = KMV_K,
+    n_split: int = KMV_SPLIT,
+) -> DataFrame:
+    """(key, n_kept, kmv_estimate): per-key distinct-count estimate
+    from the k smallest 60-bit hashes of ``value_col``.
+
+    With fewer than k distinct values the kept-set size IS the exact
+    count; otherwise the classic KMV estimator (k-1)/U_(k) applies,
+    with U_(k) the k-th smallest hash normalized to [0, 1). Relative
+    error ~ 1/sqrt(k-2). Both branches are deterministic IEEE double
+    arithmetic on both engines (the (k-1)*2^60 numerator is exact in
+    a double; the single divide is correctly rounded), rounded with
+    the shared cross-engine :func:`round6` convention.
+    """
+    from .dedup import hash60
+
+    hashes = df.select(
+        F.col(key_col).alias("key"),
+        hash60(F.col(value_col).cast("string")).alias("h"),
+    ).distinct()
+    # level 1: lossless bottom-k per (key, h % n_split) — the global
+    # bottom-k survives any split, and no window partition ever holds
+    # more than its bucket's distinct hashes
+    w1 = Window.partitionBy(
+        "key", F.pmod(F.col("h"), F.lit(n_split))
+    ).orderBy("h")
+    lvl1 = (
+        hashes.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    # level 2: bottom-k of the <= n_split*k survivors per key
+    w2 = Window.partitionBy("key").orderBy("h")
+    kept = (
+        lvl1.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k)
+    )
+    from .._round import round6
+
+    numer = F.lit((k - 1.0) * _POW2_60)
+    return (
+        kept.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.max("h").alias("_kth"),
+        )
+        .select(
+            F.col("key").alias(key_col),
+            "n_kept",
+            F.when(F.col("n_kept") < k, F.col("n_kept").cast("double"))
+            .otherwise(round6(numer / F.col("_kth").cast("double")))
+            .alias("kmv_estimate"),
+        )
+    )
+
+
+def q106_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return kmv_distinct(events, "event_type", "user_id").select(
+        "event_type",
+        "n_kept",
+        F.col("kmv_estimate").alias("kmv_users"),
+    )
+
+
+Q106_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+    CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  FROM events
+), ranked AS (
+  SELECT event_type, h,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM h
+)
+SELECT event_type, COUNT(*) AS n_kept,
+  CASE WHEN COUNT(*) < {KMV_K} THEN CAST(COUNT(*) AS DOUBLE)
+       ELSE ROUND(({KMV_K}.0 - 1.0) * {_POW2_60:.1f} / CAST(MAX(h) AS DOUBLE), 6)
+  END AS kmv_users
+FROM ranked WHERE rn <= {KMV_K}
+GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # q71: cohort retention — users grouped by first-seen month, distinct
 # active users per (cohort month, activity month). Two aggregations:
 # per-user first event (one shuffle on user_id), then the cohort
@@ -451,6 +596,8 @@ QUERIES = {
     "q71_cohort_retention": q71_cohort_retention,
     "q72_session_funnel": q72_session_funnel,
     "q104_purchase_click_pairs": q104_purchase_click_pairs,
+    "q106_kmv_distinct": q106_kmv_distinct,
+    "q107_purchase_click_outer": q107_purchase_click_outer,
 }
 
 ORACLE = {
@@ -461,4 +608,6 @@ ORACLE = {
     "q71_cohort_retention": Q71_SQL,
     "q72_session_funnel": Q72_SQL,
     "q104_purchase_click_pairs": Q104_SQL,
+    "q106_kmv_distinct": Q106_SQL,
+    "q107_purchase_click_outer": Q107_SQL,
 }

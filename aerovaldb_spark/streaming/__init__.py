@@ -726,6 +726,44 @@ def stream_purchase_click_pairs(
     )
 
 
+def stream_purchase_click_pairs_outer(
+    events: DataFrame,
+    lookback_hours: int | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """LEFT-OUTER watermarked stream-stream join — batch q107's
+    streaming twin: matched (purchase, click) pairs emit as the inner
+    form does, and a purchase with NO click in the lookback window
+    emits ONCE with NULL click columns — but only after the watermark
+    passes its join window, because until then a matching click could
+    still arrive. That deferred emission is the semantic price of
+    outer results on a stream (a finite replay must push the watermark
+    past the last purchase before the tail's unmatched rows appear);
+    the same time-range bound that lets the inner join evict state is
+    what makes the NULL verdict safe to declare. Shares the inner
+    join's sides/condition/projection so batch equivalence cannot
+    drift; batch input falls through to the exact batch operator."""
+    from ..operators.events import (
+        PAIR_LOOKBACK_HOURS,
+        pair_join_condition,
+        pair_join_output,
+        pair_join_sides,
+        purchase_click_pairs_outer,
+    )
+
+    hours = PAIR_LOOKBACK_HOURS if lookback_hours is None else lookback_hours
+    if not events.isStreaming:
+        return purchase_click_pairs_outer(events, hours)
+    p, c = pair_join_sides(events)
+    return pair_join_output(
+        p.withWatermark("purchase_ts", watermark).join(
+            c.withWatermark("click_ts", watermark),
+            pair_join_condition(hours),
+            "leftOuter",
+        )
+    )
+
+
 def tfidf_reference_index(
     reference_docs: DataFrame,
     threshold: float = 0.8,

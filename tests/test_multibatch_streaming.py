@@ -165,6 +165,73 @@ def test_stream_stream_join_across_batches(spark, tmp_path):
     assert cross, "time split produced no cross-batch pairs"
 
 
+def test_stream_stream_left_outer_join_across_batches(spark, tmp_path):
+    """q107's streaming twin: unmatched purchases must emit (with NULL
+    click columns) once the watermark passes their join window, and
+    matched pairs must equal the inner join's — across micro-batches.
+    A final sentinel batch (one far-future 'view' event, on neither
+    join side) pushes the watermark past every real purchase's window
+    so the tail's unmatched rows actually flush; without it a finite
+    replay legitimately never emits them."""
+    from aerovaldb_spark.operators.events import (
+        PAIR_LOOKBACK_HOURS,
+        purchase_click_pairs_outer,
+    )
+    from aerovaldb_spark.streaming import (
+        run_stream_to_memory,
+        stream_purchase_click_pairs_outer,
+    )
+
+    d = str(tmp_path / "ev_outer")
+    os.makedirs(d)
+    _write_split_events(spark, d)
+
+    real = spark.read.schema(_EV_SCHEMA).parquet(d)
+    max_ts = real.agg(F.max("ts")).collect()[0][0]
+    sentinel_ts = (
+        max_ts.replace(tzinfo=dt.timezone.utc)
+        + dt.timedelta(hours=PAIR_LOOKBACK_HOURS + 2)
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([10**9], pa.int64()),
+                "ts": pa.array([sentinel_ts], pa.timestamp("us", tz="UTC")),
+                "user_id": pa.array([-1], pa.int64()),
+                "event_type": pa.array(["view"], pa.string()),
+                "value": pa.array([0.0], pa.float64()),
+                "props": pa.array(["{}"], pa.string()),
+            }
+        ),
+        os.path.join(d, "part2.parquet"),
+    )
+
+    # batch expectation over all three files: the sentinel is a 'view',
+    # so it sits on neither join side and changes nothing
+    batch_df = spark.read.schema(_EV_SCHEMA).parquet(d)
+    batch = sorted(
+        map(tuple, purchase_click_pairs_outer(batch_df).collect())
+    )
+
+    got = run_stream_to_memory(
+        stream_purchase_click_pairs_outer(
+            _event_stream_two_batches(spark, d)
+        ),
+        "pc_pairs_outer_mb",
+        spark,
+        output_mode="append",
+    )
+    streamed = sorted(map(tuple, got.collect()))
+    assert streamed == batch
+
+    # the outer join's reason to exist: at least one purchase with no
+    # click in the lookback window, carried with NULL click columns
+    unmatched = [t for t in streamed if t[1] is None]
+    assert unmatched, "corpus produced no unmatched purchases"
+    matched = [t for t in streamed if t[1] is not None]
+    assert matched, "corpus produced no matched pairs"
+
+
 def test_running_totals_accumulate_across_batches(spark, tmp_path):
     from aerovaldb_spark.streaming import (
         run_stream_to_memory,

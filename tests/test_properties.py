@@ -223,6 +223,49 @@ def test_approx_distinct_within_rsd(spark):
         assert abs(approx[et] - ex) <= max(0.05 * ex, 2), (et, approx[et], ex)
 
 
+def test_kmv_distinct_accuracy_and_exact_small_path(spark):
+    """q106's estimator: exact below k distinct; within the standard
+    KMV error envelope above it. Deterministic, so the bounds are
+    checked on concrete corpora, not in expectation."""
+    from pyspark.sql import functions as F
+
+    from aerovaldb_spark.operators.events import KMV_K, kmv_distinct
+
+    # estimator path: 2000 distinct values >> k=64.
+    # KMV sigma ~ 1/sqrt(k-2) = 12.7%; allow 4 sigma.
+    big = spark.range(2000).select(
+        F.lit("a").alias("g"), F.col("id").alias("v")
+    )
+    est = kmv_distinct(big, "g", "v").collect()[0]
+    assert est["n_kept"] == KMV_K
+    assert abs(est["kmv_estimate"] - 2000) <= 0.51 * 2000, est
+
+    # exact path: duplicates collapse; fewer than k distinct -> exact
+    small = spark.range(300).select(
+        F.lit("b").alias("g"), (F.col("id") % 40).alias("v")
+    )
+    est2 = kmv_distinct(small, "g", "v").collect()[0]
+    assert est2["n_kept"] == 40 and est2["kmv_estimate"] == 40.0
+
+    # mergeability: the sketch over a union equals the sketch computed
+    # over pre-split halves' kept hashes (bottom-k of bottom-k's) —
+    # the per-partition-merge promise the docstring claims
+    h1 = spark.range(0, 1000).select(
+        F.lit("m").alias("g"), F.col("id").alias("v")
+    )
+    h2 = spark.range(1000, 2000).select(
+        F.lit("m").alias("g"), F.col("id").alias("v")
+    )
+    whole = kmv_distinct(h1.unionAll(h2), "g", "v").collect()[0]
+    merged = kmv_distinct(
+        h1.unionAll(h2), "g", "v", n_split=2
+    ).collect()[0]
+    assert (whole["n_kept"], whole["kmv_estimate"]) == (
+        merged["n_kept"],
+        merged["kmv_estimate"],
+    )
+
+
 def test_legacy_name_disambiguation_roundtrip_property():
     """For any compound network ('-'-joined) and location ('_'-joined)
     with '-'/'_'-free obsvar and layer, a legacy pre-0.29 timeseries

@@ -1273,6 +1273,34 @@ def test_tfidf_screen_join_matches_gate(spark):
     assert a2 == b2 and len(a2) == 3
 
 
+def test_stream_stream_left_outer_plan_and_fallthrough(spark):
+    """q107's streaming twin: genuine left-outer stream-stream join in
+    the logical plan (LeftOuter + both sides watermarked) and exact
+    batch fallthrough. Full stream == batch equivalence (including the
+    watermark-deferred NULL-click emissions) is asserted in
+    tests/test_multibatch_streaming.py with a watermark-advancing
+    sentinel batch."""
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators.events import purchase_click_pairs_outer
+    from aerovaldb_spark.streaming import (
+        read_event_stream,
+        stream_purchase_click_pairs_outer,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    batch = sorted(map(tuple, purchase_click_pairs_outer(ev).collect()))
+    assert any(t[1] is None for t in batch)  # unmatched purchases exist
+
+    stream = stream_purchase_click_pairs_outer(read_event_stream(spark, SF_DIR))
+    assert stream.isStreaming
+    plan = stream._jdf.queryExecution().analyzed().toString()
+    assert "Join LeftOuter" in plan and plan.count("EventTimeWatermark") == 2
+
+    assert sorted(
+        map(tuple, stream_purchase_click_pairs_outer(ev).collect())
+    ) == batch
+
+
 def test_stream_stream_purchase_click_join(spark):
     """The watermarked STREAM-STREAM join (q104's twin) equals the
     batch bounded-lookback pair join bit-for-bit, runs as a genuine
