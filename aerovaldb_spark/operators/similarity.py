@@ -310,14 +310,18 @@ def _probe_lists(
     distributed job of 1M × n_lists cheap rows, with driver memory
     independent of the batch size. Ties break on list_id ascending
     (the same order the previous driver-side stable sort produced).
+    Distances are 6dp-rounded with the shared cross-engine convention
+    before ranking so the probe choice is oracle-replayable (q66).
     """
     qv = query.select(
         F.col(id_col).alias("query_id"), _dbl(vec_col).alias("qvec")
     )
-    d2 = F.aggregate(
-        F.zip_with("qvec", "centroid", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    d2 = round6(
+        F.aggregate(
+            F.zip_with("qvec", "centroid", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("_d2").asc(), F.col("list_id").asc()
@@ -534,16 +538,120 @@ SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= {COSINE_NEAR_DUP_THRESHOLD}
 
 
 # --------------------------------------------------------------------------
-# q66: IVF approximate top-k on the graded surface. No SQL oracle BY
-# DESIGN (KMeans coarse quantization is not cross-engine
-# deterministic), so the driver records the weaker rows-only check —
-# the row count IS deterministic (k rows per query vector, seeded
-# KMeans); result QUALITY is covered by the recall tests and the
-# exhaustive-probe ≡ brute-force equivalence in tests/test_scale.py.
+# q66: IVF approximate top-k on the graded surface — the SERVE path
+# over FROZEN centroids (the q100 frozen-model-artifact pattern).
+# KMeans TRAINING is not cross-engine deterministic, so the fit runs
+# once (tools/gen_ivf_centroids.py, seeded Spark ML KMeans) and its
+# centroids are frozen as data; assignment + probe + exact re-rank —
+# the part a 100 TB serving cluster actually executes per query batch
+# — are pure deterministic arithmetic that the DuckDB oracle replays
+# from the same VALUES rows, giving q66 a full rows+schema+hash grade.
+# The ephemeral fit-and-serve form stays available as ivf_topk()
+# (recall-tested); q66 grades IVFIndex.topk, the REAL persisted-index
+# serve code, including its partition-pruning probe collect.
+Q66_N_PROBE = 4
+Q66_K = 10
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, vec, list_id): nearest-centroid assignment — the
+    deterministic half of IVF indexing. The n_lists-row centroid
+    table broadcasts, the squared distance is one array fold per
+    (vector, centroid) pair (6dp-rounded with the shared cross-engine
+    convention, ties on list_id ascending), and a per-vector window
+    keeps the argmin: one distributed pass, n × n_lists cheap rows,
+    no shuffle of the vectors themselves beyond the window's."""
+    d2 = round6(
+        F.aggregate(
+            F.zip_with("_v", "centroid", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_d2").asc(), F.col("list_id").asc()
+    )
+    return (
+        vectors.select(id_col, vec_col, _dbl(vec_col).alias("_v"))
+        .crossJoin(F.broadcast(centroids.select("list_id", "centroid")))
+        .withColumn("_d2", d2)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, vec_col, "list_id")
+    )
+
+
+def frozen_ivf_centroids(spark: SparkSession) -> DataFrame:
+    from .ivf_centroids_frozen import CENTROIDS
+
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(CENTROIDS)],
+        "list_id int, centroid array<double>",
+    )
+
+
 def q66_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5)
-    return ivf_topk(emb, queries, k=10, n_lists=16, n_probe=4)
+    cents = frozen_ivf_centroids(spark)
+    index = IVFIndex(cents, ivf_assign(emb, cents), "embedding", "vec_id")
+    return index.topk(
+        emb.filter(F.col("vec_id") < 5), k=Q66_K, n_probe=Q66_N_PROBE
+    )
+
+
+def _q66_sql() -> str:
+    from .ivf_centroids_frozen import CENTROIDS
+
+    values = ",\n    ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}])"
+        for i, c in enumerate(CENTROIDS)
+    )
+    dim = len(CENTROIDS[0])
+    d2 = (
+        f"ROUND(list_sum(list_transform(generate_series(1, {dim}), "
+        "i -> (e.v[i] - c.centroid[i]) * (e.v[i] - c.centroid[i]))), 6)"
+    )
+    return f"""
+WITH cent(list_id, centroid) AS (
+  VALUES
+    {values}
+), emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), dists AS (
+  SELECT e.vec_id, e.v, c.list_id, {d2} AS d2
+  FROM emb e CROSS JOIN cent c
+), assigned AS (
+  SELECT vec_id, v, list_id FROM (
+    SELECT vec_id, v, list_id,
+      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, list_id) AS rn
+    FROM dists) WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, v AS qv, list_id FROM (
+    SELECT vec_id, v, list_id,
+      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, list_id) AS rn
+    FROM dists WHERE vec_id < 5) WHERE rn <= {Q66_N_PROBE}
+), scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+    ROUND(list_dot_product(a.v, p.qv)
+      / (sqrt(list_dot_product(a.v, a.v))
+         * sqrt(list_dot_product(p.qv, p.qv))), 6) AS cosine
+  FROM probes p JOIN assigned a
+    ON a.list_id = p.list_id AND a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cosine FROM (
+  SELECT query_id, neighbor_id, cosine,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM scored) WHERE rn <= {Q66_K}
+"""
+
+
+Q66_SQL = _q66_sql()
 
 
 class IVFIndex:
@@ -1234,8 +1342,9 @@ FROM flagged GROUP BY label
 # oracle. Same inverted-list shape as ivf_topk, but the coarse
 # quantizer is the SRP signature (md5-derived hyperplanes — no trained
 # model, bit-reproducible on any engine; the same machinery that
-# already oracle-matches in q36/q46) instead of KMeans, which is why
-# q66 must stay rows-only while this entry hash-matches. Multi-probe:
+# already oracle-matches in q36/q46) instead of KMeans — no training
+# step to freeze at all, where q66 freezes its trained centroids as
+# data to make the serve path oracle-replayable. Multi-probe:
 # each query probes its own bucket plus all buckets at Hamming
 # distance 1 (planes+1 probes), so scoring touches
 # ~(planes+1)/2^planes of the corpus per query — the IVF promise with
@@ -1540,8 +1649,9 @@ class SRPIndex:
     :class:`IVFIndex`. No trained model at all: the quantizer is the
     md5-derived hyperplane signature, so build/save/load/serve returns
     bit-identical results to the ephemeral :func:`srp_ivf_topk` on any
-    engine or cluster — which is what lets the SRP ANN path keep a
-    full DuckDB oracle (q91) while the KMeans path (q66) is rows-only.
+    engine or cluster — a full DuckDB oracle (q91) with no frozen
+    model artifact, where the KMeans path (q66) freezes its trained
+    centroids as data to earn the same grade.
 
     On disk: ``assignments/`` PARTITIONED BY ``bucket`` (probing is a
     directory-pruned scan — a Hamming-1 probe set physically reads
@@ -2185,4 +2295,5 @@ ORACLE = {
     "q96_bounded_semantic_dedup": Q96_SQL,
     "q98_quantized_ann_topk": Q98_SQL,
     "q101_quantized_srp_ann": Q101_SQL,
+    "q66_ivf_topk": Q66_SQL,
 }

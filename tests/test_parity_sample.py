@@ -58,10 +58,11 @@ def duck():
 def test_every_query_has_an_oracle_or_documented_exemption():
     missing = set(_QUERIES) - set(_ORACLES)
     # q55: HLL sketch internals are engine-specific by design (accuracy
-    # bound asserted in test_properties.py).
-    # q66: IVF KMeans quantization is engine-specific by design
-    # (recall + exhaustive-probe equivalence asserted in test_scale.py).
-    assert missing == {"q55_approx_distinct", "q66_ivf_topk"}
+    # bound asserted in test_properties.py; q106 is the deterministic,
+    # fully-oracled KMV sibling).
+    # q66 gained a full oracle in r8 (frozen-centroids-as-data); the
+    # HLL sketch is now the surface's ONLY rows-only entry.
+    assert missing == {"q55_approx_distinct"}
 
 
 @pytest.mark.parametrize("name", sorted(_QUERIES))

@@ -209,6 +209,44 @@ def test_ivf_index_save_load_matches_ephemeral(spark, tmp_path):
     assert "PartitionFilters" in plan and "list_id" in plan
 
 
+def test_frozen_ivf_save_load_matches_q66(spark, tmp_path):
+    """q66's frozen-centroid serve path survives the full persisted
+    lifecycle: an IVFIndex built from ivf_assign over the FROZEN
+    centroids, saved and reloaded, serves bit-identical results to
+    the graded q66 query (which constructs the index in memory)."""
+    from pyspark.sql import functions as F
+
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators.similarity import (
+        IVFIndex,
+        Q66_K,
+        Q66_N_PROBE,
+        frozen_ivf_centroids,
+        ivf_assign,
+        q66_ivf_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    direct = sorted(map(tuple, q66_ivf_topk(spark, sf).collect()))
+    assert len(direct) == 5 * Q66_K
+
+    emb = load_table(spark, sf, "embeddings")
+    cents = frozen_ivf_centroids(spark)
+    idx = IVFIndex(cents, ivf_assign(emb, cents), "embedding", "vec_id")
+    path = str(tmp_path / "frozen_ivf")
+    idx.save(path)
+    loaded = IVFIndex.load(spark, path)
+    got = sorted(
+        map(
+            tuple,
+            loaded.topk(
+                emb.filter(F.col("vec_id") < 5), k=Q66_K, n_probe=Q66_N_PROBE
+            ).collect(),
+        )
+    )
+    assert got == direct
+
+
 def test_probe_assignment_is_executor_side(spark):
     """Probe-list assignment runs as a distributed plan (broadcast
     centroid join + window), matches an independent numpy
