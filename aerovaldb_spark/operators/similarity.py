@@ -604,7 +604,10 @@ def q66_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q66_sql() -> str:
+def _frozen_ivf_prefix_sql(n_probe: int) -> str:
+    """The oracle CTE fragment shared by q66 and q108: frozen
+    centroids as VALUES rows, 6dp-rounded squared distances,
+    nearest-centroid assignment, and per-query probe lists."""
     from .ivf_centroids_frozen import CENTROIDS
 
     values = ",\n    ".join(
@@ -616,8 +619,7 @@ def _q66_sql() -> str:
         f"ROUND(list_sum(list_transform(generate_series(1, {dim}), "
         "i -> (e.v[i] - c.centroid[i]) * (e.v[i] - c.centroid[i]))), 6)"
     )
-    return f"""
-WITH cent(list_id, centroid) AS (
+    return f"""cent(list_id, centroid) AS (
   VALUES
     {values}
 ), emb AS (
@@ -634,8 +636,12 @@ WITH cent(list_id, centroid) AS (
   SELECT vec_id AS query_id, v AS qv, list_id FROM (
     SELECT vec_id, v, list_id,
       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, list_id) AS rn
-    FROM dists WHERE vec_id < 5) WHERE rn <= {Q66_N_PROBE}
-), scored AS (
+    FROM dists WHERE vec_id < 5) WHERE rn <= {n_probe})"""
+
+
+def _q66_sql() -> str:
+    return f"""
+WITH {_frozen_ivf_prefix_sql(Q66_N_PROBE)}, scored AS (
   SELECT p.query_id, a.vec_id AS neighbor_id,
     ROUND(list_dot_product(a.v, p.qv)
       / (sqrt(list_dot_product(a.v, a.v))
@@ -1971,6 +1977,164 @@ FROM ranked WHERE ann_rank <= 10
 Q101_SQL = _q101_sql()
 
 
+class QuantizedIVFIndex:
+    """Persisted quantized IVF — q101's int8 composition applied to
+    the KMeans family: :class:`IVFIndex`'s list_id-partitioned layout
+    storing int8 CODES instead of raw vectors. Assignment uses the RAW
+    vector against the (frozen) centroids at build time; serving
+    probes with the raw query vector, directory-prunes to the probed
+    lists, and re-ranks with the exact integer cosine over codes
+    (per-vector quantization scales cancel in cosine — q98's trick).
+    Bytes touched per query batch: ~n_probe/n_lists of the index ×
+    1/4 per row — the two compression dials multiply. With frozen
+    centroids the whole serve path is deterministic (q108's DuckDB
+    oracle replays quantization + assignment + probe + re-rank)."""
+
+    def __init__(self, centroids: DataFrame, assignments: DataFrame,
+                 id_col: str = "vec_id"):
+        self.centroids = centroids
+        self.assignments = assignments
+        self.id_col = id_col
+
+    @staticmethod
+    def build(
+        vectors: DataFrame,
+        centroids: DataFrame,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> "QuantizedIVFIndex":
+        assignments = (
+            ivf_assign(vectors, centroids, vec_col, id_col)
+            .withColumn("codes", _q8_codes(vec_col))
+            # zero vectors have no codes (same predicate as q98/q101)
+            # and could never score — excluded at build
+            .filter(F.col("codes").isNotNull())
+            .select(
+                id_col,
+                F.transform(
+                    "codes", lambda x: x.cast("tinyint")
+                ).alias("codes"),
+                "list_id",
+            )
+        )
+        return QuantizedIVFIndex(centroids, assignments, id_col)
+
+    def save(self, path: str) -> None:
+        import os as _os
+
+        self.centroids.write.mode("overwrite").parquet(
+            _os.path.join(path, "centroids")
+        )
+        (
+            self.assignments.write.mode("overwrite")
+            .partitionBy("list_id")
+            .parquet(_os.path.join(path, "assignments"))
+        )
+
+    @staticmethod
+    def load(
+        spark: SparkSession, path: str, id_col: str = "vec_id"
+    ) -> "QuantizedIVFIndex":
+        import os as _os
+
+        return QuantizedIVFIndex(
+            spark.read.parquet(_os.path.join(path, "centroids")),
+            spark.read.parquet(_os.path.join(path, "assignments")),
+            id_col,
+        )
+
+    def topk(
+        self,
+        query: DataFrame,
+        k: int = 10,
+        n_probe: int = IVF_DEFAULT_N_PROBE,
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """Serve top-k from the quantized lists: probe selection runs
+        on the RAW query vector (centroids live in float space), the
+        probed list ids become a partition-pruning IN filter (the
+        collect is bounded by n_lists ints), and scoring is the exact
+        integer cosine between the query's q8 codes and the stored
+        tinyint codes."""
+        probe = _probe_lists(
+            query, self.centroids, n_probe, vec_col, self.id_col
+        ).select("query_id", "list_id")
+        qcodes = _quantized_codes_frame(query, vec_col, self.id_col).select(
+            F.col(self.id_col).alias("query_id"),
+            F.col("codes").alias("qcodes"),
+        )
+        from ._scope import scoped_persist
+
+        # one probe set for both the pruning collect and the scoring
+        # join (same two-action reuse as SRPIndex.topk)
+        probe = scoped_persist(probe.join(qcodes, "query_id"))
+        all_probes = sorted(
+            r["list_id"]
+            for r in probe.select("list_id").distinct().collect()
+        )
+        pruned = self.assignments.filter(
+            F.col("list_id").isin(all_probes)
+        ).withColumn(
+            "codes", F.transform("codes", lambda x: x.cast("double"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine_q8").desc(), F.col("neighbor_id")
+        )
+        return (
+            pruned.join(F.broadcast(probe), "list_id")
+            .filter(F.col(self.id_col) != F.col("query_id"))
+            .withColumn("cosine_q8", round6(cosine_col("codes", "qcodes")))
+            .select(
+                "query_id",
+                F.col(self.id_col).alias("neighbor_id"),
+                "cosine_q8",
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+
+
+def q108_quantized_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    index = QuantizedIVFIndex.build(emb, frozen_ivf_centroids(spark))
+    return index.topk(
+        emb.filter(F.col("vec_id") < 5), k=Q66_K, n_probe=Q66_N_PROBE
+    )
+
+
+def _q108_sql() -> str:
+    return f"""
+WITH {_frozen_ivf_prefix_sql(Q66_N_PROBE)}, codes AS (
+  SELECT vec_id,
+    list_transform(CAST(embedding AS DOUBLE[]),
+      x -> greatest(-127.0, least(127.0,
+             floor(x / (list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))) / 127.0) + 0.5)))) AS codes
+  FROM embeddings
+  WHERE list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))) > 0
+), acode AS (
+  SELECT a.vec_id, c.codes, a.list_id
+  FROM assigned a JOIN codes c USING (vec_id)
+), scored AS (
+  SELECT p.query_id, b.vec_id AS neighbor_id,
+    ROUND(list_dot_product(b.codes, qc.codes)
+      / (sqrt(list_dot_product(b.codes, b.codes))
+         * sqrt(list_dot_product(qc.codes, qc.codes))), 6) AS cosine_q8
+  FROM probes p
+  JOIN codes qc ON qc.vec_id = p.query_id
+  JOIN acode b ON b.list_id = p.list_id AND b.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cosine_q8 FROM (
+  SELECT query_id, neighbor_id, cosine_q8,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine_q8 DESC, neighbor_id) AS rn
+  FROM scored) WHERE rn <= {Q66_K}
+"""
+
+
+Q108_SQL = _q108_sql()
+
+
 # --------------------------------------------------------------------------
 # q93: SemDeDup-style semantic-dedup composition — the embedding-side
 # twin of q62's discipline: SRP buckets generate candidates (one
@@ -2278,6 +2442,7 @@ QUERIES = {
     "q96_bounded_semantic_dedup": q96_bounded_semantic_dedup,
     "q98_quantized_ann_topk": q98_quantized_ann_topk,
     "q101_quantized_srp_ann": q101_quantized_srp_ann,
+    "q108_quantized_ivf_ann": q108_quantized_ivf_ann,
 }
 
 ORACLE = {
@@ -2296,4 +2461,5 @@ ORACLE = {
     "q98_quantized_ann_topk": Q98_SQL,
     "q101_quantized_srp_ann": Q101_SQL,
     "q66_ivf_topk": Q66_SQL,
+    "q108_quantized_ivf_ann": Q108_SQL,
 }

@@ -247,6 +247,51 @@ def test_frozen_ivf_save_load_matches_q66(spark, tmp_path):
     assert got == direct
 
 
+def test_quantized_ivf_save_load_matches_ephemeral(spark, tmp_path):
+    """QuantizedIVFIndex build→save→load→topk bit-equals the graded
+    q108 (which serves from the in-memory build), and the on-disk
+    probe scan is partition-pruned to the probed lists — the
+    n_probe/n_lists × 1/4-bytes promise is physical, not notional."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators.similarity import (
+        Q66_K,
+        Q66_N_PROBE,
+        QuantizedIVFIndex,
+        frozen_ivf_centroids,
+        q108_quantized_ivf_ann,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    direct = sorted(map(tuple, q108_quantized_ivf_ann(spark, sf).collect()))
+    assert len(direct) == 5 * Q66_K
+
+    emb = load_table(spark, sf, "embeddings")
+    idx = QuantizedIVFIndex.build(emb, frozen_ivf_centroids(spark))
+    path = str(tmp_path / "qivf")
+    idx.save(path)
+    loaded = QuantizedIVFIndex.load(spark, path)
+    got_df = loaded.topk(
+        emb.filter(F.col("vec_id") < 5), k=Q66_K, n_probe=Q66_N_PROBE
+    )
+    got = sorted(map(tuple, got_df.collect()))
+    assert got == direct
+
+    # tinyint codes on disk (the 1/4-bytes half of the promise) and a
+    # partition-pruned scan (the n_probe/n_lists half)
+    schema = spark.read.parquet(path + "/assignments").schema
+    assert schema["codes"].dataType.simpleString() == "array<tinyint>"
+    assert any(
+        d.startswith("list_id=")
+        for d in _os.listdir(path + "/assignments")
+    )
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan
+
+
 def test_probe_assignment_is_executor_side(spark):
     """Probe-list assignment runs as a distributed plan (broadcast
     centroid join + window), matches an independent numpy
