@@ -1545,7 +1545,7 @@ def _map_dot_col(ma: str = "ma", mb: str = "mb"):
 def _weight_map_frame(w: DataFrame) -> DataFrame:
     """(doc_id, m): each doc's (term -> weight) map — the verification
     side's compact form (joined per candidate instead of exploding to
-    (pair, term) rows; see the trade-off note in tfidf_cosine_knn)."""
+    (pair, term) rows; see the trade-off note in _verified_dots)."""
     return scoped_persist(
         w.groupBy("doc_id").agg(
             F.map_from_entries(
@@ -1555,10 +1555,115 @@ def _weight_map_frame(w: DataFrame) -> DataFrame:
     )
 
 
+# auto verify-shape switch point (avg terms/doc): below it the map
+# form's whole-vector carry is cheap and it saves the (pair, term)
+# exchange + re-agg (measured 60s -> 40s at sf0.1 on the template
+# corpus, avg ~25 terms/doc — SCALING.md); above it each candidate row
+# hauls two long vectors while the keyed join would move only
+# shared-term rows, so book-length documents flip the choice. 512 ~
+# the point where the map carry (2 x avg terms x ~16B/entry ~ 16 KB
+# per candidate) clearly dominates one extra keyed exchange.
+TFIDF_VERIFY_KEYED_MIN_AVG_TERMS = 512.0
+
+
+def _avg_terms_per_doc(w: DataFrame) -> float:
+    """Cheap statistic driving the auto verify-shape choice: total
+    weight rows / approx distinct docs (approx is fine — this picks a
+    plan shape, not a result)."""
+    row = w.agg(
+        F.count(F.lit(1)).alias("c"),
+        F.approx_count_distinct("doc_id").alias("d"),
+    ).collect()[0]
+    return row["c"] / max(row["d"], 1)
+
+
+def _verified_dots(
+    cand: DataFrame,
+    left_w: DataFrame,
+    right_w: DataFrame,
+    left_id: str,
+    right_id: str,
+    shape: str = "auto",
+) -> DataFrame:
+    """(left_id, right_id, dot): the exact DECIMAL dot of round6'd
+    per-term products over candidate pairs, in one of two selectable
+    plan shapes (bit-identical by construction — both sum the SAME
+    decimal terms, and decimal addition is exact and order-free;
+    property-tested equal on fuzzed corpora):
+
+    - ``map``: join each side's (doc -> weight map) onto the candidate
+      list and fold with map_zip_with. Carries both WHOLE vectors per
+      candidate but avoids exploding to (pair, term) rows and
+      re-aggregating — wins when docs are short or candidates share
+      most of their mass (the near-dup regime; removed a ~260M-row
+      exchange at sf0.1, SCALING.md).
+    - ``keyed``: join the candidate pair to both sides' (term, w) rows
+      on term and re-aggregate per pair. Moves only SHARED-term rows
+      (<= min(|a|, |b|) per pair) at the price of the exchange +
+      groupBy — the right shape for very long documents with thin
+      overlaps.
+    - ``auto``: ``keyed`` iff either side's avg terms/doc exceeds
+      TFIDF_VERIFY_KEYED_MIN_AVG_TERMS (one tiny aggregate per side).
+    """
+    if shape == "auto":
+        avg = _avg_terms_per_doc(left_w)
+        if avg <= TFIDF_VERIFY_KEYED_MIN_AVG_TERMS and right_w is not left_w:
+            avg = max(avg, _avg_terms_per_doc(right_w))
+        shape = (
+            "keyed" if avg > TFIDF_VERIFY_KEYED_MIN_AVG_TERMS else "map"
+        )
+    if shape == "keyed":
+        wa = left_w.select(
+            F.col("doc_id").alias(left_id), "term", F.col("w").alias("_wa")
+        )
+        wb = right_w.select(
+            F.col("doc_id").alias(right_id), "term", F.col("w").alias("_wb")
+        )
+        return (
+            cand.join(wa, left_id)
+            .join(wb, [right_id, "term"])
+            .groupBy(left_id, right_id)
+            .agg(
+                F.sum(
+                    round6(F.col("_wa") * F.col("_wb")).cast(
+                        "decimal(18,6)"
+                    )
+                )
+                .cast("decimal(18,6)")
+                .alias("dot")
+            )
+        )
+    if shape != "map":
+        raise ValueError(
+            f"verify_shape must be 'map', 'keyed' or 'auto', got {shape!r}"
+        )
+    lmap = _weight_map_frame(left_w)
+    rmap = (
+        lmap if right_w is left_w else _weight_map_frame(right_w)
+    )
+    return (
+        cand.join(
+            lmap.select(
+                F.col("doc_id").alias(left_id), F.col("m").alias("ma")
+            ),
+            left_id,
+        )
+        .join(
+            rmap.select(
+                F.col("doc_id").alias(right_id), F.col("m").alias("mb")
+            ),
+            right_id,
+        )
+        .withColumn("dot", _map_dot_col())
+        .select(left_id, right_id, "dot")
+    )
+
+
 def tfidf_cosine_knn(
     docs: DataFrame,
     threshold: float = 0.8,
     max_neighbors: int = 10,
+    verify_shape: str = "auto",
 ) -> DataFrame:
     from pyspark.sql import Window
 
@@ -1639,36 +1744,10 @@ def tfidf_cosine_knn(
         .distinct()
     )
     # exact verification over candidate pairs only — each unordered
-    # pair scored ONCE via per-doc weight MAPS (map_zip_with over the
-    # shared keys, decimal sum of the same round6'd products the
-    # keyed-join form aggregates; decimal addition is exact, so map
-    # iteration order is irrelevant). This joins the candidate list
-    # twice against an n-row (doc -> map) frame instead of exploding
-    # to (pair, term) rows and re-aggregating: at sf0.1 that removes
-    # a ~260M-row shuffle + pair groupBy (measured 60 s -> 34 s
-    # Spark-side; SCALING.md). Trade-off, stated: each candidate
-    # carries both WHOLE vectors (|a|+|b| entries) where the keyed
-    # join moves only shared-term rows — the map form wins when docs
-    # are short or candidates share most of their mass (the near-dup
-    # regime this operator serves); for very long documents with thin
-    # overlaps the keyed (pair, term) join is the right shape.
-    wmap = _weight_map_frame(w)
-    dots = (
-        cand.join(
-            wmap.select(
-                F.col("doc_id").alias("doc_a"), F.col("m").alias("ma")
-            ),
-            "doc_a",
-        )
-        .join(
-            wmap.select(
-                F.col("doc_id").alias("doc_b"), F.col("m").alias("mb")
-            ),
-            "doc_b",
-        )
-        .withColumn("dot", _map_dot_col())
-        .where(F.col("dot").cast("double") >= threshold)
-        .select("doc_a", "doc_b", "dot")
+    # pair scored ONCE, in the map or keyed plan shape (data-driven;
+    # the trade-off and switch point live in _verified_dots)
+    dots = _verified_dots(cand, w, w, "doc_a", "doc_b", verify_shape).where(
+        F.col("dot").cast("double") >= threshold
     )
     sym = dots.select(
         F.col("doc_a").alias("doc_id"),
@@ -1704,6 +1783,7 @@ def tfidf_screen_join(
     incoming: DataFrame,
     reference: DataFrame,
     threshold: float = 0.8,
+    verify_shape: str = "auto",
 ) -> DataFrame:
     """Fully JOIN-BASED TF-IDF reference screen — the distributed twin
     of the streaming ``tfidf_dup_gate`` for reference corpora that
@@ -1797,34 +1877,18 @@ def tfidf_screen_join(
         .select("in_id", "ref_id")
         .distinct()
     )
-    # exact verification via per-doc weight maps (q99's shape — the
-    # 260M-row (pair, term) exchange removed), then the CONTRACT
-    # filter: only pairs at or above the threshold are reported. For
-    # those pairs the prefix bound is lossless, so best-over-
-    # candidates equals best-over-ALL-references — which is exactly
-    # what lets the all-pairs oracle stay exact. A sub-threshold
-    # "best" would depend on which candidates the bound happens to
-    # admit (not a portable semantics), so unflagged docs carry NULL
-    # match columns, mirroring the gate.
-    in_map = _weight_map_frame(w_in)
-    ref_map = _weight_map_frame(w_ref)
-    dots = (
-        cand.join(
-            in_map.select(
-                F.col("doc_id").alias("in_id"), F.col("m").alias("ma")
-            ),
-            "in_id",
-        )
-        .join(
-            ref_map.select(
-                F.col("doc_id").alias("ref_id"), F.col("m").alias("mb")
-            ),
-            "ref_id",
-        )
-        .withColumn("dot", _map_dot_col())
-        .where(F.col("dot").cast("double") >= threshold)
-        .select("in_id", "ref_id", "dot")
-    )
+    # exact verification in the map or keyed plan shape (data-driven —
+    # see _verified_dots), then the CONTRACT filter: only pairs at or
+    # above the threshold are reported. For those pairs the prefix
+    # bound is lossless, so best-over-candidates equals best-over-
+    # ALL-references — which is exactly what lets the all-pairs oracle
+    # stay exact. A sub-threshold "best" would depend on which
+    # candidates the bound happens to admit (not a portable
+    # semantics), so unflagged docs carry NULL match columns,
+    # mirroring the gate.
+    dots = _verified_dots(
+        cand, w_in, w_ref, "in_id", "ref_id", verify_shape
+    ).where(F.col("dot").cast("double") >= threshold)
     best = Window.partitionBy("in_id").orderBy(
         F.col("dot").desc(), F.col("ref_id").asc()
     )

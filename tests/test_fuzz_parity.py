@@ -547,3 +547,104 @@ def test_fuzzed_events_match_oracle(qname, spark, tmp_path_factory):
         assert not problems, (problems, rows)
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# verify-shape equivalence: the map and keyed verification plans must
+# be bit-identical (both sum the same round6'd DECIMAL terms), and the
+# auto switch must pick map for short docs / keyed for long ones.
+def test_tfidf_verify_shapes_bit_equal_fuzzed(spark, tmp_path_factory):
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators.text import (
+        tfidf_cosine_knn,
+        tfidf_screen_join,
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(DOC_TABLES)
+    def check(rows):
+        d = str(tmp_path_factory.mktemp("fuzzshape"))
+        _write_docs(d, rows)
+        docs = load_table(spark, d, "documents")
+        knn_map = sorted(
+            map(tuple, tfidf_cosine_knn(docs, verify_shape="map").collect())
+        )
+        knn_keyed = sorted(
+            map(
+                tuple,
+                tfidf_cosine_knn(docs, verify_shape="keyed").collect(),
+            )
+        )
+        assert knn_map == knn_keyed, rows
+        scr_map = sorted(
+            map(
+                tuple,
+                tfidf_screen_join(docs, docs, verify_shape="map").collect(),
+            )
+        )
+        scr_keyed = sorted(
+            map(
+                tuple,
+                tfidf_screen_join(
+                    docs, docs, verify_shape="keyed"
+                ).collect(),
+            )
+        )
+        assert scr_map == scr_keyed, rows
+
+    check()
+
+
+def test_tfidf_verify_auto_switch(spark):
+    """auto picks the map plan on the short-doc template corpus and the
+    keyed plan once avg terms/doc crosses the documented threshold —
+    observable in the analyzed plan (only the map form folds with
+    map_zip_with)."""
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators.text import (
+        TFIDF_VERIFY_KEYED_MIN_AVG_TERMS,
+        tfidf_cosine_knn,
+    )
+
+    short = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plan_short = (
+        tfidf_cosine_knn(short)._jdf.queryExecution().analyzed().toString()
+    )
+    assert "map_zip_with" in plan_short
+
+    # two identical long docs + one disjoint doc: the shared terms
+    # have df=2 of 3 (idf > 0 — terms in EVERY doc would weigh zero),
+    # so the twin pair scores cosine 1.0 and must survive both shapes
+    n_terms = int(TFIDF_VERIFY_KEYED_MIN_AVG_TERMS) + 90
+    a_text = " ".join(f"w{j}" for j in range(n_terms))
+    b_text = " ".join(f"x{j}" for j in range(n_terms))
+    long_docs = spark.createDataFrame(
+        [(0, a_text), (1, a_text), (2, b_text)],
+        "doc_id long, text string",
+    )
+    plan_long = (
+        tfidf_cosine_knn(long_docs)
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert "map_zip_with" not in plan_long
+
+    # and the two shapes agree on the long corpus too
+    a = sorted(
+        map(
+            tuple,
+            tfidf_cosine_knn(long_docs, verify_shape="map").collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            tfidf_cosine_knn(long_docs, verify_shape="keyed").collect(),
+        )
+    )
+    assert a == b and a  # long near-identical docs do produce pairs
