@@ -31,90 +31,43 @@ _MERGED_QUERIES = {
 # check regardless of position (tests/test_parity_sample.py runs the
 # same gate at sf0.001; tools/parity.py re-runnable at any SF).
 #
-# Round-7 window (50) — executes the r6-documented rotation:
-# - never driver-verified (4): q100 (BPE budget over the 1200-merge
-#   frozen table, new this round), q101 (quantized-SRP ANN, new this
-#   round), q102 (join-based TF-IDF reference screen, new this
-#   round — q02, 3 driver greens, yields its slot per policy), q103
-#   (BPE sequence fingerprints, new this round — q55 yields its
-#   slot: its driver check is rows-only by design, the least
-#   information a window slot can buy; it keeps its pytest checks
-#   and MUST rotate into the r8 window), q104 (bounded-lookback
-#   purchase-click pair join, the stream-stream join's batch anchor
-#   — q29 yields its slot: 2 driver greens, judge-re-verified at
-#   sf0.01 in r6, and exercised by every bench run; committed to
-#   r8), q105 (span-level decontamination — q90 yields its slot: 2
-#   driver greens + judge re-verified at sf0.01 in r6; committed to
-#   r8);
-# - just-changed (1): q99 (candidate join gained the Bayardo size
-#   filter + PPJoin positional bound + rounding-model eps this round
-#   — lossless, parity re-verified locally at sf0.001/0.01);
-# - once-green, first driver green r6 (5): q94 q95 q96 q97 q98;
-# - the r6 tail rotating back in, 38 of 49: q08 q09 q11 q12 q14
-#   q15 q16 q17 q20 q23 q24 q30 q31 q33 q34 q36-q51 q57 q59
-#   q61 q66 q79 q83 q89 (every one >=2 driver greens, last
-#   driver-checked r5).
+# Round-8 window (50) — executes the r7-committed rotation:
+# - the 11 twice-deferred entries (MUST enter per the r7 commitment):
+#   q76 q01 q02 q07 q22 q53 q54 q58 q55 q29 q90;
+# - new this round (3): q106 (deterministic KMV distinct sketch),
+#   q107 (left-outer attribution pairs, the stream-stream outer
+#   join's batch anchor), q108 (quantized IVF over frozen centroids);
+# - just-changed (3): q66 (frozen-centroids-as-data oracle — first
+#   FULL hash check after three rows-only rounds), q99 and q102
+#   (verification shape now data-driven; map path — the one this
+#   corpus selects — is bit-identical to r7's, re-verified locally);
+# - once-green, first driver green r7 (6): q100 q101 q103 q104 q105
+#   and q99 (whose r7 green was its first with the filter set; it is
+#   also just-changed above — one slot, both reasons);
+# - the r6-window cohort rotating back in, 28 of 44 (every one
+#   2 driver greens, last driver-checked r6): q03 q04 q05 q06 q10
+#   q13 q19 q21 q25 q27 q28 q32 q35 q52 q60 q62 q63 q64 q65 q67-q75.
 #
-# Round-7 tail (55 = 8 + 3 + 44):
-# - 8 entries from the r6 tail holding the strongest recent evidence,
-#   deferred one more round to make room: q76 q01 q02 (3 driver
-#   greens each) and q07 q22 q53 q54 q58 (2 driver greens AND
-#   independently re-verified by the r6 judge at sf0.01);
-# - 3 entries that yielded their r7 window slots to new queries:
-#   q55 (rows-only check, least slot value), q29 and q90 (2 driver
-#   greens + judge-re-verified at sf0.01 in r6);
-# - the 44 r6-window entries now retired at 2-or-more greens:
-#   q03-q06 q10 q13 q18 q19 q21 q25-q28 q32 q35 q52 q56 q60 q62-q65
-#   q67-q75 q77 q78 q80-q82 q84-q88 q91 q92 q93.
-# R8 plan: rotate this tail back in; three-plus-green entries yield
-# slots to whatever r8 adds or changes, starting with the 11
-# deferred twice (q76 q01 q02 q07 q22 q53 q54 q58 q55 q29 q90 MUST
-# be in the r8 window).
+# Round-8 tail (58 = 16 + 42):
+# - 16 r6-window-cohort entries deferred one more round to make room,
+#   picked for the strongest standing evidence: q18 q26 q56 q87 q93
+#   (2 driver greens AND independently re-verified by the r7 judge at
+#   sf0.01) and q77 q78 q80 q81 q82 q84 q85 q86 q88 q91 q92 (2 driver
+#   greens; deferred ONCE — all 16 MUST enter the r9 window, the same
+#   commitment mechanism that forced this round's 11);
+# - the 42 r7-window entries now retired at 2-or-more greens:
+#   q08 q09 q11 q12 q14 q15 q16 q17 q20 q23 q24 q30 q31 q33 q34
+#   q36-q51 q57 q59 q61 q79 q83 q89 q94-q98.
+# R9 plan: the 16 once-deferred entries re-enter first, then the 42
+# retirees rotate; entries holding 3+ greens yield slots to whatever
+# r9 adds or changes.
 _DEFER_ROUND = [
-    # strongest-evidence r6-tail entries, deferred one more round
-    "q76_bigram_lm_nll",
-    "q01_pricing_summary",
-    "q02_top_revenue_orders",
-    "q07_window_topk_per_customer",
-    "q22_quality_scores",
-    "q53_train_split",
-    "q54_pack_sequences",
-    "q58_decontaminate",
-    "q55_approx_distinct",
-    "q29_cosine_topk",
-    "q90_label_outliers",
-    # r6-window cohort, retired at >=2 driver greens
-    "q03_revenue_by_nation",
-    "q04_selective_filter_agg",
-    "q05_order_priority_semijoin",
-    "q06_customers_without_orders",
-    "q10_rollup_agg",
-    "q13_monthly_event_stats",
+    # r6-window cohort, deferred once more (MUST enter the r9 window)
     "q18_asof_purchase_click",
-    "q19_sessionize",
-    "q21_token_stats",
-    "q25_dedup_exact",
     "q26_ngram_jaccard_pairs",
-    "q27_minhash_signatures",
-    "q28_simhash",
-    "q32_pivot_status",
-    "q35_sliding_window",
-    "q52_media_decode",
     "q56_dedup_clusters",
-    "q60_canonical_docs",
-    "q62_dedup_pipeline",
-    "q63_bigram_novelty",
-    "q64_trailing_revenue",
-    "q65_media_features",
-    "q67_market_share",
-    "q68_top_part_values",
-    "q69_promo_revenue",
-    "q70_inactive_wealthy",
-    "q71_cohort_retention",
-    "q72_session_funnel",
-    "q73_frame_manifest",
-    "q74_passage_dedup",
-    "q75_asset_store_roundtrip",
+    "q87_custdist",
+    "q93_semantic_dedup",
     "q77_contamination_score",
     "q78_bm25_topk",
     "q80_sliding_chunks",
@@ -123,11 +76,52 @@ _DEFER_ROUND = [
     "q84_quality_gate",
     "q85_token_budget",
     "q86_waiting_suppliers",
-    "q87_custdist",
     "q88_small_qty_revenue",
     "q91_srp_ann_topk",
     "q92_bpe_token_stats",
-    "q93_semantic_dedup",
+    # r7-window cohort, retired at >=2 driver greens
+    "q08_running_total",
+    "q09_distinct_counts",
+    "q11_set_except",
+    "q12_case_buckets",
+    "q14_part_type_stats",
+    "q15_json_extract_agg",
+    "q16_point_read",
+    "q17_top_customers",
+    "q20_tumbling_window",
+    "q23_lang_id",
+    "q24_fingerprints",
+    "q30_embedding_norms",
+    "q31_session_window",
+    "q33_percentiles",
+    "q34_above_nation_avg",
+    "q36_srp_buckets",
+    "q37_rank_parts",
+    "q38_activity_union",
+    "q39_clean_corpus_report",
+    "q40_lsh_candidates",
+    "q41_range_join",
+    "q42_grouping_sets",
+    "q43_order_gaps",
+    "q44_order_arrays",
+    "q45_regexp_extract",
+    "q46_srp_near_dup",
+    "q47_set_intersect",
+    "q48_date_parts",
+    "q49_cube",
+    "q50_cosine_near_dup",
+    "q51_binary_manifest",
+    "q57_source_mixing",
+    "q59_repetition_stats",
+    "q61_tfidf_top_terms",
+    "q79_knn_join",
+    "q83_label_cohesion",
+    "q89_quantization_audit",
+    "q94_margin_ann_topk",
+    "q95_bpe_token_budget",
+    "q96_bounded_semantic_dedup",
+    "q97_bpe_pack_sequences",
+    "q98_quantized_ann_topk",
 ]
 
 ALL_QUERIES = {
