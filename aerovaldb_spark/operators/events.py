@@ -402,13 +402,34 @@ def kmv_distinct(
     arithmetic on both engines (the (k-1)*2^60 numerator is exact in
     a double; the single divide is correctly rounded), rounded with
     the shared cross-engine :func:`round6` convention.
+
+    NULL values are ignored, matching COUNT(DISTINCT) semantics —
+    also a cross-engine necessity: a NULL hash would sort FIRST under
+    Spark's window (NULLS FIRST on ASC) but LAST under DuckDB's
+    ROW_NUMBER default, silently skewing the k-th hash.
     """
+    return _kmv_estimate(kmv_kept_hashes(df, key_col, value_col, k, n_split), key_col, k)
+
+
+def kmv_kept_hashes(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    k: int = KMV_K,
+    n_split: int = KMV_SPLIT,
+) -> DataFrame:
+    """(key, h): the KMV sketch STATE — each key's k smallest distinct
+    60-bit value hashes. Exposed separately because this is the
+    mergeable object: the bottom-k of a union equals the bottom-k of
+    the concatenated per-increment kept sets (tested), which is what
+    lets sketches be computed per partition / per corpus increment and
+    merged."""
     from .dedup import hash60
 
     hashes = df.select(
         F.col(key_col).alias("key"),
         hash60(F.col(value_col).cast("string")).alias("h"),
-    ).distinct()
+    ).filter(F.col("h").isNotNull()).distinct()
     # level 1: lossless bottom-k per (key, h % n_split) — the global
     # bottom-k survives any split, and no window partition ever holds
     # more than its bucket's distinct hashes
@@ -422,10 +443,14 @@ def kmv_distinct(
     )
     # level 2: bottom-k of the <= n_split*k survivors per key
     w2 = Window.partitionBy("key").orderBy("h")
-    kept = (
+    return (
         lvl1.withColumn("_rn", F.row_number().over(w2))
         .filter(F.col("_rn") <= k)
+        .select("key", "h")
     )
+
+
+def _kmv_estimate(kept: DataFrame, key_col: str, k: int) -> DataFrame:
     from .._round import round6
 
     numer = F.lit((k - 1.0) * _POW2_60)
@@ -458,7 +483,7 @@ Q106_SQL = f"""
 WITH h AS (
   SELECT DISTINCT event_type,
     CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
-  FROM events
+  FROM events WHERE user_id IS NOT NULL
 ), ranked AS (
   SELECT event_type, h,
     ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn

@@ -660,6 +660,36 @@ SELECT query_id, neighbor_id, cosine FROM (
 Q66_SQL = _q66_sql()
 
 
+def _save_ivf_layout(
+    centroids: DataFrame, assignments: DataFrame, path: str
+) -> None:
+    """The one on-disk IVF layout (shared by IVFIndex and
+    QuantizedIVFIndex so the two can never diverge): ``centroids/``
+    (n_lists rows) + ``assignments/`` PARTITIONED BY list_id — the
+    layout that makes probing a directory-pruned scan."""
+    import os as _os
+
+    centroids.write.mode("overwrite").parquet(
+        _os.path.join(path, "centroids")
+    )
+    (
+        assignments.write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(_os.path.join(path, "assignments"))
+    )
+
+
+def _load_ivf_frames(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    import os as _os
+
+    return (
+        spark.read.parquet(_os.path.join(path, "centroids")),
+        spark.read.parquet(_os.path.join(path, "assignments")),
+    )
+
+
 class IVFIndex:
     """Persisted IVF index: build once, serve many query batches.
 
@@ -719,16 +749,7 @@ class IVFIndex:
         return IVFIndex(centroids, assignments, vec_col, id_col)
 
     def save(self, path: str) -> None:
-        import os as _os
-
-        self.centroids.write.mode("overwrite").parquet(
-            _os.path.join(path, "centroids")
-        )
-        (
-            self.assignments.write.mode("overwrite")
-            .partitionBy("list_id")
-            .parquet(_os.path.join(path, "assignments"))
-        )
+        _save_ivf_layout(self.centroids, self.assignments, path)
 
     @staticmethod
     def load(
@@ -737,14 +758,7 @@ class IVFIndex:
         vec_col: str = "embedding",
         id_col: str = "vec_id",
     ) -> "IVFIndex":
-        import os as _os
-
-        return IVFIndex(
-            spark.read.parquet(_os.path.join(path, "centroids")),
-            spark.read.parquet(_os.path.join(path, "assignments")),
-            vec_col,
-            id_col,
-        )
+        return IVFIndex(*_load_ivf_frames(spark, path), vec_col, id_col)
 
     def topk(
         self, query: DataFrame, k: int = 10,
@@ -2020,28 +2034,13 @@ class QuantizedIVFIndex:
         return QuantizedIVFIndex(centroids, assignments, id_col)
 
     def save(self, path: str) -> None:
-        import os as _os
-
-        self.centroids.write.mode("overwrite").parquet(
-            _os.path.join(path, "centroids")
-        )
-        (
-            self.assignments.write.mode("overwrite")
-            .partitionBy("list_id")
-            .parquet(_os.path.join(path, "assignments"))
-        )
+        _save_ivf_layout(self.centroids, self.assignments, path)
 
     @staticmethod
     def load(
         spark: SparkSession, path: str, id_col: str = "vec_id"
     ) -> "QuantizedIVFIndex":
-        import os as _os
-
-        return QuantizedIVFIndex(
-            spark.read.parquet(_os.path.join(path, "centroids")),
-            spark.read.parquet(_os.path.join(path, "assignments")),
-            id_col,
-        )
+        return QuantizedIVFIndex(*_load_ivf_frames(spark, path), id_col)
 
     def topk(
         self,

@@ -474,8 +474,12 @@ EVENT_TABLES = st.lists(EVENT, min_size=2, max_size=40)
 
 _EVENT_CASES = [
     "q104_purchase_click_pairs",
+    # the outer twin must ALSO flip collision-boundary purchases into
+    # unmatched NULL-click rows — a row shape q104 never emits
+    "q107_purchase_click_outer",
     "q18_asof_purchase_click",
     "q19_sessionize",
+    "q106_kmv_distinct",
 ]
 
 

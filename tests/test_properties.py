@@ -247,22 +247,44 @@ def test_kmv_distinct_accuracy_and_exact_small_path(spark):
     est2 = kmv_distinct(small, "g", "v").collect()[0]
     assert est2["n_kept"] == 40 and est2["kmv_estimate"] == 40.0
 
-    # mergeability: the sketch over a union equals the sketch computed
-    # over pre-split halves' kept hashes (bottom-k of bottom-k's) —
-    # the per-partition-merge promise the docstring claims
-    h1 = spark.range(0, 1000).select(
+    # mergeability — the REAL merge path: compute the sketch STATE
+    # (kept hash sets) per corpus increment, union the kept sets, take
+    # the bottom-k of that, and the resulting estimate must equal the
+    # sketch computed over the whole corpus at once. This is the
+    # one-sketch-per-increment promise at 100 TB (overlapping halves,
+    # so the merge also dedups shared hashes).
+    from aerovaldb_spark.operators.events import kmv_kept_hashes
+    from pyspark.sql import Window
+
+    h1 = spark.range(0, 1200).select(
         F.lit("m").alias("g"), F.col("id").alias("v")
     )
-    h2 = spark.range(1000, 2000).select(
+    h2 = spark.range(800, 2000).select(
         F.lit("m").alias("g"), F.col("id").alias("v")
     )
-    whole = kmv_distinct(h1.unionAll(h2), "g", "v").collect()[0]
-    merged = kmv_distinct(
-        h1.unionAll(h2), "g", "v", n_split=2
-    ).collect()[0]
-    assert (whole["n_kept"], whole["kmv_estimate"]) == (
-        merged["n_kept"],
-        merged["kmv_estimate"],
+    whole_kept = sorted(
+        r["h"] for r in kmv_kept_hashes(h1.unionAll(h2), "g", "v").collect()
+    )
+    merged_kept = sorted(
+        set(
+            r["h"]
+            for r in kmv_kept_hashes(h1, "g", "v")
+            .unionAll(kmv_kept_hashes(h2, "g", "v"))
+            .collect()
+        )
+    )[: len(whole_kept)]
+    assert merged_kept == whole_kept
+
+    # NULL values are ignored (COUNT(DISTINCT) semantics): adding NULL
+    # rows must not perturb the kept set or the estimate
+    with_nulls = h1.unionAll(
+        spark.range(3).select(
+            F.lit("m").alias("g"), F.lit(None).cast("long").alias("v")
+        )
+    )
+    assert (
+        kmv_distinct(with_nulls, "g", "v").collect()
+        == kmv_distinct(h1, "g", "v").collect()
     )
 
 
