@@ -34,9 +34,13 @@ _MERGED_QUERIES = {
 # Round-8 window (50) — executes the r7-committed rotation:
 # - the 11 twice-deferred entries (MUST enter per the r7 commitment):
 #   q76 q01 q02 q07 q22 q53 q54 q58 q55 q29 q90;
-# - new this round (3): q106 (deterministic KMV distinct sketch),
+# - new this round (4): q106 (deterministic KMV distinct sketch),
 #   q107 (left-outer attribution pairs, the stream-stream outer
-#   join's batch anchor), q108 (quantized IVF over frozen centroids);
+#   join's batch anchor), q108 (quantized IVF over frozen centroids),
+#   q109 (KMV sketch algebra: pairwise union/intersection/Jaccard
+#   from kept sets alone — q52 yields its slot: 2 driver greens, and
+#   the multimodal mapInPandas paths stay window-covered by q65/q73;
+#   q52 joins the 17 committed to r9);
 # - just-changed (3): q66 (frozen-centroids-as-data oracle — first
 #   FULL hash check after three rows-only rounds), q99 and q102
 #   (verification shape now data-driven; map path — the one this
@@ -44,25 +48,27 @@ _MERGED_QUERIES = {
 # - once-green, first driver green r7 (6): q100 q101 q103 q104 q105
 #   and q99 (whose r7 green was its first with the filter set; it is
 #   also just-changed above — one slot, both reasons);
-# - the r6-window cohort rotating back in, 28 of 44 (every one
+# - the r6-window cohort rotating back in, 27 of 44 (every one
 #   2 driver greens, last driver-checked r6): q03 q04 q05 q06 q10
-#   q13 q19 q21 q25 q27 q28 q32 q35 q52 q60 q62 q63 q64 q65 q67-q75.
+#   q13 q19 q21 q25 q27 q28 q32 q35 q60 q62 q63 q64 q65 q67-q75.
 #
-# Round-8 tail (58 = 16 + 42):
-# - 16 r6-window-cohort entries deferred one more round to make room,
+# Round-8 tail (59 = 17 + 42):
+# - 17 r6-window-cohort entries deferred one more round to make room,
 #   picked for the strongest standing evidence: q18 q26 q56 q87 q93
 #   (2 driver greens AND independently re-verified by the r7 judge at
-#   sf0.01) and q77 q78 q80 q81 q82 q84 q85 q86 q88 q91 q92 (2 driver
-#   greens; deferred ONCE — all 16 MUST enter the r9 window, the same
-#   commitment mechanism that forced this round's 11);
+#   sf0.01), q77 q78 q80 q81 q82 q84 q85 q86 q88 q91 q92 (2 driver
+#   greens), and q52 (yielded to q109; multimodal stays covered by
+#   q65/q73 in-window). Deferred ONCE — all 17 MUST enter the r9
+#   window, the same commitment mechanism that forced this round's 11;
 # - the 42 r7-window entries now retired at 2-or-more greens:
 #   q08 q09 q11 q12 q14 q15 q16 q17 q20 q23 q24 q30 q31 q33 q34
 #   q36-q51 q57 q59 q61 q79 q83 q89 q94-q98.
-# R9 plan: the 16 once-deferred entries re-enter first, then the 42
+# R9 plan: the 17 once-deferred entries re-enter first, then the 42
 # retirees rotate; entries holding 3+ greens yield slots to whatever
 # r9 adds or changes.
 _DEFER_ROUND = [
     # r6-window cohort, deferred once more (MUST enter the r9 window)
+    "q52_media_decode",
     "q18_asof_purchase_click",
     "q26_ngram_jaccard_pairs",
     "q56_dedup_clusters",

@@ -470,6 +470,140 @@ def _kmv_estimate(kept: DataFrame, key_col: str, k: int) -> DataFrame:
     )
 
 
+def kmv_overlap(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    k: int = KMV_K,
+    n_split: int = KMV_SPLIT,
+) -> DataFrame:
+    """Pairwise sketch ALGEBRA over the KMV kept sets: for every
+    unordered key pair, estimated distinct values of each side, of the
+    UNION (bottom-k of the two kept sets — a pure sketch-state
+    operation), the inclusion-exclusion INTERSECTION, and the Jaccard
+    ratio. This is the 100 TB point of a mergeable sketch: the raw
+    data is touched ONCE to build one sketch per key; every pairwise
+    overlap question afterwards is answered from k-row kept sets
+    (here: a tiny pairs × kept-hashes join, windows over <= 2k rows
+    per pair — no second scan, no pairwise re-shuffle of values).
+    Estimates are the same deterministic arithmetic as
+    :func:`kmv_distinct` (exact below k, (k-1)/U_(k) above, round6),
+    so the whole report is cross-engine hash-checkable. Negative
+    inclusion-exclusion noise is clamped at 0 on both engines.
+    """
+    kept = kmv_kept_hashes(df, key_col, value_col, k, n_split)
+    est = _kmv_estimate(kept, "key", k).withColumnRenamed(
+        "key", key_col
+    )
+    pairs = (
+        est.select(F.col(key_col).alias("type_a"), F.col("kmv_estimate").alias("users_a"))
+        .join(
+            est.select(
+                F.col(key_col).alias("type_b"),
+                F.col("kmv_estimate").alias("users_b"),
+            ),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+    # union sketch: bottom-k of the two kept sets (distinct absorbs
+    # hashes present in both)
+    uh = (
+        pairs.select("type_a", "type_b")
+        .join(
+            kept,
+            (F.col("key") == F.col("type_a"))
+            | (F.col("key") == F.col("type_b")),
+        )
+        .select("type_a", "type_b", "h")
+        .distinct()
+    )
+    uw = Window.partitionBy("type_a", "type_b").orderBy("h")
+    from .._round import round6
+
+    numer = F.lit((k - 1.0) * _POW2_60)
+    uest = (
+        uh.withColumn("_rn", F.row_number().over(uw))
+        .filter(F.col("_rn") <= k)
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("_n"), F.max("h").alias("_kth"))
+        .select(
+            "type_a",
+            "type_b",
+            F.when(F.col("_n") < k, F.col("_n").cast("double"))
+            .otherwise(round6(numer / F.col("_kth").cast("double")))
+            .alias("union_users"),
+        )
+    )
+    inter_raw = F.greatest(
+        F.col("users_a") + F.col("users_b") - F.col("union_users"),
+        F.lit(0.0),
+    )
+    return pairs.join(uest, ["type_a", "type_b"]).select(
+        "type_a",
+        "type_b",
+        "users_a",
+        "users_b",
+        "union_users",
+        round6(inter_raw).alias("intersect_users"),
+        round6(inter_raw / F.col("union_users")).alias("jaccard"),
+    )
+
+
+def q109_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return kmv_overlap(events, "event_type", "user_id")
+
+
+def _q109_sql() -> str:
+    numer = f"({KMV_K}.0 - 1.0) * {_POW2_60:.1f}"
+    return f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+    CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  FROM events WHERE user_id IS NOT NULL
+), ranked AS (
+  SELECT event_type, h,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM h
+), kept AS (
+  SELECT event_type, h FROM ranked WHERE rn <= {KMV_K}
+), est AS (
+  SELECT event_type, COUNT(*) AS n_kept,
+    CASE WHEN COUNT(*) < {KMV_K} THEN CAST(COUNT(*) AS DOUBLE)
+         ELSE ROUND({numer} / CAST(MAX(h) AS DOUBLE), 6)
+    END AS est
+  FROM kept GROUP BY event_type
+), pairs AS (
+  SELECT a.event_type AS type_a, a.est AS users_a,
+         b.event_type AS type_b, b.est AS users_b
+  FROM est a JOIN est b ON a.event_type < b.event_type
+), uh AS (
+  SELECT DISTINCT p.type_a, p.type_b, k.h
+  FROM pairs p JOIN kept k
+    ON k.event_type = p.type_a OR k.event_type = p.type_b
+), uranked AS (
+  SELECT type_a, type_b, h,
+    ROW_NUMBER() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rn
+  FROM uh
+), uest AS (
+  SELECT type_a, type_b,
+    CASE WHEN COUNT(*) < {KMV_K} THEN CAST(COUNT(*) AS DOUBLE)
+         ELSE ROUND({numer} / CAST(MAX(h) AS DOUBLE), 6)
+    END AS union_users
+  FROM uranked WHERE rn <= {KMV_K} GROUP BY type_a, type_b
+)
+SELECT p.type_a, p.type_b, p.users_a, p.users_b, u.union_users,
+  ROUND(greatest(p.users_a + p.users_b - u.union_users, 0.0), 6)
+    AS intersect_users,
+  ROUND(greatest(p.users_a + p.users_b - u.union_users, 0.0)
+        / u.union_users, 6) AS jaccard
+FROM pairs p JOIN uest u USING (type_a, type_b)
+"""
+
+
+Q109_SQL = _q109_sql()
+
+
 def q106_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return kmv_distinct(events, "event_type", "user_id").select(
@@ -623,6 +757,7 @@ QUERIES = {
     "q104_purchase_click_pairs": q104_purchase_click_pairs,
     "q106_kmv_distinct": q106_kmv_distinct,
     "q107_purchase_click_outer": q107_purchase_click_outer,
+    "q109_kmv_overlap": q109_kmv_overlap,
 }
 
 ORACLE = {
@@ -635,4 +770,5 @@ ORACLE = {
     "q104_purchase_click_pairs": Q104_SQL,
     "q106_kmv_distinct": Q106_SQL,
     "q107_purchase_click_outer": Q107_SQL,
+    "q109_kmv_overlap": Q109_SQL,
 }

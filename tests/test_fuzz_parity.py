@@ -480,6 +480,7 @@ _EVENT_CASES = [
     "q18_asof_purchase_click",
     "q19_sessionize",
     "q106_kmv_distinct",
+    "q109_kmv_overlap",
 ]
 
 
