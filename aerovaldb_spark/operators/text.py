@@ -1808,6 +1808,17 @@ def tfidf_screen_join(
     from pyspark.sql import Window
 
     w_ref, stats, n = tfidf_weight_frame(reference)
+    if incoming is reference:
+        # self-screen fast path (q102's shape): every incoming term is
+        # by definition in the reference, so weighting incoming under
+        # the reference idf reproduces the reference weight frame
+        # EXACTLY (same tf, same df, same idf, same norm — bit
+        # identical, equivalence-tested). Skip the second tokenize/
+        # join/normalize pipeline entirely; _verified_dots then also
+        # builds ONE weight-map frame instead of two.
+        return _screen_verify(
+            incoming, w_ref, w_ref, threshold, verify_shape
+        )
     # incoming weighted under the reference idf; OOV df -> 0, idf ->
     # ln(n+1) (the gate's oov_idf, same engine ln)
     in_terms = (
@@ -1849,6 +1860,20 @@ def tfidf_screen_join(
             round6(F.col("w_raw") / F.col("nrm")).alias("w"),
         )
     )
+    return _screen_verify(incoming, w_in, w_ref, threshold, verify_shape)
+
+
+def _screen_verify(
+    incoming: DataFrame,
+    w_in: DataFrame,
+    w_ref: DataFrame,
+    threshold: float,
+    verify_shape: str,
+) -> DataFrame:
+    """tfidf_screen_join's candidate + verify + contract stage over
+    already-built weight frames (split out so the self-screen fast
+    path can feed the SAME frame to both sides)."""
+    from pyspark.sql import Window
 
     def prefix(w: DataFrame) -> DataFrame:
         sufw = (

@@ -600,6 +600,18 @@ def test_tfidf_verify_shapes_bit_equal_fuzzed(spark, tmp_path_factory):
             )
         )
         assert scr_map == scr_keyed, rows
+        # the self-screen fast path (incoming IS reference -> reuse the
+        # reference weight frame) must be bit-identical to the general
+        # path fed an equal-but-distinct DataFrame
+        general = sorted(
+            map(
+                tuple,
+                tfidf_screen_join(
+                    docs, docs.select(*docs.columns), verify_shape="map"
+                ).collect(),
+            )
+        )
+        assert scr_map == general, rows
 
     check()
 
