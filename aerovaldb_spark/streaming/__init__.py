@@ -1127,6 +1127,84 @@ def running_user_totals(events: DataFrame, timeout_ms: str = "NoTimeout") -> Dat
     )
 
 
+def stream_kmv_user_distinct(
+    events: DataFrame,
+    k: int | None = None,
+    timeout_ms: str = "NoTimeout",
+) -> DataFrame:
+    """Stateful streaming KMV distinct-count sketch — batch q106's
+    streaming twin and the live demonstration of the sketch's merge
+    property: per event_type the state is the k smallest distinct
+    60-bit user-id hashes (a bounded ARRAY — never the user set), each
+    micro-batch merges its hashes into the kept set (bottom-k of a
+    union is the bottom-k of concatenated kept sets), and the emitted
+    estimate uses byte-identical arithmetic to the batch operator
+    (``round6_py`` twin of the shared rounding convention; the
+    Python md5 path reproduces ``hash60`` exactly — tested
+    stream ≡ batch to the last bit). Emits one update row per key per
+    batch with a monotone ``n_updates`` so consumers (and tests) can
+    select the latest. NULL user_ids are ignored, as in batch.
+    Batch input falls through to the exact batch operator."""
+    from ..operators.events import KMV_K, kmv_distinct
+
+    kk = KMV_K if k is None else k
+    if not events.isStreaming:
+        return kmv_distinct(events, "event_type", "user_id", kk).select(
+            "event_type",
+            F.lit(1).alias("n_updates"),
+            "n_kept",
+            F.col("kmv_estimate").alias("kmv_users"),
+        )
+
+    def update(key, pdf_iter, state):
+        import hashlib
+
+        import pandas as pd
+
+        from aerovaldb_spark._round import round6_py
+
+        kept, n_updates = (
+            (list(state.get[0]), int(state.get[1]))
+            if state.exists
+            else ([], 0)
+        )
+        seen = set(kept)
+        for pdf in pdf_iter:
+            for v in pdf["user_id"].dropna():
+                h = int(
+                    hashlib.md5(str(int(v)).encode()).hexdigest()[:15], 16
+                )
+                seen.add(h)
+        kept = sorted(seen)[:kk]
+        n_updates += 1
+        state.update((kept, n_updates))
+        n_kept = len(kept)
+        est = (
+            float(n_kept)
+            if n_kept < kk
+            else round6_py((kk - 1.0) * 1152921504606846976.0 / float(kept[-1]))
+        )
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_updates": [n_updates],
+                "n_kept": [n_kept],
+                "kmv_users": [est],
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "event_type string, n_updates int, n_kept bigint, "
+            "kmv_users double"
+        ),
+        stateStructType="kept array<long>, n_updates int",
+        outputMode="update",
+        timeoutConf=timeout_ms,
+    )
+
+
 def purchases_with_recent_clicks(
     events: DataFrame,
     horizon: str = "5 minutes",

@@ -232,6 +232,52 @@ def test_stream_stream_left_outer_join_across_batches(spark, tmp_path):
     assert matched, "corpus produced no matched pairs"
 
 
+def test_kmv_sketch_state_merges_across_batches(spark, tmp_path):
+    """The streaming KMV gate's state (bottom-k kept hashes) must merge
+    micro-batch increments to EXACTLY the batch sketch — bit-equal
+    estimates, which also proves the Python md5/round6_py path
+    reproduces the JVM hash60/round6 arithmetic."""
+    from aerovaldb_spark.streaming import (
+        run_stream_to_memory,
+        stream_kmv_user_distinct,
+    )
+
+    d = str(tmp_path / "ev_kmv")
+    os.makedirs(d)
+    _write_split_events(spark, d)
+
+    batch_df = spark.read.schema(_EV_SCHEMA).parquet(d)
+    # small k so the estimator path (not the exact-count path)
+    # exercises at sf0.001's ~15 distinct users per type
+    want = {
+        (r["event_type"], r["n_kept"], r["kmv_users"])
+        for r in stream_kmv_user_distinct(batch_df, k=8).collect()
+    }
+    assert any(t[1] == 8 for t in want)  # estimator path reached
+
+    got_df = run_stream_to_memory(
+        stream_kmv_user_distinct(
+            _event_stream_two_batches(spark, d), k=8
+        ),
+        "kmv_mb",
+        spark,
+        output_mode="update",
+    )
+    rows = got_df.collect()
+    # update mode emits one row per key per batch; keep the latest
+    latest = {}
+    for r in rows:
+        cur = latest.get(r["event_type"])
+        if cur is None or r["n_updates"] > cur["n_updates"]:
+            latest[r["event_type"]] = r
+    assert max(r["n_updates"] for r in rows) >= 2  # state crossed batches
+    got = {
+        (r["event_type"], r["n_kept"], r["kmv_users"])
+        for r in latest.values()
+    }
+    assert got == want
+
+
 def test_running_totals_accumulate_across_batches(spark, tmp_path):
     from aerovaldb_spark.streaming import (
         run_stream_to_memory,
