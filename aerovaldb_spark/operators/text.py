@@ -1892,13 +1892,22 @@ def _screen_verify(
             .where(F.col("sufnorm") >= threshold - F.col("_slack"))
             .select("doc_id", "term")
         )
+    self_screen = w_in is w_ref
+    pfx_in = prefix(w_in).withColumnRenamed("doc_id", "in_id")
+    pfx_ref = prefix(w_ref).withColumnRenamed("doc_id", "ref_id")
+    # self-screen: generate each unordered pair ONCE (in_id < ref_id),
+    # verify once, symmetrize after — dot(a,b) == dot(b,a) exactly
+    # (round6(x*y) is symmetric and the DECIMAL sum is order-free), so
+    # this halves candidate volume and verification cost with a
+    # bit-identical result (equivalence-fuzzed vs the general path)
+    pair_pred = (
+        (F.col("in_id") < F.col("ref_id"))
+        if self_screen
+        else (F.col("in_id") != F.col("ref_id"))
+    )
     cand = (
-        prefix(w_in)
-        .withColumnRenamed("doc_id", "in_id")
-        .join(
-            prefix(w_ref).withColumnRenamed("doc_id", "ref_id"), "term"
-        )
-        .where(F.col("in_id") != F.col("ref_id"))
+        pfx_in.join(pfx_ref, "term")
+        .where(pair_pred)
         .select("in_id", "ref_id")
         .distinct()
     )
@@ -1914,6 +1923,17 @@ def _screen_verify(
     dots = _verified_dots(
         cand, w_in, w_ref, "in_id", "ref_id", verify_shape
     ).where(F.col("dot").cast("double") >= threshold)
+    if self_screen:
+        # persist the (tiny) post-threshold verified pairs so the
+        # union's two branches don't recompute the verification
+        dots = scoped_persist(dots)
+        dots = dots.unionAll(
+            dots.select(
+                F.col("ref_id").alias("in_id"),
+                F.col("in_id").alias("ref_id"),
+                "dot",
+            )
+        )
     best = Window.partitionBy("in_id").orderBy(
         F.col("dot").desc(), F.col("ref_id").asc()
     )
