@@ -1745,9 +1745,14 @@ def tfidf_cosine_knn(
     )
     # exact verification over candidate pairs only — each unordered
     # pair scored ONCE, in the map or keyed plan shape (data-driven;
-    # the trade-off and switch point live in _verified_dots)
-    dots = _verified_dots(cand, w, w, "doc_a", "doc_b", verify_shape).where(
-        F.col("dot").cast("double") >= threshold
+    # the trade-off and switch point live in _verified_dots). The
+    # post-threshold pairs are persisted so the symmetrizing union
+    # below doesn't recompute the verification per branch (measured
+    # 51-56s -> 41-43s at sf0.1 on a quiet host)
+    dots = scoped_persist(
+        _verified_dots(cand, w, w, "doc_a", "doc_b", verify_shape).where(
+            F.col("dot").cast("double") >= threshold
+        )
     )
     sym = dots.select(
         F.col("doc_a").alias("doc_id"),
