@@ -22,7 +22,7 @@ _MERGED_QUERIES = {
 }
 
 # The external correctness gate records rows for the FIRST 50 entries
-# of ``queries()`` only (105 declared > 50-entry cap), so entry ORDER
+# of ``queries()`` only (109 declared > 50-entry cap), so entry ORDER
 # decides which queries get a driver-recorded check each round. Policy:
 # entries never yet driver-verified, green-only-once, or just-changed
 # come first; the tail past position 50 holds entries with >=2

@@ -408,7 +408,9 @@ def kmv_distinct(
     Spark's window (NULLS FIRST on ASC) but LAST under DuckDB's
     ROW_NUMBER default, silently skewing the k-th hash.
     """
-    return _kmv_estimate(kmv_kept_hashes(df, key_col, value_col, k, n_split), key_col, k)
+    return _kmv_estimate(
+        kmv_kept_hashes(df, key_col, value_col, k, n_split), ["key"], k
+    ).withColumnRenamed("key", key_col)
 
 
 def kmv_kept_hashes(
@@ -450,22 +452,32 @@ def kmv_kept_hashes(
     )
 
 
-def _kmv_estimate(kept: DataFrame, key_col: str, k: int) -> DataFrame:
+def _kmv_estimate(
+    kept: DataFrame,
+    group_cols: list[str],
+    k: int,
+    estimate_name: str = "kmv_estimate",
+) -> DataFrame:
+    """(group_cols..., n_kept, <estimate_name>) from a kept-hash frame
+    — the ONE Spark-side definition of the estimator arithmetic (the
+    SQL twin lives in Q106_SQL/Q109_SQL), shared by the per-key
+    sketch and the pairwise union sketch so a convention change can't
+    fork them."""
     from .._round import round6
 
     numer = F.lit((k - 1.0) * _POW2_60)
     return (
-        kept.groupBy("key")
+        kept.groupBy(*group_cols)
         .agg(
             F.count(F.lit(1)).alias("n_kept"),
             F.max("h").alias("_kth"),
         )
         .select(
-            F.col("key").alias(key_col),
+            *group_cols,
             "n_kept",
             F.when(F.col("n_kept") < k, F.col("n_kept").cast("double"))
             .otherwise(round6(numer / F.col("_kth").cast("double")))
-            .alias("kmv_estimate"),
+            .alias(estimate_name),
         )
     )
 
@@ -491,48 +503,46 @@ def kmv_overlap(
     so the whole report is cross-engine hash-checkable. Negative
     inclusion-exclusion noise is clamped at 0 on both engines.
     """
+    from .._round import round6
+
     kept = kmv_kept_hashes(df, key_col, value_col, k, n_split)
-    est = _kmv_estimate(kept, "key", k).withColumnRenamed(
-        "key", key_col
-    )
+    est = _kmv_estimate(kept, ["key"], k)
     pairs = (
-        est.select(F.col(key_col).alias("type_a"), F.col("kmv_estimate").alias("users_a"))
+        est.select(F.col("key").alias("type_a"), F.col("kmv_estimate").alias("users_a"))
         .join(
             est.select(
-                F.col(key_col).alias("type_b"),
+                F.col("key").alias("type_b"),
                 F.col("kmv_estimate").alias("users_b"),
             ),
             F.col("type_a") < F.col("type_b"),
         )
     )
     # union sketch: bottom-k of the two kept sets (distinct absorbs
-    # hashes present in both)
+    # hashes present in both). Two hash EQUI-joins + union, not one
+    # OR-of-equalities join — the OR condition can't hash-partition
+    # and planned as a nested loop over pairs × kept
+    pk = pairs.select("type_a", "type_b")
     uh = (
-        pairs.select("type_a", "type_b")
-        .join(
-            kept,
-            (F.col("key") == F.col("type_a"))
-            | (F.col("key") == F.col("type_b")),
-        )
+        pk.join(kept, F.col("key") == F.col("type_a"))
         .select("type_a", "type_b", "h")
+        .unionAll(
+            pk.join(kept, F.col("key") == F.col("type_b")).select(
+                "type_a", "type_b", "h"
+            )
+        )
         .distinct()
     )
     uw = Window.partitionBy("type_a", "type_b").orderBy("h")
-    from .._round import round6
-
-    numer = F.lit((k - 1.0) * _POW2_60)
     uest = (
-        uh.withColumn("_rn", F.row_number().over(uw))
-        .filter(F.col("_rn") <= k)
-        .groupBy("type_a", "type_b")
-        .agg(F.count(F.lit(1)).alias("_n"), F.max("h").alias("_kth"))
-        .select(
-            "type_a",
-            "type_b",
-            F.when(F.col("_n") < k, F.col("_n").cast("double"))
-            .otherwise(round6(numer / F.col("_kth").cast("double")))
-            .alias("union_users"),
+        _kmv_estimate(
+            uh.withColumn("_rn", F.row_number().over(uw))
+            .filter(F.col("_rn") <= k)
+            .select("type_a", "type_b", "h"),
+            ["type_a", "type_b"],
+            k,
+            estimate_name="union_users",
         )
+        .drop("n_kept")
     )
     inter_raw = F.greatest(
         F.col("users_a") + F.col("users_b") - F.col("union_users"),

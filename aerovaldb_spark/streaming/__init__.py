@@ -1143,8 +1143,10 @@ def stream_kmv_user_distinct(
     Python md5 path reproduces ``hash60`` exactly — tested
     stream ≡ batch to the last bit). Emits one update row per key per
     batch with a monotone ``n_updates`` so consumers (and tests) can
-    select the latest. NULL user_ids are ignored, as in batch.
-    Batch input falls through to the exact batch operator."""
+    select the latest. NULL user_ids are ignored, as in batch — a key
+    whose values are ALL NULL emits no row at all, matching the batch
+    operator's omission of it. Batch input falls through to the exact
+    batch operator."""
     from ..operators.events import KMV_K, kmv_distinct
 
     kk = KMV_K if k is None else k
@@ -1170,12 +1172,19 @@ def stream_kmv_user_distinct(
         )
         seen = set(kept)
         for pdf in pdf_iter:
+            # user_id arrives as a STRING column (projected below):
+            # pandas would deliver a nullable long as float64, and
+            # int(float) silently rounds ids above 2^53 — a different
+            # md5 input than batch hash60's CAST(... AS STRING)
             for v in pdf["user_id"].dropna():
-                h = int(
-                    hashlib.md5(str(int(v)).encode()).hexdigest()[:15], 16
-                )
+                h = int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
                 seen.add(h)
         kept = sorted(seen)[:kk]
+        # a key whose values were all NULL so far has an empty sketch;
+        # batch kmv_distinct emits no row for it (NULL hashes filtered
+        # before the groupBy), so the stream must stay silent too
+        if not kept:
+            return
         n_updates += 1
         state.update((kept, n_updates))
         n_kept = len(kept)
@@ -1193,7 +1202,12 @@ def stream_kmv_user_distinct(
             }
         )
 
-    return events.groupBy("event_type").applyInPandasWithState(
+    # CAST to string JVM-side so the Python path hashes the exact
+    # digits batch hash60 hashes (see precision note in update())
+    projected = events.select(
+        "event_type", F.col("user_id").cast("string").alias("user_id")
+    )
+    return projected.groupBy("event_type").applyInPandasWithState(
         update,
         outputStructType=(
             "event_type string, n_updates int, n_kept bigint, "

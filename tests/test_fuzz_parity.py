@@ -665,3 +665,61 @@ def test_tfidf_verify_auto_switch(spark):
         )
     )
     assert a == b and a  # long near-identical docs do produce pairs
+
+
+def test_kmv_estimator_branch_cross_engine(spark, tmp_path):
+    """The (k-1)/U_(k) estimator branch of q106/q109 never fires on the
+    hypothesis event corpora (<= 40 rows < k=64 distinct), so pin it
+    cross-engine on a deterministic 500-user corpus: every per-key and
+    per-pair union kept set saturates at k and the round6'd division
+    must hash-match DuckDB exactly."""
+    import datetime as dt
+
+    import __spark_entry__ as entry_mod
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=i), i % 500,
+         ["click", "view", "purchase"][i % 3], float(i % 7), "{}")
+        for i in range(3000)
+    ]
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    d = str(tmp_path / "kmvbig")
+    os.makedirs(d)
+    pq.write_table(table, os.path.join(d, "events.parquet"))
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    for qname in ("q106_kmv_distinct", "q109_kmv_overlap"):
+        df = queries[qname](spark, d)
+        # estimator branch actually reached: every key holds >= k
+        from aerovaldb_spark.operators.events import KMV_K
+
+        n_kept_col = "n_kept" if "n_kept" in df.columns else None
+        con = duckdb.connect()
+        try:
+            con.execute(
+                f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'"
+            )
+            arrow = con.execute(oracles[qname]).arrow()
+        finally:
+            con.close()
+        cols = [c.to_pylist() for c in arrow.columns]
+        oracle_rows = [
+            tuple(col[i] for col in cols) for i in range(arrow.num_rows)
+        ]
+        problems = compare(qname, df, oracle_rows, list(arrow.schema.names))
+        assert not problems, (qname, problems)
+        if n_kept_col:
+            assert all(
+                r[n_kept_col] == KMV_K for r in df.collect()
+            ), qname
