@@ -1718,6 +1718,9 @@ def tfidf_cosine_knn(
             "doc_id", "term", "w", "sufnext", "maxw", "l1", "nterms"
         )
     )
+    # the prefix frame feeds BOTH sides of the candidate self-join;
+    # persisted, its three window passes run once instead of twice
+    pre = scoped_persist(pre)
     # per-pair slack: shared terms <= min(nterms_a, nterms_b)
     slack = eps + 5e-7 * F.least(F.col("a.nterms"), F.col("b.nterms"))
     cand = (
@@ -1898,8 +1901,14 @@ def _screen_verify(
             .select("doc_id", "term")
         )
     self_screen = w_in is w_ref
-    pfx_in = prefix(w_in).withColumnRenamed("doc_id", "in_id")
-    pfx_ref = prefix(w_ref).withColumnRenamed("doc_id", "ref_id")
+    if self_screen:
+        # one prefix computation (window pass) feeds both join sides
+        pfx = scoped_persist(prefix(w_ref))
+        pfx_in = pfx.withColumnRenamed("doc_id", "in_id")
+        pfx_ref = pfx.withColumnRenamed("doc_id", "ref_id")
+    else:
+        pfx_in = prefix(w_in).withColumnRenamed("doc_id", "in_id")
+        pfx_ref = prefix(w_ref).withColumnRenamed("doc_id", "ref_id")
     # self-screen: generate each unordered pair ONCE (in_id < ref_id),
     # verify once, symmetrize after — dot(a,b) == dot(b,a) exactly
     # (round6(x*y) is symmetric and the DECIMAL sum is order-free), so
