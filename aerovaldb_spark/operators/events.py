@@ -504,9 +504,17 @@ def kmv_overlap(
     inclusion-exclusion noise is clamped at 0 on both engines.
     """
     from .._round import round6
+    from ._scope import scoped_persist
 
-    kept = kmv_kept_hashes(df, key_col, value_col, k, n_split)
-    est = _kmv_estimate(kept, ["key"], k)
+    # the kept frame feeds the estimate build plus BOTH union-sketch
+    # joins, and est feeds both sides of the pair frame — persisted,
+    # the events scan + dedup shuffle + two windows run ONCE (making
+    # the "raw data is touched once" promise true in the plan, not
+    # just the algebra)
+    kept = scoped_persist(
+        kmv_kept_hashes(df, key_col, value_col, k, n_split)
+    )
+    est = scoped_persist(_kmv_estimate(kept, ["key"], k))
     pairs = (
         est.select(F.col("key").alias("type_a"), F.col("kmv_estimate").alias("users_a"))
         .join(

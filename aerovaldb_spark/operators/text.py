@@ -1601,9 +1601,15 @@ def _verified_dots(
       on term and re-aggregate per pair. Moves only SHARED-term rows
       (<= min(|a|, |b|) per pair) at the price of the exchange +
       groupBy — the right shape for very long documents with thin
-      overlaps.
+      overlaps. Pairs sharing zero terms are left-joined back with
+      dot=0 so the shape equivalence holds unconditionally (not only
+      under a positive-threshold filter downstream).
     - ``auto``: ``keyed`` iff either side's avg terms/doc exceeds
-      TFIDF_VERIFY_KEYED_MIN_AVG_TERMS (one tiny aggregate per side).
+      TFIDF_VERIFY_KEYED_MIN_AVG_TERMS. NOTE: this probe is an EAGER
+      Spark action (one tiny aggregate per distinct side) executed at
+      plan-CONSTRUCTION time; the weight frames are scoped_persist'd
+      by their builders, so it materializes the cache the main plan
+      reads rather than doing the pipeline twice.
     """
     if shape == "auto":
         avg = _avg_terms_per_doc(left_w)
@@ -1619,7 +1625,7 @@ def _verified_dots(
         wb = right_w.select(
             F.col("doc_id").alias(right_id), "term", F.col("w").alias("_wb")
         )
-        return (
+        inner = (
             cand.join(wa, left_id)
             .join(wb, [right_id, "term"])
             .groupBy(left_id, right_id)
@@ -1632,6 +1638,22 @@ def _verified_dots(
                 .cast("decimal(18,6)")
                 .alias("dot")
             )
+        )
+        # a candidate pair sharing ZERO terms vanishes from the inner
+        # join, but the map shape emits it with dot=0 — left-join back
+        # onto the candidate list and coalesce so the two shapes are
+        # bit-identical UNCONDITIONALLY, not only under the callers'
+        # positive-threshold filters (prefix candidates always share a
+        # term today; a future caller without that invariant must not
+        # silently diverge between shapes)
+        return cand.select(left_id, right_id).join(
+            inner, [left_id, right_id], "left"
+        ).select(
+            left_id,
+            right_id,
+            F.coalesce(
+                F.col("dot"), F.lit(0).cast("decimal(18,6)")
+            ).alias("dot"),
         )
     if shape != "map":
         raise ValueError(
@@ -1665,6 +1687,15 @@ def tfidf_cosine_knn(
     max_neighbors: int = 10,
     verify_shape: str = "auto",
 ) -> DataFrame:
+    """Exact TF-IDF cosine kNN graph over ``docs`` (doc_id, neighbor_id,
+    cosine, nn_rank): AllPairs/PPJoin-filtered candidate self-join, exact
+    DECIMAL verify, per-doc top-``max_neighbors``.
+
+    NOTE: the default ``verify_shape='auto'`` runs one small EAGER
+    aggregate at construction time to pick the verify plan shape (see
+    :func:`_verified_dots`); pass ``'map'`` or ``'keyed'`` explicitly
+    for fully lazy composition.
+    """
     from pyspark.sql import Window
 
     w, _stats, _n = tfidf_weight_frame(docs)
@@ -1812,6 +1843,11 @@ def tfidf_screen_join(
     reference id, self-ids excluded; unflagged docs (no qualifying
     match, zero norm, no candidates) carry NULL match columns —
     the gate's exact contract.
+
+    NOTE: the default ``verify_shape='auto'`` runs one small EAGER
+    aggregate per side at construction time to pick the verify plan
+    shape (see :func:`_verified_dots`); pass ``'map'`` or ``'keyed'``
+    explicitly for fully lazy composition.
     """
     from pyspark.sql import Window
 

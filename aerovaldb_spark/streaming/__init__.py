@@ -1109,6 +1109,14 @@ def running_user_totals(events: DataFrame, timeout_ms: str = "NoTimeout") -> Dat
     def update(key, pdf_iter, state):
         import pandas as pd
 
+        # a ProcessingTimeTimeout expiry invokes the function with an
+        # empty batch; without this guard the key would re-store state
+        # and re-emit its previous row as a spurious update — and the
+        # timeout could never actually evict anything
+        if state.hasTimedOut:
+            state.remove()
+            return
+
         n, cents = state.get if state.exists else (0, 0)
         for pdf in pdf_iter:
             n += len(pdf)
@@ -1164,6 +1172,13 @@ def stream_kmv_user_distinct(
         import pandas as pd
 
         from aerovaldb_spark._round import round6_py
+
+        # timeout expiry arrives with an empty batch iterator: evict
+        # the sketch without emitting (re-storing would both leak the
+        # state forever and emit a spurious n_updates increment)
+        if state.hasTimedOut:
+            state.remove()
+            return
 
         kept, n_updates = (
             (list(state.get[0]), int(state.get[1]))
