@@ -503,17 +503,26 @@ def kmv_overlap(
     so the whole report is cross-engine hash-checkable. Negative
     inclusion-exclusion noise is clamped at 0 on both engines.
     """
+    return kmv_overlap_from_kept(
+        kmv_kept_hashes(df, key_col, value_col, k, n_split), k
+    )
+
+
+def kmv_overlap_from_kept(kept: DataFrame, k: int = KMV_K) -> DataFrame:
+    """:func:`kmv_overlap`'s algebra stage over an already-built
+    (key, h) kept-hash frame — the sketch STATE is the only input, so
+    the same report is computable from a live streaming snapshot
+    (:func:`aerovaldb_spark.streaming.kmv_live_overlap`) or a persisted
+    sketch table without ever re-reading the raw data."""
     from .._round import round6
     from ._scope import scoped_persist
 
     # the kept frame feeds the estimate build plus BOTH union-sketch
     # joins, and est feeds both sides of the pair frame — persisted,
-    # the events scan + dedup shuffle + two windows run ONCE (making
-    # the "raw data is touched once" promise true in the plan, not
-    # just the algebra)
-    kept = scoped_persist(
-        kmv_kept_hashes(df, key_col, value_col, k, n_split)
-    )
+    # whatever produced the kept sets (scan + dedup shuffle + windows,
+    # or a sketch-array explode) runs ONCE (making the "raw data is
+    # touched once" promise true in the plan, not just the algebra)
+    kept = scoped_persist(kept)
     est = scoped_persist(_kmv_estimate(kept, ["key"], k))
     pairs = (
         est.select(F.col("key").alias("type_a"), F.col("kmv_estimate").alias("users_a"))
@@ -564,6 +573,20 @@ def kmv_overlap(
         "union_users",
         round6(inter_raw).alias("intersect_users"),
         round6(inter_raw / F.col("union_users")).alias("jaccard"),
+    )
+
+
+def kmv_overlap_from_sketches(
+    sketches: DataFrame, k: int = KMV_K
+) -> DataFrame:
+    """:func:`kmv_overlap` from MATERIALIZED sketches: one row per key
+    with its kept set as an ``array<long>`` column (the streaming
+    operator's state shape, or a persisted per-increment sketch
+    table). Explodes the arrays back to the (key, h) kept frame and
+    runs the identical algebra — the k used to BUILD the sketches must
+    be passed so the exact-below-k branch agrees."""
+    return kmv_overlap_from_kept(
+        sketches.select("key", F.explode("kept").alias("h")), k
     )
 
 

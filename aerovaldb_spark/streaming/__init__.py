@@ -1139,6 +1139,7 @@ def stream_kmv_user_distinct(
     events: DataFrame,
     k: int | None = None,
     timeout_ms: str = "NoTimeout",
+    emit_kept: bool = False,
 ) -> DataFrame:
     """Stateful streaming KMV distinct-count sketch — batch q106's
     streaming twin and the live demonstration of the sketch's merge
@@ -1154,17 +1155,42 @@ def stream_kmv_user_distinct(
     select the latest. NULL user_ids are ignored, as in batch — a key
     whose values are ALL NULL emits no row at all, matching the batch
     operator's omission of it. Batch input falls through to the exact
-    batch operator."""
-    from ..operators.events import KMV_K, kmv_distinct
+    batch operator.
+
+    With ``emit_kept=True`` each row also carries the kept-hash set
+    itself (``kept array<long>``) — the mergeable sketch STATE — so a
+    downstream consumer (:func:`kmv_live_overlap`) can answer pairwise
+    union/intersection/Jaccard questions from the stream's own output
+    without replaying the raw events."""
+    from ..operators._scope import scoped_persist
+    from ..operators.events import (
+        KMV_K,
+        _kmv_estimate,
+        kmv_kept_hashes,
+    )
 
     kk = KMV_K if k is None else k
     if not events.isStreaming:
-        return kmv_distinct(events, "event_type", "user_id", kk).select(
-            "event_type",
+        kept = scoped_persist(
+            kmv_kept_hashes(events, "event_type", "user_id", kk)
+        )
+        out = _kmv_estimate(kept, ["key"], kk).select(
+            F.col("key").alias("event_type"),
             F.lit(1).alias("n_updates"),
             "n_kept",
             F.col("kmv_estimate").alias("kmv_users"),
         )
+        if emit_kept:
+            arrays = kept.groupBy("key").agg(
+                F.sort_array(F.collect_list("h")).alias("kept")
+            )
+            out = out.join(
+                arrays.withColumnRenamed("key", "event_type"),
+                "event_type",
+            ).select(
+                "event_type", "n_updates", "n_kept", "kmv_users", "kept"
+            )
+        return out
 
     def update(key, pdf_iter, state):
         import hashlib
@@ -1208,14 +1234,15 @@ def stream_kmv_user_distinct(
             if n_kept < kk
             else round6_py((kk - 1.0) * 1152921504606846976.0 / float(kept[-1]))
         )
-        yield pd.DataFrame(
-            {
-                "event_type": [key[0]],
-                "n_updates": [n_updates],
-                "n_kept": [n_kept],
-                "kmv_users": [est],
-            }
-        )
+        row = {
+            "event_type": [key[0]],
+            "n_updates": [n_updates],
+            "n_kept": [n_kept],
+            "kmv_users": [est],
+        }
+        if emit_kept:
+            row["kept"] = [kept]
+        yield pd.DataFrame(row)
 
     # CAST to string JVM-side so the Python path hashes the exact
     # digits batch hash60 hashes (see precision note in update())
@@ -1227,10 +1254,40 @@ def stream_kmv_user_distinct(
         outputStructType=(
             "event_type string, n_updates int, n_kept bigint, "
             "kmv_users double"
+            + (", kept array<long>" if emit_kept else "")
         ),
         stateStructType="kept array<long>, n_updates int",
         outputMode="update",
         timeoutConf=timeout_ms,
+    )
+
+
+def kmv_live_overlap(sketch_rows: DataFrame, k: int | None = None) -> DataFrame:
+    """Pairwise KMV union/intersection/Jaccard ACROSS LIVE STREAM
+    STATE: feed it a snapshot of :func:`stream_kmv_user_distinct`
+    (``emit_kept=True``) output — a memory-sink table, a foreachBatch
+    frame, or any accumulation of update rows — and it selects each
+    key's LATEST sketch (highest ``n_updates``; ties impossible, the
+    counter is per-key monotone) and runs batch q109's exact algebra
+    (:func:`~aerovaldb_spark.operators.events.kmv_overlap_from_sketches`)
+    over the kept arrays. Bit-equal to ``kmv_overlap`` over the full
+    replayed data (tested multi-batch) — "overlap so far" between two
+    live streams costs k-row sketch rows per key, never a replay.
+    ``k`` must be the value the stream was built with."""
+    from pyspark.sql import Window
+
+    from ..operators.events import KMV_K, kmv_overlap_from_sketches
+
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n_updates").desc()
+    )
+    latest = (
+        sketch_rows.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(F.col("event_type").alias("key"), "kept")
+    )
+    return kmv_overlap_from_sketches(
+        latest, KMV_K if k is None else k
     )
 
 

@@ -278,6 +278,49 @@ def test_kmv_sketch_state_merges_across_batches(spark, tmp_path):
     assert got == want
 
 
+def test_kmv_live_overlap_matches_batch_algebra(spark, tmp_path):
+    """q109 served from LIVE stream state: run the KMV stream with
+    emit_kept over two micro-batches, then compute pairwise
+    union/intersection/Jaccard from the emitted sketch rows alone —
+    bit-equal to batch kmv_overlap over the full replayed corpus (no
+    raw-event replay on the serving side)."""
+    from aerovaldb_spark.operators.events import kmv_overlap
+    from aerovaldb_spark.streaming import (
+        kmv_live_overlap,
+        run_stream_to_memory,
+        stream_kmv_user_distinct,
+    )
+
+    d = str(tmp_path / "ev_kmv_live")
+    os.makedirs(d)
+    _write_split_events(spark, d)
+
+    batch_df = spark.read.schema(_EV_SCHEMA).parquet(d)
+    want = sorted(
+        map(
+            tuple,
+            kmv_overlap(batch_df, "event_type", "user_id", k=8).collect(),
+        )
+    )
+    assert len(want) >= 3  # several event-type pairs at sf0.001
+
+    sketch_rows = run_stream_to_memory(
+        stream_kmv_user_distinct(
+            _event_stream_two_batches(spark, d), k=8, emit_kept=True
+        ),
+        "kmv_live_mb",
+        spark,
+        output_mode="update",
+    )
+    # state crossed the batch boundary: the serving path must pick the
+    # LATEST sketch per key, not a stale batch-1 row
+    assert sketch_rows.agg(F.max("n_updates")).collect()[0][0] >= 2
+    got = sorted(
+        map(tuple, kmv_live_overlap(sketch_rows, k=8).collect())
+    )
+    assert got == want
+
+
 def test_running_totals_accumulate_across_batches(spark, tmp_path):
     from aerovaldb_spark.streaming import (
         run_stream_to_memory,

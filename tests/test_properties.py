@@ -702,3 +702,148 @@ def test_label_centroids_partitioning_invariant(spark):
         for r in label_centroids(vecs.repartition(13)).collect()
     }
     assert one == many
+
+
+def test_kmv_merge_fuzzed_increments(spark):
+    """r8-verdict hardening: randomized per-increment corpora — keys
+    with >k distinct values, keys whose values are ALL NULL, and
+    duplicate values (hence duplicate hashes) across increments — must
+    merge (union of per-increment kept sets, re-bottom-k, in plain
+    Python over the sketch state) to EXACTLY the one-shot batch
+    sketch's kept sets, for every key that has any non-NULL value."""
+    from hypothesis import HealthCheck
+
+    from aerovaldb_spark.operators.events import kmv_kept_hashes
+
+    K = 4
+
+    increments_st = st.lists(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["a", "b", "c"]),
+                st.one_of(st.none(), st.integers(0, 30)),
+            ),
+            min_size=0,
+            max_size=20,
+        ),
+        min_size=2,
+        max_size=4,
+    )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(increments_st)
+    def check(incs):
+        # force the named edge cases regardless of the draw: an
+        # all-NULL key ('z'), a key with > K distinct values split
+        # across increments with overlap (duplicate hashes arrive in
+        # BOTH increments), and an empty increment
+        incs = list(incs) + [
+            [("z", None), ("a", 1), ("a", 2), ("a", 3)],
+            [("z", None), ("a", 3), ("a", 4), ("a", 5), ("a", 6)],
+            [],
+        ]
+
+        def to_df(rows):
+            return spark.createDataFrame(
+                [(k, v) for k, v in rows] or [("__none__", None)],
+                "g string, v long",
+            )
+
+        per_inc_kept: dict[str, set[int]] = {}
+        for rows in incs:
+            for r in kmv_kept_hashes(
+                to_df(rows), "g", "v", k=K, n_split=2
+            ).collect():
+                per_inc_kept.setdefault(r["key"], set()).add(r["h"])
+        merged = {
+            g: sorted(hs)[:K] for g, hs in per_inc_kept.items()
+        }
+
+        whole = to_df([t for rows in incs for t in rows])
+        one_shot: dict[str, list[int]] = {}
+        for r in kmv_kept_hashes(whole, "g", "v", k=K, n_split=2).collect():
+            one_shot.setdefault(r["key"], []).append(r["h"])
+        one_shot = {g: sorted(hs) for g, hs in one_shot.items()}
+
+        assert merged == one_shot
+        # all-NULL keys emit no sketch at all
+        assert "z" not in one_shot and "__none__" not in one_shot
+
+    check()
+
+
+def test_kmv_overlap_exact_estimator_boundary(spark):
+    """q109's algebra with keys STRADDLING the exact/estimator switch
+    (n_kept = k-1, k, k+1 distinct values at k=8): every output column
+    must equal an independent pure-Python replay of the sketch algebra
+    (md5 hash60, bottom-k, exact-below-k / (k-1)/U_(k) estimates,
+    round6 convention) — including pairs mixing an exact side with an
+    estimated side and union sketches that saturate at k while one
+    input did not."""
+    import hashlib
+
+    from aerovaldb_spark._round import round6_py
+    from aerovaldb_spark.operators.events import kmv_overlap
+
+    K = 8
+    # 7, 8 and 9 distinct values; overlapping ranges so intersections
+    # are non-trivial; duplicates so dedup matters
+    corpora = {
+        "p": [0, 1, 2, 3, 4, 5, 6, 0, 1],
+        "q": [3, 4, 5, 6, 7, 8, 9, 10, 3],
+        "r": [0, 2, 4, 6, 8, 10, 12, 14, 16, 0],
+    }
+    rows = [(g, v) for g, vals in corpora.items() for v in vals]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {
+        (r["type_a"], r["type_b"]): (
+            r["users_a"],
+            r["users_b"],
+            r["union_users"],
+            r["intersect_users"],
+            r["jaccard"],
+        )
+        for r in kmv_overlap(df, "g", "v", k=K).collect()
+    }
+
+    def kept(vals):
+        hs = sorted(
+            {
+                int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+                for v in vals
+            }
+        )
+        return hs[:K]
+
+    def est(ks):
+        n = len(ks)
+        if n < K:
+            return float(n)
+        return round6_py((K - 1.0) * float(1 << 60) / float(ks[-1]))
+
+    keys = sorted(corpora)
+    want = {}
+    for i, a in enumerate(keys):
+        for b in keys[i + 1:]:
+            ka, kb = kept(corpora[a]), kept(corpora[b])
+            ku = sorted(set(ka) | set(kb))[:K]
+            ua, ub, uu = est(ka), est(kb), est(ku)
+            inter = max(ua + ub - uu, 0.0)
+            want[(a, b)] = (
+                ua,
+                ub,
+                uu,
+                round6_py(inter),
+                round6_py(inter / uu),
+            )
+
+    assert got == want
+    # the boundary is actually exercised: one exact side (n_kept < k),
+    # one side exactly at k, one beyond k
+    assert len(kept(corpora["p"])) == K - 1
+    assert len(kept(corpora["q"])) == K
+    assert len(set(corpora["r"])) == K + 1 and len(kept(corpora["r"])) == K
