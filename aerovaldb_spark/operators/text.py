@@ -1699,13 +1699,31 @@ def tfidf_cosine_knn(
     from pyspark.sql import Window
 
     w, _stats, _n = tfidf_weight_frame(docs)
-    # Candidate bounds must dominate what VERIFICATION computes: a sum
-    # of round6'd per-term products, each of which can exceed the
-    # exact product by <= 5e-7 — so every bound carries a slack of
-    # 5e-7 * (max possible shared-term count) on top of the float eps.
-    # Slack only OVER-generates (verification is exact, so extra
-    # candidates cost time, never correctness), and at ~5e-7 * nterms
-    # it is numerically invisible in the candidate counts.
+    cand = tfidf_allpairs_candidates(w, threshold)
+    dots = scoped_persist(
+        _verified_dots(cand, w, w, "doc_a", "doc_b", verify_shape).where(
+            F.col("dot").cast("double") >= threshold
+        )
+    )
+    return _knn_from_verified(dots, max_neighbors)
+
+
+def _tfidf_prefix_frame(w: DataFrame, threshold: float) -> DataFrame:
+    """The AllPairs/PPJoin prefix frame over a weight frame: per-doc
+    rarity-ordered rows surviving the suffix-norm prefix filter, with
+    the per-row residual (sufnext), per-doc max weight, L1 and term
+    count the join-time bounds need. Persisted — it feeds both sides
+    of the candidate self-join.
+
+    Candidate bounds must dominate what VERIFICATION computes: a sum
+    of round6'd per-term products, each of which can exceed the
+    exact product by <= 5e-7 — so every bound carries a slack of
+    5e-7 * (max possible shared-term count) on top of the float eps.
+    Slack only OVER-generates (verification is exact, so extra
+    candidates cost time, never correctness), and at ~5e-7 * nterms
+    it is numerically invisible in the candidate counts."""
+    from pyspark.sql import Window
+
     sufw = (
         Window.partitionBy("doc_id")
         .orderBy(F.col("df").asc(), F.col("term").asc())
@@ -1751,7 +1769,20 @@ def tfidf_cosine_knn(
     )
     # the prefix frame feeds BOTH sides of the candidate self-join;
     # persisted, its three window passes run once instead of twice
-    pre = scoped_persist(pre)
+    return scoped_persist(pre)
+
+
+def tfidf_allpairs_candidates(
+    w: DataFrame, threshold: float = 0.8
+) -> DataFrame:
+    """The EXACT candidate stage of q99: prefix-to-prefix term
+    equi-join with the Bayardo size filter and PPJoin positional bound
+    (lossless under the round6 slack — every pair at or above the
+    threshold survives). Exposed separately so the density probe
+    (tools/tfidf_density_probe.py) and the banded rung's recall
+    baseline measure the same code the operator runs."""
+    pre = _tfidf_prefix_frame(w, threshold)
+    eps = 1e-9
     # per-pair slack: shared terms <= min(nterms_a, nterms_b)
     slack = eps + 5e-7 * F.least(F.col("a.nterms"), F.col("b.nterms"))
     cand = (
@@ -1777,17 +1808,18 @@ def tfidf_cosine_knn(
         )
         .distinct()
     )
-    # exact verification over candidate pairs only — each unordered
-    # pair scored ONCE, in the map or keyed plan shape (data-driven;
-    # the trade-off and switch point live in _verified_dots). The
-    # post-threshold pairs are persisted so the symmetrizing union
-    # below doesn't recompute the verification per branch (measured
-    # 51-56s -> 41-43s at sf0.1 on a quiet host)
-    dots = scoped_persist(
-        _verified_dots(cand, w, w, "doc_a", "doc_b", verify_shape).where(
-            F.col("dot").cast("double") >= threshold
-        )
-    )
+    return cand
+
+
+def _knn_from_verified(dots: DataFrame, max_neighbors: int) -> DataFrame:
+    """Shared kNN-graph tail over verified-and-thresholded (doc_a,
+    doc_b, dot) pairs: symmetrize (each unordered pair was scored
+    once), rank per doc, cut at ``max_neighbors``. One definition so
+    the exact (q99) and banded-approximate (q110) paths cannot drift
+    in their output contract. Callers persist ``dots`` first so the
+    union's two branches read the verification once."""
+    from pyspark.sql import Window
+
     sym = dots.select(
         F.col("doc_a").alias("doc_id"),
         F.col("doc_b").alias("neighbor_id"),
@@ -1816,6 +1848,135 @@ def tfidf_cosine_knn(
 
 def q99_tfidf_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_cosine_knn(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# q110: the APPROXIMATE candidate rung for sparse TF-IDF near-dup —
+# the recall-dialed screen the exact AllPairs path (q99) lacks. Every
+# other candidate-generator family in this library has a banded
+# approximate form (shingles -> banded minhash q40/q62, dense
+# embeddings -> SRP banding); sparse TF-IDF's only path was exact,
+# which on dense corpora costs whatever the true-pair density costs
+# (q99 ~40 s at sf0.1 vs ~1 s for everything else — SCALING.md). This
+# rung minhashes each doc's TOP-WEIGHT terms (the terms that carry the
+# cosine mass) and bands the signatures, so candidate volume is a
+# (bands, rows_per_band, top_terms) dial instead of a corpus property;
+# verification stays the SAME exact DECIMAL dot as q99, so emitted
+# pairs are never wrong — banding only bounds RECALL, measured against
+# q99's exact output in SCALING.md. Fully deterministic (md5-seeded
+# minhash, rank-tie on term), so the whole pipeline — including the
+# banding stages — replays in ANSI SQL for the correctness gate.
+TFIDF_BAND_BANDS = 8
+TFIDF_BAND_ROWS = 2
+TFIDF_BAND_TOP_TERMS = 16
+
+
+def tfidf_banded_candidates(
+    w: DataFrame,
+    bands: int = TFIDF_BAND_BANDS,
+    rows_per_band: int = TFIDF_BAND_ROWS,
+    top_terms: int = TFIDF_BAND_TOP_TERMS,
+) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs from banded minhash signatures
+    over each doc's ``top_terms`` highest-weight terms (weight frame
+    ``w`` = (doc_id, term, df, w), rank ties broken on term so the
+    prefix is deterministic cross-engine).
+
+    LSH shape: ``bands * rows_per_band`` independent min-hashes (seed
+    s hashes term as hash60('s:term')); docs collide when ALL
+    ``rows_per_band`` minima of some band agree — a pair with top-term
+    Jaccard J survives with p = 1-(1-J^rows)^bands (rows=2, bands=8:
+    J=0.7 -> 0.995, J=0.3 -> 0.53), so bands dials recall and rows
+    dials bucket selectivity. Cost is linear: top_terms x seeds rows
+    per doc, one keyed min-agg, one equi-join on (band, signature) —
+    no all-pairs stage at any density (plan-tested)."""
+    from pyspark.sql import Window
+
+    from .dedup import hash60
+
+    n_seeds = bands * rows_per_band
+    topw = Window.partitionBy("doc_id").orderBy(
+        F.col("w").desc(), F.col("term").asc()
+    )
+    top = (
+        w.withColumn("_rk", F.row_number().over(topw))
+        .where(F.col("_rk") <= top_terms)
+        .select("doc_id", "term")
+    )
+    minh = (
+        top.select(
+            "doc_id",
+            F.explode(
+                F.array(*[F.lit(i) for i in range(n_seeds)])
+            ).alias("seed"),
+            "term",
+        )
+        .select(
+            "doc_id",
+            "seed",
+            hash60(
+                F.concat_ws(
+                    ":", F.col("seed").cast("string"), F.col("term")
+                )
+            ).alias("hh"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("hh").alias("mh"))
+    )
+    sigs = (
+        minh.withColumn(
+            "band",
+            F.floor(F.col("seed") / rows_per_band).cast("int"),
+        )
+        .groupBy("doc_id", "band")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "struct(seed, mh))), x -> cast(x.mh as string)), '|')"
+            ).alias("sig")
+        )
+    )
+    return (
+        sigs.select(F.col("doc_id").alias("doc_a"), "band", "sig")
+        .join(
+            sigs.select(F.col("doc_id").alias("doc_b"), "band", "sig"),
+            ["band", "sig"],
+        )
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def tfidf_banded_knn(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    max_neighbors: int = 10,
+    bands: int = TFIDF_BAND_BANDS,
+    rows_per_band: int = TFIDF_BAND_ROWS,
+    top_terms: int = TFIDF_BAND_TOP_TERMS,
+    verify_shape: str = "map",
+) -> DataFrame:
+    """q99's output contract (doc_id, neighbor_id, cosine, nn_rank)
+    with the exact AllPairs candidate stage swapped for the banded
+    minhash screen (:func:`tfidf_banded_candidates`) — candidates are
+    a recall dial, verification is the identical exact DECIMAL dot +
+    threshold + shared kNN tail, so every emitted edge is exact; only
+    edges whose pair evaded all bands can be missing (recall measured
+    vs q99 in SCALING.md). ``verify_shape`` defaults to ``'map'``
+    (fully lazy) rather than ``'auto'``; see :func:`_verified_dots`."""
+    w, _stats, _n = tfidf_weight_frame(docs)  # w arrives persisted
+    cand = tfidf_banded_candidates(w, bands, rows_per_band, top_terms)
+    dots = scoped_persist(
+        _verified_dots(cand, w, w, "doc_a", "doc_b", verify_shape).where(
+            F.col("dot").cast("double") >= threshold
+        )
+    )
+    return _knn_from_verified(dots, max_neighbors)
+
+
+def q110_tfidf_banded_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_banded_knn(load_table(spark, sf_dir, "documents"))
 
 
 def tfidf_screen_join(
@@ -2195,6 +2356,80 @@ FROM redacted
 """
 
 
+# q110 oracle: FULL stage mirror of the banded path — the same weight
+# frame as Q99_SQL, then the banding stages replayed literally (top-
+# weight prefix with the identical rank tie, md5 minhash per seed,
+# ORDER BY seed signature concat, (band, sig) self-join) and the same
+# exact verify + kNN tail. Deterministic end to end, so recall loss
+# is part of the SPEC both engines compute, not noise.
+Q110_SQL = f"""
+WITH terms AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+  ) GROUP BY doc_id, term
+), stats AS (
+  SELECT term, COUNT(*) AS df FROM terms GROUP BY term
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+w0 AS (
+  SELECT doc_id, terms.term,
+         tf * ROUND(ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)), 6) AS w_raw
+  FROM terms JOIN stats USING (term) CROSS JOIN n
+), norms AS (
+  SELECT doc_id,
+         sqrt(CAST(SUM(CAST(ROUND(w_raw * w_raw, 6) AS DECIMAL(18,6)))
+                   AS DOUBLE)) AS nrm
+  FROM w0 GROUP BY doc_id
+), w AS (
+  SELECT doc_id, term, ROUND(w_raw / nrm, 6) AS w
+  FROM w0 JOIN norms USING (doc_id) WHERE nrm > 0
+), topt AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, term,
+      ROW_NUMBER() OVER (PARTITION BY doc_id
+                         ORDER BY w DESC, term ASC) AS rk
+    FROM w
+  ) WHERE rk <= {TFIDF_BAND_TOP_TERMS}
+), seeds AS (
+  SELECT unnest(generate_series(
+    0, {TFIDF_BAND_BANDS * TFIDF_BAND_ROWS - 1})) AS seed
+), mh AS (
+  SELECT doc_id, seed,
+    MIN(CAST('0x' || substring(
+      md5(CAST(seed AS VARCHAR) || ':' || term), 1, 15) AS BIGINT)) AS mh
+  FROM topt CROSS JOIN seeds GROUP BY doc_id, seed
+), sigs AS (
+  SELECT doc_id, CAST(seed // {TFIDF_BAND_ROWS} AS INT) AS band,
+    string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed) AS sig
+  FROM mh GROUP BY doc_id, band
+), cand AS (
+  SELECT DISTINCT s1.doc_id AS doc_a, s2.doc_id AS doc_b
+  FROM sigs s1 JOIN sigs s2
+    ON s1.band = s2.band AND s1.sig = s2.sig AND s1.doc_id < s2.doc_id
+), dots AS (
+  SELECT c.doc_a, c.doc_b,
+         SUM(CAST(ROUND(a.w * b.w, 6) AS DECIMAL(18,6))) AS dot
+  FROM cand c
+  JOIN w a ON a.doc_id = c.doc_a
+  JOIN w b ON b.doc_id = c.doc_b AND b.term = a.term
+  GROUP BY 1, 2
+), hits AS (
+  SELECT * FROM dots WHERE CAST(dot AS DOUBLE) >= 0.8
+), sym AS (
+  SELECT doc_a AS doc_id, doc_b AS neighbor_id, dot FROM hits
+  UNION ALL
+  SELECT doc_b AS doc_id, doc_a AS neighbor_id, dot FROM hits
+)
+SELECT doc_id, neighbor_id, ROUND(CAST(dot AS DOUBLE), 6) AS cosine, nn_rank
+FROM (
+  SELECT doc_id, neighbor_id, dot,
+    ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY dot DESC, neighbor_id) AS nn_rank
+  FROM sym
+)
+WHERE nn_rank <= 10
+"""
+
+
 # q102 oracle: the all-pairs spec of the self-screen — reference =
 # incoming = documents, so the frozen reference idf IS the corpus idf
 # and no term is OOV; best other-doc DECIMAL dot per doc (ties to the
@@ -2269,6 +2504,7 @@ QUERIES = {
     "q97_bpe_pack_sequences": q97_bpe_pack_sequences,
     "q99_tfidf_cosine_knn": q99_tfidf_cosine_knn,
     "q102_tfidf_reference_screen": q102_tfidf_reference_screen,
+    "q110_tfidf_banded_knn": q110_tfidf_banded_knn,
     "q105_decontaminate_spans": q105_decontaminate_spans,
 }
 
@@ -2296,5 +2532,6 @@ ORACLE = {
     "q97_bpe_pack_sequences": _q97_sql(),
     "q99_tfidf_cosine_knn": Q99_SQL,
     "q102_tfidf_reference_screen": Q102_SQL,
+    "q110_tfidf_banded_knn": Q110_SQL,
     "q105_decontaminate_spans": Q105_SQL,
 }

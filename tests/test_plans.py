@@ -531,3 +531,24 @@ def test_q99_candidates_are_equi_join_and_text_never_shuffles(spark):
         if "Exchange" in line:
             assert "text" not in line, line
     assert df.count() > 0
+
+
+def test_q110_banded_candidates_equi_join_no_all_pairs(spark):
+    """The banded rung exists to REPLACE density-driven candidate
+    volume with a dial — so no stage may be all-pairs: the candidate
+    join must be an equi-join on (band, signature), the only
+    nested-loop joins the broadcast 1-row doc-count scalar, and the
+    text column pruned before every exchange."""
+    from aerovaldb_spark.operators.text import q110_tfidf_banded_knn
+
+    df = q110_tfidf_banded_knn(spark, SF)
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in physical
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("Join Cross") == analyzed.count("ResolvedHint")
+    for line in physical.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line, line
+    # the banding signature is a join key somewhere in the plan
+    assert "sig" in physical
+    assert df.count() > 0

@@ -397,3 +397,35 @@ def test_tfidf_cosine_knn_size_filter_is_lossless(spark):
         dot = sum(vec[a][w] * vec[b].get(w, 0.0) for w in vec[a])
         if dot >= t + 1e-6:
             assert (a, b) in got and (b, a) in got, (a, b, dot)
+
+
+def test_banded_knn_edges_subset_of_exact_with_identical_scores(spark):
+    """q110's contract: banding bounds RECALL only — every edge it
+    emits must exist in exact q99's thresholded edge set with the
+    IDENTICAL round6 cosine (verification is the same exact DECIMAL
+    dot). Compared with the top-m cut disabled on both sides so rank
+    shifts from missed neighbors can't confound the subset claim."""
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators.text import (
+        tfidf_banded_knn,
+        tfidf_cosine_knn,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    big = 10**6
+    exact = {
+        (r["doc_id"], r["neighbor_id"]): r["cosine"]
+        for r in tfidf_cosine_knn(docs, max_neighbors=big).collect()
+    }
+    banded = {
+        (r["doc_id"], r["neighbor_id"]): r["cosine"]
+        for r in tfidf_banded_knn(docs, max_neighbors=big).collect()
+    }
+    assert banded, "banded screen found nothing on a near-dup corpus"
+    missing = set(banded) - set(exact)
+    assert not missing, sorted(missing)[:5]
+    diffs = {k for k, v in banded.items() if exact[k] != v}
+    assert not diffs, sorted(diffs)[:5]
+    # and it's a useful screen, not a degenerate one: recall on this
+    # templated corpus should be well above the random floor
+    assert len(banded) >= 0.5 * len(exact)
