@@ -349,13 +349,17 @@ FROM sessions GROUP BY user_id, session_id
 
 
 # --------------------------------------------------------------------------
-# q55: approximate distinct counts (HyperLogLog++). The scale twin of
-# q09's exact distinct: at 100 TB an exact COUNT(DISTINCT) shuffles
-# every distinct value; HLL shuffles one ~kB sketch per partition and
-# merges. No DuckDB oracle (sketch internals are engine-specific —
-# DuckDB's approx_count_distinct uses a different estimator), so the
-# driver records the rows-only check; the accuracy bound against the
-# exact answer is asserted in tests/test_properties.py.
+# Approximate distinct counts (HyperLogLog++). The scale twin of q09's
+# exact distinct: at 100 TB an exact COUNT(DISTINCT) shuffles every
+# distinct value; HLL shuffles one ~kB sketch per partition and
+# merges. RETIRED from the graded query surface in round 9 (it was
+# q55, the surface's only rows-only entry — HLL sketch internals are
+# engine-specific, so no DuckDB oracle can exist): its capability is
+# fully hash-graded by the deterministic KMV siblings q106/q109, and
+# a permanently-green rows-only slot spends a correctness-window check
+# that can't go red. Kept as a library function; the accuracy bound
+# against the exact answer stays asserted in tests/test_properties.py
+# (test_approx_distinct_within_rsd).
 def q55_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return events.groupBy("event_type").agg(
@@ -792,7 +796,6 @@ QUERIES = {
     "q19_sessionize": q19_sessionize,
     "q20_tumbling_window": q20_tumbling_window,
     "q31_session_window": q31_session_window,
-    "q55_approx_distinct": q55_approx_distinct,
     "q71_cohort_retention": q71_cohort_retention,
     "q72_session_funnel": q72_session_funnel,
     "q104_purchase_click_pairs": q104_purchase_click_pairs,

@@ -56,13 +56,12 @@ def duck():
 
 
 def test_every_query_has_an_oracle_or_documented_exemption():
+    # r9: the last rows-only entry (q55's HLL demo) was RETIRED to a
+    # library function + accuracy test — its capability is hash-graded
+    # by the deterministic KMV siblings q106/q109. Every declared
+    # query now carries a full DuckDB oracle.
     missing = set(_QUERIES) - set(_ORACLES)
-    # q55: HLL sketch internals are engine-specific by design (accuracy
-    # bound asserted in test_properties.py; q106 is the deterministic,
-    # fully-oracled KMV sibling).
-    # q66 gained a full oracle in r8 (frozen-centroids-as-data); the
-    # HLL sketch is now the surface's ONLY rows-only entry.
-    assert missing == {"q55_approx_distinct"}
+    assert missing == set()
 
 
 @pytest.mark.parametrize("name", sorted(_QUERIES))
