@@ -45,6 +45,7 @@ HEADLINE = [
 PIPELINE = [
     "q99_tfidf_cosine_knn",
     "q102_tfidf_reference_screen",
+    "q110_tfidf_banded_knn",
     "q96_bounded_semantic_dedup",
     "q100_bpe_large_token_stats",
     "q62_dedup_pipeline",
