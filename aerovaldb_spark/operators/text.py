@@ -1696,8 +1696,6 @@ def tfidf_cosine_knn(
     :func:`_verified_dots`); pass ``'map'`` or ``'keyed'`` explicitly
     for fully lazy composition.
     """
-    from pyspark.sql import Window
-
     w, _stats, _n = tfidf_weight_frame(docs)
     cand = tfidf_allpairs_candidates(w, threshold)
     dots = scoped_persist(
@@ -1773,15 +1771,21 @@ def _tfidf_prefix_frame(w: DataFrame, threshold: float) -> DataFrame:
 
 
 def tfidf_allpairs_candidates(
-    w: DataFrame, threshold: float = 0.8
+    w: DataFrame,
+    threshold: float = 0.8,
+    pre: DataFrame | None = None,
 ) -> DataFrame:
     """The EXACT candidate stage of q99: prefix-to-prefix term
     equi-join with the Bayardo size filter and PPJoin positional bound
     (lossless under the round6 slack — every pair at or above the
     threshold survives). Exposed separately so the density probe
     (tools/tfidf_density_probe.py) and the banded rung's recall
-    baseline measure the same code the operator runs."""
-    pre = _tfidf_prefix_frame(w, threshold)
+    baseline measure the same code the operator runs. ``pre`` lets a
+    caller that already built (and persisted) the prefix frame for the
+    same (w, threshold) reuse it instead of re-running its window
+    passes."""
+    if pre is None:
+        pre = _tfidf_prefix_frame(w, threshold)
     eps = 1e-9
     # per-pair slack: shared terms <= min(nterms_a, nterms_b)
     slack = eps + 5e-7 * F.least(F.col("a.nterms"), F.col("b.nterms"))

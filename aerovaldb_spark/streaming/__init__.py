@@ -1085,7 +1085,9 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
-def running_user_totals(events: DataFrame, timeout_ms: str = "NoTimeout") -> DataFrame:
+def running_user_totals(
+    events: DataFrame, idle_timeout_ms: int | None = None
+) -> DataFrame:
     """Custom stateful operator: running per-user event count + value
     total via ``applyInPandasWithState`` (the arbitrary-stateful-
     processing escape hatch — what you reach for when built-in windowed
@@ -1093,7 +1095,12 @@ def running_user_totals(events: DataFrame, timeout_ms: str = "NoTimeout") -> Dat
 
     State is kept in integer cents so accumulation is exact and
     order-independent. Works batch (plain groupBy fallback) and
-    streaming (update mode).
+    streaming (update mode). With ``idle_timeout_ms`` set, a key that
+    receives no data for that long (processing time) is EVICTED: the
+    timeout is armed via ``state.setTimeoutDuration`` on every update
+    (arming is what makes ``hasTimedOut`` reachable — a timeoutConf
+    alone never fires), and the expiry invocation removes the state
+    without emitting. A later event for the key starts a fresh total.
     """
     if not events.isStreaming:
         return (
@@ -1122,6 +1129,8 @@ def running_user_totals(events: DataFrame, timeout_ms: str = "NoTimeout") -> Dat
             n += len(pdf)
             cents += int(round(pdf["value"].sum() * 100))
         state.update((n, cents))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
         )
@@ -1131,14 +1140,18 @@ def running_user_totals(events: DataFrame, timeout_ms: str = "NoTimeout") -> Dat
         outputStructType=RUNNING_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=timeout_ms,
+        timeoutConf=(
+            "ProcessingTimeTimeout"
+            if idle_timeout_ms is not None
+            else "NoTimeout"
+        ),
     )
 
 
 def stream_kmv_user_distinct(
     events: DataFrame,
     k: int | None = None,
-    timeout_ms: str = "NoTimeout",
+    idle_timeout_ms: int | None = None,
     emit_kept: bool = False,
 ) -> DataFrame:
     """Stateful streaming KMV distinct-count sketch — batch q106's
@@ -1161,7 +1174,20 @@ def stream_kmv_user_distinct(
     itself (``kept array<long>``) — the mergeable sketch STATE — so a
     downstream consumer (:func:`kmv_live_overlap`) can answer pairwise
     union/intersection/Jaccard questions from the stream's own output
-    without replaying the raw events."""
+    without replaying the raw events.
+
+    With ``idle_timeout_ms`` set, a key idle for that long (processing
+    time) is EVICTED — the timeout is armed via
+    ``state.setTimeoutDuration`` on every update, and the expiry
+    invocation removes the sketch without emitting; later events for
+    the key start a FRESH sketch (n_updates restarts at 1). Tested
+    multi-batch (test_idle_timeout_evicts_and_restarts_sketch).
+    CAVEAT (observed on pyspark 4.1): with a processing-time timeout
+    armed, a ``Trigger.AvailableNow`` replay keeps scheduling
+    state-cleanup micro-batches after the data is exhausted, so
+    ``awaitTermination`` never returns — finite replays must poll the
+    sink and ``stop()`` explicitly (the test shows the pattern);
+    long-running triggers are the intended deployment."""
     from ..operators._scope import scoped_persist
     from ..operators.events import (
         KMV_K,
@@ -1228,6 +1254,8 @@ def stream_kmv_user_distinct(
             return
         n_updates += 1
         state.update((kept, n_updates))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
         n_kept = len(kept)
         est = (
             float(n_kept)
@@ -1258,7 +1286,11 @@ def stream_kmv_user_distinct(
         ),
         stateStructType="kept array<long>, n_updates int",
         outputMode="update",
-        timeoutConf=timeout_ms,
+        timeoutConf=(
+            "ProcessingTimeTimeout"
+            if idle_timeout_ms is not None
+            else "NoTimeout"
+        ),
     )
 
 

@@ -200,13 +200,21 @@ def main() -> None:
     )
     max_retries = int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "1"))
 
+    # errors recorded during cold/warm are permanent skips (a broken
+    # query must not be retried 5x per attempt); errors that first
+    # appear DURING a measured attempt must not exclude the query from
+    # a later retry attempt — under the very host pressure that
+    # triggers the retry, a transient failure would otherwise shrink
+    # the chosen attempt's total and read as a phantom speedup
+    pre_trial_errors = set(ERRORS)
+
     def measure_headline() -> dict:
         cal0 = _calibrate()
         per_query: dict[str, float] = {}
         per_query_best: dict[str, float] = {}
         for name in HEADLINE:
-            if name in ERRORS:
-                continue  # failed cold/warm — don't retry 5 more times
+            if name in pre_trial_errors:
+                continue
             samples = sorted(
                 s
                 for _ in range(trials)
@@ -226,6 +234,12 @@ def main() -> None:
             ),
         }
 
+    # genuinely-cold pipeline walls exist only in the FIRST attempt —
+    # a retry re-runs queries that are already JIT-hot, so its "cold"
+    # pass is really a third warm run; publish attempt-1 cold numbers
+    # regardless of which attempt's steady numbers are chosen
+    first_pipeline_cold: dict[str, float] = {}
+
     def measure_pipeline() -> dict:
         # one warm-up + one measured pass per operator (see PIPELINE
         # note); the section carries its OWN calibration bracket — it
@@ -233,7 +247,6 @@ def main() -> None:
         # bracket a clean headline number inherits this section's load
         # flag (observed r8: opening 0.33, closing 2.88).
         cal0 = _calibrate()
-        cold: dict[str, float] = {}
         steady: dict[str, float] = {}
         for name in PIPELINE:
             c = _run_safe(name, ALL_QUERIES[name], spark, sf_dir)
@@ -245,11 +258,10 @@ def main() -> None:
                 # but not steady would make pipeline totals read as a
                 # speedup; a warm-up-ok/measured-fail query shows up
                 # in ERRORS only
-                cold[name] = round(c, 3)
+                first_pipeline_cold.setdefault(name, round(c, 3))
                 steady[name] = round(s, 3)
         cal1 = _calibrate()
         return {
-            "cold": cold,
             "steady": steady,
             "cal": [cal0, cal1],
             "load": round(
@@ -275,7 +287,7 @@ def main() -> None:
     pipe_loads: list[float] = []
     if os.environ.get("SPARK_GRAFT_BENCH_PIPELINE", "1") != "0":
         pipe, pipe_loads = retry_under_load(measure_pipeline)
-    pipeline_cold = pipe["cold"] if pipe else {}
+    pipeline_cold = first_pipeline_cold if pipe else {}
     pipeline_steady = pipe["steady"] if pipe else {}
 
     total = round(sum(per_query.values()), 3)

@@ -455,3 +455,92 @@ def test_bpe_pack_gate_state_continues_across_batches(spark, tmp_path):
         for doc_id, _src, _n, shard in streamed
         if doc_id in second_half_ids
     )
+
+
+def test_idle_timeout_evicts_and_restarts_sketch(spark, tmp_path):
+    """ProcessingTime timeout, end to end: a key with data in batch 1,
+    SILENT in batch 2 (timeout expires -> state evicted without any
+    emission), and returning in batch 3 must restart a FRESH sketch
+    (n_updates back to 1, kept set = batch-3 values only). This pins
+    the r9 fix: the timeout is actually ARMED via setTimeoutDuration —
+    a timeoutConf alone never fires — and the expiry path removes
+    state instead of re-emitting a spurious update."""
+    from aerovaldb_spark.streaming import stream_kmv_user_distinct
+
+    d = str(tmp_path / "ev_kmv_timeout")
+    os.makedirs(d)
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+
+    def write_batch(i, rows):
+        table = pa.table(
+            {
+                "event_id": pa.array(
+                    [r[0] for r in rows], pa.int64()
+                ),
+                "ts": pa.array(
+                    [base + dt.timedelta(seconds=r[0]) for r in rows],
+                    pa.timestamp("us", tz="UTC"),
+                ),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "event_type": pa.array(
+                    [r[2] for r in rows], pa.string()
+                ),
+                "value": pa.array([0.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        )
+        pq.write_table(table, os.path.join(d, f"part{i}.parquet"))
+
+    write_batch(0, [(i, i, "evict") for i in range(1, 6)]
+                + [(10 + i, i, "keep") for i in range(1, 4)])
+    write_batch(1, [(20 + i, i, "keep") for i in range(4, 6)])
+    write_batch(2, [(30 + i, i, "evict") for i in range(6, 9)]
+                + [(40, 6, "keep")])
+
+    # with a processing-time timeout armed, availableNow keeps
+    # scheduling state-cleanup batches after the data is exhausted
+    # (pyspark 4.1 behavior — documented in the operator docstring),
+    # so awaitTermination would hang: poll the sink for the final
+    # expected row, then stop explicitly
+    import time
+
+    q = (
+        stream_kmv_user_distinct(
+            _event_stream_two_batches(spark, d), k=8, idle_timeout_ms=1
+        )
+        .writeStream.format("memory")
+        .queryName("kmv_timeout_mb")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        deadline = time.time() + 300
+        rows = []
+        while time.time() < deadline:
+            rows = spark.table("kmv_timeout_mb").collect()
+            if any(
+                r["event_type"] == "evict" and r["n_kept"] == 3
+                for r in rows
+            ):
+                break
+            time.sleep(2)
+    finally:
+        q.stop()
+
+    evict = sorted(
+        (r["n_updates"], r["n_kept"], r["kmv_users"])
+        for r in rows
+        if r["event_type"] == "evict"
+    )
+    # two FIRST-update rows — the batch-2 expiry emitted nothing, and
+    # batch 3 restarted from empty state (5 then 3 distinct users,
+    # both exact below k)
+    assert evict == [(1, 3, 3.0), (1, 5, 5.0)], evict
+    # the always-active key accumulates normally: 3 -> 5 -> 6
+    keep = sorted(
+        (r["n_updates"], r["n_kept"])
+        for r in rows
+        if r["event_type"] == "keep"
+    )
+    assert keep == [(1, 3), (2, 5), (3, 6)], keep

@@ -78,7 +78,7 @@ def main() -> None:
     out["shared_term_pairs_sec"] = round(time.time() - t0, 1)
 
     t0 = time.time()
-    cand = tfidf_allpairs_candidates(w, threshold)
+    cand = tfidf_allpairs_candidates(w, threshold, pre=pre)
     out["allpairs_candidates"] = cand.count()
     out["allpairs_sec"] = round(time.time() - t0, 1)
 
