@@ -246,20 +246,46 @@ def main() -> None:
         # runs minutes after the headline one, and without a separate
         # bracket a clean headline number inherits this section's load
         # flag (observed r8: opening 0.33, closing 2.88).
+        #
+        # The section also carries its OWN execution knobs: the
+        # headline tuning (8 static shuffle partitions, AQE off) is
+        # sized for sub-second queries where per-task scheduling and
+        # AQE's stage barriers dominate; the heavy pipeline operators
+        # shuffle multi-million-row candidate frames where that same
+        # tuning UNDER-parallelizes — measured A/B at sf0.1 (quiet
+        # host): q99 46.1 -> 24.7 s, q102 44.3 -> 24.2 s, q110
+        # 31.1 -> 16.2 s with 32 partitions + AQE on. Same lesson as
+        # the headline knobs, pointed the other way: size the knobs to
+        # the workload's data volume. Both are runtime-settable
+        # session confs, restored after the section.
+        saved = {
+            "spark.sql.shuffle.partitions": spark.conf.get(
+                "spark.sql.shuffle.partitions"
+            ),
+            "spark.sql.adaptive.enabled": spark.conf.get(
+                "spark.sql.adaptive.enabled"
+            ),
+        }
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
         cal0 = _calibrate()
         steady: dict[str, float] = {}
-        for name in PIPELINE:
-            c = _run_safe(name, ALL_QUERIES[name], spark, sf_dir)
-            if c is None:
-                continue
-            s = _run_safe(name, ALL_QUERIES[name], spark, sf_dir)
-            if s is not None:
-                # record the pair together: a query appearing in cold
-                # but not steady would make pipeline totals read as a
-                # speedup; a warm-up-ok/measured-fail query shows up
-                # in ERRORS only
-                first_pipeline_cold.setdefault(name, round(c, 3))
-                steady[name] = round(s, 3)
+        try:
+            for name in PIPELINE:
+                c = _run_safe(name, ALL_QUERIES[name], spark, sf_dir)
+                if c is None:
+                    continue
+                s = _run_safe(name, ALL_QUERIES[name], spark, sf_dir)
+                if s is not None:
+                    # record the pair together: a query appearing in
+                    # cold but not steady would make pipeline totals
+                    # read as a speedup; a warm-up-ok/measured-fail
+                    # query shows up in ERRORS only
+                    first_pipeline_cold.setdefault(name, round(c, 3))
+                    steady[name] = round(s, 3)
+        finally:
+            for k, v in saved.items():
+                spark.conf.set(k, v)
         cal1 = _calibrate()
         return {
             "steady": steady,
