@@ -36,17 +36,20 @@ _MERGED_QUERIES = {
 # - the 17 once-deferred r6-cohort entries (MUST enter per the r8
 #   commitment, all present): q52 q18 q26 q56 q87 q93 q77 q78 q80 q81
 #   q82 q84 q85 q86 q88 q91 q92;
-# - new this round (1): q110 (banded minhash candidate rung for
+# - new this round (2): q110 (banded minhash candidate rung for
 #   sparse TF-IDF near-dup — exact verify, approximate candidates,
-#   full stage-mirrored oracle);
+#   full stage-mirrored oracle) and q111 (the same rung applied to
+#   the q102 screen contract, completing the screen family's size
+#   ladder; q20 yields its slot — 4 driver greens, joins the
+#   deferred cohort committed to r10);
 # - changed this round (4): q99 (candidate stage refactored into
 #   _tfidf_prefix_frame/tfidf_allpairs_candidates + shared kNN tail;
 #   output bit-identical, parity re-verified), q102 (keyed verify
 #   shape now left-joins dot=0 pairs; auto still selects map here),
 #   q106/q109 (kmv_overlap persistence refactor + algebra split into
 #   kmv_overlap_from_kept; output identical, parity re-verified);
-# - the r7-window retiree cohort rotating back in, 28 of 42 (every
-#   one >=2 driver greens, last driver-checked r7): q20 q23 q24 q30
+# - the r7-window retiree cohort rotating back in, 27 of 42 (every
+#   one >=2 driver greens, last driver-checked r7): q23 q24 q30
 #   q33 q34 q36 q38 q39 q40 q41 q43 q44 q45 q47 q48 q49 q51 q59 q61
 #   q79 q83 q89 q94 q95 q96 q97 q98.
 #
@@ -56,21 +59,23 @@ _MERGED_QUERIES = {
 # function + accuracy bound live on in events.py /
 # tests/test_properties.py. 109 declared / 109 oracled.
 #
-# Round-9 tail (59 = 14 + 45):
-# - 14 r7-window retirees deferred once more to make room, picked for
+# Round-9 tail (60 = 15 + 45):
+# - 15 r7-window retirees deferred once more to make room, picked for
 #   the strongest standing evidence (5 driver greens: q31 q37 q42 q46
-#   q50 q57; 4 greens: q08 q09 q11 q12 q14 q15 q16 q17 — counts
-#   computed from CORRECTNESS_r01..r08). Deferred ONCE — all 14 MUST
-#   enter the r10 window, the same commitment mechanism that forced
-#   this round's 17;
+#   q50 q57; 4 greens: q08 q09 q11 q12 q14 q15 q16 q17 q20 — counts
+#   computed from CORRECTNESS_r01..r08; q20 yielded its slot to the
+#   late-round q111). Deferred ONCE — all 15 MUST enter the r10
+#   window, the same commitment mechanism that forced this round's
+#   17;
 # - the 45 r8-window entries rotating out at fresh r8 greens (q55
 #   excluded — retired; q99 q102 q106 q109 excluded — staying in
 #   window as changed).
-# R10 plan: the 14 once-deferred entries re-enter first, then the 45
+# R10 plan: the 15 once-deferred entries re-enter first, then the 45
 # r8 retirees rotate; entries holding 3+ greens yield slots to
 # whatever r10 adds or changes.
 _DEFER_ROUND = [
     # r7-window retirees, deferred once more (MUST enter the r10 window)
+    "q20_tumbling_window",
     "q31_session_window",
     "q37_rank_parts",
     "q42_grouping_sets",

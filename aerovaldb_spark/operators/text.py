@@ -1875,25 +1875,19 @@ TFIDF_BAND_ROWS = 2
 TFIDF_BAND_TOP_TERMS = 16
 
 
-def tfidf_banded_candidates(
+def _banded_signatures(
     w: DataFrame,
     bands: int = TFIDF_BAND_BANDS,
     rows_per_band: int = TFIDF_BAND_ROWS,
     top_terms: int = TFIDF_BAND_TOP_TERMS,
 ) -> DataFrame:
-    """(doc_a, doc_b) candidate pairs from banded minhash signatures
-    over each doc's ``top_terms`` highest-weight terms (weight frame
-    ``w`` = (doc_id, term, df, w), rank ties broken on term so the
-    prefix is deterministic cross-engine).
-
-    LSH shape: ``bands * rows_per_band`` independent min-hashes (seed
-    s hashes term as hash60('s:term')); docs collide when ALL
-    ``rows_per_band`` minima of some band agree — a pair with top-term
-    Jaccard J survives with p = 1-(1-J^rows)^bands (rows=2, bands=8:
-    J=0.7 -> 0.995, J=0.3 -> 0.53), so bands dials recall and rows
-    dials bucket selectivity. Cost is linear: top_terms x seeds rows
-    per doc, one keyed min-agg, one equi-join on (band, signature) —
-    no all-pairs stage at any density (plan-tested)."""
+    """(doc_id, band, sig): each doc's banded minhash signatures over
+    its ``top_terms`` highest-weight terms (rank ties on term). Shared
+    by the self-join rung (q110) and the two-sided screen rung (q111)
+    so one signature definition feeds every banded candidate join —
+    two frames signed with the SAME (bands, rows, top_terms) collide
+    iff their band rows agree, regardless of which operator joins
+    them."""
     from pyspark.sql import Window
 
     from .dedup import hash60
@@ -1927,7 +1921,7 @@ def tfidf_banded_candidates(
         .groupBy("doc_id", "seed")
         .agg(F.min("hh").alias("mh"))
     )
-    sigs = (
+    return (
         minh.withColumn(
             "band",
             F.floor(F.col("seed") / rows_per_band).cast("int"),
@@ -1940,6 +1934,28 @@ def tfidf_banded_candidates(
             ).alias("sig")
         )
     )
+
+
+def tfidf_banded_candidates(
+    w: DataFrame,
+    bands: int = TFIDF_BAND_BANDS,
+    rows_per_band: int = TFIDF_BAND_ROWS,
+    top_terms: int = TFIDF_BAND_TOP_TERMS,
+) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs from banded minhash signatures
+    over each doc's ``top_terms`` highest-weight terms (weight frame
+    ``w`` = (doc_id, term, df, w), rank ties broken on term so the
+    prefix is deterministic cross-engine).
+
+    LSH shape: ``bands * rows_per_band`` independent min-hashes (seed
+    s hashes term as hash60('s:term')); docs collide when ALL
+    ``rows_per_band`` minima of some band agree — a pair with top-term
+    Jaccard J survives with p = 1-(1-J^rows)^bands (rows=2, bands=8:
+    J=0.7 -> 0.995, J=0.3 -> 0.53), so bands dials recall and rows
+    dials bucket selectivity. Cost is linear: top_terms x seeds rows
+    per doc, one keyed min-agg, one equi-join on (band, signature) —
+    no all-pairs stage at any density (plan-tested)."""
+    sigs = _banded_signatures(w, bands, rows_per_band, top_terms)
     return (
         sigs.select(F.col("doc_id").alias("doc_a"), "band", "sig")
         .join(
@@ -2014,8 +2030,19 @@ def tfidf_screen_join(
     shape (see :func:`_verified_dots`); pass ``'map'`` or ``'keyed'``
     explicitly for fully lazy composition.
     """
-    from pyspark.sql import Window
+    w_in, w_ref = _screen_weight_frames(incoming, reference)
+    return _screen_verify(incoming, w_in, w_ref, threshold, verify_shape)
 
+
+def _screen_weight_frames(
+    incoming: DataFrame, reference: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """(w_in, w_ref) under the gate's frozen-reference-idf convention
+    — the weight-building stage of the screen family, shared by the
+    exact (q102) and banded (q111) candidate rungs. Returns the SAME
+    frame twice for a self-screen (``incoming is reference``), which
+    downstream stages detect by identity to verify each unordered pair
+    once."""
     w_ref, stats, n = tfidf_weight_frame(reference)
     if incoming is reference:
         # self-screen fast path (q102's shape): every incoming term is
@@ -2025,9 +2052,7 @@ def tfidf_screen_join(
         # identical, equivalence-tested). Skip the second tokenize/
         # join/normalize pipeline entirely; _verified_dots then also
         # builds ONE weight-map frame instead of two.
-        return _screen_verify(
-            incoming, w_ref, w_ref, threshold, verify_shape
-        )
+        return w_ref, w_ref
     # incoming weighted under the reference idf; OOV df -> 0, idf ->
     # ln(n+1) (the gate's oov_idf, same engine ln)
     in_terms = (
@@ -2069,7 +2094,73 @@ def tfidf_screen_join(
             round6(F.col("w_raw") / F.col("nrm")).alias("w"),
         )
     )
-    return _screen_verify(incoming, w_in, w_ref, threshold, verify_shape)
+    return w_in, w_ref
+
+
+def tfidf_banded_screen(
+    incoming: DataFrame,
+    reference: DataFrame,
+    threshold: float = 0.8,
+    bands: int = TFIDF_BAND_BANDS,
+    rows_per_band: int = TFIDF_BAND_ROWS,
+    top_terms: int = TFIDF_BAND_TOP_TERMS,
+    verify_shape: str = "map",
+) -> DataFrame:
+    """q102's output contract with the exact prefix candidate stage
+    swapped for the banded minhash screen — the approximate rung of
+    the TF-IDF SCREEN ladder (broadcast gate -> sharded gate ->
+    join-based exact -> THIS), completing the same size ladder the kNN
+    family got with q110. Weights, verification, and the one-row-per-
+    incoming-doc contract are SHARED with :func:`tfidf_screen_join`
+    (`_screen_weight_frames` / `_screen_contract`), so only the
+    candidate generator differs: both sides' top-weight terms are
+    minhash-signed with the same seeds and candidates are (band, sig)
+    collisions.
+
+    RECALL CAVEAT (the dial's price, stated plainly): a flagged doc's
+    match is exactly verified and genuinely >= threshold, but it is
+    the best over COLLIDED candidates only, and a doc whose true
+    qualifying match never collided is reported unflagged — unlike the
+    exact rung, where prefix losslessness makes best-over-candidates
+    = best-over-all. Fully deterministic, so the banding stages replay
+    in the DuckDB oracle and the recall loss is cross-engine SPEC.
+    ``verify_shape`` defaults to ``'map'`` (fully lazy)."""
+    w_in, w_ref = _screen_weight_frames(incoming, reference)
+    self_screen = w_in is w_ref
+    if self_screen:
+        sigs = scoped_persist(
+            _banded_signatures(w_ref, bands, rows_per_band, top_terms)
+        )
+        sig_in = sigs.withColumnRenamed("doc_id", "in_id")
+        sig_ref = sigs.withColumnRenamed("doc_id", "ref_id")
+    else:
+        sig_in = _banded_signatures(
+            w_in, bands, rows_per_band, top_terms
+        ).withColumnRenamed("doc_id", "in_id")
+        sig_ref = _banded_signatures(
+            w_ref, bands, rows_per_band, top_terms
+        ).withColumnRenamed("doc_id", "ref_id")
+    pair_pred = (
+        (F.col("in_id") < F.col("ref_id"))
+        if self_screen
+        else (F.col("in_id") != F.col("ref_id"))
+    )
+    cand = (
+        sig_in.join(sig_ref, ["band", "sig"])
+        .where(pair_pred)
+        .select("in_id", "ref_id")
+        .distinct()
+    )
+    return _screen_contract(
+        incoming, w_in, w_ref, cand, threshold, verify_shape, self_screen
+    )
+
+
+def q111_tfidf_banded_screen(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_banded_screen(docs, docs, threshold=0.8)
 
 
 def _screen_verify(
@@ -2126,15 +2217,37 @@ def _screen_verify(
         .select("in_id", "ref_id")
         .distinct()
     )
-    # exact verification in the map or keyed plan shape (data-driven —
-    # see _verified_dots), then the CONTRACT filter: only pairs at or
-    # above the threshold are reported. For those pairs the prefix
-    # bound is lossless, so best-over-candidates equals best-over-
-    # ALL-references — which is exactly what lets the all-pairs oracle
-    # stay exact. A sub-threshold "best" would depend on which
-    # candidates the bound happens to admit (not a portable
-    # semantics), so unflagged docs carry NULL match columns,
-    # mirroring the gate.
+    # For at-or-above-threshold pairs the prefix bound is LOSSLESS, so
+    # best-over-candidates equals best-over-ALL-references — which is
+    # exactly what lets the all-pairs oracle stay exact.
+    return _screen_contract(
+        incoming, w_in, w_ref, cand, threshold, verify_shape, self_screen
+    )
+
+
+def _screen_contract(
+    incoming: DataFrame,
+    w_in: DataFrame,
+    w_ref: DataFrame,
+    cand: DataFrame,
+    threshold: float,
+    verify_shape: str,
+    self_screen: bool,
+) -> DataFrame:
+    """The screen family's verify + contract tail over a candidate
+    frame (in_id, ref_id): exact verification in the map or keyed
+    plan shape (data-driven — see _verified_dots), then the CONTRACT
+    filter — only pairs at or above the threshold are reported. A
+    sub-threshold "best" would depend on which candidates the
+    upstream screen happens to admit (not a portable semantics), so
+    unflagged docs carry NULL match columns, mirroring the gate. One
+    definition shared by the exact (q102) and banded (q111) screens
+    so the contract cannot drift; with self_screen each unordered
+    pair is verified ONCE and symmetrized after (dot is exactly
+    symmetric: round6(x*y) commutes and the DECIMAL sum is
+    order-free)."""
+    from pyspark.sql import Window
+
     dots = _verified_dots(
         cand, w_in, w_ref, "in_id", "ref_id", verify_shape
     ).where(F.col("dot").cast("double") >= threshold)
@@ -2484,6 +2597,83 @@ FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id
 """
 
 
+# q111 oracle: Q102's self-screen weight frame and contract tail with
+# the candidate stage replaced by the SAME banding stages as Q110 —
+# each unordered collision pair verified once, symmetrized before the
+# per-doc best, so the oracle computes exactly the banded screen's
+# (recall-limited) spec rather than the all-pairs best.
+Q111_SQL = f"""
+WITH terms AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+  ) GROUP BY doc_id, term
+), stats AS (
+  SELECT term, COUNT(*) AS df FROM terms GROUP BY term
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+w0 AS (
+  SELECT doc_id, terms.term,
+         tf * ROUND(ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)), 6) AS w_raw
+  FROM terms JOIN stats USING (term) CROSS JOIN n
+), norms AS (
+  SELECT doc_id,
+         sqrt(CAST(SUM(CAST(ROUND(w_raw * w_raw, 6) AS DECIMAL(18,6)))
+                   AS DOUBLE)) AS nrm
+  FROM w0 GROUP BY doc_id
+), w AS (
+  SELECT doc_id, term, ROUND(w_raw / nrm, 6) AS w
+  FROM w0 JOIN norms USING (doc_id) WHERE nrm > 0
+), topt AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, term,
+      ROW_NUMBER() OVER (PARTITION BY doc_id
+                         ORDER BY w DESC, term ASC) AS rk
+    FROM w
+  ) WHERE rk <= {TFIDF_BAND_TOP_TERMS}
+), seeds AS (
+  SELECT unnest(generate_series(
+    0, {TFIDF_BAND_BANDS * TFIDF_BAND_ROWS - 1})) AS seed
+), mh AS (
+  SELECT doc_id, seed,
+    MIN(CAST('0x' || substring(
+      md5(CAST(seed AS VARCHAR) || ':' || term), 1, 15) AS BIGINT)) AS mh
+  FROM topt CROSS JOIN seeds GROUP BY doc_id, seed
+), sigs AS (
+  SELECT doc_id, CAST(seed // {TFIDF_BAND_ROWS} AS INT) AS band,
+    string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed) AS sig
+  FROM mh GROUP BY doc_id, band
+), cand AS (
+  SELECT DISTINCT s1.doc_id AS in_id, s2.doc_id AS ref_id
+  FROM sigs s1 JOIN sigs s2
+    ON s1.band = s2.band AND s1.sig = s2.sig AND s1.doc_id < s2.doc_id
+), dots AS (
+  SELECT c.in_id, c.ref_id,
+         SUM(CAST(ROUND(a.w * b.w, 6) AS DECIMAL(18,6))) AS dot
+  FROM cand c
+  JOIN w a ON a.doc_id = c.in_id
+  JOIN w b ON b.doc_id = c.ref_id AND b.term = a.term
+  GROUP BY 1, 2
+), hits AS (
+  SELECT * FROM dots WHERE CAST(dot AS DOUBLE) >= 0.8
+), sym AS (
+  SELECT in_id AS doc_id, ref_id AS match_id, dot FROM hits
+  UNION ALL
+  SELECT ref_id AS doc_id, in_id AS match_id, dot FROM hits
+), best AS (
+  SELECT doc_id, match_id, dot FROM (
+    SELECT doc_id, match_id, dot,
+      ROW_NUMBER() OVER (PARTITION BY doc_id
+                         ORDER BY dot DESC, match_id) AS rn
+    FROM sym
+  ) WHERE rn = 1
+)
+SELECT d.doc_id,
+  b.match_id,
+  ROUND(CAST(b.dot AS DOUBLE), 6) AS match_cosine,
+  b.match_id IS NOT NULL AS tfidf_dup
+FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id
+"""
+
+
 QUERIES = {
     "q21_token_stats": q21_token_stats,
     "q22_quality_scores": q22_quality_scores,
@@ -2509,6 +2699,7 @@ QUERIES = {
     "q99_tfidf_cosine_knn": q99_tfidf_cosine_knn,
     "q102_tfidf_reference_screen": q102_tfidf_reference_screen,
     "q110_tfidf_banded_knn": q110_tfidf_banded_knn,
+    "q111_tfidf_banded_screen": q111_tfidf_banded_screen,
     "q105_decontaminate_spans": q105_decontaminate_spans,
 }
 
@@ -2537,5 +2728,6 @@ ORACLE = {
     "q99_tfidf_cosine_knn": Q99_SQL,
     "q102_tfidf_reference_screen": Q102_SQL,
     "q110_tfidf_banded_knn": Q110_SQL,
+    "q111_tfidf_banded_screen": Q111_SQL,
     "q105_decontaminate_spans": Q105_SQL,
 }

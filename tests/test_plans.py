@@ -552,3 +552,22 @@ def test_q110_banded_candidates_equi_join_no_all_pairs(spark):
     # the banding signature is a join key somewhere in the plan
     assert "sig" in physical
     assert df.count() > 0
+
+
+def test_q111_banded_screen_no_all_pairs(spark):
+    """The banded screen's candidate join must be a (band, signature)
+    equi-join — no cartesian, crosses only the hinted 1-row scalar,
+    text pruned before every exchange (q110's guarantees on the screen
+    contract's plan)."""
+    from aerovaldb_spark.operators.text import q111_tfidf_banded_screen
+
+    df = q111_tfidf_banded_screen(spark, SF)
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in physical
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("Join Cross") == analyzed.count("ResolvedHint")
+    for line in physical.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line, line
+    assert "sig" in physical
+    assert df.count() > 0

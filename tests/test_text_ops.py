@@ -429,3 +429,37 @@ def test_banded_knn_edges_subset_of_exact_with_identical_scores(spark):
     # and it's a useful screen, not a degenerate one: recall on this
     # templated corpus should be well above the random floor
     assert len(banded) >= 0.5 * len(exact)
+
+
+def test_banded_screen_flags_subset_of_exact_with_valid_matches(spark):
+    """q111's contract vs the exact screen (q102): banding bounds
+    recall only — every doc it flags must be flagged by the exact
+    screen, its match_cosine can never exceed the exact screen's true
+    best (the banded best is over COLLIDED candidates only), and both
+    emit exactly one row per document."""
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators.text import (
+        tfidf_banded_screen,
+        tfidf_screen_join,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    exact = {
+        r["doc_id"]: (r["match_id"], r["match_cosine"], r["tfidf_dup"])
+        for r in tfidf_screen_join(docs, docs).collect()
+    }
+    banded = {
+        r["doc_id"]: (r["match_id"], r["match_cosine"], r["tfidf_dup"])
+        for r in tfidf_banded_screen(docs, docs).collect()
+    }
+    assert set(banded) == set(exact)  # one row per doc on both paths
+    flagged_b = {d for d, v in banded.items() if v[2]}
+    flagged_e = {d for d, v in exact.items() if v[2]}
+    assert flagged_b, "banded screen flagged nothing on a near-dup corpus"
+    assert flagged_b <= flagged_e, sorted(flagged_b - flagged_e)[:5]
+    for d in sorted(flagged_b):
+        assert banded[d][1] <= exact[d][1], (d, banded[d], exact[d])
+    # unflagged rows carry NULLs, the gate's contract
+    for d, (mid, cos, dup) in banded.items():
+        if not dup:
+            assert mid is None and cos is None
