@@ -64,14 +64,25 @@ def main() -> None:
     )
 
     got = run_stream_to_memory(
-        stream_kmv_user_distinct(read_event_stream(spark, sf_dir)),
+        stream_kmv_user_distinct(
+            read_event_stream(spark, sf_dir), emit_kept=True
+        ),
         "kmv_demo",
         spark,
         output_mode="update",
     )
-    got.orderBy("event_type", "n_updates").show()
+    got.orderBy("event_type", "n_updates").drop("kept").show()
     print("(estimates above are bit-equal to the q106 rows — same md5 "
           "hashes, same round6 arithmetic, merged as stream state)")
+
+    print("== algebra FROM live stream state: q109's pairwise report "
+          "computed from the emitted kept arrays — no event replay ==")
+    from aerovaldb_spark.streaming import kmv_live_overlap
+
+    kmv_live_overlap(got).orderBy("type_a", "type_b").show()
+    print("(bit-equal to the batch kmv_overlap rows above: the kept "
+          "set IS the sketch, so 'overlap so far' between live "
+          "streams costs k rows per key)")
 
 
 if __name__ == "__main__":
