@@ -59,6 +59,8 @@ _CASES = [
     "q95_bpe_token_budget",
     "q97_bpe_pack_sequences",
     "q99_tfidf_cosine_knn",
+    "q110_tfidf_banded_knn",
+    "q111_tfidf_banded_screen",
 ]
 
 
