@@ -22,7 +22,8 @@ _MERGED_QUERIES = {
 }
 
 # The external correctness gate records rows for the FIRST 50 entries
-# of ``queries()`` only (110 declared minus the r9-retired q55 = 109 >
+# of ``queries()`` only (110 declared after r9: +q110 +q111, q55
+# retired — all 110 >
 # 50-entry cap), so entry ORDER decides which queries get a
 # driver-recorded check each round. Policy: entries never yet
 # driver-verified, green-only-once, or just-changed come first; the
@@ -57,7 +58,7 @@ _MERGED_QUERIES = {
 # Missing #3): its HLL capability is hash-graded by q106/q109, and a
 # rows-only slot spends a window check that can't go red. The
 # function + accuracy bound live on in events.py /
-# tests/test_properties.py. 109 declared / 109 oracled.
+# tests/test_properties.py. 110 declared / 110 oracled (incl. q111).
 #
 # Round-9 tail (60 = 15 + 45):
 # - 15 r7-window retirees deferred once more to make room, picked for
