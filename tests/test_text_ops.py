@@ -500,3 +500,26 @@ def test_banded_bucket_guard_bounds_degenerate_buckets(spark):
     assert not any(a < 40 and b < 40 for a, b in guarded), sorted(
         guarded
     )[:5]
+
+
+def test_banded_rungs_invariant_to_input_partitioning(spark):
+    """Banded signatures flow through collect_list (order-dependent in
+    general) — array_sort(struct(seed, mh)) must make the signature,
+    and hence both banded rungs' full output, independent of how the
+    input happens to be partitioned."""
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators.text import (
+        tfidf_banded_knn,
+        tfidf_banded_screen,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    shuffled = docs.repartition(13)
+    a = sorted(map(tuple, tfidf_banded_knn(docs).collect()))
+    b = sorted(map(tuple, tfidf_banded_knn(shuffled).collect()))
+    assert a == b and a
+    c = sorted(map(tuple, tfidf_banded_screen(docs, docs).collect()))
+    d = sorted(
+        map(tuple, tfidf_banded_screen(shuffled, shuffled).collect())
+    )
+    assert c == d and c
