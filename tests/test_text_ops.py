@@ -523,3 +523,38 @@ def test_banded_rungs_invariant_to_input_partitioning(spark):
         map(tuple, tfidf_banded_screen(shuffled, shuffled).collect())
     )
     assert c == d and c
+
+
+def test_banded_screen_general_path_subset_of_exact(spark):
+    """The two-sided (incoming != reference) banded screen: each
+    side's top-weight terms are signed independently under the frozen
+    reference idf, and the contract must still be a recall-bounded
+    subset of the exact screen's — flags subset, banded best <= exact
+    best, one row per INCOMING doc, reference docs absent."""
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators.text import (
+        tfidf_banded_screen,
+        tfidf_screen_join,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    reference = docs.where("doc_id % 2 = 0")
+    incoming = docs.where("doc_id % 2 = 1")
+    exact = {
+        r["doc_id"]: (r["match_cosine"], r["tfidf_dup"])
+        for r in tfidf_screen_join(
+            incoming, reference, verify_shape="map"
+        ).collect()
+    }
+    banded = {
+        r["doc_id"]: (r["match_cosine"], r["tfidf_dup"])
+        for r in tfidf_banded_screen(incoming, reference).collect()
+    }
+    assert set(banded) == set(exact)
+    assert all(d % 2 == 1 for d in banded)  # one row per incoming doc
+    flagged_b = {d for d, v in banded.items() if v[1]}
+    flagged_e = {d for d, v in exact.items() if v[1]}
+    assert flagged_b, "general banded screen flagged nothing"
+    assert flagged_b <= flagged_e
+    for d in flagged_b:
+        assert banded[d][0] <= exact[d][0], (d, banded[d], exact[d])
