@@ -2076,8 +2076,18 @@ def _screen_weight_frames(
         # join/normalize pipeline entirely; _verified_dots then also
         # builds ONE weight-map frame instead of two.
         return w_ref, w_ref
-    # incoming weighted under the reference idf; OOV df -> 0, idf ->
-    # ln(n+1) (the gate's oov_idf, same engine ln)
+    return _weight_incoming_under(incoming, stats, n), w_ref
+
+
+def _weight_incoming_under(
+    incoming: DataFrame, stats: DataFrame, n: DataFrame
+) -> DataFrame:
+    """Weight ``incoming`` docs under a FROZEN reference idf given
+    only its statistics — ``stats`` (term, df) and ``n`` (1-row
+    n_docs): OOV terms take the df=0 idf (the gate's oov_idf, same
+    engine ln). Shared by the ephemeral screens and the persisted
+    :class:`TfidfScreenIndex`, whose whole point is that these
+    statistics are all the reference state an incoming batch needs."""
     in_terms = (
         incoming.select("doc_id", F.explode(tokens_col()).alias("term"))
         .groupBy("doc_id", "term")
@@ -2117,7 +2127,146 @@ def _screen_weight_frames(
             round6(F.col("w_raw") / F.col("nrm")).alias("w"),
         )
     )
-    return w_in, w_ref
+    return w_in
+
+
+class TfidfScreenIndex:
+    """Persisted form of the banded TF-IDF reference screen — the
+    SRPIndex/IVFIndex pattern applied to the screen family: the
+    reference corpus's frozen idf statistics (term df + corpus count),
+    unit weight frame, and banded minhash signatures are computed ONCE
+    (``build``) and written as parquet (``save``), so every incoming
+    batch afterwards screens against a 100 TB reference without
+    re-tokenizing, re-weighting, or re-signing it. ``screen`` output
+    is bit-equal to the ephemeral
+    ``tfidf_banded_screen(incoming, reference)`` general path, and the
+    loaded index is bit-equal to the built one (both tested: round6
+    doubles, longs and signature strings round-trip parquet exactly).
+    The signature table is partitioned by band (bounded at ``bands``
+    directories); every band is probed by design, so the win is
+    compute-once reuse, not partition pruning."""
+
+    def __init__(
+        self,
+        stats: DataFrame,
+        n: DataFrame,
+        weights: DataFrame,
+        signatures: DataFrame,
+        bands: int,
+        rows_per_band: int,
+        top_terms: int,
+    ) -> None:
+        self.stats = stats
+        self.n = n
+        self.weights = weights
+        self.signatures = signatures
+        self.bands = bands
+        self.rows_per_band = rows_per_band
+        self.top_terms = top_terms
+
+    @staticmethod
+    def build(
+        reference: DataFrame,
+        bands: int = TFIDF_BAND_BANDS,
+        rows_per_band: int = TFIDF_BAND_ROWS,
+        top_terms: int = TFIDF_BAND_TOP_TERMS,
+    ) -> "TfidfScreenIndex":
+        w_ref, stats, n = tfidf_weight_frame(reference)
+        sigs = _banded_signatures(w_ref, bands, rows_per_band, top_terms)
+        return TfidfScreenIndex(
+            stats, n, w_ref, sigs, bands, rows_per_band, top_terms
+        )
+
+    def save(self, path: str) -> None:
+        import os as _os
+
+        spark = self.weights.sparkSession
+        self.stats.write.mode("overwrite").parquet(
+            _os.path.join(path, "stats")
+        )
+        self.n.write.mode("overwrite").parquet(_os.path.join(path, "n"))
+        self.weights.write.mode("overwrite").parquet(
+            _os.path.join(path, "weights")
+        )
+        (
+            self.signatures.write.mode("overwrite")
+            .partitionBy("band")
+            .parquet(_os.path.join(path, "signatures"))
+        )
+        spark.createDataFrame(
+            [(self.bands, self.rows_per_band, self.top_terms)],
+            "bands int, rows_per_band int, top_terms int",
+        ).write.mode("overwrite").parquet(_os.path.join(path, "meta"))
+
+    @staticmethod
+    def load(spark: SparkSession, path: str) -> "TfidfScreenIndex":
+        import os as _os
+
+        meta = spark.read.parquet(_os.path.join(path, "meta")).collect()[0]
+        return TfidfScreenIndex(
+            spark.read.parquet(_os.path.join(path, "stats")),
+            spark.read.parquet(_os.path.join(path, "n")),
+            spark.read.parquet(_os.path.join(path, "weights")),
+            spark.read.parquet(_os.path.join(path, "signatures")).select(
+                "doc_id", "band", "sig"
+            ),
+            int(meta["bands"]),
+            int(meta["rows_per_band"]),
+            int(meta["top_terms"]),
+        )
+
+    def screen(
+        self,
+        incoming: DataFrame,
+        threshold: float = 0.8,
+        verify_shape: str = "map",
+        max_bucket: int | None = None,
+    ) -> DataFrame:
+        """One row per incoming doc — the banded screen contract
+        (doc_id, match_id, match_cosine, tfidf_dup) against the frozen
+        reference. Incoming ids equal to a reference id are treated as
+        distinct documents (the general path's semantics; an index has
+        no identity notion of "same corpus"). ``max_bucket`` applies
+        the LSH skew guard to the UNION of both sides' signatures."""
+        w_in = _weight_incoming_under(incoming, self.stats, self.n)
+        sig_in = _banded_signatures(
+            w_in, self.bands, self.rows_per_band, self.top_terms
+        ).withColumnRenamed("doc_id", "in_id")
+        sig_ref = self.signatures.withColumnRenamed("doc_id", "ref_id")
+        if max_bucket is not None:
+            both = sig_in.select(
+                F.col("in_id").alias("doc_id"), "band", "sig"
+            ).unionAll(
+                sig_ref.select(
+                    F.col("ref_id").alias("doc_id"), "band", "sig"
+                )
+            )
+            oversized = (
+                both.groupBy("band", "sig")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .where(F.col("_n") > max_bucket)
+                .select("band", "sig")
+            )
+            oversized = scoped_persist(oversized)
+            sig_in = sig_in.join(oversized, ["band", "sig"], "left_anti")
+            sig_ref = sig_ref.join(
+                oversized, ["band", "sig"], "left_anti"
+            )
+        cand = (
+            sig_in.join(sig_ref, ["band", "sig"])
+            .where(F.col("in_id") != F.col("ref_id"))
+            .select("in_id", "ref_id")
+            .distinct()
+        )
+        return _screen_contract(
+            incoming,
+            w_in,
+            self.weights,
+            cand,
+            threshold,
+            verify_shape,
+            self_screen=False,
+        )
 
 
 def tfidf_banded_screen(

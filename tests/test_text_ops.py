@@ -558,3 +558,43 @@ def test_banded_screen_general_path_subset_of_exact(spark):
     assert flagged_b <= flagged_e
     for d in flagged_b:
         assert banded[d][0] <= exact[d][0], (d, banded[d], exact[d])
+
+
+def test_tfidf_screen_index_roundtrip_matches_ephemeral(spark, tmp_path):
+    """The persisted screen index: build -> screen must be bit-equal
+    to the ephemeral two-sided banded screen, and a saved-then-loaded
+    index must reproduce it exactly (round6 doubles, longs and
+    signature strings round-trip parquet bit-exactly). The whole point
+    of the index: stats + weights + signatures are ALL the reference
+    state an incoming batch needs."""
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators.text import (
+        TfidfScreenIndex,
+        tfidf_banded_screen,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    reference = docs.where("doc_id % 2 = 0")
+    incoming = docs.where("doc_id % 2 = 1")
+    want = sorted(
+        map(tuple, tfidf_banded_screen(incoming, reference).collect())
+    )
+    assert any(t[3] for t in want)  # some dups flagged
+
+    idx = TfidfScreenIndex.build(reference)
+    built = sorted(map(tuple, idx.screen(incoming).collect()))
+    assert built == want
+
+    p = str(tmp_path / "screen_idx")
+    idx.save(p)
+    loaded = TfidfScreenIndex.load(spark, p)
+    got = sorted(map(tuple, loaded.screen(incoming).collect()))
+    assert got == want
+    # the skew guard composes with the loaded form and can only
+    # reduce flags
+    guarded = {
+        r["doc_id"]: r["tfidf_dup"]
+        for r in loaded.screen(incoming, max_bucket=3).collect()
+    }
+    flagged = {t[0] for t in want if t[3]}
+    assert {d for d, f in guarded.items() if f} <= flagged
