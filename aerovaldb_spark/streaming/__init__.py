@@ -1294,6 +1294,46 @@ def stream_kmv_user_distinct(
     )
 
 
+def tfidf_screen_batch_fn(index, write, threshold: float = 0.8,
+                          verify_shape: str = "map",
+                          max_bucket: int | None = None):
+    """``foreachBatch`` factory serving the persisted
+    :class:`~aerovaldb_spark.operators.text.TfidfScreenIndex` on a
+    document STREAM — the streaming end of the TF-IDF screen ladder
+    (broadcast gate -> sharded gate -> join-based batch -> persisted
+    index -> this). The screen contract needs per-doc best-match
+    windows and multi-joins append-mode streams can't express, but
+    each incoming doc's output row depends ONLY on that doc and the
+    FROZEN reference, so screening micro-batch by micro-batch IS the
+    exact semantics: the union of per-batch results equals one batch
+    screen over all incoming docs (tested multi-batch). ``write``
+    receives (result_df, epoch_id) per micro-batch — attach with
+    ``stream.writeStream.foreachBatch(tfidf_screen_batch_fn(idx, w))``.
+    Use a LOADED (save/load) index for long streams: the per-batch
+    cache release below also drops a freshly-BUILT index's cached
+    reference frames, which then recompute every batch."""
+    def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        from ..operators._scope import release_scoped_persists
+
+        try:
+            write(
+                index.screen(
+                    batch_df,
+                    threshold=threshold,
+                    verify_shape=verify_shape,
+                    max_bucket=max_bucket,
+                ),
+                epoch_id,
+            )
+        finally:
+            # each micro-batch's screen persists its own incoming
+            # weight/signature intermediates; release them so a
+            # long-running stream's cache doesn't grow per batch
+            release_scoped_persists()
+
+    return fn
+
+
 def kmv_live_overlap(sketch_rows: DataFrame, k: int | None = None) -> DataFrame:
     """Pairwise KMV union/intersection/Jaccard ACROSS LIVE STREAM
     STATE: feed it a snapshot of :func:`stream_kmv_user_distinct`

@@ -544,3 +544,82 @@ def test_idle_timeout_evicts_and_restarts_sketch(spark, tmp_path):
         if r["event_type"] == "keep"
     )
     assert keep == [(1, 3), (2, 5), (3, 6)], keep
+
+
+def test_stream_screen_foreachbatch_equals_batch(spark, tmp_path):
+    """The streaming end of the TF-IDF screen ladder: a document
+    stream screened micro-batch-by-micro-batch against a persisted
+    TfidfScreenIndex (foreachBatch) must produce exactly the rows one
+    batch screen over all incoming docs produces — per-doc contract
+    rows depend only on the doc and the FROZEN reference, so the
+    per-batch union is the exact semantics, across real batch
+    boundaries."""
+    from aerovaldb_spark.operators.text import TfidfScreenIndex
+    from aerovaldb_spark.streaming import tfidf_screen_batch_fn
+
+    docs = spark.read.parquet(
+        os.path.join(SF_DIR, "documents.parquet")
+    )
+    reference = docs.where("doc_id % 2 = 0")
+    incoming = docs.where("doc_id % 2 = 1")
+
+    # incoming split into two files = two micro-batches
+    d = str(tmp_path / "doc_stream")
+    os.makedirs(d)
+    rows = sorted(incoming.collect(), key=lambda r: r["doc_id"])
+    for i, half in enumerate(
+        (rows[: len(rows) // 2], rows[len(rows) // 2:])
+    ):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(
+                        [r["doc_id"] for r in half], pa.int64()
+                    ),
+                    "text": pa.array(
+                        [r["text"] for r in half], pa.string()
+                    ),
+                    "lang": pa.array(
+                        [r["lang"] for r in half], pa.string()
+                    ),
+                    "source": pa.array(
+                        [r["source"] for r in half], pa.string()
+                    ),
+                    "n_chars": pa.array(
+                        [r["n_chars"] for r in half], pa.int64()
+                    ),
+                }
+            ),
+            os.path.join(d, f"part{i}.parquet"),
+        )
+
+    p = str(tmp_path / "screen_idx")
+    TfidfScreenIndex.build(reference).save(p)
+    loaded = TfidfScreenIndex.load(spark, p)
+    want = sorted(map(tuple, loaded.screen(incoming).collect()))
+    assert any(t[3] for t in want)
+
+    got: list[tuple] = []
+    epochs: set[int] = set()
+
+    def sink(result_df, epoch_id):
+        epochs.add(epoch_id)
+        got.extend(map(tuple, result_df.collect()))
+
+    src = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, "
+            "source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    q = (
+        src.writeStream.foreachBatch(tfidf_screen_batch_fn(loaded, sink))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert len(epochs) >= 2  # the screen really ran per micro-batch
+    assert sorted(got) == want
