@@ -29,9 +29,18 @@ def scoped_persist(df: DataFrame) -> DataFrame:
     return out
 
 
-def release_scoped_persists() -> int:
-    """Unpersist every registered intermediate; returns the count."""
-    n = len(_SCOPED)
-    while _SCOPED:
+def scope_mark() -> int:
+    """Current registry position — pass to ``release_scoped_persists``
+    to release only persists registered AFTER this point (the shape a
+    library callback needs: bound its own cache growth without
+    evicting intermediates belonging to concurrent work)."""
+    return len(_SCOPED)
+
+
+def release_scoped_persists(mark: int = 0) -> int:
+    """Unpersist registered intermediates from position ``mark``
+    onward (default 0 = everything); returns the count released."""
+    n = max(len(_SCOPED) - mark, 0)
+    while len(_SCOPED) > mark:
         _SCOPED.pop().unpersist()
     return n

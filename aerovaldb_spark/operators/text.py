@@ -1969,7 +1969,13 @@ def tfidf_banded_candidates(
     guarded path is equivalence-bounded by test."""
     sigs = _banded_signatures(w, bands, rows_per_band, top_terms)
     if max_bucket is not None:
-        oversized = (
+        # persist BEFORE the guard joins: the final plan references
+        # sigs four times (both anti-join inputs feeding both sides of
+        # the candidate self-join) and the oversized aggregate twice —
+        # unpersisted, the whole signing pipeline would re-run per
+        # reference on exactly the degenerate corpora the guard targets
+        sigs = scoped_persist(sigs)
+        oversized = scoped_persist(
             sigs.groupBy("band", "sig")
             .agg(F.count(F.lit(1)).alias("_n"))
             .where(F.col("_n") > max_bucket)
@@ -2221,43 +2227,48 @@ class TfidfScreenIndex:
         threshold: float = 0.8,
         verify_shape: str = "map",
         max_bucket: int | None = None,
+        exclude_same_id: bool = True,
     ) -> DataFrame:
         """One row per incoming doc — the banded screen contract
         (doc_id, match_id, match_cosine, tfidf_dup) against the frozen
-        reference. Incoming ids equal to a reference id are treated as
-        distinct documents (the general path's semantics; an index has
-        no identity notion of "same corpus"). ``max_bucket`` applies
-        the LSH skew guard to the UNION of both sides' signatures."""
+        reference.
+
+        ``exclude_same_id`` (default True) applies the gate's self-id
+        rule: an incoming doc whose doc_id equals a reference doc_id
+        is assumed to BE that reference doc (the incremental-ingest
+        case — re-screened reference docs must not match themselves),
+        so the pair is excluded before verification. Pass False when
+        the incoming batch uses an INDEPENDENT id space, where an id
+        collision is a coincidence and excluding the pair would
+        silently suppress a true match.
+
+        ``max_bucket`` applies the LSH skew guard to the REFERENCE
+        side's signatures only — the guard is therefore a property of
+        the frozen index, not of how incoming docs are batched, which
+        is what keeps per-doc output independent of batch composition
+        (the streaming foreachBatch exactness relies on this). The
+        incoming side's per-batch bucket sizes are bounded by the
+        batch itself."""
         w_in = _weight_incoming_under(incoming, self.stats, self.n)
         sig_in = _banded_signatures(
             w_in, self.bands, self.rows_per_band, self.top_terms
         ).withColumnRenamed("doc_id", "in_id")
         sig_ref = self.signatures.withColumnRenamed("doc_id", "ref_id")
         if max_bucket is not None:
-            both = sig_in.select(
-                F.col("in_id").alias("doc_id"), "band", "sig"
-            ).unionAll(
-                sig_ref.select(
-                    F.col("ref_id").alias("doc_id"), "band", "sig"
-                )
-            )
-            oversized = (
-                both.groupBy("band", "sig")
+            oversized = scoped_persist(
+                sig_ref.groupBy("band", "sig")
                 .agg(F.count(F.lit(1)).alias("_n"))
                 .where(F.col("_n") > max_bucket)
                 .select("band", "sig")
             )
-            oversized = scoped_persist(oversized)
             sig_in = sig_in.join(oversized, ["band", "sig"], "left_anti")
             sig_ref = sig_ref.join(
                 oversized, ["band", "sig"], "left_anti"
             )
-        cand = (
-            sig_in.join(sig_ref, ["band", "sig"])
-            .where(F.col("in_id") != F.col("ref_id"))
-            .select("in_id", "ref_id")
-            .distinct()
-        )
+        joined = sig_in.join(sig_ref, ["band", "sig"])
+        if exclude_same_id:
+            joined = joined.where(F.col("in_id") != F.col("ref_id"))
+        cand = joined.select("in_id", "ref_id").distinct()
         return _screen_contract(
             incoming,
             w_in,

@@ -1309,12 +1309,21 @@ def tfidf_screen_batch_fn(index, write, threshold: float = 0.8,
     screen over all incoming docs (tested multi-batch). ``write``
     receives (result_df, epoch_id) per micro-batch — attach with
     ``stream.writeStream.foreachBatch(tfidf_screen_batch_fn(idx, w))``.
-    Use a LOADED (save/load) index for long streams: the per-batch
-    cache release below also drops a freshly-BUILT index's cached
-    reference frames, which then recompute every batch."""
+    ``max_bucket`` is safe here because the index applies the skew
+    guard to the frozen REFERENCE signatures only (see
+    ``TfidfScreenIndex.screen``) — per-doc output never depends on
+    which micro-batch a doc arrived in."""
     def fn(batch_df: DataFrame, epoch_id: int) -> None:
-        from ..operators._scope import release_scoped_persists
+        from ..operators._scope import (
+            release_scoped_persists,
+            scope_mark,
+        )
 
+        # release ONLY the persists this batch's screen registers —
+        # bounding the stream's cache growth without evicting
+        # intermediates belonging to concurrent queries, other
+        # streams, or a freshly-BUILT index's cached reference frames
+        mark = scope_mark()
         try:
             write(
                 index.screen(
@@ -1326,10 +1335,7 @@ def tfidf_screen_batch_fn(index, write, threshold: float = 0.8,
                 epoch_id,
             )
         finally:
-            # each micro-batch's screen persists its own incoming
-            # weight/signature intermediates; release them so a
-            # long-running stream's cache doesn't grow per batch
-            release_scoped_persists()
+            release_scoped_persists(mark)
 
     return fn
 

@@ -598,3 +598,79 @@ def test_tfidf_screen_index_roundtrip_matches_ephemeral(spark, tmp_path):
     }
     flagged = {t[0] for t in want if t[3]}
     assert {d for d, f in guarded.items() if f} <= flagged
+
+
+def test_screen_index_same_id_rule_and_reference_only_guard(spark):
+    """Two r9 contract points of the persisted index: (a) the self-id
+    rule — an incoming doc sharing a reference doc_id is assumed to BE
+    that doc and must not match itself, while exclude_same_id=False
+    (independent id spaces) reports the match; (b) the skew guard
+    counts REFERENCE buckets only, so guarded results don't depend on
+    incoming batch composition."""
+    from aerovaldb_spark.operators.text import TfidfScreenIndex
+
+    ref = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma"),
+            (2, "delta epsilon zeta"),
+            (4, "eta theta iota"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = TfidfScreenIndex.build(ref)
+    inc = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (100, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    strict = {
+        r["doc_id"]: (r["match_id"], r["tfidf_dup"])
+        for r in idx.screen(inc).collect()
+    }
+    # doc 0 IS reference doc 0: its only qualifying match is excluded
+    assert strict[0] == (None, False)
+    assert strict[100] == (0, True)
+    loose = {
+        r["doc_id"]: (r["match_id"], r["tfidf_dup"])
+        for r in idx.screen(inc, exclude_same_id=False).collect()
+    }
+    assert loose[0] == (0, True) and loose[100] == (0, True)
+
+    # (b) reference-only guard: per-doc output with max_bucket set is
+    # identical whether incoming docs arrive together or one at a time
+    together = sorted(
+        map(tuple, idx.screen(inc, max_bucket=2).collect())
+    )
+    one_by_one = sorted(
+        t
+        for d in (0, 100)
+        for t in map(
+            tuple,
+            idx.screen(
+                inc.where(F.col("doc_id") == d), max_bucket=2
+            ).collect(),
+        )
+    )
+    assert together == one_by_one
+
+
+def test_scope_mark_partial_release(spark):
+    """release_scoped_persists(mark) must release only persists
+    registered after the mark — the library-callback shape (a stream's
+    foreachBatch) that must not evict concurrent workloads' caches."""
+    from aerovaldb_spark.operators._scope import (
+        release_scoped_persists,
+        scope_mark,
+        scoped_persist,
+    )
+
+    base = scope_mark()  # earlier tests' persists stay untouched
+    a = scoped_persist(spark.range(10))
+    a.count()
+    m = scope_mark()
+    b = scoped_persist(spark.range(20))
+    b.count()
+    assert release_scoped_persists(m) == 1
+    assert a.storageLevel.useMemory  # untouched
+    assert not b.storageLevel.useMemory
+    assert release_scoped_persists(base) == 1
+    assert not a.storageLevel.useMemory
