@@ -2209,13 +2209,24 @@ class TfidfScreenIndex:
         import os as _os
 
         meta = spark.read.parquet(_os.path.join(path, "meta")).collect()[0]
+        # explicit schemas: a reference whose every doc is zero-norm
+        # (e.g. all-whitespace) produces EMPTY frames, and an empty
+        # partitionBy write leaves no part files to infer a schema
+        # from — inference would throw UNABLE_TO_INFER_SCHEMA on a
+        # perfectly valid (if degenerate) index (hypothesis-found)
         return TfidfScreenIndex(
-            spark.read.parquet(_os.path.join(path, "stats")),
-            spark.read.parquet(_os.path.join(path, "n")),
-            spark.read.parquet(_os.path.join(path, "weights")),
-            spark.read.parquet(_os.path.join(path, "signatures")).select(
-                "doc_id", "band", "sig"
+            spark.read.schema("term string, df bigint").parquet(
+                _os.path.join(path, "stats")
             ),
+            spark.read.schema("n_docs bigint").parquet(
+                _os.path.join(path, "n")
+            ),
+            spark.read.schema(
+                "doc_id bigint, term string, df bigint, w double"
+            ).parquet(_os.path.join(path, "weights")),
+            spark.read.schema("doc_id bigint, band int, sig string")
+            .parquet(_os.path.join(path, "signatures"))
+            .select("doc_id", "band", "sig"),
             int(meta["bands"]),
             int(meta["rows_per_band"]),
             int(meta["top_terms"]),

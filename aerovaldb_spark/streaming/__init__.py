@@ -1356,6 +1356,13 @@ def kmv_live_overlap(sketch_rows: DataFrame, k: int | None = None) -> DataFrame:
 
     from ..operators.events import KMV_K, kmv_overlap_from_sketches
 
+    if "kept" not in sketch_rows.columns:
+        raise ValueError(
+            "kmv_live_overlap needs the kept-hash arrays: run "
+            "stream_kmv_user_distinct with emit_kept=True (got columns "
+            f"{sketch_rows.columns})"
+        )
+
     w = Window.partitionBy("event_type").orderBy(
         F.col("n_updates").desc()
     )

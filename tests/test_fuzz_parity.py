@@ -725,3 +725,51 @@ def test_kmv_estimator_branch_cross_engine(spark, tmp_path):
             assert all(
                 r[n_kept_col] == KMV_K for r in df.collect()
             ), qname
+
+
+def test_screen_index_equals_ephemeral_on_fuzzed_corpora(
+    spark, tmp_path_factory
+):
+    """TfidfScreenIndex.screen must be bit-equal to the ephemeral
+    two-sided banded screen on ARBITRARY corpora, not just the
+    harness tables — the index round-trips stats/weights/signatures
+    through parquet, so any weight-convention drift or float
+    round-trip loss shows up here."""
+    from pyspark.sql import functions as F
+
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators.text import (
+        TfidfScreenIndex,
+        tfidf_banded_screen,
+    )
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(DOC_TABLES, DOC_TABLES)
+    def check(ref_rows, inc_rows):
+        d_ref = str(tmp_path_factory.mktemp("idx_ref"))
+        d_inc = str(tmp_path_factory.mktemp("idx_inc"))
+        _write_docs(d_ref, ref_rows)
+        _write_docs(d_inc, inc_rows)
+        reference = load_table(spark, d_ref, "documents")
+        # shift incoming ids so same-id exclusion isn't exercised by
+        # accident (it has its own directed test)
+        incoming = load_table(spark, d_inc, "documents").withColumn(
+            "doc_id", F.col("doc_id") + 10_000
+        )
+        want = sorted(
+            map(
+                tuple,
+                tfidf_banded_screen(incoming, reference).collect(),
+            )
+        )
+        idx_dir = str(tmp_path_factory.mktemp("idx_store"))
+        TfidfScreenIndex.build(reference).save(idx_dir)
+        loaded = TfidfScreenIndex.load(spark, idx_dir)
+        got = sorted(map(tuple, loaded.screen(incoming).collect()))
+        assert got == want
+
+    check()
