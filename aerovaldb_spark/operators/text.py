@@ -1601,9 +1601,13 @@ def _verified_dots(
       on term and re-aggregate per pair. Moves only SHARED-term rows
       (<= min(|a|, |b|) per pair) at the price of the exchange +
       groupBy — the right shape for very long documents with thin
-      overlaps. Pairs sharing zero terms are left-joined back with
-      dot=0 so the shape equivalence holds unconditionally (not only
-      under a positive-threshold filter downstream).
+      overlaps.
+
+    Both shapes left-join back onto the candidate list and emit dot=0
+    for pairs that share zero terms OR reference a doc absent from the
+    weight frame (zero-norm), so the equivalence holds for ANY
+    candidate frame, not only under a positive-threshold filter
+    downstream.
     - ``auto``: ``keyed`` iff either side's avg terms/doc exceeds
       TFIDF_VERIFY_KEYED_MIN_AVG_TERMS. NOTE: this probe is an EAGER
       Spark action (one tiny aggregate per distinct side) executed at
@@ -1640,8 +1644,9 @@ def _verified_dots(
             )
         )
         # a candidate pair sharing ZERO terms vanishes from the inner
-        # join, but the map shape emits it with dot=0 — left-join back
-        # onto the candidate list and coalesce so the two shapes are
+        # join — left-join back onto the candidate list and coalesce
+        # to dot=0, the same rule the map shape applies to pairs whose
+        # doc has no weight rows at all, so the two shapes stay
         # bit-identical UNCONDITIONALLY, not only under the callers'
         # positive-threshold filters (prefix candidates always share a
         # term today; a future caller without that invariant must not
@@ -1663,20 +1668,34 @@ def _verified_dots(
     rmap = (
         lmap if right_w is left_w else _weight_map_frame(right_w)
     )
+    # LEFT joins + coalesce: a candidate referencing a doc with no
+    # weight rows (zero-norm doc, filtered by the weight builders)
+    # scores dot=0 instead of vanishing — the exact rule the keyed
+    # shape applies via its left-join-back, so map == keyed holds for
+    # EVERY candidate frame, not only ones derived from the weight
+    # frame (unreachable from current callers; pinned by test)
     return (
-        cand.join(
+        cand.select(left_id, right_id)
+        .join(
             lmap.select(
                 F.col("doc_id").alias(left_id), F.col("m").alias("ma")
             ),
             left_id,
+            "left",
         )
         .join(
             rmap.select(
                 F.col("doc_id").alias(right_id), F.col("m").alias("mb")
             ),
             right_id,
+            "left",
         )
-        .withColumn("dot", _map_dot_col())
+        .withColumn(
+            "dot",
+            F.coalesce(
+                _map_dot_col(), F.lit(0).cast("decimal(18,6)")
+            ),
+        )
         .select(left_id, right_id, "dot")
     )
 
@@ -1967,14 +1986,15 @@ def tfidf_banded_candidates(
     graded q110 spec is unguarded): dropping a bucket only LOWERS
     recall — pairs in other shared buckets still collide — and the
     guarded path is equivalence-bounded by test."""
-    sigs = _banded_signatures(w, bands, rows_per_band, top_terms)
+    # persist BEFORE any join: the signature frame feeds BOTH sides of
+    # the candidate self-join (and, guarded, the oversized aggregate
+    # too) — unpersisted, the top-terms window + seed explode + two
+    # aggregations execute once per reference (verified: the unguarded
+    # plan showed zero ReusedExchange before this persist)
+    sigs = scoped_persist(
+        _banded_signatures(w, bands, rows_per_band, top_terms)
+    )
     if max_bucket is not None:
-        # persist BEFORE the guard joins: the final plan references
-        # sigs four times (both anti-join inputs feeding both sides of
-        # the candidate self-join) and the oversized aggregate twice —
-        # unpersisted, the whole signing pipeline would re-run per
-        # reference on exactly the degenerate corpora the guard targets
-        sigs = scoped_persist(sigs)
         oversized = scoped_persist(
             sigs.groupBy("band", "sig")
             .agg(F.count(F.lit(1)).alias("_n"))

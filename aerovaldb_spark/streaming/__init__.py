@@ -1314,17 +1314,18 @@ def tfidf_screen_batch_fn(index, write, threshold: float = 0.8,
     ``TfidfScreenIndex.screen``) — per-doc output never depends on
     which micro-batch a doc arrived in."""
     def fn(batch_df: DataFrame, epoch_id: int) -> None:
-        from ..operators._scope import (
-            release_scoped_persists,
-            scope_mark,
-        )
+        from ..operators._scope import scoped_collector
 
         # release ONLY the persists this batch's screen registers —
         # bounding the stream's cache growth without evicting
         # intermediates belonging to concurrent queries, other
-        # streams, or a freshly-BUILT index's cached reference frames
-        mark = scope_mark()
-        try:
+        # streams, or a freshly-BUILT index's cached reference frames.
+        # scoped_collector snapshots THIS thread's registrations and
+        # releases them by identity, so concurrent streams (each
+        # foreachBatch fires on its own thread) can interleave without
+        # evicting each other's caches — a positional mark could not
+        # (see _scope.scope_mark)
+        with scoped_collector():
             write(
                 index.screen(
                     batch_df,
@@ -1334,24 +1335,40 @@ def tfidf_screen_batch_fn(index, write, threshold: float = 0.8,
                 ),
                 epoch_id,
             )
-        finally:
-            release_scoped_persists(mark)
 
     return fn
 
 
-def kmv_live_overlap(sketch_rows: DataFrame, k: int | None = None) -> DataFrame:
+def kmv_live_overlap(
+    sketch_rows: DataFrame,
+    k: int | None = None,
+    order_col: str | None = None,
+) -> DataFrame:
     """Pairwise KMV union/intersection/Jaccard ACROSS LIVE STREAM
     STATE: feed it a snapshot of :func:`stream_kmv_user_distinct`
     (``emit_kept=True``) output — a memory-sink table, a foreachBatch
     frame, or any accumulation of update rows — and it selects each
-    key's LATEST sketch (highest ``n_updates``; ties impossible, the
-    counter is per-key monotone) and runs batch q109's exact algebra
+    key's LATEST sketch and runs batch q109's exact algebra
     (:func:`~aerovaldb_spark.operators.events.kmv_overlap_from_sketches`)
     over the kept arrays. Bit-equal to ``kmv_overlap`` over the full
     replayed data (tested multi-batch) — "overlap so far" between two
     live streams costs k-row sketch rows per key, never a replay.
-    ``k`` must be the value the stream was built with."""
+    ``k`` must be the value the stream was built with.
+
+    "Latest" is highest ``n_updates``, which identifies the newest
+    sketch as long as the counter is per-key monotone over the
+    accumulated rows — true for any stream WITHOUT ``idle_timeout_ms``.
+    WITH idle eviction the counter RESTARTS at 1 after an expiry, so an
+    accumulated sink still holding pre-eviction rows would rank a stale
+    sketch above the genuinely latest one and ties become possible. For
+    that deployment, stamp accumulation order into the rows (e.g. a
+    ``foreachBatch`` accumulator adding ``F.lit(epoch_id)`` — see
+    :func:`epoch_stamped`) and pass its name as ``order_col``: rows
+    then rank by (order_col DESC, n_updates DESC), which is correct
+    across restarts because a later epoch always supersedes an earlier
+    one. Without ``order_col``, remaining ties break deterministically
+    (n_kept DESC, kept DESC) but may pick the stale sketch — the
+    documented price of an unordered snapshot after eviction."""
     from pyspark.sql import Window
 
     from ..operators.events import KMV_K, kmv_overlap_from_sketches
@@ -1362,10 +1379,14 @@ def kmv_live_overlap(sketch_rows: DataFrame, k: int | None = None) -> DataFrame:
             "stream_kmv_user_distinct with emit_kept=True (got columns "
             f"{sketch_rows.columns})"
         )
-
-    w = Window.partitionBy("event_type").orderBy(
-        F.col("n_updates").desc()
-    )
+    order = (
+        [F.col(order_col).desc()] if order_col is not None else []
+    ) + [
+        F.col("n_updates").desc(),
+        F.col("n_kept").desc(),
+        F.col("kept").desc(),
+    ]
+    w = Window.partitionBy("event_type").orderBy(*order)
     latest = (
         sketch_rows.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
@@ -1374,6 +1395,18 @@ def kmv_live_overlap(sketch_rows: DataFrame, k: int | None = None) -> DataFrame:
     return kmv_overlap_from_sketches(
         latest, KMV_K if k is None else k
     )
+
+
+def epoch_stamped(write, col: str = "_epoch"):
+    """``foreachBatch`` factory stamping each micro-batch's rows with
+    the epoch id before handing them to ``write`` — the accumulation
+    shape :func:`kmv_live_overlap` needs as ``order_col`` when the
+    upstream stateful stream uses ``idle_timeout_ms`` (epoch order
+    survives the n_updates restart an eviction causes)."""
+    def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        write(batch_df.withColumn(col, F.lit(int(epoch_id))), epoch_id)
+
+    return fn
 
 
 def purchases_with_recent_clicks(

@@ -560,6 +560,51 @@ def test_fuzzed_events_match_oracle(qname, spark, tmp_path_factory):
 # verify-shape equivalence: the map and keyed verification plans must
 # be bit-identical (both sum the same round6'd DECIMAL terms), and the
 # auto switch must pick map for short docs / keyed for long ones.
+def test_verify_shapes_equal_outside_weight_frame(spark):
+    """map == keyed must hold for ANY candidate frame, including pairs
+    referencing a doc ABSENT from the weight frame (zero-norm doc):
+    both shapes left-join back onto the candidates and emit dot=0.
+    Unreachable from current callers (their candidates derive from the
+    weight frame) — pinned so the stated unconditional invariant can't
+    silently regress."""
+    from pyspark.sql import functions as F
+
+    from aerovaldb_spark.operators.text import (
+        _verified_dots,
+        tfidf_weight_frame,
+    )
+
+    # doc 3's only term appears in every doc -> idf 0 -> zero norm ->
+    # filtered from the weight frame entirely
+    docs = spark.createDataFrame(
+        [(1, "common alpha beta"), (2, "common alpha beta"), (3, "common")],
+        "doc_id bigint, text string",
+    )
+    w, _stats, _n = tfidf_weight_frame(docs)
+    assert w.where(F.col("doc_id") == 3).count() == 0
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3), (3, 2)], "doc_a bigint, doc_b bigint"
+    )
+    got = {
+        shape: sorted(
+            map(
+                tuple,
+                _verified_dots(
+                    cand, w, w, "doc_a", "doc_b", shape
+                ).collect(),
+            )
+        )
+        for shape in ("map", "keyed")
+    }
+    assert got["map"] == got["keyed"]
+    assert len(got["map"]) == 3
+    for t in got["map"]:
+        if 3 in (t[0], t[1]):
+            assert float(t[2]) == 0.0
+        else:
+            assert float(t[2]) > 0.0
+
+
 def test_tfidf_verify_shapes_bit_equal_fuzzed(spark, tmp_path_factory):
     from aerovaldb_spark.catalog import load_table
     from aerovaldb_spark.operators.text import (

@@ -321,6 +321,70 @@ def test_kmv_live_overlap_matches_batch_algebra(spark, tmp_path):
     assert got == want
 
 
+def test_kmv_live_overlap_order_col_beats_eviction_restart(spark):
+    """After an idle_timeout eviction the per-key n_updates counter
+    restarts at 1, so an accumulated update-mode sink can hold a STALE
+    row with a HIGHER n_updates than the genuinely latest sketch.
+    order_col (an epoch stamp per accumulated batch — see
+    epoch_stamped) must pick by accumulation order; the default
+    n_updates ranking demonstrably picks the stale row (the documented
+    hazard)."""
+    from aerovaldb_spark.operators.events import kmv_overlap_from_sketches
+    from aerovaldb_spark.streaming import kmv_live_overlap
+
+    schema = (
+        "event_type string, n_updates int, n_kept bigint, "
+        "kmv_users double, kept array<long>, _epoch long"
+    )
+    stale = [10, 20, 30]
+    fresh = [40, 50]
+    other = [10, 40, 70]
+    rows = [
+        # pre-eviction accumulation for "click": 5 updates by epoch 3
+        ("click", 5, 3, 3.0, stale, 3),
+        # eviction fired; post-restart sketch arrives at epoch 9
+        ("click", 1, 2, 2.0, fresh, 9),
+        ("view", 1, 3, 3.0, other, 9),
+    ]
+    sketch_rows = spark.createDataFrame(rows, schema)
+
+    def overlap_for(kept_click):
+        latest = spark.createDataFrame(
+            [("click", kept_click), ("view", other)],
+            "key string, kept array<long>",
+        )
+        return sorted(
+            map(tuple, kmv_overlap_from_sketches(latest, 8).collect())
+        )
+
+    got_epoch = sorted(
+        map(
+            tuple,
+            kmv_live_overlap(sketch_rows, k=8, order_col="_epoch").collect(),
+        )
+    )
+    assert got_epoch == overlap_for(fresh)
+    # default ranking picks the stale higher-n_updates row — the
+    # docstring's stated limitation, pinned so a change is deliberate
+    got_default = sorted(
+        map(tuple, kmv_live_overlap(sketch_rows, k=8).collect())
+    )
+    assert got_default == overlap_for(stale)
+
+
+def test_epoch_stamped_foreachbatch_adds_epoch(spark, tmp_path):
+    """epoch_stamped hands write() the batch with the epoch id column
+    — accumulated rows then carry the order kmv_live_overlap needs."""
+    from aerovaldb_spark.streaming import epoch_stamped
+
+    seen = []
+    fn = epoch_stamped(lambda df, eid: seen.append((df, eid)))
+    fn(spark.range(3), 7)
+    df, eid = seen[0]
+    assert eid == 7
+    assert [r["_epoch"] for r in df.collect()] == [7, 7, 7]
+
+
 def test_running_totals_accumulate_across_batches(spark, tmp_path):
     from aerovaldb_spark.streaming import (
         run_stream_to_memory,

@@ -674,3 +674,62 @@ def test_scope_mark_partial_release(spark):
     assert not b.storageLevel.useMemory
     assert release_scoped_persists(base) == 1
     assert not a.storageLevel.useMemory
+
+
+def test_scoped_collector_releases_only_own_thread(spark):
+    """scoped_collector must release exactly the persists ITS thread
+    registered while active — interleaved registrations from another
+    thread (a concurrent stream's micro-batch) stay cached AND stay in
+    the registry for their own collector to release (the mark-based
+    hazard the collector exists to fix)."""
+    import threading
+
+    from aerovaldb_spark.operators._scope import (
+        scoped_collector,
+        scoped_persist,
+    )
+
+    other: list = []
+    started = threading.Event()
+    finish = threading.Event()
+
+    def rival():
+        with scoped_collector() as c:
+            df = scoped_persist(spark.range(30))
+            df.count()
+            other.append(df)
+            started.set()
+            finish.wait(30)
+        other.append(c)  # exited: its own persist released
+
+    t = threading.Thread(target=rival)
+    with scoped_collector():
+        mine = scoped_persist(spark.range(10))
+        mine.count()
+        t.start()
+        assert started.wait(30)
+        # rival's persist registered AFTER mine — a positional
+        # truncation would evict it here; identity release must not
+    assert not mine.storageLevel.useMemory
+    assert other[0].storageLevel.useMemory  # rival untouched
+    finish.set()
+    t.join(30)
+    assert not other[0].storageLevel.useMemory  # rival released its own
+
+
+def test_scoped_collector_nested(spark):
+    """Nested collectors each own what was registered while innermost."""
+    from aerovaldb_spark.operators._scope import (
+        scoped_collector,
+        scoped_persist,
+    )
+
+    with scoped_collector():
+        outer = scoped_persist(spark.range(5))
+        outer.count()
+        with scoped_collector():
+            inner = scoped_persist(spark.range(6))
+            inner.count()
+        assert not inner.storageLevel.useMemory
+        assert outer.storageLevel.useMemory
+    assert not outer.storageLevel.useMemory
