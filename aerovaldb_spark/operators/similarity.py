@@ -748,6 +748,46 @@ class IVFIndex:
         )
         return IVFIndex(centroids, assignments, vec_col, id_col)
 
+    def add(
+        self, vectors: DataFrame, path: str | None = None
+    ) -> "IVFIndex":
+        """Incremental append: assign new vectors to the nearest
+        FROZEN centroid (:func:`ivf_assign` — the same deterministic
+        round6 + list_id tie-break convention the frozen-centroid
+        serve path q66 uses) and add them to the list_id-partitioned
+        assignments, so a growing corpus never re-fits or re-assigns
+        the existing index. With ``path`` the new rows append to the
+        existing parquet (centroids are untouched — they are the
+        frozen model) and the returned index reads from disk; without
+        it the append is in-memory.
+
+        STALENESS: centroids stay frozen — appends are exact under the
+        frozen-model contract, but the KMeans fit no longer reflects
+        the grown distribution, so list sizes can skew and recall at a
+        fixed n_probe can drift as appended data diverges from the
+        build-time sample. Re-``build`` when the corpus has shifted
+        materially. Appended ids must not collide with existing ones."""
+        new = ivf_assign(
+            vectors, self.centroids, self.vec_col, self.id_col
+        )
+        if path is None:
+            return IVFIndex(
+                self.centroids,
+                self.assignments.unionByName(new),
+                self.vec_col,
+                self.id_col,
+            )
+        import os as _os
+
+        (
+            new.write.mode("append")
+            .partitionBy("list_id")
+            .parquet(_os.path.join(path, "assignments"))
+        )
+        return IVFIndex.load(
+            new.sparkSession, path, self.vec_col, self.id_col
+        )
+
     def save(self, path: str) -> None:
         _save_ivf_layout(self.centroids, self.assignments, path)
 
@@ -1702,6 +1742,44 @@ class SRPIndex:
         )
         return SRPIndex(assignments, dim, planes, vec_col, id_col)
 
+    def add(
+        self, vectors: DataFrame, path: str | None = None
+    ) -> "SRPIndex":
+        """Incremental append: sign new vectors with the index's
+        (dim, planes) quantizer and add them to the bucket-partitioned
+        assignments — a growing corpus never forces a rebuild. The SRP
+        quantizer is deterministic and parameter-frozen at build, so
+        unlike the KMeans family there is NO staleness at all:
+        ``build(old).add(new)`` is bit-identical to
+        ``build(old ∪ new)`` (tested). With ``path`` the new rows
+        append to the existing parquet (one atomic write job; existing
+        bucket files are never rewritten) and the returned index reads
+        from disk; without it the append is in-memory. Appended ids
+        must not collide with existing ones (a duplicate would serve
+        as two reference rows)."""
+        new = vectors.select(
+            self.id_col,
+            self.vec_col,
+            srp_signature_col(
+                self.vec_col, self.dim, self.planes
+            ).alias("bucket"),
+        )
+        if path is None:
+            return SRPIndex(
+                self.assignments.unionByName(new),
+                self.dim, self.planes, self.vec_col, self.id_col,
+            )
+        import os as _os
+
+        (
+            new.write.mode("append")
+            .partitionBy("bucket")
+            .parquet(_os.path.join(path, "assignments"))
+        )
+        return SRPIndex.load(
+            new.sparkSession, path, self.vec_col, self.id_col
+        )
+
     def save(self, path: str) -> None:
         import os as _os
 
@@ -1873,6 +1951,42 @@ class QuantizedSRPIndex:
         )
         return QuantizedSRPIndex(assignments, dim, planes, id_col)
 
+    def add(
+        self,
+        vectors: DataFrame,
+        path: str | None = None,
+        vec_col: str = "embedding",
+    ) -> "QuantizedSRPIndex":
+        """Incremental append: quantize new vectors to int8 codes and
+        sign them with the frozen (dim, planes) quantizer — both
+        deterministic and per-vector, so like :meth:`SRPIndex.add`
+        this is bit-identical to a one-shot build over the union
+        (tested), with no staleness. With ``path`` the new rows append
+        to the bucket-partitioned parquet; without it the append is
+        in-memory. Appended ids must not collide with existing ones."""
+        new = _quantized_codes_frame(vectors, vec_col, self.id_col).select(
+            self.id_col,
+            F.transform("codes", lambda x: x.cast("tinyint")).alias(
+                "codes"
+            ),
+            srp_signature_col("codes", self.dim, self.planes).alias(
+                "bucket"
+            ),
+        )
+        if path is None:
+            return QuantizedSRPIndex(
+                self.assignments.unionByName(new),
+                self.dim, self.planes, self.id_col,
+            )
+        import os as _os
+
+        (
+            new.write.mode("append")
+            .partitionBy("bucket")
+            .parquet(_os.path.join(path, "assignments"))
+        )
+        return QuantizedSRPIndex.load(new.sparkSession, path, self.id_col)
+
     def save(self, path: str) -> None:
         import os as _os
 
@@ -2032,6 +2146,48 @@ class QuantizedIVFIndex:
             )
         )
         return QuantizedIVFIndex(centroids, assignments, id_col)
+
+    def add(
+        self,
+        vectors: DataFrame,
+        path: str | None = None,
+        vec_col: str = "embedding",
+    ) -> "QuantizedIVFIndex":
+        """Incremental append: assign new RAW vectors to the nearest
+        FROZEN centroid (build's own :func:`ivf_assign` convention),
+        quantize to int8 codes, and add to the list_id-partitioned
+        assignments. Deterministic given the frozen centroids —
+        ``build(old ∪ new, centroids)`` and ``build(old,
+        centroids).add(new)`` are bit-identical (tested); the
+        :meth:`IVFIndex.add` staleness note applies to the centroids
+        (frozen model vs grown distribution). Appended ids must not
+        collide with existing ones."""
+        new = (
+            ivf_assign(vectors, self.centroids, vec_col, self.id_col)
+            .withColumn("codes", _q8_codes(vec_col))
+            .filter(F.col("codes").isNotNull())
+            .select(
+                self.id_col,
+                F.transform(
+                    "codes", lambda x: x.cast("tinyint")
+                ).alias("codes"),
+                "list_id",
+            )
+        )
+        if path is None:
+            return QuantizedIVFIndex(
+                self.centroids,
+                self.assignments.unionByName(new),
+                self.id_col,
+            )
+        import os as _os
+
+        (
+            new.write.mode("append")
+            .partitionBy("list_id")
+            .parquet(_os.path.join(path, "assignments"))
+        )
+        return QuantizedIVFIndex.load(new.sparkSession, path, self.id_col)
 
     def save(self, path: str) -> None:
         _save_ivf_layout(self.centroids, self.assignments, path)

@@ -2170,7 +2170,12 @@ class TfidfScreenIndex:
     doubles, longs and signature strings round-trip parquet exactly).
     The signature table is partitioned by band (bounded at ``bands``
     directories); every band is probed by design, so the win is
-    compute-once reuse, not partition pruning."""
+    compute-once reuse, not partition pruning. A growing reference
+    corpus appends incrementally via :meth:`add` — new docs are signed
+    under the frozen stats and appended to the parquet, never forcing
+    a rebuild (the reference store itself is put-anytime incremental:
+    /root/reference/src/aerovaldb/jsonfiledb.py:386-413 — the index
+    layer matches)."""
 
     def __init__(
         self,
@@ -2251,6 +2256,65 @@ class TfidfScreenIndex:
             int(meta["rows_per_band"]),
             int(meta["top_terms"]),
         )
+
+    def add(
+        self, docs: DataFrame, path: str | None = None
+    ) -> "TfidfScreenIndex":
+        """Incremental append: weight and sign ``docs`` under the
+        index's FROZEN idf statistics and add them to the reference —
+        the growing-corpus production event (yesterday's index +
+        today's docs) WITHOUT re-tokenizing, re-weighting, or
+        re-signing the existing reference. Exact under the index's own
+        frozen-reference contract: appended docs get exactly the
+        weights/signatures ``screen`` would compute for them as
+        incoming docs (shared code — ``_weight_incoming_under`` +
+        ``_banded_signatures``), so an in-memory append, a parquet
+        append, and a one-shot build over the union under the same
+        frozen stats all screen bit-equally (tested).
+
+        With ``path`` (the directory this index was saved to/loaded
+        from), the NEW rows are appended to the ``weights`` and
+        band-partitioned ``signatures`` parquet — the existing files
+        are never rewritten — and the returned index reads from disk;
+        without it the append is in-memory (union). Each parquet
+        append is one atomic Spark write job; re-running a failed
+        ``add`` with the same docs would duplicate their rows, so
+        treat add batches as idempotence units (retry only after
+        removing the partial batch, or rebuild).
+
+        STALENESS: ``stats``/``n`` stay frozen at build time — by
+        design (it is what makes appends exact and incoming batches
+        reference-state-free) — so df counts do not reflect appended
+        docs, and a fresh ``build`` over the grown corpus would assign
+        slightly different idf weights as term frequencies drift.
+        Rebuild when the corpus has grown enough that drift matters
+        (a few percent of corpus size is harmless; an order of
+        magnitude is not). Appended doc_ids must not collide with
+        existing reference ids: a duplicated id with different text
+        would merge two docs' weight rows into one corrupt vector."""
+        w_new = _weight_incoming_under(docs, self.stats, self.n)
+        sig_new = _banded_signatures(
+            w_new, self.bands, self.rows_per_band, self.top_terms
+        )
+        if path is None:
+            return TfidfScreenIndex(
+                self.stats,
+                self.n,
+                self.weights.unionByName(w_new),
+                self.signatures.unionByName(sig_new),
+                self.bands,
+                self.rows_per_band,
+                self.top_terms,
+            )
+        import os as _os
+
+        w_new.write.mode("append").parquet(_os.path.join(path, "weights"))
+        (
+            sig_new.write.mode("append")
+            .partitionBy("band")
+            .parquet(_os.path.join(path, "signatures"))
+        )
+        return TfidfScreenIndex.load(self.weights.sparkSession, path)
 
     def screen(
         self,

@@ -433,6 +433,74 @@ def test_srp_index_save_load_matches_ephemeral(spark, tmp_path):
     assert "PartitionFilters" in plan and "bucket" in plan
 
 
+def test_srp_index_add_matches_full_build(spark, tmp_path):
+    """Incremental append, SRP family: the quantizer is deterministic
+    and parameter-frozen, so build(old).add(new) must serve
+    BIT-IDENTICAL results to build(old ∪ new) — in memory, after a
+    parquet append, and for the quantized variant."""
+    from pyspark.sql import functions as F
+
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators.similarity import (
+        Q91_PLANES,
+        Q101_PLANES,
+        QuantizedSRPIndex,
+        SRPIndex,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    old = emb.filter(F.col("vec_id") % 3 != 0)
+    new = emb.filter(F.col("vec_id") % 3 == 0)
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    want = sorted(
+        map(
+            tuple,
+            SRPIndex.build(emb, dim=64, planes=Q91_PLANES)
+            .topk(queries, k=10)
+            .collect(),
+        )
+    )
+    idx = SRPIndex.build(old, dim=64, planes=Q91_PLANES)
+    got_mem = sorted(map(tuple, idx.add(new).topk(queries, k=10).collect()))
+    assert got_mem == want
+
+    path = str(tmp_path / "srp_grow")
+    idx.save(path)
+    disk = SRPIndex.load(spark, path).add(new, path=path)
+    assert sorted(map(tuple, disk.topk(queries, k=10).collect())) == want
+    # a FRESH load sees the appended rows
+    assert (
+        sorted(
+            map(
+                tuple,
+                SRPIndex.load(spark, path).topk(queries, k=10).collect(),
+            )
+        )
+        == want
+    )
+
+    want_q = sorted(
+        map(
+            tuple,
+            QuantizedSRPIndex.build(emb, dim=64, planes=Q101_PLANES)
+            .topk(queries, k=10)
+            .collect(),
+        )
+    )
+    qidx = QuantizedSRPIndex.build(old, dim=64, planes=Q101_PLANES)
+    assert (
+        sorted(map(tuple, qidx.add(new).topk(queries, k=10).collect()))
+        == want_q
+    )
+    qpath = str(tmp_path / "qsrp_grow")
+    qidx.save(qpath)
+    qdisk = QuantizedSRPIndex.load(spark, qpath).add(new, path=qpath)
+    assert (
+        sorted(map(tuple, qdisk.topk(queries, k=10).collect())) == want_q
+    )
+
+
 def test_bpe_encode_docs_sequences(spark):
     """Doc-level token sequences: word order preserved, concatenation
     reproduces the normalized words, and lengths agree with the count

@@ -247,6 +247,102 @@ def test_frozen_ivf_save_load_matches_q66(spark, tmp_path):
     assert got == direct
 
 
+def test_ivf_index_add_under_frozen_centroids(spark, tmp_path):
+    """Incremental append, KMeans family: with centroids FROZEN,
+    assignment is deterministic (ivf_assign's round6 + tie-break), so
+    an index over `old` plus add(new) must serve bit-identically to a
+    one-shot assignment over the union — in memory, after a parquet
+    append, and for the quantized variant. Centroids are never
+    rewritten by the append."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators.similarity import (
+        IVFIndex,
+        QuantizedIVFIndex,
+        frozen_ivf_centroids,
+        ivf_assign,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    old = emb.filter(F.col("vec_id") % 3 != 0)
+    new = emb.filter(F.col("vec_id") % 3 == 0)
+    queries = emb.filter(F.col("vec_id") < 5)
+    cents = frozen_ivf_centroids(spark)
+
+    want = sorted(
+        map(
+            tuple,
+            IVFIndex(cents, ivf_assign(emb, cents), "embedding", "vec_id")
+            .topk(queries, k=5, n_probe=3)
+            .collect(),
+        )
+    )
+    idx = IVFIndex(cents, ivf_assign(old, cents), "embedding", "vec_id")
+    got_mem = sorted(
+        map(tuple, idx.add(new).topk(queries, k=5, n_probe=3).collect())
+    )
+    assert got_mem == want
+
+    path = str(tmp_path / "ivf_grow")
+    idx.save(path)
+    cent_mtime = max(
+        _os.path.getmtime(_os.path.join(path, "centroids", f))
+        for f in _os.listdir(_os.path.join(path, "centroids"))
+    )
+    disk = IVFIndex.load(spark, path).add(new, path=path)
+    assert (
+        sorted(map(tuple, disk.topk(queries, k=5, n_probe=3).collect()))
+        == want
+    )
+    # centroids untouched by the append (frozen model files unchanged)
+    assert cent_mtime == max(
+        _os.path.getmtime(_os.path.join(path, "centroids", f))
+        for f in _os.listdir(_os.path.join(path, "centroids"))
+    )
+    assert (
+        sorted(
+            map(
+                tuple,
+                IVFIndex.load(spark, path)
+                .topk(queries, k=5, n_probe=3)
+                .collect(),
+            )
+        )
+        == want
+    )
+
+    want_q = sorted(
+        map(
+            tuple,
+            QuantizedIVFIndex.build(emb, cents)
+            .topk(queries, k=5, n_probe=3)
+            .collect(),
+        )
+    )
+    qidx = QuantizedIVFIndex.build(old, cents)
+    assert (
+        sorted(
+            map(
+                tuple,
+                qidx.add(new).topk(queries, k=5, n_probe=3).collect(),
+            )
+        )
+        == want_q
+    )
+    qpath = str(tmp_path / "qivf_grow")
+    qidx.save(qpath)
+    qdisk = QuantizedIVFIndex.load(spark, qpath).add(new, path=qpath)
+    assert (
+        sorted(
+            map(tuple, qdisk.topk(queries, k=5, n_probe=3).collect())
+        )
+        == want_q
+    )
+
+
 def test_quantized_ivf_save_load_matches_ephemeral(spark, tmp_path):
     """QuantizedIVFIndex build→save→load→topk bit-equals the graded
     q108 (which serves from the in-memory build), and the on-disk

@@ -600,6 +600,68 @@ def test_tfidf_screen_index_roundtrip_matches_ephemeral(spark, tmp_path):
     assert {d for d, f in guarded.items() if f} <= flagged
 
 
+def test_tfidf_screen_index_incremental_add(spark, tmp_path):
+    """Incremental append: add() signs new reference docs under the
+    FROZEN idf stats — the in-memory append, the parquet append, and a
+    post-append reload must all screen bit-equally; growing the
+    reference can only ADD flags; and a probe identical to an appended
+    doc must match it (it couldn't before the append)."""
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators.text import TfidfScreenIndex
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    ref = docs.where("doc_id % 4 = 0")
+    probes = docs.where("doc_id % 2 = 1")
+    # appended batch: fresh corpus docs PLUS an exact copy of one
+    # probe's text under a new id — a guaranteed post-append match
+    planted_src = probes.orderBy("doc_id").limit(1).collect()[0]
+    new = docs.where("doc_id % 4 = 2").unionByName(
+        spark.createDataFrame(
+            [(10**6, planted_src["text"])], "doc_id long, text string"
+        )
+    )
+
+    idx = TfidfScreenIndex.build(ref)
+    before = {
+        r["doc_id"]: (r["match_id"], r["tfidf_dup"])
+        for r in idx.screen(probes).collect()
+    }
+
+    mem = idx.add(new)
+    assert mem.stats is idx.stats and mem.n is idx.n  # frozen by identity
+    got_mem = sorted(map(tuple, mem.screen(probes).collect()))
+
+    p = str(tmp_path / "grow_idx")
+    idx.save(p)
+    disk = TfidfScreenIndex.load(spark, p).add(new, path=p)
+    got_disk = sorted(map(tuple, disk.screen(probes).collect()))
+    assert got_disk == got_mem
+    # the append hit disk: a FRESH load sees the appended rows
+    again = sorted(
+        map(
+            tuple,
+            TfidfScreenIndex.load(spark, p).screen(probes).collect(),
+        )
+    )
+    assert again == got_mem
+
+    after = {t[0]: (t[1], t[3]) for t in got_mem}
+    # growth is monotone: a doc flagged before stays flagged (its old
+    # match is still in the reference; candidates only grew)
+    assert {d for d, v in before.items() if v[1]} <= {
+        d for d, v in after.items() if v[1]
+    }
+    # the planted twin: unflagged (or matched elsewhere) before, now
+    # matched at cosine 1.0 against the appended copy — unless an
+    # equally-perfect OLD match with a lower id already existed
+    pd_id = planted_src["doc_id"]
+    assert after[pd_id][1] is True
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    assert after[pd_id][0] in new_ids or before[pd_id][1]
+
+
 def test_screen_index_same_id_rule_and_reference_only_guard(spark):
     """Two r9 contract points of the persisted index: (a) the self-id
     rule — an incoming doc sharing a reference doc_id is assumed to BE
