@@ -1894,6 +1894,104 @@ TFIDF_BAND_ROWS = 2
 TFIDF_BAND_TOP_TERMS = 16
 
 
+def band_collision_prob(
+    jaccard: float, bands: int, rows_per_band: int
+) -> float:
+    """The banded-minhash collision model: probability that a pair
+    whose top-term sets have Jaccard ``jaccard`` collides in at least
+    one of ``bands`` bands of ``rows_per_band`` independent minhashes —
+    p = 1 - (1 - J^rows)^bands (the standard LSH S-curve; Leskovec et
+    al., Mining of Massive Datasets ch. 3)."""
+    return 1.0 - (1.0 - jaccard**rows_per_band) ** bands
+
+
+def effective_jaccard(
+    bands: int, rows_per_band: int, measured_recall: float
+) -> float:
+    """Invert the collision model at ONE measured operating point:
+    the top-term Jaccard J for which :func:`band_collision_prob`\\(J,
+    bands, rows_per_band) equals ``measured_recall`` — i.e. the
+    corpus's EFFECTIVE threshold-pair Jaccard. This is how the dial
+    becomes corpus-calibrated: measure recall once at any dial on a
+    sample (banded output vs the exact rung), invert here, then feed
+    the result to :func:`choose_band_dial` as ``jaccard``. One point
+    calibrates the whole table: the r9 sf0.01 template measurements
+    (SCALING.md "q110 operating points") fit a single J_eff = 0.4595
+    — (8,2)→0.850 exact by construction, predicting (16,2)→0.977 vs
+    0.963 measured and (8,3)→0.558 vs 0.605 measured."""
+    if not 0.0 < measured_recall < 1.0:
+        raise ValueError(
+            f"measured_recall must be in (0, 1), got {measured_recall}"
+        )
+    return (
+        1.0 - (1.0 - measured_recall) ** (1.0 / bands)
+    ) ** (1.0 / rows_per_band)
+
+
+def choose_band_dial(
+    threshold: float | None = None,
+    target_recall: float = 0.95,
+    jaccard: float | None = None,
+    max_seeds: int = 64,
+    max_rows: int = 8,
+) -> tuple[int, int]:
+    """(bands, rows_per_band) for the banded TF-IDF rungs meeting a
+    recall target under the collision model — the usable form of the
+    dial: a caller wanting "recall >= 0.95 on my corpus" no longer
+    reads the SCALING.md operating-point table and re-derives LSH
+    theory.
+
+    Model contract (the thing this helper guarantees): a pair whose
+    TOP-TERM Jaccard is >= ``jaccard`` collides with probability >=
+    ``target_recall`` under :func:`band_collision_prob`. The accurate
+    way in is a corpus-CALIBRATED ``jaccard``: measure recall once at
+    any dial on a sample and invert via :func:`effective_jaccard` (the
+    q112 pattern). When only ``threshold`` (cosine) is given, the
+    Jaccard floor falls back to the equal-size binary-set identity
+    J = t / (2 - t) (cos c over two n-term binary vectors has
+    |A∩B| = c*n, so J = c/(2-c)) — a HEURISTIC for weighted top-term
+    sets that real dense corpora undershoot (template sf0.01 measures
+    J_eff 0.46 vs the floor's 0.67), so treat model recall at the
+    assumed J as the contract and calibrate when the target matters.
+
+    Policy: maximize ``rows_per_band`` (bucket selectivity — fewer
+    chance collisions per bucket, the dial that controls candidate
+    noise) subject to the signing budget ``bands * rows_per_band <=
+    max_seeds``, with ``bands`` minimal for the target at that row
+    count. Raises if no dial fits the budget (raise ``max_seeds`` or
+    lower the target)."""
+    import math
+
+    if jaccard is None:
+        if threshold is None:
+            raise ValueError("pass threshold or jaccard")
+        if not 0.0 < threshold <= 1.0:
+            raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+        jaccard = threshold / (2.0 - threshold)
+    if not 0.0 < jaccard <= 1.0:
+        raise ValueError(f"jaccard must be in (0, 1], got {jaccard}")
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError(
+            f"target_recall must be in (0, 1), got {target_recall}"
+        )
+    for rows in range(max_rows, 0, -1):
+        p = jaccard**rows
+        bands = (
+            1
+            if p >= 1.0
+            else math.ceil(
+                math.log(1.0 - target_recall) / math.log(1.0 - p)
+            )
+        )
+        if bands * rows <= max_seeds:
+            return bands, rows
+    raise ValueError(
+        f"no (bands, rows_per_band) meets recall {target_recall} at "
+        f"jaccard {jaccard:.4f} within {max_seeds} seeds — raise "
+        "max_seeds or lower target_recall"
+    )
+
+
 def _banded_signatures(
     w: DataFrame,
     bands: int = TFIDF_BAND_BANDS,
@@ -2751,13 +2849,18 @@ FROM redacted
 """
 
 
-# q110 oracle: FULL stage mirror of the banded path — the same weight
-# frame as Q99_SQL, then the banding stages replayed literally (top-
-# weight prefix with the identical rank tie, md5 minhash per seed,
-# ORDER BY seed signature concat, (band, sig) self-join) and the same
-# exact verify + kNN tail. Deterministic end to end, so recall loss
-# is part of the SPEC both engines compute, not noise.
-Q110_SQL = f"""
+# q110/q112 oracle: FULL stage mirror of the banded path — the same
+# weight frame as Q99_SQL, then the banding stages replayed literally
+# (top-weight prefix with the identical rank tie, md5 minhash per
+# seed, ORDER BY seed signature concat, (band, sig) self-join) and the
+# same exact verify + kNN tail. Deterministic end to end, so recall
+# loss is part of the SPEC both engines compute, not noise. Templated
+# on the dial so the default rung (q110) and the chooser-selected rung
+# (q112) replay one definition.
+def _banded_knn_sql(
+    bands: int, rows_per_band: int, top_terms: int, threshold: float
+) -> str:
+    return f"""
 WITH terms AS (
   SELECT doc_id, term, COUNT(*) AS tf FROM (
     SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
@@ -2783,17 +2886,17 @@ w0 AS (
       ROW_NUMBER() OVER (PARTITION BY doc_id
                          ORDER BY w DESC, term ASC) AS rk
     FROM w
-  ) WHERE rk <= {TFIDF_BAND_TOP_TERMS}
+  ) WHERE rk <= {top_terms}
 ), seeds AS (
   SELECT unnest(generate_series(
-    0, {TFIDF_BAND_BANDS * TFIDF_BAND_ROWS - 1})) AS seed
+    0, {bands * rows_per_band - 1})) AS seed
 ), mh AS (
   SELECT doc_id, seed,
     MIN(CAST('0x' || substring(
       md5(CAST(seed AS VARCHAR) || ':' || term), 1, 15) AS BIGINT)) AS mh
   FROM topt CROSS JOIN seeds GROUP BY doc_id, seed
 ), sigs AS (
-  SELECT doc_id, CAST(seed // {TFIDF_BAND_ROWS} AS INT) AS band,
+  SELECT doc_id, CAST(seed // {rows_per_band} AS INT) AS band,
     string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed) AS sig
   FROM mh GROUP BY doc_id, band
 ), cand AS (
@@ -2808,7 +2911,7 @@ w0 AS (
   JOIN w b ON b.doc_id = c.doc_b AND b.term = a.term
   GROUP BY 1, 2
 ), hits AS (
-  SELECT * FROM dots WHERE CAST(dot AS DOUBLE) >= 0.8
+  SELECT * FROM dots WHERE CAST(dot AS DOUBLE) >= {threshold}
 ), sym AS (
   SELECT doc_a AS doc_id, doc_b AS neighbor_id, dot FROM hits
   UNION ALL
@@ -2823,6 +2926,45 @@ FROM (
 )
 WHERE nn_rank <= 10
 """
+
+
+Q110_SQL = _banded_knn_sql(
+    TFIDF_BAND_BANDS, TFIDF_BAND_ROWS, TFIDF_BAND_TOP_TERMS, 0.8
+)
+
+# q112: the banded kNN rung at a CHOOSER-SELECTED dial — the graded
+# proof that the dial machinery wires straight into the operator and
+# its oracle (both sides template the chosen (bands, rows) into the
+# same stage definitions). The full calibration loop, as a user would
+# run it: the r9 measured operating point ((8,2) -> recall 0.850 at
+# sf0.01, SCALING.md) inverts to the corpus's effective threshold-pair
+# Jaccard, and the chooser turns (J_eff, target 0.95) into (13, 2) —
+# model recall 0.954, i.e. the model PREDICTS ~0.95 measured recall at
+# this dial; the round-10 SCALING.md row records model vs measured.
+Q112_THRESHOLD = 0.8
+Q112_TARGET_RECALL = 0.95
+Q112_CALIBRATION = (8, 2, 0.850)  # r9 measured: dial -> recall
+Q112_DIAL = choose_band_dial(
+    target_recall=Q112_TARGET_RECALL,
+    jaccard=effective_jaccard(*Q112_CALIBRATION),
+)
+
+
+def q112_tfidf_banded_knn_dialed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    bands, rows_per_band = Q112_DIAL
+    return tfidf_banded_knn(
+        load_table(spark, sf_dir, "documents"),
+        threshold=Q112_THRESHOLD,
+        bands=bands,
+        rows_per_band=rows_per_band,
+    )
+
+
+Q112_SQL = _banded_knn_sql(
+    Q112_DIAL[0], Q112_DIAL[1], TFIDF_BAND_TOP_TERMS, Q112_THRESHOLD
+)
 
 
 # q102 oracle: the all-pairs spec of the self-screen — reference =
@@ -2978,6 +3120,7 @@ QUERIES = {
     "q102_tfidf_reference_screen": q102_tfidf_reference_screen,
     "q110_tfidf_banded_knn": q110_tfidf_banded_knn,
     "q111_tfidf_banded_screen": q111_tfidf_banded_screen,
+    "q112_tfidf_banded_knn_dialed": q112_tfidf_banded_knn_dialed,
     "q105_decontaminate_spans": q105_decontaminate_spans,
 }
 
@@ -3007,5 +3150,6 @@ ORACLE = {
     "q102_tfidf_reference_screen": Q102_SQL,
     "q110_tfidf_banded_knn": Q110_SQL,
     "q111_tfidf_banded_screen": Q111_SQL,
+    "q112_tfidf_banded_knn_dialed": Q112_SQL,
     "q105_decontaminate_spans": Q105_SQL,
 }

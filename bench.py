@@ -46,6 +46,7 @@ PIPELINE = [
     "q99_tfidf_cosine_knn",
     "q102_tfidf_reference_screen",
     "q110_tfidf_banded_knn",
+    "q112_tfidf_banded_knn_dialed",
     "q96_bounded_semantic_dedup",
     "q100_bpe_large_token_stats",
     "q62_dedup_pipeline",
@@ -195,10 +196,14 @@ def main() -> None:
     # is self-sufficient. The external load on this shared box swings
     # 1x-7x within minutes, so a single retry usually catches a
     # quieter window.
+    # default retry cap raised 1 -> 4 (r9: with one retry BOTH headline
+    # attempts landed in busy windows and the round's comparable number
+    # lived only in SCALING.md prose; the loop below already stops at
+    # the first attempt under the threshold, so quiet runs pay nothing)
     rerun_threshold = float(
         os.environ.get("SPARK_GRAFT_BENCH_RERUN_LOAD", "1.2")
     )
-    max_retries = int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "1"))
+    max_retries = int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "4"))
 
     # errors recorded during cold/warm are permanent skips (a broken
     # query must not be retried 5x per attempt); errors that first
@@ -379,7 +384,15 @@ def main() -> None:
     out["value_load_normalized_advisory"] = round(total / max(load, 0.05), 3)
     if ERRORS:
         out["errors"] = ERRORS
-    print(json.dumps(out))
+    # print the artifact line TWICE: the external driver's tail capture
+    # has truncated the LEADING bytes of single-line output (r9's
+    # recorded `parsed` field came back null) — with two identical
+    # copies, any tail window long enough for one line contains an
+    # intact copy, and a parser scanning for the first VALID json line
+    # still finds exactly this object
+    line = json.dumps(out)
+    print(line, flush=True)
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

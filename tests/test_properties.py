@@ -847,3 +847,74 @@ def test_kmv_overlap_exact_estimator_boundary(spark):
     assert len(kept(corpora["p"])) == K - 1
     assert len(kept(corpora["q"])) == K
     assert len(set(corpora["r"])) == K + 1 and len(kept(corpora["r"])) == K
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.floats(min_value=0.05, max_value=0.99),
+    st.floats(min_value=0.5, max_value=0.99),
+)
+def test_choose_band_dial_meets_model_target(threshold, target):
+    """The dial chooser's contract: the returned (bands, rows) meets
+    the recall target under the collision model at the assumed
+    Jaccard, stays inside the signing budget, and uses the minimal
+    band count for its row count (one fewer band misses the target)."""
+    from aerovaldb_spark.operators.text import (
+        band_collision_prob,
+        choose_band_dial,
+    )
+
+    import math
+
+    j = threshold / (2.0 - threshold)
+    try:
+        bands, rows = choose_band_dial(threshold, target)
+    except ValueError:
+        # refusal is only legitimate when even the cheapest row count
+        # can't meet the target inside the 64-seed budget
+        assert math.ceil(
+            math.log(1.0 - target) / math.log(1.0 - j)
+        ) > 64
+        return
+    assert bands >= 1 and 1 <= rows <= 8
+    assert bands * rows <= 64
+    assert band_collision_prob(j, bands, rows) >= target - 1e-12
+    if bands > 1:
+        assert band_collision_prob(j, bands - 1, rows) < target + 1e-9
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=64),
+    st.integers(min_value=1, max_value=8),
+    st.floats(min_value=0.01, max_value=0.99),
+)
+def test_effective_jaccard_inverts_collision_model(bands, rows, recall):
+    """effective_jaccard is the exact inverse of band_collision_prob
+    at its operating point — the calibration loop closes."""
+    from aerovaldb_spark.operators.text import (
+        band_collision_prob,
+        effective_jaccard,
+    )
+
+    j = effective_jaccard(bands, rows, recall)
+    assert 0.0 < j < 1.0
+    assert abs(band_collision_prob(j, bands, rows) - recall) < 1e-9
+
+
+def test_q112_dial_is_the_calibrated_choice():
+    """q112's frozen dial: the r9 measured operating point ((8,2) ->
+    0.850) inverts to J_eff ~ 0.4595 and the chooser returns (13, 2)
+    with model recall ~ 0.954 — pinned so the graded query and its
+    templated oracle can't silently drift off the documented
+    calibration."""
+    from aerovaldb_spark.operators.text import (
+        Q112_DIAL,
+        band_collision_prob,
+        effective_jaccard,
+    )
+
+    assert Q112_DIAL == (13, 2)
+    j = effective_jaccard(8, 2, 0.850)
+    assert abs(j - 0.4595) < 5e-4
+    assert band_collision_prob(j, *Q112_DIAL) >= 0.95
