@@ -818,3 +818,90 @@ def test_screen_index_equals_ephemeral_on_fuzzed_corpora(
         assert got == want
 
     check()
+
+
+def test_banded_screen_two_sided_flags_subset_fuzzed(
+    spark, tmp_path_factory
+):
+    """The two-sided banded screen (incoming != reference) on fuzzed
+    corpora with the degenerate shapes the r9 hardening targeted —
+    single-term docs, whitespace-only docs, a boilerplate block sized
+    just OVER the skew-guard boundary, and an empty reference:
+    (a) banded flags are a subset of the exact screen's flags and a
+    banded match is never better than the exact best (banding only
+    loses candidates; verification is shared and exact);
+    (b) the persisted index agrees with itself under the guard
+    (guarded flags subset of unguarded, one row per incoming doc
+    always);
+    (c) an empty reference flags nothing but still emits every
+    incoming doc."""
+    from pyspark.sql import functions as F
+
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators._scope import release_scoped_persists
+    from aerovaldb_spark.operators.text import (
+        TfidfScreenIndex,
+        tfidf_banded_screen,
+        tfidf_screen_join,
+    )
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(DOC_TABLES, DOC_TABLES, st.integers(min_value=1, max_value=3))
+    def check(ref_rows, inc_rows, mb):
+        # boilerplate block: the FIRST ref text repeated mb+1 times --
+        # its (band, sig) buckets land exactly one over the guard
+        ref_rows = list(ref_rows) + [(ref_rows[0][0], "web")] * (mb + 1)
+        d_ref = str(tmp_path_factory.mktemp("b2_ref"))
+        d_inc = str(tmp_path_factory.mktemp("b2_inc"))
+        _write_docs(d_ref, ref_rows)
+        _write_docs(d_inc, inc_rows)
+        reference = load_table(spark, d_ref, "documents")
+        incoming = load_table(spark, d_inc, "documents").withColumn(
+            "doc_id", F.col("doc_id") + 10_000
+        )
+        try:
+            exact = {
+                r["doc_id"]: (r["match_cosine"], r["tfidf_dup"])
+                for r in tfidf_screen_join(
+                    incoming, reference, verify_shape="map"
+                ).collect()
+            }
+            banded = {
+                r["doc_id"]: (r["match_cosine"], r["tfidf_dup"])
+                for r in tfidf_banded_screen(incoming, reference).collect()
+            }
+            assert set(banded) == set(exact)  # one row per incoming doc
+            for d, (mc, flag) in banded.items():
+                if flag:
+                    assert exact[d][1], d
+                    assert mc <= exact[d][0] + 1e-12, (d, mc, exact[d])
+
+            idx_dir = str(tmp_path_factory.mktemp("b2_idx"))
+            TfidfScreenIndex.build(reference).save(idx_dir)
+            loaded = TfidfScreenIndex.load(spark, idx_dir)
+            unguarded = {
+                r["doc_id"]: r["tfidf_dup"]
+                for r in loaded.screen(incoming).collect()
+            }
+            guarded = {
+                r["doc_id"]: r["tfidf_dup"]
+                for r in loaded.screen(incoming, max_bucket=mb).collect()
+            }
+            assert set(guarded) == set(unguarded) == set(exact)
+            assert {d for d, f in guarded.items() if f} <= {
+                d for d, f in unguarded.items() if f
+            }
+
+            empty = tfidf_banded_screen(
+                incoming, reference.limit(0)
+            ).collect()
+            assert len(empty) == len(exact)
+            assert not any(r["tfidf_dup"] for r in empty)
+        finally:
+            release_scoped_persists()
+
+    check()

@@ -795,3 +795,67 @@ def test_scoped_collector_nested(spark):
         assert not inner.storageLevel.useMemory
         assert outer.storageLevel.useMemory
     assert not outer.storageLevel.useMemory
+
+
+def test_diverse_vocab_allpairs_pruning_and_banded_recall(
+    spark, tmp_path_factory
+):
+    """CI pin for the two round-9 headline claims, on a frozen seeded
+    diverse-vocabulary corpus (tools/gen_diverse_docs.py at test
+    scale — the template corpus's 31-term vocabulary cannot exercise
+    either): (a) the AllPairs prefix/size/positional bounds prune the
+    shared-term pair space by orders of magnitude (measured 1,416x at
+    5k docs, SCALING.md round-9); (b) the banded candidate rung has
+    perfect recall of the exact qualifying edge set — every planted
+    near-dup's top-weight terms collide in some band. A refactor of
+    the filters or the signing that regresses either now fails CI
+    instead of only drifting a SCALING.md number."""
+    from pyspark.sql import functions as F
+
+    from aerovaldb_spark.operators._scope import release_scoped_persists
+    from aerovaldb_spark.operators.text import (
+        _verified_dots,
+        tfidf_allpairs_candidates,
+        tfidf_banded_candidates,
+        tfidf_weight_frame,
+    )
+    from tools.gen_diverse_docs import generate
+
+    d = str(tmp_path_factory.mktemp("diverse_ci"))
+    generate(d, n_docs=500, vocab=8000, seed=7)
+    docs = spark.read.parquet(d + "/documents.parquet").select(
+        "doc_id", "text"
+    )
+    try:
+        w, _stats, _n = tfidf_weight_frame(docs)
+
+        shared = (
+            w.select(F.col("doc_id").alias("a"), "term")
+            .join(w.select(F.col("doc_id").alias("b"), "term"), "term")
+            .where(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+            .count()
+        )
+        allpairs = tfidf_allpairs_candidates(w, 0.8)
+        n_allpairs = allpairs.count()
+        # (a) orders-of-magnitude pruning on diverse vocabulary
+        assert shared > 10_000  # the corpus is genuinely dense in shared terms
+        assert n_allpairs * 50 < shared, (n_allpairs, shared)
+
+        exact = {
+            (r["doc_a"], r["doc_b"])
+            for r in _verified_dots(allpairs, w, w, "doc_a", "doc_b", "map")
+            .where(F.col("dot").cast("double") >= 0.8)
+            .collect()
+        }
+        # the planted near-dups produce a real edge set to recall
+        assert len(exact) >= 20, len(exact)
+        banded = {
+            (r["doc_a"], r["doc_b"])
+            for r in tfidf_banded_candidates(w).collect()
+        }
+        # (b) perfect recall: every exact qualifying pair collides
+        assert exact <= banded, sorted(exact - banded)[:5]
+    finally:
+        release_scoped_persists()
