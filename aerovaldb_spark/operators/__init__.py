@@ -22,8 +22,7 @@ _MERGED_QUERIES = {
 }
 
 # The external correctness gate records rows for the FIRST 50 entries
-# of ``queries()`` only (110 declared after r9: +q110 +q111, q55
-# retired — all 110 >
+# of ``queries()`` only (111 declared after r10: +q112 — all 111 >
 # 50-entry cap), so entry ORDER decides which queries get a
 # driver-recorded check each round. Policy: entries never yet
 # driver-verified, green-only-once, or just-changed come first; the
@@ -33,110 +32,100 @@ _MERGED_QUERIES = {
 # (tests/test_parity_sample.py runs the same gate at sf0.001;
 # tools/parity.py re-runnable at any SF).
 #
-# Round-9 window (50) — executes the r8-committed rotation:
-# - the 17 once-deferred r6-cohort entries (MUST enter per the r8
-#   commitment, all present): q52 q18 q26 q56 q87 q93 q77 q78 q80 q81
-#   q82 q84 q85 q86 q88 q91 q92;
-# - new this round (2): q110 (banded minhash candidate rung for
-#   sparse TF-IDF near-dup — exact verify, approximate candidates,
-#   full stage-mirrored oracle) and q111 (the same rung applied to
-#   the q102 screen contract, completing the screen family's size
-#   ladder; q20 yields its slot — 4 driver greens, joins the
-#   deferred cohort committed to r10);
-# - changed this round (4): q99 (candidate stage refactored into
-#   _tfidf_prefix_frame/tfidf_allpairs_candidates + shared kNN tail;
-#   output bit-identical, parity re-verified), q102 (keyed verify
-#   shape now left-joins dot=0 pairs; auto still selects map here),
-#   q106/q109 (kmv_overlap persistence refactor + algebra split into
-#   kmv_overlap_from_kept; output identical, parity re-verified);
-# - the r7-window retiree cohort rotating back in, 27 of 42 (every
-#   one >=2 driver greens, last driver-checked r7): q23 q24 q30
-#   q33 q34 q36 q38 q39 q40 q41 q43 q44 q45 q47 q48 q49 q51 q59 q61
-#   q79 q83 q89 q94 q95 q96 q97 q98.
+# Round-10 window (50) — executes the r9-committed rotation:
+# - the 15 once-deferred r7-cohort entries (MUST enter per the r9
+#   commitment, all present): q20 q31 q37 q42 q46 q50 q57 q08 q09
+#   q11 q12 q14 q15 q16 q17;
+# - new this round (1): q112 (the banded kNN rung at the
+#   CALIBRATED chooser-selected dial — effective_jaccard inverts the
+#   r9 measured operating point, choose_band_dial picks (13,2);
+#   full stage-mirrored oracle templated on the dial);
+# - changed this round (4): q99 q102 q110 q111 — all four share
+#   _verified_dots, whose map shape now left-joins candidates back
+#   with dot=0 (output bit-identical for these callers, parity
+#   re-verified at sf0.001+sf0.01); q110 additionally persists its
+#   banded signature frame (plan fix, output unchanged);
+# - the r8-window retiree cohort rotating back in, 30 of 45 (every
+#   one >=1 driver green, last driver-checked r8): q64 q67 q68 q69
+#   q70 q19 q71 q72 q104 q107 q21 q22 q63 q74 q76 q105 q25 q27 q28
+#   q62 q66 q90 q101 q108 q32 q65 q73 q75 q100 q103.
 #
-# q55 is RETIRED from the surface this round (the r8 verdict's
-# Missing #3): its HLL capability is hash-graded by q106/q109, and a
-# rows-only slot spends a window check that can't go red. The
-# function + accuracy bound live on in events.py /
-# tests/test_properties.py. 110 declared / 110 oracled (incl. q111).
-#
-# Round-9 tail (60 = 15 + 45):
-# - 15 r7-window retirees deferred once more to make room, picked for
-#   the strongest standing evidence (5 driver greens: q31 q37 q42 q46
-#   q50 q57; 4 greens: q08 q09 q11 q12 q14 q15 q16 q17 q20 — counts
-#   computed from CORRECTNESS_r01..r08; q20 yielded its slot to the
-#   late-round q111). Deferred ONCE — all 15 MUST enter the r10
-#   window, the same commitment mechanism that forced this round's
-#   17;
-# - the 45 r8-window entries rotating out at fresh r8 greens (q55
-#   excluded — retired; q99 q102 q106 q109 excluded — staying in
-#   window as changed).
-# R10 plan: the 15 once-deferred entries re-enter first, then the 45
-# r8 retirees rotate; entries holding 3+ greens yield slots to
-# whatever r10 adds or changes.
+# Round-10 tail (61 = 15 + 46):
+# - 15 r8-window retirees deferred once more to make room, picked for
+#   the strongest standing evidence (5 driver greens: q03 q04 q05 q06
+#   q10 q13 q53 q54 q58 q60 q29 q35; 4 greens, longest streaks: q01
+#   q02 q07 — counts computed from CORRECTNESS_r01..r09). Deferred
+#   ONCE — all 15 MUST enter the r11 window, the same commitment
+#   mechanism that has now worked four rounds running;
+# - the 46 r9-window entries rotating out at fresh r9 greens (q99
+#   q102 q110 q111 excluded — staying in window as changed).
+# R11 plan: the 15 once-deferred entries re-enter first, then the 46
+# r9 retirees rotate; entries holding 3+ greens yield slots to
+# whatever r11 adds or changes.
 _DEFER_ROUND = [
-    # r7-window retirees, deferred once more (MUST enter the r10 window)
-    "q20_tumbling_window",
-    "q31_session_window",
-    "q37_rank_parts",
-    "q42_grouping_sets",
-    "q46_srp_near_dup",
-    "q50_cosine_near_dup",
-    "q57_source_mixing",
-    "q08_running_total",
-    "q09_distinct_counts",
-    "q11_set_except",
-    "q12_case_buckets",
-    "q14_part_type_stats",
-    "q15_json_extract_agg",
-    "q16_point_read",
-    "q17_top_customers",
-    # r8-window cohort, rotating out at fresh r8 greens
-    "q01_pricing_summary",
-    "q02_top_revenue_orders",
+    # r8-window retirees, deferred once more (MUST enter the r11 window)
     "q03_revenue_by_nation",
     "q04_selective_filter_agg",
     "q05_order_priority_semijoin",
     "q06_customers_without_orders",
-    "q07_window_topk_per_customer",
     "q10_rollup_agg",
     "q13_monthly_event_stats",
-    "q64_trailing_revenue",
-    "q67_market_share",
-    "q68_top_part_values",
-    "q69_promo_revenue",
-    "q70_inactive_wealthy",
-    "q19_sessionize",
-    "q71_cohort_retention",
-    "q72_session_funnel",
-    "q104_purchase_click_pairs",
-    "q107_purchase_click_outer",
-    "q21_token_stats",
-    "q22_quality_scores",
     "q53_train_split",
     "q54_pack_sequences",
     "q58_decontaminate",
-    "q63_bigram_novelty",
-    "q74_passage_dedup",
-    "q76_bigram_lm_nll",
-    "q105_decontaminate_spans",
-    "q25_dedup_exact",
-    "q27_minhash_signatures",
-    "q28_simhash",
     "q60_canonical_docs",
-    "q62_dedup_pipeline",
     "q29_cosine_topk",
-    "q66_ivf_topk",
-    "q90_label_outliers",
-    "q101_quantized_srp_ann",
-    "q108_quantized_ivf_ann",
-    "q32_pivot_status",
     "q35_sliding_window",
-    "q65_media_features",
-    "q73_frame_manifest",
-    "q75_asset_store_roundtrip",
-    "q100_bpe_large_token_stats",
-    "q103_bpe_doc_fingerprints",
+    "q01_pricing_summary",
+    "q02_top_revenue_orders",
+    "q07_window_topk_per_customer",
+    # r9-window cohort, rotating out at fresh r9 greens
+    "q86_waiting_suppliers",
+    "q87_custdist",
+    "q88_small_qty_revenue",
+    "q18_asof_purchase_click",
+    "q106_kmv_distinct",
+    "q109_kmv_overlap",
+    "q23_lang_id",
+    "q24_fingerprints",
+    "q59_repetition_stats",
+    "q61_tfidf_top_terms",
+    "q77_contamination_score",
+    "q78_bm25_topk",
+    "q80_sliding_chunks",
+    "q81_stratified_sample",
+    "q84_quality_gate",
+    "q85_token_budget",
+    "q95_bpe_token_budget",
+    "q97_bpe_pack_sequences",
+    "q26_ngram_jaccard_pairs",
+    "q56_dedup_clusters",
+    "q82_source_overlap",
+    "q30_embedding_norms",
+    "q79_knn_join",
+    "q83_label_cohesion",
+    "q89_quantization_audit",
+    "q91_srp_ann_topk",
+    "q93_semantic_dedup",
+    "q94_margin_ann_topk",
+    "q96_bounded_semantic_dedup",
+    "q98_quantized_ann_topk",
+    "q33_percentiles",
+    "q34_above_nation_avg",
+    "q36_srp_buckets",
+    "q38_activity_union",
+    "q39_clean_corpus_report",
+    "q40_lsh_candidates",
+    "q41_range_join",
+    "q43_order_gaps",
+    "q44_order_arrays",
+    "q45_regexp_extract",
+    "q47_set_intersect",
+    "q48_date_parts",
+    "q49_cube",
+    "q51_binary_manifest",
+    "q52_media_decode",
+    "q92_bpe_token_stats",
 ]
 
 ALL_QUERIES = {
