@@ -2378,7 +2378,13 @@ class TfidfScreenIndex:
         append is one atomic Spark write job; re-running a failed
         ``add`` with the same docs would duplicate their rows, so
         treat add batches as idempotence units (retry only after
-        removing the partial batch, or rebuild).
+        removing the partial batch, or rebuild). Weights write before
+        signatures deliberately: a crash between the two leaves docs
+        with weights but no signatures, which can never become
+        candidates — the batch is simply missing, not half-screened.
+        Use the RETURNED index to see the appended rows: a previously
+        constructed instance snapshotted its parquet file listing at
+        load time and will not pick them up.
 
         STALENESS: ``stats``/``n`` stay frozen at build time — by
         design (it is what makes appends exact and incoming batches

@@ -82,6 +82,43 @@ def main() -> None:
         b = sorted(map(tuple, from_index.collect()))
         print(f"index rows == ephemeral rows: {a == b} "
               f"({len(b)} rows, one per incoming doc)")
+
+        print("== rung 5: grow the reference WITHOUT a rebuild — "
+              "add() signs new docs under the frozen stats and "
+              "appends to the parquet ==")
+        fresh = incoming.limit(20).selectExpr(
+            "doc_id + 1000000 as doc_id", "text", "lang", "source",
+            "n_chars",
+        )
+        grown = loaded.add(fresh, path=p)
+        before = screened.where("tfidf_dup").count()
+        after = grown.screen(incoming).where("tfidf_dup").count()
+        print(f"flagged before/after append: {before} -> {after} "
+              "(growth can only ADD flags; the 20 appended docs are "
+              "verbatim copies of incoming docs, so their twins now "
+              "match)")
+
+    print("== rung 6: dial the banded rungs by TARGET RECALL — "
+          "measure once, invert, choose ==")
+    from aerovaldb_spark.operators.text import (
+        band_collision_prob,
+        choose_band_dial,
+        effective_jaccard,
+    )
+
+    measured = banded_edges / max(exact_edges, 1)
+    j_eff = effective_jaccard(8, 2, min(max(measured, 0.01), 0.99))
+    bands, rows = choose_band_dial(jaccard=j_eff, target_recall=0.95)
+    print(f"measured recall at the default dial (8,2): {measured:.3f}")
+    print(f"-> effective top-term Jaccard of threshold pairs: {j_eff:.3f}")
+    print(f"-> choose_band_dial(J_eff, target 0.95) = "
+          f"({bands} bands x {rows} rows), model recall "
+          f"{band_collision_prob(j_eff, bands, rows):.3f}")
+    dialed = tfidf_banded_knn(docs, bands=bands, rows_per_band=rows)
+    print(f"re-run at the chosen dial: {dialed.count()} edges "
+          f"(recall {dialed.count() / max(exact_edges, 1):.3f} vs the "
+          "0.95 target; the graded q112 freezes this exact loop)")
+
     print("(a live document stream serves the same index via "
           "streaming.tfidf_screen_batch_fn — stream == batch exact)")
 
