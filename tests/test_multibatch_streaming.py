@@ -687,3 +687,26 @@ def test_stream_screen_foreachbatch_equals_batch(spark, tmp_path):
 
     assert len(epochs) >= 2  # the screen really ran per micro-batch
     assert sorted(got) == want
+
+    # the GROWN index (incremental add to the same parquet path)
+    # serves through the same streaming factory: stream == batch over
+    # the grown reference, and the appended docs change the result
+    # (a stream of their twins now flags)
+    fresh = incoming.limit(10).selectExpr(
+        "doc_id + 1000000 as doc_id", "text", "lang", "source", "n_chars"
+    )
+    grown = loaded.add(fresh, path=p)
+    want_grown = sorted(map(tuple, grown.screen(incoming).collect()))
+    assert want_grown != want  # the appended twins matter
+    got_grown: list[tuple] = []
+    q2 = (
+        src.writeStream.foreachBatch(
+            tfidf_screen_batch_fn(
+                grown, lambda df, eid: got_grown.extend(map(tuple, df.collect()))
+            )
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    assert sorted(got_grown) == want_grown
