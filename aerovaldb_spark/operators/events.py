@@ -594,6 +594,157 @@ def kmv_overlap_from_sketches(
     )
 
 
+class KMVSketchTable:
+    """Persisted, incrementally-updatable KMV sketch store — the
+    events-family analogue of the index families' ``add``: the raw
+    event log is scanned ONCE per increment, and every distinct-count
+    (q106 arithmetic) or pairwise-overlap (q109 algebra) question
+    afterwards is answered from k-row sketches, never a replay.
+
+    State is one row per key: (key, kept array<long>) — each key's k
+    smallest distinct 60-bit value hashes, the mergeable object
+    (:func:`kmv_kept_hashes`). ``update`` merges a NEW increment's
+    sketch into the stored state as the bottom-k of the union, which
+    by KMV mergeability is EXACTLY the sketch a full rebuild over all
+    data would produce (bit-equal, tested across overlapping
+    increments and the n_kept < k / = k boundary) — unlike the
+    frozen-idf screen index there is no staleness of any kind.
+
+    On disk: ``sketches/`` parquet + one-row ``meta/`` pinning (k,
+    key_col, value_col) so a loaded table can't be updated with
+    mismatched hash semantics. A disk ``update`` stages the merged
+    table to a sibling directory and swaps it in with filesystem
+    renames (write-then-rename; the old state is never read and
+    overwritten in one job). The swap window is not transactional —
+    a concurrent reader can catch the rename; serialize updates with
+    readers at the caller (or update in memory and save elsewhere).
+    """
+
+    def __init__(
+        self, sketches: DataFrame, k: int, key_col: str, value_col: str
+    ) -> None:
+        self.sketches = sketches
+        self.k = k
+        self.key_col = key_col
+        self.value_col = value_col
+
+    @staticmethod
+    def build(
+        events: DataFrame,
+        key_col: str,
+        value_col: str,
+        k: int = KMV_K,
+    ) -> "KMVSketchTable":
+        kept = kmv_kept_hashes(events, key_col, value_col, k)
+        return KMVSketchTable(
+            kept.groupBy("key").agg(
+                F.sort_array(F.collect_list("h")).alias("kept")
+            ),
+            k,
+            key_col,
+            value_col,
+        )
+
+    def update(
+        self, events: DataFrame, path: str | None = None
+    ) -> "KMVSketchTable":
+        """Merge a new increment: sketch ONLY ``events`` (the stored
+        state is never re-derived from raw data), union the kept sets
+        per key, keep the bottom-k. Exact: equals ``build`` over the
+        concatenated data bit-for-bit. With ``path`` (the directory
+        this table was saved to/loaded from), the merged table is
+        staged and swapped in via renames and the returned table reads
+        from disk; without it the merge is in-memory."""
+        new_kept = kmv_kept_hashes(
+            events, self.key_col, self.value_col, self.k
+        )
+        all_h = (
+            self.sketches.select("key", F.explode("kept").alias("h"))
+            .unionAll(new_kept)
+            .distinct()
+        )
+        w = Window.partitionBy("key").orderBy("h")
+        merged = (
+            all_h.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= self.k)
+            .groupBy("key")
+            .agg(F.sort_array(F.collect_list("h")).alias("kept"))
+        )
+        out = KMVSketchTable(merged, self.k, self.key_col, self.value_col)
+        if path is None:
+            return out
+        import os as _os
+        import shutil as _shutil
+
+        spark = events.sparkSession
+        live = _os.path.join(path, "sketches")
+        if not _os.path.isdir(live):
+            raise ValueError(
+                f"no saved sketch table under {path!r} — save() there "
+                "first (a disk update swaps the existing state)"
+            )
+        staging = _os.path.join(path, "sketches.staging")
+        # the staging write is the job that READS the old live files;
+        # renames happen only after it succeeds, so the old state is
+        # never read and overwritten in one job
+        merged.write.mode("overwrite").parquet(staging)
+        old = _os.path.join(path, "sketches.old")
+        if _os.path.exists(old):
+            _shutil.rmtree(old)
+        _os.replace(live, old)
+        _os.replace(staging, live)
+        _shutil.rmtree(old)
+        return KMVSketchTable.load(spark, path)
+
+    def save(self, path: str) -> None:
+        import os as _os
+
+        spark = self.sketches.sparkSession
+        self.sketches.write.mode("overwrite").parquet(
+            _os.path.join(path, "sketches")
+        )
+        spark.createDataFrame(
+            [(
+                self.k,
+                self.key_col,
+                self.value_col,
+                self.sketches.schema["key"].dataType.simpleString(),
+            )],
+            "k int, key_col string, value_col string, key_type string",
+        ).write.mode("overwrite").parquet(_os.path.join(path, "meta"))
+
+    @staticmethod
+    def load(spark: SparkSession, path: str) -> "KMVSketchTable":
+        import os as _os
+
+        meta = spark.read.parquet(_os.path.join(path, "meta")).collect()[0]
+        # explicit schema (key type pinned in meta): an empty event
+        # log yields an empty sketch table with no part files to infer
+        # from (the screen-index lesson)
+        return KMVSketchTable(
+            spark.read.schema(
+                f"key {meta['key_type']}, kept array<bigint>"
+            ).parquet(_os.path.join(path, "sketches")),
+            int(meta["k"]),
+            meta["key_col"],
+            meta["value_col"],
+        )
+
+    def distinct(self) -> DataFrame:
+        """(key_col, n_kept, kmv_estimate): q106's estimator over the
+        stored sketches — exact below k, (k-1)/U_(k) above, round6."""
+        return _kmv_estimate(
+            self.sketches.select("key", F.explode("kept").alias("h")),
+            ["key"],
+            self.k,
+        ).withColumnRenamed("key", self.key_col)
+
+    def overlap(self) -> DataFrame:
+        """q109's pairwise union/intersect/Jaccard report over the
+        stored sketches (:func:`kmv_overlap_from_sketches`)."""
+        return kmv_overlap_from_sketches(self.sketches, self.k)
+
+
 def q109_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return kmv_overlap(events, "event_type", "user_id")

@@ -918,3 +918,66 @@ def test_q112_dial_is_the_calibrated_choice():
     j = effective_jaccard(8, 2, 0.850)
     assert abs(j - 0.4595) < 5e-4
     assert band_collision_prob(j, *Q112_DIAL) >= 0.95
+
+
+def test_kmv_sketch_table_incremental_update_exact(spark, tmp_path):
+    """KMVSketchTable: build on increment A then update with increment
+    B must equal build over A ∪ B BIT-FOR-BIT (sketches, q106
+    estimates, q109 overlap report) — KMV mergeability, exercised with
+    overlapping values across increments and keys on both sides of the
+    n_kept < k boundary. The disk path (save -> load -> update(path))
+    must agree with the in-memory merge, swap state atomically (no
+    staging/old leftovers), and refuse an unsaved path."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators.events import (
+        KMVSketchTable,
+        kmv_distinct,
+        kmv_overlap,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    a = events.where("event_id % 2 = 0")
+    b = events.where("event_id % 2 = 1")  # users overlap across halves
+    K = 8
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    full = KMVSketchTable.build(events, "event_type", "user_id", k=K)
+    merged = KMVSketchTable.build(a, "event_type", "user_id", k=K).update(b)
+    assert rows(merged.sketches) == rows(full.sketches)
+    # the boundary is real: some keys exact (< k), some estimated
+    kept_sizes = {r["n_kept"] for r in full.distinct().collect()}
+    assert any(s < K for s in kept_sizes) or any(
+        s == K for s in kept_sizes
+    )
+    assert rows(merged.distinct()) == rows(
+        kmv_distinct(events, "event_type", "user_id", k=K)
+    )
+    assert rows(merged.overlap()) == rows(
+        kmv_overlap(events, "event_type", "user_id", k=K)
+    )
+
+    p = str(tmp_path / "kmv_store")
+    base = KMVSketchTable.build(a, "event_type", "user_id", k=K)
+    base.save(p)
+    loaded = KMVSketchTable.load(spark, p)
+    assert (loaded.k, loaded.key_col, loaded.value_col) == (
+        K, "event_type", "user_id",
+    )
+    grown = loaded.update(b, path=p)
+    assert rows(grown.sketches) == rows(full.sketches)
+    # a FRESH load sees the merged state; the swap left no leftovers
+    assert rows(KMVSketchTable.load(spark, p).sketches) == rows(
+        full.sketches
+    )
+    assert not os.path.exists(os.path.join(p, "sketches.staging"))
+    assert not os.path.exists(os.path.join(p, "sketches.old"))
+
+    with pytest.raises(ValueError, match="no saved sketch table"):
+        full.update(b, path=str(tmp_path / "nowhere"))
