@@ -718,13 +718,25 @@ class KMVSketchTable:
         import os as _os
 
         meta = spark.read.parquet(_os.path.join(path, "meta")).collect()[0]
+        live = _os.path.join(path, "sketches")
+        # crash-recovery fallback: update()'s two-rename swap has a
+        # window where the process died after moving live -> .old but
+        # before moving .staging -> live; the .old directory IS the
+        # consistent pre-update state, so reading it loses only the
+        # interrupted increment (re-run update to re-apply it)
+        if not _os.path.isdir(live):
+            old = _os.path.join(path, "sketches.old")
+            if _os.path.isdir(old):
+                live = old
+            # else fall through: the parquet read raises the natural
+            # path-not-found error
         # explicit schema (key type pinned in meta): an empty event
         # log yields an empty sketch table with no part files to infer
         # from (the screen-index lesson)
         return KMVSketchTable(
             spark.read.schema(
                 f"key {meta['key_type']}, kept array<bigint>"
-            ).parquet(_os.path.join(path, "sketches")),
+            ).parquet(live),
             int(meta["k"]),
             meta["key_col"],
             meta["value_col"],

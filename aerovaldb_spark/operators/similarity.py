@@ -690,6 +690,31 @@ def _load_ivf_frames(
     )
 
 
+def _append_assignments(
+    new: DataFrame, path: str, partition_col: str, require_subdir: str
+) -> None:
+    """The one disk-append shape shared by every index family's
+    ``add(path=...)`` (the `_save_ivf_layout` never-diverge rationale
+    applied to the append side): refuse a path with no saved index
+    BEFORE writing — an unguarded append would strand half an index
+    on disk and then fail confusingly when the trailing load() misses
+    ``meta``/``centroids`` — then append the new rows to the
+    partitioned ``assignments`` parquet (existing files untouched)."""
+    import os as _os
+
+    if not _os.path.isdir(_os.path.join(path, require_subdir)):
+        raise ValueError(
+            f"no saved index under {path!r} (missing {require_subdir}/)"
+            " — save() there first; add(path=...) appends to an"
+            " existing layout"
+        )
+    (
+        new.write.mode("append")
+        .partitionBy(partition_col)
+        .parquet(_os.path.join(path, "assignments"))
+    )
+
+
 class IVFIndex:
     """Persisted IVF index: build once, serve many query batches.
 
@@ -777,13 +802,7 @@ class IVFIndex:
                 self.vec_col,
                 self.id_col,
             )
-        import os as _os
-
-        (
-            new.write.mode("append")
-            .partitionBy("list_id")
-            .parquet(_os.path.join(path, "assignments"))
-        )
+        _append_assignments(new, path, "list_id", "centroids")
         return IVFIndex.load(
             new.sparkSession, path, self.vec_col, self.id_col
         )
@@ -1769,13 +1788,7 @@ class SRPIndex:
                 self.assignments.unionByName(new),
                 self.dim, self.planes, self.vec_col, self.id_col,
             )
-        import os as _os
-
-        (
-            new.write.mode("append")
-            .partitionBy("bucket")
-            .parquet(_os.path.join(path, "assignments"))
-        )
+        _append_assignments(new, path, "bucket", "meta")
         return SRPIndex.load(
             new.sparkSession, path, self.vec_col, self.id_col
         )
@@ -1978,13 +1991,7 @@ class QuantizedSRPIndex:
                 self.assignments.unionByName(new),
                 self.dim, self.planes, self.id_col,
             )
-        import os as _os
-
-        (
-            new.write.mode("append")
-            .partitionBy("bucket")
-            .parquet(_os.path.join(path, "assignments"))
-        )
+        _append_assignments(new, path, "bucket", "meta")
         return QuantizedSRPIndex.load(new.sparkSession, path, self.id_col)
 
     def save(self, path: str) -> None:
@@ -2180,13 +2187,7 @@ class QuantizedIVFIndex:
                 self.assignments.unionByName(new),
                 self.id_col,
             )
-        import os as _os
-
-        (
-            new.write.mode("append")
-            .partitionBy("list_id")
-            .parquet(_os.path.join(path, "assignments"))
-        )
+        _append_assignments(new, path, "list_id", "centroids")
         return QuantizedIVFIndex.load(new.sparkSession, path, self.id_col)
 
     def save(self, path: str) -> None:

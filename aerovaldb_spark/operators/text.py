@@ -1629,8 +1629,15 @@ def _verified_dots(
         wb = right_w.select(
             F.col("doc_id").alias(right_id), "term", F.col("w").alias("_wb")
         )
+        # aggregate over DISTINCT pairs: a duplicated candidate row
+        # would otherwise contribute its term products once per copy
+        # (doubling the dot), where the map shape scores each copy
+        # independently — the left-join-back below re-fans duplicates
+        # so multiplicity still matches the map shape row-for-row
         inner = (
-            cand.join(wa, left_id)
+            cand.select(left_id, right_id)
+            .distinct()
+            .join(wa, left_id)
             .join(wb, [right_id, "term"])
             .groupBy(left_id, right_id)
             .agg(
@@ -1976,13 +1983,17 @@ def choose_band_dial(
         )
     for rows in range(max_rows, 0, -1):
         p = jaccard**rows
-        bands = (
-            1
-            if p >= 1.0
-            else math.ceil(
-                math.log(1.0 - target_recall) / math.log(1.0 - p)
-            )
-        )
+        if p >= 1.0:
+            bands = 1
+        else:
+            # log1p keeps precision for tiny p; if p underflows so far
+            # that log1p(-p) is 0.0, no finite band count reaches the
+            # target at this row count — try fewer rows (a plain
+            # log(1.0 - p) here returned -0.0 and crashed the divide)
+            denom = -math.log1p(-p)
+            if denom <= 0.0:
+                continue
+            bands = math.ceil(-math.log(1.0 - target_recall) / denom)
         if bands * rows <= max_seeds:
             return bands, rows
     raise ValueError(
@@ -2412,6 +2423,15 @@ class TfidfScreenIndex:
             )
         import os as _os
 
+        # refuse before writing (the _append_assignments rule): an
+        # append into a fresh path would strand weights/signatures
+        # with no stats/meta and fail confusingly at load()
+        if not _os.path.isdir(_os.path.join(path, "meta")):
+            raise ValueError(
+                f"no saved screen index under {path!r} (missing meta/)"
+                " — save() there first; add(path=...) appends to an"
+                " existing layout"
+            )
         w_new.write.mode("append").parquet(_os.path.join(path, "weights"))
         (
             sig_new.write.mode("append")

@@ -101,22 +101,31 @@ def main() -> None:
     print("== rung 6: dial the banded rungs by TARGET RECALL — "
           "measure once, invert, choose ==")
     from aerovaldb_spark.operators.text import (
+        TFIDF_BAND_BANDS,
+        TFIDF_BAND_ROWS,
         band_collision_prob,
         choose_band_dial,
         effective_jaccard,
     )
 
+    # invert at the SAME dial the measurement above used (the module
+    # defaults tfidf_banded_knn ran with), not literals
     measured = banded_edges / max(exact_edges, 1)
-    j_eff = effective_jaccard(8, 2, min(max(measured, 0.01), 0.99))
+    j_eff = effective_jaccard(
+        TFIDF_BAND_BANDS, TFIDF_BAND_ROWS, min(max(measured, 0.01), 0.99)
+    )
     bands, rows = choose_band_dial(jaccard=j_eff, target_recall=0.95)
-    print(f"measured recall at the default dial (8,2): {measured:.3f}")
+    print(f"measured recall at the default dial "
+          f"({TFIDF_BAND_BANDS},{TFIDF_BAND_ROWS}): {measured:.3f}")
     print(f"-> effective top-term Jaccard of threshold pairs: {j_eff:.3f}")
     print(f"-> choose_band_dial(J_eff, target 0.95) = "
           f"({bands} bands x {rows} rows), model recall "
           f"{band_collision_prob(j_eff, bands, rows):.3f}")
-    dialed = tfidf_banded_knn(docs, bands=bands, rows_per_band=rows)
-    print(f"re-run at the chosen dial: {dialed.count()} edges "
-          f"(recall {dialed.count() / max(exact_edges, 1):.3f} vs the "
+    n_dialed = tfidf_banded_knn(
+        docs, bands=bands, rows_per_band=rows
+    ).count()
+    print(f"re-run at the chosen dial: {n_dialed} edges "
+          f"(recall {n_dialed / max(exact_edges, 1):.3f} vs the "
           "0.95 target; the graded q112 freezes this exact loop)")
 
     print("(a live document stream serves the same index via "

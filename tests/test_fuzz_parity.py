@@ -905,3 +905,52 @@ def test_banded_screen_two_sided_flags_subset_fuzzed(
             release_scoped_persists()
 
     check()
+
+
+def test_verify_shapes_equal_on_duplicate_candidate_pairs(spark):
+    """Review regression: a DUPLICATED candidate pair used to double
+    the keyed shape's dot (the groupBy summed term products once per
+    copy) while the map shape scored each copy independently. The
+    keyed aggregation now runs over distinct pairs and the
+    left-join-back re-fans duplicates, so both shapes emit the same
+    rows — same multiplicity, same (undoubled) dot."""
+    from pyspark.sql import functions as F
+
+    from aerovaldb_spark.operators.text import (
+        _verified_dots,
+        tfidf_weight_frame,
+    )
+
+    # doc 3 keeps the shared terms' df below n (idf > 0 -> dot > 0)
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma epsilon"),
+            (3, "zeta eta theta iota"),
+        ],
+        "doc_id bigint, text string",
+    )
+    w, _stats, _n = tfidf_weight_frame(docs)
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 2)], "doc_a bigint, doc_b bigint"
+    )
+    got = {
+        shape: sorted(
+            map(
+                tuple,
+                _verified_dots(
+                    cand, w, w, "doc_a", "doc_b", shape
+                ).collect(),
+            )
+        )
+        for shape in ("map", "keyed")
+    }
+    assert got["map"] == got["keyed"]
+    assert len(got["map"]) == 2  # duplicates preserved...
+    assert got["map"][0] == got["map"][1]  # ...identically
+    # and the dot is the single-pair value, not doubled
+    single = _verified_dots(
+        cand.distinct(), w, w, "doc_a", "doc_b", "keyed"
+    ).collect()[0]["dot"]
+    assert got["keyed"][0][2] == single
+    assert float(single) > 0.0

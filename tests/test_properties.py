@@ -981,3 +981,30 @@ def test_kmv_sketch_table_incremental_update_exact(spark, tmp_path):
 
     with pytest.raises(ValueError, match="no saved sketch table"):
         full.update(b, path=str(tmp_path / "nowhere"))
+
+
+def test_choose_band_dial_tiny_jaccard_no_crash():
+    """Review regression: tiny-but-valid jaccard used to hit
+    ZeroDivisionError at high row counts (1.0 - j**8 rounds to 1.0 and
+    log returns -0.0) even when a perfectly good rows=1 dial fits the
+    budget. Underflowed row counts must be skipped, valid dials still
+    found, and genuine infeasibility must raise ValueError."""
+    import pytest
+
+    from aerovaldb_spark.operators.text import (
+        band_collision_prob,
+        choose_band_dial,
+    )
+
+    bands, rows = choose_band_dial(
+        jaccard=0.008, target_recall=0.95, max_seeds=1024
+    )
+    assert rows == 1 and bands * rows <= 1024
+    assert band_collision_prob(0.008, bands, rows) >= 0.95 - 1e-12
+    # same jaccard, default budget: every row count misses -> ValueError
+    with pytest.raises(ValueError, match="no \\(bands, rows_per_band\\)"):
+        choose_band_dial(jaccard=0.008, target_recall=0.95)
+    # extreme underflow at EVERY row count incl. rows=1 -> ValueError,
+    # never ZeroDivisionError
+    with pytest.raises(ValueError):
+        choose_band_dial(jaccard=1e-300, target_recall=0.95, max_seeds=10**6)

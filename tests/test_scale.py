@@ -446,3 +446,40 @@ def test_probe_assignment_is_executor_side(spark):
             F.countDistinct("query_id").alias("q"),
         ).collect()[0]
     ) == (100_000 * n_probe, 100_000)
+
+
+def test_index_add_refuses_unsaved_path(spark, tmp_path):
+    """Review regression: add(path=...) into a directory with no saved
+    index used to write half a layout before load() failed on the
+    missing meta/centroids — every family must refuse BEFORE writing."""
+    import os as _os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators.similarity import (
+        IVFIndex,
+        SRPIndex,
+        frozen_ivf_centroids,
+        ivf_assign,
+    )
+    from aerovaldb_spark.operators.text import TfidfScreenIndex
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    new = emb.filter(F.col("vec_id") % 7 == 0)
+    fresh = str(tmp_path / "nowhere")
+
+    srp = SRPIndex.build(emb, dim=64)
+    with pytest.raises(ValueError, match="no saved index"):
+        srp.add(new, path=fresh)
+    cents = frozen_ivf_centroids(spark)
+    ivf = IVFIndex(cents, ivf_assign(emb, cents), "embedding", "vec_id")
+    with pytest.raises(ValueError, match="no saved index"):
+        ivf.add(new, path=fresh)
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    idx = TfidfScreenIndex.build(docs.limit(50))
+    with pytest.raises(ValueError, match="no saved screen index"):
+        idx.add(docs.limit(5), path=fresh)
+    # nothing was written to any of the refused paths
+    assert not _os.path.exists(fresh)
