@@ -2440,6 +2440,55 @@ class TfidfScreenIndex:
         )
         return TfidfScreenIndex.load(self.weights.sparkSession, path)
 
+    @staticmethod
+    def compact(
+        spark: SparkSession, path: str, weight_partitions: int = 8
+    ) -> "TfidfScreenIndex":
+        """Rewrite the ``weights`` and ``signatures`` parquet with
+        coalesced files — the maintenance verb for an index grown by
+        many small :meth:`add` appends (streaming ingest lands a
+        file-set per micro-batch, and at some point FILE COUNT, not
+        data size, dominates scan planning). Row-preserving (same
+        rows, same schema — tested bit-equal through ``screen``):
+        signatures collapse to one file per band directory, weights to
+        ``weight_partitions`` files. Each dataset is rewritten to a
+        staging directory and swapped in with renames (the
+        KMVSketchTable pattern — the old files are never read and
+        overwritten in one job; a crash mid-swap leaves the
+        ``.old`` directory as the consistent fallback). Not safe
+        concurrently with ``add`` or active readers on the same
+        path."""
+        import os as _os
+        import shutil as _shutil
+
+        idx = TfidfScreenIndex.load(spark, path)
+        plans = [
+            (
+                "weights",
+                idx.weights.repartition(weight_partitions),
+                None,
+            ),
+            (
+                "signatures",
+                idx.signatures.repartition("band"),
+                "band",
+            ),
+        ]
+        for name, df, part in plans:
+            staging = _os.path.join(path, f"{name}.staging")
+            writer = df.write.mode("overwrite")
+            if part:
+                writer = writer.partitionBy(part)
+            writer.parquet(staging)
+            live = _os.path.join(path, name)
+            old = _os.path.join(path, f"{name}.old")
+            if _os.path.exists(old):
+                _shutil.rmtree(old)
+            _os.replace(live, old)
+            _os.replace(staging, live)
+            _shutil.rmtree(old)
+        return TfidfScreenIndex.load(spark, path)
+
     def screen(
         self,
         incoming: DataFrame,

@@ -1339,6 +1339,48 @@ def tfidf_screen_batch_fn(index, write, threshold: float = 0.8,
     return fn
 
 
+def tfidf_index_ingest_fn(index, path: str):
+    """``foreachBatch`` factory GROWING a persisted
+    :class:`~aerovaldb_spark.operators.text.TfidfScreenIndex` from a
+    stream of NEW REFERENCE documents — the WRITE-side twin of
+    :func:`tfidf_screen_batch_fn` (which serves reads). Each
+    micro-batch is signed under the index's FROZEN idf stats and
+    appended to the parquet via ``TfidfScreenIndex.add(path=...)``;
+    because signing is per-doc under frozen stats, per-batch appends
+    compose to exactly one big ``add`` over all streamed docs
+    (tested). The frozen-stats staleness note on ``add`` applies to
+    the stream as a whole: rebuild when the corpus has grown enough
+    that idf drift matters.
+
+    Replay safety is the Structured Streaming batch-id dedup pattern:
+    a marker file per applied epoch under ``path/_ingest_epochs/`` —
+    a checkpointed restart re-delivers the last in-flight batch, sees
+    its marker, and skips. The marker is written AFTER the append, so
+    a crash in between can double-append ONE batch; that shows up as
+    duplicate reference doc_ids (which corrupt dots — duplicate weight
+    rows double-count), so after an unclean stop check for duplicates
+    and rebuild if found, rather than assuming the window never hit.
+    Serving and ingest on the same path should not run concurrently
+    with :meth:`TfidfScreenIndex.compact`."""
+    import os as _os
+
+    def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        from ..operators._scope import scoped_collector
+
+        marker_dir = _os.path.join(path, "_ingest_epochs")
+        _os.makedirs(marker_dir, exist_ok=True)
+        marker = _os.path.join(marker_dir, str(int(epoch_id)))
+        if _os.path.exists(marker):
+            return
+        if not batch_df.isEmpty():
+            with scoped_collector():
+                index.add(batch_df, path=path)
+        with open(marker, "w"):
+            pass
+
+    return fn
+
+
 def kmv_live_overlap(
     sketch_rows: DataFrame,
     k: int | None = None,

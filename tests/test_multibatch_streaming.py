@@ -710,3 +710,89 @@ def test_stream_screen_foreachbatch_equals_batch(spark, tmp_path):
     )
     q2.awaitTermination()
     assert sorted(got_grown) == want_grown
+
+
+def test_tfidf_index_ingest_stream_grows_and_compacts(spark, tmp_path):
+    """The WRITE-side streaming twin: a stream of new reference docs
+    grows a persisted index micro-batch by micro-batch — per-batch
+    appends compose to one big add (frozen stats, per-doc signing),
+    a replayed epoch is skipped via its marker file, and compact()
+    collapses the per-batch file litter bit-preservingly."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from aerovaldb_spark.operators.text import TfidfScreenIndex
+    from aerovaldb_spark.streaming import tfidf_index_ingest_fn
+
+    docs = spark.read.parquet(
+        os.path.join(SF_DIR, "documents.parquet")
+    ).select("doc_id", "text")
+    ref = docs.where("doc_id % 4 = 0")
+    new = docs.where("doc_id % 4 = 2").withColumn(
+        "doc_id", F.col("doc_id") + 500_000
+    )
+    probes = docs.where("doc_id % 2 = 1")
+
+    p = str(tmp_path / "ingest_idx")
+    TfidfScreenIndex.build(ref).save(p)
+    want = sorted(
+        map(
+            tuple,
+            TfidfScreenIndex.load(spark, p)
+            .add(new)
+            .screen(probes)
+            .collect(),
+        )
+    )
+
+    # stream the new docs in two files = two micro-batches
+    d = str(tmp_path / "ref_stream")
+    os.makedirs(d)
+    rows = sorted(new.collect(), key=lambda r: r["doc_id"])
+    for i, half in enumerate(
+        (rows[: len(rows) // 2], rows[len(rows) // 2:])
+    ):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r["doc_id"] for r in half], pa.int64()),
+                    "text": pa.array([r["text"] for r in half], pa.string()),
+                }
+            ),
+            os.path.join(d, f"part{i}.parquet"),
+        )
+    loaded = TfidfScreenIndex.load(spark, p)
+    fn = tfidf_index_ingest_fn(loaded, p)
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+        .writeStream.foreachBatch(fn)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = sorted(
+        map(tuple, TfidfScreenIndex.load(spark, p).screen(probes).collect())
+    )
+    assert got == want
+    assert len(os.listdir(os.path.join(p, "_ingest_epochs"))) >= 2
+
+    # replaying an applied epoch must be a no-op (marker dedup)
+    before = len(_glob.glob(os.path.join(p, "weights", "*.parquet")))
+    fn(spark.createDataFrame(rows[:3], new.schema), 0)
+    assert len(_glob.glob(os.path.join(p, "weights", "*.parquet"))) == before
+    assert sorted(
+        map(tuple, TfidfScreenIndex.load(spark, p).screen(probes).collect())
+    ) == want
+
+    # compaction: same screen rows, fewer signature files
+    sig_files = lambda: len(  # noqa: E731
+        _glob.glob(os.path.join(p, "signatures", "band=*", "*.parquet"))
+    )
+    n_before = sig_files()
+    compacted = TfidfScreenIndex.compact(spark, p)
+    assert sig_files() < n_before
+    assert sorted(map(tuple, compacted.screen(probes).collect())) == want
