@@ -690,6 +690,37 @@ def _load_ivf_frames(
     )
 
 
+def _compact_assignments(
+    spark: SparkSession, path: str, partition_col: str
+) -> None:
+    """Rewrite a saved index's ``assignments`` parquet with one file
+    per partition directory — the maintenance verb for the small-file
+    litter repeated :meth:`add` appends leave (at some point FILE
+    COUNT, not data size, dominates scan planning). Row-preserving;
+    staged to a sibling directory and swapped in with renames so the
+    old files are never read and overwritten in one job (a crash
+    mid-swap leaves ``assignments.old`` as the consistent fallback).
+    Not safe concurrently with ``add`` or active readers."""
+    import os as _os
+    import shutil as _shutil
+
+    live = _os.path.join(path, "assignments")
+    staging = _os.path.join(path, "assignments.staging")
+    (
+        spark.read.parquet(live)
+        .repartition(partition_col)
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(staging)
+    )
+    old = _os.path.join(path, "assignments.old")
+    if _os.path.exists(old):
+        _shutil.rmtree(old)
+    _os.replace(live, old)
+    _os.replace(staging, live)
+    _shutil.rmtree(old)
+
+
 def _append_assignments(
     new: DataFrame, path: str, partition_col: str, require_subdir: str
 ) -> None:
@@ -809,6 +840,18 @@ class IVFIndex:
 
     def save(self, path: str) -> None:
         _save_ivf_layout(self.centroids, self.assignments, path)
+
+    @staticmethod
+    def compact(
+        spark: SparkSession,
+        path: str,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> "IVFIndex":
+        """One file per list directory (see ``_compact_assignments``)
+        — run after many ``add`` appends."""
+        _compact_assignments(spark, path, "list_id")
+        return IVFIndex.load(spark, path, vec_col, id_col)
 
     @staticmethod
     def load(
@@ -1807,6 +1850,18 @@ class SRPIndex:
         ).write.mode("overwrite").parquet(_os.path.join(path, "meta"))
 
     @staticmethod
+    def compact(
+        spark: SparkSession,
+        path: str,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> "SRPIndex":
+        """One file per bucket directory (see ``_compact_assignments``)
+        — run after many ``add`` appends."""
+        _compact_assignments(spark, path, "bucket")
+        return SRPIndex.load(spark, path, vec_col, id_col)
+
+    @staticmethod
     def load(
         spark: SparkSession,
         path: str,
@@ -2008,6 +2063,15 @@ class QuantizedSRPIndex:
         ).write.mode("overwrite").parquet(_os.path.join(path, "meta"))
 
     @staticmethod
+    def compact(
+        spark: SparkSession, path: str, id_col: str = "vec_id"
+    ) -> "QuantizedSRPIndex":
+        """One file per bucket directory (see ``_compact_assignments``)
+        — run after many ``add`` appends."""
+        _compact_assignments(spark, path, "bucket")
+        return QuantizedSRPIndex.load(spark, path, id_col)
+
+    @staticmethod
     def load(
         spark: SparkSession, path: str, id_col: str = "vec_id"
     ) -> "QuantizedSRPIndex":
@@ -2192,6 +2256,15 @@ class QuantizedIVFIndex:
 
     def save(self, path: str) -> None:
         _save_ivf_layout(self.centroids, self.assignments, path)
+
+    @staticmethod
+    def compact(
+        spark: SparkSession, path: str, id_col: str = "vec_id"
+    ) -> "QuantizedIVFIndex":
+        """One file per list directory (see ``_compact_assignments``)
+        — run after many ``add`` appends."""
+        _compact_assignments(spark, path, "list_id")
+        return QuantizedIVFIndex.load(spark, path, id_col)
 
     @staticmethod
     def load(

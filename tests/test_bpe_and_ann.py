@@ -500,6 +500,35 @@ def test_srp_index_add_matches_full_build(spark, tmp_path):
         sorted(map(tuple, qdisk.topk(queries, k=10).collect())) == want_q
     )
 
+    # compaction after appends: fewer files per bucket directory,
+    # bit-equal serving
+    import glob as _glob
+    import os as _os
+
+    def n_files(root):
+        return len(
+            _glob.glob(_os.path.join(root, "assignments", "bucket=*", "*.parquet"))
+        )
+
+    before = n_files(path)
+    compacted = SRPIndex.load(spark, path).add(new, path=path)  # more litter
+    assert n_files(path) > before
+    compacted = SRPIndex.compact(spark, path)
+    assert n_files(path) <= before
+    # the double-appended `new` rows are duplicates by construction;
+    # dedupe-by-id is not compact's job — verify on a fresh single-add
+    # layout instead
+    p2 = str(tmp_path / "srp_compact")
+    SRPIndex.build(old, dim=64, planes=Q91_PLANES).save(p2)
+    SRPIndex.load(spark, p2).add(new, path=p2)
+    got_before = sorted(
+        map(tuple, SRPIndex.load(spark, p2).topk(queries, k=10).collect())
+    )
+    got_after = sorted(
+        map(tuple, SRPIndex.compact(spark, p2).topk(queries, k=10).collect())
+    )
+    assert got_before == got_after == want
+
 
 def test_bpe_encode_docs_sequences(spark):
     """Doc-level token sequences: word order preserved, concatenation
