@@ -22,8 +22,8 @@ _MERGED_QUERIES = {
 }
 
 # The external correctness gate records rows for the FIRST 50 entries
-# of ``queries()`` only (111 declared after r10: +q112 — all 111 >
-# 50-entry cap), so entry ORDER decides which queries get a
+# of ``queries()`` only (112 declared after r10: +q112 +q113 — all
+# 112 > 50-entry cap), so entry ORDER decides which queries get a
 # driver-recorded check each round. Policy: entries never yet
 # driver-verified, green-only-once, or just-changed come first; the
 # tail past position 50 holds entries with >=2 driver-recorded greens,
@@ -36,34 +36,41 @@ _MERGED_QUERIES = {
 # - the 15 once-deferred r7-cohort entries (MUST enter per the r9
 #   commitment, all present): q20 q31 q37 q42 q46 q50 q57 q08 q09
 #   q11 q12 q14 q15 q16 q17;
-# - new this round (1): q112 (the banded kNN rung at the
+# - new this round (2): q112 (the banded kNN rung at the
 #   CALIBRATED chooser-selected dial — effective_jaccard inverts the
 #   r9 measured operating point, choose_band_dial picks (13,2);
-#   full stage-mirrored oracle templated on the dial);
+#   full stage-mirrored oracle templated on the dial) and q113 (the
+#   KMVSketchTable MERGE path graded cross-engine: build on half the
+#   log, update with the other half; the oracle replays the two-stage
+#   bottom-k merge literally so a merge bug can't hide behind the
+#   mergeability identity; q65 yields its slot — 4 driver greens,
+#   rotates with the r11 cohort);
 # - changed this round (4): q99 q102 q110 q111 — all four share
 #   _verified_dots, whose map shape now left-joins candidates back
 #   with dot=0 (output bit-identical for these callers, parity
 #   re-verified at sf0.001+sf0.01); q110 additionally persists its
 #   banded signature frame (plan fix, output unchanged);
-# - the r8-window retiree cohort rotating back in, 30 of 45 (every
+# - the r8-window retiree cohort rotating back in, 29 of 45 (every
 #   one >=1 driver green, last driver-checked r8): q64 q67 q68 q69
 #   q70 q19 q71 q72 q104 q107 q21 q22 q63 q74 q76 q105 q25 q27 q28
-#   q62 q66 q90 q101 q108 q32 q65 q73 q75 q100 q103.
+#   q62 q66 q90 q101 q108 q32 q73 q75 q100 q103.
 #
-# Round-10 tail (61 = 15 + 46):
-# - 15 r8-window retirees deferred once more to make room, picked for
+# Round-10 tail (62 = 16 + 46):
+# - 16 r8-window retirees deferred once more to make room, picked for
 #   the strongest standing evidence (5 driver greens: q03 q04 q05 q06
 #   q10 q13 q53 q54 q58 q60 q29 q35; 4 greens, longest streaks: q01
-#   q02 q07 — counts computed from CORRECTNESS_r01..r09). Deferred
-#   ONCE — all 15 MUST enter the r11 window, the same commitment
-#   mechanism that has now worked four rounds running;
+#   q02 q07, plus q65 — its slot yielded to the late-round q113 —
+#   counts computed from CORRECTNESS_r01..r09). Deferred ONCE — all
+#   16 MUST enter the r11 window, the same commitment mechanism that
+#   has now worked four rounds running;
 # - the 46 r9-window entries rotating out at fresh r9 greens (q99
 #   q102 q110 q111 excluded — staying in window as changed).
-# R11 plan: the 15 once-deferred entries re-enter first, then the 46
+# R11 plan: the 16 once-deferred entries re-enter first, then the 46
 # r9 retirees rotate; entries holding 3+ greens yield slots to
 # whatever r11 adds or changes.
 _DEFER_ROUND = [
     # r8-window retirees, deferred once more (MUST enter the r11 window)
+    "q65_media_features",
     "q03_revenue_by_nation",
     "q04_selective_filter_agg",
     "q05_order_priority_semijoin",

@@ -840,6 +840,60 @@ GROUP BY event_type
 """
 
 
+def q113_kmv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grades the :class:`KMVSketchTable` MERGE path cross-engine:
+    build a sketch table on the even-event_id half of the log, update
+    it with the odd half, report per-key estimates. By mergeability
+    this equals q106 over the whole log — but the ORACLE replays the
+    TWO-STAGE form literally (bottom-k per half, distinct union,
+    bottom-k again, estimate), so a merge bug cannot hide behind the
+    mergeability identity: both engines must compute the staged
+    semantics and agree on every hash."""
+    events = load_table(spark, sf_dir, "events")
+    t = KMVSketchTable.build(
+        events.where("event_id % 2 = 0"), "event_type", "user_id"
+    )
+    return (
+        t.update(events.where("event_id % 2 = 1"))
+        .distinct()
+        .select(
+            "event_type",
+            "n_kept",
+            F.col("kmv_estimate").alias("kmv_users"),
+        )
+    )
+
+
+Q113_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT event_type, event_id % 2 AS half,
+    CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  FROM events WHERE user_id IS NOT NULL
+), half_kept AS (
+  -- stage 1: each increment's own bottom-k sketch
+  SELECT event_type, h FROM (
+    SELECT event_type, half, h,
+      ROW_NUMBER() OVER (PARTITION BY event_type, half ORDER BY h) AS rn
+    FROM h
+  ) WHERE rn <= {KMV_K}
+), merged AS (
+  -- stage 2: the update() merge — distinct union of kept sets,
+  -- bottom-k of the result
+  SELECT DISTINCT event_type, h FROM half_kept
+), ranked AS (
+  SELECT event_type, h,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM merged
+)
+SELECT event_type, COUNT(*) AS n_kept,
+  CASE WHEN COUNT(*) < {KMV_K} THEN CAST(COUNT(*) AS DOUBLE)
+       ELSE ROUND(({KMV_K}.0 - 1.0) * {_POW2_60:.1f} / CAST(MAX(h) AS DOUBLE), 6)
+  END AS kmv_users
+FROM ranked WHERE rn <= {KMV_K}
+GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # q71: cohort retention — users grouped by first-seen month, distinct
 # active users per (cohort month, activity month). Two aggregations:
@@ -965,6 +1019,7 @@ QUERIES = {
     "q106_kmv_distinct": q106_kmv_distinct,
     "q107_purchase_click_outer": q107_purchase_click_outer,
     "q109_kmv_overlap": q109_kmv_overlap,
+    "q113_kmv_incremental": q113_kmv_incremental,
 }
 
 ORACLE = {
@@ -978,4 +1033,5 @@ ORACLE = {
     "q106_kmv_distinct": Q106_SQL,
     "q107_purchase_click_outer": Q107_SQL,
     "q109_kmv_overlap": Q109_SQL,
+    "q113_kmv_incremental": Q113_SQL,
 }
