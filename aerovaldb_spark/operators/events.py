@@ -674,26 +674,22 @@ class KMVSketchTable:
         if path is None:
             return out
         import os as _os
-        import shutil as _shutil
+
+        from ._staging import resolve_live, swap_in
 
         spark = events.sparkSession
         live = _os.path.join(path, "sketches")
-        if not _os.path.isdir(live):
+        if not _os.path.isdir(resolve_live(live)):
             raise ValueError(
                 f"no saved sketch table under {path!r} — save() there "
                 "first (a disk update swaps the existing state)"
             )
         staging = _os.path.join(path, "sketches.staging")
         # the staging write is the job that READS the old live files;
-        # renames happen only after it succeeds, so the old state is
-        # never read and overwritten in one job
+        # the swap happens only after it succeeds (crash recovery in
+        # _staging — resolve_live/swap_in)
         merged.write.mode("overwrite").parquet(staging)
-        old = _os.path.join(path, "sketches.old")
-        if _os.path.exists(old):
-            _shutil.rmtree(old)
-        _os.replace(live, old)
-        _os.replace(staging, live)
-        _shutil.rmtree(old)
+        swap_in(live, staging)
         return KMVSketchTable.load(spark, path)
 
     def save(self, path: str) -> None:
@@ -718,18 +714,13 @@ class KMVSketchTable:
         import os as _os
 
         meta = spark.read.parquet(_os.path.join(path, "meta")).collect()[0]
-        live = _os.path.join(path, "sketches")
-        # crash-recovery fallback: update()'s two-rename swap has a
-        # window where the process died after moving live -> .old but
-        # before moving .staging -> live; the .old directory IS the
-        # consistent pre-update state, so reading it loses only the
+        # crash-recovery fallback (see _staging.resolve_live): a crash
+        # inside update()'s rename window leaves the consistent
+        # pre-update state in sketches.old — reading it loses only the
         # interrupted increment (re-run update to re-apply it)
-        if not _os.path.isdir(live):
-            old = _os.path.join(path, "sketches.old")
-            if _os.path.isdir(old):
-                live = old
-            # else fall through: the parquet read raises the natural
-            # path-not-found error
+        from ._staging import resolve_live
+
+        live = resolve_live(_os.path.join(path, "sketches"))
         # explicit schema (key type pinned in meta): an empty event
         # log yields an empty sketch table with no part files to infer
         # from (the screen-index lesson)

@@ -684,9 +684,15 @@ def _load_ivf_frames(
 ) -> tuple[DataFrame, DataFrame]:
     import os as _os
 
+    from ._staging import resolve_live
+
+    # resolve_live: fall back to assignments.old if a crash hit
+    # _compact_assignments' rename window (centroids are never swapped)
     return (
         spark.read.parquet(_os.path.join(path, "centroids")),
-        spark.read.parquet(_os.path.join(path, "assignments")),
+        spark.read.parquet(
+            resolve_live(_os.path.join(path, "assignments"))
+        ),
     )
 
 
@@ -697,28 +703,25 @@ def _compact_assignments(
     per partition directory — the maintenance verb for the small-file
     litter repeated :meth:`add` appends leave (at some point FILE
     COUNT, not data size, dominates scan planning). Row-preserving;
-    staged to a sibling directory and swapped in with renames so the
-    old files are never read and overwritten in one job (a crash
-    mid-swap leaves ``assignments.old`` as the consistent fallback).
-    Not safe concurrently with ``add`` or active readers."""
+    staged to a sibling directory and swapped in with renames
+    (crash recovery in ``_staging`` — a crash mid-swap leaves the
+    consistent state in ``assignments.old``, which every loader falls
+    back to and a re-run of compact picks up). Not safe concurrently
+    with ``add`` or active readers."""
     import os as _os
-    import shutil as _shutil
+
+    from ._staging import resolve_live, swap_in
 
     live = _os.path.join(path, "assignments")
     staging = _os.path.join(path, "assignments.staging")
     (
-        spark.read.parquet(live)
+        spark.read.parquet(resolve_live(live))
         .repartition(partition_col)
         .write.mode("overwrite")
         .partitionBy(partition_col)
         .parquet(staging)
     )
-    old = _os.path.join(path, "assignments.old")
-    if _os.path.exists(old):
-        _shutil.rmtree(old)
-    _os.replace(live, old)
-    _os.replace(staging, live)
-    _shutil.rmtree(old)
+    swap_in(live, staging)
 
 
 def _append_assignments(
@@ -733,16 +736,29 @@ def _append_assignments(
     partitioned ``assignments`` parquet (existing files untouched)."""
     import os as _os
 
+    from ._staging import resolve_live
+
     if not _os.path.isdir(_os.path.join(path, require_subdir)):
         raise ValueError(
             f"no saved index under {path!r} (missing {require_subdir}/)"
             " — save() there first; add(path=...) appends to an"
             " existing layout"
         )
+    live = _os.path.join(path, "assignments")
+    if resolve_live(live) != live:
+        # a crash inside compact's rename window left the state in
+        # assignments.old; appending here would create a fresh live
+        # dir holding ONLY the new rows — refuse until compact is
+        # re-run (it picks the .old state up and completes the swap)
+        raise ValueError(
+            f"interrupted compaction detected under {path!r} "
+            "(assignments.old without assignments/) — re-run compact() "
+            "before appending"
+        )
     (
         new.write.mode("append")
         .partitionBy(partition_col)
-        .parquet(_os.path.join(path, "assignments"))
+        .parquet(live)
     )
 
 
@@ -1870,9 +1886,13 @@ class SRPIndex:
     ) -> "SRPIndex":
         import os as _os
 
+        from ._staging import resolve_live
+
         meta = spark.read.parquet(_os.path.join(path, "meta")).collect()[0]
         return SRPIndex(
-            spark.read.parquet(_os.path.join(path, "assignments")),
+            spark.read.parquet(
+                resolve_live(_os.path.join(path, "assignments"))
+            ),
             int(meta["dim"]),
             int(meta["planes"]),
             vec_col,
@@ -2077,9 +2097,13 @@ class QuantizedSRPIndex:
     ) -> "QuantizedSRPIndex":
         import os as _os
 
+        from ._staging import resolve_live
+
         meta = spark.read.parquet(_os.path.join(path, "meta")).collect()[0]
         return QuantizedSRPIndex(
-            spark.read.parquet(_os.path.join(path, "assignments")),
+            spark.read.parquet(
+                resolve_live(_os.path.join(path, "assignments"))
+            ),
             int(meta["dim"]),
             int(meta["planes"]),
             id_col,

@@ -2342,12 +2342,16 @@ class TfidfScreenIndex:
     def load(spark: SparkSession, path: str) -> "TfidfScreenIndex":
         import os as _os
 
+        from ._staging import resolve_live
+
         meta = spark.read.parquet(_os.path.join(path, "meta")).collect()[0]
         # explicit schemas: a reference whose every doc is zero-norm
         # (e.g. all-whitespace) produces EMPTY frames, and an empty
         # partitionBy write leaves no part files to infer a schema
         # from — inference would throw UNABLE_TO_INFER_SCHEMA on a
-        # perfectly valid (if degenerate) index (hypothesis-found)
+        # perfectly valid (if degenerate) index (hypothesis-found).
+        # resolve_live: fall back to the .old state a crash inside
+        # compact()'s rename window leaves (see _staging)
         return TfidfScreenIndex(
             spark.read.schema("term string, df bigint").parquet(
                 _os.path.join(path, "stats")
@@ -2357,9 +2361,9 @@ class TfidfScreenIndex:
             ),
             spark.read.schema(
                 "doc_id bigint, term string, df bigint, w double"
-            ).parquet(_os.path.join(path, "weights")),
+            ).parquet(resolve_live(_os.path.join(path, "weights"))),
             spark.read.schema("doc_id bigint, band int, sig string")
-            .parquet(_os.path.join(path, "signatures"))
+            .parquet(resolve_live(_os.path.join(path, "signatures")))
             .select("doc_id", "band", "sig"),
             int(meta["bands"]),
             int(meta["rows_per_band"]),
@@ -2423,6 +2427,8 @@ class TfidfScreenIndex:
             )
         import os as _os
 
+        from ._staging import resolve_live
+
         # refuse before writing (the _append_assignments rule): an
         # append into a fresh path would strand weights/signatures
         # with no stats/meta and fail confusingly at load()
@@ -2432,6 +2438,14 @@ class TfidfScreenIndex:
                 " — save() there first; add(path=...) appends to an"
                 " existing layout"
             )
+        for name in ("weights", "signatures"):
+            live = _os.path.join(path, name)
+            if resolve_live(live) != live:
+                raise ValueError(
+                    f"interrupted compaction detected under {path!r} "
+                    f"({name}.old without {name}/) — re-run compact() "
+                    "before appending"
+                )
         w_new.write.mode("append").parquet(_os.path.join(path, "weights"))
         (
             sig_new.write.mode("append")
@@ -2452,15 +2466,17 @@ class TfidfScreenIndex:
         rows, same schema — tested bit-equal through ``screen``):
         signatures collapse to one file per band directory, weights to
         ``weight_partitions`` files. Each dataset is rewritten to a
-        staging directory and swapped in with renames (the
-        KMVSketchTable pattern — the old files are never read and
-        overwritten in one job; a crash mid-swap leaves the
-        ``.old`` directory as the consistent fallback). Not safe
-        concurrently with ``add`` or active readers on the same
-        path."""
+        staging directory and swapped in with renames (shared
+        ``_staging.swap_in`` — crash recovery documented there; every
+        loader falls back to the ``.old`` state and a re-run of
+        compact picks it up). Not safe concurrently with ``add`` or
+        active readers on the same path."""
         import os as _os
-        import shutil as _shutil
 
+        from ._staging import swap_in
+
+        # load() resolves .old fallbacks, so a compact re-run after a
+        # crash reads the consistent state
         idx = TfidfScreenIndex.load(spark, path)
         plans = [
             (
@@ -2480,13 +2496,7 @@ class TfidfScreenIndex:
             if part:
                 writer = writer.partitionBy(part)
             writer.parquet(staging)
-            live = _os.path.join(path, name)
-            old = _os.path.join(path, f"{name}.old")
-            if _os.path.exists(old):
-                _shutil.rmtree(old)
-            _os.replace(live, old)
-            _os.replace(staging, live)
-            _shutil.rmtree(old)
+            swap_in(_os.path.join(path, name), staging)
         return TfidfScreenIndex.load(spark, path)
 
     def screen(

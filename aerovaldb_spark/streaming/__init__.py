@@ -1339,7 +1339,7 @@ def tfidf_screen_batch_fn(index, write, threshold: float = 0.8,
     return fn
 
 
-def tfidf_index_ingest_fn(index, path: str):
+def tfidf_index_ingest_fn(index, path: str, run_id: str):
     """``foreachBatch`` factory GROWING a persisted
     :class:`~aerovaldb_spark.operators.text.TfidfScreenIndex` from a
     stream of NEW REFERENCE documents — the WRITE-side twin of
@@ -1353,21 +1353,32 @@ def tfidf_index_ingest_fn(index, path: str):
     that idf drift matters.
 
     Replay safety is the Structured Streaming batch-id dedup pattern:
-    a marker file per applied epoch under ``path/_ingest_epochs/`` —
-    a checkpointed restart re-delivers the last in-flight batch, sees
-    its marker, and skips. The marker is written AFTER the append, so
-    a crash in between can double-append ONE batch; that shows up as
-    duplicate reference doc_ids (which corrupt dots — duplicate weight
-    rows double-count), so after an unclean stop check for duplicates
-    and rebuild if found, rather than assuming the window never hit.
-    Serving and ingest on the same path should not run concurrently
-    with :meth:`TfidfScreenIndex.compact`."""
+    a marker file per applied epoch under
+    ``path/_ingest_epochs/<run_id>/``. ``run_id`` scopes the dedup to
+    ONE stream lifetime: keep it STABLE across checkpointed restarts
+    of the same query (tie it to the checkpoint, e.g. its directory
+    name) so a re-delivered batch is skipped, and use a FRESH run_id
+    whenever the checkpoint is fresh — epoch ids restart at 0 with a
+    new checkpoint, so reusing an old run_id would silently skip the
+    new stream's first batches (and neither a rebuild nor
+    ``compact`` clears markers). The marker is written AFTER the
+    append, so a crash in between can double-append ONE batch; that
+    shows up as duplicate reference doc_ids (which corrupt dots —
+    duplicate weight rows double-count), so after an unclean stop
+    check for duplicates and rebuild if found, rather than assuming
+    the window never hit. Serving and ingest on the same path should
+    not run concurrently with :meth:`TfidfScreenIndex.compact`."""
     import os as _os
+
+    if not run_id or "/" in run_id:
+        raise ValueError(
+            f"run_id must be a non-empty path-safe name, got {run_id!r}"
+        )
 
     def fn(batch_df: DataFrame, epoch_id: int) -> None:
         from ..operators._scope import scoped_collector
 
-        marker_dir = _os.path.join(path, "_ingest_epochs")
+        marker_dir = _os.path.join(path, "_ingest_epochs", run_id)
         _os.makedirs(marker_dir, exist_ok=True)
         marker = _os.path.join(marker_dir, str(int(epoch_id)))
         if _os.path.exists(marker):

@@ -511,9 +511,9 @@ def test_srp_index_add_matches_full_build(spark, tmp_path):
         )
 
     before = n_files(path)
-    compacted = SRPIndex.load(spark, path).add(new, path=path)  # more litter
+    SRPIndex.load(spark, path).add(new, path=path)  # more litter
     assert n_files(path) > before
-    compacted = SRPIndex.compact(spark, path)
+    SRPIndex.compact(spark, path)
     assert n_files(path) <= before
     # the double-appended `new` rows are duplicates by construction;
     # dedupe-by-id is not compact's job — verify on a fresh single-add

@@ -763,7 +763,7 @@ def test_tfidf_index_ingest_stream_grows_and_compacts(spark, tmp_path):
             os.path.join(d, f"part{i}.parquet"),
         )
     loaded = TfidfScreenIndex.load(spark, p)
-    fn = tfidf_index_ingest_fn(loaded, p)
+    fn = tfidf_index_ingest_fn(loaded, p, run_id="run1")
     q = (
         spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", "1")
@@ -778,15 +778,30 @@ def test_tfidf_index_ingest_stream_grows_and_compacts(spark, tmp_path):
         map(tuple, TfidfScreenIndex.load(spark, p).screen(probes).collect())
     )
     assert got == want
-    assert len(os.listdir(os.path.join(p, "_ingest_epochs"))) >= 2
+    assert (
+        len(os.listdir(os.path.join(p, "_ingest_epochs", "run1"))) >= 2
+    )
 
-    # replaying an applied epoch must be a no-op (marker dedup)
+    # replaying an applied epoch must be a no-op (marker dedup)...
     before = len(_glob.glob(os.path.join(p, "weights", "*.parquet")))
     fn(spark.createDataFrame(rows[:3], new.schema), 0)
     assert len(_glob.glob(os.path.join(p, "weights", "*.parquet"))) == before
     assert sorted(
         map(tuple, TfidfScreenIndex.load(spark, p).screen(probes).collect())
     ) == want
+    # ...but the dedup is scoped to THIS stream's run_id: a fresh
+    # checkpoint (epoch ids restart at 0) under a fresh run_id is NOT
+    # blocked by run1's markers (an empty batch keeps the index
+    # unchanged while exercising the marker path)
+    fn2 = tfidf_index_ingest_fn(
+        TfidfScreenIndex.load(spark, p), p, run_id="run2"
+    )
+    fn2(spark.createDataFrame([], new.schema), 0)
+    assert os.path.exists(os.path.join(p, "_ingest_epochs", "run2", "0"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="run_id"):
+        tfidf_index_ingest_fn(loaded, p, run_id="bad/name")
 
     # compaction: same screen rows, fewer signature files
     sig_files = lambda: len(  # noqa: E731

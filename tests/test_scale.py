@@ -483,3 +483,47 @@ def test_index_add_refuses_unsaved_path(spark, tmp_path):
         idx.add(docs.limit(5), path=fresh)
     # nothing was written to any of the refused paths
     assert not _os.path.exists(fresh)
+
+
+def test_compact_crash_window_recovery(spark, tmp_path):
+    """A crash inside compact's rename window (live moved to .old,
+    staging not yet moved in) must be recoverable: load() falls back
+    to the .old state, add() REFUSES (an append would create a fresh
+    live dir with only the new rows), and re-running compact()
+    completes the swap."""
+    import os as _os
+    import shutil as _shutil
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators.similarity import SRPIndex
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    path = str(tmp_path / "srp_crash")
+    SRPIndex.build(emb, dim=64).save(path)
+    want = sorted(
+        map(tuple, SRPIndex.load(spark, path).topk(queries, k=5).collect())
+    )
+
+    # simulate the crash: live renamed away, staging incomplete
+    live = _os.path.join(path, "assignments")
+    _os.replace(live, live + ".old")
+    _os.makedirs(live + ".staging")
+
+    got = sorted(
+        map(tuple, SRPIndex.load(spark, path).topk(queries, k=5).collect())
+    )
+    assert got == want  # .old fallback serves the consistent state
+    with pytest.raises(ValueError, match="interrupted compaction"):
+        SRPIndex.load(spark, path).add(
+            emb.filter(F.col("vec_id") % 9 == 0), path=path
+        )
+    _shutil.rmtree(live + ".staging")
+    recovered = SRPIndex.compact(spark, path)
+    assert _os.path.isdir(live) and not _os.path.exists(live + ".old")
+    assert (
+        sorted(map(tuple, recovered.topk(queries, k=5).collect())) == want
+    )
