@@ -84,6 +84,28 @@ def main() -> None:
           "set IS the sketch, so 'overlap so far' between live "
           "streams costs k rows per key)")
 
+    print("== persisted incremental store: KMVSketchTable — build on "
+          "half the log, update with the other half, answer both "
+          "questions from disk ==")
+    import os
+    import tempfile
+
+    from aerovaldb_spark.operators.events import KMVSketchTable
+
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "kmv_store")
+        KMVSketchTable.build(
+            events.where("event_id % 2 = 0"), "event_type", "user_id"
+        ).save(p)
+        grown = KMVSketchTable.load(spark, p).update(
+            events.where("event_id % 2 = 1"), path=p
+        )
+        grown.distinct().orderBy("event_type").show()
+        print("(bit-equal to q106 over the WHOLE log — KMV "
+              "mergeability; the merge path itself is hash-graded "
+              "cross-engine as q113, whose oracle replays the "
+              "two-stage bottom-k literally)")
+
 
 if __name__ == "__main__":
     main()
