@@ -588,6 +588,133 @@ def near_dup_screen_join(
     )
 
 
+class NearDupBucketIndex:
+    """Persisted form of the minhash reference buckets — the same
+    lifecycle verbs the TF-IDF screen index and the ANN families have
+    (build/save/load/add/compact), applied to the minhash rung of the
+    reference-screen ladder: the reference corpus's distinct
+    (band, band_sig) bucket table is computed ONCE and written
+    band-partitioned; ``screen`` routes through
+    :func:`near_dup_screen_join` (bit-identical to the broadcast
+    gate). Because the screen is a left-SEMI join, duplicate bucket
+    rows are semantically invisible — so ``add`` is a plain parquet
+    append of the NEW docs' buckets (no dedup pass over the existing
+    reference), and ``compact`` re-distincts while collapsing the
+    append litter. Unlike the TF-IDF index there is no frozen
+    statistic at all (minhash signatures are per-doc), so adds carry
+    ZERO staleness: add == rebuild over the union, semantically
+    (tested). A one-row ``meta`` pins the module dial
+    (BANDS, ROWS_PER_BAND) so a loaded index refuses to serve under a
+    retuned quantizer."""
+
+    def __init__(self, buckets: DataFrame) -> None:
+        self.buckets = buckets
+
+    @staticmethod
+    def build(reference_docs: DataFrame) -> "NearDupBucketIndex":
+        return NearDupBucketIndex(reference_band_buckets(reference_docs))
+
+    def save(self, path: str) -> None:
+        import os as _os
+
+        from ..operators.dedup import BANDS, ROWS_PER_BAND
+
+        spark = self.buckets.sparkSession
+        (
+            self.buckets.write.mode("overwrite")
+            .partitionBy("band")
+            .parquet(_os.path.join(path, "buckets"))
+        )
+        spark.createDataFrame(
+            [(BANDS, ROWS_PER_BAND)], "bands int, rows_per_band int"
+        ).write.mode("overwrite").parquet(_os.path.join(path, "meta"))
+
+    @staticmethod
+    def load(spark: SparkSession, path: str) -> "NearDupBucketIndex":
+        import os as _os
+
+        from ..operators._staging import resolve_live
+        from ..operators.dedup import BANDS, ROWS_PER_BAND
+
+        meta = spark.read.parquet(_os.path.join(path, "meta")).collect()[0]
+        if (int(meta["bands"]), int(meta["rows_per_band"])) != (
+            BANDS,
+            ROWS_PER_BAND,
+        ):
+            raise ValueError(
+                f"index at {path!r} was built with dial "
+                f"({meta['bands']},{meta['rows_per_band']}) but the "
+                f"module quantizer is ({BANDS},{ROWS_PER_BAND}) — "
+                "signatures would not collide; rebuild the index"
+            )
+        return NearDupBucketIndex(
+            spark.read.schema("band_sig string, band int").parquet(
+                resolve_live(_os.path.join(path, "buckets"))
+            ).select("band", "band_sig")
+        )
+
+    def add(
+        self, docs: DataFrame, path: str | None = None
+    ) -> "NearDupBucketIndex":
+        """Append the NEW docs' buckets. Rows already present in the
+        reference become duplicates on disk — harmless to the
+        left-semi screen, reclaimed by ``compact``."""
+        new = reference_band_buckets(docs)
+        if path is None:
+            return NearDupBucketIndex(self.buckets.unionByName(new))
+        import os as _os
+
+        from ..operators._staging import resolve_live
+
+        if not _os.path.isdir(_os.path.join(path, "meta")):
+            raise ValueError(
+                f"no saved index under {path!r} (missing meta/) — "
+                "save() there first; add(path=...) appends to an "
+                "existing layout"
+            )
+        live = _os.path.join(path, "buckets")
+        if resolve_live(live) != live:
+            raise ValueError(
+                f"interrupted compaction detected under {path!r} "
+                "(buckets.old without buckets/) — re-run compact() "
+                "before appending"
+            )
+        (
+            new.write.mode("append")
+            .partitionBy("band")
+            .parquet(live)
+        )
+        return NearDupBucketIndex.load(new.sparkSession, path)
+
+    @staticmethod
+    def compact(spark: SparkSession, path: str) -> "NearDupBucketIndex":
+        """Distinct the bucket rows and collapse to one file per band
+        directory (append duplicates reclaimed — the one compact in
+        the family that REDUCES rows, semantically invisible to the
+        semi-join screen). Crash recovery per ``_staging``."""
+        import os as _os
+
+        from ..operators._staging import resolve_live, swap_in
+
+        live = _os.path.join(path, "buckets")
+        staging = _os.path.join(path, "buckets.staging")
+        (
+            spark.read.parquet(resolve_live(live))
+            .distinct()
+            .repartition("band")
+            .write.mode("overwrite")
+            .partitionBy("band")
+            .parquet(staging)
+        )
+        swap_in(live, staging)
+        return NearDupBucketIndex.load(spark, path)
+
+    def screen(self, docs: DataFrame) -> DataFrame:
+        """One row per doc with the ``near_dup`` collision flag —
+        :func:`near_dup_screen_join` against the stored buckets."""
+        return near_dup_screen_join(docs, self.buckets)
+
+
 def semantic_dup_gate(
     vectors: DataFrame,
     reference: DataFrame,

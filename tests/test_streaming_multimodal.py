@@ -1448,3 +1448,65 @@ def test_tfidf_screen_sub_threshold_best_is_null(spark):
             o[2],
             o[3],
         ), d
+
+
+def test_near_dup_bucket_index_lifecycle(spark, tmp_path):
+    """The minhash screen family's persisted index: build/save/load
+    screens bit-equal to the direct join; add() appends only the new
+    docs' buckets (zero staleness — equals a rebuild over the union);
+    compact() reclaims append duplicates with identical screening;
+    load refuses nothing here (dial matches) but the meta pin exists."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.streaming import (
+        NearDupBucketIndex,
+        near_dup_screen_join,
+        reference_band_buckets,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    ref = docs.where("doc_id % 4 = 0")
+    new = docs.where("doc_id % 4 = 2")
+    probes = docs.where("doc_id % 2 = 1")
+
+    def flags(df):
+        return {r["doc_id"]: r["near_dup"] for r in df.collect()}
+
+    want = flags(near_dup_screen_join(probes, reference_band_buckets(ref)))
+    p = str(tmp_path / "nd_idx")
+    NearDupBucketIndex.build(ref).save(p)
+    loaded = NearDupBucketIndex.load(spark, p)
+    assert flags(loaded.screen(probes)) == want
+
+    grown = loaded.add(new, path=p)
+    want_grown = flags(
+        near_dup_screen_join(
+            probes, reference_band_buckets(ref.unionByName(new))
+        )
+    )
+    assert flags(grown.screen(probes)) == want_grown
+    # growth is monotone and the appended docs matter
+    assert {d for d, f in want.items() if f} <= {
+        d for d, f in want_grown.items() if f
+    }
+    assert want != want_grown
+
+    # append duplicates exist on disk; compact reclaims them without
+    # changing the screen
+    n_rows_before = spark.read.parquet(os.path.join(p, "buckets")).count()
+    NearDupBucketIndex.load(spark, p).add(new, path=p)  # duplicate batch
+    assert (
+        spark.read.parquet(os.path.join(p, "buckets")).count()
+        > n_rows_before
+    )
+    compacted = NearDupBucketIndex.compact(spark, p)
+    assert (
+        spark.read.parquet(os.path.join(p, "buckets")).count()
+        <= n_rows_before
+    )
+    assert flags(compacted.screen(probes)) == want_grown
