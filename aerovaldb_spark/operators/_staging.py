@@ -52,3 +52,86 @@ def resolve_live(live: str) -> str:
     if os.path.isdir(old):
         return old
     return live
+
+
+def clear_stale(live: str) -> None:
+    """Remove leftover ``<live>.old`` / ``<live>.staging`` directories.
+    Every ``save()`` that overwrites ``live`` must call this: a stale
+    ``.old`` from an interrupted earlier rewrite would otherwise
+    outlive the re-save, and if the re-save itself then crashed
+    mid-overwrite, ``resolve_live`` would silently serve (and a re-run
+    compact would resurrect) the PRE-rebuild state."""
+    for suffix in (".old", ".staging"):
+        p = live + suffix
+        if os.path.exists(p):
+            shutil.rmtree(p)
+
+
+def guarded_append_target(live: str) -> str:
+    """``live`` if it is safe to append into, else raise. Appending
+    must never materialize a FRESH live directory: with ``.old``
+    present that's the compact crash window (re-run compact first);
+    with neither present the saved layout is incomplete (a crashed
+    save/rebuild) — an append would create a live dir holding ONLY the
+    new rows and every read afterwards would silently miss the
+    original reference."""
+    if os.path.isdir(live):
+        return live
+    if os.path.isdir(live + ".old"):
+        raise ValueError(
+            f"interrupted compaction detected at {live!r} (.old without "
+            "the live directory) — re-run compact() before appending"
+        )
+    raise ValueError(
+        f"missing dataset at {live!r} — the saved layout is incomplete "
+        "(crashed save/rebuild?); restore or rebuild before appending"
+    )
+
+
+def append_partitioned(
+    new, path: str, dataset: str, partition_col: str | None
+) -> None:
+    """Append ``new``'s rows to ``<path>/<dataset>`` (optionally
+    partitioned) after the :func:`guarded_append_target` checks —
+    the ONE append shape every persisted family shares."""
+    live = guarded_append_target(os.path.join(path, dataset))
+    writer = new.write.mode("append")
+    if partition_col is not None:
+        writer = writer.partitionBy(partition_col)
+    writer.parquet(live)
+
+
+def compact_dataset(
+    spark,
+    path: str,
+    dataset: str,
+    partition_col: str | None = None,
+    n_partitions: int | None = None,
+    distinct: bool = False,
+    schema: str | None = None,
+) -> None:
+    """Rewrite ``<path>/<dataset>`` with coalesced files (one per
+    partition directory when ``partition_col`` is given, else
+    ``n_partitions`` files), optionally de-duplicated — the ONE
+    compaction shape every persisted family shares. Reads via
+    :func:`resolve_live` (an interrupted earlier compaction is picked
+    up and completed), writes to staging, swaps in. ``schema`` pins
+    the read schema for datasets that can be legitimately EMPTY
+    (no part files to infer from)."""
+    live = os.path.join(path, dataset)
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.parquet(resolve_live(live))
+    if distinct:
+        df = df.distinct()
+    if partition_col is not None:
+        df = df.repartition(partition_col)
+    elif n_partitions is not None:
+        df = df.repartition(n_partitions)
+    staging = live + ".staging"
+    writer = df.write.mode("overwrite")
+    if partition_col is not None:
+        writer = writer.partitionBy(partition_col)
+    writer.parquet(staging)
+    swap_in(live, staging)

@@ -695,7 +695,12 @@ class KMVSketchTable:
     def save(self, path: str) -> None:
         import os as _os
 
+        from ._staging import clear_stale
+
         spark = self.sketches.sparkSession
+        # stale sketches.old must not outlive a re-save (see
+        # _staging.clear_stale)
+        clear_stale(_os.path.join(path, "sketches"))
         self.sketches.write.mode("overwrite").parquet(
             _os.path.join(path, "sketches")
         )

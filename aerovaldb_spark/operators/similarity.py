@@ -669,6 +669,13 @@ def _save_ivf_layout(
     layout that makes probing a directory-pruned scan."""
     import os as _os
 
+    from ._staging import clear_stale
+
+    # a stale assignments.old from an interrupted compaction must not
+    # outlive a re-save: if this save then crashed mid-overwrite,
+    # loaders would silently serve the PRE-rebuild state via the
+    # resolve_live fallback
+    clear_stale(_os.path.join(path, "assignments"))
     centroids.write.mode("overwrite").parquet(
         _os.path.join(path, "centroids")
     )
@@ -703,25 +710,13 @@ def _compact_assignments(
     per partition directory — the maintenance verb for the small-file
     litter repeated :meth:`add` appends leave (at some point FILE
     COUNT, not data size, dominates scan planning). Row-preserving;
-    staged to a sibling directory and swapped in with renames
-    (crash recovery in ``_staging`` — a crash mid-swap leaves the
-    consistent state in ``assignments.old``, which every loader falls
-    back to and a re-run of compact picks up). Not safe concurrently
-    with ``add`` or active readers."""
-    import os as _os
+    crash recovery and the swap live in the shared
+    ``_staging.compact_dataset`` (every loader falls back to the
+    ``.old`` state, a re-run picks an interrupted compaction up). Not
+    safe concurrently with ``add`` or active readers."""
+    from ._staging import compact_dataset
 
-    from ._staging import resolve_live, swap_in
-
-    live = _os.path.join(path, "assignments")
-    staging = _os.path.join(path, "assignments.staging")
-    (
-        spark.read.parquet(resolve_live(live))
-        .repartition(partition_col)
-        .write.mode("overwrite")
-        .partitionBy(partition_col)
-        .parquet(staging)
-    )
-    swap_in(live, staging)
+    compact_dataset(spark, path, "assignments", partition_col=partition_col)
 
 
 def _append_assignments(
@@ -736,7 +731,7 @@ def _append_assignments(
     partitioned ``assignments`` parquet (existing files untouched)."""
     import os as _os
 
-    from ._staging import resolve_live
+    from ._staging import append_partitioned
 
     if not _os.path.isdir(_os.path.join(path, require_subdir)):
         raise ValueError(
@@ -744,22 +739,11 @@ def _append_assignments(
             " — save() there first; add(path=...) appends to an"
             " existing layout"
         )
-    live = _os.path.join(path, "assignments")
-    if resolve_live(live) != live:
-        # a crash inside compact's rename window left the state in
-        # assignments.old; appending here would create a fresh live
-        # dir holding ONLY the new rows — refuse until compact is
-        # re-run (it picks the .old state up and completes the swap)
-        raise ValueError(
-            f"interrupted compaction detected under {path!r} "
-            "(assignments.old without assignments/) — re-run compact() "
-            "before appending"
-        )
-    (
-        new.write.mode("append")
-        .partitionBy(partition_col)
-        .parquet(live)
-    )
+    # append_partitioned refuses the compact crash window (.old
+    # without live) AND a missing live dataset (crashed save) — an
+    # append must never materialize a fresh live dir holding only the
+    # new rows
+    append_partitioned(new, path, "assignments", partition_col)
 
 
 class IVFIndex:
@@ -1855,7 +1839,10 @@ class SRPIndex:
     def save(self, path: str) -> None:
         import os as _os
 
+        from ._staging import clear_stale
+
         spark = self.assignments.sparkSession
+        clear_stale(_os.path.join(path, "assignments"))
         (
             self.assignments.write.mode("overwrite")
             .partitionBy("bucket")
@@ -2072,7 +2059,10 @@ class QuantizedSRPIndex:
     def save(self, path: str) -> None:
         import os as _os
 
+        from ._staging import clear_stale
+
         spark = self.assignments.sparkSession
+        clear_stale(_os.path.join(path, "assignments"))
         (
             self.assignments.write.mode("overwrite")
             .partitionBy("bucket")

@@ -2320,7 +2320,14 @@ class TfidfScreenIndex:
     def save(self, path: str) -> None:
         import os as _os
 
+        from ._staging import clear_stale
+
         spark = self.weights.sparkSession
+        # stale .old/.staging from an interrupted compaction must not
+        # outlive a re-save (a crashed re-save would otherwise leave
+        # loaders silently serving the PRE-rebuild state)
+        clear_stale(_os.path.join(path, "weights"))
+        clear_stale(_os.path.join(path, "signatures"))
         self.stats.write.mode("overwrite").parquet(
             _os.path.join(path, "stats")
         )
@@ -2427,25 +2434,21 @@ class TfidfScreenIndex:
             )
         import os as _os
 
-        from ._staging import resolve_live
+        from ._staging import guarded_append_target
 
-        # refuse before writing (the _append_assignments rule): an
-        # append into a fresh path would strand weights/signatures
-        # with no stats/meta and fail confusingly at load()
+        # refuse before writing (the shared append rule): an append
+        # into a fresh path would strand weights/signatures with no
+        # stats/meta and fail confusingly at load()
         if not _os.path.isdir(_os.path.join(path, "meta")):
             raise ValueError(
                 f"no saved screen index under {path!r} (missing meta/)"
                 " — save() there first; add(path=...) appends to an"
                 " existing layout"
             )
+        # check BOTH datasets before writing EITHER (a refused second
+        # append must not leave the first half applied)
         for name in ("weights", "signatures"):
-            live = _os.path.join(path, name)
-            if resolve_live(live) != live:
-                raise ValueError(
-                    f"interrupted compaction detected under {path!r} "
-                    f"({name}.old without {name}/) — re-run compact() "
-                    "before appending"
-                )
+            guarded_append_target(_os.path.join(path, name))
         w_new.write.mode("append").parquet(_os.path.join(path, "weights"))
         (
             sig_new.write.mode("append")
@@ -2471,32 +2474,24 @@ class TfidfScreenIndex:
         loader falls back to the ``.old`` state and a re-run of
         compact picks it up). Not safe concurrently with ``add`` or
         active readers on the same path."""
-        import os as _os
+        from ._staging import compact_dataset
 
-        from ._staging import swap_in
-
-        # load() resolves .old fallbacks, so a compact re-run after a
-        # crash reads the consistent state
-        idx = TfidfScreenIndex.load(spark, path)
-        plans = [
-            (
-                "weights",
-                idx.weights.repartition(weight_partitions),
-                None,
-            ),
-            (
-                "signatures",
-                idx.signatures.repartition("band"),
-                "band",
-            ),
-        ]
-        for name, df, part in plans:
-            staging = _os.path.join(path, f"{name}.staging")
-            writer = df.write.mode("overwrite")
-            if part:
-                writer = writer.partitionBy(part)
-            writer.parquet(staging)
-            swap_in(_os.path.join(path, name), staging)
+        # shared compaction shape; explicit schemas because both
+        # datasets can be legitimately EMPTY (all-zero-norm reference)
+        compact_dataset(
+            spark,
+            path,
+            "weights",
+            n_partitions=weight_partitions,
+            schema="doc_id bigint, term string, df bigint, w double",
+        )
+        compact_dataset(
+            spark,
+            path,
+            "signatures",
+            partition_col="band",
+            schema="doc_id bigint, band int, sig string",
+        )
         return TfidfScreenIndex.load(spark, path)
 
     def screen(

@@ -617,9 +617,13 @@ class NearDupBucketIndex:
     def save(self, path: str) -> None:
         import os as _os
 
+        from ..operators._staging import clear_stale
         from ..operators.dedup import BANDS, ROWS_PER_BAND
 
         spark = self.buckets.sparkSession
+        # a stale buckets.old must not outlive a re-save (a crashed
+        # re-save would leave loaders serving the pre-rebuild state)
+        clear_stale(_os.path.join(path, "buckets"))
         (
             self.buckets.write.mode("overwrite")
             .partitionBy("band")
@@ -630,13 +634,22 @@ class NearDupBucketIndex:
         ).write.mode("overwrite").parquet(_os.path.join(path, "meta"))
 
     @staticmethod
-    def load(spark: SparkSession, path: str) -> "NearDupBucketIndex":
+    def _validate_dial(spark: SparkSession, path: str) -> None:
+        """Raise unless the saved meta's dial matches the module
+        quantizer — checked by ``load`` AND by ``add`` BEFORE any
+        rows are written (appending current-dial signatures into a
+        foreign-dial index would pollute it permanently)."""
         import os as _os
 
-        from ..operators._staging import resolve_live
         from ..operators.dedup import BANDS, ROWS_PER_BAND
 
-        meta = spark.read.parquet(_os.path.join(path, "meta")).collect()[0]
+        meta_dir = _os.path.join(path, "meta")
+        if not _os.path.isdir(meta_dir):
+            raise ValueError(
+                f"no saved index under {path!r} (missing meta/) — "
+                "save() there first"
+            )
+        meta = spark.read.parquet(meta_dir).collect()[0]
         if (int(meta["bands"]), int(meta["rows_per_band"])) != (
             BANDS,
             ROWS_PER_BAND,
@@ -647,6 +660,14 @@ class NearDupBucketIndex:
                 f"module quantizer is ({BANDS},{ROWS_PER_BAND}) — "
                 "signatures would not collide; rebuild the index"
             )
+
+    @staticmethod
+    def load(spark: SparkSession, path: str) -> "NearDupBucketIndex":
+        import os as _os
+
+        from ..operators._staging import resolve_live
+
+        NearDupBucketIndex._validate_dial(spark, path)
         return NearDupBucketIndex(
             spark.read.schema("band_sig string, band int").parquet(
                 resolve_live(_os.path.join(path, "buckets"))
@@ -662,28 +683,14 @@ class NearDupBucketIndex:
         new = reference_band_buckets(docs)
         if path is None:
             return NearDupBucketIndex(self.buckets.unionByName(new))
-        import os as _os
+        from ..operators._staging import append_partitioned
 
-        from ..operators._staging import resolve_live
-
-        if not _os.path.isdir(_os.path.join(path, "meta")):
-            raise ValueError(
-                f"no saved index under {path!r} (missing meta/) — "
-                "save() there first; add(path=...) appends to an "
-                "existing layout"
-            )
-        live = _os.path.join(path, "buckets")
-        if resolve_live(live) != live:
-            raise ValueError(
-                f"interrupted compaction detected under {path!r} "
-                "(buckets.old without buckets/) — re-run compact() "
-                "before appending"
-            )
-        (
-            new.write.mode("append")
-            .partitionBy("band")
-            .parquet(live)
-        )
+        # dial check BEFORE the append: foreign-dial rows would
+        # pollute the layout permanently (compact's distinct keeps
+        # them); the shared append guard then refuses the compact
+        # crash window and incomplete layouts
+        NearDupBucketIndex._validate_dial(new.sparkSession, path)
+        append_partitioned(new, path, "buckets", "band")
         return NearDupBucketIndex.load(new.sparkSession, path)
 
     @staticmethod
@@ -692,21 +699,16 @@ class NearDupBucketIndex:
         directory (append duplicates reclaimed — the one compact in
         the family that REDUCES rows, semantically invisible to the
         semi-join screen). Crash recovery per ``_staging``."""
-        import os as _os
+        from ..operators._staging import compact_dataset
 
-        from ..operators._staging import resolve_live, swap_in
-
-        live = _os.path.join(path, "buckets")
-        staging = _os.path.join(path, "buckets.staging")
-        (
-            spark.read.parquet(resolve_live(live))
-            .distinct()
-            .repartition("band")
-            .write.mode("overwrite")
-            .partitionBy("band")
-            .parquet(staging)
+        compact_dataset(
+            spark,
+            path,
+            "buckets",
+            partition_col="band",
+            distinct=True,
+            schema="band_sig string, band int",
         )
-        swap_in(live, staging)
         return NearDupBucketIndex.load(spark, path)
 
     def screen(self, docs: DataFrame) -> DataFrame:

@@ -527,3 +527,22 @@ def test_compact_crash_window_recovery(spark, tmp_path):
     assert (
         sorted(map(tuple, recovered.topk(queries, k=5).collect())) == want
     )
+
+    # the NEITHER-exists window (a crashed re-save deleted live before
+    # committing): an append must refuse — it would otherwise create a
+    # fresh live dir holding only the new rows, silently dropping the
+    # reference
+    _shutil.rmtree(live)
+    with pytest.raises(ValueError, match="missing dataset"):
+        SRPIndex(
+            recovered.assignments, 64, recovered.planes, "embedding",
+            "vec_id",
+        ).add(emb.filter(F.col("vec_id") % 9 == 0), path=path)
+    assert not _os.path.exists(live)  # nothing was written
+
+    # save() clears stale .old leftovers so a later crashed re-save
+    # can't silently serve the pre-rebuild state
+    SRPIndex.build(emb, dim=64).save(path)
+    _os.replace(live, live + ".old")  # simulate interrupted compact
+    SRPIndex.build(emb, dim=64).save(path)
+    assert _os.path.isdir(live) and not _os.path.exists(live + ".old")
