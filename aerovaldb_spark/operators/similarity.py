@@ -194,6 +194,101 @@ def lsh_bucketed_pairs(
     )
 
 
+def srp_collision_prob(
+    cos_sim: float, planes_per_band: int, bands: int = 1
+) -> float:
+    """Per-PAIR collision probability under (banded) SRP: a random
+    hyperplane separates two vectors at angle θ with probability θ/π
+    (the Goemans-Williamson identity — EXACT for random planes, unlike
+    the TF-IDF dial's t/(2-t) heuristic), so per-plane agreement is
+    p = 1 - acos(cos_sim)/π and the banded S-curve is
+    1-(1-p^planes)^bands — the same model the minhash dial uses
+    (:func:`..text.band_collision_prob`), with p derived from geometry
+    instead of set overlap. Two approximation caveats: the identity is
+    exact for GAUSSIAN planes — our ±1-weight md5 planes approximate
+    it through the CLT over the vector's active dimensions, so DENSE
+    embeddings track the model (pinned by test: measured collision
+    fraction across 128 disjoint bands within ±0.15) while very sparse
+    or low-dimensional vectors deviate (a 2-sparse pair can collide on
+    every plane regardless of angle). Note this is PAIR-level — recall@k
+    of an ANN index mixes neighbor similarities, so calibrate against
+    the measured operating points (SCALING.md) when sizing a serving
+    index, and use this model directly for the near-dup rungs
+    (:func:`srp_banded_pairs`, semantic dedup) where the quantity that
+    matters IS the qualifying pair's collision probability."""
+    import math
+
+    from .text import band_collision_prob
+
+    c = max(-1.0, min(1.0, float(cos_sim)))
+    p = 1.0 - math.acos(c) / math.pi
+    return band_collision_prob(p, bands, planes_per_band)
+
+
+def effective_plane_agreement(
+    planes_per_band: int, bands: int, measured_recall: float
+) -> float:
+    """Invert the SRP collision model at one measured operating point
+    (the :func:`..text.effective_jaccard` pattern): the per-plane
+    agreement p for which ``srp_collision_prob`` equals the measured
+    pair recall — corpus calibration when threshold pairs' angle
+    distribution differs from the nominal threshold's point angle."""
+    from .text import effective_jaccard
+
+    return effective_jaccard(bands, planes_per_band, measured_recall)
+
+
+def choose_srp_bands(
+    threshold_cos: float | None = None,
+    target_recall: float = 0.95,
+    plane_agreement: float | None = None,
+    planes_per_band: int = 6,
+    max_bands: int = 32,
+) -> int:
+    """Minimal ``bands`` for :func:`srp_banded_pairs` meeting a
+    pair-recall target at the given cosine threshold (via the exact
+    geometric identity) or at a CALIBRATED per-plane agreement (from
+    :func:`effective_plane_agreement`). ``planes_per_band`` stays the
+    caller's selectivity dial (each band's chance-candidate volume is
+    ~n²/2^planes); this sizes the recall side. Raises when no band
+    count within ``max_bands`` reaches the target — lower
+    planes_per_band (flatter curve) or the target."""
+    import math
+
+    if plane_agreement is None:
+        if threshold_cos is None:
+            raise ValueError("pass threshold_cos or plane_agreement")
+        c = max(-1.0, min(1.0, float(threshold_cos)))
+        plane_agreement = 1.0 - math.acos(c) / math.pi
+    if not 0.0 < plane_agreement <= 1.0:
+        raise ValueError(
+            f"plane_agreement must be in (0, 1], got {plane_agreement}"
+        )
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError(
+            f"target_recall must be in (0, 1), got {target_recall}"
+        )
+    p = plane_agreement**planes_per_band
+    if p >= 1.0:
+        return 1
+    denom = -math.log1p(-p)
+    if denom <= 0.0:
+        raise ValueError(
+            f"collision probability underflows at planes_per_band="
+            f"{planes_per_band} for agreement {plane_agreement:.4f} — "
+            "lower planes_per_band"
+        )
+    bands = math.ceil(-math.log(1.0 - target_recall) / denom)
+    if bands > max_bands:
+        raise ValueError(
+            f"needs {bands} bands (> max_bands={max_bands}) to reach "
+            f"recall {target_recall} at agreement {plane_agreement:.4f} "
+            f"with {planes_per_band} planes/band — lower "
+            "planes_per_band or the target"
+        )
+    return bands
+
+
 def srp_banded_pairs(
     vectors: DataFrame,
     dim: int,

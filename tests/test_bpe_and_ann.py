@@ -1097,3 +1097,82 @@ def test_semantic_dedup_banded_recall(spark):
     with pytest.raises(ValueError, match="mutually exclusive"):
         semantic_dedup(emb, dim=64, bands=2, local_components=True)
     emb.unpersist()
+
+
+def test_srp_collision_model_and_chooser():
+    """The SRP dial helpers mirror the minhash ones on the geometric
+    identity: chooser output meets the model target with minimal
+    bands; the calibration inverse closes the loop."""
+    import math
+
+    import pytest
+
+    from aerovaldb_spark.operators.similarity import (
+        choose_srp_bands,
+        effective_plane_agreement,
+        srp_collision_prob,
+    )
+
+    b = choose_srp_bands(threshold_cos=0.9, planes_per_band=6)
+    assert b == 6
+    assert srp_collision_prob(0.9, 6, bands=b) >= 0.95
+    assert srp_collision_prob(0.9, 6, bands=b - 1) < 0.95
+    # calibration inverse: measured recall at (6 planes, 4 bands)
+    # round-trips to the agreement that produces it
+    p = effective_plane_agreement(6, 4, 0.7)
+    assert abs(srp_collision_prob(math.cos(math.pi * (1 - p)), 6, 4) - 0.7) < 1e-9
+    # infeasible: steep curve + weak agreement -> refuse with guidance
+    with pytest.raises(ValueError, match="planes_per_band"):
+        choose_srp_bands(threshold_cos=0.3, planes_per_band=12, max_bands=32)
+
+
+def test_srp_collision_model_matches_md5_planes(spark):
+    """The Goemans-Williamson identity is exact for RANDOM planes; our
+    planes are a fixed md5-derived family. Measure the actual band
+    collision fraction of a controlled-angle pair across 128 disjoint
+    4-plane bands and pin it to the model within a loose tolerance —
+    a drift in the plane construction (biased weights, reused planes)
+    would blow way past it."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from aerovaldb_spark.operators.similarity import (
+        srp_collision_prob,
+        srp_signature_col,
+    )
+
+    import numpy as np
+
+    dim, planes, n_bands = 64, 4, 128
+    cos_t = 0.876  # p_band = p^4 ~ 0.5 -> max-variance operating point
+    # DENSE vectors: the ±1-weight planes approximate the Gaussian
+    # identity via the CLT over many active dimensions — a 2-sparse
+    # pair would degenerate (the large coordinate's weight decides
+    # every plane's sign for both vectors)
+    rng = np.random.default_rng(11)
+    u = rng.standard_normal(dim)
+    u /= np.linalg.norm(u)
+    w = rng.standard_normal(dim)
+    w -= (w @ u) * u
+    w /= np.linalg.norm(w)
+    v = cos_t * u + math.sqrt(1 - cos_t**2) * w
+    df = spark.createDataFrame(
+        [(0, [float(x) for x in u]), (1, [float(x) for x in v])],
+        "vec_id long, embedding array<double>",
+    )
+    sigs = df.select(
+        "vec_id",
+        *[
+            srp_signature_col(
+                "embedding", dim, planes, plane_offset=k * planes
+            ).alias(f"b{k}")
+            for k in range(n_bands)
+        ],
+    ).collect()
+    a, b = sorted(sigs, key=lambda r: r["vec_id"])
+    frac = sum(
+        1 for k in range(n_bands) if a[f"b{k}"] == b[f"b{k}"]
+    ) / n_bands
+    model = srp_collision_prob(cos_t, planes, bands=1)
+    assert abs(frac - model) < 0.15, (frac, model)

@@ -1008,3 +1008,33 @@ def test_choose_band_dial_tiny_jaccard_no_crash():
     # never ZeroDivisionError
     with pytest.raises(ValueError):
         choose_band_dial(jaccard=1e-300, target_recall=0.95, max_seeds=10**6)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.floats(min_value=0.3, max_value=0.99),
+    st.floats(min_value=0.5, max_value=0.99),
+    st.integers(min_value=1, max_value=8),
+)
+def test_choose_srp_bands_meets_model_target(cos_t, target, planes):
+    """SRP band chooser: the returned band count meets the geometric
+    collision model at the threshold with minimal bands, or refuses
+    when no count within the cap reaches the target."""
+    from aerovaldb_spark.operators.similarity import (
+        choose_srp_bands,
+        srp_collision_prob,
+    )
+
+    try:
+        b = choose_srp_bands(
+            threshold_cos=cos_t,
+            target_recall=target,
+            planes_per_band=planes,
+        )
+    except ValueError:
+        assert srp_collision_prob(cos_t, planes, bands=32) < target + 1e-9
+        return
+    assert 1 <= b <= 32
+    assert srp_collision_prob(cos_t, planes, bands=b) >= target - 1e-12
+    if b > 1:
+        assert srp_collision_prob(cos_t, planes, bands=b - 1) < target + 1e-9
