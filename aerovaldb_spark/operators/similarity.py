@@ -216,13 +216,24 @@ def srp_collision_prob(
     index, and use this model directly for the near-dup rungs
     (:func:`srp_banded_pairs`, semantic dedup) where the quantity that
     matters IS the qualifying pair's collision probability."""
-    import math
-
     from .text import band_collision_prob
 
-    c = max(-1.0, min(1.0, float(cos_sim)))
-    p = 1.0 - math.acos(c) / math.pi
-    return band_collision_prob(p, bands, planes_per_band)
+    return band_collision_prob(
+        _cos_plane_agreement(cos_sim), bands, planes_per_band
+    )
+
+
+def _cos_plane_agreement(cos_sim: float) -> float:
+    """Per-plane agreement p = 1 - acos(cos)/π, validating the cosine
+    domain — the ONE cos→agreement conversion (shared by the model and
+    the chooser; silently clamping here would turn an unnormalized dot
+    product or degrees into a wildly wrong dial with no error)."""
+    import math
+
+    c = float(cos_sim)
+    if not -1.0 <= c <= 1.0:
+        raise ValueError(f"cosine must be in [-1, 1], got {cos_sim}")
+    return 1.0 - math.acos(c) / math.pi
 
 
 def effective_plane_agreement(
@@ -235,6 +246,8 @@ def effective_plane_agreement(
     distribution differs from the nominal threshold's point angle."""
     from .text import effective_jaccard
 
+    # effective_jaccard validates bands/planes >= 1 and the recall
+    # range (ValueError, never ZeroDivisionError)
     return effective_jaccard(bands, planes_per_band, measured_recall)
 
 
@@ -253,32 +266,34 @@ def choose_srp_bands(
     ~n²/2^planes); this sizes the recall side. Raises when no band
     count within ``max_bands`` reaches the target — lower
     planes_per_band (flatter curve) or the target."""
-    import math
+    from .text import min_bands_for_target
 
+    if planes_per_band < 1:
+        raise ValueError(
+            f"planes_per_band must be >= 1, got {planes_per_band}"
+        )
     if plane_agreement is None:
         if threshold_cos is None:
             raise ValueError("pass threshold_cos or plane_agreement")
-        c = max(-1.0, min(1.0, float(threshold_cos)))
-        plane_agreement = 1.0 - math.acos(c) / math.pi
+        plane_agreement = _cos_plane_agreement(threshold_cos)
     if not 0.0 < plane_agreement <= 1.0:
         raise ValueError(
-            f"plane_agreement must be in (0, 1], got {plane_agreement}"
+            f"plane agreement must be in (0, 1], got {plane_agreement} "
+            "(threshold_cos=-1 has no retainable pairs)"
         )
     if not 0.0 < target_recall < 1.0:
         raise ValueError(
             f"target_recall must be in (0, 1), got {target_recall}"
         )
-    p = plane_agreement**planes_per_band
-    if p >= 1.0:
-        return 1
-    denom = -math.log1p(-p)
-    if denom <= 0.0:
+    bands = min_bands_for_target(
+        plane_agreement**planes_per_band, target_recall
+    )
+    if bands is None:
         raise ValueError(
             f"collision probability underflows at planes_per_band="
             f"{planes_per_band} for agreement {plane_agreement:.4f} — "
             "lower planes_per_band"
         )
-    bands = math.ceil(-math.log(1.0 - target_recall) / denom)
     if bands > max_bands:
         raise ValueError(
             f"needs {bands} bands (> max_bands={max_bands}) to reach "

@@ -1926,6 +1926,11 @@ def effective_jaccard(
     (SCALING.md "q110 operating points") fit a single J_eff = 0.4595
     — (8,2)→0.850 exact by construction, predicting (16,2)→0.977 vs
     0.963 measured and (8,3)→0.558 vs 0.605 measured."""
+    if bands < 1 or rows_per_band < 1:
+        raise ValueError(
+            f"bands and rows_per_band must be >= 1, got "
+            f"({bands}, {rows_per_band})"
+        )
     if not 0.0 < measured_recall < 1.0:
         raise ValueError(
             f"measured_recall must be in (0, 1), got {measured_recall}"
@@ -1933,6 +1938,23 @@ def effective_jaccard(
     return (
         1.0 - (1.0 - measured_recall) ** (1.0 / bands)
     ) ** (1.0 / rows_per_band)
+
+
+def min_bands_for_target(p: float, target_recall: float) -> int | None:
+    """Minimal band count b with 1-(1-p)^b >= target_recall for a
+    per-band collision probability ``p``, or None when p underflows so
+    far that no finite count reaches the target (log1p(-p) == 0) — the
+    ONE band-count numeric shared by the minhash and SRP dial
+    choosers (a precision fix here must not be re-derived per
+    family)."""
+    import math
+
+    if p >= 1.0:
+        return 1
+    denom = -math.log1p(-p)
+    if denom <= 0.0:
+        return None
+    return math.ceil(-math.log(1.0 - target_recall) / denom)
 
 
 def choose_band_dial(
@@ -1982,19 +2004,11 @@ def choose_band_dial(
             f"target_recall must be in (0, 1), got {target_recall}"
         )
     for rows in range(max_rows, 0, -1):
-        p = jaccard**rows
-        if p >= 1.0:
-            bands = 1
-        else:
-            # log1p keeps precision for tiny p; if p underflows so far
-            # that log1p(-p) is 0.0, no finite band count reaches the
-            # target at this row count — try fewer rows (a plain
-            # log(1.0 - p) here returned -0.0 and crashed the divide)
-            denom = -math.log1p(-p)
-            if denom <= 0.0:
-                continue
-            bands = math.ceil(-math.log(1.0 - target_recall) / denom)
-        if bands * rows <= max_seeds:
+        # None: p underflowed — no finite band count reaches the
+        # target at this row count; try fewer rows (see
+        # min_bands_for_target for the log1p precision note)
+        bands = min_bands_for_target(jaccard**rows, target_recall)
+        if bands is not None and bands * rows <= max_seeds:
             return bands, rows
     raise ValueError(
         f"no (bands, rows_per_band) meets recall {target_recall} at "

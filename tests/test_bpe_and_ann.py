@@ -1124,6 +1124,19 @@ def test_srp_collision_model_and_chooser():
     # infeasible: steep curve + weak agreement -> refuse with guidance
     with pytest.raises(ValueError, match="planes_per_band"):
         choose_srp_bands(threshold_cos=0.3, planes_per_band=12, max_bands=32)
+    # out-of-domain inputs raise instead of silently clamping into a
+    # wildly wrong dial (unnormalized dot product, degrees, -1, a
+    # zero/negative plane count, bands=0 in the inverse)
+    with pytest.raises(ValueError, match="cosine"):
+        choose_srp_bands(threshold_cos=12.3)
+    with pytest.raises(ValueError, match="retainable"):
+        choose_srp_bands(threshold_cos=-1.0)
+    with pytest.raises(ValueError, match="planes_per_band"):
+        choose_srp_bands(threshold_cos=0.9, planes_per_band=0)
+    with pytest.raises(ValueError, match=">= 1"):
+        effective_plane_agreement(6, 0, 0.7)
+    with pytest.raises(ValueError, match="cosine"):
+        srp_collision_prob(2.0, 6)
 
 
 def test_srp_collision_model_matches_md5_planes(spark):
