@@ -1943,7 +1943,9 @@ def effective_jaccard(
 def min_bands_for_target(p: float, target_recall: float) -> int | None:
     """Minimal band count b with 1-(1-p)^b >= target_recall for a
     per-band collision probability ``p``, or None when p underflows so
-    far that no finite count reaches the target (log1p(-p) == 0) — the
+    far that no finite count reaches the target — either log1p(-p)
+    rounds to 0, or the quotient itself overflows to inf for a
+    subnormal p (denom > 0 but astronomically small). This is the
     ONE band-count numeric shared by the minhash and SRP dial
     choosers (a precision fix here must not be re-derived per
     family)."""
@@ -1954,7 +1956,10 @@ def min_bands_for_target(p: float, target_recall: float) -> int | None:
     denom = -math.log1p(-p)
     if denom <= 0.0:
         return None
-    return math.ceil(-math.log(1.0 - target_recall) / denom)
+    q = -math.log(1.0 - target_recall) / denom
+    if not math.isfinite(q):
+        return None
+    return math.ceil(q)
 
 
 def choose_band_dial(
@@ -2297,8 +2302,8 @@ class TfidfScreenIndex:
     corpus appends incrementally via :meth:`add` — new docs are signed
     under the frozen stats and appended to the parquet, never forcing
     a rebuild (the reference store itself is put-anytime incremental:
-    /root/reference/src/aerovaldb/jsonfiledb.py:386-413 — the index
-    layer matches)."""
+    /root/reference/src/aerovaldb/jsondb/jsonfiledb.py:386-413 — the
+    index layer matches)."""
 
     def __init__(
         self,
@@ -2417,7 +2422,18 @@ class TfidfScreenIndex:
         removing the partial batch, or rebuild). Weights write before
         signatures deliberately: a crash between the two leaves docs
         with weights but no signatures, which can never become
-        candidates — the batch is simply missing, not half-screened.
+        candidates — the batch is simply missing, not half-screened,
+        PROVIDED the batch is not retried as-is. Under a replaying
+        caller (``tfidf_index_ingest_fn``: the epoch marker is written
+        after ``add``, so this crash window also loses the marker and
+        Structured Streaming redelivers the batch) the retry
+        re-appends the weights — the orphaned first-attempt weight
+        rows are now duplicates PAIRED with signatures, which corrupts
+        dots exactly like the append→marker window. After any unclean
+        stop, the recovery rule is therefore the same for BOTH
+        windows: check the reference for duplicate doc_ids and rebuild
+        if found — do not assume the weights→signatures ordering alone
+        made the crash safe.
         Use the RETURNED index to see the appended rows: a previously
         constructed instance snapshotted its parquet file listing at
         load time and will not pick them up.
