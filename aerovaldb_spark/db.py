@@ -350,6 +350,16 @@ class AerovalSparkDB:
             self._df_cache.pop(route, None)
         self._mem.clear()
 
+    # A memtable flush above this row count writes at natural
+    # parallelism (range-partitioned on the key columns) instead of
+    # the single-file coalesce(1) below — the cliff a caller hit by
+    # put()ing millions of rows before flush(): one task serializing
+    # the whole batch. Small flushes (the store's designed shape) keep
+    # the one-file-per-flush layout so point-read file counts stay
+    # low. bulk_import remains the documented scale path; this guard
+    # just removes the failure mode of not knowing that.
+    _PARALLEL_FLUSH_ROWS = 100_000
+
     def _flush_spark(self, route: Route, rows: dict) -> None:
         df = self.spark.createDataFrame(
             [Row(**r) for r in rows.values()], schema=_schema_for(route)
@@ -360,7 +370,19 @@ class AerovalSparkDB:
         # whole files, the analog of the reference's exact-path
         # lookup (matters at scale; free here).
         sort_keys = [k for k in keys if k != "project"]
-        out = df.coalesce(1)
+        if len(rows) > self._PARALLEL_FLUSH_ROWS:
+            n_parts = -(-len(rows) // self._PARALLEL_FLUSH_ROWS)
+            # repartitionByRange keeps files non-overlapping on the
+            # sort keys, so per-file min/max stats stay as tight as
+            # the single-file layout's — point reads still skip all
+            # but one file.
+            out = (
+                df.repartitionByRange(n_parts, *sort_keys)
+                if sort_keys
+                else df.repartition(n_parts)
+            )
+        else:
+            out = df.coalesce(1)
         if sort_keys:
             out = out.sortWithinPartitions(*sort_keys)
         writer = out.write.mode("append")

@@ -132,6 +132,39 @@ NUM_PLANES = 8
 SRP_RECOMMENDED_N_FLIP = 5
 IVF_DEFAULT_N_PROBE = 4
 
+# Ceiling on the probed-bucket/list id literals a persisted-index read
+# will collect to the driver for partition pruning. Below the cap the
+# distinct probed ids become a literal IN filter, which the
+# bucket/list-partitioned parquet layout turns into directory pruning
+# at planning time. Above it (a huge query batch against a high-planes
+# index: distinct buckets approach min(2^planes, |queries| * probes))
+# the IN-list itself becomes driver-memory + plan-size risk, so the
+# read falls back to a broadcast semi-join on the distinct probe
+# frame: the scan is no longer pruned at planning time, but Spark's
+# dynamic partition pruning can still prune it at runtime (join on the
+# partition column with a broadcast build side), unprobed rows still
+# never reach scoring, and driver memory stays O(cap) regardless of
+# batch size. 4096 int literals is well under Spark's plan-size
+# comfort zone while covering every bounded case that exists today
+# (planes <= 24 guard upstream; IVF n_lists in the hundreds).
+PROBE_LITERAL_CAP = 4096
+
+
+def _pruned_by_probes(
+    assignments: DataFrame, probe: DataFrame, col: str
+) -> DataFrame:
+    """Restrict ``assignments`` to the ``col`` partitions named in
+    ``probe`` — literal IN filter up to :data:`PROBE_LITERAL_CAP`
+    distinct ids (collect is capped: at most cap+1 rows ever reach the
+    driver), broadcast semi-join beyond it. One helper so the cap +
+    fallback policy can't drift between the four persisted families.
+    """
+    distinct = probe.select(col).distinct()
+    ids = [r[0] for r in distinct.limit(PROBE_LITERAL_CAP + 1).collect()]
+    if len(ids) <= PROBE_LITERAL_CAP:
+        return assignments.filter(F.col(col).isin(sorted(ids)))
+    return assignments.join(F.broadcast(distinct), col, "left_semi")
+
 
 def srp_signature_col(
     vec_col: str, dim: int, planes: int = NUM_PLANES,
@@ -982,14 +1015,10 @@ class IVFIndex:
 
         # IN-filter on the union of probed lists reaches the scan as a
         # PARTITION filter on the list_id layout — the join alone would
-        # read every list. Collecting the DISTINCT probed ids is
-        # bounded by n_lists (ints, not queries): driver memory stays
-        # independent of the query-batch size.
-        all_probes = sorted(
-            r["list_id"]
-            for r in qdf.select("list_id").distinct().collect()
-        )
-        pruned = self.assignments.filter(F.col("list_id").isin(all_probes))
+        # read every list. Distinct probed ids are bounded by n_lists
+        # here; _pruned_by_probes caps the collect and falls back to a
+        # broadcast semi-join past PROBE_LITERAL_CAP regardless.
+        pruned = _pruned_by_probes(self.assignments, qdf, "list_id")
 
         w = Window.partitionBy("query_id").orderBy(
             F.col("cosine").desc(), F.col("neighbor_id")
@@ -2038,12 +2067,11 @@ class SRPIndex:
         probe = scoped_persist(probe)
         # the union of probed buckets (≤ 2^planes ints — independent of
         # the query-batch size) becomes a literal IN filter so the
-        # bucket-partitioned layout is directory-pruned at the scan
-        probed = sorted(
-            r["bucket"]
-            for r in probe.select("bucket").distinct().collect()
-        )
-        pruned = self.assignments.filter(F.col("bucket").isin(probed))
+        # bucket-partitioned layout is directory-pruned at the scan;
+        # past PROBE_LITERAL_CAP the helper swaps to a broadcast
+        # semi-join instead of pushing a giant IN-list through the
+        # driver
+        pruned = _pruned_by_probes(self.assignments, probe, "bucket")
         return _score_probed(pruned, probe, k, self.vec_col, self.id_col)
 
 
@@ -2237,12 +2265,8 @@ class QuantizedSRPIndex:
         from ._scope import scoped_persist
 
         probe = scoped_persist(probe)
-        probed = sorted(
-            r["bucket"]
-            for r in probe.select("bucket").distinct().collect()
-        )
-        pruned = self.assignments.filter(
-            F.col("bucket").isin(probed)
+        pruned = _pruned_by_probes(
+            self.assignments, probe, "bucket"
         ).withColumn("codes", F.transform("codes", lambda x: x.cast("double")))
         return _score_probed(
             pruned, probe, k, "codes", self.id_col
@@ -2421,12 +2445,8 @@ class QuantizedIVFIndex:
         # one probe set for both the pruning collect and the scoring
         # join (same two-action reuse as SRPIndex.topk)
         probe = scoped_persist(probe.join(qcodes, "query_id"))
-        all_probes = sorted(
-            r["list_id"]
-            for r in probe.select("list_id").distinct().collect()
-        )
-        pruned = self.assignments.filter(
-            F.col("list_id").isin(all_probes)
+        pruned = _pruned_by_probes(
+            self.assignments, probe, "list_id"
         ).withColumn(
             "codes", F.transform("codes", lambda x: x.cast("double"))
         )

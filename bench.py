@@ -393,15 +393,29 @@ def main() -> None:
     out["value_load_normalized_advisory"] = round(total / max(load, 0.05), 3)
     if ERRORS:
         out["errors"] = ERRORS
-    # print the artifact line TWICE: the external driver's tail capture
-    # has truncated the LEADING bytes of single-line output (r9's
-    # recorded `parsed` field came back null) — with two identical
-    # copies, any tail window long enough for one line contains an
-    # intact copy, and a parser scanning for the first VALID json line
-    # still finds exactly this object
+    # Truncation-proofing, third iteration. The driver's tail capture
+    # is SHORTER than one full artifact line (~4 KB): r9 shipped the
+    # line once and r10 twice, and `parsed` came back null both times
+    # because every copy lost its leading bytes. So after the full
+    # artifact, print a final COMPACT summary line (<200 bytes, no
+    # per-query dicts) — the LAST line of output is intact in any tail
+    # window longer than itself, and a parser scanning for a valid
+    # json line finds it. Same "metric" key so the driver's schema
+    # check accepts either form; per-query detail stays recoverable
+    # from the full line when the capture is long enough.
     line = json.dumps(out)
     print(line, flush=True)
-    print(line, flush=True)
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "sf": sf,
+        "best_total_sec": out["best_total_sec"],
+        "host_load_factor": out["host_load_factor"],
+    }
+    if pipeline_steady:
+        compact["pipeline_total"] = out["pipeline"]["value"]
+    print(json.dumps(compact), flush=True)
 
 
 if __name__ == "__main__":

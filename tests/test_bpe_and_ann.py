@@ -433,6 +433,48 @@ def test_srp_index_save_load_matches_ephemeral(spark, tmp_path):
     assert "PartitionFilters" in plan and "bucket" in plan
 
 
+def test_probe_literal_cap_boundary(spark, tmp_path, monkeypatch):
+    """_pruned_by_probes at the PROBE_LITERAL_CAP boundary: at the cap
+    the persisted read plans the literal IN partition filter; one
+    below it (more distinct probes than the cap) it swaps to a
+    broadcast LEFT SEMI join on the distinct probe frame — no probe
+    literals through the driver — and serves IDENTICAL rows."""
+    from pyspark.sql import functions as F
+
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators import similarity as sim
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    idx = sim.SRPIndex.build(emb, dim=64, planes=sim.Q91_PLANES)
+    path = str(tmp_path / "srp_cap")
+    idx.save(path)
+    loaded = sim.SRPIndex.load(spark, path)
+
+    n_probed = (
+        sim._srp_probe_frame(queries, 64, sim.Q91_PLANES, "embedding", "vec_id")
+        .select("bucket")
+        .distinct()
+        .count()
+    )
+    assert n_probed >= 2  # boundary below is meaningful
+
+    monkeypatch.setattr(sim, "PROBE_LITERAL_CAP", n_probed)
+    at_cap = loaded.topk(queries, k=10)
+    plan_at = at_cap._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan_at and "bucket" in plan_at
+    assert "LeftSemi" not in plan_at
+
+    monkeypatch.setattr(sim, "PROBE_LITERAL_CAP", n_probed - 1)
+    over_cap = loaded.topk(queries, k=10)
+    plan_over = over_cap._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan_over
+
+    assert sorted(map(tuple, at_cap.collect())) == sorted(
+        map(tuple, over_cap.collect())
+    )
+
+
 def test_srp_index_add_matches_full_build(spark, tmp_path):
     """Incremental append, SRP family: the quantizer is deterministic
     and parameter-frozen, so build(old).add(new) must serve

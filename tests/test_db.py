@@ -63,6 +63,39 @@ def test_last_writer_wins_after_flush(tmpdb):
     assert tmpdb.get(Route.CONFIG, args) == {"v": 2}
 
 
+def test_oversized_flush_writes_multiple_files(tmpdb):
+    """A memtable flush above _PARALLEL_FLUSH_ROWS must write at
+    natural parallelism (>=2 part files, range-partitioned on the key
+    columns), not through the single-task coalesce(1) — the cliff a
+    caller hit by put()ing a bulk batch and calling flush() instead of
+    bulk_import. Read-back semantics are unchanged. The threshold is
+    lowered to the arrow-path bound so the test exercises the
+    mechanism without a 100k-row driver loop."""
+    import glob
+    import os
+
+    tmpdb._PARALLEL_FLUSH_ROWS = tmpdb._SMALL_FLUSH_ROWS  # 10k
+    n = tmpdb._SMALL_FLUSH_ROWS + 2_001
+    for i in range(n):
+        tmpdb.put({"v": i}, Route.CONFIG, {"project": "p", "experiment": f"e{i:06d}"})
+    tmpdb.flush()
+    part_files = glob.glob(
+        os.path.join(tmpdb._table_path(Route.CONFIG), "**", "part-*.parquet"),
+        recursive=True,
+    )
+    assert len(part_files) >= 2, part_files
+    # unchanged read-back: point read, catalog count, LWW over the batch
+    assert tmpdb.get(Route.CONFIG, {"project": "p", "experiment": "e000007"}) == {
+        "v": 7
+    }
+    assert tmpdb.table(Route.CONFIG).count() == n
+    tmpdb.put({"v": -1}, Route.CONFIG, {"project": "p", "experiment": "e000007"})
+    tmpdb.flush()
+    assert tmpdb.get(Route.CONFIG, {"project": "p", "experiment": "e000007"}) == {
+        "v": -1
+    }
+
+
 # --- typed getter/putter generation -------------------------------------
 
 def test_typed_getters_putters(tmpdb):
