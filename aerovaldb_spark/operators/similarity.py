@@ -747,10 +747,10 @@ def q66_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _frozen_ivf_prefix_sql(n_probe: int) -> str:
-    """The oracle CTE fragment shared by q66 and q108: frozen
-    centroids as VALUES rows, 6dp-rounded squared distances,
-    nearest-centroid assignment, and per-query probe lists."""
+def _frozen_ivf_assigned_sql() -> str:
+    """Oracle CTE fragment: frozen centroids as VALUES rows,
+    6dp-rounded squared distances, nearest-centroid assignment —
+    shared by q66/q108 (probe+serve) and q116 (staleness)."""
     from .ivf_centroids_frozen import CENTROIDS
 
     values = ",\n    ".join(
@@ -775,7 +775,13 @@ def _frozen_ivf_prefix_sql(n_probe: int) -> str:
     SELECT vec_id, v, list_id,
       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, list_id) AS rn
     FROM dists) WHERE rn = 1
-), probes AS (
+)"""
+
+
+def _frozen_ivf_prefix_sql(n_probe: int) -> str:
+    """q66/q108's CTE prefix: the frozen assignment fragment plus
+    per-query probe lists."""
+    return f"""{_frozen_ivf_assigned_sql()}, probes AS (
   SELECT vec_id AS query_id, v AS qv, list_id FROM (
     SELECT vec_id, v, list_id,
       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, list_id) AS rn
@@ -1005,6 +1011,22 @@ class IVFIndex:
     ) -> "IVFIndex":
         return IVFIndex(*_load_ivf_frames(spark, path), vec_col, id_col)
 
+    def staleness(
+        self, sample_fraction: float | None = None
+    ) -> DataFrame:
+        """One-row frozen-centroid drift report — occupancy skew,
+        centroid shift, assignment churn; see
+        :func:`ivf_staleness_report` for metric definitions and the
+        measured rebuild rule. Snapshot once right after ``build`` —
+        drift reads as GROWTH over that baseline."""
+        return ivf_staleness_report(
+            self.centroids,
+            self.assignments,
+            self.vec_col,
+            self.id_col,
+            sample_fraction,
+        )
+
     def topk(
         self, query: DataFrame, k: int = 10,
         n_probe: int = IVF_DEFAULT_N_PROBE,
@@ -1072,6 +1094,242 @@ def ann_recall(
             / F.col("n_exact")
         ).alias("recall"),
     )
+
+
+# --------------------------------------------------------------------------
+# Index staleness reports. All five persisted families append under
+# FROZEN parameters (KMeans centroids, SRP hyperplanes, idf stats) —
+# exact by design, but a user appending 10x the build corpus needs a
+# MEASURED signal for when frozen-parameter recall/serving cost has
+# drifted below spec, not a docstring's "rebuild when it matters"
+# (the reference checks freshness too, mtime-invalidated version
+# cache: /root/reference/src/aerovaldb/jsondb/jsonfiledb.py:224-258).
+# Every metric follows the cross-engine determinism conventions
+# (round6 per-term values, DECIMAL(18,6) sums, integer counts), so
+# the reports are DuckDB-oracle-gradable (q114/q115/q116).
+
+
+def _occupancy_metrics(assignments: DataFrame, col: str) -> DataFrame:
+    """One-row (n_rows, n_partitions, load_factor_max, occupancy_cov,
+    top_mass) over the ``col``-partitioned assignment table. Skew here
+    is the serving-cost drift signal for the hash-partitioned families
+    (a drifted corpus concentrating into few buckets makes every probe
+    of a hot bucket score proportionally more candidates). Integer
+    aggregates only, so exact on any engine: load_factor_max =
+    max_size/mean_size, occupancy_cov = population stddev/mean via
+    sqrt(L*sum(c^2) - (sum c)^2)/sum(c), top_mass = max_size/total."""
+    occ = assignments.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+    return occ.agg(
+        F.sum("c").alias("_tot"),
+        F.count(F.lit(1)).alias("_l"),
+        F.max("c").alias("_mx"),
+        F.sum(F.col("c") * F.col("c")).alias("_s2"),
+    ).select(
+        F.col("_tot").alias("n_rows"),
+        F.col("_l").alias("n_partitions"),
+        round6(
+            F.col("_mx") * F.col("_l") / F.col("_tot").cast("double")
+        ).alias("load_factor_max"),
+        round6(
+            F.sqrt(
+                (F.col("_l") * F.col("_s2") - F.col("_tot") * F.col("_tot"))
+                .cast("double")
+            )
+            / F.col("_tot")
+        ).alias("occupancy_cov"),
+        round6(F.col("_mx") / F.col("_tot").cast("double")).alias("top_mass"),
+    )
+
+
+def bucket_occupancy_drift(
+    assignments: DataFrame, baseline: DataFrame, col: str = "bucket"
+) -> DataFrame:
+    """One-row occupancy DRIFT report for the SRP families: current
+    ``col`` histogram of ``assignments`` vs a ``baseline`` (col, c)
+    histogram snapshotted at build time (``SRPIndex.occupancy()``).
+    Columns: the :func:`_occupancy_metrics` skew set for the CURRENT
+    table, plus growth_ratio (rows now / rows at baseline),
+    total_variation (0.5 * sum |p_now - p_base| over the bucket union;
+    per-bucket terms round6'd and DECIMAL-summed so the sum is
+    order-free), and new_bucket_mass (current mass in buckets the
+    baseline never saw — the clearest "distribution moved" signal).
+
+    Rebuild rule (measured in SCALING.md "Index staleness"): the SRP
+    quantizer stays bit-exact forever, so this is serving-cost drift,
+    not correctness drift — re-plan (more planes, or re-partition) when
+    load_factor_max grows past ~2x its build value or new_bucket_mass
+    exceeds ~0.2; total_variation tracks how far the corpus moved."""
+    occ = assignments.groupBy(col).agg(F.count(F.lit(1)).alias("c_now"))
+    base = baseline.select(col, F.col("c").alias("c_base"))
+    joined = occ.join(base, col, "full_outer").select(
+        F.coalesce("c_now", F.lit(0)).alias("c_now"),
+        F.coalesce("c_base", F.lit(0)).alias("c_base"),
+    )
+    tot = joined.agg(
+        F.sum("c_now").alias("_tn"), F.sum("c_base").alias("_tb")
+    )
+    drift = (
+        joined.crossJoin(F.broadcast(tot))
+        .select(
+            round6(
+                F.abs(
+                    F.col("c_now") / F.col("_tn").cast("double")
+                    - F.col("c_base") / F.col("_tb").cast("double")
+                )
+            ).alias("_tv"),
+            F.when(F.col("c_base") == 0, F.col("c_now"))
+            .otherwise(F.lit(0))
+            .alias("_new"),
+            "_tn",
+            "_tb",
+        )
+        .agg(
+            round6(
+                F.sum(F.col("_tv").cast("decimal(18,6)")).cast("double")
+                / 2.0
+            ).alias("total_variation"),
+            round6(
+                F.sum("_new") / F.max("_tn").cast("double")
+            ).alias("new_bucket_mass"),
+            round6(
+                F.max("_tn") / F.max("_tb").cast("double")
+            ).alias("growth_ratio"),
+        )
+    )
+    return _occupancy_metrics(assignments, col).crossJoin(drift)
+
+
+def ivf_staleness_report(
+    centroids: DataFrame | None,
+    assignments: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_fraction: float | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """One-row staleness report for a frozen-centroid IVF index:
+    occupancy skew (:func:`_occupancy_metrics`) + centroid drift +
+    assignment churn. The KMeans fit froze at build; as appended data
+    diverges from the build-time sample, members drift away from
+    their frozen centroid and recall at a fixed n_probe decays — this
+    measures that before it bites.
+
+    - centroid_shift_mean/max: per occupied list, the distance between
+      the frozen centroid and the CURRENT member mean, relative to the
+      centroid's norm (round6 / DECIMAL-mean conventions, so the same
+      report computes on any engine). A fresh index measures ~0 only
+      if KMeans converged; the meaningful read is GROWTH over the
+      build-time value.
+    - assignment_churn: fraction of (sampled) members whose nearest
+      one-Lloyd-step-updated mean differs from their stored list — the
+      executable form of "would a refit move this vector". Sampling
+      (``sample_fraction``) keeps the pass cheap at scale; the graded
+      query runs unsampled for cross-engine determinism.
+
+    Rebuild rule (measured in SCALING.md "Index staleness"): recall at
+    the default n_probe decays with churn — rebuild when
+    assignment_churn exceeds ~0.25 or centroid_shift_mean roughly
+    doubles from its build-time report.
+
+    ``centroids=None`` skips the shift columns — the QuantizedIVF
+    store keeps only per-vector-scaled int8 codes, so there is no
+    code-space frozen centroid to measure shift against (each code
+    array lost its per-vector scale factor); its drift signal is
+    occupancy skew + code-space churn against the one-step code
+    means."""
+    members = assignments.select(
+        id_col, F.col(vec_col).alias("_vec"), "list_id"
+    )
+    if sample_fraction is not None:
+        members = members.sample(sample_fraction, seed=seed)
+    from ._scope import scoped_persist
+
+    # sampled frame feeds three jobs (means, churn, occupancy is on
+    # the full table); persist so they see ONE sample
+    members = scoped_persist(members)
+    dims = members.select(
+        "list_id", F.posexplode(_dbl("_vec")).alias("pos", "x")
+    )
+    means = (
+        dims.groupBy("list_id", "pos")
+        .agg(
+            round6(
+                F.sum(round6(F.col("x")).cast("decimal(18,6)"))
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        .groupBy("list_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("centroid")
+        )
+    )
+    means = scoped_persist(means)
+    # relative shift per occupied list: round6'd squared distances so
+    # sqrt inputs match across engines
+    shift = None if centroids is None else (
+        means.withColumnRenamed("centroid", "_mv")
+        .join(F.broadcast(centroids), "list_id")
+        .select(
+            round6(
+                F.sqrt(
+                    round6(
+                        F.aggregate(
+                            F.zip_with(
+                                "_mv", "centroid",
+                                lambda a, b: (a - b) * (a - b),
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        )
+                    )
+                    / round6(
+                        F.aggregate(
+                            F.zip_with(
+                                "centroid", "centroid", lambda a, b: a * b
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        )
+                    )
+                )
+            ).alias("rel_shift")
+        )
+        .agg(
+            round6(
+                F.sum(F.col("rel_shift").cast("decimal(18,6)"))
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias("centroid_shift_mean"),
+            F.max("rel_shift").alias("centroid_shift_max"),
+        )
+    )
+    churn = (
+        ivf_assign(
+            members.select(id_col, "_vec", F.col("list_id").alias("_old")),
+            means,
+            "_vec",
+            id_col,
+        )
+        .join(
+            members.select(id_col, F.col("list_id").alias("_old")), id_col
+        )
+        .agg(
+            round6(
+                F.sum(
+                    F.when(F.col("list_id") != F.col("_old"), 1).otherwise(0)
+                )
+                / F.count(F.lit(1)).cast("double")
+            ).alias("assignment_churn")
+        )
+    )
+    report = _occupancy_metrics(assignments, "list_id")
+    if shift is not None:
+        report = report.crossJoin(shift)
+    return report.crossJoin(churn)
 
 
 # --------------------------------------------------------------------------
@@ -2025,6 +2283,27 @@ class SRPIndex:
             id_col,
         )
 
+    def occupancy(self) -> DataFrame:
+        """(bucket, c) histogram of the current assignments — snapshot
+        this at build time (it is 2^planes rows at most; collect or
+        write it anywhere) and hand it back to :meth:`staleness` after
+        appends to measure occupancy drift."""
+        return self.assignments.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+
+    def staleness(self, baseline: DataFrame | None = None) -> DataFrame:
+        """One-row occupancy-skew report; with a ``baseline``
+        histogram (a build-time :meth:`occupancy` snapshot) also the
+        drift columns (growth_ratio, total_variation,
+        new_bucket_mass). The SRP quantizer is deterministic, so this
+        is SERVING-COST drift, not correctness drift — see
+        :func:`bucket_occupancy_drift` for the measured re-plan
+        rule."""
+        if baseline is None:
+            return _occupancy_metrics(self.assignments, "bucket")
+        return bucket_occupancy_drift(self.assignments, baseline)
+
     def topk(
         self, query: DataFrame, k: int = 10, n_flip: int | None = None
     ) -> DataFrame:
@@ -2237,6 +2516,21 @@ class QuantizedSRPIndex:
             id_col,
         )
 
+    def occupancy(self) -> DataFrame:
+        """(bucket, c) histogram — see :meth:`SRPIndex.occupancy`."""
+        return self.assignments.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+
+    def staleness(self, baseline: DataFrame | None = None) -> DataFrame:
+        """Occupancy skew / drift report — the quantized twin of
+        :meth:`SRPIndex.staleness` (same serving-cost semantics; the
+        bucket bits come from the codes, but skew and drift read
+        identically)."""
+        if baseline is None:
+            return _occupancy_metrics(self.assignments, "bucket")
+        return bucket_occupancy_drift(self.assignments, baseline)
+
     def topk(
         self, query: DataFrame, k: int = 10, n_flip: int | None = None,
         vec_col: str = "embedding",
@@ -2419,6 +2713,25 @@ class QuantizedIVFIndex:
         spark: SparkSession, path: str, id_col: str = "vec_id"
     ) -> "QuantizedIVFIndex":
         return QuantizedIVFIndex(*_load_ivf_frames(spark, path), id_col)
+
+    def staleness(
+        self, sample_fraction: float | None = None
+    ) -> DataFrame:
+        """Occupancy skew + CODE-SPACE assignment churn (no
+        centroid-shift columns: the store keeps per-vector-scaled int8
+        codes, so no code-space frozen centroid exists to measure
+        shift against — :func:`ivf_staleness_report` documents the
+        rationale). A user holding the raw vectors measures shift via
+        :meth:`IVFIndex.staleness` on the float twin."""
+        return ivf_staleness_report(
+            None,
+            self.assignments.withColumn(
+                "_codes_d", F.transform("codes", lambda x: x.cast("double"))
+            ),
+            "_codes_d",
+            self.id_col,
+            sample_fraction,
+        )
 
     def topk(
         self,
@@ -2799,6 +3112,149 @@ FROM comp
 """
 
 
+# --------------------------------------------------------------------------
+# q115/q116: the index-staleness reports as graded queries — the drift
+# metrics the persisted families' rebuild rules read are themselves
+# oracle-checked, not just unit-tested. q115 exercises the SRP
+# occupancy-drift path end to end (build on half the corpus, snapshot
+# occupancy, append the other half, diff); q116 the frozen-centroid
+# IVF report (occupancy skew + centroid shift + one-Lloyd-step
+# assignment churn) on the same frozen centroids q66 serves with.
+Q115_PLANES = 6
+
+
+def q115_srp_occupancy_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = SRPIndex.build(
+        emb.filter(F.col("vec_id") % 2 == 0), dim=64, planes=Q115_PLANES
+    )
+    base = idx.occupancy()
+    grown = idx.add(emb.filter(F.col("vec_id") % 2 == 1))
+    return grown.staleness(baseline=base)
+
+
+def _q115_sql() -> str:
+    bucket = _bucket_sql_for(Q115_PLANES, "e")
+    return f"""
+WITH base AS (
+  SELECT bucket, COUNT(*) AS c FROM (
+    SELECT {bucket} AS bucket FROM embeddings e WHERE e.vec_id % 2 = 0
+  ) GROUP BY bucket
+), occ AS (
+  SELECT bucket, COUNT(*) AS c_now FROM (
+    SELECT {bucket} AS bucket FROM embeddings e
+  ) GROUP BY bucket
+), m AS (
+  SELECT CAST(SUM(c_now) AS BIGINT) AS tot, COUNT(*) AS l,
+         MAX(c_now) AS mx, CAST(SUM(c_now * c_now) AS BIGINT) AS s2
+  FROM occ
+), met AS (
+  SELECT tot AS n_rows, l AS n_partitions,
+    ROUND(mx * l / CAST(tot AS DOUBLE), 6) AS load_factor_max,
+    ROUND(sqrt(CAST(l * s2 - tot * tot AS DOUBLE)) / tot, 6)
+      AS occupancy_cov,
+    ROUND(mx / CAST(tot AS DOUBLE), 6) AS top_mass
+  FROM m
+), j AS (
+  SELECT COALESCE(c_now, 0) AS c_now, COALESCE(c, 0) AS c_base
+  FROM occ FULL OUTER JOIN base USING (bucket)
+), t AS (SELECT SUM(c_now) AS tn, SUM(c_base) AS tb FROM j),
+d AS (
+  SELECT
+    ROUND(CAST(SUM(CAST(ROUND(abs(
+        c_now / CAST(tn AS DOUBLE) - c_base / CAST(tb AS DOUBLE)
+      ), 6) AS DECIMAL(18,6))) AS DOUBLE) / 2.0, 6) AS total_variation,
+    ROUND(SUM(CASE WHEN c_base = 0 THEN c_now ELSE 0 END)
+      / CAST(MAX(tn) AS DOUBLE), 6) AS new_bucket_mass,
+    ROUND(MAX(tn) / CAST(MAX(tb) AS DOUBLE), 6) AS growth_ratio
+  FROM j CROSS JOIN t
+)
+SELECT met.*, d.* FROM met CROSS JOIN d
+"""
+
+
+Q115_SQL = _q115_sql()
+
+
+def q116_ivf_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = frozen_ivf_centroids(spark)
+    idx = IVFIndex(cents, ivf_assign(emb, cents), "embedding", "vec_id")
+    return idx.staleness()
+
+
+def _q116_sql() -> str:
+    from .ivf_centroids_frozen import CENTROIDS
+
+    dim = len(CENTROIDS[0])
+    d2m = (
+        f"ROUND(list_sum(list_transform(generate_series(1, {dim}), "
+        "i -> (a.v[i] - mv.centroid[i]) * (a.v[i] - mv.centroid[i]))), 6)"
+    )
+    shift_d2 = (
+        f"ROUND(list_sum(list_transform(generate_series(1, {dim}), "
+        "i -> (mv.centroid[i] - c.centroid[i])"
+        " * (mv.centroid[i] - c.centroid[i]))), 6)"
+    )
+    cent_n2 = (
+        f"ROUND(list_sum(list_transform(generate_series(1, {dim}), "
+        "i -> c.centroid[i] * c.centroid[i])), 6)"
+    )
+    return f"""
+WITH {_frozen_ivf_assigned_sql()}, occ AS (
+  SELECT list_id, COUNT(*) AS c FROM assigned GROUP BY list_id
+), m AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS tot, COUNT(*) AS l, MAX(c) AS mx,
+         CAST(SUM(c * c) AS BIGINT) AS s2
+  FROM occ
+), met AS (
+  SELECT tot AS n_rows, l AS n_partitions,
+    ROUND(mx * l / CAST(tot AS DOUBLE), 6) AS load_factor_max,
+    ROUND(sqrt(CAST(l * s2 - tot * tot AS DOUBLE)) / tot, 6)
+      AS occupancy_cov,
+    ROUND(mx / CAST(tot AS DOUBLE), 6) AS top_mass
+  FROM m
+), dimvals AS (
+  SELECT list_id, i, v[i] AS x
+  FROM assigned CROSS JOIN generate_series(1, {dim}) AS g(i)
+), meandims AS (
+  SELECT list_id, i,
+    ROUND(CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(18,6))) AS DOUBLE)
+      / COUNT(*), 6) AS mval
+  FROM dimvals GROUP BY list_id, i
+), meanvecs AS (
+  SELECT list_id, list(mval ORDER BY i) AS centroid
+  FROM meandims GROUP BY list_id
+), shifts AS (
+  SELECT ROUND(sqrt({shift_d2} / {cent_n2}), 6) AS rel_shift
+  FROM meanvecs mv JOIN cent c USING (list_id)
+), shift AS (
+  SELECT
+    ROUND(CAST(SUM(CAST(rel_shift AS DECIMAL(18,6))) AS DOUBLE)
+      / COUNT(*), 6) AS centroid_shift_mean,
+    MAX(rel_shift) AS centroid_shift_max
+  FROM shifts
+), redists AS (
+  SELECT a.vec_id, a.list_id AS old_list, mv.list_id AS new_list, {d2m} AS d2
+  FROM assigned a CROSS JOIN meanvecs mv
+), reassigned AS (
+  SELECT vec_id, old_list, new_list FROM (
+    SELECT vec_id, old_list, new_list,
+      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, new_list) AS rn
+    FROM redists) WHERE rn = 1
+), churn AS (
+  SELECT ROUND(SUM(CASE WHEN new_list <> old_list THEN 1 ELSE 0 END)
+    / CAST(COUNT(*) AS DOUBLE), 6) AS assignment_churn
+  FROM reassigned
+)
+SELECT met.*, shift.*, churn.*
+FROM met CROSS JOIN shift CROSS JOIN churn
+"""
+
+
+Q116_SQL = _q116_sql()
+
+
 QUERIES = {
     "q29_cosine_topk": q29_cosine_topk,
     "q30_embedding_norms": q30_embedding_norms,
@@ -2816,9 +3272,13 @@ QUERIES = {
     "q98_quantized_ann_topk": q98_quantized_ann_topk,
     "q101_quantized_srp_ann": q101_quantized_srp_ann,
     "q108_quantized_ivf_ann": q108_quantized_ivf_ann,
+    "q115_srp_occupancy_drift": q115_srp_occupancy_drift,
+    "q116_ivf_staleness": q116_ivf_staleness,
 }
 
 ORACLE = {
+    "q115_srp_occupancy_drift": Q115_SQL,
+    "q116_ivf_staleness": Q116_SQL,
     "q79_knn_join": Q79_SQL,
     "q83_label_cohesion": Q83_SQL,
     "q89_quantization_audit": Q89_SQL,

@@ -2582,6 +2582,126 @@ class TfidfScreenIndex:
             self_screen=False,
         )
 
+    def staleness(self, top_k: int = 100) -> DataFrame:
+        """One-row frozen-idf drift report, computed entirely from the
+        index's own frames (appended docs carry their rows in
+        ``weights``, OOV terms included with frozen df=0, so no raw
+        text is needed). Columns:
+
+        - n_docs_frozen / n_docs_now / growth_ratio: corpus count the
+          idf froze at vs docs the index actually holds.
+        - idf_drift_mad: current-df-weighted mean |idf_frozen -
+          idf_would_be| over the frozen vocabulary — the average
+          per-term-occurrence idf error a fresh rebuild would correct
+          (both idfs the engine's own round6(ln((n+1)/(df+1)))).
+        - idf_drift_max: the worst single term's |delta|.
+        - new_term_mass: fraction of current (doc, term) rows whose
+          term the frozen stats never saw — weighted with the flat OOV
+          idf today; pure distribution-shift signal.
+        - top_term_churn: 1 - Jaccard of the top-``top_k`` terms by df,
+          frozen vs current (df desc, term asc tie-break) — the
+          head-of-vocabulary movement the screen's top-term signatures
+          actually feel.
+
+        Determinism: round6 per-term values, DECIMAL(18,6) sums,
+        integer counts — the report is DuckDB-replayable and graded
+        (q114). Rebuild rule (measured in SCALING.md "Index
+        staleness"): screen recall holds while drift stays small —
+        rebuild when idf_drift_mad exceeds ~0.10, new_term_mass ~0.05,
+        or top_term_churn ~0.3; growth_ratio alone is NOT the trigger
+        (a 4x append of same-distribution data moves recall far less
+        than a small distribution shift does)."""
+        cur = self.weights.groupBy("term").agg(
+            F.count(F.lit(1)).alias("df_now")
+        )
+        n_now = self.weights.select(
+            F.count_distinct("doc_id").alias("n_docs_now")
+        )
+        both = (
+            self.stats.withColumnRenamed("df", "df_frozen")
+            .join(cur, "term", "full_outer")
+            .crossJoin(F.broadcast(self.n))
+            .crossJoin(F.broadcast(n_now))
+            .select(
+                F.coalesce("df_frozen", F.lit(0)).alias("df_frozen"),
+                F.coalesce("df_now", F.lit(0)).alias("df_now"),
+                F.col("df_frozen").isNull().alias("is_new"),
+                round6(
+                    F.log(
+                        (F.col("n_docs") + 1).cast("double")
+                        / (F.coalesce("df_frozen", F.lit(0)) + 1)
+                    )
+                ).alias("idf_frozen"),
+                round6(
+                    F.log(
+                        (F.col("n_docs_now") + 1).cast("double")
+                        / (F.coalesce("df_now", F.lit(0)) + 1)
+                    )
+                ).alias("idf_now"),
+            )
+        )
+        # df_now=0 frozen terms (every doc that carried them had zero
+        # norm) would inflate the max with a phantom delta — they are
+        # served to nobody, so exclude them from both drift columns
+        drift = both.where(~F.col("is_new") & (F.col("df_now") > 0)).agg(
+            round6(
+                F.sum(
+                    round6(
+                        F.col("df_now")
+                        * F.abs(F.col("idf_now") - F.col("idf_frozen"))
+                    ).cast("decimal(18,6)")
+                ).cast("double")
+                / F.sum("df_now")
+            ).alias("idf_drift_mad"),
+            F.max(
+                round6(F.abs(F.col("idf_now") - F.col("idf_frozen")))
+            ).alias("idf_drift_max"),
+        )
+        mass = both.agg(
+            round6(
+                F.sum(F.when(F.col("is_new"), F.col("df_now")).otherwise(0))
+                / F.sum("df_now").cast("double")
+            ).alias("new_term_mass")
+        )
+        top_f = (
+            self.stats.orderBy(F.desc("df"), "term")
+            .limit(top_k)
+            .select("term")
+        )
+        top_n = cur.orderBy(F.desc("df_now"), "term").limit(top_k).select(
+            "term"
+        )
+        churn = (
+            top_f.withColumn("_f", F.lit(1))
+            .join(top_n.withColumn("_n", F.lit(1)), "term", "full_outer")
+            .agg(
+                round6(
+                    1.0
+                    - F.sum(
+                        F.when(
+                            F.col("_f").isNotNull()
+                            & F.col("_n").isNotNull(),
+                            1,
+                        ).otherwise(0)
+                    )
+                    / F.count(F.lit(1)).cast("double")
+                ).alias("top_term_churn")
+            )
+        )
+        counts = (
+            self.n.crossJoin(n_now)
+            .select(
+                F.col("n_docs").alias("n_docs_frozen"),
+                "n_docs_now",
+                round6(
+                    F.col("n_docs_now") / F.col("n_docs").cast("double")
+                ).alias("growth_ratio"),
+            )
+        )
+        return (
+            counts.crossJoin(drift).crossJoin(mass).crossJoin(churn)
+        )
+
 
 def tfidf_banded_screen(
     incoming: DataFrame,
@@ -3204,6 +3324,91 @@ FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# q114: the screen index's frozen-idf staleness report as a graded
+# query — build the index on the even half of the corpus, append the
+# odd half under the frozen stats (the production growing-reference
+# event), and report the drift metrics the rebuild rule reads. The
+# oracle replays the whole chain: frozen stats on the even half, ALL
+# docs weighted under them (OOV idf ln(n+1) included), the norm>0
+# filter, then the same round6/DECIMAL metric arithmetic.
+def q114_screen_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    idx = TfidfScreenIndex.build(docs.filter(F.col("doc_id") % 2 == 0))
+    return idx.add(docs.filter(F.col("doc_id") % 2 == 1)).staleness()
+
+
+Q114_SQL = """
+WITH frozen_docs AS (
+  SELECT * FROM documents WHERE doc_id % 2 = 0
+), terms_f AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+    FROM frozen_docs
+  ) GROUP BY doc_id, term
+), stats_f AS (
+  SELECT term, COUNT(*) AS df FROM terms_f GROUP BY term
+), nf AS (SELECT COUNT(*) AS n_docs FROM frozen_docs),
+terms_all AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+  ) GROUP BY doc_id, term
+), w0 AS (
+  SELECT t.doc_id, t.term,
+    tf * (CASE WHEN s.df IS NULL
+          THEN ROUND(ln(CAST(n_docs + 1 AS DOUBLE)), 6)
+          ELSE ROUND(ln(CAST(n_docs + 1 AS DOUBLE) / (s.df + 1)), 6)
+          END) AS w_raw
+  FROM terms_all t LEFT JOIN stats_f s USING (term) CROSS JOIN nf
+), norms AS (
+  SELECT doc_id,
+    sqrt(CAST(SUM(CAST(ROUND(w_raw * w_raw, 6) AS DECIMAL(18,6)))
+              AS DOUBLE)) AS nrm
+  FROM w0 GROUP BY doc_id
+), wrows AS (
+  SELECT doc_id, term FROM w0 JOIN norms USING (doc_id) WHERE nrm > 0
+), cur AS (
+  SELECT term, COUNT(*) AS df_now FROM wrows GROUP BY term
+), nn AS (SELECT COUNT(DISTINCT doc_id) AS n_docs_now FROM wrows),
+bothv AS (
+  SELECT COALESCE(s.df, 0) AS df_frozen, COALESCE(c.df_now, 0) AS df_now,
+    s.df IS NULL AS is_new,
+    ROUND(ln(CAST(n_docs + 1 AS DOUBLE) / (COALESCE(s.df, 0) + 1)), 6)
+      AS idf_frozen,
+    ROUND(ln(CAST(n_docs_now + 1 AS DOUBLE) / (COALESCE(c.df_now, 0) + 1)),
+          6) AS idf_now
+  FROM stats_f s FULL OUTER JOIN cur c USING (term)
+  CROSS JOIN nf CROSS JOIN nn
+), drift AS (
+  SELECT
+    ROUND(CAST(SUM(CAST(ROUND(df_now * abs(idf_now - idf_frozen), 6)
+                        AS DECIMAL(18,6))) AS DOUBLE) / SUM(df_now), 6)
+      AS idf_drift_mad,
+    MAX(ROUND(abs(idf_now - idf_frozen), 6)) AS idf_drift_max
+  FROM bothv WHERE NOT is_new AND df_now > 0
+), mass AS (
+  SELECT ROUND(SUM(CASE WHEN is_new THEN df_now ELSE 0 END)
+    / CAST(SUM(df_now) AS DOUBLE), 6) AS new_term_mass
+  FROM bothv
+), top_f AS (
+  SELECT term, 1 AS _f FROM stats_f ORDER BY df DESC, term LIMIT 100
+), top_n AS (
+  SELECT term, 1 AS _n FROM cur ORDER BY df_now DESC, term LIMIT 100
+), churn AS (
+  SELECT ROUND(1.0 - SUM(CASE WHEN _f IS NOT NULL AND _n IS NOT NULL
+                          THEN 1 ELSE 0 END)
+    / CAST(COUNT(*) AS DOUBLE), 6) AS top_term_churn
+  FROM top_f FULL OUTER JOIN top_n USING (term)
+), counts AS (
+  SELECT n_docs AS n_docs_frozen, n_docs_now,
+    ROUND(n_docs_now / CAST(n_docs AS DOUBLE), 6) AS growth_ratio
+  FROM nf CROSS JOIN nn
+)
+SELECT counts.*, drift.*, mass.*, churn.*
+FROM counts CROSS JOIN drift CROSS JOIN mass CROSS JOIN churn
+"""
+
+
 QUERIES = {
     "q21_token_stats": q21_token_stats,
     "q22_quality_scores": q22_quality_scores,
@@ -3231,10 +3436,12 @@ QUERIES = {
     "q110_tfidf_banded_knn": q110_tfidf_banded_knn,
     "q111_tfidf_banded_screen": q111_tfidf_banded_screen,
     "q112_tfidf_banded_knn_dialed": q112_tfidf_banded_knn_dialed,
+    "q114_screen_staleness": q114_screen_staleness,
     "q105_decontaminate_spans": q105_decontaminate_spans,
 }
 
 ORACLE = {
+    "q114_screen_staleness": Q114_SQL,
     "q80_sliding_chunks": Q80_SQL,
     "q81_stratified_sample": Q81_SQL,
     "q84_quality_gate": Q84_SQL,

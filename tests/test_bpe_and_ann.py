@@ -1231,3 +1231,72 @@ def test_srp_collision_model_matches_md5_planes(spark):
     ) / n_bands
     model = srp_collision_prob(cos_t, planes, bands=1)
     assert abs(frac - model) < 0.15, (frac, model)
+
+
+def test_staleness_reports_all_families(spark):
+    """Staleness reports across the persisted families: a
+    DISTRIBUTION-SHIFTED append must read as more drift than a
+    same-distribution append of identical size (the signal the
+    rebuild rules key on), and every family's report has its
+    documented columns with sane ranges."""
+    from pyspark.sql import functions as F
+
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators.similarity import (
+        IVFIndex,
+        QuantizedIVFIndex,
+        QuantizedSRPIndex,
+        SRPIndex,
+        frozen_ivf_centroids,
+        ivf_assign,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    same = emb.filter(F.col("vec_id") % 2 == 1)
+    # shifted twin: constant offset moves most vectors' hyperplane
+    # signs / nearest centroids — a crude but real distribution shift
+    shifted = same.withColumn(
+        "embedding", F.transform("embedding", lambda x: x + F.lit(3.0))
+    )
+
+    idx = SRPIndex.build(old, dim=64, planes=6)
+    base = idx.occupancy()
+    r_same = idx.add(same).staleness(baseline=base).collect()[0]
+    r_shift = idx.add(shifted).staleness(baseline=base).collect()[0]
+    assert r_same["growth_ratio"] == r_shift["growth_ratio"] == 2.0
+    assert 0.0 <= r_same["total_variation"] <= 1.0
+    assert r_shift["total_variation"] > r_same["total_variation"]
+    # without a baseline: plain skew report
+    plain = idx.staleness().collect()[0]
+    assert plain["n_rows"] == old.count() and plain["load_factor_max"] >= 1.0
+
+    q = QuantizedSRPIndex.build(old, dim=64, planes=6)
+    qbase = q.occupancy()
+    qr = q.add(same).staleness(baseline=qbase).collect()[0]
+    assert qr["growth_ratio"] == 2.0 and 0.0 <= qr["total_variation"] <= 1.0
+
+    cents = frozen_ivf_centroids(spark)
+    ivf_same = IVFIndex(
+        cents, ivf_assign(old.unionByName(same), cents), "embedding", "vec_id"
+    )
+    ivf_shift = IVFIndex(
+        cents,
+        ivf_assign(old.unionByName(shifted), cents),
+        "embedding",
+        "vec_id",
+    )
+    s_same = ivf_same.staleness().collect()[0]
+    s_shift = ivf_shift.staleness().collect()[0]
+    for r in (s_same, s_shift):
+        assert 0.0 <= r["assignment_churn"] <= 1.0
+        assert r["centroid_shift_max"] >= r["centroid_shift_mean"] >= 0.0
+    assert s_shift["centroid_shift_mean"] > s_same["centroid_shift_mean"]
+
+    qivf = QuantizedIVFIndex.build(old, cents)
+    qrep = qivf.staleness().collect()[0]
+    assert "centroid_shift_mean" not in qrep.asDict()
+    assert 0.0 <= qrep["assignment_churn"] <= 1.0
+    # sampled variant stays in range and runs the same plan shape
+    qs = qivf.staleness(sample_fraction=0.5).collect()[0]
+    assert 0.0 <= qs["assignment_churn"] <= 1.0

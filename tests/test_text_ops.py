@@ -859,3 +859,38 @@ def test_diverse_vocab_allpairs_pruning_and_banded_recall(
         assert exact <= banded, sorted(exact - banded)[:5]
     finally:
         release_scoped_persists()
+
+
+def test_screen_index_staleness_direction(spark):
+    """TfidfScreenIndex.staleness: appending NEW-VOCABULARY docs must
+    read as more idf drift than appending same-distribution docs of
+    the same size, and the no-append report measures ~zero drift."""
+    from pyspark.sql import functions as F
+
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators.text import TfidfScreenIndex
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    same = docs.filter(F.col("doc_id") % 2 == 1)
+    # novel-vocabulary twin: every token unique to the append
+    novel = same.withColumn(
+        "text",
+        F.regexp_replace(F.col("text"), r"(\S+)", r"zz$1zz"),
+    )
+
+    idx = TfidfScreenIndex.build(old)
+    fresh = idx.staleness().collect()[0]
+    assert fresh["growth_ratio"] == 1.0
+    assert fresh["idf_drift_mad"] == 0.0 and fresh["new_term_mass"] == 0.0
+    assert fresh["top_term_churn"] == 0.0
+
+    r_same = idx.add(same).staleness().collect()[0]
+    r_novel = idx.add(novel).staleness().collect()[0]
+    assert r_same["growth_ratio"] == r_novel["growth_ratio"]
+    assert r_novel["new_term_mass"] > max(r_same["new_term_mass"], 0.3)
+    assert r_novel["top_term_churn"] > r_same["top_term_churn"]
+    for r in (r_same, r_novel):
+        assert 0.0 <= r["new_term_mass"] <= 1.0
+        assert 0.0 <= r["top_term_churn"] <= 1.0
+        assert r["idf_drift_max"] >= r["idf_drift_mad"] >= 0.0
