@@ -22,8 +22,8 @@ _MERGED_QUERIES = {
 }
 
 # The external correctness gate records rows for the FIRST 50 entries
-# of ``queries()`` only (112 declared after r10: +q112 +q113 — all
-# 112 > 50-entry cap), so entry ORDER decides which queries get a
+# of ``queries()`` only (115 declared after r11: +q114 +q115 +q116 —
+# all > the 50-entry cap), so entry ORDER decides which queries get a
 # driver-recorded check each round. Policy: entries never yet
 # driver-verified, green-only-once, or just-changed come first; the
 # tail past position 50 holds entries with >=2 driver-recorded greens,
@@ -32,91 +32,94 @@ _MERGED_QUERIES = {
 # (tests/test_parity_sample.py runs the same gate at sf0.001;
 # tools/parity.py re-runnable at any SF).
 #
-# Round-10 window (50) — executes the r9-committed rotation:
-# - the 15 once-deferred r7-cohort entries (MUST enter per the r9
-#   commitment, all present): q20 q31 q37 q42 q46 q50 q57 q08 q09
-#   q11 q12 q14 q15 q16 q17;
-# - new this round (2): q112 (the banded kNN rung at the
-#   CALIBRATED chooser-selected dial — effective_jaccard inverts the
-#   r9 measured operating point, choose_band_dial picks (13,2);
-#   full stage-mirrored oracle templated on the dial) and q113 (the
-#   KMVSketchTable MERGE path graded cross-engine: build on half the
-#   log, update with the other half; the oracle replays the two-stage
-#   bottom-k merge literally so a merge bug can't hide behind the
-#   mergeability identity; q65 yields its slot — 4 driver greens,
-#   rotates with the r11 cohort);
-# - changed this round (4): q99 q102 q110 q111 — all four share
-#   _verified_dots, whose map shape now left-joins candidates back
-#   with dot=0 (output bit-identical for these callers, parity
-#   re-verified at sf0.001+sf0.01); q110 additionally persists its
-#   banded signature frame (plan fix, output unchanged);
-# - the r8-window retiree cohort rotating back in, 29 of 45 (every
-#   one >=1 driver green, last driver-checked r8): q64 q67 q68 q69
-#   q70 q19 q71 q72 q104 q107 q21 q22 q63 q74 q76 q105 q25 q27 q28
-#   q62 q66 q90 q101 q108 q32 q73 q75 q100 q103.
+# Round-11 window (50) — executes the r10-committed rotation:
+# - the 16 once-deferred entries (MUST enter per the r10 commitment,
+#   all present): q65 q03 q04 q05 q06 q10 q13 q53 q54 q58 q60 q29
+#   q35 q01 q02 q07;
+# - new this round (3, never driver-checked): q114 (frozen-idf screen
+#   staleness report), q115 (SRP bucket-occupancy drift), q116
+#   (frozen-centroid IVF staleness) — the index drift metrics as
+#   graded cross-engine queries;
+# - once-green, staying per policy (2): q112 (also changed: the dial
+#   chooser's subnormal-overflow fix routes through
+#   min_bands_for_target), q113;
+# - changed this round (4): q66 q101 q108 (probe-literal cap +
+#   broadcast semi-join fallback on all persisted-index probe paths;
+#   q91/q94 share the SRPIndex path and are in-window via the retiree
+#   cohort below) and q75 (oversized memtable flushes now write at
+#   natural parallelism; the graded flush is below threshold — output
+#   unchanged, path re-verified);
+# - the r9-window retiree cohort rotating back in, 25 of 46, picked
+#   by fewest driver greens then longest-unseen (2 greens: q106 q109;
+#   3 greens: q86 q87 q88 q77 q78 q80 q81 q84 q85 q95 q97 q82 q91
+#   q93 q94 q96 q98 q92; 4 greens: q79 q83 q89; 5 greens, tie broken
+#   by registry order: q18 q23).
 #
-# Round-10 tail (62 = 16 + 46):
-# - 16 r8-window retirees deferred once more to make room, picked for
-#   the strongest standing evidence (5 driver greens: q03 q04 q05 q06
-#   q10 q13 q53 q54 q58 q60 q29 q35; 4 greens, longest streaks: q01
-#   q02 q07, plus q65 — its slot yielded to the late-round q113 —
-#   counts computed from CORRECTNESS_r01..r09). Deferred ONCE — all
-#   16 MUST enter the r11 window, the same commitment mechanism that
-#   has now worked four rounds running;
-# - the 46 r9-window entries rotating out at fresh r9 greens (q99
-#   q102 q110 q111 excluded — staying in window as changed).
-# R11 plan: the 16 once-deferred entries re-enter first, then the 46
-# r9 retirees rotate; entries holding 3+ greens yield slots to
-# whatever r11 adds or changes.
+# Round-11 tail (65): every entry holds >=2 driver-recorded greens
+# (q107 q110 q111 at exactly 2, both fresh r10; everything else >=3 —
+# counts computed from CORRECTNESS_r01..r10):
+# - 21 r9-window retirees deferred once more to make room, all at 5
+#   driver greens (the strongest standing evidence): q24 q59 q61 q26
+#   q56 q30 q33 q34 q36 q38 q39 q40 q41 q43 q44 q45 q47 q48 q49 q51
+#   q52. Deferred ONCE — all 21 MUST enter the r12 window, the same
+#   commitment mechanism that has now held five rounds;
+# - the 44 r10-window entries rotating out at fresh r10 greens.
+# R12 plan: the 21 once-deferred entries re-enter first, then the 44
+# r10 retirees rotate; entries holding 3+ greens yield slots to
+# whatever r12 adds or changes.
 _DEFER_ROUND = [
-    # r8-window retirees, deferred once more (MUST enter the r11 window)
-    "q65_media_features",
-    "q03_revenue_by_nation",
-    "q04_selective_filter_agg",
-    "q05_order_priority_semijoin",
-    "q06_customers_without_orders",
-    "q10_rollup_agg",
-    "q13_monthly_event_stats",
-    "q53_train_split",
-    "q54_pack_sequences",
-    "q58_decontaminate",
-    "q60_canonical_docs",
-    "q29_cosine_topk",
-    "q35_sliding_window",
-    "q01_pricing_summary",
-    "q02_top_revenue_orders",
-    "q07_window_topk_per_customer",
-    # r9-window cohort, rotating out at fresh r9 greens
-    "q86_waiting_suppliers",
-    "q87_custdist",
-    "q88_small_qty_revenue",
-    "q18_asof_purchase_click",
-    "q106_kmv_distinct",
-    "q109_kmv_overlap",
-    "q23_lang_id",
+    # r10-window cohort, rotating out at fresh r10 greens
+    "q08_running_total",
+    "q09_distinct_counts",
+    "q11_set_except",
+    "q12_case_buckets",
+    "q14_part_type_stats",
+    "q15_json_extract_agg",
+    "q16_point_read",
+    "q17_top_customers",
+    "q64_trailing_revenue",
+    "q67_market_share",
+    "q68_top_part_values",
+    "q69_promo_revenue",
+    "q70_inactive_wealthy",
+    "q19_sessionize",
+    "q20_tumbling_window",
+    "q31_session_window",
+    "q71_cohort_retention",
+    "q72_session_funnel",
+    "q104_purchase_click_pairs",
+    "q107_purchase_click_outer",
+    "q21_token_stats",
+    "q22_quality_scores",
+    "q57_source_mixing",
+    "q63_bigram_novelty",
+    "q74_passage_dedup",
+    "q76_bigram_lm_nll",
+    "q99_tfidf_cosine_knn",
+    "q102_tfidf_reference_screen",
+    "q110_tfidf_banded_knn",
+    "q111_tfidf_banded_screen",
+    "q105_decontaminate_spans",
+    "q25_dedup_exact",
+    "q27_minhash_signatures",
+    "q28_simhash",
+    "q62_dedup_pipeline",
+    "q46_srp_near_dup",
+    "q50_cosine_near_dup",
+    "q90_label_outliers",
+    "q32_pivot_status",
+    "q37_rank_parts",
+    "q42_grouping_sets",
+    "q73_frame_manifest",
+    "q100_bpe_large_token_stats",
+    "q103_bpe_doc_fingerprints",
+    # r9-window retirees deferred once more (MUST enter the r12 window)
     "q24_fingerprints",
     "q59_repetition_stats",
     "q61_tfidf_top_terms",
-    "q77_contamination_score",
-    "q78_bm25_topk",
-    "q80_sliding_chunks",
-    "q81_stratified_sample",
-    "q84_quality_gate",
-    "q85_token_budget",
-    "q95_bpe_token_budget",
-    "q97_bpe_pack_sequences",
     "q26_ngram_jaccard_pairs",
     "q56_dedup_clusters",
-    "q82_source_overlap",
     "q30_embedding_norms",
-    "q79_knn_join",
-    "q83_label_cohesion",
-    "q89_quantization_audit",
-    "q91_srp_ann_topk",
-    "q93_semantic_dedup",
-    "q94_margin_ann_topk",
-    "q96_bounded_semantic_dedup",
-    "q98_quantized_ann_topk",
     "q33_percentiles",
     "q34_above_nation_avg",
     "q36_srp_buckets",
@@ -132,7 +135,6 @@ _DEFER_ROUND = [
     "q49_cube",
     "q51_binary_manifest",
     "q52_media_decode",
-    "q92_bpe_token_stats",
 ]
 
 ALL_QUERIES = {
