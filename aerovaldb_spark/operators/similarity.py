@@ -14,6 +14,8 @@ Scores are rounded to 6 decimals on both sides.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -335,6 +337,140 @@ def choose_srp_bands(
             "planes_per_band or the target"
         )
     return bands
+
+
+class SrpDialCalibration(NamedTuple):
+    """Result of :func:`calibrate_srp_dial` — the chosen band count
+    plus every intermediate the chooser consumed (the
+    ``BandDialCalibration`` convention from the minhash twin)."""
+
+    bands: int
+    planes_per_band: int
+    measured_recall: float
+    recall_used: float
+    plane_agreement: float
+    n_true_edges: int
+    n_banded_hits: int
+    n_vectors: int
+
+
+def calibrate_srp_dial(
+    vectors: DataFrame,
+    dim: int,
+    threshold_cos: float = 0.8,
+    target_recall: float = 0.95,
+    sample_frac: float | None = None,
+    probe_planes: int = 6,
+    probe_bands: int = 4,
+    planes_per_band: int | None = None,
+    max_bands: int = 32,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> SrpDialCalibration:
+    """ONE-CALL corpus calibration of the banded-SRP dial — the dense
+    twin of :func:`..text.calibrate_band_dial`: measure pair recall of
+    a probe dial against the EXACT all-pairs baseline on (a sample
+    of) ``vectors``, invert the S-curve at that point
+    (:func:`effective_plane_agreement`), and size ``bands`` for the
+    target via :func:`choose_srp_bands`. Calibration matters here for
+    a different reason than the minhash rung: the geometric identity
+    p = 1 - θ/π is exact at a POINT angle, but threshold pairs in a
+    real corpus carry an angle DISTRIBUTION (and ±1 md5 planes only
+    approach the identity through the CLT), so the measured operating
+    point is the honest input when the recall target matters.
+
+    Measurement shape: the exact baseline is a brute-force self-join
+    — quadratic BY DESIGN, which is exactly why ``sample_frac``
+    (deterministic md5-of-id subset, no RNG state) is the 100 TB
+    path: calibrate on thousands of vectors, serve with the chosen
+    dial on all of them. Banded hits come from
+    :func:`srp_banded_pairs` at the probe dial filtered to the same
+    round6 cosine floor; only counts cross the driver. Zero true
+    pairs / zero hits raise (cannot invert); perfect probe recall is
+    continuity-corrected to (2n-1)/(2n) before inversion, flagged by
+    recall_used < measured_recall — re-probe with fewer bands when
+    the target matters.
+
+    ``planes_per_band`` defaults to ``probe_planes`` (the selectivity
+    dial the caller already chose); pass it to re-size bands for a
+    different per-band cost envelope under the same calibration."""
+    from .dedup import hash60
+
+    if planes_per_band is None:
+        planes_per_band = probe_planes
+    if sample_frac is not None:
+        if not 0.0 < sample_frac <= 1.0:
+            raise ValueError(
+                f"sample_frac must be in (0, 1], got {sample_frac}"
+            )
+        if sample_frac < 1.0:
+            vectors = vectors.where(
+                F.pmod(
+                    hash60(F.col(id_col).cast("string")),
+                    F.lit(1_000_000),
+                )
+                < F.lit(int(round(sample_frac * 1_000_000)))
+            )
+    from ._scope import scoped_persist
+
+    vecs = scoped_persist(vectors.select(id_col, vec_col))
+    n_vectors = vecs.count()
+    a = vecs.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+    )
+    b = vecs.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+    )
+    true_edges = scoped_persist(
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", round6(cosine_col("_va", "_vb")))
+        .where(F.col("cosine") >= threshold_cos)
+        .select("id_a", "id_b")
+    )
+    n_true = true_edges.count()
+    if n_true == 0:
+        raise ValueError(
+            f"no pairs at cosine >= {threshold_cos} among the "
+            f"{n_vectors} sampled vectors — raise sample_frac or "
+            "lower threshold_cos"
+        )
+    n_hit = true_edges.join(
+        srp_banded_pairs(
+            vecs, dim, probe_planes, probe_bands, vec_col, id_col
+        ).where(F.col("cosine") >= threshold_cos),
+        ["id_a", "id_b"],
+        "left_semi",
+    ).count()
+    if n_hit == 0:
+        raise ValueError(
+            f"probe dial ({probe_bands} bands x {probe_planes} "
+            f"planes) caught none of the {n_true} true pairs — "
+            "recall 0 cannot be inverted; probe with more bands or "
+            "fewer planes_per_band"
+        )
+    measured = n_hit / n_true
+    recall_used = min(measured, (2 * n_true - 1) / (2 * n_true))
+    p_eff = effective_plane_agreement(
+        probe_planes, probe_bands, recall_used
+    )
+    # re-express the calibrated agreement at the serving dial's
+    # planes_per_band (p is PER-PLANE, so it carries across row widths)
+    bands = choose_srp_bands(
+        target_recall=target_recall,
+        plane_agreement=p_eff,
+        planes_per_band=planes_per_band,
+        max_bands=max_bands,
+    )
+    return SrpDialCalibration(
+        bands=bands,
+        planes_per_band=planes_per_band,
+        measured_recall=round(measured, 6),
+        recall_used=round(recall_used, 6),
+        plane_agreement=round(p_eff, 6),
+        n_true_edges=n_true,
+        n_banded_hits=n_hit,
+        n_vectors=n_vectors,
+    )
 
 
 def srp_banded_pairs(

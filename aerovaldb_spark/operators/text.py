@@ -14,6 +14,8 @@ sides.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -2019,6 +2021,138 @@ def choose_band_dial(
         f"no (bands, rows_per_band) meets recall {target_recall} at "
         f"jaccard {jaccard:.4f} within {max_seeds} seeds — raise "
         "max_seeds or lower target_recall"
+    )
+
+
+class BandDialCalibration(NamedTuple):
+    """Result of :func:`calibrate_band_dial` — the chosen dial plus
+    every intermediate the chooser consumed, so the calibration is
+    auditable (SCALING.md records these fields verbatim)."""
+
+    bands: int
+    rows_per_band: int
+    measured_recall: float
+    recall_used: float
+    effective_jaccard: float
+    n_true_edges: int
+    n_banded_hits: int
+    n_docs: int
+
+
+def calibrate_band_dial(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    target_recall: float = 0.95,
+    sample_frac: float | None = None,
+    probe_bands: int = TFIDF_BAND_BANDS,
+    probe_rows: int = TFIDF_BAND_ROWS,
+    top_terms: int = TFIDF_BAND_TOP_TERMS,
+    max_neighbors: int = 10,
+    max_seeds: int = 64,
+    max_rows: int = 8,
+) -> BandDialCalibration:
+    """ONE-CALL corpus calibration of the banded TF-IDF dial: run the
+    banded-vs-exact recall measurement on (a sample of) ``docs``,
+    invert the S-curve at the measured point
+    (:func:`effective_jaccard`), and pick the cheapest dial meeting
+    ``target_recall`` (:func:`choose_band_dial`). This closes the loop
+    the three pure functions left manual: the q112 dial (13, 2) came
+    from exactly this sequence run by hand at sf0.01 (SCALING.md
+    "Round-10: the dial becomes usable"); now
+    ``calibrate_band_dial(docs, 0.8, 0.95)`` reproduces it from the
+    raw corpus.
+
+    Measurement: true edges are the exact rung's USER-VISIBLE output
+    — q99's kNN edge set (AllPairs candidates -> exact DECIMAL dot >=
+    threshold -> top-``max_neighbors`` per doc, the same code q99
+    runs; the SCALING.md operating-point convention) — and banded
+    hits are the probe dial's :func:`tfidf_banded_candidates` pairs
+    intersected with them via one semi-join. Counts only ever cross
+    the driver, never pair lists. ``sample_frac`` subsets docs
+    DETERMINISTICALLY (md5 of doc_id, no RNG state) so a calibration
+    is reproducible; the exact rung on the sample is quadratic only
+    in true-pair density, the same cost envelope as q99 at that
+    sample size — at 100 TB calibrate on a sample (e.g. 0.01), never
+    the corpus.
+
+    Edge handling: zero true edges or zero banded hits cannot be
+    inverted (raise, with the fix in the message). A probe measuring
+    PERFECT recall only lower-bounds J_eff, so it is continuity-
+    corrected to (2n-1)/(2n) before inversion — the returned dial is
+    then an extrapolation from a censored measurement (recall_used <
+    measured_recall flags this in the result); re-probe with fewer
+    bands when the target matters."""
+    from ._scope import scoped_persist
+    from .dedup import hash60
+
+    if sample_frac is not None:
+        if not 0.0 < sample_frac <= 1.0:
+            raise ValueError(
+                f"sample_frac must be in (0, 1], got {sample_frac}"
+            )
+        if sample_frac < 1.0:
+            docs = docs.where(
+                F.pmod(
+                    hash60(F.col("doc_id").cast("string")),
+                    F.lit(1_000_000),
+                )
+                < F.lit(int(round(sample_frac * 1_000_000)))
+            )
+    n_docs = docs.count()
+    w, _stats, _n = tfidf_weight_frame(docs)  # w arrives persisted
+    dots = scoped_persist(
+        _verified_dots(
+            tfidf_allpairs_candidates(w, threshold), w, w,
+            "doc_a", "doc_b", "map",
+        )
+        .where(F.col("dot").cast("double") >= threshold)
+    )
+    # unordered edges of the kNN OUTPUT (an edge survives if either
+    # endpoint ranks it) — the quantity the dial's recall target is
+    # about, since the banded rung feeds the same kNN tail
+    knn = _knn_from_verified(dots, max_neighbors)
+    true_edges = scoped_persist(
+        knn.select(
+            F.least("doc_id", "neighbor_id").alias("doc_a"),
+            F.greatest("doc_id", "neighbor_id").alias("doc_b"),
+        ).distinct()
+    )
+    n_true = true_edges.count()
+    if n_true == 0:
+        raise ValueError(
+            f"no pairs at cosine >= {threshold} in the "
+            f"{n_docs}-doc sample — raise sample_frac or lower "
+            "threshold"
+        )
+    n_hit = true_edges.join(
+        tfidf_banded_candidates(w, probe_bands, probe_rows, top_terms),
+        ["doc_a", "doc_b"],
+        "left_semi",
+    ).count()
+    if n_hit == 0:
+        raise ValueError(
+            f"probe dial ({probe_bands}, {probe_rows}) caught none of "
+            f"the {n_true} true pairs — recall 0 cannot be inverted; "
+            "probe with more bands or fewer rows_per_band"
+        )
+    measured = n_hit / n_true
+    recall_used = min(measured, (2 * n_true - 1) / (2 * n_true))
+    j_eff = effective_jaccard(probe_bands, probe_rows, recall_used)
+    bands, rows = choose_band_dial(
+        target_recall=target_recall,
+        jaccard=j_eff,
+        max_seeds=max_seeds,
+        max_rows=max_rows,
+    )
+    return BandDialCalibration(
+        bands=bands,
+        rows_per_band=rows,
+        measured_recall=round(measured, 6),
+        recall_used=round(recall_used, 6),
+        effective_jaccard=round(j_eff, 6),
+        n_true_edges=n_true,
+        n_banded_hits=n_hit,
+        n_docs=n_docs,
     )
 
 
