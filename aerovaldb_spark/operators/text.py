@@ -2024,6 +2024,73 @@ def choose_band_dial(
     )
 
 
+def band_dial_measurement(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    probe_bands: int = TFIDF_BAND_BANDS,
+    probe_rows: int = TFIDF_BAND_ROWS,
+    top_terms: int = TFIDF_BAND_TOP_TERMS,
+    max_neighbors: int = 10,
+) -> DataFrame:
+    """The MEASUREMENT stage of the dial-calibration loop as one
+    declarative plan — a single row (n_true_edges, n_banded_hits,
+    measured_recall):
+
+    - true edges: the exact rung's user-visible kNN edge set (AllPairs
+      candidates -> exact DECIMAL dot >= ``threshold`` ->
+      top-``max_neighbors`` per doc — the code q99 runs), taken as
+      unordered distinct pairs;
+    - banded hits: the probe dial's :func:`tfidf_banded_candidates`
+      pairs semi-joined against the true edges;
+    - measured_recall: round6(hits / edges) — the operating point
+      :func:`effective_jaccard` inverts.
+
+    Every stage is the deterministic cross-engine definition the
+    graded rungs already replay in SQL, so the measurement itself is
+    DuckDB-gradable (q117) — the calibration HARNESS is spec, not
+    just the rungs it tunes. Scale shape: the two inputs reuse one
+    persisted weight frame; the output is one row (two counts), so
+    nothing pair-shaped ever reaches the driver."""
+    from ._scope import scoped_persist
+
+    w, _stats, _n = tfidf_weight_frame(docs)  # w arrives persisted
+    dots = scoped_persist(
+        _verified_dots(
+            tfidf_allpairs_candidates(w, threshold), w, w,
+            "doc_a", "doc_b", "map",
+        )
+        .where(F.col("dot").cast("double") >= threshold)
+    )
+    # unordered edges of the kNN OUTPUT (an edge survives if either
+    # endpoint ranks it) — the quantity the dial's recall target is
+    # about, since the banded rung feeds the same kNN tail
+    true_edges = scoped_persist(
+        _knn_from_verified(dots, max_neighbors)
+        .select(
+            F.least("doc_id", "neighbor_id").alias("doc_a"),
+            F.greatest("doc_id", "neighbor_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    hits = true_edges.join(
+        tfidf_banded_candidates(w, probe_bands, probe_rows, top_terms),
+        ["doc_a", "doc_b"],
+        "left_semi",
+    )
+    return (
+        true_edges.agg(F.count(F.lit(1)).alias("n_true_edges"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_banded_hits")))
+        .select(
+            "n_true_edges",
+            "n_banded_hits",
+            round6(
+                F.col("n_banded_hits")
+                / F.nullif(F.col("n_true_edges"), F.lit(0)).cast("double")
+            ).alias("measured_recall"),
+        )
+    )
+
+
 class BandDialCalibration(NamedTuple):
     """Result of :func:`calibrate_band_dial` — the chosen dial plus
     every intermediate the chooser consumed, so the calibration is
@@ -2099,36 +2166,17 @@ def calibrate_band_dial(
                 < F.lit(int(round(sample_frac * 1_000_000)))
             )
     n_docs = docs.count()
-    w, _stats, _n = tfidf_weight_frame(docs)  # w arrives persisted
-    dots = scoped_persist(
-        _verified_dots(
-            tfidf_allpairs_candidates(w, threshold), w, w,
-            "doc_a", "doc_b", "map",
-        )
-        .where(F.col("dot").cast("double") >= threshold)
-    )
-    # unordered edges of the kNN OUTPUT (an edge survives if either
-    # endpoint ranks it) — the quantity the dial's recall target is
-    # about, since the banded rung feeds the same kNN tail
-    knn = _knn_from_verified(dots, max_neighbors)
-    true_edges = scoped_persist(
-        knn.select(
-            F.least("doc_id", "neighbor_id").alias("doc_a"),
-            F.greatest("doc_id", "neighbor_id").alias("doc_b"),
-        ).distinct()
-    )
-    n_true = true_edges.count()
+    row = band_dial_measurement(
+        docs, threshold, probe_bands, probe_rows, top_terms,
+        max_neighbors,
+    ).collect()[0]
+    n_true, n_hit = row["n_true_edges"], row["n_banded_hits"]
     if n_true == 0:
         raise ValueError(
             f"no pairs at cosine >= {threshold} in the "
             f"{n_docs}-doc sample — raise sample_frac or lower "
             "threshold"
         )
-    n_hit = true_edges.join(
-        tfidf_banded_candidates(w, probe_bands, probe_rows, top_terms),
-        ["doc_a", "doc_b"],
-        "left_semi",
-    ).count()
     if n_hit == 0:
         raise ValueError(
             f"probe dial ({probe_bands}, {probe_rows}) caught none of "
@@ -3331,6 +3379,109 @@ Q112_SQL = _banded_knn_sql(
 )
 
 
+# q117: the calibration MEASUREMENT itself, graded — one row
+# (n_true_edges, n_banded_hits, measured_recall) at the frozen probe
+# dial (8,2,16). This is the stage calibrate_band_dial() collects
+# before inverting the S-curve, so grading it makes the whole
+# one-call loop cross-engine checked: the pure inverse+chooser are
+# property-tested bit-exact, and the measured operating point they
+# consume is now oracle-pinned too. The oracle replays the exact-kNN
+# edge set (Q99's chain) and the banded candidates (Q110's banding
+# stages) and counts the semi-join — the same CTE definitions the
+# graded rungs already use, composed.
+def q117_band_dial_measurement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return band_dial_measurement(load_table(spark, sf_dir, "documents"))
+
+
+def _band_measurement_sql(
+    bands: int, rows_per_band: int, top_terms: int, threshold: float,
+    max_neighbors: int,
+) -> str:
+    return f"""
+WITH terms AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+  ) GROUP BY doc_id, term
+), stats AS (
+  SELECT term, COUNT(*) AS df FROM terms GROUP BY term
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+w0 AS (
+  SELECT doc_id, terms.term,
+         tf * ROUND(ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)), 6) AS w_raw
+  FROM terms JOIN stats USING (term) CROSS JOIN n
+), norms AS (
+  SELECT doc_id,
+         sqrt(CAST(SUM(CAST(ROUND(w_raw * w_raw, 6) AS DECIMAL(18,6)))
+                   AS DOUBLE)) AS nrm
+  FROM w0 GROUP BY doc_id
+), w AS (
+  SELECT doc_id, term, ROUND(w_raw / nrm, 6) AS w
+  FROM w0 JOIN norms USING (doc_id) WHERE nrm > 0
+), dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         SUM(CAST(ROUND(a.w * b.w, 6) AS DECIMAL(18,6))) AS dot
+  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), hits AS (
+  SELECT * FROM dots WHERE CAST(dot AS DOUBLE) >= {threshold}
+), sym AS (
+  SELECT doc_a AS doc_id, doc_b AS neighbor_id, dot FROM hits
+  UNION ALL
+  SELECT doc_b AS doc_id, doc_a AS neighbor_id, dot FROM hits
+), knn AS (
+  SELECT doc_id, neighbor_id FROM (
+    SELECT doc_id, neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY doc_id
+                         ORDER BY dot DESC, neighbor_id) AS nn_rank
+    FROM sym
+  ) WHERE nn_rank <= {max_neighbors}
+), true_edges AS (
+  SELECT DISTINCT least(doc_id, neighbor_id) AS doc_a,
+                  greatest(doc_id, neighbor_id) AS doc_b
+  FROM knn
+), topt AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, term,
+      ROW_NUMBER() OVER (PARTITION BY doc_id
+                         ORDER BY w DESC, term ASC) AS rk
+    FROM w
+  ) WHERE rk <= {top_terms}
+), seeds AS (
+  SELECT unnest(generate_series(
+    0, {bands * rows_per_band - 1})) AS seed
+), mh AS (
+  SELECT doc_id, seed,
+    MIN(CAST('0x' || substring(
+      md5(CAST(seed AS VARCHAR) || ':' || term), 1, 15) AS BIGINT)) AS mh
+  FROM topt CROSS JOIN seeds GROUP BY doc_id, seed
+), sigs AS (
+  SELECT doc_id, CAST(seed // {rows_per_band} AS INT) AS band,
+    string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed) AS sig
+  FROM mh GROUP BY doc_id, band
+), cand AS (
+  SELECT DISTINCT s1.doc_id AS doc_a, s2.doc_id AS doc_b
+  FROM sigs s1 JOIN sigs s2
+    ON s1.band = s2.band AND s1.sig = s2.sig AND s1.doc_id < s2.doc_id
+), banded_hits AS (
+  SELECT t.doc_a, t.doc_b FROM true_edges t
+  JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+)
+SELECT
+  (SELECT COUNT(*) FROM true_edges) AS n_true_edges,
+  (SELECT COUNT(*) FROM banded_hits) AS n_banded_hits,
+  ROUND((SELECT COUNT(*) FROM banded_hits)
+        / NULLIF((SELECT COUNT(*) FROM true_edges), 0)::DOUBLE, 6)
+    AS measured_recall
+"""
+
+
+Q117_SQL = _band_measurement_sql(
+    TFIDF_BAND_BANDS, TFIDF_BAND_ROWS, TFIDF_BAND_TOP_TERMS, 0.8, 10
+)
+
+
 # q102 oracle: the all-pairs spec of the self-screen — reference =
 # incoming = documents, so the frozen reference idf IS the corpus idf
 # and no term is OOV; best other-doc DECIMAL dot per doc (ties to the
@@ -3571,11 +3722,13 @@ QUERIES = {
     "q111_tfidf_banded_screen": q111_tfidf_banded_screen,
     "q112_tfidf_banded_knn_dialed": q112_tfidf_banded_knn_dialed,
     "q114_screen_staleness": q114_screen_staleness,
+    "q117_band_dial_measurement": q117_band_dial_measurement,
     "q105_decontaminate_spans": q105_decontaminate_spans,
 }
 
 ORACLE = {
     "q114_screen_staleness": Q114_SQL,
+    "q117_band_dial_measurement": Q117_SQL,
     "q80_sliding_chunks": Q80_SQL,
     "q81_stratified_sample": Q81_SQL,
     "q84_quality_gate": Q84_SQL,
