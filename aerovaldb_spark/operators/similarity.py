@@ -1245,6 +1245,101 @@ def ann_recall(
 # the reports are DuckDB-oracle-gradable (q114/q115/q116).
 
 
+class RebuildVerdict(NamedTuple):
+    """Executable form of a documented rebuild rule: ``rebuild`` plus
+    the specific measured reasons that tripped it (empty when fresh
+    enough). Produced by the per-family ``*_rebuild_verdict`` pure
+    functions from collected staleness-report rows, so applying a
+    rule costs no extra Spark jobs beyond the report the user already
+    ran."""
+
+    rebuild: bool
+    reasons: tuple[str, ...]
+
+
+def _report_dict(report) -> dict:
+    return report.asDict() if hasattr(report, "asDict") else dict(report)
+
+
+def ivf_rebuild_verdict(
+    report,
+    build_report=None,
+    churn_threshold: float = 0.25,
+    occupancy_growth: float = 2.0,
+) -> RebuildVerdict:
+    """Apply the MEASURED IVF rebuild rule (SCALING.md "Index
+    staleness", r11) to a collected :func:`ivf_staleness_report` row.
+    Frozen centroids did not lose recall in measurement — they lose
+    the cost advantage — so the triggers are serving-cost signals:
+
+    - occupancy concentration: load_factor_max or top_mass grew past
+      ``occupancy_growth``x the build-time report (the shift
+      signature; measured 12.8x load factor -> 1.9x candidates scored
+      per query). Needs ``build_report`` (staleness() collected right
+      after build); without it this trigger is skipped.
+    - assignment_churn > ``churn_threshold`` (the diffusion
+      signature; measured 0.128 churn -> +37% scoring cost, so 0.25
+      marks roughly 2x).
+    """
+    cur = _report_dict(report)
+    reasons = []
+    if build_report is not None:
+        base = _report_dict(build_report)
+        for key in ("load_factor_max", "top_mass"):
+            if (
+                base.get(key)
+                and cur[key] >= occupancy_growth * base[key]
+            ):
+                reasons.append(
+                    f"{key} {cur[key]} >= {occupancy_growth}x build-time "
+                    f"{base[key]} (hot lists make probes degenerate "
+                    "toward brute force)"
+                )
+    if cur["assignment_churn"] > churn_threshold:
+        reasons.append(
+            f"assignment_churn {cur['assignment_churn']} > "
+            f"{churn_threshold} (a refit would move this fraction of "
+            "members; scoring cost creeps with it)"
+        )
+    return RebuildVerdict(bool(reasons), tuple(reasons))
+
+
+def srp_rebuild_verdict(
+    report,
+    build_report=None,
+    occupancy_growth: float = 2.0,
+    new_bucket_mass_threshold: float = 0.2,
+) -> RebuildVerdict:
+    """Apply the documented SRP re-plan rule to a collected
+    :func:`bucket_occupancy_drift` (or plain skew) row: the quantizer
+    stays bit-exact forever, so this is purely serving-cost drift —
+    re-plan (more planes, or re-partition) when load_factor_max grows
+    past ``occupancy_growth``x its build value (needs
+    ``build_report``) or new_bucket_mass exceeds
+    ``new_bucket_mass_threshold``."""
+    cur = _report_dict(report)
+    reasons = []
+    if build_report is not None:
+        base = _report_dict(build_report)
+        if (
+            base.get("load_factor_max")
+            and cur["load_factor_max"]
+            >= occupancy_growth * base["load_factor_max"]
+        ):
+            reasons.append(
+                f"load_factor_max {cur['load_factor_max']} >= "
+                f"{occupancy_growth}x build-time "
+                f"{base['load_factor_max']}"
+            )
+    nbm = cur.get("new_bucket_mass")
+    if nbm is not None and nbm > new_bucket_mass_threshold:
+        reasons.append(
+            f"new_bucket_mass {nbm} > {new_bucket_mass_threshold} "
+            "(corpus mass in buckets the build never saw)"
+        )
+    return RebuildVerdict(bool(reasons), tuple(reasons))
+
+
 def _occupancy_metrics(assignments: DataFrame, col: str) -> DataFrame:
     """One-row (n_rows, n_partitions, load_factor_max, occupancy_cov,
     top_mass) over the ``col``-partitioned assignment table. Skew here
@@ -1362,10 +1457,21 @@ def ivf_staleness_report(
       (``sample_fraction``) keeps the pass cheap at scale; the graded
       query runs unsampled for cross-engine determinism.
 
-    Rebuild rule (measured in SCALING.md "Index staleness"): recall at
-    the default n_probe decays with churn — rebuild when
-    assignment_churn exceeds ~0.25 or centroid_shift_mean roughly
-    doubles from its build-time report.
+    Rebuild rule (measured in SCALING.md "Index staleness", r11):
+    frozen centroids did NOT lose top-k recall on the measured
+    corpora — even a hard distribution shift kept stale recall at or
+    above the fresh rebuild's, because drifted mass CONCENTRATES into
+    few frozen lists and probing a hot list degenerates toward brute
+    force. What decays is the IVF cost advantage: candidates scored
+    per query grew 1.9x when top_mass hit 0.80 (load_factor_max
+    12.8x) under a shifted 5x append, and 1.37x under a
+    same-distribution 5x append (churn 0.128) — so rebuild when
+    load_factor_max/top_mass roughly doubles from the build-time
+    report (shift signature: churn stays ~0 because the hot list's
+    one-step mean is dominated by the drifted mass itself) or when
+    assignment_churn exceeds ~0.25 (diffusion signature; 0.128
+    already costs +37% scoring). centroid_shift growth corroborates
+    but is the laggier signal of the three.
 
     ``centroids=None`` skips the shift columns — the QuantizedIVF
     store keeps only per-vector-scaled int8 codes, so there is no

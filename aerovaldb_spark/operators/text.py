@@ -2024,6 +2024,48 @@ def choose_band_dial(
     )
 
 
+def screen_rebuild_verdict(
+    report,
+    idf_drift_mad_threshold: float = 0.10,
+    new_term_mass_threshold: float = 0.05,
+    top_term_churn_threshold: float = 0.3,
+) -> "RebuildVerdict":
+    """Apply the MEASURED frozen-idf rebuild rule (SCALING.md "Index
+    staleness", r11) to a collected :meth:`TfidfScreenIndex.staleness`
+    row. Measurement: true duplicates are never lost at ANY drift
+    level (exact copies keep cosine ~1 under any unit weighting —
+    recall 1.0 and |cosine error| <= 3e-6 even at idf_drift_mad 1.61),
+    so the failure mode is near-threshold VERDICT FIDELITY: at
+    new_term_mass 0.80 the stale screen's flat OOV idf over-flags
+    80-98% of near-threshold shifted pairs a fresh index rejects,
+    while same-distribution 5x growth (idf_drift_mad ~0.01) changes
+    zero verdicts. Trigger on any of idf_drift_mad, new_term_mass,
+    top_term_churn; growth_ratio alone is NOT a trigger."""
+    from .similarity import RebuildVerdict, _report_dict
+
+    cur = _report_dict(report)
+    reasons = []
+    if cur["idf_drift_mad"] > idf_drift_mad_threshold:
+        reasons.append(
+            f"idf_drift_mad {cur['idf_drift_mad']} > "
+            f"{idf_drift_mad_threshold} (per-term-occurrence idf error "
+            "a rebuild would correct)"
+        )
+    if cur["new_term_mass"] > new_term_mass_threshold:
+        reasons.append(
+            f"new_term_mass {cur['new_term_mass']} > "
+            f"{new_term_mass_threshold} (OOV mass weighted with the "
+            "flat fallback idf distorts near-threshold verdicts)"
+        )
+    if cur["top_term_churn"] > top_term_churn_threshold:
+        reasons.append(
+            f"top_term_churn {cur['top_term_churn']} > "
+            f"{top_term_churn_threshold} (the signature prefix reads "
+            "a moved vocabulary head)"
+        )
+    return RebuildVerdict(bool(reasons), tuple(reasons))
+
+
 def band_dial_measurement(
     docs: DataFrame,
     threshold: float = 0.8,
