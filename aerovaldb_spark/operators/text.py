@@ -367,6 +367,208 @@ SELECT doc_id, source, bucket FROM b WHERE bucket < w * 10000
 
 
 # --------------------------------------------------------------------------
+# q118/q119: temperature-based mixture PLANNING — the op q57's fixed
+# weight table doesn't cover: deriving the per-source sampling rates
+# FROM the corpus. Standard LM-data practice (multilingual/multi-
+# source upsampling, mT5-style): source s with token share p_s is
+# sampled proportionally to p_s^alpha, alpha<1 flattening the mix so
+# small sources aren't drowned; rates can exceed 1 (upsampling via
+# repetition). Two graded stages: the per-source PLAN (q118, ~|sources|
+# rows) and its per-doc materialization (q119: integer copy counts
+# whose expectation matches the plan, deterministic salted-hash
+# residual — the q57/q53 bucket trick).
+MIX_TEMPERATURE_ALPHA = 0.3
+MIX_TARGET_FRACTION = 0.5
+
+
+def temperature_mix_plan(
+    docs: DataFrame,
+    alpha: float = MIX_TEMPERATURE_ALPHA,
+    target_fraction: float = MIX_TARGET_FRACTION,
+) -> DataFrame:
+    """(source, n_docs, n_tokens, token_share, mix_weight,
+    sample_rate, expected_tokens): the temperature-``alpha`` mixture
+    plan against a token budget of ``target_fraction`` x the corpus.
+    sample_rate is tokens-of-s-kept per token-of-s (a rate > 1 means
+    the source repeats — its effective epoch count); expected_tokens
+    = round6(rate x n_tokens) is the planned per-source budget.
+
+    Scale shape: one narrow (source, tokens) aggregation, then
+    arithmetic over |sources| rows — the totals broadcast. Exactness:
+    round6 at every derived value, DECIMAL(18,6) sum for the weight
+    normalizer (order-free), so the plan replays in ANSI SQL (q118's
+    oracle)."""
+    per = (
+        docs.select("source", token_count_col().alias("_t"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_t").alias("n_tokens"),
+        )
+    )
+    totals = per.agg(
+        F.sum("n_tokens").alias("_total_tokens")
+    )
+    shared = per.crossJoin(F.broadcast(totals)).withColumn(
+        "token_share",
+        round6(F.col("n_tokens") / F.col("_total_tokens").cast("double")),
+    ).withColumn(
+        "mix_weight", round6(F.pow(F.col("token_share"), F.lit(alpha)))
+    )
+    norm = shared.agg(
+        F.sum(F.col("mix_weight").cast("decimal(18,6)")).alias("_wsum"),
+        F.max("_total_tokens").alias("_total_tokens"),
+    )
+    return (
+        shared.drop("_total_tokens")
+        .crossJoin(F.broadcast(norm))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "token_share",
+            "mix_weight",
+            round6(
+                round6(
+                    F.col("mix_weight") / F.col("_wsum").cast("double")
+                )
+                * F.floor(
+                    F.col("_total_tokens") * F.lit(target_fraction)
+                ).cast("double")
+                / F.col("n_tokens")
+            ).alias("sample_rate"),
+        )
+        .withColumn(
+            "expected_tokens",
+            round6(F.col("sample_rate") * F.col("n_tokens")),
+        )
+    )
+
+
+def mixture_assignment(
+    docs: DataFrame,
+    alpha: float = MIX_TEMPERATURE_ALPHA,
+    target_fraction: float = MIX_TARGET_FRACTION,
+) -> DataFrame:
+    """(doc_id, source, n_copies): materialize the temperature plan
+    as integer per-document copy counts — floor(rate) guaranteed
+    copies plus one residual copy for the salted-hash fraction of
+    docs matching the rate's fractional part, so E[n_copies] =
+    sample_rate per source and the assignment is deterministic (same
+    corpus -> bit-same copy counts). NOT append-stable: the rates are
+    corpus-derived, so growing a source re-plans every source's rate
+    (unlike q57's fixed-weight mix, whose verdicts never move) —
+    freeze a plan row and join it yourself when stability across
+    appends matters.
+    Zero-copy rows are kept (n_copies = 0 IS the downsampling
+    verdict); a consumer materializes with explode(sequence(1,
+    n_copies)). Map-side after the broadcast plan join — no shuffle
+    of documents."""
+    from .dedup import hash60
+
+    plan = temperature_mix_plan(docs, alpha, target_fraction).select(
+        "source", "sample_rate"
+    )
+    frac_ppm = F.round(
+        (F.col("sample_rate") - F.floor(F.col("sample_rate")))
+        * F.lit(1_000_000),
+        0,
+    ).cast("long")
+    bucket = hash60(
+        F.concat(F.lit("mixrep_"), F.col("doc_id").cast("string"))
+    ) % 1_000_000
+    return (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(plan), "source")
+        .select(
+            "doc_id",
+            "source",
+            (
+                F.floor("sample_rate").cast("long")
+                + F.when(bucket < frac_ppm, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_copies"),
+        )
+    )
+
+
+def q118_temperature_mix_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return temperature_mix_plan(load_table(spark, sf_dir, "documents"))
+
+
+def q119_mixture_assignment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return mixture_assignment(load_table(spark, sf_dir, "documents"))
+
+
+_Q118_PLAN_CTE = f"""
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (SELECT SUM(n_tokens) AS total_tokens FROM per),
+shared AS (
+  SELECT source, n_docs, n_tokens,
+    ROUND(n_tokens / CAST(total_tokens AS DOUBLE), 6) AS token_share,
+    ROUND(POW(ROUND(n_tokens / CAST(total_tokens AS DOUBLE), 6),
+              {MIX_TEMPERATURE_ALPHA}), 6) AS mix_weight,
+    total_tokens
+  FROM per CROSS JOIN tot
+), norm AS (
+  SELECT SUM(CAST(mix_weight AS DECIMAL(18,6))) AS wsum,
+         MAX(total_tokens) AS total_tokens
+  FROM shared
+), plan AS (
+  SELECT source, n_docs, n_tokens, token_share, mix_weight,
+    ROUND(ROUND(mix_weight / CAST(wsum AS DOUBLE), 6)
+          * FLOOR(norm.total_tokens * {MIX_TARGET_FRACTION})
+          / n_tokens, 6) AS sample_rate
+  FROM shared CROSS JOIN norm
+)
+SELECT source, n_docs, n_tokens, token_share, mix_weight, sample_rate,
+  ROUND(sample_rate * n_tokens, 6) AS expected_tokens
+FROM plan
+"""
+
+Q118_SQL = _Q118_PLAN_CTE
+
+# q119's oracle replays the plan CTE chain and applies the salted-hash
+# residual per doc (same md5 bucket family as q53/q57).
+Q119_SQL = f"""
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs,
+         SUM(len(string_split(text, ' '))) AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (SELECT SUM(n_tokens) AS total_tokens FROM per),
+shared AS (
+  SELECT source, n_tokens,
+    ROUND(POW(ROUND(n_tokens / CAST(total_tokens AS DOUBLE), 6),
+              {MIX_TEMPERATURE_ALPHA}), 6) AS mix_weight,
+    total_tokens
+  FROM per CROSS JOIN tot
+), norm AS (
+  SELECT SUM(CAST(mix_weight AS DECIMAL(18,6))) AS wsum,
+         MAX(total_tokens) AS total_tokens
+  FROM shared
+), plan AS (
+  SELECT source,
+    ROUND(ROUND(mix_weight / CAST(wsum AS DOUBLE), 6)
+          * FLOOR(norm.total_tokens * {MIX_TARGET_FRACTION})
+          / n_tokens, 6) AS sample_rate
+  FROM shared CROSS JOIN norm
+)
+SELECT d.doc_id, d.source,
+  CAST(FLOOR(p.sample_rate) AS BIGINT)
+  + CASE WHEN CAST('0x' || substring(md5('mixrep_' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000
+         < CAST(ROUND((p.sample_rate - FLOOR(p.sample_rate)) * 1000000, 0) AS BIGINT)
+    THEN 1 ELSE 0 END AS n_copies
+FROM documents d JOIN plan p USING (source)
+"""
+
+
+# --------------------------------------------------------------------------
 # q58: decontamination — flag training documents that share any
 # 3-gram shingle with the held-out test split (q53's buckets). The
 # shingle join moves 8-byte hashes only and is a LEFT SEMI join, so
@@ -3765,12 +3967,16 @@ QUERIES = {
     "q112_tfidf_banded_knn_dialed": q112_tfidf_banded_knn_dialed,
     "q114_screen_staleness": q114_screen_staleness,
     "q117_band_dial_measurement": q117_band_dial_measurement,
+    "q118_temperature_mix_plan": q118_temperature_mix_plan,
+    "q119_mixture_assignment": q119_mixture_assignment,
     "q105_decontaminate_spans": q105_decontaminate_spans,
 }
 
 ORACLE = {
     "q114_screen_staleness": Q114_SQL,
     "q117_band_dial_measurement": Q117_SQL,
+    "q118_temperature_mix_plan": Q118_SQL,
+    "q119_mixture_assignment": Q119_SQL,
     "q80_sliding_chunks": Q80_SQL,
     "q81_stratified_sample": Q81_SQL,
     "q84_quality_gate": Q84_SQL,

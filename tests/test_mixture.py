@@ -1,0 +1,97 @@
+"""Temperature-based mixture planning (temperature_mix_plan /
+mixture_assignment, q118/q119)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from aerovaldb_spark.catalog import load_table
+from aerovaldb_spark.operators.text import (
+    MIX_TARGET_FRACTION,
+    mixture_assignment,
+    temperature_mix_plan,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _skewed_docs(spark):
+    # big source: 60 docs x 40 tokens; small source: 4 docs x 10
+    rows = [
+        (i, " ".join(f"b{i}_{j}" for j in range(40)), "big")
+        for i in range(60)
+    ]
+    rows += [
+        (100 + i, " ".join(f"s{i}_{j}" for j in range(10)), "small")
+        for i in range(4)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+
+
+def test_plan_budget_and_flattening(spark):
+    docs = load_table(spark, SF, "documents")
+    plan = temperature_mix_plan(docs).collect()
+    total = sum(r["n_tokens"] for r in plan)
+    expected = sum(r["expected_tokens"] for r in plan)
+    # the plan's expected token volume hits the target budget (round6
+    # slack per source)
+    assert expected == pytest.approx(
+        int(total * MIX_TARGET_FRACTION), rel=1e-4
+    )
+    # alpha < 1 flattens: the largest source's sample_rate is the
+    # SMALLEST (it gives up share to smaller sources)
+    by_tokens = sorted(plan, key=lambda r: r["n_tokens"])
+    assert (
+        by_tokens[-1]["sample_rate"] <= by_tokens[0]["sample_rate"]
+    )
+
+
+def test_plan_upsamples_small_sources_past_one(spark):
+    plan = {
+        r["source"]: r
+        for r in temperature_mix_plan(
+            _skewed_docs(spark), alpha=0.3, target_fraction=0.8
+        ).collect()
+    }
+    # the small source's flattened share exceeds its natural share so
+    # much that it must repeat (rate > 1); the big source downsamples
+    assert plan["small"]["sample_rate"] > 1.0
+    assert plan["big"]["sample_rate"] < 1.0
+
+
+def test_assignment_matches_plan_expectation(spark):
+    docs = _skewed_docs(spark)
+    plan = {
+        r["source"]: r["sample_rate"]
+        for r in temperature_mix_plan(
+            docs, alpha=0.3, target_fraction=0.8
+        ).collect()
+    }
+    rows = mixture_assignment(
+        docs, alpha=0.3, target_fraction=0.8
+    ).collect()
+    # every small-source doc repeats at least floor(rate) times
+    import math
+
+    for r in rows:
+        lo = math.floor(plan[r["source"]])
+        assert r["n_copies"] in (lo, lo + 1)
+    # zero-copy rows are KEPT (downsampling verdicts are explicit)
+    assert len(rows) == docs.count()
+
+
+def test_assignment_is_deterministic(spark):
+    docs = _skewed_docs(spark)
+    a = {
+        r["doc_id"]: r["n_copies"]
+        for r in mixture_assignment(docs).collect()
+    }
+    b = {
+        r["doc_id"]: r["n_copies"]
+        for r in mixture_assignment(docs).collect()
+    }
+    assert a == b
