@@ -398,7 +398,10 @@ def temperature_mix_plan(
     round6 at every derived value, DECIMAL(18,6) sum for the weight
     normalizer (order-free), so the plan replays in ANSI SQL (q118's
     oracle)."""
-    per = (
+    # persist BEFORE fan-out: the |sources|-row aggregate feeds the
+    # totals, the share frame AND the weight normalizer — unpersisted,
+    # each reference re-tokenizes the corpus (plan showed 4 scans)
+    per = scoped_persist(
         docs.select("source", token_count_col().alias("_t"))
         .groupBy("source")
         .agg(
