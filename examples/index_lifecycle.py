@@ -1,0 +1,97 @@
+"""The persisted-index lifecycle, end to end: build -> serve ->
+append -> measure staleness -> apply the rebuild rule -> recalibrate.
+
+This is the operational loop a 100 TB deployment runs around any of
+the frozen-parameter index families (the round-11 additions close
+it): staleness() turns "is my index still good?" into measured drift,
+*_rebuild_verdict applies the SCALING.md-measured rules to that
+report, and calibrate_band_dial re-derives the LSH dial from the
+grown corpus in one call when a rebuild IS due.
+
+Run: python examples/index_lifecycle.py   (sf0.001 inputs; ~1 min)
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators.similarity import (
+        IVFIndex,
+        ann_recall,
+        brute_force_topk,
+        ivf_rebuild_verdict,
+    )
+    from aerovaldb_spark.operators.text import (
+        TfidfScreenIndex,
+        calibrate_band_dial,
+        screen_rebuild_verdict,
+    )
+    from aerovaldb_spark.session import get_spark
+
+    spark = get_spark("index_lifecycle")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = "/root/testdata/sf0.001"
+
+    # ---- IVF: build on half, snapshot the build-time report --------
+    emb = load_table(spark, sf, "embeddings")
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    root = tempfile.mkdtemp(prefix="ivf-")
+    IVFIndex.build(old, n_lists=8).save(root)
+    idx = IVFIndex.load(spark, root)
+    build_report = idx.staleness().collect()[0]
+    print("build-time report:", build_report.asDict())
+
+    # serve a query batch; sanity-check recall vs brute force
+    queries = emb.filter(F.col("vec_id") % 50 == 1)
+    rec = (
+        ann_recall(
+            idx.topk(queries, k=5),
+            brute_force_topk(old, queries, k=5, single_query=False),
+        )
+        .agg(F.avg("recall"))
+        .collect()[0][0]
+    )
+    print(f"recall@5 vs brute force on the build corpus: {rec:.3f}")
+
+    # ---- append under frozen centroids, re-measure ------------------
+    idx = idx.add(emb.filter(F.col("vec_id") % 2 == 1))
+    grown_report = idx.staleness().collect()[0]
+    verdict = ivf_rebuild_verdict(grown_report, build_report)
+    print("after 2x same-distribution append:", verdict)
+    assert not verdict.rebuild  # measured: diffusion this small is fine
+
+    # a hard distribution shift trips the occupancy trigger
+    shifted = emb.withColumn(
+        "embedding", F.transform("embedding", lambda x: x + F.lit(3.0))
+    ).withColumn("vec_id", F.col("vec_id") + 10_000)
+    drifted = idx.add(shifted).staleness().collect()[0]
+    verdict = ivf_rebuild_verdict(drifted, build_report)
+    print("after a shifted append:", verdict.rebuild, verdict.reasons[:1])
+
+    # ---- screen: same loop, plus dial recalibration -----------------
+    docs = load_table(spark, sf, "documents")
+    screen = TfidfScreenIndex.build(docs.filter(F.col("doc_id") < 250))
+    screen = screen.add(docs.filter(F.col("doc_id") >= 250))
+    rep = screen.staleness().collect()[0]
+    print("screen staleness:", screen_rebuild_verdict(rep))
+
+    # when a rebuild IS due, re-derive the banded dial from the grown
+    # corpus in one call (measure -> invert -> choose)
+    cal = calibrate_band_dial(docs, threshold=0.8, target_recall=0.95)
+    print(
+        f"recalibrated dial: ({cal.bands}, {cal.rows_per_band}) from "
+        f"measured recall {cal.measured_recall} "
+        f"(J_eff {cal.effective_jaccard})"
+    )
+
+
+if __name__ == "__main__":
+    main()
