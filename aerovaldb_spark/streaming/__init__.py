@@ -339,6 +339,58 @@ def bpe_budget_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+def mixture_gate(
+    docs: DataFrame, plan: dict[str, float],
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Ingest-time mixture assignment under a FROZEN plan: (doc_id,
+    source, n_copies) per incoming document, exactly the batch
+    :func:`..operators.text.mixture_assignment` arithmetic with the
+    plan's per-source ``sample_rate`` supplied as a dict instead of
+    derived from the (unbounded) stream. Freeze a plan from a batch
+    :func:`..operators.text.temperature_mix_plan` run — the batch op
+    documents WHY the rates must freeze: they are corpus-derived, so
+    deriving them per micro-batch would re-plan every source on every
+    trigger and verdicts would depend on batch boundaries.
+
+    STATELESS map-only (a CASE over the broadcast-small plan + the
+    salted-hash residual): no watermark, no state store, no shuffle —
+    identical output on batch and streaming inputs by construction
+    (tested bit-equal), and a doc's verdict never depends on which
+    micro-batch carried it. Sources absent from the plan take
+    ``default_rate`` (0.0 = drop, the conservative default for
+    unplanned sources)."""
+    from ..operators.dedup import hash60
+
+    for src, rate in plan.items():
+        if not (isinstance(rate, (int, float)) and rate >= 0.0):
+            raise ValueError(
+                f"plan rate for {src!r} must be a number >= 0, got "
+                f"{rate!r}"
+            )
+    if default_rate < 0.0:
+        raise ValueError(f"default_rate must be >= 0, got {default_rate}")
+    rate_col = F.lit(float(default_rate))
+    for src, rate in plan.items():
+        rate_col = F.when(
+            F.col("source") == src, F.lit(float(rate))
+        ).otherwise(rate_col)
+    frac_ppm = F.round(
+        (rate_col - F.floor(rate_col)) * F.lit(1_000_000), 0
+    ).cast("long")
+    bucket = hash60(
+        F.concat(F.lit("mixrep_"), F.col("doc_id").cast("string"))
+    ) % 1_000_000
+    return docs.select(
+        "doc_id",
+        "source",
+        (
+            F.floor(rate_col).cast("long")
+            + F.when(bucket < frac_ppm, F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_copies"),
+    )
+
+
 def bpe_pack_gate(docs: DataFrame) -> DataFrame:
     """Streaming BPE sequence packing — q97's ingest-time twin, and
     the one pipeline gate that is GENUINELY stateful: a shard

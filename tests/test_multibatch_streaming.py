@@ -811,3 +811,83 @@ def test_tfidf_index_ingest_stream_grows_and_compacts(spark, tmp_path):
     compacted = TfidfScreenIndex.compact(spark, p)
     assert sig_files() < n_before
     assert sorted(map(tuple, compacted.screen(probes).collect())) == want
+
+
+def test_mixture_gate_stream_equals_batch_plan(spark, tmp_path):
+    """The frozen-plan mixture gate is stateless map-only, so a
+    two-batch stream must equal (bit-for-bit) both the gate on a
+    batch read AND the batch mixture_assignment whose plan was
+    frozen from the same corpus — and a doc's verdict must not
+    depend on which micro-batch carried it."""
+    import pytest
+
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators.text import (
+        mixture_assignment,
+        temperature_mix_plan,
+    )
+    from aerovaldb_spark.streaming import (
+        mixture_gate,
+        run_stream_to_memory,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = {
+        r["source"]: r["sample_rate"]
+        for r in temperature_mix_plan(docs).collect()
+    }
+    batch = sorted(map(tuple, mixture_assignment(docs).collect()))
+
+    rows = sorted(
+        docs.select("doc_id", "source").collect(),
+        key=lambda r: r["doc_id"],
+    )
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.select("doc_id", "text").collect()
+    }
+    d = str(tmp_path / "mix_docs")
+    os.makedirs(d)
+    halves = [rows[: len(rows) // 2], rows[len(rows) // 2:]]
+    for i, half in enumerate(halves):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(
+                        [r["doc_id"] for r in half], pa.int64()
+                    ),
+                    "source": pa.array(
+                        [r["source"] for r in half], pa.string()
+                    ),
+                    "text": pa.array(
+                        [texts[r["doc_id"]] for r in half], pa.string()
+                    ),
+                }
+            ),
+            os.path.join(d, f"part{i}.parquet"),
+        )
+    schema = "doc_id long, source string, text string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    got = run_stream_to_memory(
+        mixture_gate(stream, plan), "mix_gate", spark,
+        output_mode="append",
+    )
+    streamed = sorted(map(tuple, got.collect()))
+    assert streamed == batch and len(batch) > 0
+
+    # unplanned sources take default_rate (0.0 = drop)
+    extra = spark.createDataFrame(
+        [(999_999, "unplanned_src")], "doc_id long, source string"
+    )
+    assert mixture_gate(extra, plan).collect()[0]["n_copies"] == 0
+    assert (
+        mixture_gate(extra, plan, default_rate=2.0)
+        .collect()[0]["n_copies"]
+        >= 2
+    )
+    with pytest.raises(ValueError, match="rate"):
+        mixture_gate(extra, {"src0": -0.5})
