@@ -339,6 +339,13 @@ def bpe_budget_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+# CASE-vs-join switch for mixture_gate plans: a CASE chain is the
+# cheapest plan carrier for a handful of sources; past this many the
+# expression tree (and codegen) grows linearly while a broadcast
+# stream-static join stays flat.
+MIXTURE_GATE_MAX_CASE_SOURCES = 64
+
+
 def mixture_gate(
     docs: DataFrame, plan: dict[str, float],
     default_rate: float = 0.0,
@@ -353,13 +360,16 @@ def mixture_gate(
     deriving them per micro-batch would re-plan every source on every
     trigger and verdicts would depend on batch boundaries.
 
-    STATELESS map-only (a CASE over the broadcast-small plan + the
-    salted-hash residual): no watermark, no state store, no shuffle —
-    identical output on batch and streaming inputs by construction
-    (tested bit-equal), and a doc's verdict never depends on which
-    micro-batch carried it. Sources absent from the plan take
-    ``default_rate`` (0.0 = drop, the conservative default for
-    unplanned sources)."""
+    STATELESS map-only (the plan rides as a CASE expression for small
+    plans, or a broadcast stream-static left join past
+    ``MIXTURE_GATE_MAX_CASE_SOURCES`` — a CASE chain over thousands
+    of sources is a Catalyst expression-tree problem, a 10k-row
+    broadcast is not; both paths are output-identical and tested):
+    no watermark, no state store, no shuffle — identical output on
+    batch and streaming inputs by construction (tested bit-equal),
+    and a doc's verdict never depends on which micro-batch carried
+    it. Sources absent from the plan take ``default_rate`` (0.0 =
+    drop, the conservative default for unplanned sources)."""
     from ..operators.dedup import hash60
 
     for src, rate in plan.items():
@@ -370,11 +380,19 @@ def mixture_gate(
             )
     if default_rate < 0.0:
         raise ValueError(f"default_rate must be >= 0, got {default_rate}")
-    rate_col = F.lit(float(default_rate))
-    for src, rate in plan.items():
-        rate_col = F.when(
-            F.col("source") == src, F.lit(float(rate))
-        ).otherwise(rate_col)
+    if len(plan) > MIXTURE_GATE_MAX_CASE_SOURCES:
+        plan_df = docs.sparkSession.createDataFrame(
+            [(s, float(r)) for s, r in plan.items()],
+            "source string, _rate double",
+        )
+        docs = docs.join(F.broadcast(plan_df), "source", "left")
+        rate_col = F.coalesce(F.col("_rate"), F.lit(float(default_rate)))
+    else:
+        rate_col = F.lit(float(default_rate))
+        for src, rate in plan.items():
+            rate_col = F.when(
+                F.col("source") == src, F.lit(float(rate))
+            ).otherwise(rate_col)
     frac_ppm = F.round(
         (rate_col - F.floor(rate_col)) * F.lit(1_000_000), 0
     ).cast("long")

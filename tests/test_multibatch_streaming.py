@@ -891,3 +891,24 @@ def test_mixture_gate_stream_equals_batch_plan(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="rate"):
         mixture_gate(extra, {"src0": -0.5})
+
+
+def test_mixture_gate_join_path_equals_case_path(spark):
+    """Past MIXTURE_GATE_MAX_CASE_SOURCES the gate switches from a
+    CASE chain to a broadcast join — the two carriers must be
+    output-identical on the same docs + plan."""
+    import aerovaldb_spark.streaming as st
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 100}") for i in range(400)],
+        "doc_id long, source string",
+    )
+    plan = {f"s{i}": 0.25 + (i % 7) * 0.5 for i in range(100)}
+    joined = sorted(map(tuple, st.mixture_gate(docs, plan).collect()))
+    old = st.MIXTURE_GATE_MAX_CASE_SOURCES
+    st.MIXTURE_GATE_MAX_CASE_SOURCES = 10_000
+    try:
+        cased = sorted(map(tuple, st.mixture_gate(docs, plan).collect()))
+    finally:
+        st.MIXTURE_GATE_MAX_CASE_SOURCES = old
+    assert joined == cased and len(joined) == 400
