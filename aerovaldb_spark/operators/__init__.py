@@ -22,8 +22,9 @@ _MERGED_QUERIES = {
 }
 
 # The external correctness gate records rows for the FIRST 50 entries
-# of ``queries()`` only (115 declared after r11: +q114 +q115 +q116 —
-# all > the 50-entry cap), so entry ORDER decides which queries get a
+# of ``queries()`` only (119 declared after r11: +q114 +q115 +q116
+# +q117 +q118 +q119 +q120 — all > the 50-entry cap), so entry ORDER
+# decides which queries get a
 # driver-recorded check each round. Policy: entries never yet
 # driver-verified, green-only-once, or just-changed come first; the
 # tail past position 50 holds entries with >=2 driver-recorded greens,
@@ -62,7 +63,7 @@ _MERGED_QUERIES = {
 #   3 greens: q86 q87 q88 q77 q78 q80 q81 q84 q85 q95 q97 q82 q91
 #   q93 q94 q96 q98 q92; 4 greens: q89).
 #
-# Round-11 tail (65): every entry holds >=2 driver-recorded greens
+# Round-11 tail (69): every entry holds >=2 driver-recorded greens
 # (q107 q110 q111 at exactly 2, both fresh r10; everything else >=3 —
 # counts computed from CORRECTNESS_r01..r10):
 # - 25 r9-window retirees deferred once more to make room (22 at 5

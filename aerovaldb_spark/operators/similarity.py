@@ -1288,6 +1288,7 @@ def ivf_rebuild_verdict(
         for key in ("load_factor_max", "top_mass"):
             if (
                 base.get(key)
+                and cur.get(key) is not None
                 and cur[key] >= occupancy_growth * base[key]
             ):
                 reasons.append(
@@ -1295,9 +1296,13 @@ def ivf_rebuild_verdict(
                     f"{base[key]} (hot lists make probes degenerate "
                     "toward brute force)"
                 )
-    if cur["assignment_churn"] > churn_threshold:
+    churn = cur.get("assignment_churn")
+    # NULL churn (e.g. a sampled report whose Bernoulli sample came up
+    # empty) is absent evidence, not a trigger — same rule as the
+    # base.get() guard above
+    if churn is not None and churn > churn_threshold:
         reasons.append(
-            f"assignment_churn {cur['assignment_churn']} > "
+            f"assignment_churn {churn} > "
             f"{churn_threshold} (a refit would move this fraction of "
             "members; scoring cost creeps with it)"
         )
@@ -1323,6 +1328,7 @@ def srp_rebuild_verdict(
         base = _report_dict(build_report)
         if (
             base.get("load_factor_max")
+            and cur.get("load_factor_max") is not None
             and cur["load_factor_max"]
             >= occupancy_growth * base["load_factor_max"]
         ):
@@ -1349,7 +1355,16 @@ def _occupancy_metrics(assignments: DataFrame, col: str) -> DataFrame:
     aggregates only, so exact on any engine: load_factor_max =
     max_size/mean_size, occupancy_cov = population stddev/mean via
     sqrt(L*sum(c^2) - (sum c)^2)/sum(c), top_mass = max_size/total."""
-    occ = assignments.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+    return _occupancy_metrics_from_hist(
+        assignments.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def _occupancy_metrics_from_hist(occ: DataFrame) -> DataFrame:
+    """:func:`_occupancy_metrics` over an ALREADY-BUILT (col, c)
+    histogram — callers that have the histogram in hand (persisted
+    drift reports) must not rescan the assignment table to re-derive
+    it."""
     return occ.agg(
         F.sum("c").alias("_tot"),
         F.count(F.lit(1)).alias("_l"),
@@ -1362,9 +1377,15 @@ def _occupancy_metrics(assignments: DataFrame, col: str) -> DataFrame:
             F.col("_mx") * F.col("_l") / F.col("_tot").cast("double")
         ).alias("load_factor_max"),
         round6(
+            # products in DOUBLE: long multiply wraps silently past
+            # 2^63 (n_rows >= ~3e9 makes tot*tot overflow — inside the
+            # 100 TB envelope), where the DuckDB oracle's checked
+            # BIGINT would error instead; both engines compute the
+            # identical IEEE double product
             F.sqrt(
-                (F.col("_l") * F.col("_s2") - F.col("_tot") * F.col("_tot"))
-                .cast("double")
+                F.col("_l").cast("double") * F.col("_s2").cast("double")
+                - F.col("_tot").cast("double")
+                * F.col("_tot").cast("double")
             )
             / F.col("_tot")
         ).alias("occupancy_cov"),
@@ -1390,11 +1411,23 @@ def bucket_occupancy_drift(
     not correctness drift — re-plan (more planes, or re-partition) when
     load_factor_max grows past ~2x its build value or new_bucket_mass
     exceeds ~0.2; total_variation tracks how far the corpus moved."""
-    occ = assignments.groupBy(col).agg(F.count(F.lit(1)).alias("c_now"))
+    from ._scope import scoped_persist
+
+    # persist the CURRENT histogram: it feeds the drift join AND the
+    # skew metrics below — unpersisted, each consumer re-runs the
+    # signature projection over the whole assignment table (for the
+    # SRP families that is planes x dim md5 folds per row, ~3x)
+    occ = scoped_persist(
+        assignments.groupBy(col).agg(F.count(F.lit(1)).alias("c_now"))
+    )
     base = baseline.select(col, F.col("c").alias("c_base"))
-    joined = occ.join(base, col, "full_outer").select(
-        F.coalesce("c_now", F.lit(0)).alias("c_now"),
-        F.coalesce("c_base", F.lit(0)).alias("c_base"),
+    # persisted too: the joined histogram feeds the totals AND the
+    # per-bucket drift terms (bucket-count cardinality — tiny)
+    joined = scoped_persist(
+        occ.join(base, col, "full_outer").select(
+            F.coalesce("c_now", F.lit(0)).alias("c_now"),
+            F.coalesce("c_base", F.lit(0)).alias("c_base"),
+        )
     )
     tot = joined.agg(
         F.sum("c_now").alias("_tn"), F.sum("c_base").alias("_tb")
@@ -1427,7 +1460,9 @@ def bucket_occupancy_drift(
             ).alias("growth_ratio"),
         )
     )
-    return _occupancy_metrics(assignments, col).crossJoin(drift)
+    return _occupancy_metrics_from_hist(
+        occ.select(F.col("c_now").alias("c"))
+    ).crossJoin(drift)
 
 
 def ivf_staleness_report(
@@ -1551,7 +1586,10 @@ def ivf_staleness_report(
     )
     churn = (
         ivf_assign(
-            members.select(id_col, "_vec", F.col("list_id").alias("_old")),
+            # ivf_assign keeps only (id, vec, list_id) — the stored
+            # list rides back in via the join below, so don't feed a
+            # decoy column through the assignment
+            members.select(id_col, "_vec"),
             means,
             "_vec",
             id_col,
@@ -3393,7 +3431,7 @@ WITH base AS (
 ), met AS (
   SELECT tot AS n_rows, l AS n_partitions,
     ROUND(mx * l / CAST(tot AS DOUBLE), 6) AS load_factor_max,
-    ROUND(sqrt(CAST(l * s2 - tot * tot AS DOUBLE)) / tot, 6)
+    ROUND(sqrt(CAST(l AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)) / tot, 6)
       AS occupancy_cov,
     ROUND(mx / CAST(tot AS DOUBLE), 6) AS top_mass
   FROM m
@@ -3452,7 +3490,7 @@ WITH {_frozen_ivf_assigned_sql()}, occ AS (
 ), met AS (
   SELECT tot AS n_rows, l AS n_partitions,
     ROUND(mx * l / CAST(tot AS DOUBLE), 6) AS load_factor_max,
-    ROUND(sqrt(CAST(l * s2 - tot * tot AS DOUBLE)) / tot, 6)
+    ROUND(sqrt(CAST(l AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)) / tot, 6)
       AS occupancy_cov,
     ROUND(mx / CAST(tot AS DOUBLE), 6) AS top_mass
   FROM m

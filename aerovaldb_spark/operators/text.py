@@ -448,6 +448,27 @@ def temperature_mix_plan(
     )
 
 
+def mixture_copies_col(rate_col: Column) -> Column:
+    """The n_copies expression — floor(rate) guaranteed copies plus
+    one residual copy when the doc's salted md5 bucket falls under the
+    rate's fractional part (in ppm). ONE definition shared by the
+    batch materializer (:func:`mixture_assignment`) and the streaming
+    gate (``streaming.mixture_gate``), so their bit-equality contract
+    cannot drift; reads ``doc_id`` from the enclosing frame."""
+    from .dedup import hash60
+
+    frac_ppm = F.round(
+        (rate_col - F.floor(rate_col)) * F.lit(1_000_000), 0
+    ).cast("long")
+    bucket = hash60(
+        F.concat(F.lit("mixrep_"), F.col("doc_id").cast("string"))
+    ) % 1_000_000
+    return (
+        F.floor(rate_col).cast("long")
+        + F.when(bucket < frac_ppm, F.lit(1)).otherwise(F.lit(0))
+    )
+
+
 def mixture_assignment(
     docs: DataFrame,
     alpha: float = MIX_TEMPERATURE_ALPHA,
@@ -467,29 +488,16 @@ def mixture_assignment(
     verdict); a consumer materializes with explode(sequence(1,
     n_copies)). Map-side after the broadcast plan join — no shuffle
     of documents."""
-    from .dedup import hash60
-
     plan = temperature_mix_plan(docs, alpha, target_fraction).select(
         "source", "sample_rate"
     )
-    frac_ppm = F.round(
-        (F.col("sample_rate") - F.floor(F.col("sample_rate")))
-        * F.lit(1_000_000),
-        0,
-    ).cast("long")
-    bucket = hash60(
-        F.concat(F.lit("mixrep_"), F.col("doc_id").cast("string"))
-    ) % 1_000_000
     return (
         docs.select("doc_id", "source")
         .join(F.broadcast(plan), "source")
         .select(
             "doc_id",
             "source",
-            (
-                F.floor("sample_rate").cast("long")
-                + F.when(bucket < frac_ppm, F.lit(1)).otherwise(F.lit(0))
-            ).alias("n_copies"),
+            mixture_copies_col(F.col("sample_rate")).alias("n_copies"),
         )
     )
 
@@ -2250,19 +2258,26 @@ def screen_rebuild_verdict(
 
     cur = _report_dict(report)
     reasons = []
-    if cur["idf_drift_mad"] > idf_drift_mad_threshold:
+
+    def _over(key, threshold):
+        # NULL metrics (degenerate/empty-corpus reports) are absent
+        # evidence, not triggers — the ivf/srp verdicts' rule
+        v = cur.get(key)
+        return v is not None and v > threshold
+
+    if _over("idf_drift_mad", idf_drift_mad_threshold):
         reasons.append(
             f"idf_drift_mad {cur['idf_drift_mad']} > "
             f"{idf_drift_mad_threshold} (per-term-occurrence idf error "
             "a rebuild would correct)"
         )
-    if cur["new_term_mass"] > new_term_mass_threshold:
+    if _over("new_term_mass", new_term_mass_threshold):
         reasons.append(
             f"new_term_mass {cur['new_term_mass']} > "
             f"{new_term_mass_threshold} (OOV mass weighted with the "
             "flat fallback idf distorts near-threshold verdicts)"
         )
-    if cur["top_term_churn"] > top_term_churn_threshold:
+    if _over("top_term_churn", top_term_churn_threshold):
         reasons.append(
             f"top_term_churn {cur['top_term_churn']} > "
             f"{top_term_churn_threshold} (the signature prefix reads "
@@ -3040,13 +3055,19 @@ class TfidfScreenIndex:
         or top_term_churn ~0.3; growth_ratio alone is NOT the trigger
         (a 4x append of same-distribution data moves recall far less
         than a small distribution shift does)."""
-        cur = self.weights.groupBy("term").agg(
-            F.count(F.lit(1)).alias("df_now")
+        # the term histogram feeds the drift/mass join AND the
+        # top-term churn; the joined frame feeds two aggregates —
+        # persist both so one staleness() call scans the (doc, term)
+        # weights table once, not ~4x (vocabulary-sized frames)
+        cur = scoped_persist(
+            self.weights.groupBy("term").agg(
+                F.count(F.lit(1)).alias("df_now")
+            )
         )
         n_now = self.weights.select(
             F.count_distinct("doc_id").alias("n_docs_now")
         )
-        both = (
+        both = scoped_persist((
             self.stats.withColumnRenamed("df", "df_frozen")
             .join(cur, "term", "full_outer")
             .crossJoin(F.broadcast(self.n))
@@ -3068,7 +3089,7 @@ class TfidfScreenIndex:
                     )
                 ).alias("idf_now"),
             )
-        )
+        ))
         # df_now=0 frozen terms (every doc that carried them had zero
         # norm) would inflate the max with a phantom delta — they are
         # served to nobody, so exclude them from both drift columns

@@ -370,7 +370,7 @@ def mixture_gate(
     and a doc's verdict never depends on which micro-batch carried
     it. Sources absent from the plan take ``default_rate`` (0.0 =
     drop, the conservative default for unplanned sources)."""
-    from ..operators.dedup import hash60
+    from ..operators.text import mixture_copies_col
 
     for src, rate in plan.items():
         if not (isinstance(rate, (int, float)) and rate >= 0.0):
@@ -393,19 +393,10 @@ def mixture_gate(
             rate_col = F.when(
                 F.col("source") == src, F.lit(float(rate))
             ).otherwise(rate_col)
-    frac_ppm = F.round(
-        (rate_col - F.floor(rate_col)) * F.lit(1_000_000), 0
-    ).cast("long")
-    bucket = hash60(
-        F.concat(F.lit("mixrep_"), F.col("doc_id").cast("string"))
-    ) % 1_000_000
     return docs.select(
         "doc_id",
         "source",
-        (
-            F.floor(rate_col).cast("long")
-            + F.when(bucket < frac_ppm, F.lit(1)).otherwise(F.lit(0))
-        ).alias("n_copies"),
+        mixture_copies_col(rate_col).alias("n_copies"),
     )
 
 
