@@ -95,3 +95,26 @@ def test_assignment_is_deterministic(spark):
         for r in mixture_assignment(docs).collect()
     }
     assert a == b
+
+
+def test_alpha_one_rates_collapse_to_target_fraction(spark):
+    """alpha=1 is proportional sampling: weight == share, so every
+    source's rate is exactly target_fraction (up to the plan's round6
+    points) — the identity that pins the normalizer arithmetic."""
+    docs = _skewed_docs(spark)
+    plan = temperature_mix_plan(docs, alpha=1.0, target_fraction=0.5)
+    rates = [r["sample_rate"] for r in plan.collect()]
+    for rate in rates:
+        assert rate == pytest.approx(0.5, abs=2e-3)
+
+
+def test_alpha_zero_is_uniform_over_sources(spark):
+    """alpha=0 flattens completely: every source gets the SAME token
+    budget (weights all 1), so expected_tokens is uniform across
+    sources regardless of their size."""
+    docs = _skewed_docs(spark)
+    plan = temperature_mix_plan(
+        docs, alpha=0.0, target_fraction=0.5
+    ).collect()
+    budgets = [r["expected_tokens"] for r in plan]
+    assert max(budgets) == pytest.approx(min(budgets), rel=2e-3)
