@@ -502,10 +502,41 @@ def mixture_assignment(
     )
 
 
+def dedup_adjusted_mix_plan(
+    docs: DataFrame,
+    alpha: float = MIX_TEMPERATURE_ALPHA,
+    target_fraction: float = MIX_TARGET_FRACTION,
+) -> DataFrame:
+    """:func:`temperature_mix_plan` over the exact-dedup CANONICAL
+    subset (lowest-doc_id representative per content hash, the q25
+    rule): raw token counts overweight duplicate-heavy sources — a
+    source whose volume is 3x copies of the same page earns 3x the
+    mixture share it deserves, and upsampling it repeats the SAME
+    text. Planning on canonical docs gives shares that measure
+    distinct content; pair with :func:`mixture_assignment`'s plan
+    join over the deduped docs (or the streaming gate with this
+    plan's rates). One extra semi-join against the (fp -> keeper)
+    aggregate before the same one-scan plan."""
+    from .dedup import dedup_exact
+
+    keep = dedup_exact(docs).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    return temperature_mix_plan(
+        docs.join(keep, "doc_id", "left_semi"), alpha, target_fraction
+    )
+
+
 def q118_temperature_mix_plan(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     return temperature_mix_plan(load_table(spark, sf_dir, "documents"))
+
+
+def q121_dedup_adjusted_mix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return dedup_adjusted_mix_plan(load_table(spark, sf_dir, "documents"))
 
 
 def q119_mixture_assignment(
@@ -514,11 +545,14 @@ def q119_mixture_assignment(
     return mixture_assignment(load_table(spark, sf_dir, "documents"))
 
 
-_Q118_PLAN_CTE = f"""
-WITH per AS (
+def _mix_plan_sql(src: str = "documents", prelude: str = "") -> str:
+    """The q118 plan SQL templated on its source relation — q121
+    replays the same chain over the exact-dedup canonical subset."""
+    return f"""
+WITH {prelude}per AS (
   SELECT source, COUNT(*) AS n_docs,
          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
-  FROM documents GROUP BY source
+  FROM {src} GROUP BY source
 ), tot AS (SELECT SUM(n_tokens) AS total_tokens FROM per),
 shared AS (
   SELECT source, n_docs, n_tokens,
@@ -543,7 +577,17 @@ SELECT source, n_docs, n_tokens, token_share, mix_weight, sample_rate,
 FROM plan
 """
 
-Q118_SQL = _Q118_PLAN_CTE
+
+Q118_SQL = _mix_plan_sql()
+
+Q121_SQL = _mix_plan_sql(
+    src="canon",
+    prelude="""keep AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+), canon AS (
+  SELECT d.* FROM documents d JOIN keep USING (doc_id)
+), """,
+)
 
 # q119's oracle replays the plan CTE chain and applies the salted-hash
 # residual per doc (same md5 bucket family as q53/q57).
@@ -3993,6 +4037,7 @@ QUERIES = {
     "q117_band_dial_measurement": q117_band_dial_measurement,
     "q118_temperature_mix_plan": q118_temperature_mix_plan,
     "q119_mixture_assignment": q119_mixture_assignment,
+    "q121_dedup_adjusted_mix": q121_dedup_adjusted_mix,
     "q105_decontaminate_spans": q105_decontaminate_spans,
 }
 
@@ -4001,6 +4046,7 @@ ORACLE = {
     "q117_band_dial_measurement": Q117_SQL,
     "q118_temperature_mix_plan": Q118_SQL,
     "q119_mixture_assignment": Q119_SQL,
+    "q121_dedup_adjusted_mix": Q121_SQL,
     "q80_sliding_chunks": Q80_SQL,
     "q81_stratified_sample": Q81_SQL,
     "q84_quality_gate": Q84_SQL,

@@ -118,3 +118,32 @@ def test_alpha_zero_is_uniform_over_sources(spark):
     ).collect()
     budgets = [r["expected_tokens"] for r in plan]
     assert max(budgets) == pytest.approx(min(budgets), rel=2e-3)
+
+
+def test_dedup_adjusted_plan_discounts_duplicate_heavy_sources(spark):
+    """A source whose volume is mostly copies of one page must earn
+    LESS mixture share under the dedup-adjusted plan than under the
+    raw plan — the adjustment's whole point."""
+    from aerovaldb_spark.operators.text import dedup_adjusted_mix_plan
+
+    text_dup = " ".join(f"d{j}" for j in range(40))
+    rows = [(i, text_dup, "dupy") for i in range(30)]  # 30 copies
+    rows += [
+        (100 + i, " ".join(f"u{i}_{j}" for j in range(40)), "clean")
+        for i in range(10)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    raw = {
+        r["source"]: r["token_share"]
+        for r in temperature_mix_plan(docs).collect()
+    }
+    adj = {
+        r["source"]: r["token_share"]
+        for r in dedup_adjusted_mix_plan(docs).collect()
+    }
+    assert adj["dupy"] < raw["dupy"]
+    # 30 copies collapse to 1 canonical doc vs 10 distinct: the
+    # adjusted share measures distinct content (1/11 of the tokens)
+    assert adj["dupy"] == pytest.approx(1 / 11, abs=1e-3)
