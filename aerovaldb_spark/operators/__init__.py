@@ -22,9 +22,9 @@ _MERGED_QUERIES = {
 }
 
 # The external correctness gate records rows for the FIRST 50 entries
-# of ``queries()`` only (120 declared after r11: +q114 +q115 +q116
-# +q117 +q118 +q119 +q120 +q121 — all > the 50-entry cap), so entry
-# ORDER decides which queries get a
+# of ``queries()`` only (121 declared after r11: +q114 +q115 +q116
+# +q117 +q118 +q119 +q120 +q121 +q122 — all > the 50-entry cap), so
+# entry ORDER decides which queries get a
 # driver-recorded check each round. Policy: entries never yet
 # driver-verified, green-only-once, or just-changed come first; the
 # tail past position 50 holds entries with >=2 driver-recorded greens,
@@ -44,14 +44,15 @@ _MERGED_QUERIES = {
 # - once-green, staying per policy (2): q112 (also changed: the dial
 #   chooser's subnormal-overflow fix routes through
 #   min_bands_for_target), q113;
-# - added mid-round (5): q117 (the dial-calibration MEASUREMENT as a
+# - added mid-round (6): q117 (the dial-calibration MEASUREMENT as a
 #   graded one-row query — exact-kNN edge set vs banded candidates at
 #   the frozen probe dial), q118 (temperature mixture plan), q119
 #   (its per-doc copy-count materialization), q120 (per-source BPE
-#   fertility) and q121 (dedup-adjusted mixture plan); they take the
-#   slots of q23 q18 (5 driver greens, the strongest evidence in the
-#   fill cohort) and q79 q83 q89 (4 greens), which join the
-#   must-enter-r12 deferral;
+#   fertility), q121 (dedup-adjusted mixture plan) and q122 (per-
+#   source health report); they take the slots of q23 q18 (5 driver
+#   greens, the strongest evidence in the fill cohort), q79 q83 q89
+#   (4 greens) and q92 (3 greens, the last-positioned fill entry),
+#   which join the must-enter-r12 deferral;
 # - changed this round (4): q66 q101 q108 (probe-literal cap +
 #   broadcast semi-join fallback on all persisted-index probe paths;
 #   q91/q94 share the SRPIndex path and are in-window via the retiree
@@ -61,19 +62,19 @@ _MERGED_QUERIES = {
 # - the r9-window retiree cohort rotating back in, 25 of 46, picked
 #   by fewest driver greens then longest-unseen (2 greens: q106 q109;
 #   3 greens: q86 q87 q88 q77 q78 q80 q81 q84 q85 q95 q97 q82 q91
-#   q93 q94 q96 q98 q92).
+#   q93 q94 q96 q98).
 #
-# Round-11 tail (70): every entry holds >=2 driver-recorded greens
+# Round-11 tail (71): every entry holds >=2 driver-recorded greens
 # (q107 q110 q111 at exactly 2, both fresh r10; everything else >=3 —
 # counts computed from CORRECTNESS_r01..r10):
-# - 26 r9-window retirees deferred once more to make room (22 at 5
+# - 27 entries deferred once more to make room (22 r9 retirees at 5
 #   driver greens — the strongest standing evidence — plus q79 q83
-#   q89 at 4): q18 q23 q24 q59 q61 q26 q56 q30 q33 q34 q36 q38 q39
-#   q40 q41 q43 q44 q45 q47 q48 q49 q51 q52 q79 q83 q89. Deferred
-#   ONCE — all 26 MUST enter the r12 window, the same commitment
-#   mechanism that has now held five rounds;
+#   q89 at 4 and q92 at 3): q18 q23 q24 q59 q61 q26 q56 q30 q33 q34
+#   q36 q38 q39 q40 q41 q43 q44 q45 q47 q48 q49 q51 q52 q79 q83 q89
+#   q92. Deferred ONCE — all 27 MUST enter the r12 window, the same
+#   commitment mechanism that has now held five rounds;
 # - the 44 r10-window entries rotating out at fresh r10 greens.
-# R12 plan: the 26 once-deferred entries re-enter first, then the 44
+# R12 plan: the 27 once-deferred entries re-enter first, then the 44
 # r10 retirees rotate; entries holding 3+ greens yield slots to
 # whatever r12 adds or changes.
 _DEFER_ROUND = [
@@ -127,6 +128,7 @@ _DEFER_ROUND = [
     "q79_knn_join",
     "q83_label_cohesion",
     "q89_quantization_audit",
+    "q92_bpe_token_stats",
     "q23_lang_id",
     "q24_fingerprints",
     "q59_repetition_stats",

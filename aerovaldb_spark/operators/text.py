@@ -502,6 +502,78 @@ def mixture_assignment(
     )
 
 
+def source_health(docs: DataFrame) -> DataFrame:
+    """Per-source corpus-health report — the one-stop table a
+    pipeline operator reads before deciding what to fix, drop, or
+    re-weight: (source, n_docs, n_tokens, n_unique, dup_rate,
+    mean_quality, token_share). dup_rate is WITHIN-source exact
+    duplication (1 - distinct content hashes / docs — the q25 rule
+    scoped per source), mean_quality the q22 score averaged with the
+    order-free DECIMAL-sum convention, token_share the raw mixture
+    input (compare with q121's dedup-adjusted share to see how much
+    of a source's share is duplicated mass). ONE scan, one keyed
+    aggregation, |sources| rows out."""
+    q = quality_columns(docs)
+    per = q.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.count_distinct(F.md5("text")).alias("n_unique"),
+        round6(
+            F.sum(
+                F.col("quality_score").cast("decimal(18,6)")
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_quality"),
+    )
+    tot = per.agg(F.sum("n_tokens").alias("_total"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_unique",
+        round6(
+            F.lit(1.0) - F.col("n_unique") / F.col("n_docs").cast("double")
+        ).alias("dup_rate"),
+        "mean_quality",
+        round6(
+            F.col("n_tokens") / F.col("_total").cast("double")
+        ).alias("token_share"),
+    )
+
+
+def q122_source_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return source_health(load_table(spark, sf_dir, "documents"))
+
+
+Q122_SQL = """
+WITH t AS (
+  SELECT source, md5(text) AS fp,
+    len(string_split(text, ' ')) AS n_tokens,
+    len(list_filter(string_split(text, ' '),
+                    t -> t IN ('the', 'a', 'of', 'and'))) AS stop_hits
+  FROM documents
+), q AS (
+  SELECT source, fp, n_tokens,
+    ROUND(LEAST(CAST(n_tokens AS DOUBLE) / 100, 1.0) * 0.5
+          + (1.0 - ROUND(CAST(stop_hits AS DOUBLE) / n_tokens, 6)) * 0.5,
+          6) AS quality_score
+  FROM t
+), per AS (
+  SELECT source, COUNT(*) AS n_docs,
+    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+    CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique,
+    ROUND(CAST(SUM(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE)
+          / COUNT(*), 6) AS mean_quality
+  FROM q GROUP BY source
+), tot AS (SELECT SUM(n_tokens) AS total FROM per)
+SELECT source, n_docs, n_tokens, n_unique,
+  ROUND(1.0 - n_unique / CAST(n_docs AS DOUBLE), 6) AS dup_rate,
+  mean_quality,
+  ROUND(n_tokens / CAST(total AS DOUBLE), 6) AS token_share
+FROM per CROSS JOIN tot
+"""
+
+
 def dedup_adjusted_mix_plan(
     docs: DataFrame,
     alpha: float = MIX_TEMPERATURE_ALPHA,
@@ -4038,6 +4110,7 @@ QUERIES = {
     "q118_temperature_mix_plan": q118_temperature_mix_plan,
     "q119_mixture_assignment": q119_mixture_assignment,
     "q121_dedup_adjusted_mix": q121_dedup_adjusted_mix,
+    "q122_source_health": q122_source_health,
     "q105_decontaminate_spans": q105_decontaminate_spans,
 }
 
@@ -4047,6 +4120,7 @@ ORACLE = {
     "q118_temperature_mix_plan": Q118_SQL,
     "q119_mixture_assignment": Q119_SQL,
     "q121_dedup_adjusted_mix": Q121_SQL,
+    "q122_source_health": Q122_SQL,
     "q80_sliding_chunks": Q80_SQL,
     "q81_stratified_sample": Q81_SQL,
     "q84_quality_gate": Q84_SQL,
