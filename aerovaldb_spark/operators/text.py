@@ -514,16 +514,20 @@ def source_health(docs: DataFrame) -> DataFrame:
     of a source's share is duplicated mass). ONE scan, one keyed
     aggregation, |sources| rows out."""
     q = quality_columns(docs)
-    per = q.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tokens").alias("n_tokens"),
-        F.count_distinct(F.md5("text")).alias("n_unique"),
-        round6(
-            F.sum(
-                F.col("quality_score").cast("decimal(18,6)")
-            ).cast("double")
-            / F.count(F.lit(1))
-        ).alias("mean_quality"),
+    # persist BEFORE fan-out: the |sources|-row aggregate feeds the
+    # health columns AND the token total (the q118 one-scan rule)
+    per = scoped_persist(
+        q.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.count_distinct(F.md5("text")).alias("n_unique"),
+            round6(
+                F.sum(
+                    F.col("quality_score").cast("decimal(18,6)")
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_quality"),
+        )
     )
     tot = per.agg(F.sum("n_tokens").alias("_total"))
     return per.crossJoin(F.broadcast(tot)).select(
