@@ -1382,10 +1382,16 @@ def _occupancy_metrics_from_hist(occ: DataFrame) -> DataFrame:
             # 100 TB envelope), where the DuckDB oracle's checked
             # BIGINT would error instead; both engines compute the
             # identical IEEE double product
+            # clamp at 0: past 2^53 the double products round, so a
+            # mathematically-zero variance can come out epsilon-
+            # negative — Spark sqrt would NaN and DuckDB ERRORS
             F.sqrt(
-                F.col("_l").cast("double") * F.col("_s2").cast("double")
-                - F.col("_tot").cast("double")
-                * F.col("_tot").cast("double")
+                F.greatest(
+                    F.col("_l").cast("double") * F.col("_s2").cast("double")
+                    - F.col("_tot").cast("double")
+                    * F.col("_tot").cast("double"),
+                    F.lit(0.0),
+                )
             )
             / F.col("_tot")
         ).alias("occupancy_cov"),
@@ -3431,7 +3437,7 @@ WITH base AS (
 ), met AS (
   SELECT tot AS n_rows, l AS n_partitions,
     ROUND(mx * l / CAST(tot AS DOUBLE), 6) AS load_factor_max,
-    ROUND(sqrt(CAST(l AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)) / tot, 6)
+    ROUND(sqrt(GREATEST(CAST(l AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE), 0.0)) / tot, 6)
       AS occupancy_cov,
     ROUND(mx / CAST(tot AS DOUBLE), 6) AS top_mass
   FROM m
@@ -3490,7 +3496,7 @@ WITH {_frozen_ivf_assigned_sql()}, occ AS (
 ), met AS (
   SELECT tot AS n_rows, l AS n_partitions,
     ROUND(mx * l / CAST(tot AS DOUBLE), 6) AS load_factor_max,
-    ROUND(sqrt(CAST(l AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)) / tot, 6)
+    ROUND(sqrt(GREATEST(CAST(l AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE), 0.0)) / tot, 6)
       AS occupancy_cov,
     ROUND(mx / CAST(tot AS DOUBLE), 6) AS top_mass
   FROM m

@@ -592,14 +592,33 @@ def dedup_adjusted_mix_plan(
     distinct content; pair with :func:`mixture_assignment`'s plan
     join over the deduped docs (or the streaming gate with this
     plan's rates). One extra semi-join against the (fp -> keeper)
-    aggregate before the same one-scan plan."""
+    aggregate before the same one-scan plan.
+
+    A source whose every doc duplicates LOWER-doc_id content of other
+    sources has no canonical docs — it still gets a row, with zero
+    counts and rate 0 (the q119 explicit-zero-verdict convention;
+    silently dropping it would make the source "unplanned" downstream
+    and mis-key joins against q118/q122 per-source rows)."""
     from .dedup import dedup_exact
 
     keep = dedup_exact(docs).select(
         F.col("keep_doc_id").alias("doc_id")
     )
-    return temperature_mix_plan(
+    plan = temperature_mix_plan(
         docs.join(keep, "doc_id", "left_semi"), alpha, target_fraction
+    )
+    all_sources = docs.select("source").distinct()
+    zero_long = F.lit(0).cast("long")
+    return all_sources.join(plan, "source", "left").select(
+        "source",
+        F.coalesce("n_docs", zero_long).alias("n_docs"),
+        F.coalesce("n_tokens", zero_long).alias("n_tokens"),
+        F.coalesce("token_share", F.lit(0.0)).alias("token_share"),
+        F.coalesce("mix_weight", F.lit(0.0)).alias("mix_weight"),
+        F.coalesce("sample_rate", F.lit(0.0)).alias("sample_rate"),
+        F.coalesce("expected_tokens", F.lit(0.0)).alias(
+            "expected_tokens"
+        ),
     )
 
 
@@ -656,14 +675,29 @@ FROM plan
 
 Q118_SQL = _mix_plan_sql()
 
-Q121_SQL = _mix_plan_sql(
+_Q121_PLAN_SQL = _mix_plan_sql(
     src="canon",
-    prelude="""keep AS (
-  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
-), canon AS (
-  SELECT d.* FROM documents d JOIN keep USING (doc_id)
-), """,
+    prelude=(
+        "keep AS (\n"
+        "  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)\n"
+        "), canon AS (\n"
+        "  SELECT d.* FROM documents d JOIN keep USING (doc_id)\n"
+        "), "
+    ),
 )
+
+Q121_SQL = f"""
+WITH plan AS ({_Q121_PLAN_SQL})
+SELECT s.source,
+  COALESCE(p.n_docs, 0) AS n_docs,
+  COALESCE(p.n_tokens, 0) AS n_tokens,
+  COALESCE(p.token_share, 0.0) AS token_share,
+  COALESCE(p.mix_weight, 0.0) AS mix_weight,
+  COALESCE(p.sample_rate, 0.0) AS sample_rate,
+  COALESCE(p.expected_tokens, 0.0) AS expected_tokens
+FROM (SELECT DISTINCT source FROM documents) s
+LEFT JOIN plan p USING (source)
+"""
 
 # q119's oracle replays the plan CTE chain and applies the salted-hash
 # residual per doc (same md5 bucket family as q53/q57).
@@ -3176,16 +3210,20 @@ class TfidfScreenIndex:
         (a 4x append of same-distribution data moves recall far less
         than a small distribution shift does)."""
         # the term histogram feeds the drift/mass join AND the
-        # top-term churn; the joined frame feeds two aggregates —
-        # persist both so one staleness() call scans the (doc, term)
-        # weights table once, not ~4x (vocabulary-sized frames)
+        # top-term churn; the joined frame feeds two aggregates; the
+        # 1-row doc count feeds both's broadcast AND the counts row —
+        # persist all three so one staleness() call scans the
+        # (doc, term) weights table twice (histogram + doc count),
+        # not ~4x (vocabulary-sized + 1-row frames)
         cur = scoped_persist(
             self.weights.groupBy("term").agg(
                 F.count(F.lit(1)).alias("df_now")
             )
         )
-        n_now = self.weights.select(
-            F.count_distinct("doc_id").alias("n_docs_now")
+        n_now = scoped_persist(
+            self.weights.select(
+                F.count_distinct("doc_id").alias("n_docs_now")
+            )
         )
         both = scoped_persist((
             self.stats.withColumnRenamed("df", "df_frozen")

@@ -147,3 +147,25 @@ def test_dedup_adjusted_plan_discounts_duplicate_heavy_sources(spark):
     # 30 copies collapse to 1 canonical doc vs 10 distinct: the
     # adjusted share measures distinct content (1/11 of the tokens)
     assert adj["dupy"] == pytest.approx(1 / 11, abs=1e-3)
+
+
+def test_dedup_adjusted_plan_keeps_fully_duplicated_source_at_zero(spark):
+    """A source whose EVERY doc duplicates lower-doc_id content of
+    another source has no canonical docs — it must still get a row
+    with zero counts and rate 0 (the explicit-zero-verdict
+    convention), not vanish from the plan and become 'unplanned'
+    downstream."""
+    from aerovaldb_spark.operators.text import dedup_adjusted_mix_plan
+
+    text = " ".join(f"w{j}" for j in range(40))
+    other = " ".join(f"x{j}" for j in range(40))
+    rows = [(1, text, "orig"), (2, other, "orig")]
+    rows += [(10 + i, text, "copycat") for i in range(5)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    plan = {r["source"]: r for r in dedup_adjusted_mix_plan(docs).collect()}
+    assert set(plan) == {"orig", "copycat"}
+    cc = plan["copycat"]
+    assert cc["n_docs"] == 0 and cc["n_tokens"] == 0
+    assert cc["sample_rate"] == 0.0 and cc["expected_tokens"] == 0.0
