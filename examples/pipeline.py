@@ -258,6 +258,33 @@ def main() -> None:
         f"{ws_vs_bpe['bpe_tokens']} BPE tokens"
     )
 
+    # 11. corpus health + mixture planning (q122, q121, q119): read
+    # the per-source health table (dup rate / quality / share), plan
+    # the temperature mix on DEDUPED token counts so duplicate-heavy
+    # sources stop earning duplicated share, and materialize integer
+    # per-doc copy counts; streaming.mixture_gate serves the same
+    # frozen plan at ingest time
+    from aerovaldb_spark.operators.text import (
+        dedup_adjusted_mix_plan,
+        mixture_assignment,
+        source_health,
+    )
+
+    health = source_health(docs)
+    worst = health.orderBy(F.desc("dup_rate")).first()
+    print(
+        f"health: worst source {worst['source']} dup_rate "
+        f"{worst['dup_rate']} quality {worst['mean_quality']}"
+    )
+    plan = dedup_adjusted_mix_plan(docs, alpha=0.3, target_fraction=0.5)
+    copies = mixture_assignment(docs, alpha=0.3, target_fraction=0.5)
+    planned = plan.agg(F.sum("expected_tokens")).first()[0]
+    upsampled = copies.filter(F.col("n_copies") > 1).count()
+    print(
+        f"mixture: planned {planned:.0f} tokens, "
+        f"{upsampled} docs repeat (upsampling)"
+    )
+
 
 if __name__ == "__main__":
     main()
