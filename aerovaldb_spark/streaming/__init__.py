@@ -339,6 +339,159 @@ def bpe_budget_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+def stream_source_health(
+    docs: DataFrame,
+    k: int | None = None,
+    idle_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Stateful streaming twin of the batch per-source health report
+    (q122), with the one column that needs unbounded state — exact
+    distinct content count — replaced by a KMV sketch: per source the
+    state is (k smallest distinct content hashes, doc/token/quality
+    running totals), so a 100 TB stream holds k longs + three
+    counters per source, never a content-hash set. Emits one update
+    row per source per micro-batch: (source, n_updates, n_docs,
+    n_tokens, n_unique_est, dup_rate_est, mean_quality).
+
+    Exactness discipline: every per-doc quantity (token count,
+    round6 quality score, 60-bit content hash) is computed JVM-SIDE
+    with the SAME column expressions the batch operators use, before
+    the stateful step — the Python update only merges integers, so
+    there is nothing to drift. The quality mean rides as an exact
+    integer micro-sum (scores are round6, so score*1e6 is integral);
+    the KMV estimator is the q106 arithmetic. Batch input falls
+    through to the same sketch-based computation distributed
+    (``kmv_kept_hashes`` + one keyed agg) — multi-batch stream ≡
+    batch bit-equal (tested), by KMV mergeability + exact integer
+    sums. dup_rate_est is clamped at 0 (the estimator can overshoot
+    n_docs on duplicate-free sources); compare it against the batch
+    q122's EXACT dup_rate only within KMV error (~1/sqrt(k)).
+    token_share is deliberately absent: it is a cross-key quantity —
+    derive it downstream from the latest row per source.
+
+    ``idle_timeout_ms`` follows the ``stream_kmv_user_distinct``
+    semantics (armed per update; expiry evicts silently; AvailableNow
+    caveat documented there)."""
+    from ..operators._scope import scoped_persist
+    from ..operators.dedup import hash60
+    from ..operators.events import KMV_K, _kmv_estimate, kmv_kept_hashes
+    from ..operators.text import quality_columns
+    from .._round import round6
+
+    kk = KMV_K if k is None else k
+    prepared = quality_columns(
+        docs.filter(F.col("text").isNotNull())
+    ).select(
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(F.col("quality_score") * 1_000_000, 0)
+        .cast("long")
+        .alias("q_micro"),
+        hash60(F.col("text").cast("string")).alias("h"),
+    )
+
+    if not docs.isStreaming:
+        clean = docs.filter(F.col("text").isNotNull())
+        kept = scoped_persist(
+            kmv_kept_hashes(clean, "source", "text", kk)
+        )
+        est = _kmv_estimate(kept, ["key"], kk, "n_unique_est").select(
+            F.col("key").alias("source"), "n_unique_est"
+        )
+        totals = prepared.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("q_micro").alias("_q"),
+        )
+        return totals.join(est, "source").select(
+            "source",
+            F.lit(1).alias("n_updates"),
+            "n_docs",
+            "n_tokens",
+            "n_unique_est",
+            round6(
+                F.greatest(
+                    F.lit(0.0),
+                    F.lit(1.0)
+                    - F.col("n_unique_est")
+                    / F.col("n_docs").cast("double"),
+                )
+            ).alias("dup_rate_est"),
+            round6(
+                F.col("_q") / 1_000_000.0 / F.col("n_docs")
+            ).alias("mean_quality"),
+        )
+
+    def update(key, pdf_iter, state):
+        import pandas as pd
+
+        from aerovaldb_spark._round import round6_py
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+
+        if state.exists:
+            kept0, n_docs, n_tokens, q_micro, n_updates = state.get
+            seen = set(kept0)
+        else:
+            seen, n_docs, n_tokens, q_micro, n_updates = set(), 0, 0, 0, 0
+        for pdf in pdf_iter:
+            n_docs += len(pdf)
+            n_tokens += int(pdf["n_tokens"].sum())
+            q_micro += int(pdf["q_micro"].sum())
+            seen.update(int(h) for h in pdf["h"])
+        if n_docs == 0:
+            return
+        kept = sorted(seen)[:kk]
+        n_updates += 1
+        state.update((kept, n_docs, n_tokens, q_micro, n_updates))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        n_kept = len(kept)
+        est = (
+            float(n_kept)
+            if n_kept < kk
+            else round6_py(
+                (kk - 1.0) * 1152921504606846976.0 / float(kept[-1])
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "source": [key[0]],
+                "n_updates": [n_updates],
+                "n_docs": [n_docs],
+                "n_tokens": [n_tokens],
+                "n_unique_est": [est],
+                "dup_rate_est": [
+                    round6_py(max(0.0, 1.0 - est / n_docs))
+                ],
+                "mean_quality": [
+                    round6_py(q_micro / 1_000_000.0 / n_docs)
+                ],
+            }
+        )
+
+    return prepared.groupBy("source").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "source string, n_updates int, n_docs bigint, "
+            "n_tokens bigint, n_unique_est double, "
+            "dup_rate_est double, mean_quality double"
+        ),
+        stateStructType=(
+            "kept array<long>, n_docs bigint, n_tokens bigint, "
+            "q_micro bigint, n_updates int"
+        ),
+        outputMode="update",
+        timeoutConf=(
+            "ProcessingTimeTimeout"
+            if idle_timeout_ms is not None
+            else "NoTimeout"
+        ),
+    )
+
+
 # CASE-vs-join switch for mixture_gate plans: a CASE chain is the
 # cheapest plan carrier for a handful of sources; past this many the
 # expression tree (and codegen) grows linearly while a broadcast

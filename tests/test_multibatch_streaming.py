@@ -912,3 +912,80 @@ def test_mixture_gate_join_path_equals_case_path(spark):
     finally:
         st.MIXTURE_GATE_MAX_CASE_SOURCES = old
     assert joined == cased and len(joined) == 400
+
+
+def test_stream_source_health_equals_batch(spark, tmp_path):
+    """Two-batch streamed health report ≡ the batch fallthrough,
+    bit-for-bit (KMV mergeability + exact integer sums + shared
+    JVM-side per-doc columns), and a duplicate-heavy source reads a
+    positive dup_rate_est."""
+    from pyspark.sql import functions as F
+
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.streaming import (
+        run_stream_to_memory,
+        stream_source_health,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    # plant a duplicate-heavy source: 10 copies of one text
+    dup_text = " ".join(f"dd{j}" for j in range(30))
+    extra = spark.createDataFrame(
+        [(900_000 + i, dup_text, "dupsrc") for i in range(10)],
+        "doc_id long, text string, source string",
+    )
+    full = docs.select("doc_id", "text", "source").unionByName(extra)
+
+    batch = {
+        r["source"]: tuple(r)
+        for r in stream_source_health(full).collect()
+    }
+    assert batch["dupsrc"][5] > 0.5  # dup_rate_est
+    assert batch["dupsrc"][4] == 1.0  # n_unique_est exact below k
+
+    rows = sorted(full.collect(), key=lambda r: r["doc_id"])
+    d = str(tmp_path / "health_docs")
+    os.makedirs(d)
+    halves = [rows[: len(rows) // 2], rows[len(rows) // 2:]]
+    for i, half in enumerate(halves):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(
+                        [r["doc_id"] for r in half], pa.int64()
+                    ),
+                    "text": pa.array(
+                        [r["text"] for r in half], pa.string()
+                    ),
+                    "source": pa.array(
+                        [r["source"] for r in half], pa.string()
+                    ),
+                }
+            ),
+            os.path.join(d, f"part{i}.parquet"),
+        )
+    stream = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    got = run_stream_to_memory(
+        stream_source_health(stream), "health_gate", spark,
+        output_mode="update",
+    )
+    latest = {}
+    for r in got.collect():
+        if (
+            r["source"] not in latest
+            or r["n_updates"] > latest[r["source"]]["n_updates"]
+        ):
+            latest[r["source"]] = r
+    assert set(latest) == set(batch)
+    for src, r in latest.items():
+        b = batch[src]
+        # n_updates differs by design (per-batch counter); everything
+        # else must be bit-equal
+        assert (
+            r["n_docs"], r["n_tokens"], r["n_unique_est"],
+            r["dup_rate_est"], r["mean_quality"],
+        ) == (b[2], b[3], b[4], b[5], b[6]), src
