@@ -250,7 +250,11 @@ def srp_collision_prob(
     the measured operating points (SCALING.md) when sizing a serving
     index, and use this model directly for the near-dup rungs
     (:func:`srp_banded_pairs`, semantic dedup) where the quantity that
-    matters IS the qualifying pair's collision probability."""
+    matters IS the qualifying pair's collision probability.
+
+    >>> round(srp_collision_prob(0.9, 6, 4), 3)
+    0.866
+    """
     from .text import band_collision_prob
 
     return band_collision_prob(
@@ -300,7 +304,11 @@ def choose_srp_bands(
     caller's selectivity dial (each band's chance-candidate volume is
     ~n²/2^planes); this sizes the recall side. Raises when no band
     count within ``max_bands`` reaches the target — lower
-    planes_per_band (flatter curve) or the target."""
+    planes_per_band (flatter curve) or the target.
+
+    >>> choose_srp_bands(threshold_cos=0.9, planes_per_band=6)
+    6
+    """
     from .text import min_bands_for_target
 
     if planes_per_band < 1:
@@ -1280,6 +1288,13 @@ def ivf_rebuild_verdict(
     - assignment_churn > ``churn_threshold`` (the diffusion
       signature; measured 0.128 churn -> +37% scoring cost, so 0.25
       marks roughly 2x).
+
+    >>> ivf_rebuild_verdict(
+    ...     {"load_factor_max": 12.8, "top_mass": 0.8,
+    ...      "assignment_churn": 0.0005},
+    ...     {"load_factor_max": 2.2, "top_mass": 0.14,
+    ...      "assignment_churn": 0.065}).rebuild
+    True
     """
     cur = _report_dict(report)
     reasons = []
@@ -1321,7 +1336,12 @@ def srp_rebuild_verdict(
     re-plan (more planes, or re-partition) when load_factor_max grows
     past ``occupancy_growth``x its build value (needs
     ``build_report``) or new_bucket_mass exceeds
-    ``new_bucket_mass_threshold``."""
+    ``new_bucket_mass_threshold``.
+
+    >>> srp_rebuild_verdict(
+    ...     {"load_factor_max": 1.5, "new_bucket_mass": 0.45}).rebuild
+    True
+    """
     cur = _report_dict(report)
     reasons = []
     if build_report is not None:

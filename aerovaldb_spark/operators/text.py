@@ -2277,7 +2277,11 @@ def band_collision_prob(
     whose top-term sets have Jaccard ``jaccard`` collides in at least
     one of ``bands`` bands of ``rows_per_band`` independent minhashes —
     p = 1 - (1 - J^rows)^bands (the standard LSH S-curve; Leskovec et
-    al., Mining of Massive Datasets ch. 3)."""
+    al., Mining of Massive Datasets ch. 3).
+
+    >>> round(band_collision_prob(0.7, 8, 2), 3)
+    0.995
+    """
     return 1.0 - (1.0 - jaccard**rows_per_band) ** bands
 
 
@@ -2294,7 +2298,11 @@ def effective_jaccard(
     calibrates the whole table: the r9 sf0.01 template measurements
     (SCALING.md "q110 operating points") fit a single J_eff = 0.4595
     — (8,2)→0.850 exact by construction, predicting (16,2)→0.977 vs
-    0.963 measured and (8,3)→0.558 vs 0.605 measured."""
+    0.963 measured and (8,3)→0.558 vs 0.605 measured.
+
+    >>> round(effective_jaccard(8, 2, 0.85), 4)
+    0.4595
+    """
     if bands < 1 or rows_per_band < 1:
         raise ValueError(
             f"bands and rows_per_band must be >= 1, got "
@@ -2317,7 +2325,11 @@ def min_bands_for_target(p: float, target_recall: float) -> int | None:
     subnormal p (denom > 0 but astronomically small). This is the
     ONE band-count numeric shared by the minhash and SRP dial
     choosers (a precision fix here must not be re-derived per
-    family)."""
+    family).
+
+    >>> min_bands_for_target(0.2111, 0.95)
+    13
+    """
     import math
 
     if p >= 1.0:
@@ -2362,7 +2374,11 @@ def choose_band_dial(
     noise) subject to the signing budget ``bands * rows_per_band <=
     max_seeds``, with ``bands`` minimal for the target at that row
     count. Raises if no dial fits the budget (raise ``max_seeds`` or
-    lower the target)."""
+    lower the target).
+
+    >>> choose_band_dial(jaccard=0.4595, target_recall=0.95)
+    (13, 2)
+    """
     import math
 
     if jaccard is None:
@@ -2407,7 +2423,12 @@ def screen_rebuild_verdict(
     80-98% of near-threshold shifted pairs a fresh index rejects,
     while same-distribution 5x growth (idf_drift_mad ~0.01) changes
     zero verdicts. Trigger on any of idf_drift_mad, new_term_mass,
-    top_term_churn; growth_ratio alone is NOT a trigger."""
+    top_term_churn; growth_ratio alone is NOT a trigger.
+
+    >>> screen_rebuild_verdict({"idf_drift_mad": 0.012,
+    ...     "new_term_mass": 0.0, "top_term_churn": 0.0}).rebuild
+    False
+    """
     from .similarity import RebuildVerdict, _report_dict
 
     cur = _report_dict(report)

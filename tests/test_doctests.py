@@ -1,0 +1,22 @@
+"""Doctest gate over the pure (no-Spark-session) function surface —
+the reference's dev discipline runs doctests in CI (setup.cfg:76-84);
+ours covers the dial numerics and rebuild rules whose docstring
+examples double as the canonical worked calibrations (q112's (13,2)
+literally appears as the choose_band_dial example)."""
+
+from __future__ import annotations
+
+import doctest
+
+import aerovaldb_spark.operators.similarity as similarity
+import aerovaldb_spark.operators.text as text
+
+
+def test_pure_function_doctests():
+    for mod in (text, similarity):
+        result = doctest.testmod(mod, verbose=False)
+        assert result.failed == 0, f"{mod.__name__}: {result}"
+        assert result.attempted >= 4, (
+            f"{mod.__name__}: expected its dial/verdict doctests to be "
+            f"collected, found only {result.attempted}"
+        )
