@@ -389,6 +389,29 @@ KMV_SPLIT = 16
 _POW2_60 = float(1 << 60)  # hash60 values are uniform in [0, 2^60)
 
 
+def kmv_estimate_py(kept: list[int], k: int) -> float:
+    """Driver/executor-side Python twin of :func:`_kmv_estimate`'s
+    arithmetic over a sorted kept-hash list — the ONE Python
+    definition (streaming state stores can't run the Spark column
+    form), shared by every stateful sketch closure so a convention
+    change can't fork them. Empty kept -> 0.0 (no distinct values
+    seen).
+
+    >>> kmv_estimate_py([], 64)
+    0.0
+    >>> kmv_estimate_py([10, 20, 30], 64)
+    3.0
+    """
+    from .._round import round6_py
+
+    n_kept = len(kept)
+    if n_kept == 0:
+        return 0.0
+    if n_kept < k:
+        return float(n_kept)
+    return round6_py((k - 1.0) * _POW2_60 / float(kept[-1]))
+
+
 def kmv_distinct(
     df: DataFrame,
     key_col: str,

@@ -473,6 +473,7 @@ def mixture_assignment(
     docs: DataFrame,
     alpha: float = MIX_TEMPERATURE_ALPHA,
     target_fraction: float = MIX_TARGET_FRACTION,
+    plan: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, source, n_copies): materialize the temperature plan
     as integer per-document copy counts — floor(rate) guaranteed
@@ -482,15 +483,21 @@ def mixture_assignment(
     corpus -> bit-same copy counts). NOT append-stable: the rates are
     corpus-derived, so growing a source re-plans every source's rate
     (unlike q57's fixed-weight mix, whose verdicts never move) —
-    freeze a plan row and join it yourself when stability across
-    appends matters.
+    pass a frozen ``plan`` when stability across appends matters, or
+    to materialize a DIFFERENT planner's rates (e.g.
+    :func:`dedup_adjusted_mix_plan` — without it this function
+    re-derives the RAW temperature plan, which is NOT the dedup-
+    adjusted pairing). ``plan`` is any (source, sample_rate) frame;
+    sources absent from it get no rows (use the streaming gate's
+    ``default_rate`` semantics if you need explicit zero verdicts for
+    unplanned sources).
     Zero-copy rows are kept (n_copies = 0 IS the downsampling
     verdict); a consumer materializes with explode(sequence(1,
     n_copies)). Map-side after the broadcast plan join — no shuffle
     of documents."""
-    plan = temperature_mix_plan(docs, alpha, target_fraction).select(
-        "source", "sample_rate"
-    )
+    if plan is None:
+        plan = temperature_mix_plan(docs, alpha, target_fraction)
+    plan = plan.select("source", "sample_rate")
     return (
         docs.select("doc_id", "source")
         .join(F.broadcast(plan), "source")

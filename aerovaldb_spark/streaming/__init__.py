@@ -366,6 +366,9 @@ def stream_source_health(
     sums. dup_rate_est is clamped at 0 (the estimator can overshoot
     n_docs on duplicate-free sources); compare it against the batch
     q122's EXACT dup_rate only within KMV error (~1/sqrt(k)).
+    NULL-text docs follow q122's accounting exactly: counted in
+    n_docs, absent from every sum and from the sketch (an all-NULL
+    source reads n_unique_est 0 and dup_rate_est 1, as q122 does).
     token_share is deliberately absent: it is a cross-key quantity —
     derive it downstream from the latest row per source.
 
@@ -379,22 +382,25 @@ def stream_source_health(
     from .._round import round6
 
     kk = KMV_K if k is None else k
-    prepared = quality_columns(
-        docs.filter(F.col("text").isNotNull())
-    ).select(
+    # NULL-text rows pass through with NULL derived columns (q122's
+    # accounting: COUNT(*) includes them, every SUM and the content
+    # sketch skip them)
+    prepared = quality_columns(docs).select(
         "source",
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.round(F.col("quality_score") * 1_000_000, 0)
         .cast("long")
         .alias("q_micro"),
-        hash60(F.col("text").cast("string")).alias("h"),
+        # h rides as a STRING: with NULLs present pandas would deliver
+        # a nullable long as float64, and int(float) silently rounds
+        # 60-bit hashes above 2^53 (the stream_kmv_user_distinct
+        # precision note, applied to our own hash column)
+        hash60(F.col("text").cast("string")).cast("string").alias("h"),
     )
 
     if not docs.isStreaming:
-        clean = docs.filter(F.col("text").isNotNull())
-        kept = scoped_persist(
-            kmv_kept_hashes(clean, "source", "text", kk)
-        )
+        # kept is consumed exactly once (_kmv_estimate) — no persist
+        kept = kmv_kept_hashes(docs, "source", "text", kk)
         est = _kmv_estimate(kept, ["key"], kk, "n_unique_est").select(
             F.col("key").alias("source"), "n_unique_est"
         )
@@ -403,22 +409,24 @@ def stream_source_health(
             F.sum("n_tokens").alias("n_tokens"),
             F.sum("q_micro").alias("_q"),
         )
-        return totals.join(est, "source").select(
+        # LEFT join + zero fill: an all-NULL-text source has no kept
+        # hashes at all, but q122 still reports it (dup_rate 1.0)
+        return totals.join(est, "source", "left").select(
             "source",
             F.lit(1).alias("n_updates"),
             "n_docs",
-            "n_tokens",
-            "n_unique_est",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_unique_est", F.lit(0.0)).alias("n_unique_est"),
             round6(
                 F.greatest(
                     F.lit(0.0),
                     F.lit(1.0)
-                    - F.col("n_unique_est")
+                    - F.coalesce("n_unique_est", F.lit(0.0))
                     / F.col("n_docs").cast("double"),
                 )
             ).alias("dup_rate_est"),
             round6(
-                F.col("_q") / 1_000_000.0 / F.col("n_docs")
+                F.coalesce("_q", F.lit(0)) / 1_000_000.0 / F.col("n_docs")
             ).alias("mean_quality"),
         )
 
@@ -438,9 +446,11 @@ def stream_source_health(
             seen, n_docs, n_tokens, q_micro, n_updates = set(), 0, 0, 0, 0
         for pdf in pdf_iter:
             n_docs += len(pdf)
-            n_tokens += int(pdf["n_tokens"].sum())
-            q_micro += int(pdf["q_micro"].sum())
-            seen.update(int(h) for h in pdf["h"])
+            # NULL-text rows carry NULL derived columns: counted in
+            # n_docs, skipped by the sums (pandas skipna) and sketch
+            n_tokens += int(pdf["n_tokens"].sum(skipna=True) or 0)
+            q_micro += int(pdf["q_micro"].sum(skipna=True) or 0)
+            seen.update(int(h) for h in pdf["h"].dropna())  # h: string
         if n_docs == 0:
             return
         kept = sorted(seen)[:kk]
@@ -448,14 +458,9 @@ def stream_source_health(
         state.update((kept, n_docs, n_tokens, q_micro, n_updates))
         if idle_timeout_ms is not None:
             state.setTimeoutDuration(idle_timeout_ms)
-        n_kept = len(kept)
-        est = (
-            float(n_kept)
-            if n_kept < kk
-            else round6_py(
-                (kk - 1.0) * 1152921504606846976.0 / float(kept[-1])
-            )
-        )
+        from aerovaldb_spark.operators.events import kmv_estimate_py
+
+        est = kmv_estimate_py(kept, kk)
         yield pd.DataFrame(
             {
                 "source": [key[0]],
@@ -1600,11 +1605,9 @@ def stream_kmv_user_distinct(
         if idle_timeout_ms is not None:
             state.setTimeoutDuration(idle_timeout_ms)
         n_kept = len(kept)
-        est = (
-            float(n_kept)
-            if n_kept < kk
-            else round6_py((kk - 1.0) * 1152921504606846976.0 / float(kept[-1]))
-        )
+        from aerovaldb_spark.operators.events import kmv_estimate_py
+
+        est = kmv_estimate_py(kept, kk)
         row = {
             "event_type": [key[0]],
             "n_updates": [n_updates],

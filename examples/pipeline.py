@@ -277,7 +277,10 @@ def main() -> None:
         f"{worst['dup_rate']} quality {worst['mean_quality']}"
     )
     plan = dedup_adjusted_mix_plan(docs, alpha=0.3, target_fraction=0.5)
-    copies = mixture_assignment(docs, alpha=0.3, target_fraction=0.5)
+    # materialize THIS plan's rates (omitting plan= would re-derive
+    # the raw temperature plan and hand duplicate-heavy sources their
+    # duplicated share right back)
+    copies = mixture_assignment(docs, plan=plan)
     planned = plan.agg(F.sum("expected_tokens")).first()[0]
     upsampled = copies.filter(F.col("n_copies") > 1).count()
     print(
