@@ -928,11 +928,17 @@ def test_stream_source_health_equals_batch(spark, tmp_path):
     )
 
     docs = load_table(spark, SF_DIR, "documents")
-    # plant a duplicate-heavy source: 10 copies of one text
+    # plant a duplicate-heavy source (10 copies of one text, 2 of them
+    # NULL-text rows) and an ALL-NULL source — q122's accounting:
+    # NULL-text docs count in n_docs, skip every sum and the sketch
     dup_text = " ".join(f"dd{j}" for j in range(30))
+    extra_rows = [
+        (900_000 + i, dup_text if i < 8 else None, "dupsrc")
+        for i in range(10)
+    ]
+    extra_rows += [(910_000 + i, None, "nullsrc") for i in range(3)]
     extra = spark.createDataFrame(
-        [(900_000 + i, dup_text, "dupsrc") for i in range(10)],
-        "doc_id long, text string, source string",
+        extra_rows, "doc_id long, text string, source string"
     )
     full = docs.select("doc_id", "text", "source").unionByName(extra)
 
@@ -940,8 +946,10 @@ def test_stream_source_health_equals_batch(spark, tmp_path):
         r["source"]: tuple(r)
         for r in stream_source_health(full).collect()
     }
-    assert batch["dupsrc"][5] > 0.5  # dup_rate_est
+    assert batch["dupsrc"][2] == 10  # n_docs counts NULL-text rows
     assert batch["dupsrc"][4] == 1.0  # n_unique_est exact below k
+    assert batch["dupsrc"][5] == 0.9  # dup_rate_est = 1 - 1/10
+    assert batch["nullsrc"] == ("nullsrc", 1, 3, 0, 0.0, 1.0, 0.0)
 
     rows = sorted(full.collect(), key=lambda r: r["doc_id"])
     d = str(tmp_path / "health_docs")
