@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import doctest
 
+import aerovaldb_spark.operators.events as events
 import aerovaldb_spark.operators.similarity as similarity
 import aerovaldb_spark.operators.text as text
 
@@ -20,3 +21,5 @@ def test_pure_function_doctests():
             f"{mod.__name__}: expected its dial/verdict doctests to be "
             f"collected, found only {result.attempted}"
         )
+    r = doctest.testmod(events, verbose=False)
+    assert r.failed == 0 and r.attempted >= 2, r
