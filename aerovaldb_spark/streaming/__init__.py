@@ -370,7 +370,7 @@ def stream_source_health(
     n_docs, absent from every sum and from the sketch (an all-NULL
     source reads n_unique_est 0 and dup_rate_est 1, as q122 does).
     token_share is deliberately absent: it is a cross-key quantity —
-    derive it downstream from the latest row per source.
+    apply :func:`health_with_shares` to the latest row per source.
 
     ``idle_timeout_ms`` follows the ``stream_kmv_user_distinct``
     semantics (armed per update; expiry evicts silently; AvailableNow
@@ -494,6 +494,25 @@ def stream_source_health(
             if idle_timeout_ms is not None
             else "NoTimeout"
         ),
+    )
+
+
+def health_with_shares(latest: DataFrame) -> DataFrame:
+    """Add ``token_share`` to a frame of health rows (one row per
+    source — e.g. the latest :func:`stream_source_health` update per
+    key, or the batch fallthrough's output): the cross-key column the
+    per-key stateful gate cannot emit. One tiny aggregate over
+    |sources| rows; zero-token totals yield NULL shares rather than a
+    division error."""
+    from .._round import round6
+
+    tot = latest.agg(F.sum("n_tokens").alias("_total"))
+    return latest.crossJoin(F.broadcast(tot)).select(
+        *latest.columns,
+        round6(
+            F.col("n_tokens")
+            / F.nullif(F.col("_total"), F.lit(0)).cast("double")
+        ).alias("token_share"),
     )
 
 

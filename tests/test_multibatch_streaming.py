@@ -997,3 +997,25 @@ def test_stream_source_health_equals_batch(spark, tmp_path):
             r["n_docs"], r["n_tokens"], r["n_unique_est"],
             r["dup_rate_est"], r["mean_quality"],
         ) == (b[2], b[3], b[4], b[5], b[6]), src
+
+
+def test_health_with_shares_matches_batch_q122(spark):
+    """token_share derived from the health gate's output equals the
+    batch q122 report's share column (bit-equal round6 arithmetic)."""
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators.text import source_health
+    from aerovaldb_spark.streaming import (
+        health_with_shares,
+        stream_source_health,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    got = {
+        r["source"]: r["token_share"]
+        for r in health_with_shares(stream_source_health(docs)).collect()
+    }
+    want = {
+        r["source"]: r["token_share"]
+        for r in source_health(docs).collect()
+    }
+    assert got == want and len(want) > 0
