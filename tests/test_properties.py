@@ -1038,3 +1038,54 @@ def test_choose_srp_bands_meets_model_target(cos_t, target, planes):
     assert srp_collision_prob(cos_t, planes, bands=b) >= target - 1e-12
     if b > 1:
         assert srp_collision_prob(cos_t, planes, bands=b - 1) < target + 1e-9
+
+
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=(1 << 60) - 1),
+        min_size=0,
+        max_size=200,
+        unique=True,
+    ),
+    st.integers(min_value=2, max_value=64),
+)
+@settings(max_examples=200, deadline=None)
+def test_kmv_estimate_py_contract(hashes, k):
+    """The Python estimator twin: exact below k (the kept set IS the
+    distinct set), positive and finite at k, and equal to the closed
+    form on the k-th smallest hash."""
+    from aerovaldb_spark._round import round6_py
+    from aerovaldb_spark.operators.events import kmv_estimate_py
+
+    kept = sorted(hashes)[:k]
+    est = kmv_estimate_py(kept, k)
+    if len(kept) < k:
+        assert est == float(len(kept))
+    else:
+        assert est == round6_py((k - 1.0) * float(1 << 60) / kept[-1])
+        assert est > 0.0
+
+
+@given(
+    st.floats(min_value=1.0, max_value=50.0),
+    st.floats(min_value=0.001, max_value=0.999),
+    st.floats(min_value=0.0, max_value=0.24),
+)
+@settings(max_examples=200, deadline=None)
+def test_rebuild_verdicts_fresh_report_never_trips(lfm, top_mass, churn):
+    """A report identical to its own build-time baseline (growth 1x)
+    with churn under threshold can never demand a rebuild — the rules
+    trigger on GROWTH or threshold crossings, not absolute skew."""
+    from aerovaldb_spark.operators.similarity import (
+        ivf_rebuild_verdict,
+        srp_rebuild_verdict,
+    )
+
+    row = {
+        "load_factor_max": lfm,
+        "top_mass": top_mass,
+        "assignment_churn": churn,
+    }
+    assert not ivf_rebuild_verdict(row, build_report=row).rebuild
+    srp_row = {"load_factor_max": lfm, "new_bucket_mass": 0.0}
+    assert not srp_rebuild_verdict(srp_row, build_report=srp_row).rebuild
