@@ -374,6 +374,7 @@ def calibrate_srp_dial(
     max_bands: int = 32,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    min_true_edges: int = 10,
 ) -> SrpDialCalibration:
     """ONE-CALL corpus calibration of the banded-SRP dial — the dense
     twin of :func:`..text.calibrate_band_dial`: measure pair recall of
@@ -394,7 +395,10 @@ def calibrate_srp_dial(
     dial on all of them. Banded hits come from
     :func:`srp_banded_pairs` at the probe dial filtered to the same
     round6 cosine floor; only counts cross the driver. Zero true
-    pairs / zero hits raise (cannot invert); perfect probe recall is
+    pairs / zero hits raise (cannot invert), as do fewer than
+    ``min_true_edges`` true pairs (a one-pair calibration is noise —
+    grow the sample or lower ``min_true_edges`` deliberately);
+    perfect probe recall is
     continuity-corrected to (2n-1)/(2n) before inversion, flagged by
     recall_used < measured_recall — re-probe with fewer bands when
     the target matters.
@@ -441,6 +445,16 @@ def calibrate_srp_dial(
             f"no pairs at cosine >= {threshold_cos} among the "
             f"{n_vectors} sampled vectors — raise sample_frac or "
             "lower threshold_cos"
+        )
+    # the calibrate_band_dial rule: a dial inverted from a handful of
+    # pairs is noise (recall_used is 0.5 at n_true=1) — refuse
+    if n_true < min_true_edges:
+        raise ValueError(
+            f"only {n_true} true pair(s) at cosine >= {threshold_cos} "
+            f"among the {n_vectors} sampled vectors — too few to "
+            f"calibrate from (min_true_edges={min_true_edges}); raise "
+            "sample_frac / lower threshold_cos, or pass a smaller "
+            "min_true_edges to accept the noise deliberately"
         )
     n_hit = true_edges.join(
         srp_banded_pairs(

@@ -2561,6 +2561,7 @@ def calibrate_band_dial(
     max_neighbors: int = 10,
     max_seeds: int = 64,
     max_rows: int = 8,
+    min_true_edges: int = 10,
 ) -> BandDialCalibration:
     """ONE-CALL corpus calibration of the banded TF-IDF dial: run the
     banded-vs-exact recall measurement on (a sample of) ``docs``,
@@ -2587,7 +2588,12 @@ def calibrate_band_dial(
     the corpus.
 
     Edge handling: zero true edges or zero banded hits cannot be
-    inverted (raise, with the fix in the message). A probe measuring
+    inverted (raise, with the fix in the message), and fewer than
+    ``min_true_edges`` true pairs raise too — a dial extrapolated
+    from one or two pairs is noise, not a calibration (the censoring
+    correction alone drives recall_used to 0.5 at n_true=1); grow the
+    sample, or pass a smaller ``min_true_edges`` to accept the
+    variance knowingly. A probe measuring
     PERFECT recall only lower-bounds J_eff, so it is continuity-
     corrected to (2n-1)/(2n) before inversion — the returned dial is
     then an extrapolation from a censored measurement (recall_used <
@@ -2620,6 +2626,17 @@ def calibrate_band_dial(
             f"no pairs at cosine >= {threshold} in the "
             f"{n_docs}-doc sample — raise sample_frac or lower "
             "threshold"
+        )
+    # a dial inverted from a handful of pairs is statistically
+    # meaningless (the censoring correction alone moves recall_used
+    # to 0.5 at n_true=1) — refuse rather than return it
+    if n_true < min_true_edges:
+        raise ValueError(
+            f"only {n_true} true pair(s) at cosine >= {threshold} in "
+            f"the {n_docs}-doc sample — too few to calibrate a dial "
+            f"from (min_true_edges={min_true_edges}); raise "
+            "sample_frac / lower threshold, or pass a smaller "
+            "min_true_edges to accept the noise deliberately"
         )
     if n_hit == 0:
         raise ValueError(

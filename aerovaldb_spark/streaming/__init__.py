@@ -375,7 +375,6 @@ def stream_source_health(
     ``idle_timeout_ms`` follows the ``stream_kmv_user_distinct``
     semantics (armed per update; expiry evicts silently; AvailableNow
     caveat documented there)."""
-    from ..operators._scope import scoped_persist
     from ..operators.dedup import hash60
     from ..operators.events import KMV_K, _kmv_estimate, kmv_kept_hashes
     from ..operators.text import quality_columns
@@ -558,12 +557,21 @@ def mixture_gate(
     if default_rate < 0.0:
         raise ValueError(f"default_rate must be >= 0, got {default_rate}")
     if len(plan) > MIXTURE_GATE_MAX_CASE_SOURCES:
+        # collision-proof internal name, and drop any same-named
+        # pre-existing column BEFORE the join: a caller frame already
+        # carrying it would make the post-join reference ambiguous
+        # (the column never reaches the output select either way)
+        rate_name = "__mix_rate"
         plan_df = docs.sparkSession.createDataFrame(
             [(s, float(r)) for s, r in plan.items()],
-            "source string, _rate double",
+            f"source string, {rate_name} double",
         )
-        docs = docs.join(F.broadcast(plan_df), "source", "left")
-        rate_col = F.coalesce(F.col("_rate"), F.lit(float(default_rate)))
+        docs = docs.drop(rate_name).join(
+            F.broadcast(plan_df), "source", "left"
+        )
+        rate_col = F.coalesce(
+            F.col(rate_name), F.lit(float(default_rate))
+        )
     else:
         rate_col = F.lit(float(default_rate))
         for src, rate in plan.items():

@@ -277,10 +277,19 @@ def main() -> None:
         f"{worst['dup_rate']} quality {worst['mean_quality']}"
     )
     plan = dedup_adjusted_mix_plan(docs, alpha=0.3, target_fraction=0.5)
-    # materialize THIS plan's rates (omitting plan= would re-derive
-    # the raw temperature plan and hand duplicate-heavy sources their
-    # duplicated share right back)
-    copies = mixture_assignment(docs, plan=plan)
+    # materialize THIS plan's rates over the CANONICAL subset (the
+    # pairing dedup_adjusted_mix_plan documents): the rates were
+    # planned against deduped token counts, so materializing over the
+    # full frame would hand every duplicate copy floor(rate) copies
+    # again and overshoot the printed planned budget; omitting plan=
+    # would likewise re-derive the raw temperature plan and hand
+    # duplicate-heavy sources their duplicated share right back
+    from aerovaldb_spark.operators.dedup import dedup_exact
+
+    keep = dedup_exact(docs).select(F.col("keep_doc_id").alias("doc_id"))
+    copies = mixture_assignment(
+        docs.join(keep, "doc_id", "left_semi"), plan=plan
+    )
     planned = plan.agg(F.sum("expected_tokens")).first()[0]
     upsampled = copies.filter(F.col("n_copies") > 1).count()
     print(

@@ -117,7 +117,9 @@ def test_calibrate_band_dial_perfect_probe_recall_is_censored(spark):
         (6 + i, " ".join(f"f{i}_{j}" for j in range(40))) for i in range(4)
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    r = calibrate_band_dial(docs, threshold=0.8)
+    # 6 true pairs — below the default min_true_edges guard, so the
+    # tiny fixture opts in to the noise deliberately
+    r = calibrate_band_dial(docs, threshold=0.8, min_true_edges=6)
     assert r.measured_recall == 1.0
     assert r.recall_used == pytest.approx(
         (2 * r.n_true_edges - 1) / (2 * r.n_true_edges), abs=1e-6
@@ -181,3 +183,46 @@ def test_calibrate_srp_dial_no_true_pairs_raises(spark):
     emb = load_table(spark, SF001, "embeddings")
     with pytest.raises(ValueError, match="no pairs at cosine"):
         calibrate_srp_dial(emb, 64, threshold_cos=0.8)
+
+
+def test_calibrate_band_dial_too_few_true_pairs_raises(spark):
+    """A dial inverted from a couple of pairs is noise, not a
+    calibration (the censoring correction alone drives recall_used to
+    0.5 at n_true=1) — below min_true_edges the harness refuses with
+    the fix in the message instead of returning it."""
+    text_a = " ".join(f"a{j}" for j in range(40))
+    rows = [(0, text_a), (1, text_a)]  # exactly ONE true pair
+    rows += [
+        (2 + i, " ".join(f"f{i}_{j}" for j in range(40)))
+        for i in range(6)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    with pytest.raises(ValueError, match="too few to calibrate"):
+        calibrate_band_dial(docs, threshold=0.8)
+    # explicit opt-in accepts the noise deliberately
+    r = calibrate_band_dial(docs, threshold=0.8, min_true_edges=1)
+    assert r.n_true_edges == 1
+    assert r.recall_used == 0.5
+
+
+def test_calibrate_srp_dial_too_few_true_pairs_raises(spark):
+    """Same guard on the dense twin: one near-duplicate vector pair
+    in a sea of spread-out vectors is below min_true_edges."""
+    import math
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta)] + [0.0] * 6
+
+    rows = [(0, unit(0.0)), (1, unit(0.01))]  # one ~0.99-cos pair
+    # fillers a full radian apart (cos 0.54 < 0.8, wrap-around diffs
+    # all larger) so the near-duplicate pair stays the ONLY true edge
+    rows += [(2 + i, unit(1.2 + 1.0 * i)) for i in range(4)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="too few to calibrate"):
+        calibrate_srp_dial(emb, 8, threshold_cos=0.8)
+    r = calibrate_srp_dial(
+        emb, 8, threshold_cos=0.8, min_true_edges=1
+    )
+    assert r.n_true_edges == 1

@@ -914,6 +914,25 @@ def test_mixture_gate_join_path_equals_case_path(spark):
     assert joined == cased and len(joined) == 400
 
 
+def test_mixture_gate_join_path_tolerates_rate_column(spark):
+    """A caller frame already carrying a rate-named column must not
+    make the broadcast-join path's internal rate reference ambiguous
+    (the gate joins on a collision-proof __mix_rate name and drops a
+    pre-existing one — it never reaches the output select anyway)."""
+    import aerovaldb_spark.streaming as st
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 100}", 9.9) for i in range(200)],
+        "doc_id long, source string, __mix_rate double",
+    )
+    plan = {f"s{i}": 2.0 for i in range(100)}
+    out = st.mixture_gate(docs, plan).collect()
+    # the bogus pre-existing column must not have fed the arithmetic:
+    # every planned source has integer rate 2.0 -> exactly 2 copies
+    assert len(out) == 200
+    assert all(r["n_copies"] == 2 for r in out)
+
+
 def test_stream_source_health_equals_batch(spark, tmp_path):
     """Two-batch streamed health report ≡ the batch fallthrough,
     bit-for-bit (KMV mergeability + exact integer sums + shared
