@@ -512,20 +512,31 @@ def mixture_assignment(
 def source_health(docs: DataFrame) -> DataFrame:
     """Per-source corpus-health report — the one-stop table a
     pipeline operator reads before deciding what to fix, drop, or
-    re-weight: (source, n_docs, n_tokens, n_unique, dup_rate,
-    mean_quality, token_share). dup_rate is WITHIN-source exact
-    duplication (1 - distinct content hashes / docs — the q25 rule
-    scoped per source), mean_quality the q22 score averaged with the
-    order-free DECIMAL-sum convention, token_share the raw mixture
-    input (compare with q121's dedup-adjusted share to see how much
-    of a source's share is duplicated mass). ONE scan, one keyed
-    aggregation, |sources| rows out."""
+    re-weight: (source, n_docs, null_docs, n_tokens, n_unique,
+    dup_rate, mean_quality, token_share). dup_rate is WITHIN-source
+    exact duplication (1 - distinct content hashes / docs — the q25
+    rule scoped per source), mean_quality the q22 score averaged with
+    the order-free DECIMAL-sum convention, token_share the raw
+    mixture input (compare with q121's dedup-adjusted share to see
+    how much of a source's share is duplicated mass). ONE scan, one
+    keyed aggregation, |sources| rows out.
+
+    NULL-text accounting, made EXPLICIT via ``null_docs`` (the
+    convention the streaming twin ``stream_source_health`` implements
+    and tests): NULL-text docs count into ``n_docs`` but are absent
+    from every sum and from the distinct-content count, so a
+    NULL-heavy source reads as duplicate-heavy in ``dup_rate`` —
+    ``null_docs`` is the column that says why (an all-NULL source
+    shows n_unique 0, dup_rate 1.0, mean_quality NULL)."""
     q = quality_columns(docs)
     # persist BEFORE fan-out: the |sources|-row aggregate feeds the
     # health columns AND the token total (the q118 one-scan rule)
     per = scoped_persist(
         q.groupBy("source").agg(
             F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("text").isNull(), 1).otherwise(0)
+            ).cast("long").alias("null_docs"),
             F.sum("n_tokens").alias("n_tokens"),
             F.count_distinct(F.md5("text")).alias("n_unique"),
             round6(
@@ -540,6 +551,7 @@ def source_health(docs: DataFrame) -> DataFrame:
     return per.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_docs",
+        "null_docs",
         "n_tokens",
         "n_unique",
         round6(
@@ -571,13 +583,15 @@ WITH t AS (
   FROM t
 ), per AS (
   SELECT source, COUNT(*) AS n_docs,
+    CAST(SUM(CASE WHEN fp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS null_docs,
     CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
     CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique,
     ROUND(CAST(SUM(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE)
           / COUNT(*), 6) AS mean_quality
   FROM q GROUP BY source
 ), tot AS (SELECT SUM(n_tokens) AS total FROM per)
-SELECT source, n_docs, n_tokens, n_unique,
+SELECT source, n_docs, null_docs, n_tokens, n_unique,
   ROUND(1.0 - n_unique / CAST(n_docs AS DOUBLE), 6) AS dup_rate,
   mean_quality,
   ROUND(n_tokens / CAST(total AS DOUBLE), 6) AS token_share

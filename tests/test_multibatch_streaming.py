@@ -1018,6 +1018,51 @@ def test_stream_source_health_equals_batch(spark, tmp_path):
         ) == (b[2], b[3], b[4], b[5], b[6]), src
 
 
+def test_source_health_null_docs_convention_batch_equals_stream(spark):
+    """The batch report's NULL-text convention is now EXPLICIT
+    (null_docs column) and must agree with the streaming twin's
+    accounting on the same rows: NULL-text docs count into n_docs on
+    both paths, are absent from every sum and the distinct-content
+    count/sketch, and null_docs says how many there were."""
+    from aerovaldb_spark.operators.text import source_health
+    from aerovaldb_spark.streaming import stream_source_health
+
+    dup_text = " ".join(f"nn{j}" for j in range(30))
+    rows = [
+        (i, dup_text if i < 8 else None, "dupsrc") for i in range(10)
+    ]
+    rows += [(100 + i, None, "nullsrc") for i in range(3)]
+    rows += [(200 + i, f"solo text {i} words here", "clean")
+             for i in range(4)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    batch = {r["source"]: r for r in source_health(docs).collect()}
+    stream = {
+        r["source"]: r for r in stream_source_health(docs).collect()
+    }
+    assert batch["dupsrc"]["n_docs"] == 10
+    assert batch["dupsrc"]["null_docs"] == 2
+    assert batch["dupsrc"]["n_unique"] == 1
+    assert batch["dupsrc"]["dup_rate"] == 0.9
+    assert batch["nullsrc"]["null_docs"] == 3
+    assert batch["nullsrc"]["n_unique"] == 0
+    assert batch["nullsrc"]["dup_rate"] == 1.0
+    assert batch["nullsrc"]["mean_quality"] is None  # nothing to score
+    assert batch["clean"]["null_docs"] == 0
+    for src in batch:
+        # both paths count NULL-text rows into n_docs and skip them in
+        # the token sum; below-k sources make the KMV estimate exact,
+        # so the distinct counts agree exactly too
+        assert stream[src]["n_docs"] == batch[src]["n_docs"], src
+        assert stream[src]["n_tokens"] == (
+            batch[src]["n_tokens"] or 0
+        ), src
+        assert stream[src]["n_unique_est"] == float(
+            batch[src]["n_unique"]
+        ), src
+
+
 def test_health_with_shares_matches_batch_q122(spark):
     """token_share derived from the health gate's output equals the
     batch q122 report's share column (bit-equal round6 arithmetic)."""
