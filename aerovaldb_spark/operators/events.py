@@ -781,54 +781,71 @@ def q109_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_overlap(events, "event_type", "user_id")
 
 
-def _q109_sql() -> str:
+def kmv_overlap_sql(
+    table: str = "events",
+    key_col: str = "event_type",
+    value_col: str = "CAST(user_id AS VARCHAR)",
+    names: tuple[str, ...] = (
+        "type_a", "type_b", "users_a", "users_b",
+        "union_users", "intersect_users",
+    ),
+    extra_select: str = "",
+) -> str:
+    """The q109 pairwise-KMV-overlap SQL, templated on (table, key,
+    value expression, output names) so every overlap-shaped graded
+    query (q109 over events, q123 over documents) replays the ONE
+    algebra — a convention change cannot fork the oracles.
+    ``extra_select`` appends derived columns (e.g. q123's containment
+    ratios) with ``p``/``u`` in scope and ``inter_raw`` available as
+    the unrounded clamped intersection expression."""
+    ka, kb, ea, eb, un, inter = names
     numer = f"({KMV_K}.0 - 1.0) * {_POW2_60:.1f}"
+    inter_raw = f"greatest(p.{ea} + p.{eb} - u.{un}, 0.0)"
+    extra = extra_select.replace("inter_raw", inter_raw)
     return f"""
 WITH h AS (
-  SELECT DISTINCT event_type,
-    CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
-  FROM events WHERE user_id IS NOT NULL
+  SELECT DISTINCT {key_col} AS key,
+    CAST('0x' || substring(md5({value_col}), 1, 15) AS BIGINT) AS h
+  FROM {table} WHERE {value_col} IS NOT NULL
 ), ranked AS (
-  SELECT event_type, h,
-    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  SELECT key, h,
+    ROW_NUMBER() OVER (PARTITION BY key ORDER BY h) AS rn
   FROM h
 ), kept AS (
-  SELECT event_type, h FROM ranked WHERE rn <= {KMV_K}
+  SELECT key, h FROM ranked WHERE rn <= {KMV_K}
 ), est AS (
-  SELECT event_type, COUNT(*) AS n_kept,
+  SELECT key, COUNT(*) AS n_kept,
     CASE WHEN COUNT(*) < {KMV_K} THEN CAST(COUNT(*) AS DOUBLE)
          ELSE ROUND({numer} / CAST(MAX(h) AS DOUBLE), 6)
     END AS est
-  FROM kept GROUP BY event_type
+  FROM kept GROUP BY key
 ), pairs AS (
-  SELECT a.event_type AS type_a, a.est AS users_a,
-         b.event_type AS type_b, b.est AS users_b
-  FROM est a JOIN est b ON a.event_type < b.event_type
+  SELECT a.key AS {ka}, a.est AS {ea},
+         b.key AS {kb}, b.est AS {eb}
+  FROM est a JOIN est b ON a.key < b.key
 ), uh AS (
-  SELECT DISTINCT p.type_a, p.type_b, k.h
+  SELECT DISTINCT p.{ka}, p.{kb}, k.h
   FROM pairs p JOIN kept k
-    ON k.event_type = p.type_a OR k.event_type = p.type_b
+    ON k.key = p.{ka} OR k.key = p.{kb}
 ), uranked AS (
-  SELECT type_a, type_b, h,
-    ROW_NUMBER() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rn
+  SELECT {ka}, {kb}, h,
+    ROW_NUMBER() OVER (PARTITION BY {ka}, {kb} ORDER BY h) AS rn
   FROM uh
 ), uest AS (
-  SELECT type_a, type_b,
+  SELECT {ka}, {kb},
     CASE WHEN COUNT(*) < {KMV_K} THEN CAST(COUNT(*) AS DOUBLE)
          ELSE ROUND({numer} / CAST(MAX(h) AS DOUBLE), 6)
-    END AS union_users
-  FROM uranked WHERE rn <= {KMV_K} GROUP BY type_a, type_b
+    END AS {un}
+  FROM uranked WHERE rn <= {KMV_K} GROUP BY {ka}, {kb}
 )
-SELECT p.type_a, p.type_b, p.users_a, p.users_b, u.union_users,
-  ROUND(greatest(p.users_a + p.users_b - u.union_users, 0.0), 6)
-    AS intersect_users,
-  ROUND(greatest(p.users_a + p.users_b - u.union_users, 0.0)
-        / u.union_users, 6) AS jaccard
-FROM pairs p JOIN uest u USING (type_a, type_b)
+SELECT p.{ka}, p.{kb}, p.{ea}, p.{eb}, u.{un},
+  ROUND({inter_raw}, 6) AS {inter},
+  ROUND({inter_raw} / u.{un}, 6) AS jaccard{extra}
+FROM pairs p JOIN uest u USING ({ka}, {kb})
 """
 
 
-Q109_SQL = _q109_sql()
+Q109_SQL = kmv_overlap_sql()
 
 
 def q106_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:

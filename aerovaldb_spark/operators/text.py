@@ -564,6 +564,74 @@ def source_health(docs: DataFrame) -> DataFrame:
     )
 
 
+def source_overlap_matrix(docs: DataFrame, k: int | None = None) -> DataFrame:
+    """Cross-source duplicated-content matrix at SKETCH cost — the
+    column q122 cannot carry: its dup_rate is WITHIN-source only, and
+    q121's dedup-adjusted plan gives just the aggregate share
+    correction, so "whose share is whose content" (source A's volume
+    is largely copies of source B's pages) stays unanswered. One row
+    per unordered source pair: (source_a, source_b, uniq_a, uniq_b,
+    union_uniq, intersect_uniq, jaccard, containment_a_in_b,
+    containment_b_in_a), where containment_a_in_b = |A ∩ B| / |A| is
+    the fraction of A's DISTINCT content also present in B — the
+    directional "whose content" answer (a mirror-heavy source reads
+    containment ~1 against its origin).
+
+    100 TB shape: this is q109's KMV set algebra
+    (:func:`..events.kmv_overlap`) keyed on source over 60-bit content
+    hashes — the corpus is scanned ONCE to build one k-hash sketch per
+    source, and every pairwise question afterwards runs over k-row
+    kept sets (pairs x kept joins), NEVER an exact all-pairs doc join.
+    Estimates carry KMV error ~1/sqrt(k-2) and are exact below k
+    distinct values; all arithmetic is the shared round6/deterministic
+    convention, so the whole matrix is DuckDB-replayable (q123).
+    NULL-text docs carry no content hash and are absent (they
+    duplicate nothing)."""
+    from .events import KMV_K, kmv_overlap
+
+    base = kmv_overlap(docs, "source", "text", KMV_K if k is None else k)
+    # containments from the UNROUNDED clamped intersection (the
+    # jaccard convention: inputs are already-round6 estimates, the
+    # derived ratio rounds once) — bit-matches the SQL twin
+    inter_raw = F.greatest(
+        F.col("users_a") + F.col("users_b") - F.col("union_users"),
+        F.lit(0.0),
+    )
+    return base.select(
+        F.col("type_a").alias("source_a"),
+        F.col("type_b").alias("source_b"),
+        F.col("users_a").alias("uniq_a"),
+        F.col("users_b").alias("uniq_b"),
+        F.col("union_users").alias("union_uniq"),
+        F.col("intersect_users").alias("intersect_uniq"),
+        "jaccard",
+        round6(inter_raw / F.col("users_a")).alias("containment_a_in_b"),
+        round6(inter_raw / F.col("users_b")).alias("containment_b_in_a"),
+    )
+
+
+def q123_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return source_overlap_matrix(load_table(spark, sf_dir, "documents"))
+
+
+def _q123_sql() -> str:
+    from .events import kmv_overlap_sql
+
+    return kmv_overlap_sql(
+        table="documents",
+        key_col="source",
+        value_col="text",
+        names=(
+            "source_a", "source_b", "uniq_a", "uniq_b",
+            "union_uniq", "intersect_uniq",
+        ),
+        extra_select=(
+            ",\n  ROUND(inter_raw / p.uniq_a, 6) AS containment_a_in_b"
+            ",\n  ROUND(inter_raw / p.uniq_b, 6) AS containment_b_in_a"
+        ),
+    )
+
+
 def q122_source_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_health(load_table(spark, sf_dir, "documents"))
 
@@ -4212,6 +4280,7 @@ QUERIES = {
     "q119_mixture_assignment": q119_mixture_assignment,
     "q121_dedup_adjusted_mix": q121_dedup_adjusted_mix,
     "q122_source_health": q122_source_health,
+    "q123_source_overlap": q123_source_overlap,
     "q105_decontaminate_spans": q105_decontaminate_spans,
 }
 
@@ -4222,6 +4291,7 @@ ORACLE = {
     "q119_mixture_assignment": Q119_SQL,
     "q121_dedup_adjusted_mix": Q121_SQL,
     "q122_source_health": Q122_SQL,
+    "q123_source_overlap": _q123_sql(),
     "q80_sliding_chunks": Q80_SQL,
     "q81_stratified_sample": Q81_SQL,
     "q84_quality_gate": Q84_SQL,

@@ -169,3 +169,78 @@ def test_dedup_adjusted_plan_keeps_fully_duplicated_source_at_zero(spark):
     cc = plan["copycat"]
     assert cc["n_docs"] == 0 and cc["n_tokens"] == 0
     assert cc["sample_rate"] == 0.0 and cc["expected_tokens"] == 0.0
+
+
+def test_source_overlap_matrix_directional_containment(spark):
+    """Planted cross-source duplication: 'mirror' holds copies of
+    HALF of 'origin's pages plus nothing else -> containment of
+    mirror in origin ~1.0 (all its content is origin's), origin in
+    mirror ~0.5; the disjoint third source overlaps nobody. Distinct
+    counts stay below k, so every estimate is exact and the matrix
+    is deterministic."""
+    from aerovaldb_spark.operators.text import source_overlap_matrix
+
+    origin = [
+        (i, " ".join(f"o{i}_{j}" for j in range(20)), "origin")
+        for i in range(20)
+    ]
+    # mirror: copies of origin docs 0..9 (duplicated text, own ids)
+    mirror = [
+        (100 + i, origin[i][1], "mirror") for i in range(10)
+    ]
+    other = [
+        (200 + i, " ".join(f"x{i}_{j}" for j in range(20)), "other")
+        for i in range(5)
+    ]
+    docs = spark.createDataFrame(
+        origin + mirror + other, "doc_id long, text string, source string"
+    )
+    m = {
+        (r["source_a"], r["source_b"]): r
+        for r in source_overlap_matrix(docs).collect()
+    }
+    assert set(m) == {
+        ("mirror", "origin"), ("mirror", "other"), ("origin", "other")
+    }
+    om = m[("mirror", "origin")]
+    assert om["uniq_a"] == 10.0 and om["uniq_b"] == 20.0
+    assert om["union_uniq"] == 20.0 and om["intersect_uniq"] == 10.0
+    assert om["containment_a_in_b"] == 1.0  # all of mirror is origin's
+    assert om["containment_b_in_a"] == 0.5
+    assert om["jaccard"] == 0.5
+    assert m[("origin", "other")]["intersect_uniq"] == 0.0
+    assert m[("mirror", "other")]["jaccard"] == 0.0
+
+
+def test_source_overlap_matrix_skips_null_text_and_plans_sketch_only(spark):
+    """NULL-text docs carry no content hash (they duplicate nothing),
+    and the plan touches raw text exactly once: the only inequality
+    join is the |sources|x|sources| PAIR frame over the persisted
+    k-row estimate table (bounded by the key count, by design), and
+    the text column never crosses an exchange — the matrix moves
+    sketches, not documents."""
+    from aerovaldb_spark.operators.text import source_overlap_matrix
+
+    rows = [(0, "shared words here", "a"), (1, None, "a"),
+            (2, "shared words here", "b"), (3, None, "b")]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    df = source_overlap_matrix(docs)
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    # every cartesian in the tree is the key-pair inequality join
+    # (type_a < type_b) over the |sources|-row estimate frame — never
+    # a conditionless product over the docs relation
+    cart_lines = [
+        ln for ln in physical.splitlines() if "CartesianProduct" in ln
+    ]
+    assert cart_lines, "expected the pair-frame inequality join"
+    for ln in cart_lines:
+        assert "type_a" in ln and "< type_b" in ln, ln
+    for line in physical.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line, line
+    r = df.collect()[0]
+    assert (r["uniq_a"], r["uniq_b"], r["intersect_uniq"]) == (
+        1.0, 1.0, 1.0
+    )
