@@ -711,6 +711,303 @@ def dedup_adjusted_mix_plan(
     )
 
 
+class MixturePlan:
+    """Persisted, frozen form of a mixture plan — the lifecycle the
+    index families already have (save/load/staleness/rebuild rule),
+    applied to the mixture surface: q118/q121 rates are CORPUS-DERIVED
+    and documented not-append-stable, and ``streaming.mixture_gate``
+    deliberately consumes a frozen plan, so the operational questions
+    are "serve the frozen rates everywhere" (:meth:`rates`,
+    :meth:`assign`) and "is my frozen plan stale against today's
+    corpus" (:meth:`drift` + :func:`mixture_rebuild_verdict` +
+    :meth:`maybe_rebuild` — the q114–q116 pattern).
+
+    ``planner`` records WHICH planner froze the rates ('temperature'
+    = :func:`temperature_mix_plan`, 'dedup_adjusted' =
+    :func:`dedup_adjusted_mix_plan`); drift re-plans with the same
+    one, so the report measures corpus movement, never a planner swap.
+
+    On disk: ``plan/`` parquet (the |sources|-row plan frame) + a
+    one-row ``meta/`` pinning (alpha, target_fraction, planner).
+    ``save`` is a wholesale overwrite (plans are tiny and rebuilt
+    whole — there is no append lifecycle); the plan dataset writes
+    FIRST and ``meta`` last, so a torn save leaves a load-refusing
+    layout (missing meta), never a silently mixed one."""
+
+    PLANNERS = ("temperature", "dedup_adjusted")
+
+    def __init__(
+        self,
+        plan: DataFrame,
+        alpha: float,
+        target_fraction: float,
+        planner: str = "temperature",
+    ) -> None:
+        if planner not in self.PLANNERS:
+            raise ValueError(
+                f"unknown planner {planner!r} (expected one of "
+                f"{self.PLANNERS})"
+            )
+        self.plan = plan
+        self.alpha = alpha
+        self.target_fraction = target_fraction
+        self.planner = planner
+
+    def _replan(self, docs: DataFrame) -> DataFrame:
+        fn = (
+            temperature_mix_plan
+            if self.planner == "temperature"
+            else dedup_adjusted_mix_plan
+        )
+        return fn(docs, self.alpha, self.target_fraction)
+
+    @staticmethod
+    def build(
+        docs: DataFrame,
+        alpha: float = MIX_TEMPERATURE_ALPHA,
+        target_fraction: float = MIX_TARGET_FRACTION,
+        planner: str = "temperature",
+    ) -> "MixturePlan":
+        out = MixturePlan(None, alpha, target_fraction, planner)
+        out.plan = out._replan(docs)
+        return out
+
+    def save(self, path: str) -> None:
+        import os as _os
+
+        self.plan.write.mode("overwrite").parquet(
+            _os.path.join(path, "plan")
+        )
+        self.plan.sparkSession.createDataFrame(
+            [(float(self.alpha), float(self.target_fraction),
+              self.planner)],
+            "alpha double, target_fraction double, planner string",
+        ).write.mode("overwrite").parquet(_os.path.join(path, "meta"))
+
+    @staticmethod
+    def load(spark: SparkSession, path: str) -> "MixturePlan":
+        import os as _os
+
+        meta = spark.read.parquet(_os.path.join(path, "meta")).collect()[0]
+        # explicit schema: an empty-corpus plan has zero rows and no
+        # part files to infer from (the screen-index load rule)
+        plan = spark.read.schema(
+            "source string, n_docs bigint, n_tokens bigint, "
+            "token_share double, mix_weight double, "
+            "sample_rate double, expected_tokens double"
+        ).parquet(_os.path.join(path, "plan"))
+        return MixturePlan(
+            plan,
+            float(meta["alpha"]),
+            float(meta["target_fraction"]),
+            str(meta["planner"]),
+        )
+
+    def rates(self) -> dict[str, float]:
+        """The frozen (source -> sample_rate) dict
+        ``streaming.mixture_gate`` consumes — |sources| rows collect
+        (the plan IS driver-sized by construction)."""
+        return {
+            r["source"]: float(r["sample_rate"])
+            for r in self.plan.select("source", "sample_rate").collect()
+        }
+
+    def assign(self, docs: DataFrame) -> DataFrame:
+        """Materialize the FROZEN rates over ``docs`` — exactly
+        :func:`mixture_assignment` with this plan (bit-equal to the
+        streaming gate on the same rows, tested). For a
+        'dedup_adjusted' plan pass the CANONICAL subset, the pairing
+        that planner documents."""
+        return mixture_assignment(docs, plan=self.plan)
+
+    def drift(self, docs: DataFrame) -> DataFrame:
+        """One-row frozen-plan drift report against the CURRENT corpus
+        — the q114 pattern for the mixture surface (graded: q124).
+        Re-plans ``docs`` with the same planner/knobs and compares:
+
+        - n_sources_frozen / n_sources_now / growth_ratio: plan rows
+          then vs now; current corpus tokens over frozen tokens.
+        - share_drift_mad / share_drift_max: current-token-weighted
+          mean (and worst) |token_share_now - token_share_frozen|
+          over sources present in BOTH plans — how far the mixture
+          the frozen rates were sized for has moved.
+        - rate_drift_mad / rate_drift_max: same shape over
+          |sample_rate_now - sample_rate_frozen| — the direct
+          per-token budget misallocation a re-plan would correct.
+        - new_source_mass: fraction of current tokens from sources
+          the frozen plan never saw (the gate serves them
+          ``default_rate`` — typically 0, i.e. silently dropped).
+
+        Sources present now but token-starved, or frozen but now
+        absent, carry zero current-token weight and drop out of the
+        drift means (the q114 df_now=0 rule: rates for sources that
+        are sampled never drift for nobody). Determinism: round6
+        per-source values, DECIMAL(18,6) sums, integer counts — the
+        report replays in ANSI SQL."""
+        f = self.plan.select(
+            "source",
+            F.col("n_tokens").alias("tok_f"),
+            F.col("token_share").alias("share_f"),
+            F.col("sample_rate").alias("rate_f"),
+        )
+        n = self._replan(docs).select(
+            "source",
+            F.col("n_tokens").alias("tok_n"),
+            F.col("token_share").alias("share_n"),
+            F.col("sample_rate").alias("rate_n"),
+        )
+        j = f.join(n, "source", "full_outer")
+        both = F.col("share_f").isNotNull() & F.col("share_n").isNotNull()
+        w = F.when(both, F.coalesce("tok_n", F.lit(0))).otherwise(0)
+
+        def _mad(cur: str, frozen: str) -> Column:
+            return round6(
+                F.sum(
+                    round6(
+                        w * F.abs(F.col(cur) - F.col(frozen))
+                    ).cast("decimal(18,6)")
+                ).cast("double")
+                / F.nullif(F.sum(w), F.lit(0)).cast("double")
+            )
+
+        def _max(cur: str, frozen: str) -> Column:
+            return F.max(
+                F.when(
+                    both & (F.coalesce("tok_n", F.lit(0)) > 0),
+                    round6(F.abs(F.col(cur) - F.col(frozen))),
+                )
+            )
+
+        return j.agg(
+            F.sum(F.when(F.col("share_f").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_sources_frozen"),
+            F.sum(F.when(F.col("share_n").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_sources_now"),
+            round6(
+                F.sum(F.coalesce("tok_n", F.lit(0))).cast("double")
+                / F.nullif(
+                    F.sum(F.coalesce("tok_f", F.lit(0))), F.lit(0)
+                ).cast("double")
+            ).alias("growth_ratio"),
+            _mad("share_n", "share_f").alias("share_drift_mad"),
+            _max("share_n", "share_f").alias("share_drift_max"),
+            _mad("rate_n", "rate_f").alias("rate_drift_mad"),
+            _max("rate_n", "rate_f").alias("rate_drift_max"),
+            round6(
+                F.sum(
+                    F.when(
+                        F.col("share_f").isNull(),
+                        F.coalesce("tok_n", F.lit(0)),
+                    ).otherwise(0)
+                ).cast("double")
+                / F.nullif(
+                    F.sum(F.coalesce("tok_n", F.lit(0))), F.lit(0)
+                ).cast("double")
+            ).alias("new_source_mass"),
+        )
+
+    def maybe_rebuild(self, docs: DataFrame, path: str | None = None,
+                      **thresholds):
+        """drift -> :func:`mixture_rebuild_verdict` -> re-plan, in one
+        call: when the verdict trips, re-plan over ``docs`` (same
+        planner/knobs), overwrite ``path`` if given, and return the
+        fresh plan. Returns (plan, verdict, report_row) — ``plan`` is
+        ``self`` untouched when the verdict says fresh enough."""
+        report = self.drift(docs).collect()[0]
+        verdict = mixture_rebuild_verdict(report, **thresholds)
+        if not verdict.rebuild:
+            return self, verdict, report
+        out = MixturePlan.build(
+            docs, self.alpha, self.target_fraction, self.planner
+        )
+        if path is not None:
+            out.save(path)
+            out = MixturePlan.load(docs.sparkSession, path)
+        return out, verdict, report
+
+
+def mixture_rebuild_verdict(
+    report,
+    share_drift_mad_threshold: float = 0.02,
+    share_drift_max_threshold: float = 0.05,
+    new_source_mass_threshold: float = 0.05,
+    rate_drift_max_threshold: float = 0.5,
+) -> "RebuildVerdict":
+    """Apply the frozen-plan rebuild rule to a collected
+    :meth:`MixturePlan.drift` row. Triggers (measured in the test
+    suite: a 2x same-distribution append moves every metric to ~0 and
+    trips nothing; tripling ONE of twenty equal sources lands
+    share_drift_mad 0.018 / share_drift_max 0.093 — the corpus-wide
+    MAD dilutes a single-source shift, which is exactly what the max
+    trigger is for):
+
+    - share_drift_mad > ``share_drift_mad_threshold``: the mixture
+      the rates were sized for has moved corpus-wide — the frozen
+      plan now over- or under-samples sources by that weighted share
+      error on average.
+    - share_drift_max > ``share_drift_max_threshold``: SOME source's
+      share moved that many absolute points (the single-source-shift
+      signature the MAD averages away).
+    - new_source_mass > ``new_source_mass_threshold``: that fraction
+      of today's tokens belongs to sources the gate serves
+      ``default_rate`` (usually 0 — silently dropped mass).
+    - rate_drift_max > ``rate_drift_max_threshold``: some source's
+      effective epoch count is off by half an epoch or more.
+
+    growth_ratio alone is NOT a trigger — same-distribution growth
+    keeps shares (and therefore rates) fixed; NULL metrics (empty or
+    disjoint corpora) are absent evidence, not triggers."""
+    from .similarity import RebuildVerdict, _report_dict
+
+    cur = _report_dict(report)
+    reasons = []
+
+    def _over(key, threshold):
+        v = cur.get(key)
+        return v is not None and v > threshold
+
+    if _over("share_drift_mad", share_drift_mad_threshold):
+        reasons.append(
+            f"share_drift_mad {cur['share_drift_mad']} > "
+            f"{share_drift_mad_threshold} (the mixture the frozen "
+            "rates were sized for has moved)"
+        )
+    if _over("share_drift_max", share_drift_max_threshold):
+        reasons.append(
+            f"share_drift_max {cur['share_drift_max']} > "
+            f"{share_drift_max_threshold} (a single source's share "
+            "moved that far — the shift the corpus-wide MAD dilutes)"
+        )
+    if _over("new_source_mass", new_source_mass_threshold):
+        reasons.append(
+            f"new_source_mass {cur['new_source_mass']} > "
+            f"{new_source_mass_threshold} (unplanned sources take the "
+            "gate's default_rate — typically dropped mass)"
+        )
+    if _over("rate_drift_max", rate_drift_max_threshold):
+        reasons.append(
+            f"rate_drift_max {cur['rate_drift_max']} > "
+            f"{rate_drift_max_threshold} (a source's effective epoch "
+            "count is materially off)"
+        )
+    return RebuildVerdict(bool(reasons), tuple(reasons))
+
+
+def q124_mixture_plan_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Graded frozen-plan drift: freeze a temperature plan on the
+    even-doc_id half of the corpus, measure drift against the whole —
+    the q114/q115/q116 staleness family applied to the mixture
+    surface. Self-contained (the frozen plan is derived in-query) so
+    the oracle replays every stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    frozen = MixturePlan.build(docs.where(F.col("doc_id") % 2 == 0))
+    return frozen.drift(docs)
+
+
 def q118_temperature_mix_plan(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -763,6 +1060,58 @@ FROM plan
 
 
 Q118_SQL = _mix_plan_sql()
+
+# q124: the frozen plan (even-doc_id half) and the current plan are
+# BOTH the q118 chain, templated on their source relation, full-outer
+# joined on source — the drift arithmetic mirrors MixturePlan.drift
+# expression for expression (w = current-token weight over sources in
+# BOTH plans; round6 per-source, DECIMAL(18,6) sums, NULLIF guards).
+Q124_SQL = f"""
+WITH fro AS ({_mix_plan_sql(
+    src="halfdocs",
+    prelude=(
+        "halfdocs AS (SELECT * FROM documents WHERE doc_id % 2 = 0), "
+    ),
+)}),
+nowp AS ({_mix_plan_sql()}),
+j AS (
+  SELECT fro.n_tokens AS tok_f, fro.token_share AS share_f,
+         fro.sample_rate AS rate_f,
+         nowp.n_tokens AS tok_n, nowp.token_share AS share_n,
+         nowp.sample_rate AS rate_n,
+         CASE WHEN fro.token_share IS NOT NULL
+                   AND nowp.token_share IS NOT NULL
+              THEN COALESCE(nowp.n_tokens, 0) ELSE 0 END AS w
+  FROM fro FULL OUTER JOIN nowp ON fro.source = nowp.source
+)
+SELECT
+  CAST(SUM(CASE WHEN share_f IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_sources_frozen,
+  CAST(SUM(CASE WHEN share_n IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_sources_now,
+  ROUND(SUM(COALESCE(tok_n, 0))
+        / CAST(NULLIF(SUM(COALESCE(tok_f, 0)), 0) AS DOUBLE), 6)
+    AS growth_ratio,
+  ROUND(CAST(SUM(CAST(ROUND(w * ABS(share_n - share_f), 6)
+                      AS DECIMAL(18,6))) AS DOUBLE)
+        / CAST(NULLIF(SUM(w), 0) AS DOUBLE), 6) AS share_drift_mad,
+  MAX(CASE WHEN share_f IS NOT NULL AND share_n IS NOT NULL
+                AND COALESCE(tok_n, 0) > 0
+           THEN ROUND(ABS(share_n - share_f), 6) END)
+    AS share_drift_max,
+  ROUND(CAST(SUM(CAST(ROUND(w * ABS(rate_n - rate_f), 6)
+                      AS DECIMAL(18,6))) AS DOUBLE)
+        / CAST(NULLIF(SUM(w), 0) AS DOUBLE), 6) AS rate_drift_mad,
+  MAX(CASE WHEN share_f IS NOT NULL AND share_n IS NOT NULL
+                AND COALESCE(tok_n, 0) > 0
+           THEN ROUND(ABS(rate_n - rate_f), 6) END)
+    AS rate_drift_max,
+  ROUND(SUM(CASE WHEN share_f IS NULL THEN COALESCE(tok_n, 0)
+                 ELSE 0 END)
+        / CAST(NULLIF(SUM(COALESCE(tok_n, 0)), 0) AS DOUBLE), 6)
+    AS new_source_mass
+FROM j
+"""
 
 _Q121_PLAN_SQL = _mix_plan_sql(
     src="canon",
@@ -4281,6 +4630,7 @@ QUERIES = {
     "q121_dedup_adjusted_mix": q121_dedup_adjusted_mix,
     "q122_source_health": q122_source_health,
     "q123_source_overlap": q123_source_overlap,
+    "q124_mixture_plan_drift": q124_mixture_plan_drift,
     "q105_decontaminate_spans": q105_decontaminate_spans,
 }
 
@@ -4292,6 +4642,7 @@ ORACLE = {
     "q121_dedup_adjusted_mix": Q121_SQL,
     "q122_source_health": Q122_SQL,
     "q123_source_overlap": _q123_sql(),
+    "q124_mixture_plan_drift": Q124_SQL,
     "q80_sliding_chunks": Q80_SQL,
     "q81_stratified_sample": Q81_SQL,
     "q84_quality_gate": Q84_SQL,

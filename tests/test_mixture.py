@@ -244,3 +244,165 @@ def test_source_overlap_matrix_skips_null_text_and_plans_sketch_only(spark):
     assert (r["uniq_a"], r["uniq_b"], r["intersect_uniq"]) == (
         1.0, 1.0, 1.0
     )
+
+
+def _with_ids_shifted(docs, offset):
+    return docs.select(
+        (F.col("doc_id") + offset).alias("doc_id"), "text", "source"
+    )
+
+
+def test_mixture_plan_save_load_roundtrip_and_gate_serving(spark, tmp_path):
+    """The persisted plan round-trips bit-equal (round6 doubles and
+    longs survive parquet exactly), rates() hands the streaming gate
+    the frozen dict, and the gate's verdicts on the loaded plan are
+    bit-equal to the batch assignment under the same frozen frame —
+    the stream/batch contract now holds across a save/load cycle."""
+    from aerovaldb_spark.operators.text import MixturePlan
+    from aerovaldb_spark.streaming import mixture_gate
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "text", "source"
+    )
+    built = MixturePlan.build(docs)
+    p = str(tmp_path / "mixplan")
+    built.save(p)
+    loaded = MixturePlan.load(spark, p)
+    assert (loaded.alpha, loaded.target_fraction, loaded.planner) == (
+        built.alpha, built.target_fraction, built.planner
+    )
+    key = lambda rows: sorted(map(tuple, rows))  # noqa: E731
+    assert key(loaded.plan.collect()) == key(built.plan.collect())
+    want = key(loaded.assign(docs).collect())
+    got = key(mixture_gate(docs, loaded.rates()).collect())
+    assert got == want and len(want) > 0
+
+
+def test_mixture_plan_fresh_drift_is_zero_and_never_trips(spark):
+    from aerovaldb_spark.operators.text import (
+        MixturePlan,
+        mixture_rebuild_verdict,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    plan = MixturePlan.build(docs)
+    r = plan.drift(docs).collect()[0]
+    assert r["growth_ratio"] == 1.0
+    assert r["share_drift_mad"] == 0.0
+    assert r["share_drift_max"] == 0.0
+    assert r["rate_drift_mad"] == 0.0
+    assert r["rate_drift_max"] == 0.0
+    assert r["new_source_mass"] == 0.0
+    assert r["n_sources_frozen"] == r["n_sources_now"]
+    assert not mixture_rebuild_verdict(r).rebuild
+
+
+def test_mixture_plan_same_distribution_growth_trips_nothing(spark):
+    """2x same-distribution growth: shares are identical, rates move
+    only by the budget-floor rounding (~1/n_tokens) — far below every
+    threshold. growth_ratio alone is NOT a trigger, measured."""
+    from aerovaldb_spark.operators.text import (
+        MixturePlan,
+        mixture_rebuild_verdict,
+    )
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "text", "source"
+    )
+    plan = MixturePlan.build(docs)
+    grown = docs.unionByName(_with_ids_shifted(docs, 1_000_000))
+    r = plan.drift(grown).collect()[0]
+    assert r["growth_ratio"] == 2.0
+    assert r["share_drift_mad"] == 0.0  # shares exactly preserved
+    assert r["rate_drift_max"] < 0.01
+    assert r["new_source_mass"] == 0.0
+    v = mixture_rebuild_verdict(r)
+    assert not v.rebuild, v.reasons
+
+
+def test_mixture_plan_skewed_growth_trips_and_maybe_rebuild_swaps(
+    spark, tmp_path
+):
+    """Tripling one source's volume moves the weighted share drift
+    past the threshold; maybe_rebuild then re-plans, saves, and the
+    returned plan is drift-zero against the new corpus (and bit-equal
+    to a fresh build over it)."""
+    from aerovaldb_spark.operators.text import (
+        MixturePlan,
+        mixture_rebuild_verdict,
+    )
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "text", "source"
+    )
+    src0 = docs.select("source").orderBy("source").first()["source"]
+    extra = docs.where(F.col("source") == src0)
+    skewed = (
+        docs.unionByName(_with_ids_shifted(extra, 1_000_000))
+        .unionByName(_with_ids_shifted(extra, 2_000_000))
+    )
+    p = str(tmp_path / "mixplan")
+    plan = MixturePlan.build(docs)
+    plan.save(p)
+    r = plan.drift(skewed).collect()[0]
+    v = mixture_rebuild_verdict(r)
+    # tripling 1 of 20 sources: the corpus-wide MAD dilutes it
+    # (0.018 < 0.02) but the single-source max trigger catches it
+    assert v.rebuild and any("share_drift_max" in s for s in v.reasons)
+    new_plan, v2, _ = plan.maybe_rebuild(skewed, path=p)
+    assert v2.rebuild
+    key = lambda rows: sorted(map(tuple, rows))  # noqa: E731
+    assert key(new_plan.plan.collect()) == key(
+        MixturePlan.build(skewed).plan.collect()
+    )
+    r2 = new_plan.drift(skewed).collect()[0]
+    assert r2["share_drift_mad"] == 0.0
+    # fresh-enough path: maybe_rebuild returns self untouched
+    same, v3, _ = new_plan.maybe_rebuild(skewed, path=p)
+    assert same is new_plan and not v3.rebuild
+
+
+def test_mixture_plan_new_and_vanished_sources(spark):
+    """A brand-new source is new_source_mass (the gate would serve it
+    default_rate); a vanished source keeps its frozen row but carries
+    zero current weight — excluded from the drift means (it is
+    sampled never)."""
+    from aerovaldb_spark.operators.text import (
+        MixturePlan,
+        mixture_rebuild_verdict,
+    )
+
+    rows_a = [(i, " ".join(f"a{i}_{j}" for j in range(20)), "a")
+              for i in range(10)]
+    rows_b = [(100 + i, " ".join(f"b{i}_{j}" for j in range(20)), "b")
+              for i in range(10)]
+    rows_c = [(200 + i, " ".join(f"c{i}_{j}" for j in range(20)), "c")
+              for i in range(10)]
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id long, text string, source string"
+    )
+    plan = MixturePlan.build(mk(rows_a + rows_b))
+    # b vanished, c appeared with half the mass
+    r = plan.drift(mk(rows_a + rows_c)).collect()[0]
+    assert r["n_sources_frozen"] == 2 and r["n_sources_now"] == 2
+    assert r["new_source_mass"] == 0.5
+    v = mixture_rebuild_verdict(r)
+    assert v.rebuild and any("new_source_mass" in s for s in v.reasons)
+
+
+def test_mixture_plan_validates_planner_and_dedup_adjusted_replan(spark):
+    from aerovaldb_spark.operators.text import (
+        MixturePlan,
+        dedup_adjusted_mix_plan,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    with pytest.raises(ValueError, match="planner"):
+        MixturePlan.build(docs, planner="bogus")
+    plan = MixturePlan.build(docs, planner="dedup_adjusted")
+    key = lambda rows: sorted(map(tuple, rows))  # noqa: E731
+    assert key(plan.plan.collect()) == key(
+        dedup_adjusted_mix_plan(docs).collect()
+    )
+    # drift re-plans with the SAME planner: zero against itself
+    assert plan.drift(docs).collect()[0]["share_drift_mad"] == 0.0

@@ -109,3 +109,50 @@ def test_verdicts_accept_spark_rows(spark):
         "idf_drift_mad double, new_term_mass double, top_term_churn double",
     ).collect()[0]
     assert not screen_rebuild_verdict(row).rebuild
+
+
+# mixture-plan rows as measured in tests/test_mixture.py at sf0.001
+# (tripling ONE of twenty equal sources / 2x same-distribution growth)
+MIX_SAME_2X = {
+    "growth_ratio": 2.0,
+    "share_drift_mad": 0.0,
+    "share_drift_max": 0.0,
+    "rate_drift_mad": 0.001,
+    "rate_drift_max": 0.002,
+    "new_source_mass": 0.0,
+}
+MIX_ONE_SOURCE_3X = {
+    "growth_ratio": 1.109739,
+    "share_drift_mad": 0.018087,
+    "share_drift_max": 0.093461,
+    "rate_drift_mad": 0.072045,
+    "rate_drift_max": 0.232476,
+    "new_source_mass": 0.0,
+}
+
+
+def test_mixture_same_distribution_growth_stays_fresh():
+    from aerovaldb_spark.operators.text import mixture_rebuild_verdict
+
+    assert not mixture_rebuild_verdict(MIX_SAME_2X).rebuild
+
+
+def test_mixture_single_source_shift_trips_max_not_mad():
+    """The corpus-wide MAD dilutes a one-source shift (0.018 < 0.02);
+    the max trigger is the one that catches it — the measured reason
+    the rule carries both."""
+    from aerovaldb_spark.operators.text import mixture_rebuild_verdict
+
+    v = mixture_rebuild_verdict(MIX_ONE_SOURCE_3X)
+    assert v.rebuild
+    assert any("share_drift_max" in s for s in v.reasons)
+    assert not any("share_drift_mad" in s for s in v.reasons)
+
+
+def test_mixture_null_metrics_are_absent_evidence():
+    from aerovaldb_spark.operators.text import mixture_rebuild_verdict
+
+    assert not mixture_rebuild_verdict(
+        {"share_drift_mad": None, "share_drift_max": None,
+         "rate_drift_max": None, "new_source_mass": None}
+    ).rebuild
