@@ -135,3 +135,94 @@ def compact_dataset(
         writer = writer.partitionBy(partition_col)
     writer.parquet(staging)
     swap_in(live, staging)
+
+
+# --------------------------------------------------------------------------
+# Append-intent protocol: crash/replay-safe multi-dataset appends.
+#
+# The append lifecycle (every index family's ``add(path=...)``) is one
+# atomic Spark write job PER DATASET — but an operation appending to
+# more than one dataset (the screen index: weights then signatures),
+# or any append driven by a REPLAYING caller (Structured Streaming
+# foreachBatch redelivers a batch whose commit marker never landed),
+# has torn windows no single write's atomicity covers: a retry
+# re-appends rows the first attempt already wrote, and duplicate
+# reference rows silently corrupt every downstream dot product. The
+# reference has no such window to guard — its writes are single-file
+# atomic (jsonfiledb.py:386-413) — so this protocol is the
+# Spark-layout equivalent of that guarantee.
+#
+# Shape (write-ahead intent at the FILE level): Spark append jobs only
+# ever ADD part files with job-unique names (existing files are never
+# rewritten; ``_SUCCESS`` is overwritten in place and is in the
+# snapshot). So a pre-append snapshot of each dataset's file listing
+# identifies the attempt's additions exactly: recovery deletes every
+# file NOT in the snapshot (and prunes directories the torn attempt
+# created), restoring the pre-append state bit-for-bit, after which
+# the append can be re-run cleanly.
+#
+# Single-writer rule: the protocol assumes appends to one index path
+# are serialized (already the documented contract — foreachBatch is
+# serial per query, and add/compact/readers must not interleave).
+# Recovery while another writer is mid-append would delete its
+# in-flight files.
+
+
+def _list_data_files(root: str) -> list[str]:
+    """Sorted relative paths of every file under ``root`` (recursive);
+    empty when the directory does not exist (a first append into a
+    dataset that a crashed save never materialized is refused by
+    ``guarded_append_target`` before this matters)."""
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for dirpath, _dirs, files in os.walk(root):
+        rel = os.path.relpath(dirpath, root)
+        for f in files:
+            out.append(os.path.normpath(os.path.join(rel, f)))
+    return sorted(out)
+
+
+def write_append_intent(intent_path: str, dataset_dirs) -> None:
+    """Snapshot each dataset directory's file listing into
+    ``intent_path`` (write-then-rename, so the intent itself is never
+    torn). Call BEFORE the append's first write job; remove the file
+    only after the caller's own commit point (e.g. the ingest epoch
+    marker) is durable."""
+    import json
+
+    snap = {d: _list_data_files(d) for d in dataset_dirs}
+    tmp = intent_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(snap, f)
+    os.replace(tmp, intent_path)
+
+
+def recover_append_intent(intent_path: str) -> dict:
+    """Undo a torn append: delete every file the snapshot in
+    ``intent_path`` does not list (the torn attempt's additions),
+    prune directories the attempt created (e.g. new partition dirs),
+    then remove the intent file. Returns {dataset_dir: [removed
+    relative paths]} — empty lists when the crash happened before any
+    write. Safe to call when nothing was written; must NOT run
+    concurrently with a live append on the same path (single-writer
+    rule above)."""
+    import json
+
+    with open(intent_path) as f:
+        snap = json.load(f)
+    removed: dict = {}
+    for root, files in snap.items():
+        keep = set(files)
+        removed[root] = []
+        if os.path.isdir(root):
+            for rel in _list_data_files(root):
+                if rel not in keep:
+                    os.remove(os.path.join(root, rel))
+                    removed[root].append(rel)
+            # prune dirs the torn attempt created, deepest first
+            for dirpath, dirs, files_ in os.walk(root, topdown=False):
+                if dirpath != root and not dirs and not files_:
+                    os.rmdir(dirpath)
+    os.remove(intent_path)
+    return removed

@@ -1071,6 +1071,10 @@ class IVFIndex:
     (≤ n_lists ints) that become the partition-pruning IN filter.
     """
 
+    # the one dataset add(path=...) appends to (the streaming
+    # ingest replay protocol snapshots it: streaming.index_ingest_fn)
+    APPEND_DATASETS = ("assignments",)
+
     def __init__(self, centroids: DataFrame, assignments: DataFrame,
                  vec_col: str, id_col: str):
         self.centroids = centroids
@@ -2499,6 +2503,10 @@ class SRPIndex:
     mismatched quantizer parameters.
     """
 
+    # the one dataset add(path=...) appends to (the streaming
+    # ingest replay protocol snapshots it: streaming.index_ingest_fn)
+    APPEND_DATASETS = ("assignments",)
+
     def __init__(self, assignments: DataFrame, dim: int, planes: int,
                  vec_col: str, id_col: str):
         self.assignments = assignments
@@ -2736,6 +2744,10 @@ class QuantizedSRPIndex:
     build/save/load/serve is bit-identical to
     :func:`quantized_srp_topk` (tested)."""
 
+    # the one dataset add(path=...) appends to (the streaming
+    # ingest replay protocol snapshots it: streaming.index_ingest_fn)
+    APPEND_DATASETS = ("assignments",)
+
     def __init__(self, assignments: DataFrame, dim: int, planes: int,
                  id_col: str):
         self.assignments = assignments
@@ -2950,6 +2962,10 @@ class QuantizedIVFIndex:
     1/4 per row — the two compression dials multiply. With frozen
     centroids the whole serve path is deterministic (q108's DuckDB
     oracle replays quantization + assignment + probe + re-rank)."""
+
+    # the one dataset add(path=...) appends to (the streaming
+    # ingest replay protocol snapshots it: streaming.index_ingest_fn)
+    APPEND_DATASETS = ("assignments",)
 
     def __init__(self, centroids: DataFrame, assignments: DataFrame,
                  id_col: str = "vec_id"):

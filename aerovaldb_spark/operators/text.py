@@ -3379,6 +3379,11 @@ class TfidfScreenIndex:
     /root/reference/src/aerovaldb/jsondb/jsonfiledb.py:386-413 — the
     index layer matches)."""
 
+    # datasets add(path=...) appends to, in append ORDER — the
+    # streaming ingest protocol (streaming.index_ingest_fn) snapshots
+    # these before each batch so a torn/replayed append rolls back
+    APPEND_DATASETS = ("weights", "signatures")
+
     def __init__(
         self,
         stats: DataFrame,
@@ -3492,22 +3497,23 @@ class TfidfScreenIndex:
         without it the append is in-memory (union). Each parquet
         append is one atomic Spark write job; re-running a failed
         ``add`` with the same docs would duplicate their rows, so
-        treat add batches as idempotence units (retry only after
-        removing the partial batch, or rebuild). Weights write before
+        treat add batches as idempotence units. Weights write before
         signatures deliberately: a crash between the two leaves docs
         with weights but no signatures, which can never become
         candidates — the batch is simply missing, not half-screened,
         PROVIDED the batch is not retried as-is. Under a replaying
-        caller (``tfidf_index_ingest_fn``: the epoch marker is written
-        after ``add``, so this crash window also loses the marker and
-        Structured Streaming redelivers the batch) the retry
-        re-appends the weights — the orphaned first-attempt weight
-        rows are now duplicates PAIRED with signatures, which corrupts
-        dots exactly like the append→marker window. After any unclean
-        stop, the recovery rule is therefore the same for BOTH
-        windows: check the reference for duplicate doc_ids and rebuild
-        if found — do not assume the weights→signatures ordering alone
-        made the crash safe.
+        caller the naive retry would re-append the weights — orphaned
+        first-attempt rows become duplicates PAIRED with signatures,
+        corrupting every downstream dot — which is why the streaming
+        ingest (``streaming.index_ingest_fn``) wraps every ``add`` in
+        the append-intent protocol (``_staging.write_append_intent``
+        / ``recover_append_intent`` over :attr:`APPEND_DATASETS`): a
+        redelivered batch first rolls both datasets back to the
+        pre-attempt file listing bit-for-bit, then re-appends
+        (crash-injection tested across both the weights→signatures
+        and the add→marker windows). A bare ``add`` retried OUTSIDE
+        that protocol must still remove the partial batch first, or
+        rebuild.
         Use the RETURNED index to see the appended rows: a previously
         constructed instance snapshotted its parquet file listing at
         load time and will not pick them up.

@@ -1712,41 +1712,106 @@ def tfidf_screen_batch_fn(index, write, threshold: float = 0.8,
     return fn
 
 
-def tfidf_index_ingest_fn(index, path: str, run_id: str):
-    """``foreachBatch`` factory GROWING a persisted
-    :class:`~aerovaldb_spark.operators.text.TfidfScreenIndex` from a
-    stream of NEW REFERENCE documents — the WRITE-side twin of
-    :func:`tfidf_screen_batch_fn` (which serves reads). Each
-    micro-batch is signed under the index's FROZEN idf stats and
-    appended to the parquet via ``TfidfScreenIndex.add(path=...)``;
-    because signing is per-doc under frozen stats, per-batch appends
-    compose to exactly one big ``add`` over all streamed docs
-    (tested). The frozen-stats staleness note on ``add`` applies to
-    the stream as a whole: rebuild when the corpus has grown enough
-    that idf drift matters.
+def _recover_torn_ingests(marker_dir: str, spark=None) -> dict:
+    """Repair every torn append attempt recorded under ``marker_dir``:
+    an ``<epoch>.intent`` WITHOUT its ``<epoch>`` commit marker means
+    the attempt died somewhere between its first write and the marker
+    — roll the datasets back to the intent's snapshot so the
+    redelivered batch re-appends cleanly; an intent WITH its marker is
+    a post-commit leftover (crash between marker write and intent
+    cleanup — the appends completed) and is just removed. Returns
+    {intent_path: removed-files dict} for the rolled-back attempts.
 
-    Replay safety is the Structured Streaming batch-id dedup pattern:
-    a marker file per applied epoch under
-    ``path/_ingest_epochs/<run_id>/``. ``run_id`` scopes the dedup to
-    ONE stream lifetime: keep it STABLE across checkpointed restarts
-    of the same query (tie it to the checkpoint, e.g. its directory
-    name) so a re-delivered batch is skipped, and use a FRESH run_id
-    whenever the checkpoint is fresh — epoch ids restart at 0 with a
-    new checkpoint, so reusing an old run_id would silently skip the
-    new stream's first batches (and neither a rebuild nor
-    ``compact`` clears markers). The marker is written AFTER the
-    append, so a crash in between can double-append ONE batch; that
-    shows up as duplicate reference doc_ids (which corrupt dots —
-    duplicate weight rows double-count), so after an unclean stop
-    check for duplicates and rebuild if found, rather than assuming
-    the window never hit. Serving and ingest on the same path should
-    not run concurrently with :meth:`TfidfScreenIndex.compact`."""
+    ``spark``: when given, the repaired dataset paths are evicted
+    from the session's shared file-listing cache
+    (``catalog.refreshByPath``) — Spark caches directory listings
+    across queries, so without the refresh a reader created after the
+    rollback could still plan over the deleted torn files (a
+    subsequent APPEND refreshes implicitly, which is why the
+    redelivery path never notices; a rollback with no re-append
+    does not)."""
+    import glob as _glob
     import os as _os
+
+    from ..operators._staging import recover_append_intent
+
+    repaired = {}
+    for intent in sorted(_glob.glob(_os.path.join(marker_dir, "*.intent"))):
+        marker = intent[: -len(".intent")]
+        if _os.path.exists(marker):
+            _os.remove(intent)
+        else:
+            repaired[intent] = recover_append_intent(intent)
+    if spark is not None:
+        for removed in repaired.values():
+            for root in removed:
+                spark.catalog.refreshByPath(root)
+    return repaired
+
+
+def recover_index_ingest(path: str, spark=None) -> dict:
+    """Repair torn streaming-ingest appends under EVERY run recorded
+    at ``path/_ingest_epochs/`` — run this after an unclean stop
+    before serving, compacting, or starting a NEW stream (a fresh
+    checkpoint gets a fresh run_id, so the new stream's own per-batch
+    recovery would never look at the old run's markers). Returns
+    {intent_path: removed-files} for what was rolled back (empty =
+    nothing was torn). Pass the live ``spark`` session so repaired
+    paths are evicted from its shared file-listing cache (see
+    ``_recover_torn_ingests``)."""
+    import glob as _glob
+    import os as _os
+
+    out = {}
+    for run_dir in _glob.glob(_os.path.join(path, "_ingest_epochs", "*")):
+        if _os.path.isdir(run_dir):
+            out.update(_recover_torn_ingests(run_dir, spark))
+    return out
+
+
+def index_ingest_fn(index, path: str, run_id: str, datasets=None):
+    """``foreachBatch`` factory GROWING any persisted index family
+    from a stream — each micro-batch goes through the family's
+    ``add(batch, path=path)`` under the replay-safe epoch protocol:
+
+    1. roll back any TORN previous attempt in this run
+       (``_recover_torn_ingests`` — see the append-intent protocol in
+       ``operators._staging``);
+    2. skip the batch when its commit marker exists (the Structured
+       Streaming batch-id dedup pattern);
+    3. write an intent snapshot of the family's append datasets
+       (``type(index).APPEND_DATASETS``), run ``add``, write the
+       marker, drop the intent.
+
+    A crash ANYWHERE between the intent and the marker — including
+    the screen index's weights→signatures window, and the window
+    between a completed add and the marker — leaves an intent without
+    a marker; the redelivered batch (same epoch id) rolls the
+    datasets back to the snapshot bit-for-bit and re-appends, so a
+    replay can never double-append rows (crash-injection tested,
+    screen results bit-equal to a clean run). After an unclean stop
+    that will NOT resume from the same checkpoint, run
+    :func:`recover_index_ingest` once before reading/compacting.
+
+    ``run_id`` scopes the dedup to ONE stream lifetime: keep it
+    STABLE across checkpointed restarts of the same query (tie it to
+    the checkpoint, e.g. its directory name) so a re-delivered batch
+    is skipped, and use a FRESH run_id whenever the checkpoint is
+    fresh — epoch ids restart at 0 with a new checkpoint, so reusing
+    an old run_id would silently skip the new stream's first batches
+    (and neither a rebuild nor ``compact`` clears markers). Serving
+    and ingest on the same path must not run concurrently with
+    ``compact`` (single-writer rule)."""
+    import os as _os
+
+    from ..operators._staging import write_append_intent
 
     if not run_id or "/" in run_id:
         raise ValueError(
             f"run_id must be a non-empty path-safe name, got {run_id!r}"
         )
+    if datasets is None:
+        datasets = type(index).APPEND_DATASETS
 
     def fn(batch_df: DataFrame, epoch_id: int) -> None:
         from ..operators._scope import scoped_collector
@@ -1754,15 +1819,49 @@ def tfidf_index_ingest_fn(index, path: str, run_id: str):
         marker_dir = _os.path.join(path, "_ingest_epochs", run_id)
         _os.makedirs(marker_dir, exist_ok=True)
         marker = _os.path.join(marker_dir, str(int(epoch_id)))
+        intent = marker + ".intent"
+        _recover_torn_ingests(marker_dir, batch_df.sparkSession)
         if _os.path.exists(marker):
             return
         if not batch_df.isEmpty():
+            write_append_intent(
+                intent, [_os.path.join(path, d) for d in datasets]
+            )
             with scoped_collector():
                 index.add(batch_df, path=path)
-        with open(marker, "w"):
-            pass
+        _commit_marker(marker)
+        if _os.path.exists(intent):
+            _os.remove(intent)
 
     return fn
+
+
+def _commit_marker(marker: str) -> None:
+    """The epoch commit point — a separate function so crash-injection
+    tests can fault it (simulating a die between the append and the
+    marker)."""
+    with open(marker, "w"):
+        pass
+
+
+def tfidf_index_ingest_fn(index, path: str, run_id: str):
+    """:func:`index_ingest_fn` for the persisted
+    :class:`~aerovaldb_spark.operators.text.TfidfScreenIndex` — the
+    WRITE-side twin of :func:`tfidf_screen_batch_fn` (which serves
+    reads). Each micro-batch is signed under the index's FROZEN idf
+    stats and appended via ``TfidfScreenIndex.add(path=...)``; because
+    signing is per-doc under frozen stats, per-batch appends compose
+    to exactly one big ``add`` over all streamed docs (tested). The
+    frozen-stats staleness note on ``add`` applies to the stream as a
+    whole: rebuild when idf drift matters (q114 measures it).
+
+    Replay safety: the generic epoch protocol — including the
+    weights→signatures torn window ``add`` documents — is handled by
+    :func:`index_ingest_fn`'s intent/rollback mechanism; a
+    redelivered batch can no longer double-append weights (the r11
+    verdict's documented-but-unimplemented recovery, now implemented
+    and crash-injection tested)."""
+    return index_ingest_fn(index, path, run_id)
 
 
 def kmv_live_overlap(
