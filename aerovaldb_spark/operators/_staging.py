@@ -226,3 +226,41 @@ def recover_append_intent(intent_path: str) -> dict:
                     os.rmdir(dirpath)
     os.remove(intent_path)
     return removed
+
+
+def rebuild_root(path: str, save_fn, preserve=("_ingest_epochs",)) -> None:
+    """Staged whole-index rebuild+swap: ``save_fn(staging_dir)`` writes
+    the FRESH index layout next to the live one (``<path>.rebuild``),
+    operational state named in ``preserve`` (the streaming ingest's
+    epoch markers — a checkpointed stream resuming after the rebuild
+    must still skip batches whose data the rebuild already contains)
+    is copied in, then the roots swap via :func:`swap_in`'s rename
+    protocol. Crash recovery is the dataset-level story lifted to the
+    root: loaders resolve ``<path>`` through :func:`resolve_live`, so
+    a crash inside the swap window serves the intact pre-rebuild root
+    at ``<path>.old`` and a re-run completes the rebuild."""
+    staging = path + ".rebuild"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    save_fn(staging)
+    for name in preserve:
+        src = os.path.join(path, name)
+        if os.path.isdir(src):
+            shutil.copytree(src, os.path.join(staging, name))
+    swap_in(path, staging)
+
+
+def refresh_root(spark, path: str) -> None:
+    """Evict every cached plan / file listing over an index root that
+    was just swapped by :func:`rebuild_root`: Spark's plan cache and
+    shared file-status cache key on the DATASET directories (the
+    root's immediate children), and a cached frame from a prior
+    staleness()/screen() call would otherwise silently serve the
+    PRE-rebuild files (or fail on their deleted part files). Refreshes
+    the root and each child directory."""
+    spark.catalog.refreshByPath(path)
+    if os.path.isdir(path):
+        for name in os.listdir(path):
+            child = os.path.join(path, name)
+            if os.path.isdir(child):
+                spark.catalog.refreshByPath(child)

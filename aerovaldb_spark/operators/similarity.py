@@ -1000,8 +1000,11 @@ def _load_ivf_frames(
 
     from ._staging import resolve_live
 
-    # resolve_live: fall back to assignments.old if a crash hit
-    # _compact_assignments' rename window (centroids are never swapped)
+    # root-level resolve first (a crash inside rebuild_root's swap
+    # window leaves the pre-rebuild root at <path>.old), then the
+    # dataset-level fallback for _compact_assignments' rename window
+    # (centroids are never swapped)
+    path = resolve_live(path)
     return (
         spark.read.parquet(_os.path.join(path, "centroids")),
         spark.read.parquet(
@@ -1188,6 +1191,68 @@ class IVFIndex:
             self.id_col,
             sample_fraction,
         )
+
+    def save_build_report(self, path: str) -> None:
+        """Persist the build-time staleness row under the index root —
+        the baseline ``maybe_rebuild`` (and ``ivf_rebuild_verdict``'s
+        occupancy-growth triggers) compares against. Call right after
+        ``save()``; ``maybe_rebuild`` refreshes it automatically after
+        every rebuild it performs."""
+        _write_baseline(self.staleness(), path, BUILD_REPORT_DIR)
+
+    @staticmethod
+    def maybe_rebuild(
+        spark: SparkSession,
+        path: str,
+        vectors: DataFrame | None = None,
+        n_lists: int | None = None,
+        sample_fraction: float | None = None,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        **thresholds,
+    ):
+        """Staleness -> verdict -> staged rebuild+swap, in one call —
+        the loop :func:`ivf_rebuild_verdict` left manual: measure the
+        saved index's drift (q116's report), apply the measured rule
+        (occupancy triggers armed by the stored
+        :meth:`save_build_report` baseline when present), and when it
+        trips, re-fit KMeans over the CURRENT corpus (``vectors`` when
+        given, else the index's own assignments — they retain the raw
+        vectors), write the fresh index + fresh baseline to a staging
+        root, and swap via ``_staging.rebuild_root`` (rename protocol;
+        loaders fall back to ``<path>.old`` across the crash window;
+        streaming ingest markers are preserved so a resuming stream
+        still dedups). Returns ``(index, verdict, report_row)`` —
+        ``index`` is the freshly-swapped load when rebuilt, the
+        current one otherwise. ``n_lists`` defaults to the saved
+        centroid count; ``thresholds`` forward to the verdict."""
+        idx = IVFIndex.load(spark, path, vec_col, id_col)
+        report = idx.staleness(sample_fraction).collect()[0]
+        base = _read_baseline(spark, path, BUILD_REPORT_DIR)
+        verdict = ivf_rebuild_verdict(
+            report,
+            base.collect()[0] if base is not None else None,
+            **thresholds,
+        )
+        if not verdict.rebuild:
+            return idx, verdict, report
+        from ._staging import rebuild_root, refresh_root
+
+        source = (
+            vectors
+            if vectors is not None
+            else idx.assignments.select(id_col, vec_col)
+        )
+        k = n_lists if n_lists is not None else idx.centroids.count()
+
+        def _fresh(staging: str) -> None:
+            fresh = IVFIndex.build(source, k, vec_col, id_col)
+            fresh.save(staging)
+            fresh.save_build_report(staging)
+
+        rebuild_root(path, _fresh)
+        refresh_root(spark, path)
+        return IVFIndex.load(spark, path, vec_col, id_col), verdict, report
 
     def topk(
         self, query: DataFrame, k: int = 10,
@@ -1382,6 +1447,35 @@ def srp_rebuild_verdict(
             "(corpus mass in buckets the build never saw)"
         )
     return RebuildVerdict(bool(reasons), tuple(reasons))
+
+
+BUILD_REPORT_DIR = "build_report"
+BUILD_OCCUPANCY_DIR = "build_occupancy"
+
+
+def _write_baseline(df: DataFrame, path: str, name: str) -> None:
+    """Persist a build-time baseline frame (one-row report or bucket
+    histogram) under the index root — the stored object
+    ``maybe_rebuild`` compares drift against."""
+    import os as _os
+
+    df.coalesce(1).write.mode("overwrite").parquet(
+        _os.path.join(path, name)
+    )
+
+
+def _read_baseline(spark: SparkSession, path: str, name: str):
+    """The stored baseline frame, or None when the index was saved
+    without one (occupancy-growth triggers are then skipped — the
+    ivf/srp verdicts' documented no-baseline rule)."""
+    import os as _os
+
+    from ._staging import resolve_live
+
+    d = _os.path.join(resolve_live(path), name)
+    if not _os.path.isdir(d):
+        return None
+    return spark.read.parquet(d)
 
 
 def _occupancy_metrics(assignments: DataFrame, col: str) -> DataFrame:
@@ -2600,6 +2694,7 @@ class SRPIndex:
 
         from ._staging import resolve_live
 
+        path = resolve_live(path)  # rebuild_root swap-window fallback
         meta = spark.read.parquet(_os.path.join(path, "meta")).collect()[0]
         return SRPIndex(
             spark.read.parquet(
@@ -2631,6 +2726,66 @@ class SRPIndex:
         if baseline is None:
             return _occupancy_metrics(self.assignments, "bucket")
         return bucket_occupancy_drift(self.assignments, baseline)
+
+    def save_build_report(self, path: str) -> None:
+        """Persist the build-time bucket-occupancy histogram (the
+        :meth:`occupancy` snapshot, <= 2^planes rows) under the index
+        root — the baseline :meth:`maybe_rebuild` measures drift
+        against. Call right after ``save()``."""
+        _write_baseline(self.occupancy(), path, BUILD_OCCUPANCY_DIR)
+
+    @staticmethod
+    def maybe_rebuild(
+        spark: SparkSession,
+        path: str,
+        planes: int | None = None,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        **thresholds,
+    ):
+        """Drift -> verdict -> staged re-plan+swap for the SRP family.
+        The quantizer is bit-exact forever, so a "rebuild" here is a
+        RE-PLAN: when the stored-baseline drift report
+        (:func:`bucket_occupancy_drift` against the
+        :meth:`save_build_report` histogram) trips
+        :func:`srp_rebuild_verdict`, the index re-signs its own
+        vectors (assignments retain them) under ``planes`` hyperplanes
+        — default one MORE than today, doubling the bucket count,
+        which is the measured response to occupancy overload — and the
+        roots swap (markers preserved; loaders fall back across the
+        crash window). Returns ``(index, verdict, report_row)``.
+
+        Without a stored baseline the occupancy-growth and
+        new-bucket-mass triggers have nothing to compare against — the
+        plain skew report is measured but the verdict can only stay
+        fresh; store the baseline at build time to arm the rule."""
+        idx = SRPIndex.load(spark, path, vec_col, id_col)
+        base = _read_baseline(spark, path, BUILD_OCCUPANCY_DIR)
+        report = idx.staleness(base).collect()[0]
+        verdict = srp_rebuild_verdict(
+            report,
+            _occupancy_metrics_from_hist(base).collect()[0]
+            if base is not None
+            else None,
+            **thresholds,
+        )
+        if not verdict.rebuild:
+            return idx, verdict, report
+        from ._staging import rebuild_root, refresh_root
+
+        new_planes = planes if planes is not None else idx.planes + 1
+
+        def _fresh(staging: str) -> None:
+            fresh = SRPIndex.build(
+                idx.assignments.select(id_col, vec_col),
+                idx.dim, new_planes, vec_col, id_col,
+            )
+            fresh.save(staging)
+            fresh.save_build_report(staging)
+
+        rebuild_root(path, _fresh)
+        refresh_root(spark, path)
+        return SRPIndex.load(spark, path, vec_col, id_col), verdict, report
 
     def topk(
         self, query: DataFrame, k: int = 10, n_flip: int | None = None
@@ -2838,6 +2993,7 @@ class QuantizedSRPIndex:
 
         from ._staging import resolve_live
 
+        path = resolve_live(path)  # rebuild_root swap-window fallback
         meta = spark.read.parquet(_os.path.join(path, "meta")).collect()[0]
         return QuantizedSRPIndex(
             spark.read.parquet(
@@ -2862,6 +3018,60 @@ class QuantizedSRPIndex:
         if baseline is None:
             return _occupancy_metrics(self.assignments, "bucket")
         return bucket_occupancy_drift(self.assignments, baseline)
+
+    def save_build_report(self, path: str) -> None:
+        """Persist the build-time bucket histogram — see
+        :meth:`SRPIndex.save_build_report`."""
+        _write_baseline(self.occupancy(), path, BUILD_OCCUPANCY_DIR)
+
+    @staticmethod
+    def maybe_rebuild(
+        spark: SparkSession,
+        path: str,
+        planes: int | None = None,
+        id_col: str = "vec_id",
+        **thresholds,
+    ):
+        """:meth:`SRPIndex.maybe_rebuild` for the quantized twin. The
+        re-plan needs NO raw vectors: build signs the int8 codes, and
+        codes are per-vector frozen, so re-signing the stored codes
+        under more planes reproduces ``build(raw, planes')``
+        bit-for-bit (tested). Returns ``(index, verdict, report)``."""
+        idx = QuantizedSRPIndex.load(spark, path, id_col)
+        base = _read_baseline(spark, path, BUILD_OCCUPANCY_DIR)
+        report = idx.staleness(base).collect()[0]
+        verdict = srp_rebuild_verdict(
+            report,
+            _occupancy_metrics_from_hist(base).collect()[0]
+            if base is not None
+            else None,
+            **thresholds,
+        )
+        if not verdict.rebuild:
+            return idx, verdict, report
+        from ._staging import rebuild_root, refresh_root
+
+        new_planes = planes if planes is not None else idx.planes + 1
+
+        def _fresh(staging: str) -> None:
+            fresh = QuantizedSRPIndex(
+                idx.assignments.select(
+                    id_col,
+                    "codes",
+                    srp_signature_col(
+                        "codes", idx.dim, new_planes
+                    ).alias("bucket"),
+                ),
+                idx.dim, new_planes, id_col,
+            )
+            fresh.save(staging)
+            fresh.save_build_report(staging)
+
+        rebuild_root(path, _fresh)
+        refresh_root(spark, path)
+        return (
+            QuantizedSRPIndex.load(spark, path, id_col), verdict, report
+        )
 
     def topk(
         self, query: DataFrame, k: int = 10, n_flip: int | None = None,
@@ -3067,6 +3277,67 @@ class QuantizedIVFIndex:
             "_codes_d",
             self.id_col,
             sample_fraction,
+        )
+
+    def save_build_report(self, path: str) -> None:
+        """Persist the build-time staleness row — see
+        :meth:`IVFIndex.save_build_report` (code-space metrics here,
+        consistently on both sides of the comparison)."""
+        _write_baseline(self.staleness(), path, BUILD_REPORT_DIR)
+
+    @staticmethod
+    def maybe_rebuild(
+        spark: SparkSession,
+        path: str,
+        vectors: DataFrame | None = None,
+        n_lists: int | None = None,
+        sample_fraction: float | None = None,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        **thresholds,
+    ):
+        """:meth:`IVFIndex.maybe_rebuild` for the quantized store,
+        with one honest difference: a rebuild means RE-FITTING
+        centroids, and the per-vector-scaled int8 codes cannot be
+        inverted to raw vectors — so when the verdict trips, the
+        CURRENT raw corpus must be passed as ``vectors`` (the float
+        twin's assignments, or the source table); without it this
+        raises instead of fabricating a refit. Measurement and the
+        fresh-enough path need no raw data. Returns
+        ``(index, verdict, report)``."""
+        idx = QuantizedIVFIndex.load(spark, path, id_col)
+        report = idx.staleness(sample_fraction).collect()[0]
+        base = _read_baseline(spark, path, BUILD_REPORT_DIR)
+        verdict = ivf_rebuild_verdict(
+            report,
+            base.collect()[0] if base is not None else None,
+            **thresholds,
+        )
+        if not verdict.rebuild:
+            return idx, verdict, report
+        if vectors is None:
+            raise ValueError(
+                "QuantizedIVFIndex.maybe_rebuild: the verdict says "
+                f"rebuild ({'; '.join(verdict.reasons)}) but int8 "
+                "codes cannot be inverted to raw vectors for a KMeans "
+                "refit — pass the current corpus as vectors="
+            )
+        from ._staging import rebuild_root, refresh_root
+
+        k = n_lists if n_lists is not None else idx.centroids.count()
+
+        def _fresh(staging: str) -> None:
+            refit = IVFIndex.build(vectors, k, vec_col, id_col)
+            fresh = QuantizedIVFIndex.build(
+                vectors, refit.centroids, vec_col, id_col
+            )
+            fresh.save(staging)
+            fresh.save_build_report(staging)
+
+        rebuild_root(path, _fresh)
+        refresh_root(spark, path)
+        return (
+            QuantizedIVFIndex.load(spark, path, id_col), verdict, report
         )
 
     def topk(

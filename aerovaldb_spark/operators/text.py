@@ -3449,6 +3449,7 @@ class TfidfScreenIndex:
 
         from ._staging import resolve_live
 
+        path = resolve_live(path)  # rebuild_root swap-window fallback
         meta = spark.read.parquet(_os.path.join(path, "meta")).collect()[0]
         # explicit schemas: a reference whose every doc is zero-norm
         # (e.g. all-whitespace) produces EMPTY frames, and an empty
@@ -3456,7 +3457,8 @@ class TfidfScreenIndex:
         # from — inference would throw UNABLE_TO_INFER_SCHEMA on a
         # perfectly valid (if degenerate) index (hypothesis-found).
         # resolve_live: fall back to the .old state a crash inside
-        # compact()'s rename window leaves (see _staging)
+        # compact()'s rename window leaves (see _staging); the ROOT
+        # resolve above it covers maybe_rebuild's swap window
         return TfidfScreenIndex(
             spark.read.schema("term string, df bigint").parquet(
                 _os.path.join(path, "stats")
@@ -3791,6 +3793,48 @@ class TfidfScreenIndex:
         return (
             counts.crossJoin(drift).crossJoin(mass).crossJoin(churn)
         )
+
+    @staticmethod
+    def maybe_rebuild(
+        spark: SparkSession,
+        path: str,
+        docs: DataFrame,
+        top_k: int = 100,
+        **thresholds,
+    ):
+        """Staleness -> verdict -> staged rebuild+swap, in one call —
+        the loop :func:`screen_rebuild_verdict` left manual: measure
+        the saved index's frozen-idf drift (q114's report), apply the
+        measured rule, and when it trips, BUILD fresh over ``docs``
+        (the current reference corpus — weights cannot be inverted to
+        text, so the raw docs are a required input), write the new
+        layout to a staging root, and swap via
+        ``_staging.rebuild_root`` (rename protocol; ``load`` falls
+        back to ``<path>.old`` across the crash window; streaming
+        ingest epoch markers are preserved so a checkpointed stream
+        resuming after the rebuild still dedups batches the rebuild
+        already contains). The fresh build keeps the saved (bands,
+        rows_per_band, top_terms) dial; recalibrate separately
+        (:func:`calibrate_band_dial`) when the corpus moved enough to
+        warrant it. Returns ``(index, verdict, report_row)`` —
+        ``index`` is the freshly-swapped load when rebuilt, the
+        current one otherwise; ``thresholds`` forward to the
+        verdict."""
+        idx = TfidfScreenIndex.load(spark, path)
+        report = idx.staleness(top_k).collect()[0]
+        verdict = screen_rebuild_verdict(report, **thresholds)
+        if not verdict.rebuild:
+            return idx, verdict, report
+        from ._staging import rebuild_root, refresh_root
+
+        def _fresh(staging: str) -> None:
+            TfidfScreenIndex.build(
+                docs, idx.bands, idx.rows_per_band, idx.top_terms
+            ).save(staging)
+
+        rebuild_root(path, _fresh)
+        refresh_root(spark, path)
+        return TfidfScreenIndex.load(spark, path), verdict, report
 
 
 def tfidf_banded_screen(

@@ -69,12 +69,31 @@ def main() -> None:
     assert not verdict.rebuild  # measured: diffusion this small is fine
 
     # a hard distribution shift trips the occupancy trigger
+    elem = emb.schema["embedding"].dataType.elementType.simpleString()
     shifted = emb.withColumn(
-        "embedding", F.transform("embedding", lambda x: x + F.lit(3.0))
+        "embedding",
+        F.transform("embedding", lambda x: (x + F.lit(3.0)).cast(elem)),
     ).withColumn("vec_id", F.col("vec_id") + 10_000)
     drifted = idx.add(shifted).staleness().collect()[0]
     verdict = ivf_rebuild_verdict(drifted, build_report)
     print("after a shifted append:", verdict.rebuild, verdict.reasons[:1])
+
+    # ---- maybe_rebuild: the loop above in ONE call ------------------
+    # (r12) staleness -> verdict -> staged rebuild+swap: persist the
+    # build-time baseline, append the shifted mass ON DISK, and let
+    # the index decide and act. The swap is the rename protocol
+    # (_staging.rebuild_root): loaders fall back across the crash
+    # window and streaming ingest markers survive.
+    idx_disk = IVFIndex.load(spark, root)
+    idx_disk.save_build_report(root)
+    idx_disk.add(shifted, path=root)
+    rebuilt, verdict, report = IVFIndex.maybe_rebuild(spark, root)
+    print(
+        f"maybe_rebuild: rebuilt={verdict.rebuild} "
+        f"(load_factor_max {report['load_factor_max']})"
+    )
+    _, v2, _ = IVFIndex.maybe_rebuild(spark, root)
+    assert verdict.rebuild and not v2.rebuild  # re-baselined
 
     # ---- screen: same loop, plus dial recalibration -----------------
     docs = load_table(spark, sf, "documents")
@@ -82,6 +101,19 @@ def main() -> None:
     screen = screen.add(docs.filter(F.col("doc_id") >= 250))
     rep = screen.staleness().collect()[0]
     print("screen staleness:", screen_rebuild_verdict(rep))
+
+    # one-call form on a persisted screen index (weights cannot be
+    # inverted to text, so the current corpus is a required input)
+    sroot = tempfile.mkdtemp(prefix="screen-")
+    TfidfScreenIndex.build(docs.filter(F.col("doc_id") < 250)).save(sroot)
+    TfidfScreenIndex.load(spark, sroot).add(
+        docs.filter(F.col("doc_id") >= 250), path=sroot
+    )
+    _, sv, srep = TfidfScreenIndex.maybe_rebuild(spark, sroot, docs=docs)
+    print(
+        f"screen maybe_rebuild: rebuilt={sv.rebuild} "
+        f"(idf_drift_mad {srep['idf_drift_mad']})"
+    )
 
     # when a rebuild IS due, re-derive the banded dial from the grown
     # corpus in one call (measure -> invert -> choose)
