@@ -22,9 +22,9 @@ _MERGED_QUERIES = {
 }
 
 # The external correctness gate records rows for the FIRST 50 entries
-# of ``queries()`` only (121 declared after r11: +q114 +q115 +q116
-# +q117 +q118 +q119 +q120 +q121 +q122 — all > the 50-entry cap), so
-# entry ORDER decides which queries get a
+# of ``queries()`` only (123 declared after r12: +q123 cross-source
+# KMV overlap matrix, +q124 frozen-mixture-plan drift — all > the
+# 50-entry cap), so entry ORDER decides which queries get a
 # driver-recorded check each round. Policy: entries never yet
 # driver-verified, green-only-once, or just-changed come first; the
 # tail past position 50 holds entries with >=2 driver-recorded greens,
@@ -33,54 +33,43 @@ _MERGED_QUERIES = {
 # (tests/test_parity_sample.py runs the same gate at sf0.001;
 # tools/parity.py re-runnable at any SF).
 #
-# Round-11 window (50) — executes the r10-committed rotation:
-# - the 16 once-deferred entries (MUST enter per the r10 commitment,
-#   all present): q65 q03 q04 q05 q06 q10 q13 q53 q54 q58 q60 q29
-#   q35 q01 q02 q07;
-# - new this round (3, never driver-checked): q114 (frozen-idf screen
-#   staleness report), q115 (SRP bucket-occupancy drift), q116
-#   (frozen-centroid IVF staleness) — the index drift metrics as
-#   graded cross-engine queries;
-# - once-green, staying per policy (2): q112 (also changed: the dial
-#   chooser's subnormal-overflow fix routes through
-#   min_bands_for_target), q113;
-# - added mid-round (6): q117 (the dial-calibration MEASUREMENT as a
-#   graded one-row query — exact-kNN edge set vs banded candidates at
-#   the frozen probe dial), q118 (temperature mixture plan), q119
-#   (its per-doc copy-count materialization), q120 (per-source BPE
-#   fertility), q121 (dedup-adjusted mixture plan) and q122 (per-
-#   source health report); they take the slots of q23 q18 (5 driver
-#   greens, the strongest evidence in the fill cohort), q79 q83 q89
-#   (4 greens) and q92 (3 greens, the last-positioned fill entry),
-#   which join the must-enter-r12 deferral;
-# - changed this round (4): q66 q101 q108 (probe-literal cap +
-#   broadcast semi-join fallback on all persisted-index probe paths;
-#   q91/q94 share the SRPIndex path and are in-window via the retiree
-#   cohort below) and q75 (oversized memtable flushes now write at
-#   natural parallelism; the graded flush is below threshold — output
-#   unchanged, path re-verified);
-# - the r9-window retiree cohort rotating back in, 25 of 46, picked
-#   by fewest driver greens then longest-unseen (2 greens: q106 q109;
-#   3 greens: q86 q87 q88 q77 q78 q80 q81 q84 q85 q95 q97 q82 q91
-#   q93 q94 q96 q98).
+# Round-12 window (50) — executes the r11-committed rotation:
+# - the 27 once-deferred entries (MUST enter per the r11 commitment,
+#   all present): q18 q79 q83 q89 q92 q23 q24 q59 q61 q26 q56 q30 q33
+#   q34 q36 q38 q39 q40 q41 q43 q44 q45 q47 q48 q49 q51 q52;
+# - green-only-once, staying per policy (8): the r11 additions q114
+#   q115 q116 q117 q118 q119 q120 q121 (one driver green each —
+#   computed from CORRECTNESS_r01..r11);
+# - new this round (2): q123 (cross-source duplicated-content matrix
+#   via per-source KMV sketches + directional containment), q124
+#   (frozen mixture-plan drift report — the q114-q116 staleness
+#   family applied to the MixturePlan lifecycle);
+# - changed this round (1): q122 (source_health gained the explicit
+#   null_docs column — schema change, re-graded). q109's ORACLE text
+#   was re-templated through kmv_overlap_sql this round with
+#   byte-different but semantically identical SQL (generic key/value
+#   names); its Spark path is untouched and local parity re-verified
+#   it green at sf0.01, so it rotates out on its 3 driver greens
+#   rather than taking a window slot;
+# - fill (12), picked from the 44 r10-window retirees by fewest
+#   driver greens then longest-unseen: q107 q110 q111 (2 greens),
+#   q104 q105 q100 q103 (3), q76 q102 q90 (4), q08 q09 (5).
 #
-# Round-11 tail (71): every entry holds >=2 driver-recorded greens
-# (q107 q110 q111 at exactly 2, both fresh r10; everything else >=3 —
-# counts computed from CORRECTNESS_r01..r10):
-# - 27 entries deferred once more to make room (22 r9 retirees at 5
-#   driver greens — the strongest standing evidence — plus q79 q83
-#   q89 at 4 and q92 at 3): q18 q23 q24 q59 q61 q26 q56 q30 q33 q34
-#   q36 q38 q39 q40 q41 q43 q44 q45 q47 q48 q49 q51 q52 q79 q83 q89
-#   q92. Deferred ONCE — all 27 MUST enter the r12 window, the same
-#   commitment mechanism that has now held five rounds;
-# - the 44 r10-window entries rotating out at fresh r10 greens.
-# R12 plan: the 27 once-deferred entries re-enter first, then the 44
-# r10 retirees rotate; entries holding 3+ greens yield slots to
-# whatever r12 adds or changes.
+# Round-12 tail (73): every entry holds >=2 driver-recorded greens
+# (q112 q113 at exactly 2; everything else >=3 — counts computed from
+# CORRECTNESS_r01..r11 plus the r11 window's fresh greens):
+# - 32 r10-window retirees deferred once more — ALL 32 MUST enter the
+#   r13 window (the commitment mechanism, now seven rounds standing):
+#   q67 q68 q69 q70 q19 q20 q71 q72 q21 q22 q63 q74 q99 q25 q27 q28
+#   q62 q32 q73 q31 q57 q46 q50 q37 q42 q11 q12 q14 q15 q16 q17 q64;
+# - the 41 r11-window entries rotating out at fresh r11 greens.
+# R13 plan: the 32 once-deferred entries re-enter first, then the 41
+# r11 retirees rotate; entries holding 3+ greens yield slots to
+# whatever r13 adds or changes.
 _DEFER_ROUND = [
-    # r10-window cohort, rotating out at fresh r10 greens
-    "q08_running_total",
-    "q09_distinct_counts",
+    # r10-window retirees deferred ONCE MORE (12 of the 44 re-entered
+    # this round; these 32 MUST enter the r13 window — the standing
+    # commitment, now seven rounds unbroken)
     "q11_set_except",
     "q12_case_buckets",
     "q14_part_type_stats",
@@ -97,60 +86,66 @@ _DEFER_ROUND = [
     "q31_session_window",
     "q71_cohort_retention",
     "q72_session_funnel",
-    "q104_purchase_click_pairs",
-    "q107_purchase_click_outer",
     "q21_token_stats",
     "q22_quality_scores",
     "q57_source_mixing",
     "q63_bigram_novelty",
     "q74_passage_dedup",
-    "q76_bigram_lm_nll",
     "q99_tfidf_cosine_knn",
-    "q102_tfidf_reference_screen",
-    "q110_tfidf_banded_knn",
-    "q111_tfidf_banded_screen",
-    "q105_decontaminate_spans",
     "q25_dedup_exact",
     "q27_minhash_signatures",
     "q28_simhash",
     "q62_dedup_pipeline",
     "q46_srp_near_dup",
     "q50_cosine_near_dup",
-    "q90_label_outliers",
     "q32_pivot_status",
     "q37_rank_parts",
     "q42_grouping_sets",
     "q73_frame_manifest",
-    "q100_bpe_large_token_stats",
-    "q103_bpe_doc_fingerprints",
-    # r9-window retirees deferred once more (MUST enter the r12 window)
-    "q18_asof_purchase_click",
-    "q79_knn_join",
-    "q83_label_cohesion",
-    "q89_quantization_audit",
-    "q92_bpe_token_stats",
-    "q23_lang_id",
-    "q24_fingerprints",
-    "q59_repetition_stats",
-    "q61_tfidf_top_terms",
-    "q26_ngram_jaccard_pairs",
-    "q56_dedup_clusters",
-    "q30_embedding_norms",
-    "q33_percentiles",
-    "q34_above_nation_avg",
-    "q36_srp_buckets",
-    "q38_activity_union",
-    "q39_clean_corpus_report",
-    "q40_lsh_candidates",
-    "q41_range_join",
-    "q43_order_gaps",
-    "q44_order_arrays",
-    "q45_regexp_extract",
-    "q47_set_intersect",
-    "q48_date_parts",
-    "q49_cube",
-    "q51_binary_manifest",
-    "q52_media_decode",
+    # r11-window entries rotating out at fresh r11 greens (every one
+    # also holds >=2 prior driver greens, verified from
+    # CORRECTNESS_r01..r11)
+    "q01_pricing_summary",
+    "q02_top_revenue_orders",
+    "q03_revenue_by_nation",
+    "q04_selective_filter_agg",
+    "q05_order_priority_semijoin",
+    "q06_customers_without_orders",
+    "q07_window_topk_per_customer",
+    "q10_rollup_agg",
+    "q13_monthly_event_stats",
+    "q86_waiting_suppliers",
+    "q87_custdist",
+    "q88_small_qty_revenue",
+    "q106_kmv_distinct",
+    "q109_kmv_overlap",
+    "q113_kmv_incremental",
+    "q53_train_split",
+    "q54_pack_sequences",
+    "q58_decontaminate",
+    "q77_contamination_score",
+    "q78_bm25_topk",
+    "q80_sliding_chunks",
+    "q81_stratified_sample",
+    "q84_quality_gate",
+    "q85_token_budget",
+    "q95_bpe_token_budget",
+    "q97_bpe_pack_sequences",
+    "q112_tfidf_banded_knn_dialed",
+    "q60_canonical_docs",
+    "q82_source_overlap",
+    "q29_cosine_topk",
+    "q66_ivf_topk",
+    "q91_srp_ann_topk",
+    "q93_semantic_dedup",
+    "q94_margin_ann_topk",
+    "q96_bounded_semantic_dedup",
+    "q98_quantized_ann_topk",
+    "q101_quantized_srp_ann",
+    "q108_quantized_ivf_ann",
+    "q35_sliding_window",
+    "q65_media_features",
+    "q75_asset_store_roundtrip",
 ]
 
 ALL_QUERIES = {
