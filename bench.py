@@ -52,6 +52,22 @@ PIPELINE = [
     "q62_dedup_pipeline",
 ]
 
+# The published pipeline walls above run on the harness's TEMPLATE
+# corpus — a ~40-word vocabulary where essentially every doc pair
+# shares terms, the deliberately WORST-CASE regime for similarity
+# pruning (SCALING.md measures it as such). Real corpora are
+# Zipf-diverse, where the AllPairs/banded bounds prune 50x+ — so the
+# bench also measures the text rungs on a generated diverse-vocabulary
+# twin of the same document count (tools/gen_diverse_docs.py, seeded,
+# cached under .scale/) and publishes BOTH regimes, labeled. Only the
+# documents-table rungs run here; the corpus carries no other tables.
+DIVERSE_PIPELINE = [
+    "q99_tfidf_cosine_knn",
+    "q102_tfidf_reference_screen",
+    "q110_tfidf_banded_knn",
+    "q112_tfidf_banded_knn_dialed",
+]
+
 
 ERRORS: dict[str, str] = {}
 
@@ -300,6 +316,72 @@ def main() -> None:
             ),
         }
 
+    def _diverse_sf_dir() -> str | None:
+        """Generate (once; deterministic, cached by doc count) the
+        diverse-vocabulary twin corpus sized to THIS bench scale."""
+        try:
+            import sys as _sys
+
+            _sys.path.insert(
+                0, os.path.join(os.path.dirname(__file__), "tools")
+            )
+            from gen_diverse_docs import generate
+
+            n_docs = spark.read.parquet(
+                os.path.join(sf_dir, "documents.parquet")
+            ).count()
+            d = os.path.join(
+                os.path.dirname(__file__), ".scale",
+                f"diverse_docs_n{n_docs}",
+            )
+            if not os.path.exists(os.path.join(d, "documents.parquet")):
+                generate(d, n_docs=n_docs)
+            return d
+        except Exception as e:  # noqa: BLE001 — optional section
+            ERRORS.setdefault(
+                "diverse_corpus", f"{type(e).__name__}: {e}"[:500]
+            )
+            return None
+
+    def measure_diverse() -> dict:
+        # same knobs and shape as measure_pipeline (one warm-up + one
+        # measured pass, own calibration bracket); the corpus is the
+        # diverse-vocabulary twin, so these walls measure the
+        # REALISTIC pruning regime of the same graded operators
+        d = _diverse_sf_dir()
+        if d is None:
+            return {"steady": {}, "cal": [0.0, 0.0], "load": 0.0}
+        saved = {
+            "spark.sql.shuffle.partitions": spark.conf.get(
+                "spark.sql.shuffle.partitions"
+            ),
+            "spark.sql.adaptive.enabled": spark.conf.get(
+                "spark.sql.adaptive.enabled"
+            ),
+        }
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        cal0 = _calibrate()
+        steady: dict[str, float] = {}
+        try:
+            for name in DIVERSE_PIPELINE:
+                c = _run_safe(name, ALL_QUERIES[name], spark, d)
+                if c is None:
+                    continue
+                m = _run_safe(name, ALL_QUERIES[name], spark, d)
+                if m is not None:
+                    steady[name] = round(m, 3)
+        finally:
+            for k, v in saved.items():
+                spark.conf.set(k, v)
+        cal1 = _calibrate()
+        return {
+            "steady": steady,
+            "cal": [cal0, cal1],
+            "load": round(((cal0 + cal1) / 2) / CALIBRATION_REF_SEC, 3),
+            "corpus_dir": d,
+        }
+
     # wall-clock budget across ALL retry attempts (both sections
     # combined): the raised retry cap must not balloon the driver's
     # bench run when the host stays busy for the whole window — better
@@ -329,6 +411,15 @@ def main() -> None:
         pipe, pipe_loads = retry_under_load(measure_pipeline)
     pipeline_cold = first_pipeline_cold if pipe else {}
     pipeline_steady = pipe["steady"] if pipe else {}
+
+    diverse: dict | None = None
+    diverse_loads: list[float] = []
+    if (
+        os.environ.get("SPARK_GRAFT_BENCH_PIPELINE", "1") != "0"
+        and time.time() < bench_deadline
+    ):
+        diverse, diverse_loads = retry_under_load(measure_diverse)
+    diverse_steady = diverse["steady"] if diverse else {}
 
     total = round(sum(per_query.values()), 3)
     out = {
@@ -373,6 +464,25 @@ def main() -> None:
             "host_loaded": pipe["load"] > 1.25,
             "attempt_loads": pipe_loads,
         }
+    if diverse_steady:
+        out["pipeline_diverse"] = {
+            "metric": "pipeline_diverse_total",
+            "value": round(sum(diverse_steady.values()), 3),
+            "unit": "sec",
+            "queries": diverse_steady,
+            "n_queries": len(diverse_steady),
+            "corpus": (
+                "zipf-diverse twin (tools/gen_diverse_docs.py, 30k "
+                "vocab, 10% planted near-dups, same doc count as the "
+                "template corpus) — the realistic pruning regime; the "
+                "'pipeline' section above is the worst-case template "
+                "corpus"
+            ),
+            "calibration_sec": diverse["cal"],
+            "host_load_factor": diverse["load"],
+            "host_loaded": diverse["load"] > 1.25,
+            "attempt_loads": diverse_loads,
+        }
     # Load annotation (r6 lesson: the artifact shipped on a ~23%-slower
     # host and read as a 29% regression until the judge normalized it).
     # CALIBRATION_REF_SEC is the stored best quiet-host calibration for
@@ -415,6 +525,8 @@ def main() -> None:
     }
     if pipeline_steady:
         compact["pipeline_total"] = out["pipeline"]["value"]
+    if diverse_steady:
+        compact["pipeline_diverse_total"] = out["pipeline_diverse"]["value"]
     print(json.dumps(compact), flush=True)
 
 
