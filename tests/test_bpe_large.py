@@ -129,8 +129,6 @@ def test_fast_encoder_rejects_ambiguous_tables():
 def test_spark_large_table_encode_partitioning_invariant(spark):
     """The distinct-vocab encode with the large table is invariant to
     input partitioning and matches the driver-side fast encoder."""
-    from pyspark.sql import functions as F
-
     from aerovaldb_spark.catalog import load_table
     from aerovaldb_spark.functions.bpe import (
         bpe_vocab_tokens_with,

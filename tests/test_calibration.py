@@ -12,8 +12,6 @@ from __future__ import annotations
 
 import pytest
 
-from pyspark.sql import functions as F
-
 from aerovaldb_spark.catalog import load_table
 from aerovaldb_spark.operators.similarity import (
     calibrate_srp_dial,

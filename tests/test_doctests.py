@@ -23,3 +23,21 @@ def test_pure_function_doctests():
         )
     r = doctest.testmod(events, verbose=False)
     assert r.failed == 0 and r.attempted >= 2, r
+
+
+def test_unused_import_gate_is_clean():
+    """The stdlib static gate (tools/lint_imports.py — the executable
+    part of the typing gate in this container) stays clean: every
+    import in the package, tests, tools, and examples is used or
+    carries an explicit noqa."""
+    import subprocess
+    import sys
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(root, "tools", "lint_imports.py")],
+        capture_output=True,
+        text=True,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr

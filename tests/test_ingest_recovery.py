@@ -11,7 +11,6 @@ atomic (jsonfiledb.py:386-413) — no torn window exists there at all.
 
 from __future__ import annotations
 
-import glob
 import os
 
 import pytest

@@ -10,6 +10,12 @@ if command -v mypy >/dev/null 2>&1; then
 elif python -c "import mypy" >/dev/null 2>&1; then
     exec python -m mypy aerovaldb_spark
 else
-    echo "typecheck: mypy not installed in this environment; skipping (config: pyproject.toml [tool.mypy])"
-    exit 0
+    # mypy is absent in the benchmark container (installs forbidden) —
+    # run the stdlib-only static gate we CAN run anywhere instead of
+    # exiting silently: the unused-import checker (tools/
+    # lint_imports.py; it would have caught r11's dead-import advice
+    # finding mechanically). CI environments with mypy still get the
+    # full gate above.
+    echo "typecheck: mypy not installed; running tools/lint_imports.py (config: pyproject.toml [tool.mypy])"
+    exec python "$(dirname "$0")/lint_imports.py"
 fi
