@@ -238,16 +238,90 @@ def rebuild_root(path: str, save_fn, preserve=("_ingest_epochs",)) -> None:
     protocol. Crash recovery is the dataset-level story lifted to the
     root: loaders resolve ``<path>`` through :func:`resolve_live`, so
     a crash inside the swap window serves the intact pre-rebuild root
-    at ``<path>.old`` and a re-run completes the rebuild."""
+    at ``<path>.old`` and a re-run completes the rebuild — which is
+    also why ``preserve`` copies from the RESOLVED root (a re-run
+    after that crash must not silently drop the markers with the
+    ``.old`` cleanup).
+
+    ``.intent`` files are deliberately NOT carried over: an intent's
+    snapshot describes the PRE-rebuild file layout, and running
+    recovery against the rebuilt datasets would delete every fresh
+    file as "torn". Callers must roll torn appends back BEFORE
+    rebuilding (``recover_ingest_intents`` — maybe_rebuild does), so
+    a surviving intent here is already-handled state, never a pending
+    rollback."""
     staging = path + ".rebuild"
     if os.path.exists(staging):
         shutil.rmtree(staging)
     save_fn(staging)
+    live = resolve_live(path)
     for name in preserve:
-        src = os.path.join(path, name)
+        src = os.path.join(live, name)
         if os.path.isdir(src):
-            shutil.copytree(src, os.path.join(staging, name))
+            shutil.copytree(
+                src,
+                os.path.join(staging, name),
+                ignore=shutil.ignore_patterns("*.intent", "*.intent.tmp"),
+            )
     swap_in(path, staging)
+
+
+def recover_ingest_intents(path: str, spark=None) -> dict:
+    """Roll back every torn streaming-ingest append recorded under
+    ``<path>/_ingest_epochs/*/`` — the shared pre-flight for ANY
+    operation that rewrites or rebuilds the index root (maybe_rebuild
+    calls it first; ``streaming.recover_index_ingest`` is the public
+    entry). An ``<epoch>.intent`` without its ``<epoch>`` marker is a
+    torn append (rolled back to the snapshot); with the marker it is
+    a post-commit leftover (removed). With ``spark``, repaired
+    dataset paths are evicted from the shared file-listing cache — a
+    reader planned after a pure rollback would otherwise still
+    reference the deleted files (a re-APPEND refreshes implicitly,
+    recovery without one does not).
+
+    Refuses (raises) when ``path`` is missing but ``<path>.old``
+    exists: that is an interrupted rebuild/compact swap — re-run the
+    rebuild first; intents cannot exist in that state when the
+    recover-before-rebuild ordering is followed, and guessing here
+    could roll back against the wrong root."""
+    import glob as _glob
+
+    if not os.path.isdir(path) and os.path.isdir(path + ".old"):
+        raise ValueError(
+            f"interrupted rebuild detected at {path!r} (.old without "
+            "the live root) — re-run the rebuild/compact to complete "
+            "the swap before ingest recovery"
+        )
+    repaired: dict = {}
+    for run_dir in sorted(
+        _glob.glob(os.path.join(path, "_ingest_epochs", "*"))
+    ):
+        if os.path.isdir(run_dir):
+            repaired.update(recover_run_intents(run_dir, spark))
+    return repaired
+
+
+def recover_run_intents(run_dir: str, spark=None) -> dict:
+    """The per-run recovery loop (ONE definition shared by the
+    per-batch ingest hot path and the whole-root
+    :func:`recover_ingest_intents`): each ``<epoch>.intent`` without
+    its marker rolls back; with the marker it is a post-commit
+    leftover and is removed. ``spark`` evicts repaired dataset paths
+    from the shared file-listing cache."""
+    import glob as _glob
+
+    repaired: dict = {}
+    for intent in sorted(_glob.glob(os.path.join(run_dir, "*.intent"))):
+        marker = intent[: -len(".intent")]
+        if os.path.exists(marker):
+            os.remove(intent)
+        else:
+            repaired[intent] = recover_append_intent(intent)
+    if spark is not None:
+        for removed in repaired.values():
+            for root in removed:
+                spark.catalog.refreshByPath(root)
+    return repaired
 
 
 def refresh_root(spark, path: str) -> None:

@@ -729,10 +729,12 @@ class MixturePlan:
 
     On disk: ``plan/`` parquet (the |sources|-row plan frame) + a
     one-row ``meta/`` pinning (alpha, target_fraction, planner).
-    ``save`` is a wholesale overwrite (plans are tiny and rebuilt
-    whole — there is no append lifecycle); the plan dataset writes
-    FIRST and ``meta`` last, so a torn save leaves a load-refusing
-    layout (missing meta), never a silently mixed one."""
+    ``save`` writes the WHOLE layout to a staging sibling and swaps
+    it in with renames (the ``_staging.swap_in`` protocol; ``load``
+    resolves the root across the crash window) — a re-save over an
+    existing plan can therefore never leave a silently MIXED state
+    (new rates under old meta), which a write-in-place overwrite
+    would on a crash between the two datasets."""
 
     PLANNERS = ("temperature", "dedup_adjusted")
 
@@ -774,20 +776,38 @@ class MixturePlan:
 
     def save(self, path: str) -> None:
         import os as _os
+        import shutil as _shutil
 
+        from ._staging import swap_in
+
+        staging = path + ".staging"
+        if _os.path.exists(staging):
+            _shutil.rmtree(staging)
         self.plan.write.mode("overwrite").parquet(
-            _os.path.join(path, "plan")
+            _os.path.join(staging, "plan")
         )
         self.plan.sparkSession.createDataFrame(
             [(float(self.alpha), float(self.target_fraction),
               self.planner)],
             "alpha double, target_fraction double, planner string",
-        ).write.mode("overwrite").parquet(_os.path.join(path, "meta"))
+        ).write.mode("overwrite").parquet(_os.path.join(staging, "meta"))
+        swap_in(path, staging)
+        # a re-save over a path a reader already planned against must
+        # evict the stale file listings (the maybe_rebuild rule)
+        self.plan.sparkSession.catalog.refreshByPath(
+            _os.path.join(path, "plan")
+        )
+        self.plan.sparkSession.catalog.refreshByPath(
+            _os.path.join(path, "meta")
+        )
 
     @staticmethod
     def load(spark: SparkSession, path: str) -> "MixturePlan":
         import os as _os
 
+        from ._staging import resolve_live
+
+        path = resolve_live(path)  # save-swap crash-window fallback
         meta = spark.read.parquet(_os.path.join(path, "meta")).collect()[0]
         # explicit schema: an empty-corpus plan has zero rows and no
         # part files to infer from (the screen-index load rule)
@@ -856,29 +876,51 @@ class MixturePlan:
             F.col("token_share").alias("share_n"),
             F.col("sample_rate").alias("rate_n"),
         )
-        j = f.join(n, "source", "full_outer")
         both = F.col("share_f").isNotNull() & F.col("share_n").isNotNull()
-        w = F.when(both, F.coalesce("tok_n", F.lit(0))).otherwise(0)
+        # the joined frame is |sources| rows — persist it: it feeds
+        # the one-row totals AND the final aggregate
+        j = scoped_persist(
+            f.join(n, "source", "full_outer").withColumn(
+                "_w",
+                F.when(both, F.coalesce("tok_n", F.lit(0))).otherwise(0),
+            )
+        )
+        # drift means weight by token SHARE (w / sum w), not raw token
+        # counts: the per-term DECIMAL(18,6) sum then carries values
+        # bounded by 1, so a 1e12-token source cannot overflow the 12
+        # integer digits (Spark would NULL the term silently where the
+        # DuckDB oracle ERRORS — a cross-engine divergence inside the
+        # 100 TB envelope); mathematically identical (the scale
+        # cancels), and the weights summing to 1 removes the
+        # denominator divide entirely
+        tot = j.agg(
+            F.sum("_w").alias("_wtot"),
+            F.sum(F.coalesce("tok_n", F.lit(0))).alias("_tn"),
+            F.sum(F.coalesce("tok_f", F.lit(0))).alias("_tf"),
+        )
+        jt = j.crossJoin(F.broadcast(tot))
+        wshare = F.col("_w") / F.nullif(
+            F.col("_wtot"), F.lit(0)
+        ).cast("double")
 
         def _mad(cur: str, frozen: str) -> Column:
             return round6(
                 F.sum(
                     round6(
-                        w * F.abs(F.col(cur) - F.col(frozen))
+                        wshare * F.abs(F.col(cur) - F.col(frozen))
                     ).cast("decimal(18,6)")
                 ).cast("double")
-                / F.nullif(F.sum(w), F.lit(0)).cast("double")
             )
 
         def _max(cur: str, frozen: str) -> Column:
             return F.max(
                 F.when(
-                    both & (F.coalesce("tok_n", F.lit(0)) > 0),
+                    F.col("_w") > 0,
                     round6(F.abs(F.col(cur) - F.col(frozen))),
                 )
             )
 
-        return j.agg(
+        return jt.agg(
             F.sum(F.when(F.col("share_f").isNotNull(), 1).otherwise(0))
             .cast("long")
             .alias("n_sources_frozen"),
@@ -886,10 +928,8 @@ class MixturePlan:
             .cast("long")
             .alias("n_sources_now"),
             round6(
-                F.sum(F.coalesce("tok_n", F.lit(0))).cast("double")
-                / F.nullif(
-                    F.sum(F.coalesce("tok_f", F.lit(0))), F.lit(0)
-                ).cast("double")
+                F.max("_tn").cast("double")
+                / F.nullif(F.max("_tf"), F.lit(0)).cast("double")
             ).alias("growth_ratio"),
             _mad("share_n", "share_f").alias("share_drift_mad"),
             _max("share_n", "share_f").alias("share_drift_max"),
@@ -902,9 +942,7 @@ class MixturePlan:
                         F.coalesce("tok_n", F.lit(0)),
                     ).otherwise(0)
                 ).cast("double")
-                / F.nullif(
-                    F.sum(F.coalesce("tok_n", F.lit(0))), F.lit(0)
-                ).cast("double")
+                / F.nullif(F.max("_tn"), F.lit(0)).cast("double")
             ).alias("new_source_mass"),
         )
 
@@ -1064,8 +1102,10 @@ Q118_SQL = _mix_plan_sql()
 # q124: the frozen plan (even-doc_id half) and the current plan are
 # BOTH the q118 chain, templated on their source relation, full-outer
 # joined on source — the drift arithmetic mirrors MixturePlan.drift
-# expression for expression (w = current-token weight over sources in
-# BOTH plans; round6 per-source, DECIMAL(18,6) sums, NULLIF guards).
+# expression for expression (weights = current-token SHARE over
+# sources in BOTH plans, so the per-term DECIMAL(18,6) values are
+# bounded by 1 and cannot overflow at any corpus size; round6
+# per-source, NULLIF guards).
 Q124_SQL = f"""
 WITH fro AS ({_mix_plan_sql(
     src="halfdocs",
@@ -1083,34 +1123,38 @@ j AS (
                    AND nowp.token_share IS NOT NULL
               THEN COALESCE(nowp.n_tokens, 0) ELSE 0 END AS w
   FROM fro FULL OUTER JOIN nowp ON fro.source = nowp.source
+), tot AS (
+  SELECT SUM(w) AS wtot,
+         SUM(COALESCE(tok_n, 0)) AS tn,
+         SUM(COALESCE(tok_f, 0)) AS tf
+  FROM j
 )
 SELECT
   CAST(SUM(CASE WHEN share_f IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
     AS n_sources_frozen,
   CAST(SUM(CASE WHEN share_n IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
     AS n_sources_now,
-  ROUND(SUM(COALESCE(tok_n, 0))
-        / CAST(NULLIF(SUM(COALESCE(tok_f, 0)), 0) AS DOUBLE), 6)
+  ROUND(MAX(tn) / CAST(NULLIF(MAX(tf), 0) AS DOUBLE), 6)
     AS growth_ratio,
-  ROUND(CAST(SUM(CAST(ROUND(w * ABS(share_n - share_f), 6)
-                      AS DECIMAL(18,6))) AS DOUBLE)
-        / CAST(NULLIF(SUM(w), 0) AS DOUBLE), 6) AS share_drift_mad,
-  MAX(CASE WHEN share_f IS NOT NULL AND share_n IS NOT NULL
-                AND COALESCE(tok_n, 0) > 0
+  ROUND(CAST(SUM(CAST(ROUND((w / CAST(NULLIF(wtot, 0) AS DOUBLE))
+                            * ABS(share_n - share_f), 6)
+                      AS DECIMAL(18,6))) AS DOUBLE), 6)
+    AS share_drift_mad,
+  MAX(CASE WHEN w > 0
            THEN ROUND(ABS(share_n - share_f), 6) END)
     AS share_drift_max,
-  ROUND(CAST(SUM(CAST(ROUND(w * ABS(rate_n - rate_f), 6)
-                      AS DECIMAL(18,6))) AS DOUBLE)
-        / CAST(NULLIF(SUM(w), 0) AS DOUBLE), 6) AS rate_drift_mad,
-  MAX(CASE WHEN share_f IS NOT NULL AND share_n IS NOT NULL
-                AND COALESCE(tok_n, 0) > 0
+  ROUND(CAST(SUM(CAST(ROUND((w / CAST(NULLIF(wtot, 0) AS DOUBLE))
+                            * ABS(rate_n - rate_f), 6)
+                      AS DECIMAL(18,6))) AS DOUBLE), 6)
+    AS rate_drift_mad,
+  MAX(CASE WHEN w > 0
            THEN ROUND(ABS(rate_n - rate_f), 6) END)
     AS rate_drift_max,
   ROUND(SUM(CASE WHEN share_f IS NULL THEN COALESCE(tok_n, 0)
                  ELSE 0 END)
-        / CAST(NULLIF(SUM(COALESCE(tok_n, 0)), 0) AS DOUBLE), 6)
+        / CAST(NULLIF(MAX(tn), 0) AS DOUBLE), 6)
     AS new_source_mass
-FROM j
+FROM j CROSS JOIN tot
 """
 
 _Q121_PLAN_SQL = _mix_plan_sql(
@@ -3820,6 +3864,19 @@ class TfidfScreenIndex:
         ``index`` is the freshly-swapped load when rebuilt, the
         current one otherwise; ``thresholds`` forward to the
         verdict."""
+        # roll back any torn streaming append BEFORE measuring or
+        # rebuilding: a rebuild over torn rows would bake them in, and
+        # a stale intent surviving past the swap would roll back the
+        # FRESH datasets (the intent snapshots the pre-rebuild
+        # layout). Skipped in the interrupted-swap state (no intents
+        # can exist there under this ordering; the re-run completes
+        # the swap).
+        import os as _os
+
+        from ._staging import recover_ingest_intents
+
+        if _os.path.isdir(path):
+            recover_ingest_intents(path, spark)
         idx = TfidfScreenIndex.load(spark, path)
         report = idx.staleness(top_k).collect()[0]
         verdict = screen_rebuild_verdict(report, **thresholds)

@@ -1713,40 +1713,12 @@ def tfidf_screen_batch_fn(index, write, threshold: float = 0.8,
 
 
 def _recover_torn_ingests(marker_dir: str, spark=None) -> dict:
-    """Repair every torn append attempt recorded under ``marker_dir``:
-    an ``<epoch>.intent`` WITHOUT its ``<epoch>`` commit marker means
-    the attempt died somewhere between its first write and the marker
-    — roll the datasets back to the intent's snapshot so the
-    redelivered batch re-appends cleanly; an intent WITH its marker is
-    a post-commit leftover (crash between marker write and intent
-    cleanup — the appends completed) and is just removed. Returns
-    {intent_path: removed-files dict} for the rolled-back attempts.
+    """Per-run torn-append repair — delegates to the ONE shared loop
+    in ``operators._staging`` (see ``recover_run_intents`` for the
+    marker/intent pairing rule and the cache-eviction rationale)."""
+    from ..operators._staging import recover_run_intents
 
-    ``spark``: when given, the repaired dataset paths are evicted
-    from the session's shared file-listing cache
-    (``catalog.refreshByPath``) — Spark caches directory listings
-    across queries, so without the refresh a reader created after the
-    rollback could still plan over the deleted torn files (a
-    subsequent APPEND refreshes implicitly, which is why the
-    redelivery path never notices; a rollback with no re-append
-    does not)."""
-    import glob as _glob
-    import os as _os
-
-    from ..operators._staging import recover_append_intent
-
-    repaired = {}
-    for intent in sorted(_glob.glob(_os.path.join(marker_dir, "*.intent"))):
-        marker = intent[: -len(".intent")]
-        if _os.path.exists(marker):
-            _os.remove(intent)
-        else:
-            repaired[intent] = recover_append_intent(intent)
-    if spark is not None:
-        for removed in repaired.values():
-            for root in removed:
-                spark.catalog.refreshByPath(root)
-    return repaired
+    return recover_run_intents(marker_dir, spark)
 
 
 def recover_index_ingest(path: str, spark=None) -> dict:
@@ -1757,16 +1729,13 @@ def recover_index_ingest(path: str, spark=None) -> dict:
     recovery would never look at the old run's markers). Returns
     {intent_path: removed-files} for what was rolled back (empty =
     nothing was torn). Pass the live ``spark`` session so repaired
-    paths are evicted from its shared file-listing cache (see
-    ``_recover_torn_ingests``)."""
-    import glob as _glob
-    import os as _os
+    paths are evicted from its shared file-listing cache. Raises on
+    an interrupted rebuild swap (``<path>.old`` without ``<path>``) —
+    re-run the rebuild first; see
+    ``operators._staging.recover_ingest_intents``."""
+    from ..operators._staging import recover_ingest_intents
 
-    out = {}
-    for run_dir in _glob.glob(_os.path.join(path, "_ingest_epochs", "*")):
-        if _os.path.isdir(run_dir):
-            out.update(_recover_torn_ingests(run_dir, spark))
-    return out
+    return recover_ingest_intents(path, spark)
 
 
 def index_ingest_fn(index, path: str, run_id: str, datasets=None):

@@ -284,8 +284,6 @@ def main() -> None:
     # again and overshoot the printed planned budget; omitting plan=
     # would likewise re-derive the raw temperature plan and hand
     # duplicate-heavy sources their duplicated share right back
-    from aerovaldb_spark.operators.dedup import dedup_exact
-
     keep = dedup_exact(docs).select(F.col("keep_doc_id").alias("doc_id"))
     copies = mixture_assignment(
         docs.join(keep, "doc_id", "left_semi"), plan=plan

@@ -245,3 +245,117 @@ def test_rebuild_root_crash_window_is_load_recoverable(spark, tmp_path):
     os.replace(p, p + ".old")  # the mid-swap state
     recovered = SRPIndex.load(spark, p)
     assert recovered.assignments.count() == n
+
+
+def test_rebuild_root_preserves_markers_from_old_after_crashed_swap(
+    tmp_path,
+):
+    """Re-running a rebuild after a crash inside the swap window (only
+    <path>.old exists) must still carry the ingest markers over —
+    reading them from the RESOLVED root, not the missing live one
+    (review finding: the unresolved read silently dropped every
+    marker with the .old cleanup)."""
+    from aerovaldb_spark.operators._staging import rebuild_root
+
+    p = str(tmp_path / "idx")
+    os.makedirs(os.path.join(p, "_ingest_epochs", "run1"))
+    open(os.path.join(p, "_ingest_epochs", "run1", "0"), "w").close()
+    os.replace(p, p + ".old")  # the mid-swap crash state
+
+    def save_fn(staging):
+        os.makedirs(os.path.join(staging, "data"))
+        open(os.path.join(staging, "data", "part-0"), "w").close()
+
+    rebuild_root(p, save_fn)
+    assert os.path.exists(os.path.join(p, "_ingest_epochs", "run1", "0"))
+    assert not os.path.exists(p + ".old")
+
+
+def test_rebuild_root_never_carries_intent_files(tmp_path):
+    """A stale .intent snapshot describes the PRE-rebuild layout;
+    carrying it across the swap would make the next recovery delete
+    every freshly rebuilt file as 'torn' (review finding, reproduced)
+    — intents are dropped at the copy."""
+    from aerovaldb_spark.operators._staging import (
+        rebuild_root,
+        recover_ingest_intents,
+    )
+
+    p = str(tmp_path / "idx")
+    run = os.path.join(p, "_ingest_epochs", "run1")
+    os.makedirs(run)
+    open(os.path.join(run, "0"), "w").close()
+    import json
+
+    with open(os.path.join(run, "1.intent"), "w") as f:
+        json.dump({os.path.join(p, "data"): []}, f)
+
+    def save_fn(staging):
+        os.makedirs(os.path.join(staging, "data"))
+        open(os.path.join(staging, "data", "part-rebuilt"), "w").close()
+
+    rebuild_root(p, save_fn)
+    assert not os.path.exists(os.path.join(run, "1.intent"))
+    assert os.path.exists(os.path.join(run, "0"))
+    # and even a direct recovery now finds nothing to roll back
+    assert recover_ingest_intents(p) == {}
+    assert os.path.exists(os.path.join(p, "data", "part-rebuilt"))
+
+
+def test_maybe_rebuild_rolls_back_torn_append_before_rebuilding(
+    spark, tmp_path, monkeypatch
+):
+    """A torn streaming append pending at rebuild time must be rolled
+    back FIRST: otherwise the rebuild bakes the unmarked rows in and
+    the redelivered batch appends them again (duplicates). End to
+    end: tear an append, maybe_rebuild (trips), redeliver — no
+    duplicate ids, count exact."""
+    import aerovaldb_spark.streaming as st
+    from aerovaldb_spark.operators.similarity import SRPIndex
+
+    emb, old, shifted = _emb_halves(spark)
+    dim = len(emb.first()["embedding"])
+    p = str(tmp_path / "srp")
+    built = SRPIndex.build(old, dim, planes=4)
+    built.save(p)
+    built.save_build_report(p)
+    # a COMMITTED shifted append arms the drift verdict
+    SRPIndex.load(spark, p).add(shifted, path=p)
+
+    # now a TORN append of extra vectors (crash before the marker)
+    extra = old.withColumn("vec_id", F.col("vec_id") + 5_000_000)
+    fn = st.index_ingest_fn(SRPIndex.load(spark, p), p, run_id="r")
+
+    def boom_marker(marker):
+        raise RuntimeError("injected")
+
+    monkeypatch.setattr(st, "_commit_marker", boom_marker)
+    with pytest.raises(RuntimeError, match="injected"):
+        fn(extra, 0)
+    monkeypatch.undo()
+
+    idx, verdict, _ = SRPIndex.maybe_rebuild(spark, p)
+    assert verdict.rebuild
+    # the torn rows were rolled back, NOT baked into the rebuild
+    n_clean = old.count() + shifted.count()
+    assert idx.assignments.count() == n_clean
+    # redelivery after the rebuild appends the batch exactly once
+    fn2 = st.index_ingest_fn(SRPIndex.load(spark, p), p, run_id="r")
+    fn2(extra, 0)
+    served = SRPIndex.load(spark, p)
+    assert served.assignments.count() == n_clean + extra.count()
+    assert (
+        served.assignments.groupBy("vec_id").count().where("count > 1")
+        .count()
+        == 0
+    )
+
+
+def test_recover_index_ingest_refuses_mid_swap_state(spark, tmp_path):
+    from aerovaldb_spark.streaming import recover_index_ingest
+
+    p = str(tmp_path / "idx")
+    os.makedirs(p)
+    os.replace(p, p + ".old")
+    with pytest.raises(ValueError, match="interrupted rebuild"):
+        recover_index_ingest(p, spark)

@@ -406,3 +406,61 @@ def test_mixture_plan_validates_planner_and_dedup_adjusted_replan(spark):
     )
     # drift re-plans with the SAME planner: zero against itself
     assert plan.drift(docs).collect()[0]["share_drift_mad"] == 0.0
+
+
+def test_mixture_plan_resave_is_atomic_and_load_survives_swap_window(
+    spark, tmp_path
+):
+    """A re-save over an existing plan must never leave a silently
+    MIXED state (new rates under old meta) — save writes the whole
+    layout to staging and rename-swaps; load resolves the root across
+    the crash window (review finding: the in-place overwrite had a
+    plan-new/meta-old window)."""
+    from aerovaldb_spark.operators.text import MixturePlan
+
+    docs = load_table(spark, SF, "documents")
+    p = str(tmp_path / "mixplan")
+    MixturePlan.build(docs, alpha=0.3).save(p)
+    # re-save with different knobs over the same path
+    MixturePlan.build(docs, alpha=0.7).save(p)
+    loaded = MixturePlan.load(spark, p)
+    assert loaded.alpha == 0.7  # never old meta + new plan
+    want_rows = sorted(map(tuple, loaded.plan.collect()))
+    # crash window: live renamed away, .old holds the last full state
+    import os
+
+    os.replace(p, p + ".old")
+    spark.catalog.refreshByPath(os.path.join(p, "plan"))
+    again = MixturePlan.load(spark, p)
+    assert again.alpha == 0.7
+    assert sorted(map(tuple, again.plan.collect())) == want_rows
+
+
+def test_mixture_plan_drift_mad_survives_terascale_token_counts(spark):
+    """The drift means weight by token SHARE, so the per-term
+    DECIMAL(18,6) values are bounded by 1 — a 1e13-token source must
+    yield a real drift number, not a silently NULLed term (review
+    finding: raw-token weighting overflowed the cast, Spark nulling
+    where the DuckDB oracle errors)."""
+    from aerovaldb_spark.operators.text import MixturePlan
+
+    def plan_df(shares):
+        rows = [
+            (s, 10, int(sh * 2e13), sh, sh, sh * 0.5, sh * 1e13)
+            for s, sh in shares
+        ]
+        return spark.createDataFrame(
+            rows,
+            "source string, n_docs long, n_tokens long, "
+            "token_share double, mix_weight double, "
+            "sample_rate double, expected_tokens double",
+        )
+
+    frozen = MixturePlan(plan_df([("a", 0.5), ("b", 0.5)]), 0.3, 0.5)
+    now = plan_df([("a", 0.9), ("b", 0.1)])
+    frozen._replan = lambda docs: now  # drift against a fixed re-plan
+    r = frozen.drift(spark.range(1)).collect()[0]
+    assert r["share_drift_mad"] is not None
+    # share-weighted mean |0.4| with weights 0.9/0.1 = 0.4
+    assert r["share_drift_mad"] == pytest.approx(0.4, abs=1e-5)
+    assert r["share_drift_max"] == pytest.approx(0.4, abs=1e-6)

@@ -123,9 +123,9 @@ MIX_SAME_2X = {
 }
 MIX_ONE_SOURCE_3X = {
     "growth_ratio": 1.109739,
-    "share_drift_mad": 0.018087,
+    "share_drift_mad": 0.018086,
     "share_drift_max": 0.093461,
-    "rate_drift_mad": 0.072045,
+    "rate_drift_mad": 0.072044,
     "rate_drift_max": 0.232476,
     "new_source_mass": 0.0,
 }
