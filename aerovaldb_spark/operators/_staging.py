@@ -338,3 +338,17 @@ def refresh_root(spark, path: str) -> None:
             child = os.path.join(path, name)
             if os.path.isdir(child):
                 spark.catalog.refreshByPath(child)
+
+
+def recover_before_rebuild(path: str, spark=None) -> dict:
+    """The ONE recover-before-rebuild preamble every family's
+    ``maybe_rebuild`` runs first: roll back any torn streaming append
+    BEFORE measuring or rebuilding — a rebuild over torn rows would
+    bake them in, and a stale intent surviving past the swap would
+    roll back the FRESH datasets (the intent snapshots the
+    pre-rebuild layout). Skipped in the interrupted-swap state (no
+    intents can exist there under this ordering; the re-run completes
+    the swap)."""
+    if os.path.isdir(path):
+        return recover_ingest_intents(path, spark)
+    return {}

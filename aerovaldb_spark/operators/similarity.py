@@ -1226,19 +1226,9 @@ class IVFIndex:
         ``index`` is the freshly-swapped load when rebuilt, the
         current one otherwise. ``n_lists`` defaults to the saved
         centroid count; ``thresholds`` forward to the verdict."""
-        # roll back any torn streaming append BEFORE measuring or
-        # rebuilding: a rebuild over torn rows would bake them in, and
-        # a stale intent surviving past the swap would roll back the
-        # FRESH datasets (the intent snapshots the pre-rebuild
-        # layout). Skipped in the interrupted-swap state (no intents
-        # can exist there under this ordering; the re-run completes
-        # the swap).
-        import os as _os
+        from ._staging import recover_before_rebuild
 
-        from ._staging import recover_ingest_intents
-
-        if _os.path.isdir(path):
-            recover_ingest_intents(path, spark)
+        recover_before_rebuild(path, spark)
         idx = IVFIndex.load(spark, path, vec_col, id_col)
         report = idx.staleness(sample_fraction).collect()[0]
         base = _read_baseline(spark, path, BUILD_REPORT_DIR)
@@ -2772,19 +2762,9 @@ class SRPIndex:
         new-bucket-mass triggers have nothing to compare against — the
         plain skew report is measured but the verdict can only stay
         fresh; store the baseline at build time to arm the rule."""
-        # roll back any torn streaming append BEFORE measuring or
-        # rebuilding: a rebuild over torn rows would bake them in, and
-        # a stale intent surviving past the swap would roll back the
-        # FRESH datasets (the intent snapshots the pre-rebuild
-        # layout). Skipped in the interrupted-swap state (no intents
-        # can exist there under this ordering; the re-run completes
-        # the swap).
-        import os as _os
+        from ._staging import recover_before_rebuild
 
-        from ._staging import recover_ingest_intents
-
-        if _os.path.isdir(path):
-            recover_ingest_intents(path, spark)
+        recover_before_rebuild(path, spark)
         idx = SRPIndex.load(spark, path, vec_col, id_col)
         base = _read_baseline(spark, path, BUILD_OCCUPANCY_DIR)
         report = idx.staleness(base).collect()[0]
@@ -3063,19 +3043,9 @@ class QuantizedSRPIndex:
         codes are per-vector frozen, so re-signing the stored codes
         under more planes reproduces ``build(raw, planes')``
         bit-for-bit (tested). Returns ``(index, verdict, report)``."""
-        # roll back any torn streaming append BEFORE measuring or
-        # rebuilding: a rebuild over torn rows would bake them in, and
-        # a stale intent surviving past the swap would roll back the
-        # FRESH datasets (the intent snapshots the pre-rebuild
-        # layout). Skipped in the interrupted-swap state (no intents
-        # can exist there under this ordering; the re-run completes
-        # the swap).
-        import os as _os
+        from ._staging import recover_before_rebuild
 
-        from ._staging import recover_ingest_intents
-
-        if _os.path.isdir(path):
-            recover_ingest_intents(path, spark)
+        recover_before_rebuild(path, spark)
         idx = QuantizedSRPIndex.load(spark, path, id_col)
         base = _read_baseline(spark, path, BUILD_OCCUPANCY_DIR)
         report = idx.staleness(base).collect()[0]
@@ -3344,19 +3314,9 @@ class QuantizedIVFIndex:
         raises instead of fabricating a refit. Measurement and the
         fresh-enough path need no raw data. Returns
         ``(index, verdict, report)``."""
-        # roll back any torn streaming append BEFORE measuring or
-        # rebuilding: a rebuild over torn rows would bake them in, and
-        # a stale intent surviving past the swap would roll back the
-        # FRESH datasets (the intent snapshots the pre-rebuild
-        # layout). Skipped in the interrupted-swap state (no intents
-        # can exist there under this ordering; the re-run completes
-        # the swap).
-        import os as _os
+        from ._staging import recover_before_rebuild
 
-        from ._staging import recover_ingest_intents
-
-        if _os.path.isdir(path):
-            recover_ingest_intents(path, spark)
+        recover_before_rebuild(path, spark)
         idx = QuantizedIVFIndex.load(spark, path, id_col)
         report = idx.staleness(sample_fraction).collect()[0]
         base = _read_baseline(spark, path, BUILD_REPORT_DIR)

@@ -3864,19 +3864,9 @@ class TfidfScreenIndex:
         ``index`` is the freshly-swapped load when rebuilt, the
         current one otherwise; ``thresholds`` forward to the
         verdict."""
-        # roll back any torn streaming append BEFORE measuring or
-        # rebuilding: a rebuild over torn rows would bake them in, and
-        # a stale intent surviving past the swap would roll back the
-        # FRESH datasets (the intent snapshots the pre-rebuild
-        # layout). Skipped in the interrupted-swap state (no intents
-        # can exist there under this ordering; the re-run completes
-        # the swap).
-        import os as _os
+        from ._staging import recover_before_rebuild
 
-        from ._staging import recover_ingest_intents
-
-        if _os.path.isdir(path):
-            recover_ingest_intents(path, spark)
+        recover_before_rebuild(path, spark)
         idx = TfidfScreenIndex.load(spark, path)
         report = idx.staleness(top_k).collect()[0]
         verdict = screen_rebuild_verdict(report, **thresholds)

@@ -1785,6 +1785,17 @@ def index_ingest_fn(index, path: str, run_id: str, datasets=None):
     def fn(batch_df: DataFrame, epoch_id: int) -> None:
         from ..operators._scope import scoped_collector
 
+        # refuse the interrupted-rebuild state BEFORE creating any
+        # directory: makedirs here would materialize a stub live root
+        # (markers only, no datasets), making resolve_live prefer it
+        # over the intact <path>.old and defeating the
+        # recover_ingest_intents mid-swap guard
+        if not _os.path.isdir(path) and _os.path.isdir(path + ".old"):
+            raise ValueError(
+                f"interrupted rebuild detected at {path!r} (.old "
+                "without the live root) — re-run the rebuild/compact "
+                "to complete the swap before resuming ingest"
+            )
         marker_dir = _os.path.join(path, "_ingest_epochs", run_id)
         _os.makedirs(marker_dir, exist_ok=True)
         marker = _os.path.join(marker_dir, str(int(epoch_id)))

@@ -261,24 +261,19 @@ def main() -> None:
     # regardless of which attempt's steady numbers are chosen
     first_pipeline_cold: dict[str, float] = {}
 
-    def measure_pipeline() -> dict:
-        # one warm-up + one measured pass per operator (see PIPELINE
-        # note); the section carries its OWN calibration bracket — it
-        # runs minutes after the headline one, and without a separate
-        # bracket a clean headline number inherits this section's load
-        # flag (observed r8: opening 0.33, closing 2.88).
-        #
-        # The section also carries its OWN execution knobs: the
-        # headline tuning (8 static shuffle partitions, AQE off) is
-        # sized for sub-second queries where per-task scheduling and
-        # AQE's stage barriers dominate; the heavy pipeline operators
-        # shuffle multi-million-row candidate frames where that same
-        # tuning UNDER-parallelizes — measured A/B at sf0.1 (quiet
-        # host): q99 46.1 -> 24.7 s, q102 44.3 -> 24.2 s, q110
-        # 31.1 -> 16.2 s with 32 partitions + AQE on. Same lesson as
-        # the headline knobs, pointed the other way: size the knobs to
-        # the workload's data volume. Both are runtime-settable
-        # session confs, restored after the section.
+    def _measure_block(queries, d, cold_sink=None) -> dict:
+        """One warm-up + one measured pass per operator at the heavy
+        block's data-scale knobs (32 shuffle partitions + AQE on — the
+        headline's 8-partition/AQE-off tuning UNDER-parallelizes the
+        multi-million-row candidate shuffles; measured A/B at sf0.1:
+        q99 46.1 -> 24.7 s, q102 44.3 -> 24.2 s, q110 31.1 -> 16.2 s).
+        The block carries its OWN calibration bracket — it runs
+        minutes after the headline one, and without a separate
+        bracket a clean headline number inherits this block's load
+        flag (observed r8: opening 0.33, closing 2.88). Runtime confs
+        are restored after the block; ``cold_sink`` records the
+        warm-up walls (cold/steady pairs recorded together so a
+        warm-up-ok/measured-fail query shows up in ERRORS only)."""
         saved = {
             "spark.sql.shuffle.partitions": spark.conf.get(
                 "spark.sql.shuffle.partitions"
@@ -292,18 +287,15 @@ def main() -> None:
         cal0 = _calibrate()
         steady: dict[str, float] = {}
         try:
-            for name in PIPELINE:
-                c = _run_safe(name, ALL_QUERIES[name], spark, sf_dir)
+            for name in queries:
+                c = _run_safe(name, ALL_QUERIES[name], spark, d)
                 if c is None:
                     continue
-                s = _run_safe(name, ALL_QUERIES[name], spark, sf_dir)
-                if s is not None:
-                    # record the pair together: a query appearing in
-                    # cold but not steady would make pipeline totals
-                    # read as a speedup; a warm-up-ok/measured-fail
-                    # query shows up in ERRORS only
-                    first_pipeline_cold.setdefault(name, round(c, 3))
-                    steady[name] = round(s, 3)
+                m = _run_safe(name, ALL_QUERIES[name], spark, d)
+                if m is not None:
+                    if cold_sink is not None:
+                        cold_sink.setdefault(name, round(c, 3))
+                    steady[name] = round(m, 3)
         finally:
             for k, v in saved.items():
                 spark.conf.set(k, v)
@@ -311,10 +303,11 @@ def main() -> None:
         return {
             "steady": steady,
             "cal": [cal0, cal1],
-            "load": round(
-                ((cal0 + cal1) / 2) / CALIBRATION_REF_SEC, 3
-            ),
+            "load": round(((cal0 + cal1) / 2) / CALIBRATION_REF_SEC, 3),
         }
+
+    def measure_pipeline() -> dict:
+        return _measure_block(PIPELINE, sf_dir, first_pipeline_cold)
 
     def _diverse_sf_dir() -> str | None:
         """Generate (once; deterministic, cached by doc count) the
@@ -344,43 +337,18 @@ def main() -> None:
             return None
 
     def measure_diverse() -> dict:
-        # same knobs and shape as measure_pipeline (one warm-up + one
-        # measured pass, own calibration bracket); the corpus is the
-        # diverse-vocabulary twin, so these walls measure the
-        # REALISTIC pruning regime of the same graded operators
+        # same block shape on the diverse-vocabulary twin corpus, so
+        # these walls measure the REALISTIC pruning regime of the same
+        # graded operators. A failed attempt carries load=inf: the
+        # retry rule keeps the LOWEST-load attempt, and a 0.0 failure
+        # shape would beat every successful loaded measurement.
         d = _diverse_sf_dir()
         if d is None:
-            return {"steady": {}, "cal": [0.0, 0.0], "load": 0.0}
-        saved = {
-            "spark.sql.shuffle.partitions": spark.conf.get(
-                "spark.sql.shuffle.partitions"
-            ),
-            "spark.sql.adaptive.enabled": spark.conf.get(
-                "spark.sql.adaptive.enabled"
-            ),
-        }
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
-        cal0 = _calibrate()
-        steady: dict[str, float] = {}
-        try:
-            for name in DIVERSE_PIPELINE:
-                c = _run_safe(name, ALL_QUERIES[name], spark, d)
-                if c is None:
-                    continue
-                m = _run_safe(name, ALL_QUERIES[name], spark, d)
-                if m is not None:
-                    steady[name] = round(m, 3)
-        finally:
-            for k, v in saved.items():
-                spark.conf.set(k, v)
-        cal1 = _calibrate()
-        return {
-            "steady": steady,
-            "cal": [cal0, cal1],
-            "load": round(((cal0 + cal1) / 2) / CALIBRATION_REF_SEC, 3),
-            "corpus_dir": d,
-        }
+            return {"steady": {}, "cal": [0.0, 0.0],
+                    "load": float("inf")}
+        out = _measure_block(DIVERSE_PIPELINE, d)
+        out["corpus_dir"] = d
+        return out
 
     # wall-clock budget across ALL retry attempts (both sections
     # combined): the raised retry cap must not balloon the driver's

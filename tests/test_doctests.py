@@ -41,3 +41,30 @@ def test_unused_import_gate_is_clean():
         text=True,
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
+
+
+def test_lint_imports_noqa_is_per_alias(tmp_path):
+    """On a multi-line ``from x import (...)``, a noqa beside ONE name
+    exempts exactly that name — not its siblings (second-pass review
+    finding: the statement-level lineno made per-alias noqa dead and
+    a from-line noqa a blanket exemption)."""
+    import subprocess
+    import sys
+    import os
+
+    f = tmp_path / "mod.py"
+    f.write_text(
+        "from os.path import (\n"
+        "    join,\n"
+        "    split,  # noqa: intentionally re-exported\n"
+        ")\n"
+    )
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(root, "tools", "lint_imports.py"),
+         str(f)],
+        capture_output=True, text=True,
+    )
+    assert proc.returncode == 1
+    assert "'join'" in proc.stdout  # the un-noqa'd sibling still flags
+    assert "'split'" not in proc.stdout

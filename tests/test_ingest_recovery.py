@@ -342,3 +342,23 @@ def test_intent_rollback_prunes_new_partition_dirs(spark, tmp_path):
     assert not os.path.exists(os.path.join(d, "band=7"))
     assert os.path.exists(os.path.join(d, "band=0", "part-0.parquet"))
     assert not os.path.exists(intent)
+
+
+def test_ingest_fn_refuses_interrupted_rebuild_state(spark, tmp_path):
+    """A stream resuming while a rebuild sits mid-swap (<path>.old
+    only) must refuse BEFORE creating any directory: makedirs would
+    materialize a stub live root that resolve_live prefers over the
+    intact .old, stranding the real data (second-pass review
+    finding)."""
+    from aerovaldb_spark.operators.text import TfidfScreenIndex
+    from aerovaldb_spark.streaming import tfidf_index_ingest_fn
+
+    ref, new, _ = _split_docs(spark)
+    p = str(tmp_path / "idx")
+    TfidfScreenIndex.build(ref).save(p)
+    idx = TfidfScreenIndex.load(spark, p)
+    os.replace(p, p + ".old")  # the mid-swap crash state
+    fn = tfidf_index_ingest_fn(idx, p, run_id="r")
+    with pytest.raises(ValueError, match="interrupted rebuild"):
+        fn(new, 0)
+    assert not os.path.isdir(p)  # no stub root materialized

@@ -68,7 +68,12 @@ def generate(out_dir: str, n_docs: int = 5000, vocab: int = 30000, seed: int = 7
         }
     )
     path = os.path.join(out_dir, "documents.parquet")
-    pq.write_table(table, path)
+    # write-then-rename: a mid-write kill (bench deadline, OOM) must
+    # not leave a truncated file that existence-based caching
+    # (bench._diverse_sf_dir) would treat as a valid corpus forever
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
     return path
 
 

@@ -28,17 +28,25 @@ import sys
 
 
 def _binds(node: ast.AST):
-    """(bound_name, display, lineno) for each name an import binds."""
+    """(bound_name, display, lineno) for each name an import binds.
+    The lineno is the ALIAS node's own line, not the statement's —
+    a ``# noqa`` beside one name of a multi-line ``from x import
+    (...)`` must exempt exactly that name, and a noqa on the ``from``
+    line must not silently exempt every sibling."""
     if isinstance(node, ast.Import):
         for a in node.names:
             # ``import a.b`` binds root ``a``; ``import a.b as c`` -> c
             name = a.asname or a.name.split(".")[0]
-            yield name, a.name, node.lineno
+            yield name, a.name, getattr(a, "lineno", node.lineno)
     elif isinstance(node, ast.ImportFrom):
         for a in node.names:
             if a.name == "*":
                 continue
-            yield a.asname or a.name, a.name, node.lineno
+            yield (
+                a.asname or a.name,
+                a.name,
+                getattr(a, "lineno", node.lineno),
+            )
 
 
 def check_file(path: str) -> list[str]:
