@@ -614,6 +614,70 @@ def q123_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_overlap_matrix(load_table(spark, sf_dir, "documents"))
 
 
+def source_external_dup(docs: DataFrame, k: int | None = None) -> DataFrame:
+    """One row per source: its WORST external-duplication partner —
+    (source, partner, containment, jaccard), where containment is the
+    largest fraction of this source's DISTINCT content also present
+    in any other source (q123's directional column, reduced to the
+    per-source answer an operator acts on: "mirror's content is 92%
+    source X's — fix the crawl, or let the dedup-adjusted plan eat
+    its share"). Ties break on partner name. Sources with no pair row
+    (single-source corpora) are absent, as in q123.
+
+    Cost: q123's sketch matrix (ONE corpus scan) + a |sources|²-row
+    union and window — nothing doc-shaped moves."""
+    from pyspark.sql import Window
+
+    m = scoped_persist(source_overlap_matrix(docs, k))
+    a = m.select(
+        F.col("source_a").alias("source"),
+        F.col("source_b").alias("partner"),
+        F.col("containment_a_in_b").alias("containment"),
+        "jaccard",
+    )
+    b = m.select(
+        F.col("source_b").alias("source"),
+        F.col("source_a").alias("partner"),
+        F.col("containment_b_in_a").alias("containment"),
+        "jaccard",
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("containment").desc(), F.col("partner").asc()
+    )
+    return (
+        a.unionByName(b)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def q125_source_external_dup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return source_external_dup(load_table(spark, sf_dir, "documents"))
+
+
+def _q125_sql() -> str:
+    return f"""
+WITH m AS ({_q123_sql()}),
+u AS (
+  SELECT source_a AS source, source_b AS partner,
+         containment_a_in_b AS containment, jaccard
+  FROM m
+  UNION ALL
+  SELECT source_b, source_a, containment_b_in_a, jaccard FROM m
+), r AS (
+  SELECT source, partner, containment, jaccard,
+    ROW_NUMBER() OVER (
+      PARTITION BY source ORDER BY containment DESC, partner
+    ) AS rn
+  FROM u
+)
+SELECT source, partner, containment, jaccard FROM r WHERE rn = 1
+"""
+
+
 def _q123_sql() -> str:
     from .events import kmv_overlap_sql
 
@@ -4728,6 +4792,7 @@ QUERIES = {
     "q122_source_health": q122_source_health,
     "q123_source_overlap": q123_source_overlap,
     "q124_mixture_plan_drift": q124_mixture_plan_drift,
+    "q125_source_external_dup": q125_source_external_dup,
     "q105_decontaminate_spans": q105_decontaminate_spans,
 }
 
@@ -4740,6 +4805,7 @@ ORACLE = {
     "q122_source_health": Q122_SQL,
     "q123_source_overlap": _q123_sql(),
     "q124_mixture_plan_drift": Q124_SQL,
+    "q125_source_external_dup": _q125_sql(),
     "q80_sliding_chunks": Q80_SQL,
     "q81_stratified_sample": Q81_SQL,
     "q84_quality_gate": Q84_SQL,

@@ -464,3 +464,32 @@ def test_mixture_plan_drift_mad_survives_terascale_token_counts(spark):
     # share-weighted mean |0.4| with weights 0.9/0.1 = 0.4
     assert r["share_drift_mad"] == pytest.approx(0.4, abs=1e-5)
     assert r["share_drift_max"] == pytest.approx(0.4, abs=1e-6)
+
+
+def test_source_external_dup_picks_worst_partner(spark):
+    """q125 reduces the q123 matrix to the row an operator acts on:
+    mirror's worst partner is origin at containment 1.0; origin's is
+    mirror at 0.5; the disjoint source reports 0 against its
+    alphabetically-first partner."""
+    from aerovaldb_spark.operators.text import source_external_dup
+
+    origin = [
+        (i, " ".join(f"o{i}_{j}" for j in range(20)), "origin")
+        for i in range(20)
+    ]
+    mirror = [(100 + i, origin[i][1], "mirror") for i in range(10)]
+    other = [
+        (200 + i, " ".join(f"x{i}_{j}" for j in range(20)), "other")
+        for i in range(5)
+    ]
+    docs = spark.createDataFrame(
+        origin + mirror + other, "doc_id long, text string, source string"
+    )
+    rows = {r["source"]: r for r in source_external_dup(docs).collect()}
+    assert set(rows) == {"origin", "mirror", "other"}
+    assert rows["mirror"]["partner"] == "origin"
+    assert rows["mirror"]["containment"] == 1.0
+    assert rows["origin"]["partner"] == "mirror"
+    assert rows["origin"]["containment"] == 0.5
+    assert rows["other"]["containment"] == 0.0
+    assert rows["other"]["partner"] == "mirror"  # tie -> name asc
