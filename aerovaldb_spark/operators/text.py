@@ -589,10 +589,18 @@ def source_overlap_matrix(docs: DataFrame, k: int | None = None) -> DataFrame:
     duplicate nothing)."""
     from .events import KMV_K, kmv_overlap
 
-    base = kmv_overlap(docs, "source", "text", KMV_K if k is None else k)
-    # containments from the UNROUNDED clamped intersection (the
-    # jaccard convention: inputs are already-round6 estimates, the
-    # derived ratio rounds once) — bit-matches the SQL twin
+    return _containment_matrix(
+        kmv_overlap(docs, "source", "text", KMV_K if k is None else k)
+    )
+
+
+def _containment_matrix(base: DataFrame) -> DataFrame:
+    """The q123 output shape from a ``kmv_overlap``-named pair frame —
+    ONE definition shared by the batch matrix (raw docs) and the
+    stream-state matrix (``streaming.source_overlap_from_health``).
+    Containments come from the UNROUNDED clamped intersection (the
+    jaccard convention: inputs are already-round6 estimates, the
+    derived ratio rounds once) — bit-matches the SQL twin."""
     inter_raw = F.greatest(
         F.col("users_a") + F.col("users_b") - F.col("union_users"),
         F.lit(0.0),

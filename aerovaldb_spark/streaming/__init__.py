@@ -343,6 +343,7 @@ def stream_source_health(
     docs: DataFrame,
     k: int | None = None,
     idle_timeout_ms: int | None = None,
+    emit_kept: bool = False,
 ) -> DataFrame:
     """Stateful streaming twin of the batch per-source health report
     (q122), with the one column that needs unbounded state — exact
@@ -374,7 +375,13 @@ def stream_source_health(
 
     ``idle_timeout_ms`` follows the ``stream_kmv_user_distinct``
     semantics (armed per update; expiry evicts silently; AvailableNow
-    caveat documented there)."""
+    caveat documented there).
+
+    ``emit_kept=True`` appends the state's kept-hash array as a
+    ``kept`` column (the mergeable KMV object) — the rows then also
+    answer CROSS-SOURCE questions: hand the latest row per source to
+    :func:`source_overlap_from_health` for the live q123 matrix, at
+    zero extra state (the gate already holds the sketch)."""
     from ..operators.dedup import hash60
     from ..operators.events import KMV_K, _kmv_estimate, kmv_kept_hashes
     from ..operators.text import quality_columns
@@ -398,8 +405,12 @@ def stream_source_health(
     )
 
     if not docs.isStreaming:
-        # kept is consumed exactly once (_kmv_estimate) — no persist
+        from ..operators._scope import scoped_persist
+
         kept = kmv_kept_hashes(docs, "source", "text", kk)
+        if emit_kept:
+            # kept now feeds the estimate AND the array rollup
+            kept = scoped_persist(kept)
         est = _kmv_estimate(kept, ["key"], kk, "n_unique_est").select(
             F.col("key").alias("source"), "n_unique_est"
         )
@@ -410,7 +421,7 @@ def stream_source_health(
         )
         # LEFT join + zero fill: an all-NULL-text source has no kept
         # hashes at all, but q122 still reports it (dup_rate 1.0)
-        return totals.join(est, "source", "left").select(
+        out = totals.join(est, "source", "left").select(
             "source",
             F.lit(1).alias("n_updates"),
             "n_docs",
@@ -427,6 +438,17 @@ def stream_source_health(
             round6(
                 F.coalesce("_q", F.lit(0)) / 1_000_000.0 / F.col("n_docs")
             ).alias("mean_quality"),
+        )
+        if not emit_kept:
+            return out
+        arrays = (
+            kept.groupBy("key")
+            .agg(F.sort_array(F.collect_list("h")).alias("kept"))
+            .withColumnRenamed("key", "source")
+        )
+        return out.join(arrays, "source", "left").withColumn(
+            "kept",
+            F.coalesce("kept", F.array().cast("array<long>")),
         )
 
     def update(key, pdf_iter, state):
@@ -460,29 +482,33 @@ def stream_source_health(
         from aerovaldb_spark.operators.events import kmv_estimate_py
 
         est = kmv_estimate_py(kept, kk)
-        yield pd.DataFrame(
-            {
-                "source": [key[0]],
-                "n_updates": [n_updates],
-                "n_docs": [n_docs],
-                "n_tokens": [n_tokens],
-                "n_unique_est": [est],
-                "dup_rate_est": [
-                    round6_py(max(0.0, 1.0 - est / n_docs))
-                ],
-                "mean_quality": [
-                    round6_py(q_micro / 1_000_000.0 / n_docs)
-                ],
-            }
-        )
+        row = {
+            "source": [key[0]],
+            "n_updates": [n_updates],
+            "n_docs": [n_docs],
+            "n_tokens": [n_tokens],
+            "n_unique_est": [est],
+            "dup_rate_est": [
+                round6_py(max(0.0, 1.0 - est / n_docs))
+            ],
+            "mean_quality": [
+                round6_py(q_micro / 1_000_000.0 / n_docs)
+            ],
+        }
+        if emit_kept:
+            row["kept"] = [kept]
+        yield pd.DataFrame(row)
 
+    out_schema = (
+        "source string, n_updates int, n_docs bigint, "
+        "n_tokens bigint, n_unique_est double, "
+        "dup_rate_est double, mean_quality double"
+    )
+    if emit_kept:
+        out_schema += ", kept array<bigint>"
     return prepared.groupBy("source").applyInPandasWithState(
         update,
-        outputStructType=(
-            "source string, n_updates int, n_docs bigint, "
-            "n_tokens bigint, n_unique_est double, "
-            "dup_rate_est double, mean_quality double"
-        ),
+        outputStructType=out_schema,
         stateStructType=(
             "kept array<long>, n_docs bigint, n_tokens bigint, "
             "q_micro bigint, n_updates int"
@@ -512,6 +538,31 @@ def health_with_shares(latest: DataFrame) -> DataFrame:
             F.col("n_tokens")
             / F.nullif(F.col("_total"), F.lit(0)).cast("double")
         ).alias("token_share"),
+    )
+
+
+def source_overlap_from_health(latest: DataFrame, k: int | None = None) -> DataFrame:
+    """The q123 cross-source duplicated-content matrix from LIVE
+    health-gate state: feed it one row per source from
+    :func:`stream_source_health` (``emit_kept=True`` — latest update
+    per key, the ``health_with_shares`` convention) and it runs the
+    identical sketch algebra over the kept arrays
+    (:func:`~aerovaldb_spark.operators.events.kmv_overlap_from_sketches`
+    → the shared containment-matrix shape). Bit-equal to the batch
+    :func:`~aerovaldb_spark.operators.text.source_overlap_matrix`
+    over the full replayed corpus (tested multi-batch) — "whose share
+    is whose content, so far" costs k-row kept sets per source, never
+    a replay. ``k`` must be the value the stream was built with;
+    all-NULL-text sources carry empty kept arrays and are absent from
+    the matrix, exactly as in batch q123."""
+    from ..operators.events import KMV_K, kmv_overlap_from_sketches
+    from ..operators.text import _containment_matrix
+
+    return _containment_matrix(
+        kmv_overlap_from_sketches(
+            latest.select(F.col("source").alias("key"), "kept"),
+            KMV_K if k is None else k,
+        )
     )
 
 

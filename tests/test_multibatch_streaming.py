@@ -1063,6 +1063,82 @@ def test_source_health_null_docs_convention_batch_equals_stream(spark):
         ), src
 
 
+def test_source_overlap_from_health_equals_batch_matrix(spark, tmp_path):
+    """The live cross-source matrix from the health gate's OWN state:
+    stream the corpus in two micro-batches with emit_kept=True, take
+    the latest row per source, and the overlap matrix over those kept
+    arrays is bit-equal to batch source_overlap_matrix over the full
+    corpus (KMV mergeability + the one shared algebra) — including a
+    planted cross-source mirror pair."""
+    from aerovaldb_spark.operators.text import source_overlap_matrix
+    from aerovaldb_spark.streaming import (
+        run_stream_to_memory,
+        source_overlap_from_health,
+        stream_source_health,
+    )
+
+    origin = [
+        (i, " ".join(f"so{i}_{j}" for j in range(20)), "origin")
+        for i in range(12)
+    ]
+    mirror = [(100 + i, origin[i][1], "mirror") for i in range(6)]
+    nulls = [(300, None, "origin")]
+    rows = sorted(origin + mirror + nulls)
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    want = sorted(map(tuple, source_overlap_matrix(docs).collect()))
+
+    # batch fallthrough with emit_kept carries the arrays too
+    batch_rows = stream_source_health(docs, emit_kept=True).collect()
+    assert all(r["kept"] is not None for r in batch_rows)
+    got_batch = sorted(
+        map(
+            tuple,
+            source_overlap_from_health(
+                spark.createDataFrame(batch_rows)
+            ).collect(),
+        )
+    )
+    assert got_batch == want
+
+    d = str(tmp_path / "ov_docs")
+    os.makedirs(d)
+    halves = [rows[: len(rows) // 2], rows[len(rows) // 2:]]
+    for i, half in enumerate(halves):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in half], pa.int64()),
+                    "text": pa.array([r[1] for r in half], pa.string()),
+                    "source": pa.array([r[2] for r in half], pa.string()),
+                }
+            ),
+            os.path.join(d, f"part{i}.parquet"),
+        )
+    stream = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    got = run_stream_to_memory(
+        stream_source_health(stream, emit_kept=True), "ov_gate", spark,
+        output_mode="update",
+    )
+    latest = {}
+    for r in got.collect():
+        if (
+            r["source"] not in latest
+            or r["n_updates"] > latest[r["source"]]["n_updates"]
+        ):
+            latest[r["source"]] = r
+    latest_df = spark.createDataFrame(list(latest.values()))
+    got_stream = sorted(
+        map(tuple, source_overlap_from_health(latest_df).collect())
+    )
+    assert got_stream == want and len(want) == 1  # one pair: both srcs
+
+
 def test_health_with_shares_matches_batch_q122(spark):
     """token_share derived from the health gate's output equals the
     batch q122 report's share column (bit-equal round6 arithmetic)."""
