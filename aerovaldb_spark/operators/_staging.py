@@ -352,3 +352,112 @@ def recover_before_rebuild(path: str, spark=None) -> dict:
     if os.path.isdir(path):
         return recover_ingest_intents(path, spark)
     return {}
+
+
+# --------------------------------------------------------------------------
+# Fragmentation: the third leg of the maintenance triangle. Staleness
+# (maybe_rebuild) answers "are the frozen parameters still right",
+# the intent protocol answers "is the on-disk state consistent" —
+# fragmentation answers "has append litter made scans expensive":
+# streaming ingest lands a file-set per micro-batch, and at some
+# point FILE COUNT, not data size, dominates scan planning. compact()
+# is the fix; this gives it a measured trigger instead of a
+# docstring's "run after many appends".
+
+
+def fragmentation_report(path: str, datasets) -> dict:
+    """Filesystem-metadata-only fragmentation metrics for an index
+    root's append datasets: per dataset (data files, partition dirs,
+    max files in one dir, bytes, mean bytes/file) plus roots for the
+    totals. Zero Spark jobs — os.walk only — so it is safe to run as
+    a scheduled health probe against a live index."""
+    report: dict = {"path": path, "datasets": {}}
+    for name in datasets:
+        root = resolve_live(os.path.join(path, name))
+        files = n_bytes = 0
+        per_dir: dict = {}
+        for dirpath, _dirs, names in os.walk(root):
+            data = [f for f in names if not f.startswith(("_", "."))]
+            if data:
+                per_dir[dirpath] = len(data)
+            for f in data:
+                files += 1
+                n_bytes += os.path.getsize(os.path.join(dirpath, f))
+        report["datasets"][name] = {
+            "n_files": files,
+            "n_dirs": len(per_dir),
+            "max_files_per_dir": max(per_dir.values(), default=0),
+            "n_bytes": n_bytes,
+            "mean_bytes_per_file": (
+                n_bytes // files if files else 0
+            ),
+        }
+    return report
+
+
+def compact_verdict(
+    report: dict,
+    max_files_per_dir: int = 8,
+    min_mean_bytes_per_file: int = 0,
+) -> "tuple":
+    """Apply the compaction rule to a :func:`fragmentation_report`:
+    compact when any dataset's busiest directory holds more than
+    ``max_files_per_dir`` data files (each probe of that partition
+    opens that many footers), or — when ``min_mean_bytes_per_file``
+    is set — when the mean file size has fallen below it (the
+    many-tiny-appends signature even with few files per dir). Returns
+    the (rebuild, reasons) NamedTuple shape the staleness verdicts
+    use, so callers treat all three maintenance triggers uniformly."""
+    from .similarity import RebuildVerdict
+
+    reasons = []
+    for name, d in report["datasets"].items():
+        if d["max_files_per_dir"] > max_files_per_dir:
+            reasons.append(
+                f"{name}: {d['max_files_per_dir']} files in one "
+                f"directory > {max_files_per_dir} (every probe of "
+                "that partition opens that many footers)"
+            )
+        if (
+            min_mean_bytes_per_file
+            and d["n_files"]
+            and d["mean_bytes_per_file"] < min_mean_bytes_per_file
+        ):
+            reasons.append(
+                f"{name}: mean file size "
+                f"{d['mean_bytes_per_file']} B < "
+                f"{min_mean_bytes_per_file} B (micro-batch append "
+                "litter)"
+            )
+    return RebuildVerdict(bool(reasons), tuple(reasons))
+
+
+def maybe_compact(
+    spark,
+    path: str,
+    family,
+    max_files_per_dir: int = 8,
+    min_mean_bytes_per_file: int = 0,
+    **compact_kwargs,
+):
+    """fragmentation_report -> compact_verdict -> ``family.compact``
+    in one call, for any persisted family (``family`` is the index
+    class: its ``APPEND_DATASETS`` names the datasets to measure and
+    its ``compact(spark, path, **kwargs)`` does the rewrite under the
+    shared swap protocol). Torn ingest intents are rolled back FIRST
+    (compacting torn rows would bake them into the rewritten files —
+    the maybe_rebuild ordering rule). Returns
+    ``(index_or_None, verdict, report)`` — the freshly-compacted load
+    when the verdict tripped, None otherwise (the caller keeps its
+    current handle)."""
+    recover_before_rebuild(path, spark)
+    report = fragmentation_report(path, family.APPEND_DATASETS)
+    verdict = compact_verdict(
+        report, max_files_per_dir, min_mean_bytes_per_file
+    )
+    if not verdict.rebuild:
+        return None, verdict, report
+    idx = family.compact(spark, path, **compact_kwargs)
+    if spark is not None:
+        refresh_root(spark, path)
+    return idx, verdict, report

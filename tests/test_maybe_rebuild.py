@@ -359,3 +359,73 @@ def test_recover_index_ingest_refuses_mid_swap_state(spark, tmp_path):
     os.replace(p, p + ".old")
     with pytest.raises(ValueError, match="interrupted rebuild"):
         recover_index_ingest(p, spark)
+
+
+def test_maybe_compact_triggers_on_append_litter_and_preserves_rows(
+    spark, tmp_path
+):
+    """The maintenance triangle's third leg: many small appends trip
+    the fragmentation verdict, maybe_compact rewrites (one file per
+    partition dir) bit-preservingly, and a fresh call reads as clean.
+    Torn intents are rolled back before the rewrite — compacting torn
+    rows would bake them into the new files."""
+    from aerovaldb_spark.operators._staging import (
+        fragmentation_report,
+        maybe_compact,
+    )
+    from aerovaldb_spark.operators.similarity import SRPIndex
+
+    emb, old, _ = _emb_halves(spark)
+    dim = len(emb.first()["embedding"])
+    p = str(tmp_path / "srp")
+    SRPIndex.build(old, dim, planes=2).save(p)
+    # 10 micro-appends of 3 vectors each = file litter per bucket dir
+    for i in range(10):
+        batch = old.limit(3).withColumn(
+            "vec_id", F.col("vec_id") + (i + 1) * 1_000_000
+        )
+        SRPIndex.load(spark, p).add(batch, path=p)
+    n_before = SRPIndex.load(spark, p).assignments.count()
+    rep = fragmentation_report(p, SRPIndex.APPEND_DATASETS)
+    assert rep["datasets"]["assignments"]["max_files_per_dir"] > 4
+
+    idx, verdict, _ = maybe_compact(
+        spark, p, SRPIndex, max_files_per_dir=4
+    )
+    assert verdict.rebuild and idx is not None
+    assert idx.assignments.count() == n_before
+    rep2 = fragmentation_report(p, SRPIndex.APPEND_DATASETS)
+    assert rep2["datasets"]["assignments"]["max_files_per_dir"] <= 4
+    # clean state: verdict stays fresh, index untouched (None)
+    idx2, v2, _ = maybe_compact(spark, p, SRPIndex, max_files_per_dir=4)
+    assert idx2 is None and not v2.rebuild
+
+
+def test_maybe_compact_rolls_back_torn_intent_first(
+    spark, tmp_path, monkeypatch
+):
+    import aerovaldb_spark.streaming as st
+    from aerovaldb_spark.operators._staging import maybe_compact
+    from aerovaldb_spark.operators.similarity import SRPIndex
+
+    emb, old, _ = _emb_halves(spark)
+    dim = len(emb.first()["embedding"])
+    p = str(tmp_path / "srp")
+    SRPIndex.build(old, dim, planes=2).save(p)
+    n_clean = old.count()
+    extra = old.withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    fn = st.index_ingest_fn(SRPIndex.load(spark, p), p, run_id="r")
+
+    def boom(marker):
+        raise RuntimeError("injected")
+
+    monkeypatch.setattr(st, "_commit_marker", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        fn(extra, 0)
+    monkeypatch.undo()
+
+    idx, verdict, _ = maybe_compact(
+        spark, p, SRPIndex, max_files_per_dir=1
+    )
+    # torn rows rolled back BEFORE the rewrite — not baked in
+    assert (idx or SRPIndex.load(spark, p)).assignments.count() == n_clean
