@@ -95,6 +95,20 @@ def main() -> None:
     _, v2, _ = IVFIndex.maybe_rebuild(spark, root)
     assert verdict.rebuild and not v2.rebuild  # re-baselined
 
+    # ---- maybe_compact: the third maintenance trigger ---------------
+    # (r12) staleness says "re-fit the parameters"; fragmentation says
+    # "the append litter itself is the cost" — measured from
+    # filesystem metadata only, compacted under the same swap protocol
+    from aerovaldb_spark.operators._staging import maybe_compact
+
+    compacted, cv, frag = maybe_compact(
+        spark, root, IVFIndex, max_files_per_dir=2
+    )
+    print(
+        f"maybe_compact: compacted={cv.rebuild} (max files/dir was "
+        f"{frag['datasets']['assignments']['max_files_per_dir']})"
+    )
+
     # ---- screen: same loop, plus dial recalibration -----------------
     docs = load_table(spark, sf, "documents")
     screen = TfidfScreenIndex.build(docs.filter(F.col("doc_id") < 250))

@@ -265,7 +265,6 @@ def main() -> None:
     # per-doc copy counts; streaming.mixture_gate serves the same
     # frozen plan at ingest time
     from aerovaldb_spark.operators.text import (
-        dedup_adjusted_mix_plan,
         mixture_assignment,
         source_health,
     )
@@ -276,7 +275,20 @@ def main() -> None:
         f"health: worst source {worst['source']} dup_rate "
         f"{worst['dup_rate']} quality {worst['mean_quality']}"
     )
-    plan = dedup_adjusted_mix_plan(docs, alpha=0.3, target_fraction=0.5)
+    # freeze the plan as a persisted artifact (r12): save/load, serve
+    # the frozen rates at the streaming gate, and later ask "is my
+    # frozen plan stale" via MixturePlan.drift / maybe_rebuild — the
+    # same lifecycle the index families have
+    import tempfile as _tempfile
+
+    from aerovaldb_spark.operators.text import MixturePlan
+
+    frozen = MixturePlan.build(
+        docs, alpha=0.3, target_fraction=0.5, planner="dedup_adjusted"
+    )
+    plan_dir = _tempfile.mkdtemp(prefix="mixplan_")
+    frozen.save(plan_dir)
+    plan = MixturePlan.load(spark, plan_dir).plan
     # materialize THIS plan's rates over the CANONICAL subset (the
     # pairing dedup_adjusted_mix_plan documents): the rates were
     # planned against deduped token counts, so materializing over the
