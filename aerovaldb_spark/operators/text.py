@@ -634,16 +634,27 @@ def source_external_dup(docs: DataFrame, k: int | None = None) -> DataFrame:
 
     Cost: q123's sketch matrix (ONE corpus scan) + a |sources|²-row
     union and window — nothing doc-shaped moves."""
+    return worst_partner_reduce(
+        scoped_persist(source_overlap_matrix(docs, k))
+    )
+
+
+def worst_partner_reduce(matrix: DataFrame) -> DataFrame:
+    """q125's reduce step over ANY q123-shaped matrix — shared by the
+    batch operator (raw docs) and the live form
+    (``streaming.source_overlap_from_health`` output), so the
+    directional-explode + window definition cannot fork. ``matrix``
+    should be persisted by the caller when it is expensive (it feeds
+    two directional projections)."""
     from pyspark.sql import Window
 
-    m = scoped_persist(source_overlap_matrix(docs, k))
-    a = m.select(
+    a = matrix.select(
         F.col("source_a").alias("source"),
         F.col("source_b").alias("partner"),
         F.col("containment_a_in_b").alias("containment"),
         "jaccard",
     )
-    b = m.select(
+    b = matrix.select(
         F.col("source_b").alias("source"),
         F.col("source_a").alias("partner"),
         F.col("containment_b_in_a").alias("containment"),

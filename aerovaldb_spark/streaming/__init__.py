@@ -554,7 +554,9 @@ def source_overlap_from_health(latest: DataFrame, k: int | None = None) -> DataF
     is whose content, so far" costs k-row kept sets per source, never
     a replay. ``k`` must be the value the stream was built with;
     all-NULL-text sources carry empty kept arrays and are absent from
-    the matrix, exactly as in batch q123."""
+    the matrix, exactly as in batch q123. Compose with
+    ``operators.text.worst_partner_reduce`` (persist this output
+    first) for the live q125 per-source worst-partner rows."""
     from ..operators.events import KMV_K, kmv_overlap_from_sketches
     from ..operators.text import _containment_matrix
 

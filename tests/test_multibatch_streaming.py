@@ -1138,6 +1138,24 @@ def test_source_overlap_from_health_equals_batch_matrix(spark, tmp_path):
     )
     assert got_stream == want and len(want) == 1  # one pair: both srcs
 
+    # ...and the live q125 reduction over the same state matches the
+    # batch operator (one shared worst_partner_reduce definition)
+    from aerovaldb_spark.operators.text import (
+        source_external_dup,
+        worst_partner_reduce,
+    )
+
+    want_worst = sorted(map(tuple, source_external_dup(docs).collect()))
+    got_worst = sorted(
+        map(
+            tuple,
+            worst_partner_reduce(
+                source_overlap_from_health(latest_df)
+            ).collect(),
+        )
+    )
+    assert got_worst == want_worst
+
 
 def test_health_with_shares_matches_batch_q122(spark):
     """token_share derived from the health gate's output equals the
