@@ -376,13 +376,25 @@ def fragmentation_report(path: str, datasets) -> dict:
         root = resolve_live(os.path.join(path, name))
         files = n_bytes = 0
         per_dir: dict = {}
-        for dirpath, _dirs, names in os.walk(root):
+        for dirpath, dirs, names in os.walk(root):
+            # prune hidden/underscore DIRECTORIES in place: a live
+            # append's <dataset>/_temporary/... part files are not
+            # data (counting them would trip the verdict spuriously,
+            # and the committer renames them away mid-walk)
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
             data = [f for f in names if not f.startswith(("_", "."))]
             if data:
                 per_dir[dirpath] = len(data)
             for f in data:
+                try:
+                    n_bytes += os.path.getsize(
+                        os.path.join(dirpath, f)
+                    )
+                except FileNotFoundError:
+                    # a concurrent rename between the listing and the
+                    # stat — skip the byte count, keep the probe alive
+                    continue
                 files += 1
-                n_bytes += os.path.getsize(os.path.join(dirpath, f))
         report["datasets"][name] = {
             "n_files": files,
             "n_dirs": len(per_dir),
@@ -438,6 +450,7 @@ def maybe_compact(
     family,
     max_files_per_dir: int = 8,
     min_mean_bytes_per_file: int = 0,
+    load_kwargs: dict | None = None,
     **compact_kwargs,
 ):
     """fragmentation_report -> compact_verdict -> ``family.compact``
@@ -447,9 +460,10 @@ def maybe_compact(
     shared swap protocol). Torn ingest intents are rolled back FIRST
     (compacting torn rows would bake them into the rewritten files —
     the maybe_rebuild ordering rule). Returns
-    ``(index_or_None, verdict, report)`` — the freshly-compacted load
-    when the verdict tripped, None otherwise (the caller keeps its
-    current handle)."""
+    ``(index_or_None, verdict, report)`` — a fresh ``family.load``
+    (``load_kwargs`` forwarded; the defaults fit every family) when
+    the verdict tripped, None otherwise (the caller keeps its current
+    handle)."""
     recover_before_rebuild(path, spark)
     report = fragmentation_report(path, family.APPEND_DATASETS)
     verdict = compact_verdict(
@@ -457,7 +471,13 @@ def maybe_compact(
     )
     if not verdict.rebuild:
         return None, verdict, report
-    idx = family.compact(spark, path, **compact_kwargs)
-    if spark is not None:
-        refresh_root(spark, path)
-    return idx, verdict, report
+    # compact swaps AND loads internally; its own pre-swap read can
+    # seed the shared listing cache, so evict and RE-load after — the
+    # maybe_rebuild ordering (swap -> refresh -> load), adapted
+    family.compact(spark, path, **compact_kwargs)
+    refresh_root(spark, path)
+    return (
+        family.load(spark, path, **(load_kwargs or {})),
+        verdict,
+        report,
+    )

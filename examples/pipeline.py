@@ -279,14 +279,12 @@ def main() -> None:
     # the frozen rates at the streaming gate, and later ask "is my
     # frozen plan stale" via MixturePlan.drift / maybe_rebuild — the
     # same lifecycle the index families have
-    import tempfile as _tempfile
-
     from aerovaldb_spark.operators.text import MixturePlan
 
     frozen = MixturePlan.build(
         docs, alpha=0.3, target_fraction=0.5, planner="dedup_adjusted"
     )
-    plan_dir = _tempfile.mkdtemp(prefix="mixplan_")
+    plan_dir = tempfile.mkdtemp(prefix="mixplan_")
     frozen.save(plan_dir)
     plan = MixturePlan.load(spark, plan_dir).plan
     # materialize THIS plan's rates over the CANONICAL subset (the
