@@ -1089,3 +1089,115 @@ def test_rebuild_verdicts_fresh_report_never_trips(lfm, top_mass, churn):
     assert not ivf_rebuild_verdict(row, build_report=row).rebuild
     srp_row = {"load_factor_max": lfm, "new_bucket_mass": 0.0}
     assert not srp_rebuild_verdict(srp_row, build_report=srp_row).rebuild
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=2,
+        max_size=40,
+    ),
+    st.sampled_from([4, 8]),
+)
+@settings(max_examples=12, deadline=None)
+def test_source_overlap_matrix_invariants(spark, rows, k):
+    """KMV containment is a genuine ratio for ANY corpus and k: the
+    union sketch's k-th smallest is <= either side's (its kept set
+    contains both sides' smallest hashes), so union_est >= max(side
+    estimates) and the clamped intersection <= min(side) — hence
+    containments and jaccard always land in [0, 1], and with every
+    distinct count below k the whole matrix is EXACT inclusion-
+    exclusion."""
+    from aerovaldb_spark.operators.text import (
+        source_overlap_matrix,
+        worst_partner_reduce,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"t{v}", s) for i, (s, v) in enumerate(rows)],
+        "doc_id long, text string, source string",
+    )
+    m = source_overlap_matrix(docs, k=k).collect()
+    exact = {}
+    for s, v in rows:
+        exact.setdefault(s, set()).add(v)
+    for r in m:
+        for col in (
+            "jaccard", "containment_a_in_b", "containment_b_in_a"
+        ):
+            assert 0.0 <= r[col] <= 1.0, (col, r)
+        assert r["union_uniq"] >= max(r["uniq_a"], r["uniq_b"]) - 1e-9
+        a, b = exact[r["source_a"]], exact[r["source_b"]]
+        if max(len(a), len(b), len(a | b)) < k:
+            # everything STRICTLY below k: the matrix is exact
+            # (n_kept == k already uses the (k-1)/U_k estimator)
+            assert r["uniq_a"] == float(len(a))
+            assert r["uniq_b"] == float(len(b))
+            assert r["union_uniq"] == float(len(a | b))
+            assert r["intersect_uniq"] == float(len(a & b))
+    # the q125 reduce never invents rows: one row per source that
+    # appears in a pair, containment equals that source's max
+    best = {}
+    for r in m:
+        best[r["source_a"]] = max(
+            best.get(r["source_a"], -1.0), r["containment_a_in_b"]
+        )
+        best[r["source_b"]] = max(
+            best.get(r["source_b"], -1.0), r["containment_b_in_a"]
+        )
+    if m:
+        mdf = spark.createDataFrame(m)
+        for r in worst_partner_reduce(mdf).collect():
+            assert r["containment"] == best[r["source"]]
+
+
+@given(
+    st.dictionaries(
+        st.sampled_from(
+            ["share_drift_mad", "share_drift_max", "rate_drift_max",
+             "new_source_mass", "growth_ratio", "rate_drift_mad"]
+        ),
+        st.one_of(st.none(), st.floats(0, 0.01)),
+        max_size=6,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_mixture_verdict_never_trips_below_thresholds(report):
+    """Any report whose metrics are all below every threshold (or
+    NULL — absent evidence) stays fresh, whatever the combination;
+    growth_ratio alone never trips."""
+    from aerovaldb_spark.operators.text import mixture_rebuild_verdict
+
+    report = dict(report)
+    report["growth_ratio"] = 1e6  # growth alone is NOT a trigger
+    assert not mixture_rebuild_verdict(report).rebuild
+
+
+@given(
+    st.integers(0, 20), st.integers(0, 20), st.integers(0, 6)
+)
+@settings(max_examples=30, deadline=None)
+def test_compact_verdict_monotone_in_threshold(files_a, files_b, thr):
+    """Raising max_files_per_dir can only turn a compact verdict OFF,
+    never on (monotone rule), and a report that trips at some
+    threshold trips at every lower one."""
+    from aerovaldb_spark.operators._staging import compact_verdict
+
+    rep = {
+        "path": "/x",
+        "datasets": {
+            "d1": {"n_files": files_a, "n_dirs": 1,
+                   "max_files_per_dir": files_a, "n_bytes": 0,
+                   "mean_bytes_per_file": 0},
+            "d2": {"n_files": files_b, "n_dirs": 1,
+                   "max_files_per_dir": files_b, "n_bytes": 0,
+                   "mean_bytes_per_file": 0},
+        },
+    }
+    lo = compact_verdict(rep, max_files_per_dir=thr)
+    hi = compact_verdict(rep, max_files_per_dir=thr + 5)
+    assert lo.rebuild or not hi.rebuild  # hi trips -> lo trips
+    assert lo.rebuild == (max(files_a, files_b) > thr)
