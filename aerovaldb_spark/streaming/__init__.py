@@ -906,6 +906,13 @@ class NearDupBucketIndex:
     (BANDS, ROWS_PER_BAND) so a loaded index refuses to serve under a
     retuned quantizer."""
 
+    # the one dataset add(path=...) appends to — makes the index a
+    # valid index_ingest_fn target. Replayed appends here are
+    # SEMANTICALLY harmless (the semi-join screen is multiplicity-
+    # blind), but the protocol still keeps the on-disk state
+    # exactly-once so compact() reclaims only genuine duplicates
+    APPEND_DATASETS = ("buckets",)
+
     def __init__(self, buckets: DataFrame) -> None:
         self.buckets = buckets
 

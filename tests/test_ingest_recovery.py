@@ -362,3 +362,43 @@ def test_ingest_fn_refuses_interrupted_rebuild_state(spark, tmp_path):
     with pytest.raises(ValueError, match="interrupted rebuild"):
         fn(new, 0)
     assert not os.path.isdir(p)  # no stub root materialized
+
+
+def test_generic_ingest_near_dup_bucket_index(spark, tmp_path, monkeypatch):
+    """The generic factory over the minhash bucket index: replayed
+    appends are SEMANTICALLY harmless here (multiplicity-blind
+    screen), but the protocol still keeps disk rows exactly-once —
+    after a torn epoch + redelivery the bucket table equals a clean
+    one-shot add, not a doubled one."""
+    import aerovaldb_spark.streaming as st
+    from aerovaldb_spark.streaming import NearDupBucketIndex
+
+    ref, new, probes = _split_docs(spark)
+    p = str(tmp_path / "ndb")
+    NearDupBucketIndex.build(ref).save(p)
+    want_rows = (
+        NearDupBucketIndex.build(ref).add(new).buckets.count()
+    )
+    want_screen = sorted(
+        map(
+            tuple,
+            NearDupBucketIndex.build(ref).add(new).screen(probes).collect(),
+        )
+    )
+
+    fn = st.index_ingest_fn(
+        NearDupBucketIndex.load(spark, p), p, run_id="r"
+    )
+
+    def boom(marker):
+        raise RuntimeError("injected")
+
+    monkeypatch.setattr(st, "_commit_marker", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        fn(new, 0)
+    monkeypatch.undo()
+    fn(new, 0)  # redelivery
+
+    served = NearDupBucketIndex.load(spark, p)
+    assert served.buckets.count() == want_rows  # exactly-once on disk
+    assert sorted(map(tuple, served.screen(probes).collect())) == want_screen
