@@ -22,10 +22,10 @@ _MERGED_QUERIES = {
 }
 
 # The external correctness gate records rows for the FIRST 50 entries
-# of ``queries()`` only (124 declared after r12: +q123 cross-source
+# of ``queries()`` only (125 declared after r12: +q123 cross-source
 # KMV overlap matrix, +q124 frozen-mixture-plan drift, +q125
-# per-source external-duplication attribution — all > the 50-entry
-# cap), so entry ORDER decides which queries get a
+# per-source external-duplication attribution, +q126 cross-source
+# SHINGLE overlap — all > the 50-entry cap), so entry ORDER decides which queries get a
 # driver-recorded check each round. Policy: entries never yet
 # driver-verified, green-only-once, or just-changed come first; the
 # tail past position 50 holds entries with >=2 driver-recorded greens,
@@ -41,13 +41,15 @@ _MERGED_QUERIES = {
 # - green-only-once, staying per policy (8): the r11 additions q114
 #   q115 q116 q117 q118 q119 q120 q121 (one driver green each —
 #   computed from CORRECTNESS_r01..r11);
-# - new this round (3): q123 (cross-source duplicated-content matrix
+# - new this round (4): q123 (cross-source duplicated-content matrix
 #   via per-source KMV sketches + directional containment), q124
 #   (frozen mixture-plan drift report — the q114-q116 staleness
 #   family applied to the MixturePlan lifecycle), q125 (per-source
 #   worst external-duplication partner, q123 reduced to the row an
-#   operator acts on — added mid-round, taking q09's fill slot: the
-#   highest-evidence fill at 5 greens, which joins the r13
+#   operator acts on) and q126 (the same matrix at the near-dup
+#   SHINGLE level — template sharing without exact pages); q125/q126
+#   were added mid-round, taking the q09/q08 fill slots (the
+#   highest-evidence fills at 5 greens, which join the r13
 #   commitment);
 # - changed this round (1): q122 (source_health gained the explicit
 #   null_docs column — schema change, re-graded). q109's ORACLE text
@@ -56,26 +58,27 @@ _MERGED_QUERIES = {
 #   names); its Spark path is untouched and local parity re-verified
 #   it green at sf0.01, so it rotates out on its 3 driver greens
 #   rather than taking a window slot;
-# - fill (11), picked from the 44 r10-window retirees by fewest
+# - fill (10), picked from the 44 r10-window retirees by fewest
 #   driver greens then longest-unseen: q107 q110 q111 (2 greens),
-#   q104 q105 q100 q103 (3), q76 q102 q90 (4), q08 (5).
+#   q104 q105 q100 q103 (3), q76 q102 q90 (4).
 #
-# Round-12 tail (74): every entry holds >=2 driver-recorded greens
+# Round-12 tail (75): every entry holds >=2 driver-recorded greens
 # (q112 q113 at exactly 2; everything else >=3 — counts computed from
 # CORRECTNESS_r01..r11 plus the r11 window's fresh greens):
-# - 33 r10-window retirees deferred once more — ALL 33 MUST enter the
+# - 34 r10-window retirees deferred once more — ALL 34 MUST enter the
 #   r13 window (the commitment mechanism, now seven rounds standing):
-#   q09 q67 q68 q69 q70 q19 q20 q71 q72 q21 q22 q63 q74 q99 q25 q27
-#   q28 q62 q32 q73 q31 q57 q46 q50 q37 q42 q11 q12 q14 q15 q16 q17
-#   q64;
+#   q08 q09 q67 q68 q69 q70 q19 q20 q71 q72 q21 q22 q63 q74 q99 q25
+#   q27 q28 q62 q32 q73 q31 q57 q46 q50 q37 q42 q11 q12 q14 q15 q16
+#   q17 q64;
 # - the 41 r11-window entries rotating out at fresh r11 greens.
-# R13 plan: the 33 once-deferred entries re-enter first, then the 41
+# R13 plan: the 34 once-deferred entries re-enter first, then the 41
 # r11 retirees rotate; entries holding 3+ greens yield slots to
 # whatever r13 adds or changes.
 _DEFER_ROUND = [
-    # r10-window retirees deferred ONCE MORE (11 of the 44 re-entered
-    # this round; these 33 MUST enter the r13 window — the standing
+    # r10-window retirees deferred ONCE MORE (10 of the 44 re-entered
+    # this round; these 34 MUST enter the r13 window — the standing
     # commitment, now seven rounds unbroken)
+    "q08_running_total",
     "q09_distinct_counts",
     "q11_set_except",
     "q12_case_buckets",

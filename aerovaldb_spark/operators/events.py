@@ -790,6 +790,7 @@ def kmv_overlap_sql(
         "union_users", "intersect_users",
     ),
     extra_select: str = "",
+    prelude: str = "",
 ) -> str:
     """The q109 pairwise-KMV-overlap SQL, templated on (table, key,
     value expression, output names) so every overlap-shaped graded
@@ -797,13 +798,15 @@ def kmv_overlap_sql(
     algebra — a convention change cannot fork the oracles.
     ``extra_select`` appends derived columns (e.g. q123's containment
     ratios) with ``p``/``u`` in scope and ``inter_raw`` available as
-    the unrounded clamped intersection expression."""
+    the unrounded clamped intersection expression; ``prelude``
+    prepends CTEs so ``table`` can be a derived relation (q126's
+    unnested shingles)."""
     ka, kb, ea, eb, un, inter = names
     numer = f"({KMV_K}.0 - 1.0) * {_POW2_60:.1f}"
     inter_raw = f"greatest(p.{ea} + p.{eb} - u.{un}, 0.0)"
     extra = extra_select.replace("inter_raw", inter_raw)
     return f"""
-WITH h AS (
+WITH {prelude}h AS (
   SELECT DISTINCT {key_col} AS key,
     CAST('0x' || substring(md5({value_col}), 1, 15) AS BIGINT) AS h
   FROM {table} WHERE {value_col} IS NOT NULL

@@ -677,6 +677,66 @@ def q125_source_external_dup(
     return source_external_dup(load_table(spark, sf_dir, "documents"))
 
 
+def source_shingle_overlap(
+    docs: DataFrame, n: int = 3, k: int | None = None
+) -> DataFrame:
+    """q123's cross-source matrix at the NEAR-dup level: KMV overlap
+    of the sources' distinct word-``n``-gram SHINGLE sets instead of
+    whole-document content hashes — the "sources share templates"
+    signal exact-content overlap cannot see (two crawls of the same
+    site with different boilerplate wrappers share most shingles and
+    zero exact pages). Same output shape as q123 with shingle-set
+    semantics: uniq_* are distinct-shingle estimates,
+    containment_a_in_b the fraction of A's distinct shingles also in
+    B. One corpus scan (shingle explode is map-side), then the shared
+    sketch algebra over k-row kept sets per source — never a pairwise
+    shingle join (graded: q126, oracle via the templated
+    ``kmv_overlap_sql`` with an unnest prelude)."""
+    from .dedup import shingles_col
+    from .events import KMV_K, kmv_overlap
+
+    sh = docs.where(F.col("text").isNotNull()).select(
+        "source",
+        F.explode(shingles_col("text", n)).alias("shingle"),
+    )
+    return _containment_matrix(
+        kmv_overlap(sh, "source", "shingle", KMV_K if k is None else k)
+    )
+
+
+def q126_source_shingle_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return source_shingle_overlap(load_table(spark, sf_dir, "documents"))
+
+
+def _q126_sql() -> str:
+    from .dedup import shingles_sql
+    from .events import kmv_overlap_sql
+
+    return kmv_overlap_sql(
+        table="sh",
+        key_col="source",
+        value_col="shingle",
+        names=(
+            "source_a", "source_b", "uniq_a", "uniq_b",
+            "union_uniq", "intersect_uniq",
+        ),
+        extra_select=(
+            ",\n  ROUND(inter_raw / p.uniq_a, 6) AS containment_a_in_b"
+            ",\n  ROUND(inter_raw / p.uniq_b, 6) AS containment_b_in_a"
+        ),
+        prelude=(
+            "sh AS (\n"
+            "  SELECT source, unnest("
+            + shingles_sql("text", 3)
+            + ") AS shingle\n"
+            "  FROM documents WHERE text IS NOT NULL\n"
+            "), "
+        ),
+    )
+
+
 def _q125_sql() -> str:
     return f"""
 WITH m AS ({_q123_sql()}),
@@ -4812,6 +4872,7 @@ QUERIES = {
     "q123_source_overlap": q123_source_overlap,
     "q124_mixture_plan_drift": q124_mixture_plan_drift,
     "q125_source_external_dup": q125_source_external_dup,
+    "q126_source_shingle_overlap": q126_source_shingle_overlap,
     "q105_decontaminate_spans": q105_decontaminate_spans,
 }
 
@@ -4825,6 +4886,7 @@ ORACLE = {
     "q123_source_overlap": _q123_sql(),
     "q124_mixture_plan_drift": Q124_SQL,
     "q125_source_external_dup": _q125_sql(),
+    "q126_source_shingle_overlap": _q126_sql(),
     "q80_sliding_chunks": Q80_SQL,
     "q81_stratified_sample": Q81_SQL,
     "q84_quality_gate": Q84_SQL,

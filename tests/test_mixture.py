@@ -493,3 +493,30 @@ def test_source_external_dup_picks_worst_partner(spark):
     assert rows["origin"]["containment"] == 0.5
     assert rows["other"]["containment"] == 0.0
     assert rows["other"]["partner"] == "mirror"  # tie -> name asc
+
+
+def test_source_shingle_overlap_sees_templates_exact_overlap_misses(spark):
+    """Two sources share a TEMPLATE (same body, different per-doc
+    wrapper words) — zero exact-content overlap, but most shingles
+    shared: q123 reads intersect 0 while q126 reads high shingle
+    containment. Distinct shingle counts stay below k, so the matrix
+    is exact."""
+    from aerovaldb_spark.operators.text import (
+        source_overlap_matrix,
+        source_shingle_overlap,
+    )
+
+    body = " ".join(f"tpl{j}" for j in range(20))
+    rows = [(i, f"hdrA{i} " + body, "siteA") for i in range(8)]
+    rows += [(100 + i, f"hdrB{i} " + body, "siteB") for i in range(8)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    exact = source_overlap_matrix(docs).collect()[0]
+    assert exact["intersect_uniq"] == 0.0  # no exact page shared
+    sh = source_shingle_overlap(docs).collect()[0]
+    # the 18 body shingles are shared; each side adds 8 wrapper-edge
+    # shingles (hdrX + first two body words) + the shared head
+    assert sh["intersect_uniq"] >= 18.0
+    assert sh["containment_a_in_b"] > 0.6
+    assert sh["jaccard"] > 0.4
