@@ -800,7 +800,10 @@ def kmv_overlap_sql(
     ratios) with ``p``/``u`` in scope and ``inter_raw`` available as
     the unrounded clamped intersection expression; ``prelude``
     prepends CTEs so ``table`` can be a derived relation (q126's
-    unnested shingles)."""
+    unnested shingles) — it is spliced RAW between ``WITH`` and the
+    first internal CTE, so it MUST end with "), " (name AS (...)
+    comma space); anything else yields a SQL syntax error at oracle
+    time."""
     ka, kb, ea, eb, un, inter = names
     numer = f"({KMV_K}.0 - 1.0) * {_POW2_60:.1f}"
     inter_raw = f"greatest(p.{ea} + p.{eb} - u.{un}, 0.0)"

@@ -564,12 +564,16 @@ def source_health(docs: DataFrame) -> DataFrame:
     )
 
 
-def source_overlap_matrix(docs: DataFrame, k: int | None = None) -> DataFrame:
+def source_content_overlap(docs: DataFrame, k: int | None = None) -> DataFrame:
     """Cross-source duplicated-content matrix at SKETCH cost — the
     column q122 cannot carry: its dup_rate is WITHIN-source only, and
     q121's dedup-adjusted plan gives just the aggregate share
     correction, so "whose share is whose content" (source A's volume
-    is largely copies of source B's pages) stays unanswered. One row
+    is largely copies of source B's pages) stays unanswered.
+    (Renamed from source_overlap_matrix to stop colliding with
+    ``dedup.source_overlap_matrix`` — q82, the EXACT shingle-set
+    overlap; this family is its sketch-cost rung, see
+    :func:`source_shingle_overlap` for the relationship.) One row
     per unordered source pair: (source_a, source_b, uniq_a, uniq_b,
     union_uniq, intersect_uniq, jaccard, containment_a_in_b,
     containment_b_in_a), where containment_a_in_b = |A ∩ B| / |A| is
@@ -619,7 +623,7 @@ def _containment_matrix(base: DataFrame) -> DataFrame:
 
 
 def q123_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return source_overlap_matrix(load_table(spark, sf_dir, "documents"))
+    return source_content_overlap(load_table(spark, sf_dir, "documents"))
 
 
 def source_external_dup(docs: DataFrame, k: int | None = None) -> DataFrame:
@@ -635,7 +639,7 @@ def source_external_dup(docs: DataFrame, k: int | None = None) -> DataFrame:
     Cost: q123's sketch matrix (ONE corpus scan) + a |sources|²-row
     union and window — nothing doc-shaped moves."""
     return worst_partner_reduce(
-        scoped_persist(source_overlap_matrix(docs, k))
+        scoped_persist(source_content_overlap(docs, k))
     )
 
 
@@ -677,21 +681,32 @@ def q125_source_external_dup(
     return source_external_dup(load_table(spark, sf_dir, "documents"))
 
 
+Q126_SHINGLE_N = 3
+
+
 def source_shingle_overlap(
-    docs: DataFrame, n: int = 3, k: int | None = None
+    docs: DataFrame, n: int = Q126_SHINGLE_N, k: int | None = None
 ) -> DataFrame:
     """q123's cross-source matrix at the NEAR-dup level: KMV overlap
     of the sources' distinct word-``n``-gram SHINGLE sets instead of
     whole-document content hashes — the "sources share templates"
-    signal exact-content overlap cannot see (two crawls of the same
-    site with different boilerplate wrappers share most shingles and
-    zero exact pages). Same output shape as q123 with shingle-set
-    semantics: uniq_* are distinct-shingle estimates,
-    containment_a_in_b the fraction of A's distinct shingles also in
-    B. One corpus scan (shingle explode is map-side), then the shared
-    sketch algebra over k-row kept sets per source — never a pairwise
+    signal exact-CONTENT overlap (q123) cannot see (two crawls of the
+    same site with different boilerplate wrappers share most shingles
+    and zero exact pages). This question also has an EXACT rung:
+    ``dedup.source_overlap_matrix`` (q82) equi-joins the distinct
+    shingle hashes — exact jaccard, but the intersection join moves
+    |distinct shingles| rows and omits zero-overlap pairs. This is
+    its sketch-cost twin (the q26-exact vs q27-LSH ladder, applied to
+    the source-pair level): k-row kept sets per source, every pair
+    emitted, plus the directional containments q82 doesn't carry —
+    with KMV error ~1/sqrt(k-2) (measured envelope in SCALING.md).
+    Same output shape as q123 with shingle-set semantics: uniq_* are
+    distinct-shingle estimates, containment_a_in_b the fraction of
+    A's distinct shingles also in B. One corpus scan (shingle explode
+    is map-side), then the shared sketch algebra — never a pairwise
     shingle join (graded: q126, oracle via the templated
-    ``kmv_overlap_sql`` with an unnest prelude)."""
+    ``kmv_overlap_sql`` with an unnest prelude; ``n`` is threaded to
+    the oracle through Q126_SHINGLE_N so the two cannot drift)."""
     from .dedup import shingles_col
     from .events import KMV_K, kmv_overlap
 
@@ -729,7 +744,7 @@ def _q126_sql() -> str:
         prelude=(
             "sh AS (\n"
             "  SELECT source, unnest("
-            + shingles_sql("text", 3)
+            + shingles_sql("text", Q126_SHINGLE_N)
             + ") AS shingle\n"
             "  FROM documents WHERE text IS NOT NULL\n"
             "), "

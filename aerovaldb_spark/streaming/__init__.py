@@ -549,7 +549,7 @@ def source_overlap_from_health(latest: DataFrame, k: int | None = None) -> DataF
     identical sketch algebra over the kept arrays
     (:func:`~aerovaldb_spark.operators.events.kmv_overlap_from_sketches`
     → the shared containment-matrix shape). Bit-equal to the batch
-    :func:`~aerovaldb_spark.operators.text.source_overlap_matrix`
+    :func:`~aerovaldb_spark.operators.text.source_content_overlap`
     over the full replayed corpus (tested multi-batch) — "whose share
     is whose content, so far" costs k-row kept sets per source, never
     a replay. ``k`` must be the value the stream was built with;

@@ -171,14 +171,14 @@ def test_dedup_adjusted_plan_keeps_fully_duplicated_source_at_zero(spark):
     assert cc["sample_rate"] == 0.0 and cc["expected_tokens"] == 0.0
 
 
-def test_source_overlap_matrix_directional_containment(spark):
+def test_source_content_overlap_directional_containment(spark):
     """Planted cross-source duplication: 'mirror' holds copies of
     HALF of 'origin's pages plus nothing else -> containment of
     mirror in origin ~1.0 (all its content is origin's), origin in
     mirror ~0.5; the disjoint third source overlaps nobody. Distinct
     counts stay below k, so every estimate is exact and the matrix
     is deterministic."""
-    from aerovaldb_spark.operators.text import source_overlap_matrix
+    from aerovaldb_spark.operators.text import source_content_overlap
 
     origin = [
         (i, " ".join(f"o{i}_{j}" for j in range(20)), "origin")
@@ -197,7 +197,7 @@ def test_source_overlap_matrix_directional_containment(spark):
     )
     m = {
         (r["source_a"], r["source_b"]): r
-        for r in source_overlap_matrix(docs).collect()
+        for r in source_content_overlap(docs).collect()
     }
     assert set(m) == {
         ("mirror", "origin"), ("mirror", "other"), ("origin", "other")
@@ -212,21 +212,21 @@ def test_source_overlap_matrix_directional_containment(spark):
     assert m[("mirror", "other")]["jaccard"] == 0.0
 
 
-def test_source_overlap_matrix_skips_null_text_and_plans_sketch_only(spark):
+def test_source_content_overlap_skips_null_text_and_plans_sketch_only(spark):
     """NULL-text docs carry no content hash (they duplicate nothing),
     and the plan touches raw text exactly once: the only inequality
     join is the |sources|x|sources| PAIR frame over the persisted
     k-row estimate table (bounded by the key count, by design), and
     the text column never crosses an exchange — the matrix moves
     sketches, not documents."""
-    from aerovaldb_spark.operators.text import source_overlap_matrix
+    from aerovaldb_spark.operators.text import source_content_overlap
 
     rows = [(0, "shared words here", "a"), (1, None, "a"),
             (2, "shared words here", "b"), (3, None, "b")]
     docs = spark.createDataFrame(
         rows, "doc_id long, text string, source string"
     )
-    df = source_overlap_matrix(docs)
+    df = source_content_overlap(docs)
     physical = df._jdf.queryExecution().executedPlan().toString()
     # every cartesian in the tree is the key-pair inequality join
     # (type_a < type_b) over the |sources|-row estimate frame — never
@@ -502,7 +502,7 @@ def test_source_shingle_overlap_sees_templates_exact_overlap_misses(spark):
     containment. Distinct shingle counts stay below k, so the matrix
     is exact."""
     from aerovaldb_spark.operators.text import (
-        source_overlap_matrix,
+        source_content_overlap,
         source_shingle_overlap,
     )
 
@@ -512,7 +512,7 @@ def test_source_shingle_overlap_sees_templates_exact_overlap_misses(spark):
     docs = spark.createDataFrame(
         rows, "doc_id long, text string, source string"
     )
-    exact = source_overlap_matrix(docs).collect()[0]
+    exact = source_content_overlap(docs).collect()[0]
     assert exact["intersect_uniq"] == 0.0  # no exact page shared
     sh = source_shingle_overlap(docs).collect()[0]
     # the 18 body shingles are shared; each side adds 8 wrapper-edge

@@ -1067,10 +1067,10 @@ def test_source_overlap_from_health_equals_batch_matrix(spark, tmp_path):
     """The live cross-source matrix from the health gate's OWN state:
     stream the corpus in two micro-batches with emit_kept=True, take
     the latest row per source, and the overlap matrix over those kept
-    arrays is bit-equal to batch source_overlap_matrix over the full
+    arrays is bit-equal to batch source_content_overlap over the full
     corpus (KMV mergeability + the one shared algebra) — including a
     planted cross-source mirror pair."""
-    from aerovaldb_spark.operators.text import source_overlap_matrix
+    from aerovaldb_spark.operators.text import source_content_overlap
     from aerovaldb_spark.streaming import (
         run_stream_to_memory,
         source_overlap_from_health,
@@ -1087,7 +1087,7 @@ def test_source_overlap_from_health_equals_batch_matrix(spark, tmp_path):
     docs = spark.createDataFrame(
         rows, "doc_id long, text string, source string"
     )
-    want = sorted(map(tuple, source_overlap_matrix(docs).collect()))
+    want = sorted(map(tuple, source_content_overlap(docs).collect()))
 
     # batch fallthrough with emit_kept carries the arrays too
     batch_rows = stream_source_health(docs, emit_kept=True).collect()

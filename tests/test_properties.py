@@ -1103,7 +1103,7 @@ def test_rebuild_verdicts_fresh_report_never_trips(lfm, top_mass, churn):
     st.sampled_from([4, 8]),
 )
 @settings(max_examples=12, deadline=None)
-def test_source_overlap_matrix_invariants(spark, rows, k):
+def test_source_content_overlap_invariants(spark, rows, k):
     """KMV containment is a genuine ratio for ANY corpus and k: the
     union sketch's k-th smallest is <= either side's (its kept set
     contains both sides' smallest hashes), so union_est >= max(side
@@ -1112,7 +1112,7 @@ def test_source_overlap_matrix_invariants(spark, rows, k):
     distinct count below k the whole matrix is EXACT inclusion-
     exclusion."""
     from aerovaldb_spark.operators.text import (
-        source_overlap_matrix,
+        source_content_overlap,
         worst_partner_reduce,
     )
 
@@ -1120,7 +1120,7 @@ def test_source_overlap_matrix_invariants(spark, rows, k):
         [(i, f"t{v}", s) for i, (s, v) in enumerate(rows)],
         "doc_id long, text string, source string",
     )
-    m = source_overlap_matrix(docs, k=k).collect()
+    m = source_content_overlap(docs, k=k).collect()
     exact = {}
     for s, v in rows:
         exact.setdefault(s, set()).add(v)
