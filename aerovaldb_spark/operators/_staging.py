@@ -481,3 +481,66 @@ def maybe_compact(
         verdict,
         report,
     )
+
+
+def maintain(
+    spark,
+    path: str,
+    family,
+    rebuild_kwargs: dict | None = None,
+    compact_kwargs: dict | None = None,
+    load_kwargs: dict | None = None,
+    max_files_per_dir: int = 8,
+    min_mean_bytes_per_file: int = 0,
+) -> dict:
+    """ONE maintenance pass over a persisted index, running the whole
+    triangle in the safe order:
+
+    1. recover — roll back torn streaming-append intents (must come
+       first: both later verbs would bake torn rows in);
+    2. ``family.maybe_rebuild`` — the staleness verdict and, when it
+       trips, the staged rebuild+swap (``rebuild_kwargs`` forwarded —
+       e.g. ``docs=`` for the screen family, ``vectors=`` for
+       quantized IVF);
+    3. ``maybe_compact`` — only when NO rebuild happened (a rebuild
+       rewrites every file; compacting after it would be a no-op
+       rewrite).
+
+    Returns a summary dict: ``index`` (the handle to serve from —
+    freshly swapped when anything ran, the current load otherwise),
+    ``recovered`` (rolled-back intents), ``rebuilt``/``compacted``
+    plus their verdicts and report rows. The scheduled-job shape: run
+    this off-peak per index root and read the dict into your metrics.
+    Single-writer rule applies (no concurrent ingest/serve on the
+    same path during the pass)."""
+    repaired = recover_before_rebuild(path, spark)
+    idx, r_verdict, r_report = family.maybe_rebuild(
+        spark, path, **(rebuild_kwargs or {})
+    )
+    out = {
+        "index": idx,
+        "recovered": len(repaired),
+        "rebuilt": bool(r_verdict.rebuild),
+        "rebuild_verdict": r_verdict,
+        "rebuild_report": r_report,
+        "compacted": False,
+        "compact_verdict": None,
+        "fragmentation": None,
+    }
+    if r_verdict.rebuild:
+        return out
+    cidx, c_verdict, frag = maybe_compact(
+        spark,
+        path,
+        family,
+        max_files_per_dir=max_files_per_dir,
+        min_mean_bytes_per_file=min_mean_bytes_per_file,
+        load_kwargs=load_kwargs,
+        **(compact_kwargs or {}),
+    )
+    out["compacted"] = bool(c_verdict.rebuild)
+    out["compact_verdict"] = c_verdict
+    out["fragmentation"] = frag
+    if cidx is not None:
+        out["index"] = cidx
+    return out

@@ -429,3 +429,56 @@ def test_maybe_compact_rolls_back_torn_intent_first(
     )
     # torn rows rolled back BEFORE the rewrite — not baked in
     assert (idx or SRPIndex.load(spark, p)).assignments.count() == n_clean
+
+
+def test_maintain_runs_the_triangle_in_order(spark, tmp_path, monkeypatch):
+    """One call: a torn intent is recovered, staleness is measured
+    (fresh -> no rebuild), fragmentation trips -> compact runs; after
+    a drifting append the SAME call rebuilds and skips the redundant
+    compact."""
+    import aerovaldb_spark.streaming as st
+    from aerovaldb_spark.operators._staging import maintain
+    from aerovaldb_spark.operators.similarity import SRPIndex
+
+    emb, old, shifted = _emb_halves(spark)
+    dim = len(emb.first()["embedding"])
+    p = str(tmp_path / "srp")
+    built = SRPIndex.build(old, dim, planes=2)
+    built.save(p)
+    built.save_build_report(p)
+    # append litter (same distribution — staleness stays fresh)
+    for i in range(6):
+        SRPIndex.load(spark, p).add(
+            old.limit(3).withColumn(
+                "vec_id", F.col("vec_id") + (i + 1) * 1_000_000
+            ),
+            path=p,
+        )
+    n_clean = SRPIndex.load(spark, p).assignments.count()
+    # plus one torn attempt
+    fn = st.index_ingest_fn(SRPIndex.load(spark, p), p, run_id="r")
+
+    def boom(marker):
+        raise RuntimeError("injected")
+
+    monkeypatch.setattr(st, "_commit_marker", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        fn(old.limit(2).withColumn(
+            "vec_id", F.col("vec_id") + 9_000_000
+        ), 0)
+    monkeypatch.undo()
+
+    out = maintain(spark, p, SRPIndex, max_files_per_dir=2)
+    assert out["recovered"] == 1  # the torn intent rolled back
+    assert not out["rebuilt"] and out["compacted"]
+    assert out["index"].assignments.count() == n_clean
+    frag = out["fragmentation"]["datasets"]["assignments"]
+    assert frag["max_files_per_dir"] > 2  # measured pre-compact
+
+    # drift past the threshold: the same call rebuilds, no compact
+    SRPIndex.load(spark, p).add(shifted, path=p)
+    out2 = maintain(spark, p, SRPIndex, max_files_per_dir=2)
+    assert out2["rebuilt"] and not out2["compacted"]
+    assert out2["index"].planes == 3  # the re-plan
+    out3 = maintain(spark, p, SRPIndex, max_files_per_dir=2)
+    assert not out3["rebuilt"]  # re-baselined
