@@ -109,6 +109,16 @@ def main() -> None:
         f"{frag['datasets']['assignments']['max_files_per_dir']})"
     )
 
+    # ...or the whole triangle in one scheduled-job call: recover any
+    # torn streaming append, rebuild if stale, compact if fragmented
+    from aerovaldb_spark.operators._staging import maintain
+
+    summary = maintain(spark, root, IVFIndex, max_files_per_dir=2)
+    print(
+        f"maintain: recovered={summary['recovered']} "
+        f"rebuilt={summary['rebuilt']} compacted={summary['compacted']}"
+    )
+
     # ---- screen: same loop, plus dial recalibration -----------------
     docs = load_table(spark, sf, "documents")
     screen = TfidfScreenIndex.build(docs.filter(F.col("doc_id") < 250))
