@@ -195,7 +195,28 @@ def write_append_intent(intent_path: str, dataset_dirs) -> None:
     tmp = intent_path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(snap, f)
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, intent_path)
+    fsync_dir(os.path.dirname(intent_path))
+
+
+def fsync_dir(dirpath: str) -> None:
+    """fsync a directory so a rename/create inside it survives power
+    loss, not just a process crash — os.replace orders the rename
+    against the file's own fsync, but the directory entry itself is
+    only durable once the directory inode is synced. No-op on
+    platforms whose directory handles refuse fsync (Windows)."""
+    try:
+        fd = os.open(dirpath, os.O_RDONLY)
+    except OSError:
+        return
+    try:
+        os.fsync(fd)
+    except OSError:
+        pass
+    finally:
+        os.close(fd)
 
 
 def recover_append_intent(intent_path: str) -> dict:
@@ -340,6 +361,64 @@ def refresh_root(spark, path: str) -> None:
                 spark.catalog.refreshByPath(child)
 
 
+def frame_fingerprint(df) -> tuple[int, int]:
+    """(row count, order-free xxhash64 sum) of a frame — a cheap
+    equality fingerprint for the tiny frozen-parameter frames the
+    index families carry (IVF centroids, the screen index's idf
+    stats). Order-free (sum of per-row hashes, wrapping long
+    arithmetic) so the physical row order of a parquet round-trip
+    can't change it; exact for the frozen params because doubles,
+    longs, and strings round-trip parquet bit-for-bit. The sum runs
+    in DECIMAL(38,0) — a long sum of longs overflows under ANSI mode
+    (headroom to ~1e19 rows, far past any parameter frame)."""
+    from pyspark.sql import functions as F
+
+    row = df.select(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(
+            F.xxhash64(*df.columns).cast("decimal(38,0)")
+        ).alias("h"),
+    ).collect()[0]
+    return int(row["c"]), int(row["h"]) if row["h"] is not None else 0
+
+
+def read_meta_row(spark, path: str, name: str = "meta"):
+    """The one-row ``<path>/<name>`` parquet as a Row, or None when
+    the dataset is missing. Resolves the root through
+    :func:`resolve_live` and evicts the shared file-listing cache
+    first — after a rebuild swap the meta files are NEW, and a stale
+    listing from before the swap would either throw FileNotFound or
+    silently serve the pre-rebuild row (exactly the state this read
+    exists to detect)."""
+    meta_dir = os.path.join(resolve_live(path), name)
+    if not os.path.isdir(meta_dir):
+        return None
+    spark.catalog.refreshByPath(meta_dir)
+    return spark.read.parquet(meta_dir).collect()[0]
+
+
+def verify_frozen_handle(
+    spark, path: str, what: str, self_fp, meta_fp
+) -> None:
+    """Raise unless a handle's frozen-parameter fingerprint matches
+    the persisted one — the ``add(path=...)`` pre-flight that stops a
+    handle created BEFORE a maybe_rebuild/maintain swap from
+    appending rows computed under the OLD parameters (mixed parameter
+    spaces corrupt screen dots / bucket probes with no error).
+    ``meta_fp`` None (a pre-fingerprint layout) is accepted with no
+    check — re-``save()`` to arm the guard."""
+    if meta_fp is None:
+        return
+    if tuple(self_fp) != tuple(meta_fp):
+        raise ValueError(
+            f"frozen {what} changed on disk under {path!r} since this "
+            "handle was created (a maybe_rebuild/maintain pass swapped "
+            "in re-fit parameters?) — appending rows computed under "
+            "the old parameters would corrupt the index; re-load() "
+            "and re-create any ingest closures from the fresh handle"
+        )
+
+
 def recover_before_rebuild(path: str, spark=None) -> dict:
     """The ONE recover-before-rebuild preamble every family's
     ``maybe_rebuild`` runs first: roll back any torn streaming append
@@ -370,7 +449,22 @@ def fragmentation_report(path: str, datasets) -> dict:
     root's append datasets: per dataset (data files, partition dirs,
     max files in one dir, bytes, mean bytes/file) plus roots for the
     totals. Zero Spark jobs — os.walk only — so it is safe to run as
-    a scheduled health probe against a live index."""
+    a scheduled health probe against a live index.
+
+    Refuses (raises) the interrupted-rebuild state (``<path>.old``
+    without ``<path>``): walking the missing live root would report
+    all-zero metrics and a 'fresh, nothing to do' compact verdict for
+    an index that actually needs its swap completed — the same guard
+    ``recover_ingest_intents`` applies. The ROOT is resolved through
+    :func:`resolve_live` first (so is each dataset, for compact()'s
+    dataset-level rename window)."""
+    if not os.path.isdir(path) and os.path.isdir(path + ".old"):
+        raise ValueError(
+            f"interrupted rebuild detected at {path!r} (.old without "
+            "the live root) — re-run the rebuild/compact to complete "
+            "the swap before measuring fragmentation"
+        )
+    path = resolve_live(path)
     report: dict = {"path": path, "datasets": {}}
     for name in datasets:
         root = resolve_live(os.path.join(path, name))
@@ -501,7 +595,11 @@ def maintain(
     2. ``family.maybe_rebuild`` — the staleness verdict and, when it
        trips, the staged rebuild+swap (``rebuild_kwargs`` forwarded —
        e.g. ``docs=`` for the screen family, ``vectors=`` for
-       quantized IVF);
+       quantized IVF). Skipped (``rebuilt=None`` in the summary) for
+       families with no staleness to measure and hence no
+       ``maybe_rebuild`` — NearDupBucketIndex's per-doc signatures
+       have no frozen statistic, so its triangle is recover+compact
+       only;
     3. ``maybe_compact`` — only when NO rebuild happened (a rebuild
        rewrites every file; compacting after it would be a no-op
        rewrite).
@@ -514,20 +612,32 @@ def maintain(
     Single-writer rule applies (no concurrent ingest/serve on the
     same path during the pass)."""
     repaired = recover_before_rebuild(path, spark)
-    idx, r_verdict, r_report = family.maybe_rebuild(
-        spark, path, **(rebuild_kwargs or {})
-    )
+    if hasattr(family, "maybe_rebuild"):
+        idx, r_verdict, r_report = family.maybe_rebuild(
+            spark, path, **(rebuild_kwargs or {})
+        )
+        rebuilt: bool | None = bool(r_verdict.rebuild)
+    else:
+        # no staleness to measure for this family — recover+compact
+        # is its whole triangle; load so the summary still carries a
+        # servable handle
+        idx, r_verdict, r_report = (
+            family.load(spark, path, **(load_kwargs or {})),
+            None,
+            None,
+        )
+        rebuilt = None
     out = {
         "index": idx,
         "recovered": len(repaired),
-        "rebuilt": bool(r_verdict.rebuild),
+        "rebuilt": rebuilt,
         "rebuild_verdict": r_verdict,
         "rebuild_report": r_report,
         "compacted": False,
         "compact_verdict": None,
         "fragmentation": None,
     }
-    if r_verdict.rebuild:
+    if rebuilt:
         return out
     cidx, c_verdict, frag = maybe_compact(
         spark,

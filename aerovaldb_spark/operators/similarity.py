@@ -969,14 +969,18 @@ Q66_SQL = _q66_sql()
 
 def _save_ivf_layout(
     centroids: DataFrame, assignments: DataFrame, path: str
-) -> None:
+) -> tuple:
     """The one on-disk IVF layout (shared by IVFIndex and
     QuantizedIVFIndex so the two can never diverge): ``centroids/``
     (n_lists rows) + ``assignments/`` PARTITIONED BY list_id — the
-    layout that makes probing a directory-pruned scan."""
+    layout that makes probing a directory-pruned scan — plus a one-row
+    ``meta/`` carrying the centroid-table fingerprint, so a held
+    handle's ``add(path=...)`` can detect that a rebuild swapped in
+    re-fit centroids (returned so ``save()`` can arm the caller's own
+    guard)."""
     import os as _os
 
-    from ._staging import clear_stale
+    from ._staging import clear_stale, frame_fingerprint
 
     # a stale assignments.old from an interrupted compaction must not
     # outlive a re-save: if this save then crashed mid-overwrite,
@@ -991,25 +995,36 @@ def _save_ivf_layout(
         .partitionBy("list_id")
         .parquet(_os.path.join(path, "assignments"))
     )
+    fp = frame_fingerprint(centroids)
+    # the hash sum is an arbitrary-width integer (decimal(38,0)
+    # aggregate) — stored as a string so it round-trips exactly
+    centroids.sparkSession.createDataFrame(
+        [(fp[0], str(fp[1]))], "c_rows long, c_fp string"
+    ).write.mode("overwrite").parquet(_os.path.join(path, "meta"))
+    return fp
 
 
 def _load_ivf_frames(
     spark: SparkSession, path: str
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, "tuple | None"]:
     import os as _os
 
-    from ._staging import resolve_live
+    from ._staging import read_meta_row, resolve_live
 
     # root-level resolve first (a crash inside rebuild_root's swap
     # window leaves the pre-rebuild root at <path>.old), then the
     # dataset-level fallback for _compact_assignments' rename window
     # (centroids are never swapped)
     path = resolve_live(path)
+    meta = read_meta_row(spark, path)
     return (
         spark.read.parquet(_os.path.join(path, "centroids")),
         spark.read.parquet(
             resolve_live(_os.path.join(path, "assignments"))
         ),
+        (int(meta["c_rows"]), int(meta["c_fp"]))
+        if meta is not None
+        else None,
     )
 
 
@@ -1027,6 +1042,30 @@ def _compact_assignments(
     from ._staging import compact_dataset
 
     compact_dataset(spark, path, "assignments", partition_col=partition_col)
+
+
+def _verify_srp_meta(
+    spark: SparkSession, path: str, dim: int, planes: int
+) -> None:
+    """The SRP families' frozen-parameter guard for ``add(path=...)``:
+    the handle's (dim, planes) quantizer must match the persisted
+    one-row meta — a handle outliving a maybe_rebuild that swapped in
+    a re-parameterized index (e.g. planes+1) would otherwise append
+    signatures that can never collide with the layout's buckets.
+    One-row read; raises on mismatch (re-``load()`` after any
+    maintenance pass)."""
+    from ._staging import read_meta_row, verify_frozen_handle
+
+    meta = read_meta_row(spark, path)
+    verify_frozen_handle(
+        spark,
+        path,
+        "(dim, planes) quantizer",
+        (dim, planes),
+        (int(meta["dim"]), int(meta["planes"]))
+        if meta is not None
+        else None,
+    )
 
 
 def _append_assignments(
@@ -1084,6 +1123,10 @@ class IVFIndex:
         self.assignments = assignments
         self.vec_col = vec_col
         self.id_col = id_col
+        # (rows, xxhash64-sum) of the frozen centroids — set by
+        # save()/load(), lazily computed for never-saved handles; the
+        # add(path=...) guard against a rebuild-swapped layout
+        self._frozen_fp: tuple | None = None
 
     @staticmethod
     def build(
@@ -1136,24 +1179,59 @@ class IVFIndex:
         the grown distribution, so list sizes can skew and recall at a
         fixed n_probe can drift as appended data diverges from the
         build-time sample. Re-``build`` when the corpus has shifted
-        materially. Appended ids must not collide with existing ones."""
+        materially. Appended ids must not collide with existing ones.
+
+        With ``path``, the handle's frozen centroids are first
+        verified against the persisted meta fingerprint (one-row
+        read): a handle that outlived a maybe_rebuild/maintain swap
+        would otherwise silently append rows assigned under the OLD
+        centroids into the re-fit layout. Raises on mismatch —
+        re-``load()`` (and re-create any ingest closures) after any
+        maintenance pass; checked BEFORE the assignment plan exists so
+        a refused call leaves no abandoned plan state behind."""
+        if path is not None:
+            self._verify_frozen(vectors.sparkSession, path)
         new = ivf_assign(
             vectors, self.centroids, self.vec_col, self.id_col
         )
         if path is None:
-            return IVFIndex(
+            out = IVFIndex(
                 self.centroids,
                 self.assignments.unionByName(new),
                 self.vec_col,
                 self.id_col,
             )
+            out._frozen_fp = self._frozen_fp
+            return out
         _append_assignments(new, path, "list_id", "centroids")
         return IVFIndex.load(
             new.sparkSession, path, self.vec_col, self.id_col
         )
 
+    def _verify_frozen(self, spark: SparkSession, path: str) -> None:
+        from ._staging import (
+            frame_fingerprint,
+            read_meta_row,
+            verify_frozen_handle,
+        )
+
+        if self._frozen_fp is None:
+            self._frozen_fp = frame_fingerprint(self.centroids)
+        meta = read_meta_row(spark, path)
+        verify_frozen_handle(
+            spark,
+            path,
+            "centroids",
+            self._frozen_fp,
+            (int(meta["c_rows"]), int(meta["c_fp"]))
+            if meta is not None
+            else None,
+        )
+
     def save(self, path: str) -> None:
-        _save_ivf_layout(self.centroids, self.assignments, path)
+        self._frozen_fp = _save_ivf_layout(
+            self.centroids, self.assignments, path
+        )
 
     @staticmethod
     def compact(
@@ -1174,7 +1252,10 @@ class IVFIndex:
         vec_col: str = "embedding",
         id_col: str = "vec_id",
     ) -> "IVFIndex":
-        return IVFIndex(*_load_ivf_frames(spark, path), vec_col, id_col)
+        centroids, assignments, fp = _load_ivf_frames(spark, path)
+        idx = IVFIndex(centroids, assignments, vec_col, id_col)
+        idx._frozen_fp = fp
+        return idx
 
     def staleness(
         self, sample_fraction: float | None = None
@@ -2640,7 +2721,14 @@ class SRPIndex:
         bucket files are never rewritten) and the returned index reads
         from disk; without it the append is in-memory. Appended ids
         must not collide with existing ones (a duplicate would serve
-        as two reference rows)."""
+        as two reference rows). The handle's (dim, planes) quantizer
+        is verified against the persisted meta first (one-row read) —
+        a handle outliving a maybe_rebuild swap must not append
+        signatures that can never collide with the new layout's."""
+        if path is not None:
+            _verify_srp_meta(
+                vectors.sparkSession, path, self.dim, self.planes
+            )
         new = vectors.select(
             self.id_col,
             self.vec_col,
@@ -2948,7 +3036,13 @@ class QuantizedSRPIndex:
         this is bit-identical to a one-shot build over the union
         (tested), with no staleness. With ``path`` the new rows append
         to the bucket-partitioned parquet; without it the append is
-        in-memory. Appended ids must not collide with existing ones."""
+        in-memory. Appended ids must not collide with existing ones.
+        The (dim, planes) quantizer is verified against the persisted
+        meta first — the SRPIndex.add contract."""
+        if path is not None:
+            _verify_srp_meta(
+                vectors.sparkSession, path, self.dim, self.planes
+            )
         new = _quantized_codes_frame(vectors, vec_col, self.id_col).select(
             self.id_col,
             F.transform("codes", lambda x: x.cast("tinyint")).alias(
@@ -3191,6 +3285,9 @@ class QuantizedIVFIndex:
         self.centroids = centroids
         self.assignments = assignments
         self.id_col = id_col
+        # frozen-centroid fingerprint — the IVFIndex add(path=...)
+        # guard (see IVFIndex._verify_frozen), shared layout
+        self._frozen_fp: tuple | None = None
 
     @staticmethod
     def build(
@@ -3229,7 +3326,11 @@ class QuantizedIVFIndex:
         centroids).add(new)`` are bit-identical (tested); the
         :meth:`IVFIndex.add` staleness note applies to the centroids
         (frozen model vs grown distribution). Appended ids must not
-        collide with existing ones."""
+        collide with existing ones. The frozen centroids are verified
+        against the persisted meta fingerprint first — the
+        IVFIndex.add contract."""
+        if path is not None:
+            IVFIndex._verify_frozen(self, vectors.sparkSession, path)
         new = (
             ivf_assign(vectors, self.centroids, vec_col, self.id_col)
             .withColumn("codes", _q8_codes(vec_col))
@@ -3243,16 +3344,20 @@ class QuantizedIVFIndex:
             )
         )
         if path is None:
-            return QuantizedIVFIndex(
+            out = QuantizedIVFIndex(
                 self.centroids,
                 self.assignments.unionByName(new),
                 self.id_col,
             )
+            out._frozen_fp = self._frozen_fp
+            return out
         _append_assignments(new, path, "list_id", "centroids")
         return QuantizedIVFIndex.load(new.sparkSession, path, self.id_col)
 
     def save(self, path: str) -> None:
-        _save_ivf_layout(self.centroids, self.assignments, path)
+        self._frozen_fp = _save_ivf_layout(
+            self.centroids, self.assignments, path
+        )
 
     @staticmethod
     def compact(
@@ -3267,7 +3372,10 @@ class QuantizedIVFIndex:
     def load(
         spark: SparkSession, path: str, id_col: str = "vec_id"
     ) -> "QuantizedIVFIndex":
-        return QuantizedIVFIndex(*_load_ivf_frames(spark, path), id_col)
+        centroids, assignments, fp = _load_ivf_frames(spark, path)
+        idx = QuantizedIVFIndex(centroids, assignments, id_col)
+        idx._frozen_fp = fp
+        return idx
 
     def staleness(
         self, sample_fraction: float | None = None

@@ -593,22 +593,44 @@ def source_content_overlap(docs: DataFrame, k: int | None = None) -> DataFrame:
     duplicate nothing)."""
     from .events import KMV_K, kmv_overlap
 
+    kk = KMV_K if k is None else k
     return _containment_matrix(
-        kmv_overlap(docs, "source", "text", KMV_K if k is None else k)
+        kmv_overlap(docs, "source", "text", kk), kk
     )
 
 
-def _containment_matrix(base: DataFrame) -> DataFrame:
+def _containment_matrix(base: DataFrame, k: int) -> DataFrame:
     """The q123 output shape from a ``kmv_overlap``-named pair frame —
     ONE definition shared by the batch matrix (raw docs) and the
     stream-state matrix (``streaming.source_overlap_from_health``).
     Containments come from the UNROUNDED clamped intersection (the
     jaccard convention: inputs are already-round6 estimates, the
-    derived ratio rounds once) — bit-matches the SQL twin."""
+    derived ratio rounds once) — bit-matches the SQL twin.
+
+    ``below_noise_*``: True when the KMV error envelope at this ``k``
+    exceeds the containment itself — the SCALING.md operational rule
+    ("near-zero containments carry +/- the table's noise and are not
+    evidence of overlap"), enforced in the schema so a dashboard
+    cannot misread sketch noise as overlap (r12 verdict #6). The
+    envelope is the conservative worst case: each input estimate is
+    exact below ``k`` (error 0) and carries ~est/sqrt(k-2) above, and
+    the three inclusion-exclusion terms' envelopes ADD (the measured
+    k=64 max abs err 0.436 sits just under this bound's ~0.51). An
+    exact-zero containment (all three sketches below k) has a zero
+    envelope and is NOT flagged — it is a true zero."""
     inter_raw = F.greatest(
         F.col("users_a") + F.col("users_b") - F.col("union_users"),
         F.lit(0.0),
     )
+
+    def _err(c: str):
+        return F.when(F.col(c) < k, F.lit(0.0)).otherwise(
+            F.col(c) / F.sqrt(F.lit(k - 2.0))
+        )
+
+    envelope = _err("users_a") + _err("users_b") + _err("union_users")
+    cont_a = round6(inter_raw / F.col("users_a"))
+    cont_b = round6(inter_raw / F.col("users_b"))
     return base.select(
         F.col("type_a").alias("source_a"),
         F.col("type_b").alias("source_b"),
@@ -617,8 +639,14 @@ def _containment_matrix(base: DataFrame) -> DataFrame:
         F.col("union_users").alias("union_uniq"),
         F.col("intersect_users").alias("intersect_uniq"),
         "jaccard",
-        round6(inter_raw / F.col("users_a")).alias("containment_a_in_b"),
-        round6(inter_raw / F.col("users_b")).alias("containment_b_in_a"),
+        cont_a.alias("containment_a_in_b"),
+        cont_b.alias("containment_b_in_a"),
+        (cont_a < envelope / F.col("users_a")).alias(
+            "below_noise_a_in_b"
+        ),
+        (cont_b < envelope / F.col("users_b")).alias(
+            "below_noise_b_in_a"
+        ),
     )
 
 
@@ -657,12 +685,14 @@ def worst_partner_reduce(matrix: DataFrame) -> DataFrame:
         F.col("source_b").alias("partner"),
         F.col("containment_a_in_b").alias("containment"),
         "jaccard",
+        F.col("below_noise_a_in_b").alias("below_noise"),
     )
     b = matrix.select(
         F.col("source_b").alias("source"),
         F.col("source_a").alias("partner"),
         F.col("containment_b_in_a").alias("containment"),
         "jaccard",
+        F.col("below_noise_b_in_a").alias("below_noise"),
     )
     w = Window.partitionBy("source").orderBy(
         F.col("containment").desc(), F.col("partner").asc()
@@ -714,8 +744,9 @@ def source_shingle_overlap(
         "source",
         F.explode(shingles_col("text", n)).alias("shingle"),
     )
+    kk = KMV_K if k is None else k
     return _containment_matrix(
-        kmv_overlap(sh, "source", "shingle", KMV_K if k is None else k)
+        kmv_overlap(sh, "source", "shingle", kk), kk
     )
 
 
@@ -737,10 +768,7 @@ def _q126_sql() -> str:
             "source_a", "source_b", "uniq_a", "uniq_b",
             "union_uniq", "intersect_uniq",
         ),
-        extra_select=(
-            ",\n  ROUND(inter_raw / p.uniq_a, 6) AS containment_a_in_b"
-            ",\n  ROUND(inter_raw / p.uniq_b, 6) AS containment_b_in_a"
-        ),
+        extra_select=_containment_extra_sql(),
         prelude=(
             "sh AS (\n"
             "  SELECT source, unnest("
@@ -757,19 +785,52 @@ def _q125_sql() -> str:
 WITH m AS ({_q123_sql()}),
 u AS (
   SELECT source_a AS source, source_b AS partner,
-         containment_a_in_b AS containment, jaccard
+         containment_a_in_b AS containment, jaccard,
+         below_noise_a_in_b AS below_noise
   FROM m
   UNION ALL
-  SELECT source_b, source_a, containment_b_in_a, jaccard FROM m
+  SELECT source_b, source_a, containment_b_in_a, jaccard,
+         below_noise_b_in_a
+  FROM m
 ), r AS (
-  SELECT source, partner, containment, jaccard,
+  SELECT source, partner, containment, jaccard, below_noise,
     ROW_NUMBER() OVER (
       PARTITION BY source ORDER BY containment DESC, partner
     ) AS rn
   FROM u
 )
-SELECT source, partner, containment, jaccard FROM r WHERE rn = 1
+SELECT source, partner, containment, jaccard, below_noise
+FROM r WHERE rn = 1
 """
+
+
+def _containment_extra_sql() -> str:
+    """The q123/q126 containment + noise-flag SELECT tail — the SQL
+    twin of :func:`_containment_matrix`'s derived columns, one
+    definition so the two graded oracles cannot drift. ``inter_raw``
+    is substituted by ``kmv_overlap_sql``; the envelope arithmetic
+    mirrors the Spark expressions term for term (same association
+    order) so the booleans compare bit-equal doubles."""
+    from .events import KMV_K
+
+    def err(e: str) -> str:
+        return (
+            f"(CASE WHEN {e} < {KMV_K} THEN 0.0 "
+            f"ELSE {e} / sqrt({KMV_K} - 2.0) END)"
+        )
+
+    env = (
+        f"({err('p.uniq_a')} + {err('p.uniq_b')} "
+        f"+ {err('u.union_uniq')})"
+    )
+    return (
+        ",\n  ROUND(inter_raw / p.uniq_a, 6) AS containment_a_in_b"
+        ",\n  ROUND(inter_raw / p.uniq_b, 6) AS containment_b_in_a"
+        f",\n  ROUND(inter_raw / p.uniq_a, 6) < {env} / p.uniq_a"
+        "  AS below_noise_a_in_b"
+        f",\n  ROUND(inter_raw / p.uniq_b, 6) < {env} / p.uniq_b"
+        "  AS below_noise_b_in_a"
+    )
 
 
 def _q123_sql() -> str:
@@ -783,10 +844,7 @@ def _q123_sql() -> str:
             "source_a", "source_b", "uniq_a", "uniq_b",
             "union_uniq", "intersect_uniq",
         ),
-        extra_select=(
-            ",\n  ROUND(inter_raw / p.uniq_a, 6) AS containment_a_in_b"
-            ",\n  ROUND(inter_raw / p.uniq_b, 6) AS containment_b_in_a"
-        ),
+        extra_select=_containment_extra_sql(),
     )
 
 
@@ -3603,6 +3661,11 @@ class TfidfScreenIndex:
         self.bands = bands
         self.rows_per_band = rows_per_band
         self.top_terms = top_terms
+        # (stats_rows, stats_fp, n_docs) fingerprint of the frozen idf
+        # statistics — set by save()/load(), lazily computed for
+        # never-saved handles; the add(path=...) guard against a
+        # rebuild having swapped in fresh stats
+        self._frozen_fp: tuple | None = None
 
     @staticmethod
     def build(
@@ -3640,10 +3703,27 @@ class TfidfScreenIndex:
             .partitionBy("band")
             .parquet(_os.path.join(path, "signatures"))
         )
+        self._frozen_fp = self._stats_fingerprint()
+        rows, fp, n_docs = self._frozen_fp
+        # the hash sum is an arbitrary-width integer (decimal(38,0)
+        # aggregate) — stored as a string so it round-trips exactly
         spark.createDataFrame(
-            [(self.bands, self.rows_per_band, self.top_terms)],
-            "bands int, rows_per_band int, top_terms int",
+            [
+                (self.bands, self.rows_per_band, self.top_terms,
+                 rows, str(fp), n_docs)
+            ],
+            "bands int, rows_per_band int, top_terms int, "
+            "stats_rows long, stats_fp string, n_docs long",
         ).write.mode("overwrite").parquet(_os.path.join(path, "meta"))
+
+    def _stats_fingerprint(self) -> tuple:
+        """(stats rows, stats xxhash64-sum, n_docs) of the frozen idf
+        statistics — persisted in meta so ``add(path=...)`` can detect
+        a rebuild-swapped layout with a one-row read."""
+        from ._staging import frame_fingerprint
+
+        rows, fp = frame_fingerprint(self.stats)
+        return rows, fp, int(self.n.collect()[0]["n_docs"])
 
     @staticmethod
     def load(spark: SparkSession, path: str) -> "TfidfScreenIndex":
@@ -3661,7 +3741,7 @@ class TfidfScreenIndex:
         # resolve_live: fall back to the .old state a crash inside
         # compact()'s rename window leaves (see _staging); the ROOT
         # resolve above it covers maybe_rebuild's swap window
-        return TfidfScreenIndex(
+        idx = TfidfScreenIndex(
             spark.read.schema("term string, df bigint").parquet(
                 _os.path.join(path, "stats")
             ),
@@ -3678,6 +3758,14 @@ class TfidfScreenIndex:
             int(meta["rows_per_band"]),
             int(meta["top_terms"]),
         )
+        md = meta.asDict()
+        if md.get("stats_fp") is not None:
+            idx._frozen_fp = (
+                int(md["stats_rows"]),
+                int(md["stats_fp"]),
+                int(md["n_docs"]),
+            )
+        return idx
 
     def add(
         self, docs: DataFrame, path: str | None = None
@@ -3732,12 +3820,22 @@ class TfidfScreenIndex:
         magnitude is not). Appended doc_ids must not collide with
         existing reference ids: a duplicated id with different text
         would merge two docs' weight rows into one corrupt vector."""
+        if path is not None:
+            # EVERY refusal must run before the weight frames are even
+            # constructed: _weight_incoming_under scoped_persist's its
+            # intermediates, and a persisted-then-abandoned plan over
+            # the handle's stale stats would be substituted by the
+            # CacheManager into a FRESH handle's logically-equal plan
+            # (canonical equality is by path), resurrecting the
+            # pre-rebuild file listing (found by this round's guard
+            # tests — the stale-cache trap, again)
+            self._check_append_target(path)
         w_new = _weight_incoming_under(docs, self.stats, self.n)
         sig_new = _banded_signatures(
             w_new, self.bands, self.rows_per_band, self.top_terms
         )
         if path is None:
-            return TfidfScreenIndex(
+            out = TfidfScreenIndex(
                 self.stats,
                 self.n,
                 self.weights.unionByName(w_new),
@@ -3746,23 +3844,10 @@ class TfidfScreenIndex:
                 self.rows_per_band,
                 self.top_terms,
             )
+            out._frozen_fp = self._frozen_fp
+            return out
         import os as _os
 
-        from ._staging import guarded_append_target
-
-        # refuse before writing (the shared append rule): an append
-        # into a fresh path would strand weights/signatures with no
-        # stats/meta and fail confusingly at load()
-        if not _os.path.isdir(_os.path.join(path, "meta")):
-            raise ValueError(
-                f"no saved screen index under {path!r} (missing meta/)"
-                " — save() there first; add(path=...) appends to an"
-                " existing layout"
-            )
-        # check BOTH datasets before writing EITHER (a refused second
-        # append must not leave the first half applied)
-        for name in ("weights", "signatures"):
-            guarded_append_target(_os.path.join(path, name))
         w_new.write.mode("append").parquet(_os.path.join(path, "weights"))
         (
             sig_new.write.mode("append")
@@ -3770,6 +3855,55 @@ class TfidfScreenIndex:
             .parquet(_os.path.join(path, "signatures"))
         )
         return TfidfScreenIndex.load(self.weights.sparkSession, path)
+
+    def _check_append_target(self, path: str) -> None:
+        """Every reason to REFUSE an ``add(path=...)``, checked before
+        the append plans exist (see add's in-body note on why the
+        order matters): complete saved layout, matching frozen
+        parameters (one-row meta read — the guard against a handle
+        that outlived a maybe_rebuild/maintain swap; appending rows
+        weighted under the old idf stats would corrupt every
+        downstream screen dot), and both append datasets out of the
+        compact crash window (a refused second append must not leave
+        the first half applied)."""
+        import os as _os
+
+        from ._staging import (
+            guarded_append_target,
+            read_meta_row,
+            verify_frozen_handle,
+        )
+
+        if not _os.path.isdir(_os.path.join(path, "meta")):
+            raise ValueError(
+                f"no saved screen index under {path!r} (missing meta/)"
+                " — save() there first; add(path=...) appends to an"
+                " existing layout"
+            )
+        spark = self.weights.sparkSession
+        meta = read_meta_row(spark, path)
+        md = meta.asDict() if meta is not None else {}
+        verify_frozen_handle(
+            spark,
+            path,
+            "(bands, rows_per_band, top_terms) dial",
+            (self.bands, self.rows_per_band, self.top_terms),
+            (int(md["bands"]), int(md["rows_per_band"]),
+             int(md["top_terms"])) if md else None,
+        )
+        if md.get("stats_fp") is not None:
+            if self._frozen_fp is None:
+                self._frozen_fp = self._stats_fingerprint()
+            verify_frozen_handle(
+                spark,
+                path,
+                "idf statistics",
+                self._frozen_fp,
+                (int(md["stats_rows"]), int(md["stats_fp"]),
+                 int(md["n_docs"])),
+            )
+        for name in ("weights", "signatures"):
+            guarded_append_target(_os.path.join(path, name))
 
     @staticmethod
     def compact(

@@ -560,11 +560,12 @@ def source_overlap_from_health(latest: DataFrame, k: int | None = None) -> DataF
     from ..operators.events import KMV_K, kmv_overlap_from_sketches
     from ..operators.text import _containment_matrix
 
+    kk = KMV_K if k is None else k
     return _containment_matrix(
         kmv_overlap_from_sketches(
-            latest.select(F.col("source").alias("key"), "kept"),
-            KMV_K if k is None else k,
-        )
+            latest.select(F.col("source").alias("key"), "kept"), kk
+        ),
+        kk,
     )
 
 
@@ -1879,9 +1880,17 @@ def index_ingest_fn(index, path: str, run_id: str, datasets=None):
 def _commit_marker(marker: str) -> None:
     """The epoch commit point — a separate function so crash-injection
     tests can fault it (simulating a die between the append and the
-    marker)."""
-    with open(marker, "w"):
-        pass
+    marker). fsynced (file + directory) so the commit is durable
+    against power loss, not just process crashes: the caller removes
+    the intent right after this returns, and a marker that evaporated
+    with the page cache while the intent's removal persisted would
+    let a redelivered batch re-append without rollback."""
+    from ..operators._staging import fsync_dir
+
+    with open(marker, "w") as f:
+        f.flush()
+        os.fsync(f.fileno())
+    fsync_dir(os.path.dirname(marker))
 
 
 def tfidf_index_ingest_fn(index, path: str, run_id: str):

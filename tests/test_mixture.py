@@ -210,6 +210,49 @@ def test_source_content_overlap_directional_containment(spark):
     assert om["jaccard"] == 0.5
     assert m[("origin", "other")]["intersect_uniq"] == 0.0
     assert m[("mirror", "other")]["jaccard"] == 0.0
+    # everything here is exact (distinct counts below k): an exact
+    # zero is a TRUE zero, not noise — no row is flagged
+    assert not any(
+        r["below_noise_a_in_b"] or r["below_noise_b_in_a"]
+        for r in m.values()
+    )
+
+
+def test_below_noise_flag_on_planted_zero_overlap(spark):
+    """The r12 verdict #6 rule, enforced in the schema: two sources
+    with ZERO true overlap but distinct counts far past k sit in the
+    estimating regime, where inclusion-exclusion noise lands on a
+    near-zero signal — whatever containment the sketches report, its
+    error envelope exceeds it and the row must carry below_noise. A
+    planted heavy mirror in the same corpus (containment ~1) must NOT
+    be flagged — the flag separates noise from signal, not small from
+    large."""
+    from aerovaldb_spark.operators.text import source_content_overlap
+
+    a = [(i, f"alpha doc {i} unique body", "a") for i in range(200)]
+    b = [
+        (1000 + i, f"beta doc {i} different body", "b")
+        for i in range(200)
+    ]
+    # mirror: all of a's pages plus 10 of its own -> containment of a
+    # in mirror ~1.0 even under sketch noise
+    mirror = [(2000 + i, a[i][1], "m") for i in range(200)] + [
+        (3000 + i, f"mirror extra {i}", "m") for i in range(10)
+    ]
+    docs = spark.createDataFrame(
+        a + b + mirror, "doc_id long, text string, source string"
+    )
+    m = {
+        (r["source_a"], r["source_b"]): r
+        for r in source_content_overlap(docs).collect()
+    }
+    ab = m[("a", "b")]
+    # zero true overlap, estimating regime: flagged in BOTH directions
+    assert ab["below_noise_a_in_b"] and ab["below_noise_b_in_a"]
+    am = m[("a", "m")]
+    # the real mirror signal survives: a's content is ~all in m
+    assert am["containment_a_in_b"] > 0.6
+    assert not am["below_noise_a_in_b"]
 
 
 def test_source_content_overlap_skips_null_text_and_plans_sketch_only(spark):
