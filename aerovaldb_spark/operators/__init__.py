@@ -6,7 +6,7 @@
 
 from __future__ import annotations
 
-from . import advanced, dedup, events, relational, similarity, store_query, text  # noqa: E501
+from . import advanced, dedup, events, markup, relational, similarity, store_query, text  # noqa: E501
 from ..functions import bpe, multimodal
 
 _MERGED_QUERIES = {
@@ -19,6 +19,7 @@ _MERGED_QUERIES = {
     **multimodal.QUERIES,
     **store_query.QUERIES,
     **bpe.QUERIES,
+    **markup.QUERIES,
 }
 
 # The external correctness gate records rows for the FIRST 50 entries
@@ -173,6 +174,7 @@ ALL_ORACLE = {
     **multimodal.ORACLE,
     **store_query.ORACLE,
     **bpe.ORACLE,
+    **markup.ORACLE,
 }
 
 __all__ = [
