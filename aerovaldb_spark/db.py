@@ -854,6 +854,76 @@ class AerovalSparkDB:
         )
         return report
 
+    def fragmentation(self) -> dict:
+        """Filesystem-metadata-only fragmentation report over the
+        route-table partition directories (files, dirs, max files in
+        one dir, bytes, mean bytes/file per table) — the measured
+        trigger :meth:`maintain` feeds to the compaction verdict,
+        shared with the index families
+        (``operators._staging.fragmentation_report``). Zero Spark
+        jobs; safe as a scheduled health probe. Micro-flush litter
+        (every :meth:`flush` appends a file set per touched table)
+        shows up here long before scan planning degrades."""
+        from .operators._staging import fragmentation_report
+
+        tables = [
+            table_name(r)
+            for r in Route
+            if r not in TABLE_ALIASES
+            and os.path.isdir(os.path.join(self.root, table_name(r)))
+        ]
+        return fragmentation_report(self.root, tables)
+
+    def maintain(
+        self,
+        max_files_per_dir: int = 8,
+        min_mean_bytes_per_file: int = 0,
+        max_retries: int = 5,
+    ) -> dict:
+        """ONE maintenance pass over the store — the asset-store twin
+        of the index families' ``_staging.maintain`` triangle, in the
+        same safe order:
+
+        1. recover — :meth:`fsck` with ``repair=True`` (stale pending
+           claims resolve aborted, orphaned ``.tmp-``/``.old-``
+           staging dirs from interrupted rewrites are removed; both
+           verbs below assume a consistent root);
+        2. measure — :meth:`fragmentation` → the shared
+           ``compact_verdict`` rule (compact when any table's busiest
+           directory exceeds ``max_files_per_dir`` data files, or
+           mean file size fell below ``min_mean_bytes_per_file``);
+        3. :meth:`compact` — only when the verdict trips. Compaction
+           raises the snapshot horizon exactly as a manual
+           ``compact()`` does; :meth:`snapshot`/:meth:`changes`
+           semantics are otherwise untouched (tested).
+
+        Returns a summary dict (``fsck``, ``fragmentation``,
+        ``compact_verdict``, ``compacted``) — the scheduled-job shape:
+        run off-peak per store root, read the dict into metrics.
+        Unreadable tables abort before compaction (compacting a
+        corrupt table would bake the corruption into the rewrite)."""
+        from .operators._staging import compact_verdict
+
+        fsck_report = self.fsck(repair=True)
+        out: dict = {
+            "fsck": fsck_report,
+            "fragmentation": None,
+            "compact_verdict": None,
+            "compacted": False,
+        }
+        if fsck_report["unreadable_tables"]:
+            return out
+        frag = self.fragmentation()
+        verdict = compact_verdict(
+            frag, max_files_per_dir, min_mean_bytes_per_file
+        )
+        out["fragmentation"] = frag
+        out["compact_verdict"] = verdict
+        if verdict.rebuild:
+            self.compact(max_retries=max_retries)
+            out["compacted"] = True
+        return out
+
     def close(self) -> None:
         self.flush()
 

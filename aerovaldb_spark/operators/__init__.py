@@ -6,7 +6,7 @@
 
 from __future__ import annotations
 
-from . import advanced, dedup, events, markup, relational, similarity, store_query, text  # noqa: E501
+from . import advanced, dedup, events, markup, pq, relational, similarity, store_query, text  # noqa: E501
 from ..functions import bpe, multimodal
 
 _MERGED_QUERIES = {
@@ -20,6 +20,7 @@ _MERGED_QUERIES = {
     **store_query.QUERIES,
     **bpe.QUERIES,
     **markup.QUERIES,
+    **pq.QUERIES,
 }
 
 # The external correctness gate records rows for the FIRST 50 entries
@@ -175,6 +176,7 @@ ALL_ORACLE = {
     **store_query.ORACLE,
     **bpe.ORACLE,
     **markup.ORACLE,
+    **pq.ORACLE,
 }
 
 __all__ = [

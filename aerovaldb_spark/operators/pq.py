@@ -1,0 +1,648 @@
+"""Product quantization (PQ) + asymmetric-distance (ADC) ANN — the
+100 TB embedding-serving rung past int8 (q89/q98's 4×): vectors
+compress to M sub-space code indices (M=8, K=16 → 8 bytes/vector vs
+256 bytes float32, 32×), and query scoring is M table lookups + adds
+per candidate instead of a dim-length dot product.
+
+Frozen-model-as-data (the q66/q100 pattern): the per-sub-space KMeans
+codebooks are trained ONCE by ``tools/gen_pq_codebooks.py`` and
+frozen into ``pq_codebooks_frozen.py``; everything downstream —
+encode (nearest sub-centroid, round6 distances, ties to the lowest
+code), the per-query ADC lookup table, and the probed serve path —
+is deterministic column arithmetic, so the graded queries carry FULL
+DuckDB oracles (codebooks as VALUES rows). ADC sums run in
+DECIMAL(18,6) (order-free, the cross-engine sum convention) because
+a SQL GROUP BY's double-sum order is unspecified.
+
+Two rungs, graded:
+- q129 ``pq_adc_topk``: brute-force ADC over the whole corpus — the
+  compression rung alone (every row scanned, but at 1/32 the bytes
+  and 1/8 the multiplies).
+- q130 ``PQIVFIndex``: PQ codes stored in the IVF layout
+  (list_id-partitioned assignments + frozen coarse centroids, shared
+  ``_save_ivf_layout``) — probing directory-prunes to
+  n_probe/n_lists of the data AND each probed row is 8 lookup-adds.
+  The full q114-q116 lifecycle: incremental ``add`` under the frozen
+  coarse centroids + module codebooks (handle fingerprint-guarded),
+  ``staleness`` via ivf_staleness_report over DECODED
+  reconstructions (PQ codes, unlike per-vector-scaled int8, decode
+  back into the original float space, so centroid shift stays
+  measurable), ``maybe_rebuild`` with the staged swap.
+
+The reference has no vector search at all (its nearest neighbor is a
+glob scan, src/aerovaldb/jsondb/jsonfiledb.py); this family is part
+of the builder's pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .._round import round6
+from ..catalog import load_table
+from .pq_codebooks_frozen import CODEBOOKS, PQ_DSUB, PQ_K, PQ_M
+from .similarity import (
+    IVFIndex,
+    Q66_K,
+    Q66_N_PROBE,
+    _append_assignments,
+    _compact_assignments,
+    _dbl,
+    _frozen_ivf_prefix_sql,
+    _load_ivf_frames,
+    _probe_lists,
+    _pruned_by_probes,
+    _read_baseline,
+    _save_ivf_layout,
+    _write_baseline,
+    BUILD_REPORT_DIR,
+    frozen_ivf_centroids,
+    ivf_assign,
+    ivf_rebuild_verdict,
+    ivf_staleness_report,
+)
+
+
+def _cb_col() -> "F.Column":
+    """The frozen codebooks as one (constant-folded) nested array
+    literal: cb[m][k][j], all 1-based under element_at."""
+    return F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(float(x)) for x in cent])
+                    for cent in book
+                ]
+            )
+            for book in CODEBOOKS
+        ]
+    )
+
+
+def _sub_d2(v, cb, m, k) -> "F.Column":
+    """round6 squared distance between ``v``'s m-th sub-vector and
+    codebook entry (m, k) — the ONE distance both encode and the ADC
+    table compute (m, k are 0-based int columns)."""
+    cent = F.element_at(F.element_at(cb, m + 1), k + 1)
+    return round6(
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(PQ_DSUB)),
+            F.lit(0.0),
+            lambda a, j: a
+            + (F.element_at(v, m * PQ_DSUB + j) - F.element_at(cent, j))
+            * (F.element_at(v, m * PQ_DSUB + j) - F.element_at(cent, j)),
+        )
+    )
+
+
+def pq_codes_col(vec_col: str) -> "F.Column":
+    """array<tinyint> of M sub-space code indices: per sub-vector,
+    the nearest codebook entry (round6 d2, ties to the LOWEST code —
+    the ivf_assign tie convention). Well-defined for every vector
+    including all-zeros (no per-vector scale division, unlike q89's
+    int8 path)."""
+    v = _dbl(vec_col)
+    cb = _cb_col()
+
+    def code_for(m):
+        init = F.struct(
+            F.lit(float("inf")).alias("d"), F.lit(0).alias("k")
+        )
+
+        def step(acc, k):
+            d = _sub_d2(v, cb, m, k)
+            return F.when(
+                d < acc["d"],
+                F.struct(d.alias("d"), k.alias("k")),
+            ).otherwise(acc)
+
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(PQ_K - 1)), init, step
+        )["k"]
+
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        lambda m: code_for(m).cast("tinyint"),
+    )
+
+
+def pq_lut_col(vec_col: str) -> "F.Column":
+    """The per-query ADC lookup table: lut[m][k] = round6 d2 between
+    the query's m-th sub-vector and codebook entry (m, k) — M×K
+    doubles computed ONCE per query; scoring any candidate afterwards
+    is M lookups."""
+    v = _dbl(vec_col)
+    cb = _cb_col()
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        lambda m: F.transform(
+            F.sequence(F.lit(0), F.lit(PQ_K - 1)),
+            lambda k: _sub_d2(v, cb, m, k),
+        ),
+    )
+
+
+def _adc_col(lut, codes) -> "F.Column":
+    """ADC distance: sum over m of lut[m][codes[m]] — DECIMAL(18,6)
+    accumulation (each term is round6'd, so the decimal sum is exact
+    and ORDER-FREE, matching the oracle's GROUP BY sum)."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(PQ_M)),
+        F.lit("0").cast("decimal(38,6)"),
+        lambda a, m: a
+        + F.element_at(
+            F.element_at(lut, m),
+            F.element_at(codes, m).cast("int") + 1,
+        ).cast("decimal(18,6)"),
+    ).cast("double")
+
+
+def pq_rebuild_verdict(
+    report,
+    build_report=None,
+    churn_growth: float = 2.0,
+    occupancy_growth: float = 2.0,
+):
+    """:func:`~.similarity.ivf_rebuild_verdict` adapted to PQ's one
+    measurement difference: staleness runs over lossy RECONSTRUCTIONS,
+    which gives assignment_churn a constant build-time floor (~0.36
+    on the test corpus — far past the float family's absolute 0.25
+    rule, which would cry wolf on a freshly built index). So the
+    churn trigger here is GROWTH over the stored build baseline
+    (``churn_growth``x), the same philosophy as the occupancy
+    triggers; without a baseline the churn trigger is skipped, like
+    occupancy. Occupancy triggers are inherited unchanged."""
+    from .similarity import RebuildVerdict, _report_dict
+
+    base_v = ivf_rebuild_verdict(
+        report,
+        build_report,
+        churn_threshold=float("inf"),
+        occupancy_growth=occupancy_growth,
+    )
+    reasons = list(base_v.reasons)
+    if build_report is not None:
+        cur = _report_dict(report)
+        base = _report_dict(build_report)
+        bc, cc = base.get("assignment_churn"), cur.get("assignment_churn")
+        if bc and cc is not None and cc >= churn_growth * bc:
+            reasons.append(
+                f"assignment_churn {cc} >= {churn_growth}x build-time "
+                f"{bc} (growth over the reconstruction floor — a "
+                "refit would move this fraction of members)"
+            )
+    return RebuildVerdict(bool(reasons), tuple(reasons))
+
+
+def pq_adc_topk(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force ADC top-k (ascending approximate L2): corpus rows
+    carry 8-byte codes, queries broadcast their lookup tables, and
+    each candidate costs M lookup-adds — the compression rung alone,
+    before IVF pruning (q130) bounds how much gets scanned. Output
+    (query_id, ann_rank, neighbor_id, adc_d2), self-matches excluded,
+    ties on neighbor_id."""
+    corpus = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        pq_codes_col(vec_col).alias("_codes"),
+    )
+    probes = query.select(
+        F.col(id_col).alias("query_id"),
+        pq_lut_col(vec_col).alias("_lut"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        corpus.join(
+            F.broadcast(probes),
+            F.col("neighbor_id") != F.col("query_id"),
+        )
+        .withColumn("adc_d2", _adc_col(F.col("_lut"), F.col("_codes")))
+        .withColumn("ann_rank", F.row_number().over(w))
+        .filter(F.col("ann_rank") <= k)
+        .select("query_id", "ann_rank", "neighbor_id", "adc_d2")
+    )
+
+
+def pq_adc_rerank_topk(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    expand: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ as a CANDIDATE GENERATOR + exact re-rank — the production
+    serving shape (and the answer to PQ's recall on hard iid-like
+    corpora, where 64-bit codes alone recall ~0.35@10: the measured
+    candidate-recall curve is expand=3 → 0.69, 5 → 0.77, 10 → 0.91,
+    20 → 0.995 on the sf0.001 corpus — SCALING.md operating points).
+    The ADC pass scans CODES ONLY (1/16 the bytes); only the
+    k·expand winners per query ever touch a raw vector, via a
+    broadcast of the candidate set into the corpus scan — at 100 TB,
+    the raw-vector reads are |Q|·k·expand rows, not the corpus.
+    Output (query_id, ann_rank, neighbor_id, l2_d2), exact-distance
+    ranked, ties on neighbor_id."""
+    cand = pq_adc_topk(vectors, query, k * expand, vec_col, id_col)
+    raw = vectors.select(
+        F.col(id_col).alias("neighbor_id"), _dbl(vec_col).alias("_cv")
+    )
+    qraw = query.select(
+        F.col(id_col).alias("query_id"), _dbl(vec_col).alias("_qv")
+    )
+    l2 = round6(
+        F.aggregate(
+            F.zip_with("_cv", "_qv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("l2_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        raw.join(
+            F.broadcast(cand.select("query_id", "neighbor_id")),
+            "neighbor_id",
+        )
+        .join(F.broadcast(qraw), "query_id")
+        .withColumn("l2_d2", l2)
+        .withColumn("ann_rank", F.row_number().over(w))
+        .filter(F.col("ann_rank") <= k)
+        .select("query_id", "ann_rank", "neighbor_id", "l2_d2")
+    )
+
+
+class PQIVFIndex:
+    """PQ codes in the IVF layout — the 100 TB serve shape: the
+    ``_save_ivf_layout`` directory scheme (frozen coarse centroids +
+    assignments PARTITIONED BY list_id, one-row meta fingerprint), so
+    probing n_probe of n_lists lists is a directory-pruned scan, and
+    the scanned bytes are 8-byte codes instead of 256-byte floats —
+    the two wins compose multiplicatively. Codebooks are the frozen
+    MODULE artifact (retrain via tools/gen_pq_codebooks.py); the
+    coarse centroids are per-index frozen data, fingerprint-guarded
+    exactly like IVFIndex (a held handle refuses to append after a
+    rebuild swap)."""
+
+    APPEND_DATASETS = ("assignments",)
+
+    def __init__(self, centroids: DataFrame, assignments: DataFrame,
+                 id_col: str = "vec_id"):
+        self.centroids = centroids
+        self.assignments = assignments
+        self.id_col = id_col
+        self._frozen_fp: tuple | None = None
+
+    @staticmethod
+    def build(
+        vectors: DataFrame,
+        centroids: DataFrame,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> "PQIVFIndex":
+        assignments = (
+            ivf_assign(vectors, centroids, vec_col, id_col)
+            .withColumn("codes", pq_codes_col(vec_col))
+            .select(id_col, "codes", "list_id")
+        )
+        return PQIVFIndex(centroids, assignments, id_col)
+
+    def add(
+        self,
+        vectors: DataFrame,
+        path: str | None = None,
+        vec_col: str = "embedding",
+    ) -> "PQIVFIndex":
+        """Incremental append: assign new RAW vectors to the nearest
+        FROZEN coarse centroid and encode them under the frozen
+        codebooks — deterministic, so ``build(old ∪ new)`` ==
+        ``build(old).add(new)`` bit-for-bit (tested). The frozen
+        centroids are verified against the persisted meta fingerprint
+        first (the IVFIndex.add contract). Appended ids must not
+        collide with existing ones."""
+        if path is not None:
+            IVFIndex._verify_frozen(self, vectors.sparkSession, path)
+        new = (
+            ivf_assign(vectors, self.centroids, vec_col, self.id_col)
+            .withColumn("codes", pq_codes_col(vec_col))
+            .select(self.id_col, "codes", "list_id")
+        )
+        if path is None:
+            out = PQIVFIndex(
+                self.centroids,
+                self.assignments.unionByName(new),
+                self.id_col,
+            )
+            out._frozen_fp = self._frozen_fp
+            return out
+        _append_assignments(new, path, "list_id", "centroids")
+        return PQIVFIndex.load(new.sparkSession, path, self.id_col)
+
+    def save(self, path: str) -> None:
+        self._frozen_fp = _save_ivf_layout(
+            self.centroids, self.assignments, path
+        )
+
+    @staticmethod
+    def compact(
+        spark: SparkSession, path: str, id_col: str = "vec_id"
+    ) -> "PQIVFIndex":
+        """One file per list directory — run after many ``add``s."""
+        _compact_assignments(spark, path, "list_id")
+        return PQIVFIndex.load(spark, path, id_col)
+
+    @staticmethod
+    def load(
+        spark: SparkSession, path: str, id_col: str = "vec_id"
+    ) -> "PQIVFIndex":
+        centroids, assignments, fp = _load_ivf_frames(spark, path)
+        idx = PQIVFIndex(centroids, assignments, id_col)
+        idx._frozen_fp = fp
+        return idx
+
+    def reconstruct_col(self) -> "F.Column":
+        """Decode ``codes`` back to a float vector (concatenated
+        codebook entries) — lossy, but it lives in the ORIGINAL
+        space, which is what lets this family measure centroid shift
+        where the per-vector-scaled int8 store cannot."""
+        cb = _cb_col()
+        return F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                lambda m: F.element_at(
+                    F.element_at(cb, m + 1),
+                    F.element_at(F.col("codes"), m + 1).cast("int")
+                    + 1,
+                ),
+            )
+        )
+
+    def staleness(
+        self, sample_fraction: float | None = None
+    ) -> DataFrame:
+        """Occupancy skew + centroid shift + assignment churn over
+        the DECODED reconstructions against the frozen coarse
+        centroids — the full :func:`ivf_staleness_report` (metric
+        definitions and the measured rebuild rule live there).
+        Reconstruction error adds a constant floor to the shift
+        columns; the meaningful read is GROWTH over the stored
+        build-time baseline, which carries the same floor."""
+        return ivf_staleness_report(
+            self.centroids,
+            self.assignments.withColumn("_recon", self.reconstruct_col()),
+            "_recon",
+            self.id_col,
+            sample_fraction,
+        )
+
+    def save_build_report(self, path: str) -> None:
+        """Persist the build-time staleness row — the baseline
+        maybe_rebuild's occupancy-growth triggers compare against."""
+        _write_baseline(self.staleness(), path, BUILD_REPORT_DIR)
+
+    @staticmethod
+    def maybe_rebuild(
+        spark: SparkSession,
+        path: str,
+        vectors: DataFrame | None = None,
+        n_lists: int | None = None,
+        sample_fraction: float | None = None,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        **thresholds,
+    ):
+        """Staleness → verdict → staged rebuild+swap (the q114-q116
+        loop). A rebuild re-fits the COARSE centroids over the
+        current raw corpus and re-encodes under the frozen module
+        codebooks; PQ codes are lossy, so like the int8 family the
+        raw ``vectors`` must be supplied when the verdict trips
+        (raises otherwise — no refit over reconstructions is
+        fabricated). Codebook retraining itself is a model refresh
+        (tools/gen_pq_codebooks.py), out of scope for index
+        maintenance. Returns ``(index, verdict, report)``."""
+        from ._staging import recover_before_rebuild
+
+        recover_before_rebuild(path, spark)
+        idx = PQIVFIndex.load(spark, path, id_col)
+        report = idx.staleness(sample_fraction).collect()[0]
+        base = _read_baseline(spark, path, BUILD_REPORT_DIR)
+        verdict = pq_rebuild_verdict(
+            report,
+            base.collect()[0] if base is not None else None,
+            **thresholds,
+        )
+        if not verdict.rebuild:
+            return idx, verdict, report
+        if vectors is None:
+            raise ValueError(
+                "PQIVFIndex.maybe_rebuild: the verdict says rebuild "
+                f"({'; '.join(verdict.reasons)}) but PQ codes are "
+                "lossy — pass the current raw corpus as vectors= for "
+                "the coarse-centroid refit"
+            )
+        from ._staging import rebuild_root, refresh_root
+
+        k = n_lists if n_lists is not None else idx.centroids.count()
+
+        def _fresh(staging: str) -> None:
+            refit = IVFIndex.build(vectors, k, vec_col, id_col)
+            fresh = PQIVFIndex.build(
+                vectors, refit.centroids, vec_col, id_col
+            )
+            fresh.save(staging)
+            fresh.save_build_report(staging)
+
+        rebuild_root(path, _fresh)
+        refresh_root(spark, path)
+        return PQIVFIndex.load(spark, path, id_col), verdict, report
+
+    def topk(
+        self,
+        query: DataFrame,
+        k: int = 10,
+        n_probe: int = Q66_N_PROBE,
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """Serve top-k: probe selection on the RAW query vector
+        (coarse centroids live in float space), probed list ids
+        become the partition-pruning filter (collect bounded by
+        n_lists ints — the shared `_pruned_by_probes` policy), and
+        scoring inside probed lists is ADC lookups against the
+        query's broadcast table. Ascending adc_d2, ties on id."""
+        from ._scope import scoped_persist
+
+        probe = _probe_lists(
+            query, self.centroids, n_probe, vec_col, self.id_col
+        ).select("query_id", "list_id")
+        qlut = query.select(
+            F.col(self.id_col).alias("query_id"),
+            pq_lut_col(vec_col).alias("_lut"),
+        )
+        probe = scoped_persist(probe.join(qlut, "query_id"))
+        pruned = _pruned_by_probes(self.assignments, probe, "list_id")
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("adc_d2").asc(), F.col("neighbor_id").asc()
+        )
+        return (
+            pruned.join(F.broadcast(probe), "list_id")
+            .filter(F.col(self.id_col) != F.col("query_id"))
+            .withColumn(
+                "adc_d2", _adc_col(F.col("_lut"), F.col("codes"))
+            )
+            .select(
+                "query_id",
+                F.col(self.id_col).alias("neighbor_id"),
+                "adc_d2",
+            )
+            .withColumn("ann_rank", F.row_number().over(w))
+            .filter(F.col("ann_rank") <= k)
+            .select("query_id", "ann_rank", "neighbor_id", "adc_d2")
+        )
+
+
+# --------------------------------------------------------------------------
+# graded queries
+
+
+def q129_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk(emb, emb.filter(F.col("vec_id") < 5), k=Q66_K)
+
+
+def q131_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_rerank_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=Q66_K, expand=10
+    )
+
+
+def q130_pq_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    index = PQIVFIndex.build(emb, frozen_ivf_centroids(spark))
+    return index.topk(
+        emb.filter(F.col("vec_id") < 5), k=Q66_K, n_probe=Q66_N_PROBE
+    )
+
+
+def _pq_codes_sql(include_emb: bool = True) -> str:
+    """Oracle CTE fragment: frozen codebooks as VALUES rows, per
+    (vector, sub-space, code) round6 distances (``pqd`` — also the
+    query-side ADC table), nearest-code assignment (``pqcodes``)."""
+    values = ",\n    ".join(
+        f"({m}, {k}, [{', '.join(repr(x) for x in cent)}])"
+        for m, book in enumerate(CODEBOOKS)
+        for k, cent in enumerate(book)
+    )
+    emb = (
+        "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        if include_emb
+        else ""
+    )
+    return f"""cb(m, k, c) AS (
+  VALUES
+    {values}
+), {emb}psub AS (
+  SELECT vec_id, m, v[m*{PQ_DSUB}+1 : m*{PQ_DSUB}+{PQ_DSUB}] AS s
+  FROM emb CROSS JOIN (
+    SELECT unnest(generate_series(0, {PQ_M - 1})) AS m)
+), pqd AS (
+  SELECT vec_id, m, k,
+    ROUND(list_sum(list_transform(generate_series(1, {PQ_DSUB}),
+      i -> (s[i] - c[i]) * (s[i] - c[i]))), 6) AS d2
+  FROM psub JOIN cb USING (m)
+), pqcodes AS (
+  SELECT vec_id, m, k FROM (
+    SELECT vec_id, m, k,
+      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn
+    FROM pqd) WHERE rn = 1
+)"""
+
+
+def _q129_sql() -> str:
+    return f"""
+WITH {_pq_codes_sql()}, scored AS (
+  SELECT qd.vec_id AS query_id, c.vec_id AS neighbor_id,
+    CAST(SUM(CAST(qd.d2 AS DECIMAL(18,6))) AS DOUBLE) AS adc_d2
+  FROM pqcodes c
+  JOIN pqd qd ON qd.m = c.m AND qd.k = c.k
+    AND qd.vec_id < 5 AND qd.vec_id <> c.vec_id
+  GROUP BY qd.vec_id, c.vec_id
+)
+SELECT query_id, ann_rank, neighbor_id, adc_d2 FROM (
+  SELECT query_id, neighbor_id, adc_d2,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY adc_d2, neighbor_id) AS ann_rank
+  FROM scored) WHERE ann_rank <= {Q66_K}
+"""
+
+
+def _q130_sql() -> str:
+    return f"""
+WITH {_frozen_ivf_prefix_sql(Q66_N_PROBE)}, {_pq_codes_sql(include_emb=False)}, scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+    CAST(SUM(CAST(qd.d2 AS DECIMAL(18,6))) AS DOUBLE) AS adc_d2
+  FROM probes p
+  JOIN assigned a ON a.list_id = p.list_id AND a.vec_id <> p.query_id
+  JOIN pqcodes c ON c.vec_id = a.vec_id
+  JOIN pqd qd ON qd.vec_id = p.query_id AND qd.m = c.m AND qd.k = c.k
+  GROUP BY p.query_id, a.vec_id
+)
+SELECT query_id, ann_rank, neighbor_id, adc_d2 FROM (
+  SELECT query_id, neighbor_id, adc_d2,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY adc_d2, neighbor_id) AS ann_rank
+  FROM scored) WHERE ann_rank <= {Q66_K}
+"""
+
+
+def _q131_sql() -> str:
+    return f"""
+WITH {_pq_codes_sql()}, adc AS (
+  SELECT qd.vec_id AS query_id, c.vec_id AS neighbor_id,
+    CAST(SUM(CAST(qd.d2 AS DECIMAL(18,6))) AS DOUBLE) AS adc_d2
+  FROM pqcodes c
+  JOIN pqd qd ON qd.m = c.m AND qd.k = c.k
+    AND qd.vec_id < 5 AND qd.vec_id <> c.vec_id
+  GROUP BY qd.vec_id, c.vec_id
+), cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY adc_d2, neighbor_id) AS rn
+    FROM adc) WHERE rn <= {Q66_K * 10}
+), rer AS (
+  SELECT cand.query_id, cand.neighbor_id,
+    ROUND(list_sum(list_transform(generate_series(1, {PQ_M * PQ_DSUB}),
+      i -> (cv.v[i] - qv.v[i]) * (cv.v[i] - qv.v[i]))), 6) AS l2_d2
+  FROM cand
+  JOIN emb cv ON cv.vec_id = cand.neighbor_id
+  JOIN emb qv ON qv.vec_id = cand.query_id
+)
+SELECT query_id, ann_rank, neighbor_id, l2_d2 FROM (
+  SELECT query_id, neighbor_id, l2_d2,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY l2_d2, neighbor_id) AS ann_rank
+  FROM rer) WHERE ann_rank <= {Q66_K}
+"""
+
+
+QUERIES = {
+    "q129_pq_adc_topk": q129_pq_adc_topk,
+    "q130_pq_ivf_topk": q130_pq_ivf_topk,
+    "q131_pq_rerank_topk": q131_pq_rerank_topk,
+}
+
+ORACLE = {
+    "q129_pq_adc_topk": _q129_sql(),
+    "q130_pq_ivf_topk": _q130_sql(),
+    "q131_pq_rerank_topk": _q131_sql(),
+}

@@ -469,6 +469,38 @@ def test_compact_preserves_state(tmpdb):
         tmpdb.get_config("p2", "e2")
 
 
+def test_maintain_compacts_micro_flush_litter(tmpdb):
+    """The store's maintenance triangle (r13): litter a store with
+    micro-flushes, maintain() runs recover → measured verdict →
+    compact; live state and snapshot-horizon semantics are preserved,
+    and a second pass finds nothing to do."""
+    for i in range(10):
+        tmpdb.put_config({"v": i}, "proj", "e1")
+        tmpdb.flush()
+    frag = tmpdb.fragmentation()
+    assert frag["datasets"]["config"]["n_files"] >= 10
+    out = tmpdb.maintain(max_files_per_dir=4)
+    assert out["fsck"]["ok"]
+    assert out["compact_verdict"].rebuild and out["compacted"]
+    # live state preserved through the fold
+    assert tmpdb.get_config("proj", "e1") == {"v": 9}
+    # compaction raised the horizon: pre-fold states are LOUDLY gone,
+    # at/above the horizon snapshot/changes still work
+    horizon = tmpdb.min_snapshot_seq()
+    assert horizon > 0
+    with pytest.raises(ValueError, match="compaction horizon"):
+        tmpdb.changes(0)
+    snap = tmpdb.snapshot(horizon)
+    assert snap.get_by_uri("/v0/config/proj/e1") == {"v": 9}
+    tmpdb.put_config({"v": 10}, "proj", "e1")
+    tmpdb.flush()
+    assert snap.get_by_uri("/v0/config/proj/e1") == {"v": 9}
+    assert {c["op"] for c in tmpdb.changes(horizon)} == {"upsert"}
+    # idempotent: the fold removed the litter, verdict stays quiet
+    out2 = tmpdb.maintain(max_files_per_dir=4)
+    assert not out2["compacted"] and not out2["compact_verdict"].rebuild
+
+
 def test_open_dispatch(spark, tmp_path):
     import aerovaldb_spark
 

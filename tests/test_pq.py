@@ -1,0 +1,267 @@
+"""Product-quantization ANN family: encode determinism,
+loaded ≡ ephemeral serving, incremental add ≡ one-shot build, the
+q114-q116 lifecycle (staleness / maybe_rebuild / maintain), and the
+frozen-handle guard inherited from the shared IVF layout."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(autouse=True)
+def _release_persists():
+    yield
+    from aerovaldb_spark.operators._scope import release_scoped_persists
+
+    release_scoped_persists()
+
+
+def _emb(spark):
+    from aerovaldb_spark.catalog import load_table
+
+    return load_table(spark, SF_DIR, "embeddings")
+
+
+def _shifted(emb, offset=3.0, id_shift=10_000):
+    elem = emb.schema["embedding"].dataType.elementType.simpleString()
+    return emb.withColumn(
+        "embedding",
+        F.transform(
+            "embedding", lambda x: (x + F.lit(offset)).cast(elem)
+        ),
+    ).withColumn("vec_id", F.col("vec_id") + id_shift)
+
+
+def test_pq_codes_deterministic_and_in_range(spark):
+    from aerovaldb_spark.operators.pq import (
+        PQ_K,
+        PQ_M,
+        pq_codes_col,
+    )
+
+    emb = _emb(spark)
+    a = emb.select("vec_id", pq_codes_col("embedding").alias("c"))
+    rows = {r["vec_id"]: list(r["c"]) for r in a.collect()}
+    rows2 = {r["vec_id"]: list(r["c"]) for r in a.collect()}
+    assert rows == rows2
+    assert all(len(c) == PQ_M for c in rows.values())
+    assert all(0 <= x < PQ_K for c in rows.values() for x in c)
+    # zero vector encodes fine (no per-vector scale, unlike int8)
+    z = spark.createDataFrame(
+        [(1, [0.0] * 64)], "vec_id long, embedding array<float>"
+    )
+    zc = z.select(pq_codes_col("embedding").alias("c")).collect()[0]
+    assert len(zc["c"]) == PQ_M
+
+
+def test_pq_ivf_loaded_equals_ephemeral(spark, tmp_path):
+    from aerovaldb_spark.operators.pq import PQIVFIndex
+    from aerovaldb_spark.operators.similarity import (
+        frozen_ivf_centroids,
+    )
+
+    emb = _emb(spark)
+    q = emb.filter("vec_id < 5")
+    built = PQIVFIndex.build(emb, frozen_ivf_centroids(spark))
+    want = sorted(map(tuple, built.topk(q, k=10).collect()))
+    p = str(tmp_path / "pq")
+    built.save(p)
+    loaded = PQIVFIndex.load(spark, p)
+    got = sorted(map(tuple, loaded.topk(q, k=10).collect()))
+    assert got == want
+
+
+def test_pq_ivf_add_equals_union_build(spark, tmp_path):
+    from aerovaldb_spark.operators.pq import PQIVFIndex
+    from aerovaldb_spark.operators.similarity import (
+        frozen_ivf_centroids,
+    )
+
+    emb = _emb(spark)
+    old = emb.where("vec_id % 2 = 0")
+    new = emb.where("vec_id % 2 = 1")
+    cents = frozen_ivf_centroids(spark)
+    q = emb.filter("vec_id < 5")
+    want = sorted(
+        map(tuple, PQIVFIndex.build(emb, cents).topk(q, 10).collect())
+    )
+    # in-memory add
+    got_mem = sorted(
+        map(
+            tuple,
+            PQIVFIndex.build(old, cents).add(new).topk(q, 10).collect(),
+        )
+    )
+    assert got_mem == want
+    # disk add
+    p = str(tmp_path / "pq")
+    PQIVFIndex.build(old, cents).save(p)
+    idx = PQIVFIndex.load(spark, p).add(new, path=p)
+    got_disk = sorted(map(tuple, idx.topk(q, 10).collect()))
+    assert got_disk == want
+
+
+def test_pq_stale_handle_add_raises_after_rebuild_swap(
+    spark, tmp_path
+):
+    from aerovaldb_spark.operators._staging import (
+        rebuild_root,
+        refresh_root,
+    )
+    from aerovaldb_spark.operators.pq import PQIVFIndex
+    from aerovaldb_spark.operators.similarity import (
+        IVFIndex,
+        frozen_ivf_centroids,
+    )
+
+    emb = _emb(spark)
+    p = str(tmp_path / "pq")
+    PQIVFIndex.build(emb, frozen_ivf_centroids(spark)).save(p)
+    held = PQIVFIndex.load(spark, p)
+
+    def _fresh(staging):
+        refit = IVFIndex.build(emb, n_lists=8)
+        PQIVFIndex.build(emb, refit.centroids).save(staging)
+
+    rebuild_root(p, _fresh)
+    refresh_root(spark, p)
+    with pytest.raises(ValueError, match="frozen centroids changed"):
+        held.add(emb.limit(3), path=p)
+
+
+def test_pq_maybe_rebuild_trips_on_shift_and_requires_raw(
+    spark, tmp_path
+):
+    from aerovaldb_spark.operators.pq import PQIVFIndex
+    from aerovaldb_spark.operators.similarity import (
+        frozen_ivf_centroids,
+    )
+
+    emb = _emb(spark)
+    old = emb.where("vec_id % 2 = 0")
+    shifted = _shifted(emb.where("vec_id % 2 = 1"))
+    p = str(tmp_path / "pq")
+    built = PQIVFIndex.build(old, frozen_ivf_centroids(spark))
+    built.save(p)
+    built.save_build_report(p)
+
+    idx0, v0, _ = PQIVFIndex.maybe_rebuild(spark, p)
+    assert not v0.rebuild  # fresh-enough path, no raw data needed
+
+    PQIVFIndex.load(spark, p).add(shifted, path=p)
+    # verdict trips but codes are lossy: raw corpus required
+    with pytest.raises(ValueError, match="raw corpus"):
+        PQIVFIndex.maybe_rebuild(spark, p)
+    grown = old.unionByName(shifted)
+    idx, verdict, report = PQIVFIndex.maybe_rebuild(
+        spark, p, vectors=grown
+    )
+    assert verdict.rebuild, report
+    assert idx.assignments.count() == grown.count()
+    assert not os.path.exists(p + ".old")  # swap completed clean
+    # re-baselined: same call is now fresh
+    idx2, v2, _ = PQIVFIndex.maybe_rebuild(spark, p)
+    assert not v2.rebuild
+
+
+def test_pq_maintain_triangle(spark, tmp_path):
+    from aerovaldb_spark.operators._staging import maintain
+    from aerovaldb_spark.operators.pq import PQIVFIndex
+    from aerovaldb_spark.operators.similarity import (
+        frozen_ivf_centroids,
+    )
+
+    emb = _emb(spark)
+    p = str(tmp_path / "pq")
+    built = PQIVFIndex.build(emb.where("vec_id < 400"),
+                             frozen_ivf_centroids(spark))
+    built.save(p)
+    built.save_build_report(p)
+    idx = PQIVFIndex.load(spark, p)
+    for i in range(3):  # same-distribution append litter
+        lo, hi = 400 + i * 30, 430 + i * 30
+        idx = idx.add(
+            emb.where(f"vec_id >= {lo} AND vec_id < {hi}"), path=p
+        )
+    out = maintain(spark, p, PQIVFIndex, max_files_per_dir=1)
+    assert out["rebuilt"] is False  # same distribution: no refit
+    assert out["compacted"] is True
+    assert out["index"].assignments.count() == 490
+
+
+def test_pq_ivf_probe_plan_prunes_partitions(spark, tmp_path):
+    """The IVF promise carried over: a probed serve's scan contains a
+    list_id partition filter (directory pruning), never a full-index
+    scan."""
+    from aerovaldb_spark.operators.pq import PQIVFIndex
+    from aerovaldb_spark.operators.similarity import (
+        frozen_ivf_centroids,
+    )
+
+    emb = _emb(spark)
+    p = str(tmp_path / "pq")
+    PQIVFIndex.build(emb, frozen_ivf_centroids(spark)).save(p)
+    idx = PQIVFIndex.load(spark, p)
+    plan = (
+        idx.topk(emb.filter("vec_id < 2"), k=5, n_probe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "list_id" in plan and "PartitionFilters: [list_id" in plan
+
+
+def test_pq_recall_against_exact_l2(spark):
+    """Operating-point sanity at sf0.001: recall vs exact-L2 top-10.
+    The synthetic embeddings are iid-like — the hardest PQ regime
+    (distances concentrate, quantization noise dominates the gaps) —
+    so the 64-bit codes alone sit near the documented ~0.35 floor;
+    the re-rank rung (q131's shape) is the production answer and must
+    clear 0.85 at expand=10 (measured 0.91; the full sweep lives in
+    SCALING.md via tools/ann_operating_points.py)."""
+    from aerovaldb_spark.operators.pq import (
+        pq_adc_rerank_topk,
+        pq_adc_topk,
+    )
+
+    emb = _emb(spark)
+    q = emb.filter("vec_id < 20")
+    approx = pq_adc_topk(emb, q, k=10)
+    v = F.col("embedding").cast("array<double>")
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), v.alias("cv")
+    )
+    probes = q.select(F.col("vec_id").alias("query_id"), v.alias("qv"))
+    d2 = F.aggregate(
+        F.zip_with("cv", "qv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_d").asc(), F.col("neighbor_id").asc()
+    )
+    exact = (
+        c.join(F.broadcast(probes), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("_d", d2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 10")
+        .select("query_id", "neighbor_id")
+    )
+    n_exact = exact.count()
+    hits = approx.join(
+        exact, ["query_id", "neighbor_id"], "left_semi"
+    ).count()
+    assert hits / n_exact >= 0.3, hits / n_exact
+    rer = pq_adc_rerank_topk(emb, q, k=10, expand=10)
+    rer_hits = rer.join(
+        exact, ["query_id", "neighbor_id"], "left_semi"
+    ).count()
+    assert rer_hits / n_exact >= 0.85, rer_hits / n_exact

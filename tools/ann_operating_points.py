@@ -173,6 +173,105 @@ def sweep(spark, emb, label: str, n_queries: int) -> None:
     exact.unpersist()
 
 
+def exact_l2_topk(emb, queries, k=10):
+    """Brute-force L2 top-k — the PQ family's baseline (PQ/ADC ranks
+    by approximate L2, so its recall is measured against exact L2,
+    not the cosine baseline the other families use)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    v = F.col("embedding").cast("array<double>")
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), v.alias("cv"))
+    probes = queries.select(
+        F.col("vec_id").alias("query_id"), v.alias("qv")
+    )
+    d2 = F.aggregate(
+        F.zip_with("cv", "qv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_d").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        c.join(
+            F.broadcast(probes), F.col("neighbor_id") != F.col("query_id")
+        )
+        .withColumn("_d", d2)
+        .withColumn("ann_rank", F.row_number().over(w))
+        .filter(f"ann_rank <= {k}")
+        .select("query_id", "ann_rank", "neighbor_id")
+    )
+
+
+def sweep_pq(spark, emb, label: str, n_queries: int) -> None:
+    """PQ operating points: codes-only ADC, the re-rank ladder, and
+    the IVF-pruned serve — recall vs exact L2 plus the BYTES story
+    (the PQ axis the other families don't have: stored bytes/vector
+    and raw-vector rows touched)."""
+    from pyspark.sql import functions as F
+
+    from aerovaldb_spark.operators.pq import (
+        PQ_DSUB,
+        PQ_K,
+        PQ_M,
+        PQIVFIndex,
+        pq_adc_rerank_topk,
+        pq_adc_topk,
+    )
+    from aerovaldb_spark.operators.similarity import (
+        frozen_ivf_centroids,
+    )
+
+    emb = emb.cache()
+    n = emb.count()
+    qids = [
+        r["vec_id"]
+        for r in emb.select("vec_id")
+        .orderBy("vec_id")
+        .limit(n_queries)
+        .collect()
+    ]
+    queries = emb.filter(F.col("vec_id").isin(qids)).cache()
+    exact = exact_l2_topk(emb, queries, k=10).cache()
+    exact.count()
+    raw_bytes = PQ_M * PQ_DSUB * 4
+    code_bytes = PQ_M  # one byte per stored code index
+    print(
+        f"\n### PQ (M={PQ_M}, K={PQ_K} -> {code_bytes} B/vec stored "
+        f"vs {raw_bytes} B float32, {raw_bytes // code_bytes}x) — "
+        f"{label} (n={n}, {n_queries} queries, k=10)\n"
+    )
+    print("| rung | setting | recall@10 | raw rows touched/query |")
+    print("|---|---|---|---|")
+    r = mean_recall(spark, pq_adc_topk(emb, queries, k=10), exact)
+    print(f"| ADC codes-only | — | {r:.3f} | 0 |")
+    for expand in (3, 5, 10, 20):
+        r = mean_recall(
+            spark,
+            pq_adc_rerank_topk(emb, queries, k=10, expand=expand),
+            exact,
+        )
+        print(
+            f"| ADC + exact re-rank | expand={expand} | {r:.3f} "
+            f"| {10 * expand} |"
+        )
+    index = PQIVFIndex.build(emb, frozen_ivf_centroids(spark))
+    index.assignments = index.assignments.cache()
+    for n_probe in (2, 4, 8):
+        r = mean_recall(
+            spark, index.topk(queries, k=10, n_probe=n_probe), exact
+        )
+        f = touched_fraction_ivf(index, queries, n_probe)
+        print(
+            f"| PQ-IVF (16 lists, codes) | n_probe={n_probe} "
+            f"| {r:.3f} | {f:.3f} of CODE rows |"
+        )
+    emb.unpersist()
+    queries.unpersist()
+    exact.unpersist()
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scale/sf1"
     n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 50
@@ -184,7 +283,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     emb = load_table(spark, sf_dir, "embeddings")
     sweep(spark, emb, f"iid embeddings ({sf_dir})", n_queries)
+    sweep_pq(spark, emb, f"iid embeddings ({sf_dir})", n_queries)
     sweep(
+        spark,
+        clustered_corpus(emb),
+        f"clustered embeddings (5 variants per base, {sf_dir})",
+        n_queries,
+    )
+    sweep_pq(
         spark,
         clustered_corpus(emb),
         f"clustered embeddings (5 variants per base, {sf_dir})",
