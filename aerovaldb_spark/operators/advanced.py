@@ -510,6 +510,226 @@ FROM orders GROUP BY 1, 2, 3
 """
 
 
+# --------------------------------------------------------------------------
+# q132: the unified curation manifest — the pipeline's rungs (clean →
+# exact dedup → near-dup clustering → split) composed into ONE
+# operator emitting a row PER INPUT DOC with its fate and provenance:
+# what a production curation run publishes alongside the exported
+# corpus, so every drop is attributable and every kept doc carries its
+# fold-in count. Stage rules are the graded rungs' own (q39's quality
+# gate, q25's exact-dup fold, q62's banded-LSH near-dup pipeline,
+# q53's deterministic split), so the manifest cannot drift from the
+# operators it summarizes.
+#
+# 100 TB shape: the per-doc derived columns (fp, token stats) compute
+# in ONE pass over the corpus and the base frame is persisted — no
+# later stage rescans raw text (plan-tested); the near-dup stage runs
+# only on exact-canonical survivors and keeps q62's
+# banded-candidates-then-verify discipline (never all-pairs).
+def curation_manifest(docs: DataFrame) -> DataFrame:
+    """One row per input doc: (doc_id, source, lang, n_tokens,
+    verdict, canonical_id, n_copies, split) where verdict ∈ {'keep',
+    'quality', 'exact_dup', 'near_dup'} names the FIRST stage that
+    dropped the doc, canonical_id names the doc it lost to (dup drops
+    only), n_copies is the doc's exact-content group size among
+    quality survivors, and split is assigned to kept docs only."""
+    from ._scope import scoped_persist
+    from .dedup import dedup_pipeline
+    from .text import split_col
+
+    toks = F.split("text", " ")
+    base = scoped_persist(
+        docs.select(
+            "doc_id",
+            "source",
+            "lang",
+            "text",
+            F.md5("text").alias("fp"),
+            F.size(toks).alias("n_tokens"),
+            F.size(
+                F.filter(toks, lambda t: t.isin("the", "a", "of", "and"))
+            ).alias("stop_hits"),
+        )
+    )
+    bad_quality = (
+        F.col("text").isNull()
+        | (F.col("n_tokens") < 20)
+        | (
+            F.col("stop_hits").cast("double") / F.col("n_tokens")
+            >= 0.5
+        )
+    )
+    qok = base.filter(~bad_quality)
+    grp = qok.groupBy("fp").agg(
+        F.min("doc_id").alias("canonical"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    withg = scoped_persist(qok.join(grp, "fp"))
+    canon = withg.filter(F.col("doc_id") == F.col("canonical"))
+    nl = dedup_pipeline(canon).filter(
+        F.col("doc_id") != F.col("component")
+    )
+
+    nul_l = F.lit(None).cast("bigint")
+    nul_s = F.lit(None).cast("string")
+
+    def shape(df, verdict, canonical_id, n_copies, split):
+        return df.select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_tokens",
+            F.lit(verdict).alias("verdict"),
+            canonical_id.alias("canonical_id"),
+            n_copies.alias("n_copies"),
+            split.alias("split"),
+        )
+
+    quality_drops = shape(
+        base.filter(bad_quality), "quality", nul_l, nul_l, nul_s
+    )
+    exact_drops = shape(
+        withg.filter(F.col("doc_id") != F.col("canonical")),
+        "exact_dup",
+        F.col("canonical"),
+        F.col("n_copies"),
+        nul_s,
+    )
+    near_drops = shape(
+        canon.join(F.broadcast(nl), "doc_id"),
+        "near_dup",
+        F.col("component"),
+        F.col("n_copies"),
+        nul_s,
+    )
+    keeps = shape(
+        canon.join(F.broadcast(nl.select("doc_id")), "doc_id", "left_anti"),
+        "keep",
+        nul_l,
+        F.col("n_copies"),
+        split_col(),
+    )
+    return (
+        quality_drops.unionByName(exact_drops)
+        .unionByName(near_drops)
+        .unionByName(keeps)
+    )
+
+
+def q132_curation_manifest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return curation_manifest(load_table(spark, sf_dir, "documents"))
+
+
+def _q132_sql() -> str:
+    from .dedup import (
+        MINHASH_PRIME,
+        ROWS_PER_BAND,
+        _SEED_TABLE,
+        hash60_sql,
+        shingles_sql,
+    )
+
+    split_case = (
+        "CASE WHEN CAST('0x' || substring(md5('split_' || "
+        "CAST(c.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 90 "
+        "THEN 'train' WHEN CAST('0x' || substring(md5('split_' || "
+        "CAST(c.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 95 "
+        "THEN 'val' ELSE 'test' END"
+    )
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, source, lang, text, md5(text) AS fp,
+    len(string_split(text, ' ')) AS n_tokens,
+    len(list_filter(string_split(text, ' '),
+        t -> t IN ('the', 'a', 'of', 'and'))) AS stop_hits
+  FROM documents
+), qok AS (
+  SELECT * FROM base
+  WHERE text IS NOT NULL AND n_tokens >= 20
+    AND CAST(stop_hits AS DOUBLE) / n_tokens < 0.5
+), grp AS (
+  SELECT fp, MIN(doc_id) AS canonical, COUNT(*) AS n_copies
+  FROM qok GROUP BY fp
+), withg AS (
+  SELECT q.doc_id, q.source, q.lang, q.text, q.n_tokens,
+         g.canonical, g.n_copies
+  FROM qok q JOIN grp g USING (fp)
+), canon AS (
+  SELECT * FROM withg WHERE doc_id = canonical
+), sh AS (
+  SELECT DISTINCT doc_id, {hash60_sql('shingle')} AS h
+  FROM (SELECT doc_id, unnest({shingles_sql('text', 3)}) AS shingle
+        FROM canon)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
+), shp AS (
+  SELECT DISTINCT doc_id, h % {MINHASH_PRIME} AS h FROM sh
+), seeds(seed, a, b) AS (VALUES {_SEED_TABLE}),
+sig AS (
+  SELECT doc_id, seed, MIN((a * h + b) % {MINHASH_PRIME}) AS minhash
+  FROM shp CROSS JOIN seeds
+  GROUP BY doc_id, seed
+), banded AS (
+  SELECT doc_id, seed // {ROWS_PER_BAND} AS band,
+    array_to_string(
+      list_sort(list(CAST(seed AS VARCHAR) || ':' || CAST(minhash AS VARCHAR))),
+      ',') AS band_sig
+  FROM sig GROUP BY doc_id, band
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.band_sig = b.band_sig
+              AND a.doc_id < b.doc_id
+), verified AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS shared
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.h = a.h
+  GROUP BY c.doc_a, c.doc_b
+), near AS (
+  SELECT doc_a, doc_b FROM verified
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE shared >= 3
+    AND ROUND(CAST(shared AS DOUBLE)
+              / (sa.n_shingles + sb.n_shingles - shared), 6) >= 0.2
+), edges AS (
+  SELECT doc_a AS u, doc_b AS w FROM near
+  UNION
+  SELECT doc_b AS u, doc_a AS w FROM near
+), reach(u, w) AS (
+  SELECT u, w FROM edges
+  UNION
+  SELECT r.u, e.w FROM reach r JOIN edges e ON r.w = e.u
+), comp AS (
+  SELECT u AS doc_id, LEAST(u, MIN(w)) AS component FROM reach GROUP BY u
+), nl AS (
+  SELECT doc_id, component FROM comp WHERE doc_id <> component
+)
+SELECT doc_id, source, lang, n_tokens, 'quality' AS verdict,
+  CAST(NULL AS BIGINT) AS canonical_id,
+  CAST(NULL AS BIGINT) AS n_copies, CAST(NULL AS VARCHAR) AS split
+FROM base
+WHERE text IS NULL OR n_tokens < 20
+   OR CAST(stop_hits AS DOUBLE) / n_tokens >= 0.5
+UNION ALL
+SELECT doc_id, source, lang, n_tokens, 'exact_dup', canonical,
+  n_copies, CAST(NULL AS VARCHAR)
+FROM withg WHERE doc_id <> canonical
+UNION ALL
+SELECT c.doc_id, c.source, c.lang, c.n_tokens, 'near_dup',
+  nl.component, c.n_copies, CAST(NULL AS VARCHAR)
+FROM canon c JOIN nl ON nl.doc_id = c.doc_id
+UNION ALL
+SELECT c.doc_id, c.source, c.lang, c.n_tokens, 'keep',
+  CAST(NULL AS BIGINT), c.n_copies, {split_case}
+FROM canon c LEFT JOIN nl ON nl.doc_id = c.doc_id
+WHERE nl.doc_id IS NULL
+"""
+
+
 QUERIES = {
     "q32_pivot_status": q32_pivot_status,
     "q33_percentiles": q33_percentiles,
@@ -528,6 +748,7 @@ QUERIES = {
     "q47_set_intersect": q47_set_intersect,
     "q48_date_parts": q48_date_parts,
     "q49_cube": q49_cube,
+    "q132_curation_manifest": q132_curation_manifest,
 }
 
 from .dedup import Q40_SQL  # noqa: E402  (shared hash fragments live there)
@@ -550,4 +771,5 @@ ORACLE = {
     "q47_set_intersect": Q47_SQL,
     "q48_date_parts": Q48_SQL,
     "q49_cube": Q49_SQL,
+    "q132_curation_manifest": _q132_sql(),
 }
