@@ -24,99 +24,53 @@ _MERGED_QUERIES = {
 }
 
 # The external correctness gate records rows for the FIRST 50 entries
-# of ``queries()`` only (125 declared after r12: +q123 cross-source
-# KMV overlap matrix, +q124 frozen-mixture-plan drift, +q125
-# per-source external-duplication attribution, +q126 cross-source
-# SHINGLE overlap — all > the 50-entry cap), so entry ORDER decides which queries get a
-# driver-recorded check each round. Policy: entries never yet
-# driver-verified, green-only-once, or just-changed come first; the
-# tail past position 50 holds entries with >=2 driver-recorded greens,
-# rotated every round so each query is re-verified periodically. Every
-# entry keeps a pytest-side oracle check regardless of position
-# (tests/test_parity_sample.py runs the same gate at sf0.001;
-# tools/parity.py re-runnable at any SF).
+# of ``queries()`` only (131 declared after r13: +q127 HTML->text
+# extraction report, +q128 q39-over-raw-HTML composition, +q129 PQ/ADC
+# brute-force ANN, +q130 PQ-IVF probed serve, +q131 PQ + exact
+# re-rank, +q132 unified curation manifest), so entry ORDER decides
+# which queries get a driver-recorded check each round. Policy:
+# entries never yet driver-verified, green-only-once, or just-changed
+# come first; the tail past position 50 holds entries with >=2
+# driver-recorded greens, rotated every round so each query is
+# re-verified periodically. Every entry keeps a pytest-side oracle
+# check regardless of position (tests/test_parity_sample.py runs the
+# same gate at sf0.001; tools/parity.py re-runnable at any SF).
 #
-# Round-12 window (50) — executes the r11-committed rotation:
-# - the 27 once-deferred entries (MUST enter per the r11 commitment,
-#   all present): q18 q79 q83 q89 q92 q23 q24 q59 q61 q26 q56 q30 q33
-#   q34 q36 q38 q39 q40 q41 q43 q44 q45 q47 q48 q49 q51 q52;
-# - green-only-once, staying per policy (8): the r11 additions q114
-#   q115 q116 q117 q118 q119 q120 q121 (one driver green each —
-#   computed from CORRECTNESS_r01..r11);
-# - new this round (4): q123 (cross-source duplicated-content matrix
-#   via per-source KMV sketches + directional containment), q124
-#   (frozen mixture-plan drift report — the q114-q116 staleness
-#   family applied to the MixturePlan lifecycle), q125 (per-source
-#   worst external-duplication partner, q123 reduced to the row an
-#   operator acts on) and q126 (the same matrix at the near-dup
-#   SHINGLE level — template sharing without exact pages); q125/q126
-#   were added mid-round, taking the q09/q08 fill slots (the
-#   highest-evidence fills at 5 greens, which join the r13
-#   commitment);
-# - changed this round (1): q122 (source_health gained the explicit
-#   null_docs column — schema change, re-graded). q109's ORACLE text
-#   was re-templated through kmv_overlap_sql this round with
-#   byte-different but semantically identical SQL (generic key/value
-#   names); its Spark path is untouched and local parity re-verified
-#   it green at sf0.01, so it rotates out on its 3 driver greens
-#   rather than taking a window slot;
-# - fill (10), picked from the 44 r10-window retirees by fewest
-#   driver greens then longest-unseen: q107 q110 q111 (2 greens),
-#   q104 q105 q100 q103 (3), q76 q102 q90 (4).
+# Round-13 window (50) — executes the r12-committed rotation:
+# - ALL 34 twice-deferred r10-window retirees (MUST enter per the
+#   r12 commitment, now eight rounds standing — every one present):
+#   q08 q09 q11 q12 q14 q15 q16 q17 q64 q67 q68 q69 q70 q19 q20 q31
+#   q71 q72 q21 q22 q57 q63 q74 q99 q25 q27 q28 q62 q46 q50 q32 q37
+#   q42 q73;
+# - new this round (6): q127 (HTML/markup->text extraction +
+#   boilerplate line rules + NFC, synthesized-page oracle), q128
+#   (q39's cleaning pipeline composed over raw-HTML input), q129
+#   (product-quantization ADC brute force, frozen codebooks as
+#   VALUES), q130 (PQ codes in the IVF layout, directory-pruned
+#   probes), q131 (PQ as candidate generator + exact re-rank), q132
+#   (per-doc curation manifest with stage provenance);
+# - changed this round (3): q123 q125 q126 gained the below_noise
+#   containment flags (schema change — re-graded);
+# - green-only-once, staying per policy (1): q124 (one r12 green);
+# - fill (6), picked from the 41 r11-window retirees by fewest
+#   driver greens: q112 q113 (2 greens), q106 q108 q109 q66 (3).
 #
-# Round-12 tail (75): every entry holds >=2 driver-recorded greens
-# (q112 q113 at exactly 2; everything else >=3 — counts computed from
-# CORRECTNESS_r01..r11 plus the r11 window's fresh greens):
-# - 34 r10-window retirees deferred once more — ALL 34 MUST enter the
-#   r13 window (the commitment mechanism, now seven rounds standing):
-#   q08 q09 q67 q68 q69 q70 q19 q20 q71 q72 q21 q22 q63 q74 q99 q25
-#   q27 q28 q62 q32 q73 q31 q57 q46 q50 q37 q42 q11 q12 q14 q15 q16
-#   q17 q64;
-# - the 41 r11-window entries rotating out at fresh r11 greens.
-# R13 plan: the 34 once-deferred entries re-enter first, then the 41
-# r11 retirees rotate; entries holding 3+ greens yield slots to
-# whatever r13 adds or changes.
+# Round-13 tail (81): every entry holds >=2 driver-recorded greens
+# (counts computed from CORRECTNESS_r01..r12):
+# - 35 r11-window retirees deferred ONCE — ALL 35 MUST enter the r14
+#   window (the standing commitment): q01 q02 q03 q04 q05 q06 q07
+#   q10 q13 q86 q87 q88 q53 q54 q58 q77 q78 q80 q81 q84 q85 q95 q97
+#   q60 q82 q29 q91 q93 q94 q96 q98 q101 q35 q65 q75;
+# - the 46 r12-window entries rotating out at fresh r12 greens (q114
+#   q115 q116 q117 q118 q119 q120 q121 q122 now hold >=2; q107 q110
+#   q111 >=3; the rest >=4).
+# R14 plan: the 35 once-deferred entries re-enter first, then the 46
+# r12 retirees rotate; entries holding 3+ greens yield slots to
+# whatever r14 adds or changes.
 _DEFER_ROUND = [
-    # r10-window retirees deferred ONCE MORE (10 of the 44 re-entered
-    # this round; these 34 MUST enter the r13 window — the standing
-    # commitment, now seven rounds unbroken)
-    "q08_running_total",
-    "q09_distinct_counts",
-    "q11_set_except",
-    "q12_case_buckets",
-    "q14_part_type_stats",
-    "q15_json_extract_agg",
-    "q16_point_read",
-    "q17_top_customers",
-    "q64_trailing_revenue",
-    "q67_market_share",
-    "q68_top_part_values",
-    "q69_promo_revenue",
-    "q70_inactive_wealthy",
-    "q19_sessionize",
-    "q20_tumbling_window",
-    "q31_session_window",
-    "q71_cohort_retention",
-    "q72_session_funnel",
-    "q21_token_stats",
-    "q22_quality_scores",
-    "q57_source_mixing",
-    "q63_bigram_novelty",
-    "q74_passage_dedup",
-    "q99_tfidf_cosine_knn",
-    "q25_dedup_exact",
-    "q27_minhash_signatures",
-    "q28_simhash",
-    "q62_dedup_pipeline",
-    "q46_srp_near_dup",
-    "q50_cosine_near_dup",
-    "q32_pivot_status",
-    "q37_rank_parts",
-    "q42_grouping_sets",
-    "q73_frame_manifest",
-    # r11-window entries rotating out at fresh r11 greens (every one
-    # also holds >=2 prior driver greens, verified from
-    # CORRECTNESS_r01..r11)
+    # r11-window retirees deferred ONCE (6 of the 41 re-entered this
+    # round as fills; these 35 MUST enter the r14 window — the
+    # standing commitment)
     "q01_pricing_summary",
     "q02_top_revenue_orders",
     "q03_revenue_by_nation",
@@ -129,9 +83,6 @@ _DEFER_ROUND = [
     "q86_waiting_suppliers",
     "q87_custdist",
     "q88_small_qty_revenue",
-    "q106_kmv_distinct",
-    "q109_kmv_overlap",
-    "q113_kmv_incremental",
     "q53_train_split",
     "q54_pack_sequences",
     "q58_decontaminate",
@@ -143,21 +94,66 @@ _DEFER_ROUND = [
     "q85_token_budget",
     "q95_bpe_token_budget",
     "q97_bpe_pack_sequences",
-    "q112_tfidf_banded_knn_dialed",
     "q60_canonical_docs",
     "q82_source_overlap",
     "q29_cosine_topk",
-    "q66_ivf_topk",
     "q91_srp_ann_topk",
     "q93_semantic_dedup",
     "q94_margin_ann_topk",
     "q96_bounded_semantic_dedup",
     "q98_quantized_ann_topk",
     "q101_quantized_srp_ann",
-    "q108_quantized_ivf_ann",
     "q35_sliding_window",
     "q65_media_features",
     "q75_asset_store_roundtrip",
+    # r12-window entries rotating out at fresh r12 greens (every one
+    # holds >=2 driver greens, verified from CORRECTNESS_r01..r12)
+    "q18_asof_purchase_click",
+    "q104_purchase_click_pairs",
+    "q107_purchase_click_outer",
+    "q23_lang_id",
+    "q24_fingerprints",
+    "q59_repetition_stats",
+    "q61_tfidf_top_terms",
+    "q76_bigram_lm_nll",
+    "q102_tfidf_reference_screen",
+    "q110_tfidf_banded_knn",
+    "q111_tfidf_banded_screen",
+    "q114_screen_staleness",
+    "q115_srp_occupancy_drift",
+    "q116_ivf_staleness",
+    "q117_band_dial_measurement",
+    "q118_temperature_mix_plan",
+    "q119_mixture_assignment",
+    "q120_bpe_fertility",
+    "q121_dedup_adjusted_mix",
+    "q122_source_health",
+    "q105_decontaminate_spans",
+    "q26_ngram_jaccard_pairs",
+    "q56_dedup_clusters",
+    "q30_embedding_norms",
+    "q79_knn_join",
+    "q83_label_cohesion",
+    "q89_quantization_audit",
+    "q90_label_outliers",
+    "q33_percentiles",
+    "q34_above_nation_avg",
+    "q36_srp_buckets",
+    "q38_activity_union",
+    "q39_clean_corpus_report",
+    "q40_lsh_candidates",
+    "q41_range_join",
+    "q43_order_gaps",
+    "q44_order_arrays",
+    "q45_regexp_extract",
+    "q47_set_intersect",
+    "q48_date_parts",
+    "q49_cube",
+    "q51_binary_manifest",
+    "q52_media_decode",
+    "q92_bpe_token_stats",
+    "q100_bpe_large_token_stats",
+    "q103_bpe_doc_fingerprints",
 ]
 
 ALL_QUERIES = {

@@ -50,6 +50,10 @@ PIPELINE = [
     "q96_bounded_semantic_dedup",
     "q100_bpe_large_token_stats",
     "q62_dedup_pipeline",
+    # r13 additions: the regex-heavy extraction rung and the composed
+    # curation manifest (q62's near-dup stage plus three more stages)
+    "q127_html_extract",
+    "q132_curation_manifest",
 ]
 
 # The published pipeline walls above run on the harness's TEMPLATE
