@@ -389,17 +389,33 @@ def read_meta_row(spark, path: str, name: str = "meta"):
     first — after a rebuild swap the meta files are NEW, and a stale
     listing from before the swap would either throw FileNotFound or
     silently serve the pre-rebuild row (exactly the state this read
-    exists to detect)."""
+    exists to detect). A meta directory that EXISTS but holds no
+    readable row (a save crashed between creating the directory and
+    committing its part files) raises the module's descriptive
+    refusal instead of an opaque IndexError/inference failure —
+    missing-vs-torn must not be conflated (None means
+    'pre-fingerprint layout, accepted unchecked')."""
     meta_dir = os.path.join(resolve_live(path), name)
     if not os.path.isdir(meta_dir):
         return None
     spark.catalog.refreshByPath(meta_dir)
-    return spark.read.parquet(meta_dir).collect()[0]
+    try:
+        rows = spark.read.parquet(meta_dir).collect()
+    except Exception as e:
+        raise ValueError(
+            f"unreadable meta dataset at {meta_dir!r} (crashed "
+            "save?) — restore or re-save() the index before "
+            f"appending: {type(e).__name__}: {e}"
+        ) from e
+    if not rows:
+        raise ValueError(
+            f"empty meta dataset at {meta_dir!r} (crashed save?) — "
+            "restore or re-save() the index before appending"
+        )
+    return rows[0]
 
 
-def verify_frozen_handle(
-    spark, path: str, what: str, self_fp, meta_fp
-) -> None:
+def verify_frozen_handle(path: str, what: str, self_fp, meta_fp) -> None:
     """Raise unless a handle's frozen-parameter fingerprint matches
     the persisted one — the ``add(path=...)`` pre-flight that stops a
     handle created BEFORE a maybe_rebuild/maintain swap from

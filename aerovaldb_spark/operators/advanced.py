@@ -595,15 +595,19 @@ def curation_manifest(docs: DataFrame) -> DataFrame:
         F.col("n_copies"),
         nul_s,
     )
+    # no broadcast hint on the loser frame: near-dup drops scale with
+    # the corpus (web dedup routinely drops 20-40%), so forcing it
+    # through the driver would be the plan's scale ceiling — a plain
+    # shuffle join is right at size, and AQE upgrades small cases
     near_drops = shape(
-        canon.join(F.broadcast(nl), "doc_id"),
+        canon.join(nl, "doc_id"),
         "near_dup",
         F.col("component"),
         F.col("n_copies"),
         nul_s,
     )
     keeps = shape(
-        canon.join(F.broadcast(nl.select("doc_id")), "doc_id", "left_anti"),
+        canon.join(nl.select("doc_id"), "doc_id", "left_anti"),
         "keep",
         nul_l,
         F.col("n_copies"),

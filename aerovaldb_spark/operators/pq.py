@@ -1,8 +1,11 @@
 """Product quantization (PQ) + asymmetric-distance (ADC) ANN — the
 100 TB embedding-serving rung past int8 (q89/q98's 4×): vectors
-compress to M sub-space code indices (M=8, K=16 → 8 bytes/vector vs
-256 bytes float32, 32×), and query scoring is M table lookups + adds
-per candidate instead of a dim-length dot product.
+compress to M sub-space code indices (the frozen artifact: M=16
+4-dim sub-spaces, K=16 → 64 logical bits, stored as 16 tinyint bytes
+vs 256 bytes float32 — 16× stored, 32× with nibble packing, not
+implemented), and query scoring is M table lookups + adds per
+candidate instead of a dim-length dot product (16 adds vs 64
+multiply-adds).
 
 Frozen-model-as-data (the q66/q100 pattern): the per-sub-space KMeans
 codebooks are trained ONCE by ``tools/gen_pq_codebooks.py`` and
@@ -16,8 +19,8 @@ a SQL GROUP BY's double-sum order is unspecified.
 
 Two rungs, graded:
 - q129 ``pq_adc_topk``: brute-force ADC over the whole corpus — the
-  compression rung alone (every row scanned, but at 1/32 the bytes
-  and 1/8 the multiplies).
+  compression rung alone (every row scanned, but at 1/16 the bytes
+  and 1/4 the arithmetic).
 - q130 ``PQIVFIndex``: PQ codes stored in the IVF layout
   (list_id-partitioned assignments + frozen coarse centroids, shared
   ``_save_ivf_layout``) — probing directory-prunes to
@@ -163,16 +166,21 @@ def pq_rebuild_verdict(
     build_report=None,
     churn_growth: float = 2.0,
     occupancy_growth: float = 2.0,
+    min_churn: float = 0.05,
 ):
     """:func:`~.similarity.ivf_rebuild_verdict` adapted to PQ's one
     measurement difference: staleness runs over lossy RECONSTRUCTIONS,
     which gives assignment_churn a constant build-time floor (~0.36
     on the test corpus — far past the float family's absolute 0.25
     rule, which would cry wolf on a freshly built index). So the
-    churn trigger here is GROWTH over the stored build baseline
-    (``churn_growth``x), the same philosophy as the occupancy
-    triggers; without a baseline the churn trigger is skipped, like
-    occupancy. Occupancy triggers are inherited unchanged."""
+    churn trigger here is GROWTH over the stored build baseline:
+    trip when current churn ≥ max(``churn_growth`` × build churn,
+    ``min_churn``) — the ``min_churn`` floor keeps the trigger armed
+    when the build-time churn was exactly 0.0 (a degenerate corpus
+    whose reconstructions assign perfectly; a pure growth rule would
+    either never fire or fire on 0 ≥ 0). Without a baseline the churn
+    trigger is skipped, like occupancy. Occupancy triggers are
+    inherited unchanged."""
     from .similarity import RebuildVerdict, _report_dict
 
     base_v = ivf_rebuild_verdict(
@@ -186,12 +194,16 @@ def pq_rebuild_verdict(
         cur = _report_dict(report)
         base = _report_dict(build_report)
         bc, cc = base.get("assignment_churn"), cur.get("assignment_churn")
-        if bc and cc is not None and cc >= churn_growth * bc:
-            reasons.append(
-                f"assignment_churn {cc} >= {churn_growth}x build-time "
-                f"{bc} (growth over the reconstruction floor — a "
-                "refit would move this fraction of members)"
-            )
+        if bc is not None and cc is not None:
+            bar = max(churn_growth * bc, min_churn)
+            if cc >= bar:
+                reasons.append(
+                    f"assignment_churn {cc} >= {bar} "
+                    f"(max of {churn_growth}x build-time {bc} and the "
+                    f"{min_churn} floor — growth over the "
+                    "reconstruction floor; a refit would move this "
+                    "fraction of members)"
+                )
     return RebuildVerdict(bool(reasons), tuple(reasons))
 
 
@@ -241,10 +253,11 @@ def pq_adc_rerank_topk(
 ) -> DataFrame:
     """PQ as a CANDIDATE GENERATOR + exact re-rank — the production
     serving shape (and the answer to PQ's recall on hard iid-like
-    corpora, where 64-bit codes alone recall ~0.35@10: the measured
-    candidate-recall curve is expand=3 → 0.69, 5 → 0.77, 10 → 0.91,
-    20 → 0.995 on the sf0.001 corpus — SCALING.md operating points).
-    The ADC pass scans CODES ONLY (1/16 the bytes); only the
+    corpora, where the 64-logical-bit codes alone recall ~0.35@10:
+    the measured candidate-recall curve is expand=3 → 0.69, 5 → 0.77,
+    10 → 0.91, 20 → 0.995 on the sf0.001 corpus — SCALING.md
+    operating points). The ADC pass scans CODES ONLY (1/16 the
+    stored bytes); only the
     k·expand winners per query ever touch a raw vector, via a
     broadcast of the candidate set into the corpus scan — at 100 TB,
     the raw-vector reads are |Q|·k·expand rows, not the corpus.

@@ -1058,7 +1058,6 @@ def _verify_srp_meta(
 
     meta = read_meta_row(spark, path)
     verify_frozen_handle(
-        spark,
         path,
         "(dim, planes) quantizer",
         (dim, planes),
@@ -1219,7 +1218,6 @@ class IVFIndex:
             self._frozen_fp = frame_fingerprint(self.centroids)
         meta = read_meta_row(spark, path)
         verify_frozen_handle(
-            spark,
             path,
             "centroids",
             self._frozen_fp,

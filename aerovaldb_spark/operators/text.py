@@ -3884,7 +3884,6 @@ class TfidfScreenIndex:
         meta = read_meta_row(spark, path)
         md = meta.asDict() if meta is not None else {}
         verify_frozen_handle(
-            spark,
             path,
             "(bands, rows_per_band, top_terms) dial",
             (self.bands, self.rows_per_band, self.top_terms),
@@ -3895,7 +3894,6 @@ class TfidfScreenIndex:
             if self._frozen_fp is None:
                 self._frozen_fp = self._stats_fingerprint()
             verify_frozen_handle(
-                spark,
                 path,
                 "idf statistics",
                 self._frozen_fp,

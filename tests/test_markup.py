@@ -225,3 +225,90 @@ def test_q39_composition_accepts_raw_html(spark):
         .collect()
     }
     assert got == want and got
+
+
+def test_extraction_invariants_on_adversarial_input(spark):
+    """Property-style sweep over adversarial non-HTML and broken-HTML
+    inputs: extraction never crashes, and the output carries the
+    spec's invariants — no sentinel bytes leak (inputs containing the
+    raw sentinel codepoints are neutralized by the stage-1 control
+    strip BEFORE anchors are marked), no control chars, no raw
+    CR/TAB, every kept line satisfies both line rules."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aerovaldb_spark.operators.markup import (
+        MIN_LINE_WORDS,
+        html_extract,
+    )
+
+    frag = st.one_of(
+        st.text(max_size=40),
+        st.sampled_from(
+            [
+                "<a href=x>", "</a>", "<script>", "</script>",
+                "<p>", "</p>", "<!--", "-->", "&amp;", "&lt;",
+                "&#39;", "<div", ">", "\x01", "\x02", "\x00\x07",
+                "\r\n\t", "<<>>", "<a<a>", "é",
+            ]
+        ),
+    )
+    docs = st.lists(
+        st.lists(frag, max_size=12).map("".join), min_size=1, max_size=8
+    )
+
+    @given(docs)
+    @settings(max_examples=15, deadline=None)
+    def check(pages):
+        df = spark.createDataFrame(
+            [(i, p) for i, p in enumerate(pages)],
+            "doc_id long, html string",
+        )
+        rows = html_extract(df, nfc=True).collect()
+        assert len(rows) == len(pages)
+        for r in rows:
+            t = r["clean_text"]
+            assert "\x01" not in t and "\x02" not in t
+            assert not any(ord(c) < 32 and c != "\n" for c in t)
+            lines = t.split("\n") if t else []
+            assert len(lines) == r["n_lines_kept"]
+            for ln in lines:
+                assert len(ln.split(" ")) >= MIN_LINE_WORDS
+                assert ln == ln.strip()
+
+    check()
+
+
+def test_html_extract_is_stream_safe(spark, tmp_path):
+    """The extraction is a stateless projection, so the SAME operator
+    runs under Structured Streaming unchanged — stream output equals
+    batch output row for row (append mode, no watermark, no state)."""
+    import os
+
+    from aerovaldb_spark.operators.markup import html_extract
+
+    pages = [
+        (1, "<p>alpha beta gamma delta</p><li><a href=x>Nav</a></li>"),
+        (2, "<script>x</script><h1>the quick brown fox</h1>"),
+        (3, "plain words with no markup at all"),
+    ]
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    batch_df = spark.createDataFrame(pages, "doc_id long, html string")
+    batch_df.coalesce(1).write.parquet(d, mode="append")
+    want = sorted(map(tuple, html_extract(batch_df).collect()))
+
+    stream = spark.readStream.schema("doc_id long, html string").parquet(d)
+    q = (
+        html_extract(stream)
+        .writeStream.format("memory")
+        .queryName("html_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM html_stream").collect())
+    )
+    assert got == want
