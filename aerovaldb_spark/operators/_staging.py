@@ -403,14 +403,15 @@ def read_meta_row(spark, path: str, name: str = "meta"):
         rows = spark.read.parquet(meta_dir).collect()
     except Exception as e:
         raise ValueError(
-            f"unreadable meta dataset at {meta_dir!r} (crashed "
-            "save?) — restore or re-save() the index before "
-            f"appending: {type(e).__name__}: {e}"
+            f"unreadable meta dataset at {meta_dir!r} (crashed save?)"
+            " — restore from backup or re-save() a valid index at"
+            f" this path before using it: {type(e).__name__}: {e}"
         ) from e
     if not rows:
         raise ValueError(
             f"empty meta dataset at {meta_dir!r} (crashed save?) — "
-            "restore or re-save() the index before appending"
+            "restore from backup or re-save() a valid index at this "
+            "path before using it"
         )
     return rows[0]
 

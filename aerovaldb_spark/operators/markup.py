@@ -71,7 +71,15 @@ PAT_BLOCK = (
     r"|form|figure|figcaption|dl|dt|dd)\b[^>]*>"
 )
 PAT_TAG = r"<[^>]*>"
-PAT_WSPLUS = r"\s+"
+# whitespace collapse covers the UNICODE space family too (literal
+# characters in the class, so Java regex and RE2 read it identically;
+# \s alone is ASCII in both engines): NBSP and friends arrive both as
+# decoded &nbsp; and as raw bytes in real web text, and a kept line
+# must never carry edge whitespace Python's strip() would remove but
+# ASCII trim() would not (property-tested)
+PAT_WSPLUS = (
+    "[\\s\u0085\u00a0\u1680\u2000-\u200a\u2028\u2029\u202f\u205f\u3000]+"
+)
 
 # (encoded, decoded) in DECODE ORDER — &amp; last (see module doc)
 ENTITIES = (
@@ -163,9 +171,11 @@ def line_structs_col(c) -> "F.Column":
 _LINE_STRUCTS_SQL = (
     "list_transform(string_split({tagged}, chr(10)), l -> {{"
     "'clean': trim(regexp_replace("
-    "replace(replace(l, chr(1), ''), chr(2), ''), '\\s+', ' ', 'g')), "
+    "replace(replace(l, chr(1), ''), chr(2), ''), "
+    "'" + PAT_WSPLUS + "', ' ', 'g')), "
     "'words': len(list_filter(string_split(trim(regexp_replace("
-    "replace(replace(l, chr(1), ''), chr(2), ''), '\\s+', ' ', 'g')), "
+    "replace(replace(l, chr(1), ''), chr(2), ''), "
+    "'" + PAT_WSPLUS + "', ' ', 'g')), "
     "' '), w -> w != '')), "
     "'lc': coalesce(list_sum(list_transform("
     "string_split(l, chr(1))[2:], "
@@ -442,10 +452,10 @@ deduped AS (
   FROM agg
 ), scored AS (
   SELECT lang, doc_id,
-    len(list_filter(regexp_split_to_array(clean_text, '\\s+'),
-        w -> w != '')) AS n_tokens,
-    len(list_filter(regexp_split_to_array(clean_text, '\\s+'),
-        t -> t IN ('the', 'a', 'of', 'and'))) AS stop_hits
+    len(list_filter(regexp_split_to_array(clean_text,
+        '{PAT_WSPLUS}'), w -> w != '')) AS n_tokens,
+    len(list_filter(regexp_split_to_array(clean_text,
+        '{PAT_WSPLUS}'), t -> t IN ('the', 'a', 'of', 'and'))) AS stop_hits
   FROM deduped WHERE rn = 1
 )
 SELECT lang, COUNT(*) AS n_docs_kept,

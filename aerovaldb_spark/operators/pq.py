@@ -24,7 +24,7 @@ Two rungs, graded:
 - q130 ``PQIVFIndex``: PQ codes stored in the IVF layout
   (list_id-partitioned assignments + frozen coarse centroids, shared
   ``_save_ivf_layout``) — probing directory-prunes to
-  n_probe/n_lists of the data AND each probed row is 8 lookup-adds.
+  n_probe/n_lists of the data AND each probed row is 16 lookup-adds.
   The full q114-q116 lifecycle: incremental ``add`` under the frozen
   coarse centroids + module codebooks (handle fingerprint-guarded),
   ``staleness`` via ivf_staleness_report over DECODED
@@ -215,7 +215,7 @@ def pq_adc_topk(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Brute-force ADC top-k (ascending approximate L2): corpus rows
-    carry 8-byte codes, queries broadcast their lookup tables, and
+    carry 16-byte codes, queries broadcast their lookup tables, and
     each candidate costs M lookup-adds — the compression rung alone,
     before IVF pruning (q130) bounds how much gets scanned. Output
     (query_id, ann_rank, neighbor_id, adc_d2), self-matches excluded,
@@ -298,7 +298,7 @@ class PQIVFIndex:
     ``_save_ivf_layout`` directory scheme (frozen coarse centroids +
     assignments PARTITIONED BY list_id, one-row meta fingerprint), so
     probing n_probe of n_lists lists is a directory-pruned scan, and
-    the scanned bytes are 8-byte codes instead of 256-byte floats —
+    the scanned bytes are 16-byte codes instead of 256-byte floats —
     the two wins compose multiplicatively. Codebooks are the frozen
     MODULE artifact (retrain via tools/gen_pq_codebooks.py); the
     coarse centroids are per-index frozen data, fingerprint-guarded

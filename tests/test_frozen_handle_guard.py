@@ -197,3 +197,23 @@ def test_maintain_on_family_without_maybe_rebuild(spark, tmp_path):
     # idempotent second pass: fresh layout, nothing to do
     out2 = maintain(spark, p, NearDupBucketIndex, max_files_per_dir=1)
     assert out2["compacted"] is False and out2["rebuilt"] is None
+
+
+def test_read_meta_row_refuses_torn_meta(spark, tmp_path):
+    """A meta/ directory that exists but holds no readable row (a
+    save crashed between mkdir and committing part files) must raise
+    the descriptive refusal, not an opaque IndexError — and a MISSING
+    meta stays None (pre-fingerprint layout, accepted unchecked)."""
+    from aerovaldb_spark.operators._staging import read_meta_row
+
+    root = str(tmp_path / "idx")
+    os.makedirs(os.path.join(root, "meta"))  # empty dir: torn save
+    with pytest.raises(ValueError, match="crashed save"):
+        read_meta_row(spark, root)
+    # a directory with a non-parquet stray file is torn too
+    root2 = str(tmp_path / "idx2")
+    os.makedirs(os.path.join(root2, "meta"))
+    open(os.path.join(root2, "meta", "garbage.bin"), "wb").write(b"x")
+    with pytest.raises(ValueError, match="crashed save|meta dataset"):
+        read_meta_row(spark, root2)
+    assert read_meta_row(spark, str(tmp_path / "nothing")) is None

@@ -312,3 +312,38 @@ def test_html_extract_is_stream_safe(spark, tmp_path):
         map(tuple, spark.sql("SELECT * FROM html_stream").collect())
     )
     assert got == want
+
+
+def test_unicode_whitespace_collapses_and_mirrors(spark):
+    """NBSP-family whitespace (raw bytes, not just &nbsp;) collapses
+    like ASCII whitespace — kept lines never carry edge characters
+    Python's strip() would remove — and the SQL twin agrees byte for
+    byte on the same input."""
+    import duckdb
+
+    from aerovaldb_spark.operators.markup import (
+        _LINE_STRUCTS_SQL,
+        MIN_LINE_WORDS,
+        _tagged_sql,
+        html_extract,
+    )
+
+    page = (
+        "<p> alpha beta gamma　delta </p>"
+        "<p>wide spacing here</p>"
+    )
+    df = spark.createDataFrame([(1, page)], "doc_id long, html string")
+    row = html_extract(df).collect()[0]
+    assert row["clean_text"] == (
+        "alpha beta gamma delta\nwide spacing here"
+    )
+    con = duckdb.connect()
+    keep = f"s -> s.words >= {MIN_LINE_WORDS} AND s.lc*2 <= s.tot"
+    sql = f"""
+WITH t AS (SELECT {_tagged_sql("?")} AS tagged),
+l AS (SELECT {_LINE_STRUCTS_SQL.format(tagged="tagged")} AS ls FROM t)
+SELECT coalesce(list_aggregate(list_transform(
+  list_filter(ls, {keep}), s -> s.clean), 'string_agg', chr(10)), '')
+FROM l
+"""
+    assert con.execute(sql, [page]).fetchone()[0] == row["clean_text"]

@@ -265,3 +265,31 @@ def test_pq_recall_against_exact_l2(spark):
         exact, ["query_id", "neighbor_id"], "left_semi"
     ).count()
     assert rer_hits / n_exact >= 0.85, rer_hits / n_exact
+
+
+def test_pq_rebuild_verdict_zero_baseline_floor():
+    """The churn trigger must stay armed when build-time churn is
+    exactly 0.0 (a degenerate corpus whose reconstructions assign
+    perfectly): growth alone would either never fire (`if bc:`
+    truthiness) or fire on 0 >= 0 — the min_churn floor resolves
+    both (review finding, r13)."""
+    from aerovaldb_spark.operators.pq import pq_rebuild_verdict
+
+    base = {"load_factor_max": 1.0, "top_mass": 0.1,
+            "assignment_churn": 0.0}
+    fresh = dict(base)
+    assert not pq_rebuild_verdict(fresh, base).rebuild
+    drifted = dict(base, assignment_churn=0.5)
+    v = pq_rebuild_verdict(drifted, base)
+    assert v.rebuild and "assignment_churn" in v.reasons[0]
+    # just under the floor: not tripped
+    tiny = dict(base, assignment_churn=0.04)
+    assert not pq_rebuild_verdict(tiny, base).rebuild
+    # normal growth rule unchanged above the floor
+    b2 = dict(base, assignment_churn=0.36)
+    assert not pq_rebuild_verdict(
+        dict(base, assignment_churn=0.5), b2
+    ).rebuild
+    assert pq_rebuild_verdict(
+        dict(base, assignment_churn=0.73), b2
+    ).rebuild
