@@ -627,7 +627,16 @@ def maintain(
     plus their verdicts and report rows. The scheduled-job shape: run
     this off-peak per index root and read the dict into your metrics.
     Single-writer rule applies (no concurrent ingest/serve on the
-    same path during the pass)."""
+    same path during the pass).
+
+    Required family surface: ``APPEND_DATASETS`` + ``compact(spark,
+    path, **kwargs)`` + ``load(spark, path, **load_kwargs)`` (the
+    append-family contract every add(path=...) index implements);
+    ``maybe_rebuild`` is optional (skipped when absent — see step 2).
+    KMVSketchTable is NOT an append family (update() rewrites via the
+    staged swap, leaving no litter to compact and no frozen parameter
+    to go stale) — its whole maintenance story is
+    ``recover_before_rebuild`` alone."""
     repaired = recover_before_rebuild(path, spark)
     if hasattr(family, "maybe_rebuild"):
         idx, r_verdict, r_report = family.maybe_rebuild(

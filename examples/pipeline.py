@@ -47,6 +47,30 @@ def main() -> None:
     docs = load_table(spark, sf_dir, "documents")
     print(f"loaded: {docs.count()} docs")
 
+    # 0. raw pages first (r13): real corpora arrive as HTML — the
+    # extraction rung (q127) is a shuffle-free projection: tag/script
+    # stripping, entity decoding, Gopher-style line rules, optional
+    # NFC. Demonstrated on synthesized pages wrapping the real text;
+    # any operator below accepts raw HTML by composing through
+    # html_to_text_col (q128 does exactly that for q39).
+    from aerovaldb_spark.operators.markup import (
+        html_extract,
+        synth_html_col,
+    )
+
+    pages = docs.where(F.col("text").isNotNull()).withColumn(
+        "html", synth_html_col()
+    )
+    ledger = html_extract(pages).agg(
+        F.sum("n_lines_kept"),
+        F.sum("n_lines_dropped_short"),
+        F.sum("n_lines_dropped_link"),
+    ).first()
+    print(
+        f"html extraction: {ledger[0]} lines kept, "
+        f"{ledger[1]} short-dropped, {ledger[2]} link-dropped"
+    )
+
     # 1. language + quality gates (map-only; merge into the scan)
     scored = quality_columns(docs)
     kept = scored.filter(F.col("lang").isin("en", "fr", "es", "de")).filter(
@@ -304,6 +328,23 @@ def main() -> None:
         f"mixture: planned {planned:.0f} tokens, "
         f"{upsampled} docs repeat (upsampling)"
     )
+
+    # 12. the whole run, accounted (q132): the curation manifest is
+    # the artifact a production run publishes next to the export —
+    # one row per INPUT doc naming the stage that dropped it (or its
+    # split when kept), so every byte of the final corpus is
+    # attributable. Stage rules are the graded rungs' own; one
+    # persisted base pass, no stage rescans raw text.
+    from aerovaldb_spark.operators.advanced import curation_manifest
+
+    manifest = curation_manifest(docs)
+    fates = {
+        r["verdict"]: r["n"]
+        for r in manifest.groupBy("verdict")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    print(f"curation manifest: {fates}")
 
 
 if __name__ == "__main__":
