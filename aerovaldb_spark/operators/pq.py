@@ -1,11 +1,11 @@
 """Product quantization (PQ) + asymmetric-distance (ADC) ANN — the
 100 TB embedding-serving rung past int8 (q89/q98's 4×): vectors
 compress to M sub-space code indices (the frozen artifact: M=16
-4-dim sub-spaces, K=16 → 64 logical bits, stored as 16 tinyint bytes
-vs 256 bytes float32 — 16× stored, 32× with nibble packing, not
-implemented), and query scoring is M table lookups + adds per
-candidate instead of a dim-length dot product (16 adds vs 64
-multiply-adds).
+4-dim sub-spaces, K=16 → 64 logical bits; the ephemeral rung carries
+16 tinyint bytes, the PERSISTED layout nibble-packs them to 8 bytes
+vs 256 bytes float32 — 32× stored), and query scoring is M table
+lookups + adds per candidate instead of a dim-length dot product
+(16 adds vs 64 multiply-adds).
 
 Frozen-model-as-data (the q66/q100 pattern): the per-sub-space KMeans
 codebooks are trained ONCE by ``tools/gen_pq_codebooks.py`` and
@@ -21,10 +21,11 @@ Two rungs, graded:
 - q129 ``pq_adc_topk``: brute-force ADC over the whole corpus — the
   compression rung alone (every row scanned, but at 1/16 the bytes
   and 1/4 the arithmetic).
-- q130 ``PQIVFIndex``: PQ codes stored in the IVF layout
-  (list_id-partitioned assignments + frozen coarse centroids, shared
-  ``_save_ivf_layout``) — probing directory-prunes to
-  n_probe/n_lists of the data AND each probed row is 16 lookup-adds.
+- q130 ``PQIVFIndex``: nibble-packed PQ codes stored in the IVF
+  layout (list_id-partitioned assignments + frozen coarse centroids,
+  shared ``_save_ivf_layout``) — probing directory-prunes to
+  n_probe/n_lists of the data, each probed row is 8 BYTES, and
+  scoring it is 16 lookup-adds through the inline unpack.
   The full q114-q116 lifecycle: incremental ``add`` under the frozen
   coarse centroids + module codebooks (handle fingerprint-guarded),
   ``staleness`` via ivf_staleness_report over DECODED
@@ -157,6 +158,60 @@ def _adc_col(lut, codes) -> "F.Column":
         + F.element_at(
             F.element_at(lut, m),
             F.element_at(codes, m).cast("int") + 1,
+        ).cast("decimal(18,6)"),
+    ).cast("double")
+
+
+def pack_codes_col(codes) -> "F.Column":
+    """Nibble-pack an M-entry code array (values 0..K-1, K<=16) into
+    M/2 bytes — the persisted layout's 2x on top of tinyint codes
+    (PQIVFIndex stores packed: 8 bytes/vector vs 256 float32 = 32×).
+    Each byte carries (even_code*16 + odd_code) shifted by -128 so the
+    0..255 pack fits tinyint; :func:`unpack_code` inverts it exactly
+    (pure integer arithmetic, roundtrip property-tested)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_M // 2 - 1)),
+        lambda i: (
+            F.element_at(codes, 2 * i + 1).cast("int") * 16
+            + F.element_at(codes, 2 * i + 2).cast("int")
+            - 128
+        ).cast("tinyint"),
+    )
+
+
+def unpack_code(packed, m) -> "F.Column":
+    """The ``m``-th (1-based) code index from a packed array — the
+    inline unpack the serve path runs per lookup (two int ops; stays
+    in whole-stage codegen)."""
+    b = (
+        F.element_at(packed, F.floor((m + 1) / 2).cast("int")).cast(
+            "int"
+        )
+        + 128
+    )
+    return F.when(m % 2 == 1, F.floor(b / 16).cast("int")).otherwise(
+        b % 16
+    )
+
+
+def unpack_codes_col(packed) -> "F.Column":
+    """Full M-entry code array from the packed form (build's
+    ``pq_codes_col`` output, exactly)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(PQ_M)),
+        lambda m: unpack_code(packed, m).cast("tinyint"),
+    )
+
+
+def _adc_packed_col(lut, packed) -> "F.Column":
+    """:func:`_adc_col` over the packed layout — same DECIMAL
+    accumulation, lookups go through the inline unpack."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(PQ_M)),
+        F.lit("0").cast("decimal(38,6)"),
+        lambda a, m: a
+        + F.element_at(
+            F.element_at(lut, m), unpack_code(packed, m) + 1
         ).cast("decimal(18,6)"),
     ).cast("double")
 
@@ -323,7 +378,9 @@ class PQIVFIndex:
     ) -> "PQIVFIndex":
         assignments = (
             ivf_assign(vectors, centroids, vec_col, id_col)
-            .withColumn("codes", pq_codes_col(vec_col))
+            .withColumn(
+                "codes", pack_codes_col(pq_codes_col(vec_col))
+            )
             .select(id_col, "codes", "list_id")
         )
         return PQIVFIndex(centroids, assignments, id_col)
@@ -345,7 +402,9 @@ class PQIVFIndex:
             IVFIndex._verify_frozen(self, vectors.sparkSession, path)
         new = (
             ivf_assign(vectors, self.centroids, vec_col, self.id_col)
-            .withColumn("codes", pq_codes_col(vec_col))
+            .withColumn(
+                "codes", pack_codes_col(pq_codes_col(vec_col))
+            )
             .select(self.id_col, "codes", "list_id")
         )
         if path is None:
@@ -392,8 +451,7 @@ class PQIVFIndex:
                 F.sequence(F.lit(0), F.lit(PQ_M - 1)),
                 lambda m: F.element_at(
                     F.element_at(cb, m + 1),
-                    F.element_at(F.col("codes"), m + 1).cast("int")
-                    + 1,
+                    unpack_code(F.col("codes"), m + 1) + 1,
                 ),
             )
         )
@@ -508,7 +566,8 @@ class PQIVFIndex:
             pruned.join(F.broadcast(probe), "list_id")
             .filter(F.col(self.id_col) != F.col("query_id"))
             .withColumn(
-                "adc_d2", _adc_col(F.col("_lut"), F.col("codes"))
+                "adc_d2",
+                _adc_packed_col(F.col("_lut"), F.col("codes")),
             )
             .select(
                 "query_id",

@@ -293,3 +293,42 @@ def test_pq_rebuild_verdict_zero_baseline_floor():
     assert pq_rebuild_verdict(
         dict(base, assignment_churn=0.73), b2
     ).rebuild
+
+
+def test_nibble_pack_roundtrip_and_layout_bytes(spark):
+    """pack(unpack) is the identity on real code arrays (and on every
+    code value 0..15 in both nibble positions), and the persisted
+    layout actually stores M/2-entry packed arrays."""
+    from aerovaldb_spark.operators.pq import (
+        PQ_M,
+        pack_codes_col,
+        pq_codes_col,
+        unpack_codes_col,
+    )
+
+    emb = _emb(spark)
+    rt = emb.select(
+        pq_codes_col("embedding").alias("c"),
+        unpack_codes_col(
+            pack_codes_col(pq_codes_col("embedding"))
+        ).alias("rt"),
+        F.size(pack_codes_col(pq_codes_col("embedding"))).alias("pn"),
+    )
+    bad = rt.filter("c <> rt").count()
+    assert bad == 0
+    assert rt.select("pn").distinct().collect()[0][0] == PQ_M // 2
+    # exhaustive nibble sweep: every (hi, lo) pair roundtrips
+    pairs = spark.createDataFrame(
+        [([hi, lo] + [0] * (PQ_M - 2),) for hi in range(16)
+         for lo in range(16)],
+        "c array<tinyint>",
+    )
+    assert (
+        pairs.select(
+            F.col("c").alias("c"),
+            unpack_codes_col(pack_codes_col(F.col("c"))).alias("rt"),
+        )
+        .filter("c <> rt")
+        .count()
+        == 0
+    )
