@@ -180,9 +180,11 @@ def pack_codes_col(codes) -> "F.Column":
 
 
 def unpack_code(packed, m) -> "F.Column":
-    """The ``m``-th (1-based) code index from a packed array — the
-    inline unpack the serve path runs per lookup (two int ops; stays
-    in whole-stage codegen)."""
+    """The ``m``-th (1-based, Column or plain int) code index from a
+    packed array — the inline unpack the serve path runs per lookup
+    (two int ops; stays in whole-stage codegen)."""
+    if isinstance(m, int):
+        m = F.lit(m)
     b = (
         F.element_at(packed, F.floor((m + 1) / 2).cast("int")).cast(
             "int"
@@ -353,7 +355,7 @@ class PQIVFIndex:
     ``_save_ivf_layout`` directory scheme (frozen coarse centroids +
     assignments PARTITIONED BY list_id, one-row meta fingerprint), so
     probing n_probe of n_lists lists is a directory-pruned scan, and
-    the scanned bytes are 16-byte codes instead of 256-byte floats —
+    the scanned bytes are nibble-packed 8-byte codes instead of 256-byte floats (32x) —
     the two wins compose multiplicatively. Codebooks are the frozen
     MODULE artifact (retrain via tools/gen_pq_codebooks.py); the
     coarse centroids are per-index frozen data, fingerprint-guarded
@@ -370,18 +372,37 @@ class PQIVFIndex:
         self._frozen_fp: tuple | None = None
 
     @staticmethod
+    def _encode_packed(assigned: DataFrame, vec_col: str, id_col: str
+                       ) -> DataFrame:
+        """Encode + pack in TWO projections: packing the expensive
+        MxK encode expression directly would re-evaluate it per
+        element_at reference inside the pack lambda (measured ~11x on
+        the build path); materializing the tinyint codes as a named
+        column first lets CollapseProject keep one evaluation."""
+        return (
+            assigned.select(
+                id_col,
+                "list_id",
+                pq_codes_col(vec_col).alias("_unpacked"),
+            )
+            .select(
+                id_col,
+                pack_codes_col(F.col("_unpacked")).alias("codes"),
+                "list_id",
+            )
+        )
+
+    @staticmethod
     def build(
         vectors: DataFrame,
         centroids: DataFrame,
         vec_col: str = "embedding",
         id_col: str = "vec_id",
     ) -> "PQIVFIndex":
-        assignments = (
-            ivf_assign(vectors, centroids, vec_col, id_col)
-            .withColumn(
-                "codes", pack_codes_col(pq_codes_col(vec_col))
-            )
-            .select(id_col, "codes", "list_id")
+        assignments = PQIVFIndex._encode_packed(
+            ivf_assign(vectors, centroids, vec_col, id_col),
+            vec_col,
+            id_col,
         )
         return PQIVFIndex(centroids, assignments, id_col)
 
@@ -400,12 +421,10 @@ class PQIVFIndex:
         collide with existing ones."""
         if path is not None:
             IVFIndex._verify_frozen(self, vectors.sparkSession, path)
-        new = (
-            ivf_assign(vectors, self.centroids, vec_col, self.id_col)
-            .withColumn(
-                "codes", pack_codes_col(pq_codes_col(vec_col))
-            )
-            .select(self.id_col, "codes", "list_id")
+        new = PQIVFIndex._encode_packed(
+            ivf_assign(vectors, self.centroids, vec_col, self.id_col),
+            vec_col,
+            self.id_col,
         )
         if path is None:
             out = PQIVFIndex(
@@ -436,6 +455,20 @@ class PQIVFIndex:
         spark: SparkSession, path: str, id_col: str = "vec_id"
     ) -> "PQIVFIndex":
         centroids, assignments, fp = _load_ivf_frames(spark, path)
+        # layout guard (one-row read): the centroid fingerprint the
+        # shared meta carries says nothing about the CODE layout, and
+        # serving an unpacked (or different-PQ_M) code table through
+        # the packed unpack arithmetic would return garbage distances
+        # with no error — refuse descriptively instead
+        row = assignments.select(F.size("codes").alias("n")).first()
+        if row is not None and row["n"] != PQ_M // 2:
+            raise ValueError(
+                f"PQ index at {path!r} stores {row['n']}-entry code "
+                f"arrays but this build expects nibble-packed "
+                f"{PQ_M // 2}-byte rows (PQ_M={PQ_M}) — the layout "
+                "predates the packed format or was written under "
+                "different codebooks; rebuild the index"
+            )
         idx = PQIVFIndex(centroids, assignments, id_col)
         idx._frozen_fp = fp
         return idx

@@ -1,9 +1,9 @@
 """End-to-end training-data pipeline over the documents table:
 
-  load → language filter → adaptive quality gate → repetition filter →
-  stratified sampling → exact dedup → near-dup clustering →
-  decontamination → train/val/test split → sequence packing →
-  chunk manifest
+  html extraction → load → language filter → adaptive quality gate →
+  repetition filter → stratified sampling → exact dedup → near-dup
+  clustering → decontamination → train/val/test split → sequence
+  packing → chunk manifest → ... → curation manifest
 
 Every stage is one of the engine's operators composing on DataFrames —
 lazy until the final action, so Catalyst optimizes across stage
@@ -22,12 +22,17 @@ sys.path.insert(0, ".")
 from pyspark.sql import functions as F
 
 from aerovaldb_spark.catalog import load_table
+from aerovaldb_spark.operators.advanced import curation_manifest
 from aerovaldb_spark.operators.dedup import (
     connected_components,
     dedup_exact,
     lsh_candidate_pairs,
     minhash_signatures,
     verified_jaccard_pairs,
+)
+from aerovaldb_spark.operators.markup import (
+    html_extract,
+    synth_html_col,
 )
 from aerovaldb_spark.operators.text import (
     PACK_BUDGET,
@@ -53,11 +58,6 @@ def main() -> None:
     # NFC. Demonstrated on synthesized pages wrapping the real text;
     # any operator below accepts raw HTML by composing through
     # html_to_text_col (q128 does exactly that for q39).
-    from aerovaldb_spark.operators.markup import (
-        html_extract,
-        synth_html_col,
-    )
-
     pages = docs.where(F.col("text").isNotNull()).withColumn(
         "html", synth_html_col()
     )
@@ -335,8 +335,6 @@ def main() -> None:
     # split when kept), so every byte of the final corpus is
     # attributable. Stage rules are the graded rungs' own; one
     # persisted base pass, no stage rescans raw text.
-    from aerovaldb_spark.operators.advanced import curation_manifest
-
     manifest = curation_manifest(docs)
     fates = {
         r["verdict"]: r["n"]

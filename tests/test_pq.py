@@ -307,12 +307,23 @@ def test_nibble_pack_roundtrip_and_layout_bytes(spark):
     )
 
     emb = _emb(spark)
-    rt = emb.select(
-        pq_codes_col("embedding").alias("c"),
-        unpack_codes_col(
-            pack_codes_col(pq_codes_col("embedding"))
-        ).alias("rt"),
-        F.size(pack_codes_col(pq_codes_col("embedding"))).alias("pn"),
+    # materialize the codes as plain data first: chaining
+    # unpack(pack(encode)) as one expression tree collapses into a
+    # single projection that re-evaluates the MxK encode per
+    # element_at reference (~256x — the review-pass finding; the
+    # production path avoids it via PQIVFIndex._encode_packed's
+    # separate projections, but a test over the raw expressions must
+    # break the chain with real rows)
+    code_rows = emb.select(
+        pq_codes_col("embedding").alias("c")
+    ).collect()
+    cdf = spark.createDataFrame(
+        [(list(r["c"]),) for r in code_rows], "c array<tinyint>"
+    )
+    rt = cdf.withColumn("p", pack_codes_col(F.col("c"))).select(
+        "c",
+        unpack_codes_col(F.col("p")).alias("rt"),
+        F.size("p").alias("pn"),
     )
     bad = rt.filter("c <> rt").count()
     assert bad == 0

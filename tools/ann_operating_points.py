@@ -236,10 +236,13 @@ def sweep_pq(spark, emb, label: str, n_queries: int) -> None:
     exact = exact_l2_topk(emb, queries, k=10).cache()
     exact.count()
     raw_bytes = PQ_M * PQ_DSUB * 4
-    code_bytes = PQ_M  # one byte per stored code index
+    # ephemeral rung: one tinyint per code; persisted PQIVFIndex:
+    # nibble-packed, two codes per byte
+    code_bytes, packed_bytes = PQ_M, PQ_M // 2
     print(
-        f"\n### PQ (M={PQ_M}, K={PQ_K} -> {code_bytes} B/vec stored "
-        f"vs {raw_bytes} B float32, {raw_bytes // code_bytes}x) — "
+        f"\n### PQ (M={PQ_M}, K={PQ_K} -> {code_bytes} B/vec ephemeral"
+        f" / {packed_bytes} B persisted-packed vs {raw_bytes} B "
+        f"float32, {raw_bytes // packed_bytes}x stored) — "
         f"{label} (n={n}, {n_queries} queries, k=10)\n"
     )
     print("| rung | setting | recall@10 | raw rows touched/query |")
