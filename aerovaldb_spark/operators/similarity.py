@@ -1057,13 +1057,22 @@ def _verify_srp_meta(
     from ._staging import read_meta_row, verify_frozen_handle
 
     meta = read_meta_row(spark, path)
+    md = meta.asDict() if meta is not None else {}
+    if meta is not None and "dim" not in md:
+        # an IVF-family meta (c_rows/c_fp) — a cross-family add would
+        # otherwise die on an opaque KeyError instead of naming the
+        # actual mistake
+        raise ValueError(
+            f"the index at {path!r} is not an SRP-family layout (its "
+            f"meta carries {sorted(md)}, not (dim, planes)) — "
+            "appending SRP signatures into a foreign layout would "
+            "corrupt it"
+        )
     verify_frozen_handle(
         path,
         "(dim, planes) quantizer",
         (dim, planes),
-        (int(meta["dim"]), int(meta["planes"]))
-        if meta is not None
-        else None,
+        (int(md["dim"]), int(md["planes"])) if md else None,
     )
 
 
@@ -1217,13 +1226,20 @@ class IVFIndex:
         if self._frozen_fp is None:
             self._frozen_fp = frame_fingerprint(self.centroids)
         meta = read_meta_row(spark, path)
+        md = meta.asDict() if meta is not None else {}
+        if meta is not None and "c_fp" not in md:
+            # the symmetric cross-family guard to _verify_srp_meta's
+            raise ValueError(
+                f"the index at {path!r} is not an IVF-family layout "
+                f"(its meta carries {sorted(md)}, not a centroid "
+                "fingerprint) — appending IVF assignments into a "
+                "foreign layout would corrupt it"
+            )
         verify_frozen_handle(
             path,
             "centroids",
             self._frozen_fp,
-            (int(meta["c_rows"]), int(meta["c_fp"]))
-            if meta is not None
-            else None,
+            (int(md["c_rows"]), int(md["c_fp"])) if md else None,
         )
 
     def save(self, path: str) -> None:

@@ -217,3 +217,26 @@ def test_read_meta_row_refuses_torn_meta(spark, tmp_path):
     with pytest.raises(ValueError, match="crashed save|meta dataset"):
         read_meta_row(spark, root2)
     assert read_meta_row(spark, str(tmp_path / "nothing")) is None
+
+
+def test_cross_family_add_refused_by_name(spark, tmp_path):
+    """Appending one family's rows into another family's layout is
+    named as the mistake it is (not an opaque KeyError): SRP add onto
+    an IVF layout and IVF add onto an SRP layout both refuse."""
+    from aerovaldb_spark.operators.similarity import (
+        IVFIndex,
+        SRPIndex,
+    )
+
+    emb = _embeddings(spark)
+    dim = len(emb.select("embedding").first()[0])
+    p_ivf = str(tmp_path / "ivf")
+    IVFIndex.build(emb.limit(100), n_lists=4).save(p_ivf)
+    srp = SRPIndex.build(emb.limit(100), dim)
+    with pytest.raises(ValueError, match="not an SRP-family layout"):
+        srp.add(emb.limit(5), path=p_ivf)
+    p_srp = str(tmp_path / "srp")
+    SRPIndex.build(emb.limit(100), dim).save(p_srp)
+    ivf = IVFIndex.build(emb.limit(100), n_lists=4)
+    with pytest.raises(ValueError, match="not an IVF-family layout"):
+        ivf.add(emb.limit(5), path=p_srp)

@@ -343,3 +343,58 @@ def test_nibble_pack_roundtrip_and_layout_bytes(spark):
         .count()
         == 0
     )
+
+
+def test_pq_ivf_streaming_ingest_crash_and_redelivery(
+    spark, tmp_path, monkeypatch
+):
+    """PQIVFIndex is a valid index_ingest_fn target: the generic
+    epoch protocol (intent → packed add → marker) survives a crash in
+    the add→marker window — the redelivered batch rolls back and
+    re-appends, and the served top-k is bit-equal to a clean one-shot
+    build over the union (no doubled packed rows)."""
+    import aerovaldb_spark.streaming as st
+    from aerovaldb_spark.operators.pq import PQIVFIndex
+    from aerovaldb_spark.operators.similarity import (
+        frozen_ivf_centroids,
+    )
+
+    emb = _emb(spark)
+    old = emb.where("vec_id % 2 = 0")
+    new = emb.where("vec_id % 2 = 1").withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    cents = frozen_ivf_centroids(spark)
+    p = str(tmp_path / "pq")
+    PQIVFIndex.build(old, cents).save(p)
+
+    fn = st.index_ingest_fn(PQIVFIndex.load(spark, p), p, run_id="r")
+
+    def boom_marker(marker):
+        raise RuntimeError("injected")
+
+    monkeypatch.setattr(st, "_commit_marker", boom_marker)
+    with pytest.raises(RuntimeError, match="injected"):
+        fn(new, 0)
+    monkeypatch.undo()
+    fn(new, 0)  # redelivery rolls back the torn append first
+
+    served = PQIVFIndex.load(spark, p)
+    assert served.assignments.count() == old.count() + new.count()
+    assert (
+        served.assignments.groupBy("vec_id").count()
+        .where("count > 1")
+        .count()
+        == 0
+    )
+    q = emb.filter("vec_id < 5")
+    want = sorted(
+        map(
+            tuple,
+            PQIVFIndex.build(old.unionByName(new), cents)
+            .topk(q, k=5)
+            .collect(),
+        )
+    )
+    got = sorted(map(tuple, served.topk(q, k=5).collect()))
+    assert got == want
