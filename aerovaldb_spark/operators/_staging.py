@@ -416,6 +416,26 @@ def read_meta_row(spark, path: str, name: str = "meta"):
     return rows[0]
 
 
+def require_meta_family(md, expected: str, path: str) -> None:
+    """Raise unless the persisted meta row carries this family's tag —
+    the ONE cross-family guard every ``add(path=...)`` runs before
+    touching a layout (column-name sniffing cannot separate families
+    that share a meta schema, e.g. SRPIndex vs QuantizedSRPIndex;
+    the explicit tag can, and covers families added later by
+    default). ``md`` is the meta row's dict (or None/{} when the
+    layout predates meta); a meta WITHOUT the tag is accepted
+    unchecked — the same pre-fingerprint-layout leniency
+    verify_frozen_handle applies — re-``save()`` to arm it."""
+    found = (md or {}).get("family")
+    if found is not None and found != expected:
+        raise ValueError(
+            f"the index at {path!r} was saved by {found} — refusing "
+            f"a {expected} operation on a foreign family's layout "
+            "(mixed rows would corrupt it; load it with "
+            f"{found}.load instead)"
+        )
+
+
 def verify_frozen_handle(path: str, what: str, self_fp, meta_fp) -> None:
     """Raise unless a handle's frozen-parameter fingerprint matches
     the persisted one — the ``add(path=...)`` pre-flight that stops a

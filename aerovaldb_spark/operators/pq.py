@@ -439,7 +439,8 @@ class PQIVFIndex:
 
     def save(self, path: str) -> None:
         self._frozen_fp = _save_ivf_layout(
-            self.centroids, self.assignments, path
+            self.centroids, self.assignments, path,
+            type(self).__name__,
         )
 
     @staticmethod

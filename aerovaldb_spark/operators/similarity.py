@@ -968,7 +968,10 @@ Q66_SQL = _q66_sql()
 
 
 def _save_ivf_layout(
-    centroids: DataFrame, assignments: DataFrame, path: str
+    centroids: DataFrame,
+    assignments: DataFrame,
+    path: str,
+    family: str,
 ) -> tuple:
     """The one on-disk IVF layout (shared by IVFIndex and
     QuantizedIVFIndex so the two can never diverge): ``centroids/``
@@ -997,9 +1000,14 @@ def _save_ivf_layout(
     )
     fp = frame_fingerprint(centroids)
     # the hash sum is an arbitrary-width integer (decimal(38,0)
-    # aggregate) — stored as a string so it round-trips exactly
+    # aggregate) — stored as a string so it round-trips exactly; the
+    # family tag is the cross-family add guard's identity
+    # (_staging.require_meta_family — the three IVF-layout families
+    # share this meta schema, so column names alone can't tell them
+    # apart)
     centroids.sparkSession.createDataFrame(
-        [(fp[0], str(fp[1]))], "c_rows long, c_fp string"
+        [(fp[0], str(fp[1]), family)],
+        "c_rows long, c_fp string, family string",
     ).write.mode("overwrite").parquet(_os.path.join(path, "meta"))
     return fp
 
@@ -1045,29 +1053,37 @@ def _compact_assignments(
 
 
 def _verify_srp_meta(
-    spark: SparkSession, path: str, dim: int, planes: int
+    spark: SparkSession, path: str, dim: int, planes: int,
+    family: str,
 ) -> None:
     """The SRP families' frozen-parameter guard for ``add(path=...)``:
-    the handle's (dim, planes) quantizer must match the persisted
-    one-row meta — a handle outliving a maybe_rebuild that swapped in
-    a re-parameterized index (e.g. planes+1) would otherwise append
-    signatures that can never collide with the layout's buckets.
-    One-row read; raises on mismatch (re-``load()`` after any
-    maintenance pass)."""
-    from ._staging import read_meta_row, verify_frozen_handle
+    the layout must belong to THIS family (explicit meta tag —
+    SRPIndex and QuantizedSRPIndex share the meta schema but have
+    incompatible assignments schemas, so column names alone cannot
+    separate them) and the handle's (dim, planes) quantizer must
+    match the persisted one-row meta — a handle outliving a
+    maybe_rebuild that swapped in a re-parameterized index (e.g.
+    planes+1) would otherwise append signatures that can never
+    collide with the layout's buckets. One-row read; raises on
+    mismatch (re-``load()`` after any maintenance pass)."""
+    from ._staging import (
+        read_meta_row,
+        require_meta_family,
+        verify_frozen_handle,
+    )
 
     meta = read_meta_row(spark, path)
     md = meta.asDict() if meta is not None else {}
     if meta is not None and "dim" not in md:
-        # an IVF-family meta (c_rows/c_fp) — a cross-family add would
-        # otherwise die on an opaque KeyError instead of naming the
-        # actual mistake
+        # a non-SRP meta shape — name the actual mistake instead of
+        # dying on a KeyError
         raise ValueError(
             f"the index at {path!r} is not an SRP-family layout (its "
             f"meta carries {sorted(md)}, not (dim, planes)) — "
             "appending SRP signatures into a foreign layout would "
             "corrupt it"
         )
+    require_meta_family(md, family, path)
     verify_frozen_handle(
         path,
         "(dim, planes) quantizer",
@@ -1220,6 +1236,7 @@ class IVFIndex:
         from ._staging import (
             frame_fingerprint,
             read_meta_row,
+            require_meta_family,
             verify_frozen_handle,
         )
 
@@ -1235,6 +1252,10 @@ class IVFIndex:
                 "fingerprint) — appending IVF assignments into a "
                 "foreign layout would corrupt it"
             )
+        # the three IVF-layout families share this meta schema and can
+        # even share frozen centroids — only the explicit tag can
+        # separate a float layout from a packed/int8 one
+        require_meta_family(md, type(self).__name__, path)
         verify_frozen_handle(
             path,
             "centroids",
@@ -1244,7 +1265,8 @@ class IVFIndex:
 
     def save(self, path: str) -> None:
         self._frozen_fp = _save_ivf_layout(
-            self.centroids, self.assignments, path
+            self.centroids, self.assignments, path,
+            type(self).__name__,
         )
 
     @staticmethod
@@ -2741,7 +2763,8 @@ class SRPIndex:
         signatures that can never collide with the new layout's."""
         if path is not None:
             _verify_srp_meta(
-                vectors.sparkSession, path, self.dim, self.planes
+                vectors.sparkSession, path, self.dim, self.planes,
+                type(self).__name__,
             )
         new = vectors.select(
             self.id_col,
@@ -2773,7 +2796,8 @@ class SRPIndex:
             .parquet(_os.path.join(path, "assignments"))
         )
         spark.createDataFrame(
-            [(self.dim, self.planes)], "dim int, planes int"
+            [(self.dim, self.planes, type(self).__name__)],
+            "dim int, planes int, family string",
         ).write.mode("overwrite").parquet(_os.path.join(path, "meta"))
 
     @staticmethod
@@ -3055,7 +3079,8 @@ class QuantizedSRPIndex:
         meta first — the SRPIndex.add contract."""
         if path is not None:
             _verify_srp_meta(
-                vectors.sparkSession, path, self.dim, self.planes
+                vectors.sparkSession, path, self.dim, self.planes,
+                type(self).__name__,
             )
         new = _quantized_codes_frame(vectors, vec_col, self.id_col).select(
             self.id_col,
@@ -3087,7 +3112,8 @@ class QuantizedSRPIndex:
             .parquet(_os.path.join(path, "assignments"))
         )
         spark.createDataFrame(
-            [(self.dim, self.planes)], "dim int, planes int"
+            [(self.dim, self.planes, type(self).__name__)],
+            "dim int, planes int, family string",
         ).write.mode("overwrite").parquet(_os.path.join(path, "meta"))
 
     @staticmethod
@@ -3370,7 +3396,8 @@ class QuantizedIVFIndex:
 
     def save(self, path: str) -> None:
         self._frozen_fp = _save_ivf_layout(
-            self.centroids, self.assignments, path
+            self.centroids, self.assignments, path,
+            type(self).__name__,
         )
 
     @staticmethod

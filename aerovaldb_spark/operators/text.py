@@ -3710,10 +3710,11 @@ class TfidfScreenIndex:
         spark.createDataFrame(
             [
                 (self.bands, self.rows_per_band, self.top_terms,
-                 rows, str(fp), n_docs)
+                 rows, str(fp), n_docs, type(self).__name__)
             ],
             "bands int, rows_per_band int, top_terms int, "
-            "stats_rows long, stats_fp string, n_docs long",
+            "stats_rows long, stats_fp string, n_docs long, "
+            "family string",
         ).write.mode("overwrite").parquet(_os.path.join(path, "meta"))
 
     def _stats_fingerprint(self) -> tuple:
@@ -3880,9 +3881,18 @@ class TfidfScreenIndex:
                 " — save() there first; add(path=...) appends to an"
                 " existing layout"
             )
+        from ._staging import require_meta_family
+
         spark = self.weights.sparkSession
         meta = read_meta_row(spark, path)
         md = meta.asDict() if meta is not None else {}
+        if meta is not None and "bands" not in md:
+            raise ValueError(
+                f"the index at {path!r} is not a screen-index layout "
+                f"(its meta carries {sorted(md)}) — appending screen "
+                "rows into a foreign layout would corrupt it"
+            )
+        require_meta_family(md, type(self).__name__, path)
         verify_frozen_handle(
             path,
             "(bands, rows_per_band, top_terms) dial",

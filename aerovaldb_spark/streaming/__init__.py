@@ -937,7 +937,8 @@ class NearDupBucketIndex:
             .parquet(_os.path.join(path, "buckets"))
         )
         spark.createDataFrame(
-            [(BANDS, ROWS_PER_BAND)], "bands int, rows_per_band int"
+            [(BANDS, ROWS_PER_BAND, type(self).__name__)],
+            "bands int, rows_per_band int, family string",
         ).write.mode("overwrite").parquet(_os.path.join(path, "meta"))
 
     @staticmethod
@@ -956,7 +957,17 @@ class NearDupBucketIndex:
                 f"no saved index under {path!r} (missing meta/) — "
                 "save() there first"
             )
+        from ..operators._staging import require_meta_family
+
         meta = spark.read.parquet(meta_dir).collect()[0]
+        md = meta.asDict()
+        if "bands" not in md or "rows_per_band" not in md:
+            raise ValueError(
+                f"the index at {path!r} is not a near-dup bucket "
+                f"layout (its meta carries {sorted(md)}) — refusing "
+                "to serve or append under a foreign layout"
+            )
+        require_meta_family(md, "NearDupBucketIndex", path)
         if (int(meta["bands"]), int(meta["rows_per_band"])) != (
             BANDS,
             ROWS_PER_BAND,

@@ -221,22 +221,68 @@ def test_read_meta_row_refuses_torn_meta(spark, tmp_path):
 
 def test_cross_family_add_refused_by_name(spark, tmp_path):
     """Appending one family's rows into another family's layout is
-    named as the mistake it is (not an opaque KeyError): SRP add onto
-    an IVF layout and IVF add onto an SRP layout both refuse."""
+    named as the mistake it is (not an opaque KeyError or silent
+    schema mixing): cross-GROUP (SRP onto IVF and back), and —
+    crucially — WITHIN-group, where the meta schemas are identical
+    and only the explicit family tag can tell the layouts apart
+    (SRPIndex vs QuantizedSRPIndex; PQIVFIndex vs QuantizedIVFIndex
+    sharing the very same frozen centroids)."""
+    from aerovaldb_spark.operators.pq import PQIVFIndex
     from aerovaldb_spark.operators.similarity import (
         IVFIndex,
+        QuantizedIVFIndex,
+        QuantizedSRPIndex,
         SRPIndex,
+        frozen_ivf_centroids,
     )
 
     emb = _embeddings(spark)
     dim = len(emb.select("embedding").first()[0])
+    base = emb.limit(100)
+    more = emb.limit(5)
     p_ivf = str(tmp_path / "ivf")
-    IVFIndex.build(emb.limit(100), n_lists=4).save(p_ivf)
-    srp = SRPIndex.build(emb.limit(100), dim)
+    IVFIndex.build(base, n_lists=4).save(p_ivf)
     with pytest.raises(ValueError, match="not an SRP-family layout"):
-        srp.add(emb.limit(5), path=p_ivf)
+        SRPIndex.build(base, dim).add(more, path=p_ivf)
+    p_srp = str(tmp_path / "srp")
+    SRPIndex.build(base, dim).save(p_srp)
+    with pytest.raises(ValueError, match="not an IVF-family layout"):
+        IVFIndex.build(base, n_lists=4).add(more, path=p_srp)
+    # within the SRP group: identical meta schema, same (dim, planes)
+    with pytest.raises(ValueError, match="saved by SRPIndex"):
+        QuantizedSRPIndex.build(base, dim).add(more, path=p_srp)
+    # within the IVF group, SHARED frozen centroids: fingerprint
+    # matches, only the tag separates packed from int8 from float
+    cents = frozen_ivf_centroids(spark)
+    p_pq = str(tmp_path / "pq")
+    PQIVFIndex.build(base, cents).save(p_pq)
+    with pytest.raises(ValueError, match="saved by PQIVFIndex"):
+        QuantizedIVFIndex.build(base, cents).add(more, path=p_pq)
+    with pytest.raises(ValueError, match="saved by PQIVFIndex"):
+        IVFIndex(cents, base, "embedding", "vec_id").add(
+            more, path=p_pq
+        )
+
+
+def test_screen_and_neardup_cross_family_refused(spark, tmp_path):
+    """The other two append families refuse foreign layouts by name
+    too — the screen index onto an SRP root, and the near-dup bucket
+    index onto a screen root (whose meta also carries bands/rows,
+    so only the family tag separates them)."""
+    from aerovaldb_spark.operators.similarity import SRPIndex
+    from aerovaldb_spark.operators.text import TfidfScreenIndex
+    from aerovaldb_spark.streaming import NearDupBucketIndex
+
+    emb = _embeddings(spark)
+    docs = _docs(spark).limit(100)
+    dim = len(emb.select("embedding").first()[0])
     p_srp = str(tmp_path / "srp")
     SRPIndex.build(emb.limit(100), dim).save(p_srp)
-    ivf = IVFIndex.build(emb.limit(100), n_lists=4)
-    with pytest.raises(ValueError, match="not an IVF-family layout"):
-        ivf.add(emb.limit(5), path=p_srp)
+    idx = TfidfScreenIndex.build(docs)
+    with pytest.raises(ValueError, match="not a screen-index layout"):
+        idx.add(docs.limit(2), path=p_srp)
+    p_screen = str(tmp_path / "screen")
+    idx.save(p_screen)
+    nd = NearDupBucketIndex.build(docs)
+    with pytest.raises(ValueError, match="saved by TfidfScreenIndex"):
+        nd.add(docs.limit(2), path=p_screen)
