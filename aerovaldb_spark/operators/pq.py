@@ -46,8 +46,10 @@ from pyspark.sql import functions as F
 from .._round import round6
 from ..catalog import load_table
 from .pq_codebooks_frozen import CODEBOOKS, PQ_DSUB, PQ_K, PQ_M
+from ._staging import require_meta_family
 from .similarity import (
     IVFIndex,
+    _ivf_fp_from,
     Q66_K,
     Q66_N_PROBE,
     _append_assignments,
@@ -439,8 +441,7 @@ class PQIVFIndex:
 
     def save(self, path: str) -> None:
         self._frozen_fp = _save_ivf_layout(
-            self.centroids, self.assignments, path,
-            type(self).__name__,
+            self.centroids, self.assignments, path, "PQIVFIndex"
         )
 
     @staticmethod
@@ -455,7 +456,8 @@ class PQIVFIndex:
     def load(
         spark: SparkSession, path: str, id_col: str = "vec_id"
     ) -> "PQIVFIndex":
-        centroids, assignments, fp = _load_ivf_frames(spark, path)
+        centroids, assignments, md = _load_ivf_frames(spark, path)
+        require_meta_family(md, "PQIVFIndex", path)
         # layout guard (one-row read): the centroid fingerprint the
         # shared meta carries says nothing about the CODE layout, and
         # serving an unpacked (or different-PQ_M) code table through
@@ -471,7 +473,7 @@ class PQIVFIndex:
                 "different codebooks; rebuild the index"
             )
         idx = PQIVFIndex(centroids, assignments, id_col)
-        idx._frozen_fp = fp
+        idx._frozen_fp = _ivf_fp_from(md)
         return idx
 
     def reconstruct_col(self) -> "F.Column":

@@ -22,6 +22,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from .._round import round6
+from ._staging import require_meta_family
 
 
 def _dbl(col) -> Column:
@@ -1012,9 +1013,17 @@ def _save_ivf_layout(
     return fp
 
 
+def _ivf_fp_from(md) -> "tuple | None":
+    """(c_rows, c_fp) from an IVF-layout meta dict, None for pre-
+    fingerprint layouts."""
+    if md and md.get("c_fp") is not None:
+        return (int(md["c_rows"]), int(md["c_fp"]))
+    return None
+
+
 def _load_ivf_frames(
     spark: SparkSession, path: str
-) -> tuple[DataFrame, DataFrame, "tuple | None"]:
+) -> tuple[DataFrame, DataFrame, "dict | None"]:
     import os as _os
 
     from ._staging import read_meta_row, resolve_live
@@ -1025,14 +1034,13 @@ def _load_ivf_frames(
     # (centroids are never swapped)
     path = resolve_live(path)
     meta = read_meta_row(spark, path)
+    md = meta.asDict() if meta is not None else None
     return (
         spark.read.parquet(_os.path.join(path, "centroids")),
         spark.read.parquet(
             resolve_live(_os.path.join(path, "assignments"))
         ),
-        (int(meta["c_rows"]), int(meta["c_fp"]))
-        if meta is not None
-        else None,
+        md,
     )
 
 
@@ -1244,7 +1252,7 @@ class IVFIndex:
             self._frozen_fp = frame_fingerprint(self.centroids)
         meta = read_meta_row(spark, path)
         md = meta.asDict() if meta is not None else {}
-        if meta is not None and "c_fp" not in md:
+        if md and "c_fp" not in md:
             # the symmetric cross-family guard to _verify_srp_meta's
             raise ValueError(
                 f"the index at {path!r} is not an IVF-family layout "
@@ -1257,16 +1265,12 @@ class IVFIndex:
         # separate a float layout from a packed/int8 one
         require_meta_family(md, type(self).__name__, path)
         verify_frozen_handle(
-            path,
-            "centroids",
-            self._frozen_fp,
-            (int(md["c_rows"]), int(md["c_fp"])) if md else None,
+            path, "centroids", self._frozen_fp, _ivf_fp_from(md)
         )
 
     def save(self, path: str) -> None:
         self._frozen_fp = _save_ivf_layout(
-            self.centroids, self.assignments, path,
-            type(self).__name__,
+            self.centroids, self.assignments, path, "IVFIndex"
         )
 
     @staticmethod
@@ -1288,9 +1292,10 @@ class IVFIndex:
         vec_col: str = "embedding",
         id_col: str = "vec_id",
     ) -> "IVFIndex":
-        centroids, assignments, fp = _load_ivf_frames(spark, path)
+        centroids, assignments, md = _load_ivf_frames(spark, path)
+        require_meta_family(md, "IVFIndex", path)
         idx = IVFIndex(centroids, assignments, vec_col, id_col)
-        idx._frozen_fp = fp
+        idx._frozen_fp = _ivf_fp_from(md)
         return idx
 
     def staleness(
@@ -2796,7 +2801,7 @@ class SRPIndex:
             .parquet(_os.path.join(path, "assignments"))
         )
         spark.createDataFrame(
-            [(self.dim, self.planes, type(self).__name__)],
+            [(self.dim, self.planes, "SRPIndex")],
             "dim int, planes int, family string",
         ).write.mode("overwrite").parquet(_os.path.join(path, "meta"))
 
@@ -2821,10 +2826,20 @@ class SRPIndex:
     ) -> "SRPIndex":
         import os as _os
 
-        from ._staging import resolve_live
+        from ._staging import (
+            read_meta_row,
+            require_meta_family,
+            resolve_live,
+        )
 
         path = resolve_live(path)  # rebuild_root swap-window fallback
-        meta = spark.read.parquet(_os.path.join(path, "meta")).collect()[0]
+        meta = read_meta_row(spark, path)
+        if meta is None:
+            raise ValueError(
+                f"no meta dataset under {path!r} — not a saved "
+                "SRPIndex layout"
+            )
+        require_meta_family(meta.asDict(), "SRPIndex", path)
         return SRPIndex(
             spark.read.parquet(
                 resolve_live(_os.path.join(path, "assignments"))
@@ -3112,7 +3127,7 @@ class QuantizedSRPIndex:
             .parquet(_os.path.join(path, "assignments"))
         )
         spark.createDataFrame(
-            [(self.dim, self.planes, type(self).__name__)],
+            [(self.dim, self.planes, "QuantizedSRPIndex")],
             "dim int, planes int, family string",
         ).write.mode("overwrite").parquet(_os.path.join(path, "meta"))
 
@@ -3131,10 +3146,20 @@ class QuantizedSRPIndex:
     ) -> "QuantizedSRPIndex":
         import os as _os
 
-        from ._staging import resolve_live
+        from ._staging import (
+            read_meta_row,
+            require_meta_family,
+            resolve_live,
+        )
 
         path = resolve_live(path)  # rebuild_root swap-window fallback
-        meta = spark.read.parquet(_os.path.join(path, "meta")).collect()[0]
+        meta = read_meta_row(spark, path)
+        if meta is None:
+            raise ValueError(
+                f"no meta dataset under {path!r} — not a saved "
+                "QuantizedSRPIndex layout"
+            )
+        require_meta_family(meta.asDict(), "QuantizedSRPIndex", path)
         return QuantizedSRPIndex(
             spark.read.parquet(
                 resolve_live(_os.path.join(path, "assignments"))
@@ -3397,7 +3422,7 @@ class QuantizedIVFIndex:
     def save(self, path: str) -> None:
         self._frozen_fp = _save_ivf_layout(
             self.centroids, self.assignments, path,
-            type(self).__name__,
+            "QuantizedIVFIndex",
         )
 
     @staticmethod
@@ -3413,9 +3438,10 @@ class QuantizedIVFIndex:
     def load(
         spark: SparkSession, path: str, id_col: str = "vec_id"
     ) -> "QuantizedIVFIndex":
-        centroids, assignments, fp = _load_ivf_frames(spark, path)
+        centroids, assignments, md = _load_ivf_frames(spark, path)
+        require_meta_family(md, "QuantizedIVFIndex", path)
         idx = QuantizedIVFIndex(centroids, assignments, id_col)
-        idx._frozen_fp = fp
+        idx._frozen_fp = _ivf_fp_from(md)
         return idx
 
     def staleness(

@@ -3710,7 +3710,7 @@ class TfidfScreenIndex:
         spark.createDataFrame(
             [
                 (self.bands, self.rows_per_band, self.top_terms,
-                 rows, str(fp), n_docs, type(self).__name__)
+                 rows, str(fp), n_docs, "TfidfScreenIndex")
             ],
             "bands int, rows_per_band int, top_terms int, "
             "stats_rows long, stats_fp string, n_docs long, "
@@ -3732,8 +3732,16 @@ class TfidfScreenIndex:
 
         from ._staging import resolve_live
 
+        from ._staging import read_meta_row, require_meta_family
+
         path = resolve_live(path)  # rebuild_root swap-window fallback
-        meta = spark.read.parquet(_os.path.join(path, "meta")).collect()[0]
+        meta = read_meta_row(spark, path)
+        if meta is None:
+            raise ValueError(
+                f"no meta dataset under {path!r} — not a saved "
+                "screen-index layout"
+            )
+        require_meta_family(meta.asDict(), "TfidfScreenIndex", path)
         # explicit schemas: a reference whose every doc is zero-norm
         # (e.g. all-whitespace) produces EMPTY frames, and an empty
         # partitionBy write leaves no part files to infer a schema
@@ -3872,6 +3880,7 @@ class TfidfScreenIndex:
         from ._staging import (
             guarded_append_target,
             read_meta_row,
+            require_meta_family,
             verify_frozen_handle,
         )
 
@@ -3881,12 +3890,12 @@ class TfidfScreenIndex:
                 " — save() there first; add(path=...) appends to an"
                 " existing layout"
             )
-        from ._staging import require_meta_family
-
         spark = self.weights.sparkSession
         meta = read_meta_row(spark, path)
         md = meta.asDict() if meta is not None else {}
-        if meta is not None and "bands" not in md:
+        if md and "top_terms" not in md:
+            # 'bands' alone is shared with the near-dup bucket meta;
+            # top_terms is screen-unique
             raise ValueError(
                 f"the index at {path!r} is not a screen-index layout "
                 f"(its meta carries {sorted(md)}) — appending screen "

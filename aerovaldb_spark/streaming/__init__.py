@@ -937,7 +937,7 @@ class NearDupBucketIndex:
             .parquet(_os.path.join(path, "buckets"))
         )
         spark.createDataFrame(
-            [(BANDS, ROWS_PER_BAND, type(self).__name__)],
+            [(BANDS, ROWS_PER_BAND, "NearDupBucketIndex")],
             "bands int, rows_per_band int, family string",
         ).write.mode("overwrite").parquet(_os.path.join(path, "meta"))
 
@@ -957,9 +957,17 @@ class NearDupBucketIndex:
                 f"no saved index under {path!r} (missing meta/) — "
                 "save() there first"
             )
-        from ..operators._staging import require_meta_family
+        from ..operators._staging import (
+            read_meta_row,
+            require_meta_family,
+        )
 
-        meta = spark.read.parquet(meta_dir).collect()[0]
+        meta = read_meta_row(spark, path)
+        if meta is None:
+            raise ValueError(
+                f"no meta dataset under {path!r} — not a saved "
+                "near-dup bucket layout"
+            )
         md = meta.asDict()
         if "bands" not in md or "rows_per_band" not in md:
             raise ValueError(

@@ -286,3 +286,31 @@ def test_screen_and_neardup_cross_family_refused(spark, tmp_path):
     nd = NearDupBucketIndex.build(docs)
     with pytest.raises(ValueError, match="saved by TfidfScreenIndex"):
         nd.add(docs.limit(2), path=p_screen)
+
+
+def test_cross_family_load_refused_by_name(spark, tmp_path):
+    """load() enforces the family tag too — a wrong-family load would
+    otherwise silently serve garbage through the other family's
+    scoring arithmetic (e.g. int8 dots over nibble-packed arrays)."""
+    from aerovaldb_spark.operators.pq import PQIVFIndex
+    from aerovaldb_spark.operators.similarity import (
+        QuantizedIVFIndex,
+        QuantizedSRPIndex,
+        SRPIndex,
+        frozen_ivf_centroids,
+    )
+
+    emb = _embeddings(spark)
+    dim = len(emb.select("embedding").first()[0])
+    base = emb.limit(100)
+    p_pq = str(tmp_path / "pq")
+    PQIVFIndex.build(base, frozen_ivf_centroids(spark)).save(p_pq)
+    with pytest.raises(ValueError, match="saved by PQIVFIndex"):
+        QuantizedIVFIndex.load(spark, p_pq)
+    p_srp = str(tmp_path / "srp")
+    SRPIndex.build(base, dim).save(p_srp)
+    with pytest.raises(ValueError, match="saved by SRPIndex"):
+        QuantizedSRPIndex.load(spark, p_srp)
+    # the right family still loads
+    assert PQIVFIndex.load(spark, p_pq).assignments.count() == 100
+    assert SRPIndex.load(spark, p_srp).assignments.count() == 100
