@@ -8,16 +8,17 @@ lookups + adds per candidate instead of a dim-length dot product
 (16 adds vs 64 multiply-adds).
 
 Frozen-model-as-data (the q66/q100 pattern): the per-sub-space KMeans
-codebooks are trained ONCE by ``tools/gen_pq_codebooks.py`` and
-frozen into ``pq_codebooks_frozen.py``; everything downstream —
-encode (nearest sub-centroid, round6 distances, ties to the lowest
-code), the per-query ADC lookup table, and the probed serve path —
-is deterministic column arithmetic, so the graded queries carry FULL
-DuckDB oracles (codebooks as VALUES rows). ADC sums run in
-DECIMAL(18,6) (order-free, the cross-engine sum convention) because
-a SQL GROUP BY's double-sum order is unspecified.
+codebooks are trained ONCE (``tools/gen_pq_codebooks.py`` over raw
+vectors → ``pq_codebooks_frozen.py``; ``tools/gen_pq_residual_codebooks.py``
+over residuals → ``pq_residual_codebooks_frozen.py``) and everything
+downstream — encode (nearest sub-centroid, round6 distances, ties to
+the lowest code), the per-query ADC lookup table, and the probed
+serve path — is deterministic column arithmetic, so the graded
+queries carry FULL DuckDB oracles (codebooks as VALUES rows). ADC
+sums run in DECIMAL(18,6) (order-free, the cross-engine sum
+convention) because a SQL GROUP BY's double-sum order is unspecified.
 
-Two rungs, graded:
+The serving ladder, graded:
 - q129 ``pq_adc_topk``: brute-force ADC over the whole corpus — the
   compression rung alone (every row scanned, but at 1/16 the bytes
   and 1/4 the arithmetic).
@@ -32,6 +33,20 @@ Two rungs, graded:
   reconstructions (PQ codes, unlike per-vector-scaled int8, decode
   back into the original float space, so centroid shift stays
   measurable), ``maybe_rebuild`` with the staged swap.
+- q131 ``pq_adc_rerank_topk``: PQ as candidate generator + exact
+  re-rank over raw vectors — |Q|·k·expand raw reads, not the corpus.
+- q133 ``ResidualPQIVFIndex``: TRUE IVF-PQ (Jégou et al., PAMI
+  2011) — codes quantize the RESIDUAL (vector − assigned coarse
+  centroid), so the 64 logical bits spend their resolution on what
+  the coarse quantizer missed; the ADC table becomes per
+  (query, probed list) because the query's residual differs per
+  list. Same bytes, same layout, measurably higher codes-only recall
+  (SCALING.md r14 table) — the fix for raw-PQ's q130 recall floor.
+- q134/q135 ``topk(..., rerank_expand=)``: the COMPOSED production
+  serve path — directory-pruned probes → packed-ADC shortlist →
+  exact re-rank touching only |Q|·k·expand raw rows (q134 composes
+  it on the raw-code index, q135 on the residual index — the
+  recommended 100 TB shape).
 
 The reference has no vector search at all (its nearest neighbor is a
 glob scan, src/aerovaldb/jsondb/jsonfiledb.py); this family is part
@@ -46,6 +61,7 @@ from pyspark.sql import functions as F
 from .._round import round6
 from ..catalog import load_table
 from .pq_codebooks_frozen import CODEBOOKS, PQ_DSUB, PQ_K, PQ_M
+from .pq_residual_codebooks_frozen import RESIDUAL_CODEBOOKS
 from ._staging import require_meta_family
 from .similarity import (
     IVFIndex,
@@ -69,10 +85,16 @@ from .similarity import (
     ivf_staleness_report,
 )
 
+# the graded composed-serve operating point (SCALING.md carries the
+# full expand sweep; 10 is the knee on the iid-like test corpus)
+RERANK_EXPAND = 10
 
-def _cb_col() -> "F.Column":
-    """The frozen codebooks as one (constant-folded) nested array
+
+def _cb_col(books=None) -> "F.Column":
+    """A frozen codebook table as one (constant-folded) nested array
     literal: cb[m][k][j], all 1-based under element_at."""
+    if books is None:
+        books = CODEBOOKS
     return F.array(
         *[
             F.array(
@@ -81,7 +103,7 @@ def _cb_col() -> "F.Column":
                     for cent in book
                 ]
             )
-            for book in CODEBOOKS
+            for book in books
         ]
     )
 
@@ -102,14 +124,17 @@ def _sub_d2(v, cb, m, k) -> "F.Column":
     )
 
 
-def pq_codes_col(vec_col: str) -> "F.Column":
+def pq_codes_col(vec_col, books=None) -> "F.Column":
     """array<tinyint> of M sub-space code indices: per sub-vector,
     the nearest codebook entry (round6 d2, ties to the LOWEST code —
     the ivf_assign tie convention). Well-defined for every vector
     including all-zeros (no per-vector scale division, unlike q89's
-    int8 path)."""
+    int8 path). ``vec_col`` is a column name or an array<double>
+    Column (the residual family passes a materialized residual
+    column; pass a NAMED column, not a deep expression — the MxK
+    encode references it hundreds of times)."""
     v = _dbl(vec_col)
-    cb = _cb_col()
+    cb = _cb_col(books)
 
     def code_for(m):
         init = F.struct(
@@ -133,13 +158,14 @@ def pq_codes_col(vec_col: str) -> "F.Column":
     )
 
 
-def pq_lut_col(vec_col: str) -> "F.Column":
+def pq_lut_col(vec_col, books=None) -> "F.Column":
     """The per-query ADC lookup table: lut[m][k] = round6 d2 between
     the query's m-th sub-vector and codebook entry (m, k) — M×K
-    doubles computed ONCE per query; scoring any candidate afterwards
-    is M lookups."""
+    doubles computed ONCE per (query row); scoring any candidate
+    afterwards is M lookups. Accepts a name or Column like
+    :func:`pq_codes_col` (same materialize-first caveat)."""
     v = _dbl(vec_col)
-    cb = _cb_col()
+    cb = _cb_col(books)
     return F.transform(
         F.sequence(F.lit(0), F.lit(PQ_M - 1)),
         lambda m: F.transform(
@@ -167,10 +193,10 @@ def _adc_col(lut, codes) -> "F.Column":
 def pack_codes_col(codes) -> "F.Column":
     """Nibble-pack an M-entry code array (values 0..K-1, K<=16) into
     M/2 bytes — the persisted layout's 2x on top of tinyint codes
-    (PQIVFIndex stores packed: 8 bytes/vector vs 256 float32 = 32×).
-    Each byte carries (even_code*16 + odd_code) shifted by -128 so the
-    0..255 pack fits tinyint; :func:`unpack_code` inverts it exactly
-    (pure integer arithmetic, roundtrip property-tested)."""
+    (the index families store packed: 8 bytes/vector vs 256 float32 =
+    32×). Each byte carries (even_code*16 + odd_code) shifted by -128
+    so the 0..255 pack fits tinyint; :func:`unpack_code` inverts it
+    exactly (pure integer arithmetic, roundtrip property-tested)."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(PQ_M // 2 - 1)),
         lambda i: (
@@ -230,16 +256,17 @@ def pq_rebuild_verdict(
     """:func:`~.similarity.ivf_rebuild_verdict` adapted to PQ's one
     measurement difference: staleness runs over lossy RECONSTRUCTIONS,
     which gives assignment_churn a constant build-time floor (~0.36
-    on the test corpus — far past the float family's absolute 0.25
-    rule, which would cry wolf on a freshly built index). So the
-    churn trigger here is GROWTH over the stored build baseline:
-    trip when current churn ≥ max(``churn_growth`` × build churn,
-    ``min_churn``) — the ``min_churn`` floor keeps the trigger armed
-    when the build-time churn was exactly 0.0 (a degenerate corpus
-    whose reconstructions assign perfectly; a pure growth rule would
-    either never fire or fire on 0 ≥ 0). Without a baseline the churn
-    trigger is skipped, like occupancy. Occupancy triggers are
-    inherited unchanged."""
+    on the test corpus for raw codes, lower for residual codes — the
+    reconstruction is tighter — but never zero; both far past the
+    float family's absolute 0.25 rule, which would cry wolf on a
+    freshly built index). So the churn trigger here is GROWTH over
+    the stored build baseline: trip when current churn ≥
+    max(``churn_growth`` × build churn, ``min_churn``) — the
+    ``min_churn`` floor keeps the trigger armed when the build-time
+    churn was exactly 0.0 (a degenerate corpus whose reconstructions
+    assign perfectly; a pure growth rule would either never fire or
+    fire on 0 ≥ 0). Without a baseline the churn trigger is skipped,
+    like occupancy. Occupancy triggers are inherited unchanged."""
     from .similarity import RebuildVerdict, _report_dict
 
     base_v = ivf_rebuild_verdict(
@@ -264,6 +291,48 @@ def pq_rebuild_verdict(
                     "fraction of members)"
                 )
     return RebuildVerdict(bool(reasons), tuple(reasons))
+
+
+def _exact_rerank(
+    cand: DataFrame,
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """The shared exact-L2 re-rank tail: ``cand`` (query_id,
+    neighbor_id — any ADC shortlist) broadcasts into the raw corpus
+    scan, so only |Q|·|cand/query| raw vectors are ever read; the
+    round6 exact distance re-ranks the shortlist. Output (query_id,
+    ann_rank, neighbor_id, l2_d2), ties on neighbor_id."""
+    raw = vectors.select(
+        F.col(id_col).alias("neighbor_id"), _dbl(vec_col).alias("_cv")
+    )
+    qraw = query.select(
+        F.col(id_col).alias("query_id"), _dbl(vec_col).alias("_qv")
+    )
+    l2 = round6(
+        F.aggregate(
+            F.zip_with("_cv", "_qv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("l2_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        raw.join(
+            F.broadcast(cand.select("query_id", "neighbor_id")),
+            "neighbor_id",
+        )
+        .join(F.broadcast(qraw), "query_id")
+        .withColumn("l2_d2", l2)
+        .withColumn("ann_rank", F.row_number().over(w))
+        .filter(F.col("ann_rank") <= k)
+        .select("query_id", "ann_rank", "neighbor_id", "l2_d2")
+    )
 
 
 def pq_adc_topk(
@@ -316,40 +385,13 @@ def pq_adc_rerank_topk(
     the measured candidate-recall curve is expand=3 → 0.69, 5 → 0.77,
     10 → 0.91, 20 → 0.995 on the sf0.001 corpus — SCALING.md
     operating points). The ADC pass scans CODES ONLY (1/16 the
-    stored bytes); only the
-    k·expand winners per query ever touch a raw vector, via a
-    broadcast of the candidate set into the corpus scan — at 100 TB,
-    the raw-vector reads are |Q|·k·expand rows, not the corpus.
-    Output (query_id, ann_rank, neighbor_id, l2_d2), exact-distance
-    ranked, ties on neighbor_id."""
+    stored bytes); only the k·expand winners per query ever touch a
+    raw vector, via a broadcast of the candidate set into the corpus
+    scan — at 100 TB, the raw-vector reads are |Q|·k·expand rows, not
+    the corpus. Output (query_id, ann_rank, neighbor_id, l2_d2),
+    exact-distance ranked, ties on neighbor_id."""
     cand = pq_adc_topk(vectors, query, k * expand, vec_col, id_col)
-    raw = vectors.select(
-        F.col(id_col).alias("neighbor_id"), _dbl(vec_col).alias("_cv")
-    )
-    qraw = query.select(
-        F.col(id_col).alias("query_id"), _dbl(vec_col).alias("_qv")
-    )
-    l2 = round6(
-        F.aggregate(
-            F.zip_with("_cv", "_qv", lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("l2_d2").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        raw.join(
-            F.broadcast(cand.select("query_id", "neighbor_id")),
-            "neighbor_id",
-        )
-        .join(F.broadcast(qraw), "query_id")
-        .withColumn("l2_d2", l2)
-        .withColumn("ann_rank", F.row_number().over(w))
-        .filter(F.col("ann_rank") <= k)
-        .select("query_id", "ann_rank", "neighbor_id", "l2_d2")
-    )
+    return _exact_rerank(cand, vectors, query, k, vec_col, id_col)
 
 
 class PQIVFIndex:
@@ -357,14 +399,21 @@ class PQIVFIndex:
     ``_save_ivf_layout`` directory scheme (frozen coarse centroids +
     assignments PARTITIONED BY list_id, one-row meta fingerprint), so
     probing n_probe of n_lists lists is a directory-pruned scan, and
-    the scanned bytes are nibble-packed 8-byte codes instead of 256-byte floats (32x) —
-    the two wins compose multiplicatively. Codebooks are the frozen
-    MODULE artifact (retrain via tools/gen_pq_codebooks.py); the
-    coarse centroids are per-index frozen data, fingerprint-guarded
-    exactly like IVFIndex (a held handle refuses to append after a
-    rebuild swap)."""
+    the scanned bytes are nibble-packed 8-byte codes instead of
+    256-byte floats (32x) — the two wins compose multiplicatively.
+    Codebooks are the frozen MODULE artifact (retrain via
+    tools/gen_pq_codebooks.py); the coarse centroids are per-index
+    frozen data, fingerprint-guarded exactly like IVFIndex (a held
+    handle refuses to append after a rebuild swap).
+
+    This base class encodes RAW vectors;
+    :class:`ResidualPQIVFIndex` overrides the three encode/serve
+    hooks (``_books`` / ``_encode_packed`` / ``_probe_luts`` plus
+    reconstruction) to quantize residuals — everything else (layout,
+    lifecycle, re-rank composition) is shared."""
 
     APPEND_DATASETS = ("assignments",)
+    FAMILY = "PQIVFIndex"
 
     def __init__(self, centroids: DataFrame, assignments: DataFrame,
                  id_col: str = "vec_id"):
@@ -373,19 +422,25 @@ class PQIVFIndex:
         self.id_col = id_col
         self._frozen_fp: tuple | None = None
 
-    @staticmethod
-    def _encode_packed(assigned: DataFrame, vec_col: str, id_col: str
-                       ) -> DataFrame:
+    @classmethod
+    def _books(cls):
+        return CODEBOOKS
+
+    @classmethod
+    def _encode_packed(cls, assigned: DataFrame, centroids: DataFrame,
+                       vec_col: str, id_col: str) -> DataFrame:
         """Encode + pack in TWO projections: packing the expensive
         MxK encode expression directly would re-evaluate it per
         element_at reference inside the pack lambda (measured ~11x on
         the build path); materializing the tinyint codes as a named
-        column first lets CollapseProject keep one evaluation."""
+        column first lets CollapseProject keep one evaluation. The
+        base family encodes the raw vector; ``centroids`` is unused
+        here (the residual override joins it)."""
         return (
             assigned.select(
                 id_col,
                 "list_id",
-                pq_codes_col(vec_col).alias("_unpacked"),
+                pq_codes_col(vec_col, cls._books()).alias("_unpacked"),
             )
             .select(
                 id_col,
@@ -394,19 +449,21 @@ class PQIVFIndex:
             )
         )
 
-    @staticmethod
+    @classmethod
     def build(
+        cls,
         vectors: DataFrame,
         centroids: DataFrame,
         vec_col: str = "embedding",
         id_col: str = "vec_id",
     ) -> "PQIVFIndex":
-        assignments = PQIVFIndex._encode_packed(
+        assignments = cls._encode_packed(
             ivf_assign(vectors, centroids, vec_col, id_col),
+            centroids,
             vec_col,
             id_col,
         )
-        return PQIVFIndex(centroids, assignments, id_col)
+        return cls(centroids, assignments, id_col)
 
     def add(
         self,
@@ -421,15 +478,17 @@ class PQIVFIndex:
         centroids are verified against the persisted meta fingerprint
         first (the IVFIndex.add contract). Appended ids must not
         collide with existing ones."""
+        cls = type(self)
         if path is not None:
             IVFIndex._verify_frozen(self, vectors.sparkSession, path)
-        new = PQIVFIndex._encode_packed(
+        new = cls._encode_packed(
             ivf_assign(vectors, self.centroids, vec_col, self.id_col),
+            self.centroids,
             vec_col,
             self.id_col,
         )
         if path is None:
-            out = PQIVFIndex(
+            out = cls(
                 self.centroids,
                 self.assignments.unionByName(new),
                 self.id_col,
@@ -437,42 +496,59 @@ class PQIVFIndex:
             out._frozen_fp = self._frozen_fp
             return out
         _append_assignments(new, path, "list_id", "centroids")
-        return PQIVFIndex.load(new.sparkSession, path, self.id_col)
+        return cls.load(new.sparkSession, path, self.id_col)
 
     def save(self, path: str) -> None:
+        # pq_m rides the one-row meta so load() can refuse a foreign
+        # code layout (different PQ_M build, or a pre-packed-format
+        # store) WITHOUT an eager scan of assignments
         self._frozen_fp = _save_ivf_layout(
-            self.centroids, self.assignments, path, "PQIVFIndex"
+            self.centroids, self.assignments, path, type(self).FAMILY,
+            extra={"pq_m": PQ_M},
         )
 
-    @staticmethod
+    @classmethod
     def compact(
-        spark: SparkSession, path: str, id_col: str = "vec_id"
+        cls, spark: SparkSession, path: str, id_col: str = "vec_id"
     ) -> "PQIVFIndex":
         """One file per list directory — run after many ``add``s."""
         _compact_assignments(spark, path, "list_id")
-        return PQIVFIndex.load(spark, path, id_col)
+        return cls.load(spark, path, id_col)
 
-    @staticmethod
+    @classmethod
     def load(
-        spark: SparkSession, path: str, id_col: str = "vec_id"
+        cls, spark: SparkSession, path: str, id_col: str = "vec_id"
     ) -> "PQIVFIndex":
         centroids, assignments, md = _load_ivf_frames(spark, path)
-        require_meta_family(md, "PQIVFIndex", path)
-        # layout guard (one-row read): the centroid fingerprint the
-        # shared meta carries says nothing about the CODE layout, and
-        # serving an unpacked (or different-PQ_M) code table through
-        # the packed unpack arithmetic would return garbage distances
-        # with no error — refuse descriptively instead
-        row = assignments.select(F.size("codes").alias("n")).first()
-        if row is not None and row["n"] != PQ_M // 2:
-            raise ValueError(
-                f"PQ index at {path!r} stores {row['n']}-entry code "
-                f"arrays but this build expects nibble-packed "
-                f"{PQ_M // 2}-byte rows (PQ_M={PQ_M}) — the layout "
-                "predates the packed format or was written under "
-                "different codebooks; rebuild the index"
-            )
-        idx = PQIVFIndex(centroids, assignments, id_col)
+        require_meta_family(md, cls.FAMILY, path)
+        # layout guard: the centroid fingerprint the shared meta
+        # carries says nothing about the CODE layout, and serving an
+        # unpacked (or different-PQ_M) code table through the packed
+        # unpack arithmetic would return garbage distances with no
+        # error. The meta's pq_m column (written by every save since
+        # it was introduced) decides from the ALREADY-READ one-row
+        # meta; a pre-pq_m layout falls back to the one-row
+        # assignments probe this guard originally was.
+        stored_m = md.get("pq_m") if md else None
+        if stored_m is not None:
+            if int(stored_m) != PQ_M:
+                raise ValueError(
+                    f"PQ index at {path!r} was built with "
+                    f"PQ_M={int(stored_m)} but this build expects "
+                    f"PQ_M={PQ_M} — rebuild the index under the "
+                    "current codebooks"
+                )
+        else:
+            row = assignments.select(F.size("codes").alias("n")).first()
+            if row is not None and row["n"] != PQ_M // 2:
+                raise ValueError(
+                    f"PQ index at {path!r} stores {row['n']}-entry "
+                    f"code arrays but this build expects nibble-packed "
+                    f"{PQ_M // 2}-byte rows (PQ_M={PQ_M}) — the layout "
+                    "predates the packed format or was written under "
+                    "different codebooks; rebuild the index"
+                )
+        idx = cls(centroids, assignments, id_col)
         idx._frozen_fp = _ivf_fp_from(md)
         return idx
 
@@ -481,7 +557,7 @@ class PQIVFIndex:
         codebook entries) — lossy, but it lives in the ORIGINAL
         space, which is what lets this family measure centroid shift
         where the per-vector-scaled int8 store cannot."""
-        cb = _cb_col()
+        cb = _cb_col(type(self)._books())
         return F.flatten(
             F.transform(
                 F.sequence(F.lit(0), F.lit(PQ_M - 1)),
@@ -491,6 +567,12 @@ class PQIVFIndex:
                 ),
             )
         )
+
+    def _recon_frame(self) -> DataFrame:
+        """Assignments + a ``_recon`` decoded-vector column — the
+        staleness input (the residual family overrides to add the
+        coarse centroid back)."""
+        return self.assignments.withColumn("_recon", self.reconstruct_col())
 
     def staleness(
         self, sample_fraction: float | None = None
@@ -504,7 +586,7 @@ class PQIVFIndex:
         build-time baseline, which carries the same floor."""
         return ivf_staleness_report(
             self.centroids,
-            self.assignments.withColumn("_recon", self.reconstruct_col()),
+            self._recon_frame(),
             "_recon",
             self.id_col,
             sample_fraction,
@@ -515,8 +597,9 @@ class PQIVFIndex:
         maybe_rebuild's occupancy-growth triggers compare against."""
         _write_baseline(self.staleness(), path, BUILD_REPORT_DIR)
 
-    @staticmethod
+    @classmethod
     def maybe_rebuild(
+        cls,
         spark: SparkSession,
         path: str,
         vectors: DataFrame | None = None,
@@ -533,12 +616,15 @@ class PQIVFIndex:
         raw ``vectors`` must be supplied when the verdict trips
         (raises otherwise — no refit over reconstructions is
         fabricated). Codebook retraining itself is a model refresh
-        (tools/gen_pq_codebooks.py), out of scope for index
-        maintenance. Returns ``(index, verdict, report)``."""
+        (tools/gen_pq_codebooks.py / gen_pq_residual_codebooks.py —
+        the residual books are trained against a coarse-centroid
+        table, so refresh them alongside any planned large coarse
+        refit), out of scope for index maintenance. Returns
+        ``(index, verdict, report)``."""
         from ._staging import recover_before_rebuild
 
         recover_before_rebuild(path, spark)
-        idx = PQIVFIndex.load(spark, path, id_col)
+        idx = cls.load(spark, path, id_col)
         report = idx.staleness(sample_fraction).collect()[0]
         base = _read_baseline(spark, path, BUILD_REPORT_DIR)
         verdict = pq_rebuild_verdict(
@@ -550,10 +636,10 @@ class PQIVFIndex:
             return idx, verdict, report
         if vectors is None:
             raise ValueError(
-                "PQIVFIndex.maybe_rebuild: the verdict says rebuild "
-                f"({'; '.join(verdict.reasons)}) but PQ codes are "
-                "lossy — pass the current raw corpus as vectors= for "
-                "the coarse-centroid refit"
+                f"{cls.__name__}.maybe_rebuild: the verdict says "
+                f"rebuild ({'; '.join(verdict.reasons)}) but PQ codes "
+                "are lossy — pass the current raw corpus as vectors= "
+                "for the coarse-centroid refit"
             )
         from ._staging import rebuild_root, refresh_root
 
@@ -561,7 +647,7 @@ class PQIVFIndex:
 
         def _fresh(staging: str) -> None:
             refit = IVFIndex.build(vectors, k, vec_col, id_col)
-            fresh = PQIVFIndex.build(
+            fresh = cls.build(
                 vectors, refit.centroids, vec_col, id_col
             )
             fresh.save(staging)
@@ -569,7 +655,27 @@ class PQIVFIndex:
 
         rebuild_root(path, _fresh)
         refresh_root(spark, path)
-        return PQIVFIndex.load(spark, path, id_col), verdict, report
+        return cls.load(spark, path, id_col), verdict, report
+
+    def _probe_luts(
+        self, query: DataFrame, n_probe: int, vec_col: str
+    ) -> DataFrame:
+        """(query_id, list_id, _lut): probe selection on the RAW
+        query vector (coarse centroids live in float space) plus the
+        per-probe ADC lookup table. For raw codes the LUT is the same
+        for every probed list (it depends only on the query), so
+        computing it per probe row costs n_probe identical M×K folds
+        per query — negligible next to the probed scan, and it keeps
+        one code path with the residual family, whose LUT genuinely
+        differs per list."""
+        probe = _probe_lists(
+            query, self.centroids, n_probe, vec_col, self.id_col
+        )
+        return probe.select(
+            "query_id",
+            "list_id",
+            pq_lut_col(F.col("qvec"), type(self)._books()).alias("_lut"),
+        )
 
     def topk(
         self,
@@ -577,28 +683,40 @@ class PQIVFIndex:
         k: int = 10,
         n_probe: int = Q66_N_PROBE,
         vec_col: str = "embedding",
+        rerank_expand: int | None = None,
+        vectors: DataFrame | None = None,
     ) -> DataFrame:
-        """Serve top-k: probe selection on the RAW query vector
-        (coarse centroids live in float space), probed list ids
-        become the partition-pruning filter (collect bounded by
-        n_lists ints — the shared `_pruned_by_probes` policy), and
-        scoring inside probed lists is ADC lookups against the
-        query's broadcast table. Ascending adc_d2, ties on id."""
+        """Serve top-k: probe selection on the RAW query vector,
+        probed list ids become the partition-pruning filter (collect
+        bounded by n_lists ints — the shared `_pruned_by_probes`
+        policy), and scoring inside probed lists is ADC lookups
+        against the query's broadcast table. Ascending adc_d2, ties
+        on id.
+
+        ``rerank_expand`` composes the FULL production serve path in
+        one call (q134/q135's graded shape): the probed-ADC pass
+        shortlists k·rerank_expand candidates per query, then
+        :func:`_exact_rerank` broadcasts the shortlist into the raw
+        ``vectors`` scan — which must be supplied, since the index
+        stores only 8-byte codes — and re-ranks on exact round6 L2.
+        Output columns become (query_id, ann_rank, neighbor_id,
+        l2_d2); the raw reads are |Q|·k·rerank_expand rows, never the
+        corpus."""
         from ._scope import scoped_persist
 
-        probe = _probe_lists(
-            query, self.centroids, n_probe, vec_col, self.id_col
-        ).select("query_id", "list_id")
-        qlut = query.select(
-            F.col(self.id_col).alias("query_id"),
-            pq_lut_col(vec_col).alias("_lut"),
-        )
-        probe = scoped_persist(probe.join(qlut, "query_id"))
+        if rerank_expand is not None and vectors is None:
+            raise ValueError(
+                "topk(rerank_expand=...) needs the raw corpus as "
+                "vectors= — the index stores only PQ codes, and the "
+                "exact re-rank reads |Q|*k*expand raw rows from it"
+            )
+        shortlist_k = k * rerank_expand if rerank_expand else k
+        probe = scoped_persist(self._probe_luts(query, n_probe, vec_col))
         pruned = _pruned_by_probes(self.assignments, probe, "list_id")
         w = Window.partitionBy("query_id").orderBy(
             F.col("adc_d2").asc(), F.col("neighbor_id").asc()
         )
-        return (
+        adc = (
             pruned.join(F.broadcast(probe), "list_id")
             .filter(F.col(self.id_col) != F.col("query_id"))
             .withColumn(
@@ -611,8 +729,116 @@ class PQIVFIndex:
                 "adc_d2",
             )
             .withColumn("ann_rank", F.row_number().over(w))
-            .filter(F.col("ann_rank") <= k)
+            .filter(F.col("ann_rank") <= shortlist_k)
             .select("query_id", "ann_rank", "neighbor_id", "adc_d2")
+        )
+        if rerank_expand is None:
+            return adc
+        return _exact_rerank(
+            adc, vectors, query, k, vec_col, self.id_col
+        )
+
+
+class ResidualPQIVFIndex(PQIVFIndex):
+    """TRUE IVF-PQ: identical layout, lifecycle and byte budget to
+    :class:`PQIVFIndex`, but the M sub-space codes quantize the
+    RESIDUAL (vector − assigned coarse centroid) under the
+    residual-trained frozen codebooks. Residuals concentrate near the
+    origin once the coarse quantizer has soaked up between-list
+    variance, so the same 64 logical bits resolve finer structure —
+    the standard IVF-PQ design and the measured fix for the raw
+    family's recall floor (SCALING.md r14 operating points).
+
+    Serving consequence: the ADC lookup table is per (query, probed
+    list) — the query's residual differs against each probed
+    centroid — so ``_probe_luts`` computes n_probe DISTINCT M×K
+    tables per query (still |Q|·n_probe·M·K doubles, broadcast).
+    Reconstruction adds the coarse centroid back before measuring
+    staleness. Cross-family adds are refused by the meta family tag
+    (raw and residual codes are bit-compatible layouts with
+    incompatible meanings — the exact silent-corruption hazard the
+    tag exists for)."""
+
+    FAMILY = "ResidualPQIVFIndex"
+
+    @classmethod
+    def _books(cls):
+        return RESIDUAL_CODEBOOKS
+
+    @classmethod
+    def _encode_packed(cls, assigned: DataFrame, centroids: DataFrame,
+                       vec_col: str, id_col: str) -> DataFrame:
+        """Residual encode: join the (broadcast, n_lists-row) coarse
+        centroids, materialize the residual as a NAMED column in its
+        own projection (the MxK encode references its elements
+        hundreds of times — an inline zip_with expression would be
+        re-evaluated per reference, the r13 9× finding), then encode
+        + pack through the same two-projection split as the base."""
+        res = assigned.join(
+            F.broadcast(centroids.select("list_id", "centroid")),
+            "list_id",
+        ).select(
+            id_col,
+            "list_id",
+            F.zip_with(
+                _dbl(vec_col), "centroid", lambda x, y: x - y
+            ).alias("_res"),
+        )
+        return (
+            res.select(
+                id_col,
+                "list_id",
+                pq_codes_col(F.col("_res"), cls._books()).alias(
+                    "_unpacked"
+                ),
+            )
+            .select(
+                id_col,
+                pack_codes_col(F.col("_unpacked")).alias("codes"),
+                "list_id",
+            )
+        )
+
+    def _recon_frame(self) -> DataFrame:
+        """centroid + decoded residual, in the original float space —
+        the residual family's reconstruction needs the coarse
+        centroid back (verdict r13, item #2's lifecycle note)."""
+        return (
+            self.assignments.join(
+                F.broadcast(self.centroids.select("list_id", "centroid")),
+                "list_id",
+            )
+            .withColumn("_dec", self.reconstruct_col())
+            .withColumn(
+                "_recon",
+                F.zip_with("centroid", "_dec", lambda c, d: c + d),
+            )
+            .drop("_dec", "centroid")
+        )
+
+    def _probe_luts(
+        self, query: DataFrame, n_probe: int, vec_col: str
+    ) -> DataFrame:
+        """Per-(query, probed list) residual LUT: join the probed
+        centroid, materialize the query residual as a named column
+        (same re-evaluation discipline as the encode), then the M×K
+        table over the residual codebooks."""
+        probe = _probe_lists(
+            query, self.centroids, n_probe, vec_col, self.id_col
+        ).join(
+            F.broadcast(self.centroids.select("list_id", "centroid")),
+            "list_id",
+        ).select(
+            "query_id",
+            "list_id",
+            F.zip_with(
+                "qvec", "centroid", lambda x, y: x - y
+            ).alias("_qres"),
+        )
+        return probe.select(
+            "query_id",
+            "list_id",
+            pq_lut_col(F.col("_qres"), type(self)._books()).alias("_lut"),
         )
 
 
@@ -640,15 +866,56 @@ def q130_pq_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q133_pq_residual_ivf_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    index = ResidualPQIVFIndex.build(emb, frozen_ivf_centroids(spark))
+    return index.topk(
+        emb.filter(F.col("vec_id") < 5), k=Q66_K, n_probe=Q66_N_PROBE
+    )
+
+
+def q134_pq_ivf_rerank_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    index = PQIVFIndex.build(emb, frozen_ivf_centroids(spark))
+    return index.topk(
+        emb.filter(F.col("vec_id") < 5),
+        k=Q66_K,
+        n_probe=Q66_N_PROBE,
+        rerank_expand=RERANK_EXPAND,
+        vectors=emb,
+    )
+
+
+def q135_pq_residual_rerank_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    index = ResidualPQIVFIndex.build(emb, frozen_ivf_centroids(spark))
+    return index.topk(
+        emb.filter(F.col("vec_id") < 5),
+        k=Q66_K,
+        n_probe=Q66_N_PROBE,
+        rerank_expand=RERANK_EXPAND,
+        vectors=emb,
+    )
+
+
+def _books_values_sql(books) -> str:
+    return ",\n    ".join(
+        f"({m}, {k}, [{', '.join(repr(x) for x in cent)}])"
+        for m, book in enumerate(books)
+        for k, cent in enumerate(book)
+    )
+
+
 def _pq_codes_sql(include_emb: bool = True) -> str:
     """Oracle CTE fragment: frozen codebooks as VALUES rows, per
     (vector, sub-space, code) round6 distances (``pqd`` — also the
     query-side ADC table), nearest-code assignment (``pqcodes``)."""
-    values = ",\n    ".join(
-        f"({m}, {k}, [{', '.join(repr(x) for x in cent)}])"
-        for m, book in enumerate(CODEBOOKS)
-        for k, cent in enumerate(book)
-    )
     emb = (
         "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
         "FROM embeddings), "
@@ -657,7 +924,7 @@ def _pq_codes_sql(include_emb: bool = True) -> str:
     )
     return f"""cb(m, k, c) AS (
   VALUES
-    {values}
+    {_books_values_sql(CODEBOOKS)}
 ), {emb}psub AS (
   SELECT vec_id, m, v[m*{PQ_DSUB}+1 : m*{PQ_DSUB}+{PQ_DSUB}] AS s
   FROM emb CROSS JOIN (
@@ -673,6 +940,82 @@ def _pq_codes_sql(include_emb: bool = True) -> str:
       ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn
     FROM pqd) WHERE rn = 1
 )"""
+
+
+def _pq_residual_sql() -> str:
+    """Oracle CTE fragment for the RESIDUAL family, composed after
+    ``_frozen_ivf_prefix_sql`` (which provides cent / emb / assigned
+    / probes): residual codebooks as VALUES, corpus residuals +
+    nearest-code assignment (``ccodes``), and the per-(query, probed
+    list) residual ADC table (``qd``) — the table is per list because
+    the query residual differs against each probed centroid."""
+    dim = PQ_M * PQ_DSUB
+    sub_d2 = (
+        f"ROUND(list_sum(list_transform(generate_series(1, {PQ_DSUB}),"
+        " i -> (s[i] - c[i]) * (s[i] - c[i]))), 6)"
+    )
+    return f"""rcb(m, k, c) AS (
+  VALUES
+    {_books_values_sql(RESIDUAL_CODEBOOKS)}
+), cres AS (
+  SELECT a.vec_id, a.list_id,
+    list_transform(generate_series(1, {dim}),
+      i -> a.v[i] - ct.centroid[i]) AS r
+  FROM assigned a JOIN cent ct USING (list_id)
+), csub AS (
+  SELECT vec_id, list_id, m, r[m*{PQ_DSUB}+1 : m*{PQ_DSUB}+{PQ_DSUB}] AS s
+  FROM cres CROSS JOIN (
+    SELECT unnest(generate_series(0, {PQ_M - 1})) AS m)
+), cd AS (
+  SELECT vec_id, list_id, m, k, {sub_d2} AS d2
+  FROM csub JOIN rcb USING (m)
+), ccodes AS (
+  SELECT vec_id, list_id, m, k FROM (
+    SELECT vec_id, list_id, m, k,
+      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn
+    FROM cd) WHERE rn = 1
+), qres AS (
+  SELECT p.query_id, p.list_id,
+    list_transform(generate_series(1, {dim}),
+      i -> p.qv[i] - ct.centroid[i]) AS r
+  FROM probes p JOIN cent ct USING (list_id)
+), qsub AS (
+  SELECT query_id, list_id, m, r[m*{PQ_DSUB}+1 : m*{PQ_DSUB}+{PQ_DSUB}] AS s
+  FROM qres CROSS JOIN (
+    SELECT unnest(generate_series(0, {PQ_M - 1})) AS m)
+), qd AS (
+  SELECT query_id, list_id, m, k, {sub_d2} AS d2
+  FROM qsub JOIN rcb USING (m)
+), rscored AS (
+  SELECT p.query_id, cc.vec_id AS neighbor_id,
+    CAST(SUM(CAST(qd.d2 AS DECIMAL(18,6))) AS DOUBLE) AS adc_d2
+  FROM probes p
+  JOIN ccodes cc ON cc.list_id = p.list_id AND cc.vec_id <> p.query_id
+  JOIN qd ON qd.query_id = p.query_id AND qd.list_id = p.list_id
+         AND qd.m = cc.m AND qd.k = cc.k
+  GROUP BY p.query_id, cc.vec_id
+)"""
+
+
+_RERANK_TAIL_SQL = f"""cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY adc_d2, neighbor_id) AS rn
+    FROM __ADC__) WHERE rn <= {Q66_K * RERANK_EXPAND}
+), rer AS (
+  SELECT cand.query_id, cand.neighbor_id,
+    ROUND(list_sum(list_transform(generate_series(1, {PQ_M * PQ_DSUB}),
+      i -> (cv.v[i] - qv.v[i]) * (cv.v[i] - qv.v[i]))), 6) AS l2_d2
+  FROM cand
+  JOIN emb cv ON cv.vec_id = cand.neighbor_id
+  JOIN emb qv ON qv.vec_id = cand.query_id
+)
+SELECT query_id, ann_rank, neighbor_id, l2_d2 FROM (
+  SELECT query_id, neighbor_id, l2_d2,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY l2_d2, neighbor_id) AS ann_rank
+  FROM rer) WHERE ann_rank <= {Q66_K}"""
 
 
 def _q129_sql() -> str:
@@ -693,9 +1036,7 @@ SELECT query_id, ann_rank, neighbor_id, adc_d2 FROM (
 """
 
 
-def _q130_sql() -> str:
-    return f"""
-WITH {_frozen_ivf_prefix_sql(Q66_N_PROBE)}, {_pq_codes_sql(include_emb=False)}, scored AS (
+_Q130_SCORED_SQL = """scored AS (
   SELECT p.query_id, a.vec_id AS neighbor_id,
     CAST(SUM(CAST(qd.d2 AS DECIMAL(18,6))) AS DOUBLE) AS adc_d2
   FROM probes p
@@ -703,7 +1044,12 @@ WITH {_frozen_ivf_prefix_sql(Q66_N_PROBE)}, {_pq_codes_sql(include_emb=False)}, 
   JOIN pqcodes c ON c.vec_id = a.vec_id
   JOIN pqd qd ON qd.vec_id = p.query_id AND qd.m = c.m AND qd.k = c.k
   GROUP BY p.query_id, a.vec_id
-)
+)"""
+
+
+def _q130_sql() -> str:
+    return f"""
+WITH {_frozen_ivf_prefix_sql(Q66_N_PROBE)}, {_pq_codes_sql(include_emb=False)}, {_Q130_SCORED_SQL}
 SELECT query_id, ann_rank, neighbor_id, adc_d2 FROM (
   SELECT query_id, neighbor_id, adc_d2,
     ROW_NUMBER() OVER (PARTITION BY query_id
@@ -721,25 +1067,30 @@ WITH {_pq_codes_sql()}, adc AS (
   JOIN pqd qd ON qd.m = c.m AND qd.k = c.k
     AND qd.vec_id < 5 AND qd.vec_id <> c.vec_id
   GROUP BY qd.vec_id, c.vec_id
-), cand AS (
-  SELECT query_id, neighbor_id FROM (
-    SELECT query_id, neighbor_id,
-      ROW_NUMBER() OVER (PARTITION BY query_id
-                         ORDER BY adc_d2, neighbor_id) AS rn
-    FROM adc) WHERE rn <= {Q66_K * 10}
-), rer AS (
-  SELECT cand.query_id, cand.neighbor_id,
-    ROUND(list_sum(list_transform(generate_series(1, {PQ_M * PQ_DSUB}),
-      i -> (cv.v[i] - qv.v[i]) * (cv.v[i] - qv.v[i]))), 6) AS l2_d2
-  FROM cand
-  JOIN emb cv ON cv.vec_id = cand.neighbor_id
-  JOIN emb qv ON qv.vec_id = cand.query_id
-)
-SELECT query_id, ann_rank, neighbor_id, l2_d2 FROM (
-  SELECT query_id, neighbor_id, l2_d2,
+), {_RERANK_TAIL_SQL.replace("__ADC__", "adc")}
+"""
+
+
+def _q133_sql() -> str:
+    return f"""
+WITH {_frozen_ivf_prefix_sql(Q66_N_PROBE)}, {_pq_residual_sql()}
+SELECT query_id, ann_rank, neighbor_id, adc_d2 FROM (
+  SELECT query_id, neighbor_id, adc_d2,
     ROW_NUMBER() OVER (PARTITION BY query_id
-                       ORDER BY l2_d2, neighbor_id) AS ann_rank
-  FROM rer) WHERE ann_rank <= {Q66_K}
+                       ORDER BY adc_d2, neighbor_id) AS ann_rank
+  FROM rscored) WHERE ann_rank <= {Q66_K}
+"""
+
+
+def _q134_sql() -> str:
+    return f"""
+WITH {_frozen_ivf_prefix_sql(Q66_N_PROBE)}, {_pq_codes_sql(include_emb=False)}, {_Q130_SCORED_SQL}, {_RERANK_TAIL_SQL.replace("__ADC__", "scored")}
+"""
+
+
+def _q135_sql() -> str:
+    return f"""
+WITH {_frozen_ivf_prefix_sql(Q66_N_PROBE)}, {_pq_residual_sql()}, {_RERANK_TAIL_SQL.replace("__ADC__", "rscored")}
 """
 
 
@@ -747,10 +1098,16 @@ QUERIES = {
     "q129_pq_adc_topk": q129_pq_adc_topk,
     "q130_pq_ivf_topk": q130_pq_ivf_topk,
     "q131_pq_rerank_topk": q131_pq_rerank_topk,
+    "q133_pq_residual_ivf_topk": q133_pq_residual_ivf_topk,
+    "q134_pq_ivf_rerank_topk": q134_pq_ivf_rerank_topk,
+    "q135_pq_residual_rerank_topk": q135_pq_residual_rerank_topk,
 }
 
 ORACLE = {
     "q129_pq_adc_topk": _q129_sql(),
     "q130_pq_ivf_topk": _q130_sql(),
     "q131_pq_rerank_topk": _q131_sql(),
+    "q133_pq_residual_ivf_topk": _q133_sql(),
+    "q134_pq_ivf_rerank_topk": _q134_sql(),
+    "q135_pq_residual_rerank_topk": _q135_sql(),
 }

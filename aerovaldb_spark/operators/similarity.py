@@ -973,6 +973,7 @@ def _save_ivf_layout(
     assignments: DataFrame,
     path: str,
     family: str,
+    extra: "dict | None" = None,
 ) -> tuple:
     """The one on-disk IVF layout (shared by IVFIndex and
     QuantizedIVFIndex so the two can never diverge): ``centroids/``
@@ -1003,12 +1004,18 @@ def _save_ivf_layout(
     # the hash sum is an arbitrary-width integer (decimal(38,0)
     # aggregate) — stored as a string so it round-trips exactly; the
     # family tag is the cross-family add guard's identity
-    # (_staging.require_meta_family — the three IVF-layout families
-    # share this meta schema, so column names alone can't tell them
-    # apart)
+    # (_staging.require_meta_family — the IVF-layout families share
+    # this meta schema, so column names alone can't tell them apart).
+    # ``extra`` appends family-private long columns (the PQ families
+    # persist pq_m so load() can refuse a foreign code layout from
+    # the one-row meta read instead of scanning assignments)
+    extra = extra or {}
+    schema = "c_rows long, c_fp string, family string" + "".join(
+        f", {k} long" for k in extra
+    )
     centroids.sparkSession.createDataFrame(
-        [(fp[0], str(fp[1]), family)],
-        "c_rows long, c_fp string, family string",
+        [(fp[0], str(fp[1]), family, *[int(v) for v in extra.values()])],
+        schema,
     ).write.mode("overwrite").parquet(_os.path.join(path, "meta"))
     return fp
 

@@ -28,6 +28,28 @@ def _emb(spark):
     return load_table(spark, SF_DIR, "embeddings")
 
 
+def _families():
+    from aerovaldb_spark.operators.pq import (
+        PQIVFIndex,
+        ResidualPQIVFIndex,
+    )
+
+    return [PQIVFIndex, ResidualPQIVFIndex]
+
+
+# the lifecycle contracts hold for BOTH code families (raw and
+# residual encode share layout, add, staleness, rebuild machinery)
+pq_families = pytest.mark.parametrize(
+    "family", ["PQIVFIndex", "ResidualPQIVFIndex"]
+)
+
+
+def _family_cls(family):
+    import aerovaldb_spark.operators.pq as pq
+
+    return getattr(pq, family)
+
+
 def _shifted(emb, offset=3.0, id_shift=10_000):
     elem = emb.schema["embedding"].dataType.elementType.simpleString()
     return emb.withColumn(
@@ -60,74 +82,77 @@ def test_pq_codes_deterministic_and_in_range(spark):
     assert len(zc["c"]) == PQ_M
 
 
-def test_pq_ivf_loaded_equals_ephemeral(spark, tmp_path):
-    from aerovaldb_spark.operators.pq import PQIVFIndex
+@pq_families
+def test_pq_ivf_loaded_equals_ephemeral(spark, tmp_path, family):
     from aerovaldb_spark.operators.similarity import (
         frozen_ivf_centroids,
     )
 
+    cls = _family_cls(family)
     emb = _emb(spark)
     q = emb.filter("vec_id < 5")
-    built = PQIVFIndex.build(emb, frozen_ivf_centroids(spark))
+    built = cls.build(emb, frozen_ivf_centroids(spark))
     want = sorted(map(tuple, built.topk(q, k=10).collect()))
     p = str(tmp_path / "pq")
     built.save(p)
-    loaded = PQIVFIndex.load(spark, p)
+    loaded = cls.load(spark, p)
     got = sorted(map(tuple, loaded.topk(q, k=10).collect()))
     assert got == want
 
 
-def test_pq_ivf_add_equals_union_build(spark, tmp_path):
-    from aerovaldb_spark.operators.pq import PQIVFIndex
+@pq_families
+def test_pq_ivf_add_equals_union_build(spark, tmp_path, family):
     from aerovaldb_spark.operators.similarity import (
         frozen_ivf_centroids,
     )
 
+    cls = _family_cls(family)
     emb = _emb(spark)
     old = emb.where("vec_id % 2 = 0")
     new = emb.where("vec_id % 2 = 1")
     cents = frozen_ivf_centroids(spark)
     q = emb.filter("vec_id < 5")
     want = sorted(
-        map(tuple, PQIVFIndex.build(emb, cents).topk(q, 10).collect())
+        map(tuple, cls.build(emb, cents).topk(q, 10).collect())
     )
     # in-memory add
     got_mem = sorted(
         map(
             tuple,
-            PQIVFIndex.build(old, cents).add(new).topk(q, 10).collect(),
+            cls.build(old, cents).add(new).topk(q, 10).collect(),
         )
     )
     assert got_mem == want
     # disk add
     p = str(tmp_path / "pq")
-    PQIVFIndex.build(old, cents).save(p)
-    idx = PQIVFIndex.load(spark, p).add(new, path=p)
+    cls.build(old, cents).save(p)
+    idx = cls.load(spark, p).add(new, path=p)
     got_disk = sorted(map(tuple, idx.topk(q, 10).collect()))
     assert got_disk == want
 
 
+@pq_families
 def test_pq_stale_handle_add_raises_after_rebuild_swap(
-    spark, tmp_path
+    spark, tmp_path, family
 ):
     from aerovaldb_spark.operators._staging import (
         rebuild_root,
         refresh_root,
     )
-    from aerovaldb_spark.operators.pq import PQIVFIndex
     from aerovaldb_spark.operators.similarity import (
         IVFIndex,
         frozen_ivf_centroids,
     )
 
+    cls = _family_cls(family)
     emb = _emb(spark)
     p = str(tmp_path / "pq")
-    PQIVFIndex.build(emb, frozen_ivf_centroids(spark)).save(p)
-    held = PQIVFIndex.load(spark, p)
+    cls.build(emb, frozen_ivf_centroids(spark)).save(p)
+    held = cls.load(spark, p)
 
     def _fresh(staging):
         refit = IVFIndex.build(emb, n_lists=8)
-        PQIVFIndex.build(emb, refit.centroids).save(staging)
+        cls.build(emb, refit.centroids).save(staging)
 
     rebuild_root(p, _fresh)
     refresh_root(spark, p)
@@ -135,79 +160,83 @@ def test_pq_stale_handle_add_raises_after_rebuild_swap(
         held.add(emb.limit(3), path=p)
 
 
+@pq_families
 def test_pq_maybe_rebuild_trips_on_shift_and_requires_raw(
-    spark, tmp_path
+    spark, tmp_path, family
 ):
-    from aerovaldb_spark.operators.pq import PQIVFIndex
     from aerovaldb_spark.operators.similarity import (
         frozen_ivf_centroids,
     )
 
+    cls = _family_cls(family)
     emb = _emb(spark)
     old = emb.where("vec_id % 2 = 0")
     shifted = _shifted(emb.where("vec_id % 2 = 1"))
     p = str(tmp_path / "pq")
-    built = PQIVFIndex.build(old, frozen_ivf_centroids(spark))
+    built = cls.build(old, frozen_ivf_centroids(spark))
     built.save(p)
     built.save_build_report(p)
 
-    idx0, v0, _ = PQIVFIndex.maybe_rebuild(spark, p)
+    idx0, v0, _ = cls.maybe_rebuild(spark, p)
     assert not v0.rebuild  # fresh-enough path, no raw data needed
 
-    PQIVFIndex.load(spark, p).add(shifted, path=p)
+    cls.load(spark, p).add(shifted, path=p)
     # verdict trips but codes are lossy: raw corpus required
     with pytest.raises(ValueError, match="raw corpus"):
-        PQIVFIndex.maybe_rebuild(spark, p)
+        cls.maybe_rebuild(spark, p)
     grown = old.unionByName(shifted)
-    idx, verdict, report = PQIVFIndex.maybe_rebuild(
+    idx, verdict, report = cls.maybe_rebuild(
         spark, p, vectors=grown
     )
     assert verdict.rebuild, report
     assert idx.assignments.count() == grown.count()
     assert not os.path.exists(p + ".old")  # swap completed clean
     # re-baselined: same call is now fresh
-    idx2, v2, _ = PQIVFIndex.maybe_rebuild(spark, p)
+    idx2, v2, _ = cls.maybe_rebuild(spark, p)
     assert not v2.rebuild
 
 
-def test_pq_maintain_triangle(spark, tmp_path):
+@pq_families
+def test_pq_maintain_triangle(spark, tmp_path, family):
     from aerovaldb_spark.operators._staging import maintain
-    from aerovaldb_spark.operators.pq import PQIVFIndex
+
     from aerovaldb_spark.operators.similarity import (
         frozen_ivf_centroids,
     )
 
+    cls = _family_cls(family)
     emb = _emb(spark)
     p = str(tmp_path / "pq")
-    built = PQIVFIndex.build(emb.where("vec_id < 400"),
-                             frozen_ivf_centroids(spark))
+    built = cls.build(emb.where("vec_id < 400"),
+                      frozen_ivf_centroids(spark))
     built.save(p)
     built.save_build_report(p)
-    idx = PQIVFIndex.load(spark, p)
+    idx = cls.load(spark, p)
     for i in range(3):  # same-distribution append litter
         lo, hi = 400 + i * 30, 430 + i * 30
         idx = idx.add(
             emb.where(f"vec_id >= {lo} AND vec_id < {hi}"), path=p
         )
-    out = maintain(spark, p, PQIVFIndex, max_files_per_dir=1)
+    out = maintain(spark, p, cls, max_files_per_dir=1)
     assert out["rebuilt"] is False  # same distribution: no refit
     assert out["compacted"] is True
     assert out["index"].assignments.count() == 490
 
 
-def test_pq_ivf_probe_plan_prunes_partitions(spark, tmp_path):
+@pq_families
+def test_pq_ivf_probe_plan_prunes_partitions(spark, tmp_path, family):
     """The IVF promise carried over: a probed serve's scan contains a
     list_id partition filter (directory pruning), never a full-index
     scan."""
-    from aerovaldb_spark.operators.pq import PQIVFIndex
     from aerovaldb_spark.operators.similarity import (
         frozen_ivf_centroids,
     )
 
+    cls = _family_cls(family)
     emb = _emb(spark)
     p = str(tmp_path / "pq")
-    PQIVFIndex.build(emb, frozen_ivf_centroids(spark)).save(p)
-    idx = PQIVFIndex.load(spark, p)
+    cls.build(emb, frozen_ivf_centroids(spark)).save(p)
+    idx = cls.load(spark, p)
     plan = (
         idx.topk(emb.filter("vec_id < 2"), k=5, n_probe=2)
         ._jdf.queryExecution()
@@ -215,6 +244,186 @@ def test_pq_ivf_probe_plan_prunes_partitions(spark, tmp_path):
         .toString()
     )
     assert "list_id" in plan and "PartitionFilters: [list_id" in plan
+
+
+def test_pq_cross_family_load_and_add_refused(spark, tmp_path):
+    """Raw and residual codes are bit-compatible layouts with
+    incompatible MEANINGS — the family tag must refuse a cross-family
+    load (and with it any add through the wrong class), in both
+    directions."""
+    from aerovaldb_spark.operators.pq import (
+        PQIVFIndex,
+        ResidualPQIVFIndex,
+    )
+    from aerovaldb_spark.operators.similarity import (
+        frozen_ivf_centroids,
+    )
+
+    emb = _emb(spark).where("vec_id < 50")
+    cents = frozen_ivf_centroids(spark)
+    p_raw = str(tmp_path / "raw")
+    p_res = str(tmp_path / "res")
+    PQIVFIndex.build(emb, cents).save(p_raw)
+    ResidualPQIVFIndex.build(emb, cents).save(p_res)
+    with pytest.raises(ValueError, match="family"):
+        ResidualPQIVFIndex.load(spark, p_raw)
+    with pytest.raises(ValueError, match="family"):
+        PQIVFIndex.load(spark, p_res)
+
+
+def test_pq_meta_pq_m_guard_and_legacy_fallback(
+    spark, tmp_path, monkeypatch
+):
+    """The persisted meta carries pq_m, so load() refuses a
+    different-M build from the one-row meta read (no assignments
+    scan); a legacy layout whose meta predates pq_m still loads
+    through the one-row size probe fallback."""
+    import os as _os
+
+    import aerovaldb_spark.operators.pq as pq
+    from aerovaldb_spark.operators.similarity import (
+        frozen_ivf_centroids,
+    )
+
+    emb = _emb(spark).where("vec_id < 50")
+    p = str(tmp_path / "pq")
+    pq.PQIVFIndex.build(emb, frozen_ivf_centroids(spark)).save(p)
+    meta = spark.read.parquet(_os.path.join(p, "meta"))
+    assert meta.collect()[0]["pq_m"] == pq.PQ_M
+    monkeypatch.setattr(pq, "PQ_M", 8)
+    with pytest.raises(ValueError, match="PQ_M=16"):
+        pq.PQIVFIndex.load(spark, p)
+    monkeypatch.undo()
+    # legacy meta (no pq_m column): falls back to the size probe
+    legacy = meta.drop("pq_m")
+    legacy.write.mode("overwrite").parquet(
+        _os.path.join(str(tmp_path), "legacy_meta")
+    )
+    spark.read.parquet(
+        _os.path.join(str(tmp_path), "legacy_meta")
+    ).write.mode("overwrite").parquet(_os.path.join(p, "meta"))
+    spark.catalog.refreshByPath(p)
+    idx = pq.PQIVFIndex.load(spark, p)
+    assert idx.assignments.count() == 50
+
+
+def test_pq_topk_rerank_requires_vectors(spark):
+    from aerovaldb_spark.operators.pq import PQIVFIndex
+    from aerovaldb_spark.operators.similarity import (
+        frozen_ivf_centroids,
+    )
+
+    emb = _emb(spark)
+    idx = PQIVFIndex.build(emb, frozen_ivf_centroids(spark))
+    with pytest.raises(ValueError, match="vectors="):
+        idx.topk(emb.filter("vec_id < 2"), k=5, rerank_expand=10)
+
+
+@pq_families
+def test_pq_composed_rerank_plan_and_equivalence(
+    spark, tmp_path, family
+):
+    """The one-call production serve (q134/q135): the plan keeps the
+    directory-pruned probed scan (PartitionFilters on list_id) AND
+    broadcasts the ADC shortlist into the raw-vector join; the result
+    equals composing topk(k*expand) + exact re-rank by hand."""
+    from aerovaldb_spark.operators.pq import _exact_rerank
+    from aerovaldb_spark.operators.similarity import (
+        frozen_ivf_centroids,
+    )
+
+    cls = _family_cls(family)
+    emb = _emb(spark)
+    p = str(tmp_path / "pq")
+    cls.build(emb, frozen_ivf_centroids(spark)).save(p)
+    idx = cls.load(spark, p)
+    q = emb.filter("vec_id < 3")
+    served = idx.topk(q, k=5, n_probe=2, rerank_expand=4, vectors=emb)
+    plan = (
+        served._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [list_id" in plan
+    assert "BroadcastHashJoin" in plan
+    manual = _exact_rerank(
+        idx.topk(q, k=5 * 4, n_probe=2), emb, q, 5, "embedding",
+        "vec_id",
+    )
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, manual.collect())
+    )
+
+
+def test_residual_codes_lift_where_coarse_structure_exists(spark):
+    """The residual family's honest value claim (SCALING.md r14):
+    residual encoding lifts recall in proportion to the variance the
+    COARSE quantizer explains. On the iid test corpus the coarse step
+    explains ~3%, so residual ≈ raw there (asserted as a no-big-
+    regression bound, frozen books). On the anchored twin (vectors
+    shrunk toward their assigned centroid — the clusterable shape
+    real corpora have) with per-corpus books, residual codes must
+    beat raw codes OUTRIGHT at identical bytes and probes (measured
+    0.51 vs 0.36 at sf0.1 — tools/pq_residual_demo.py)."""
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+        ),
+    )
+    from ann_operating_points import exact_l2_topk
+    from pq_residual_demo import (
+        anchored_corpus,
+        custom_family,
+        fit_books_numpy,
+        measure,
+        variance_explained,
+    )
+
+    from aerovaldb_spark.operators.pq import (
+        PQIVFIndex,
+        ResidualPQIVFIndex,
+    )
+    from aerovaldb_spark.operators.similarity import (
+        frozen_ivf_centroids,
+    )
+
+    emb = _emb(spark)
+    cents = frozen_ivf_centroids(spark)
+
+    # iid corpus, frozen books: residual must not regress materially
+    q = emb.filter("vec_id < 15")
+    exact = (
+        exact_l2_topk(emb, q, k=10)
+        .select("query_id", "neighbor_id")
+        .cache()
+    )
+    n_exact = exact.count()
+
+    def recall(idx):
+        got = idx.topk(q, k=10, n_probe=4).join(
+            exact, ["query_id", "neighbor_id"], "left_semi"
+        )
+        return got.count() / n_exact
+
+    r_raw = recall(PQIVFIndex.build(emb, cents))
+    r_res = recall(ResidualPQIVFIndex.build(emb, cents))
+    assert r_res >= r_raw - 0.08, (r_res, r_raw)
+    exact.unpersist()
+
+    # anchored corpus, per-corpus books: residual wins outright
+    anchored = anchored_corpus(emb, cents)
+    assert variance_explained(anchored, cents) > 0.2
+    a_raw, a_res = measure(spark, anchored, n_queries=15)
+    assert a_res > a_raw, (a_res, a_raw)
+    # the helper hooks only _books — sanity that custom families
+    # really served the throwaway fit, not the frozen module data
+    import numpy as np
+
+    dummy = fit_books_numpy(np.zeros((40, 64)) + np.arange(64), 16,
+                            16, 4, seed=1)
+    assert custom_family(PQIVFIndex, dummy)._books() is dummy
 
 
 def test_pq_recall_against_exact_l2(spark):

@@ -216,6 +216,7 @@ def sweep_pq(spark, emb, label: str, n_queries: int) -> None:
         PQ_K,
         PQ_M,
         PQIVFIndex,
+        ResidualPQIVFIndex,
         pq_adc_rerank_topk,
         pq_adc_topk,
     )
@@ -270,6 +271,35 @@ def sweep_pq(spark, emb, label: str, n_queries: int) -> None:
             f"| PQ-IVF (16 lists, codes) | n_probe={n_probe} "
             f"| {r:.3f} | {f:.3f} of CODE rows |"
         )
+    # residual encoding (true IVF-PQ): same bytes, same probes —
+    # the recall delta at equal n_probe is the codes' contribution
+    ridx = ResidualPQIVFIndex.build(emb, frozen_ivf_centroids(spark))
+    ridx.assignments = ridx.assignments.cache()
+    for n_probe in (2, 4, 8):
+        r = mean_recall(
+            spark, ridx.topk(queries, k=10, n_probe=n_probe), exact
+        )
+        f = touched_fraction_ivf(ridx, queries, n_probe)
+        print(
+            f"| Residual PQ-IVF (16 lists, codes) | n_probe={n_probe} "
+            f"| {r:.3f} | {f:.3f} of CODE rows |"
+        )
+    # composed production serve: probes + packed ADC shortlist +
+    # exact re-rank (q134/q135's graded shape)
+    for idx, name in ((index, "PQ-IVF"), (ridx, "Residual PQ-IVF")):
+        for expand in (5, 10, 20):
+            r = mean_recall(
+                spark,
+                idx.topk(
+                    queries, k=10, n_probe=4,
+                    rerank_expand=expand, vectors=emb,
+                ),
+                exact,
+            )
+            print(
+                f"| {name} + exact re-rank | n_probe=4 "
+                f"expand={expand} | {r:.3f} | {10 * expand} |"
+            )
     emb.unpersist()
     queries.unpersist()
     exact.unpersist()
