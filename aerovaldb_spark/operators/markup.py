@@ -81,17 +81,36 @@ PAT_WSPLUS = (
     "[\\s\u0085\u00a0\u1680\u2000-\u200a\u2028\u2029\u202f\u205f\u3000]+"
 )
 
-# (encoded, decoded) in DECODE ORDER — &amp; last (see module doc)
+# (encoded, decoded) in DECODE ORDER — &amp; last (see module doc).
+# The numeric-reference stage (PAT_NUMENT below) runs BETWEEN the
+# named non-&amp; replaces and the final &amp; replace, so
+# double-encoded numeric text (&amp;#34;) decodes exactly one level,
+# matching the named-entity convention. The former explicit &#34; /
+# &#39; table entries are subsumed by the generic stage (same
+# characters, same position in the order).
 ENTITIES = (
     ("&lt;", "<"),
     ("&gt;", ">"),
     ("&quot;", '"'),
-    ("&#34;", '"'),
     ("&apos;", "'"),
-    ("&#39;", "'"),
     ("&nbsp;", " "),
     ("&amp;", "&"),
 )
+
+# numeric character references: decimal (cap 7 digits) and hex (cap 6
+# — both caps make the parsed value exact in any engine's integer and
+# keep 8+-digit pseudo-references literal, since no ';' follows the
+# 7th digit match position). Decode rule (deterministic, mirrored in
+# SQL): code points 32..0xFFFF excluding DEL (127) and the surrogate
+# block (0xD800-0xDFFF) decode to the character; everything else —
+# C0 controls (stage 1 already stripped their raw bytes; decoding
+# would reintroduce what the spec removed), astral planes, surrogates
+# — survives literally (the string rung's quarantine). Replacement
+# runs over the LEXICALLY SORTED distinct references present (both
+# engines sort the same — pure-ASCII keys, binary collation), so the
+# one re-decode edge (&#38; sorting before a reference it
+# synthesizes) is deterministic and engine-identical.
+PAT_NUMENT = r"&#(?:[0-9]{1,7}|[xX][0-9a-fA-F]{1,6});"
 
 # (pattern, spark replacement, sql replacement expr) for stages 1-3,
 # in order — ONE table driving both engines
@@ -108,24 +127,138 @@ _REGEX_STAGES = (
 )
 
 
+def _nument_cp(e) -> "F.Column":
+    """Parsed code point (long) of a PAT_NUMENT match column."""
+    body = e.substr(F.lit(3), F.length(e) - 3)  # strip '&#' and ';'
+    is_hex = F.lower(body.substr(F.lit(1), F.lit(1))) == "x"
+    return F.when(
+        is_hex,
+        F.conv(body.substr(F.lit(2), F.length(body) - 1), 16, 10).cast(
+            "long"
+        ),
+    ).otherwise(body.cast("long"))
+
+
+def _nument_decoded(e) -> "F.Column":
+    """The replacement text for one numeric reference: the decoded
+    character when the code point is in the allowed window, the
+    reference itself otherwise. The character is built as explicit
+    UTF-8 bytes (1-3 per the code-point range) because Spark's chr()
+    is byte-valued; the invalid branch feeds a safe constant into the
+    byte construction so neither engine ever materializes a surrogate
+    (DuckDB's chr errors on them even under a CASE in vectorized
+    eval — same clamp on both sides)."""
+    cp = _nument_cp(e)
+    valid = (
+        (cp >= 32)
+        & (cp <= 0xFFFF)
+        & (cp != 127)
+        & ~((cp >= 0xD800) & (cp <= 0xDFFF))
+    )
+    safe = F.when(valid, cp).otherwise(F.lit(32).cast("long"))
+    hexs = (
+        F.when(safe <= 0x7F, F.format_string("%02X", safe))
+        .when(
+            safe <= 0x7FF,
+            F.format_string(
+                "%02X%02X",
+                F.lit(192) + F.floor(safe / 64),
+                F.lit(128) + safe % 64,
+            ),
+        )
+        .otherwise(
+            F.format_string(
+                "%02X%02X%02X",
+                F.lit(224) + F.floor(safe / 4096),
+                F.lit(128) + F.floor(safe / 64) % 64,
+                F.lit(128) + safe % 64,
+            )
+        )
+    )
+    return F.when(valid, F.decode(F.unhex(hexs), "UTF-8")).otherwise(e)
+
+
+def decode_numeric_entities_col(c) -> "F.Column":
+    """Replace every decodable numeric reference in ``c`` (see
+    PAT_NUMENT's decode rule). Single-reference discipline: ``c`` is
+    bound ONCE through a one-element transform, because it is a deep
+    expression by the time stage 4 runs (the stage 1-3 regex chain)
+    and this stage needs it twice (extract + fold)."""
+    return F.element_at(
+        F.transform(
+            F.array(c),
+            lambda y: F.aggregate(
+                F.array_sort(
+                    F.array_distinct(
+                        F.regexp_extract_all(y, F.lit(PAT_NUMENT), 0)
+                    )
+                ),
+                y,
+                lambda acc, e: F.replace(acc, e, _nument_decoded(e)),
+            ),
+        ),
+        1,
+    )
+
+
+_NUMENT_CP_SQL = (
+    "CASE WHEN lower(substr(__e, 3, 1)) = 'x' "
+    "THEN CAST('0x' || substr(__e, 4, len(__e) - 4) AS BIGINT) "
+    "ELSE CAST(substr(__e, 3, len(__e) - 3) AS BIGINT) END"
+)
+
+_NUMENT_VALID_SQL = (
+    f"({_NUMENT_CP_SQL}) BETWEEN 32 AND 65535 "
+    f"AND ({_NUMENT_CP_SQL}) <> 127 "
+    f"AND ({_NUMENT_CP_SQL}) NOT BETWEEN 55296 AND 57343"
+)
+
+# chr() gets the clamped value so the invalid branch never
+# materializes a surrogate under vectorized CASE evaluation
+_NUMENT_DECODED_SQL = (
+    f"CASE WHEN {_NUMENT_VALID_SQL} THEN chr(CAST("
+    f"CASE WHEN {_NUMENT_VALID_SQL} THEN ({_NUMENT_CP_SQL}) "
+    "ELSE 32 END AS INT)) ELSE __e END"
+)
+
+
+def _decode_numeric_entities_sql(expr: str) -> str:
+    """SQL mirror of :func:`decode_numeric_entities_col` — the same
+    one-element-list binding so ``expr`` appears exactly once (the
+    oracle fixtures pass prepared-statement placeholders through)."""
+    return (
+        f"list_transform([{expr}], __y -> list_reduce("
+        f"list_prepend(__y, list_sort(list_distinct("
+        f"regexp_extract_all(__y, '{PAT_NUMENT}')))), "
+        f"(__acc, __e) -> replace(__acc, __e, "
+        f"{_NUMENT_DECODED_SQL})))[1]"
+    )
+
+
 def tagged_text_col(c) -> "F.Column":
     """Stages 1-4: the sentinel-marked, entity-decoded text with
-    newline line structure — input to the line heuristics."""
+    newline line structure — input to the line heuristics. Stage 4's
+    order: named non-&amp; entities, numeric references, &amp; last
+    (so double-encoded text of either kind decodes one level)."""
     x = c
     for pat, rep, _sql in _REGEX_STAGES:
         x = F.regexp_replace(x, pat, rep)
-    for enc, dec in ENTITIES:
+    for enc, dec in ENTITIES[:-1]:
         x = F.replace(x, F.lit(enc), F.lit(dec))
-    return x
+    x = decode_numeric_entities_col(x)
+    enc, dec = ENTITIES[-1]
+    return F.replace(x, F.lit(enc), F.lit(dec))
 
 
 def _tagged_sql(expr: str) -> str:
     for pat, _rep, sql_rep in _REGEX_STAGES:
         expr = f"regexp_replace({expr}, '{pat}', {sql_rep}, 'g')"
-    for enc, dec in ENTITIES:
+    for enc, dec in ENTITIES[:-1]:
         d = dec.replace("'", "''")
         expr = f"replace({expr}, '{enc}', '{d}')"
-    return expr
+    expr = _decode_numeric_entities_sql(expr)
+    enc, dec = ENTITIES[-1]
+    return f"replace({expr}, '{enc}', '{dec.replace(chr(39), chr(39) * 2)}')"
 
 
 def line_structs_col(c) -> "F.Column":
@@ -320,7 +453,9 @@ _HTML_PREFIX = (
 )
 _HTML_MID = (
     "</h1><p>Tokens &lt;pad&gt; &amp; &quot;eos&quot; markers"
-    "&nbsp;here</p>\t<p>"
+    "&nbsp;here</p><p>Numeric refs &#72;&#101;&#120; and &#x2713; "
+    "stay&#160;close; literal leftovers &#9; &#55296; &#1114111; "
+    "&amp;#34; end</p>\t<p>"
 )
 _HTML_SUFFIX = "</p><div>&copy; 2026</div></body></html>"
 

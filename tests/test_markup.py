@@ -31,6 +31,8 @@ FIXTURE = (
     "  <p>A sentence with an inline <a href=\"#\">link</a> stays "
     "because text dominates.</p>\n"
     "  <p>Café au lait tastes fine\x07\x1f today.</p>\n"
+    "  <p>Greek &#945;&#x3B2; mix&#160;here; leftovers "
+    "&#8; &#xD800; &#1114112; &amp;#60; kept.</p>\n"
     "  <div>&copy; 2026</div>\n"
     "</body>\n"
     "</html>"
@@ -47,12 +49,18 @@ FIXTURE = (
 #   set; '&copy;' not in the set -> literal, but its line is short
 # - control chars \x07\x1f stripped; combining e + U+0301 NFC-folds
 #   to a single code point when nfc=True
+# - numeric references: &#945;/&#x3B2; decode (α/β), &#160; decodes
+#   to NBSP and collapses as whitespace; out-of-window references
+#   (&#8; control, &#xD800; surrogate, &#1114112; astral) survive
+#   literally; double-encoded &amp;#60; decodes ONE level to &#60;
 EXPECTED_LINES = [
     "The quick brown fox",
     'It jumps over the lazy dog & friends, who say "hello" '
     "<quietly>.",
     "A sentence with an inline link stays because text dominates.",
     "Café au lait tastes fine today.",
+    "Greek αβ mix here; leftovers &#8; &#xD800; &#1114112; &#60; "
+    "kept.",
 ]
 
 
@@ -68,7 +76,7 @@ def test_golden_fixture_extraction(spark, fixture_df):
 
     row = html_extract(fixture_df, nfc=True).collect()[0]
     assert row["clean_text"] == "\n".join(EXPECTED_LINES)
-    assert row["n_lines_kept"] == 4
+    assert row["n_lines_kept"] == 5
     # "Fixture Page", "Home", "Short line", "© 2026"
     assert row["n_lines_dropped_short"] == 4
     assert row["n_lines_dropped_link"] == 1
