@@ -843,6 +843,142 @@ def near_dup_gate(docs: DataFrame, reference_buckets: DataFrame) -> DataFrame:
     )
 
 
+def manifest_reference(
+    reference_docs: DataFrame,
+) -> "tuple[DataFrame, DataFrame]":
+    """The frozen reference the curation-manifest gate broadcasts:
+    ``(exact_fps, band_buckets)``. ``exact_fps`` is (fp,
+    canonical_id) — min doc_id per exact text; ``band_buckets`` is
+    (band, band_sig, canonical_id) — min doc_id per minhash band
+    bucket, so a collision can NAME the reference doc it lost to
+    (:func:`reference_band_buckets` without the representative stays
+    for the boolean-only gate). Build batch-side from the curated
+    corpus; refresh out-of-band like every frozen-reference frame."""
+    from ..operators.dedup import ROWS_PER_BAND, minhash_signatures
+
+    fps = reference_docs.groupBy(F.md5("text").alias("fp")).agg(
+        F.min("doc_id").alias("canonical_id")
+    )
+    sig = minhash_signatures(reference_docs)
+    buckets = (
+        sig.withColumn(
+            "band", (F.col("seed") / ROWS_PER_BAND).cast("int")
+        )
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.array_sort(
+                    F.collect_list(F.concat_ws(":", "seed", "minhash"))
+                ),
+            ).alias("band_sig")
+        )
+        .groupBy("band", "band_sig")
+        .agg(F.min("doc_id").alias("canonical_id"))
+    )
+    return fps, buckets
+
+
+def curation_manifest_gate(
+    docs: DataFrame,
+    exact_fps: DataFrame,
+    band_buckets: DataFrame,
+) -> DataFrame:
+    """q132's per-doc verdict at INGEST TIME, against a frozen
+    reference corpus: each incoming doc emits exactly one row
+    (doc_id, source, lang, n_tokens, verdict, canonical_id, split)
+    with q132's stage rules and precedence — 'quality' (q39's gate:
+    null text / <20 tokens / stop-ratio >= 0.5) names the first stage
+    that dropped it, then 'exact_dup' (md5 hit in the reference fp
+    table, canonical_id = the reference doc), then 'near_dup' (banded
+    minhash bucket collision, canonical_id = the SMALLEST colliding
+    bucket's representative), else 'keep' with the deterministic
+    split assignment.
+
+    Twin semantics, stated plainly: the batch manifest (q132)
+    adjudicates a corpus AGAINST ITSELF (within-corpus duplicate
+    groups, n_copies, near-dup components); the gate adjudicates each
+    arriving doc against the FROZEN curated reference — which is why
+    n_copies does not exist here (it is a corpus-wide aggregate, not
+    a per-doc-vs-reference fact). Stream ≡ batch is exact for this
+    operator because every output column is a pure function of (doc,
+    reference) — verified across real micro-batch boundaries.
+
+    Bounded state: ZERO. No watermark, no state store, append mode —
+    the only non-row inputs are the two broadcast reference frames
+    (|reference| rows once for fps, |reference|·BANDS at most for
+    buckets, both independent of stream length); at 100 TB-reference
+    scale swap the broadcasts for shuffled joins per
+    :func:`near_dup_screen_join`'s ladder note."""
+    from ..operators.dedup import BANDS, minhash_band_cols
+    from ..operators.text import split_col
+
+    toks = F.split("text", " ")
+    base = (
+        docs.withColumn("fp", F.md5("text"))
+        .withColumn("n_tokens", F.size(toks))
+        .withColumn(
+            "stop_hits",
+            F.size(
+                F.filter(
+                    toks, lambda t: t.isin("the", "a", "of", "and")
+                )
+            ),
+        )
+    )
+    bad_quality = (
+        F.col("text").isNull()
+        | (F.col("n_tokens") < 20)
+        | (
+            F.col("stop_hits").cast("double") / F.col("n_tokens")
+            >= 0.5
+        )
+    )
+    out = minhash_band_cols(base)
+    for b in range(BANDS):
+        ref_b = band_buckets.filter(F.col("band") == b).select(
+            F.col("band_sig").alias(f"_ref_{b}"),
+            F.col("canonical_id").alias(f"_rep_{b}"),
+        )
+        out = out.join(
+            F.broadcast(ref_b),
+            out[f"bsig_{b}"] == F.col(f"_ref_{b}"),
+            "left",
+        )
+    near_flag = F.col("_ref_0").isNotNull()
+    for b in range(1, BANDS):
+        near_flag = near_flag | F.col(f"_ref_{b}").isNotNull()
+    near_canon = F.least(*[F.col(f"_rep_{b}") for b in range(BANDS)])
+    out = out.join(
+        F.broadcast(
+            exact_fps.withColumnRenamed("canonical_id", "_exact_canon")
+        ),
+        "fp",
+        "left",
+    )
+    verdict = (
+        F.when(bad_quality, F.lit("quality"))
+        .when(F.col("_exact_canon").isNotNull(), F.lit("exact_dup"))
+        .when(near_flag, F.lit("near_dup"))
+        .otherwise(F.lit("keep"))
+    )
+    nul_l = F.lit(None).cast("bigint")
+    return out.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_tokens",
+        verdict.alias("verdict"),
+        F.when(verdict == "exact_dup", F.col("_exact_canon"))
+        .when(verdict == "near_dup", near_canon)
+        .otherwise(nul_l)
+        .alias("canonical_id"),
+        F.when(verdict == "keep", split_col())
+        .otherwise(F.lit(None).cast("string"))
+        .alias("split"),
+    )
+
+
 def near_dup_screen_join(
     docs: DataFrame, reference_buckets: DataFrame
 ) -> DataFrame:

@@ -562,6 +562,22 @@ def main() -> None:
     # from the full line when the capture is long enough.
     line = json.dumps(out)
     print(line, flush=True)
+    # Truncation-proofing, fourth iteration (r13 verdict item #1: the
+    # verbose line outgrew the driver's 2 KB tail capture, losing the
+    # headline per-query medians from the artifact). Persist the FULL
+    # dict to a repo-local file every run so per-query detail and
+    # attempt loads survive ANY capture window; the driver's JSON line
+    # stays the wire format, this file is the audit trail.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_local.json"),
+            "w",
+        ) as f:
+            json.dump(out, f, indent=1)
+            f.write("\n")
+    except OSError as e:  # a read-only checkout must not fail the run
+        print(f"# BENCH_local.json not written: {e}", flush=True)
     compact = {
         "metric": out["metric"],
         "value": out["value"],

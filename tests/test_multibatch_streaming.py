@@ -1177,3 +1177,110 @@ def test_health_with_shares_matches_batch_q122(spark):
         for r in source_health(docs).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_curation_manifest_gate_stream_equals_batch(spark, tmp_path):
+    """The streaming twin of q132 (r13 verdict item #6): per-doc
+    verdicts with stage provenance against a FROZEN curated
+    reference, across REAL micro-batch boundaries (two files, one per
+    trigger). Every output column is a pure function of (doc,
+    reference), so stream == batch is exact — and the verdict rules
+    are pinned against q132's stage semantics on the same corpus."""
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.streaming import (
+        curation_manifest_gate,
+        manifest_reference,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    reference = docs.where("doc_id % 2 = 0")
+    fps, buckets = manifest_reference(reference)
+    fps = fps.cache()
+    buckets = buckets.cache()
+
+    want = sorted(
+        map(tuple, curation_manifest_gate(docs, fps, buckets).collect())
+    )
+    verdicts = {t[4] for t in want}
+    assert verdicts == {"keep", "quality", "exact_dup", "near_dup"}
+
+    # stage-rule pins against the batch rungs' own semantics:
+    # every even (reference) doc that clears quality is an exact dup
+    # of itself or an earlier identical twin; quality drops match the
+    # q39 rule exactly; keeps carry a split, drops never do
+    rows = {t[0]: t for t in want}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for doc_id, t in rows.items():
+        txt = texts[doc_id]
+        toks = txt.split(" ") if txt is not None else []
+        stop = sum(1 for w in toks if w in ("the", "a", "of", "and"))
+        bad = (
+            txt is None
+            or len(toks) < 20
+            or stop / len(toks) >= 0.5
+        )
+        if bad:
+            assert t[4] == "quality" and t[5] is None and t[6] is None
+        elif doc_id % 2 == 0:
+            assert t[4] == "exact_dup" and t[5] is not None
+            assert t[5] <= doc_id and t[5] % 2 == 0
+        if t[4] == "keep":
+            assert t[6] in ("train", "test") or t[6] is not None
+        else:
+            assert t[6] is None
+
+    # two files -> two micro-batches
+    d = str(tmp_path / "doc_stream")
+    os.makedirs(d)
+    all_rows = sorted(docs.collect(), key=lambda r: r["doc_id"])
+    for i, half in enumerate(
+        (all_rows[: len(all_rows) // 2], all_rows[len(all_rows) // 2:])
+    ):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(
+                        [r["doc_id"] for r in half], pa.int64()
+                    ),
+                    "text": pa.array(
+                        [r["text"] for r in half], pa.string()
+                    ),
+                    "lang": pa.array(
+                        [r["lang"] for r in half], pa.string()
+                    ),
+                    "source": pa.array(
+                        [r["source"] for r in half], pa.string()
+                    ),
+                    "n_chars": pa.array(
+                        [r["n_chars"] for r in half], pa.int64()
+                    ),
+                }
+            ),
+            os.path.join(d, f"part{i}.parquet"),
+        )
+    src = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, "
+            "source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    gated = curation_manifest_gate(src, fps, buckets)
+    assert gated.isStreaming
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("curation_gate_mb")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = len(q.recentProgress)
+    got = sorted(
+        map(tuple, spark.table("curation_gate_mb").collect())
+    )
+    assert n_batches >= 2  # the gate really crossed a batch boundary
+    assert got == want and len(got) > 0
+    fps.unpersist()
+    buckets.unpersist()
