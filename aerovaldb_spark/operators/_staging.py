@@ -24,6 +24,8 @@ from __future__ import annotations
 import os
 import shutil
 
+from pyspark.errors import AnalysisException
+
 
 def swap_in(live: str, staging: str) -> None:
     """Replace ``live`` with ``staging`` via renames. Tolerates a
@@ -401,11 +403,25 @@ def read_meta_row(spark, path: str, name: str = "meta"):
     spark.catalog.refreshByPath(meta_dir)
     try:
         rows = spark.read.parquet(meta_dir).collect()
-    except Exception as e:
+    except AnalysisException as e:
+        # schema inference failed over an existing directory: the
+        # save created meta/ but never committed a readable part
+        # file — the crashed-save state this read exists to detect
         raise ValueError(
             f"unreadable meta dataset at {meta_dir!r} (crashed save?)"
             " — restore from backup or re-save() a valid index at"
             f" this path before using it: {type(e).__name__}: {e}"
+        ) from e
+    except Exception as e:
+        # anything else (transient IO, permissions, a torn read mid-
+        # maintenance) is NOT evidence of a crashed save — name the
+        # failure without the corruption attribution so an operator
+        # retries before reaching for a backup (advice item, r13)
+        raise ValueError(
+            f"failed to read meta dataset at {meta_dir!r} — possibly "
+            "a transient IO/permission failure rather than a crashed "
+            "save; retry (and check filesystem health) before "
+            f"restoring from backup: {type(e).__name__}: {e}"
         ) from e
     if not rows:
         raise ValueError(

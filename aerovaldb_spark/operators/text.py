@@ -804,19 +804,26 @@ FROM r WHERE rn = 1
 """
 
 
-def _containment_extra_sql() -> str:
+def _containment_extra_sql(k: int | None = None) -> str:
     """The q123/q126 containment + noise-flag SELECT tail — the SQL
     twin of :func:`_containment_matrix`'s derived columns, one
     definition so the two graded oracles cannot drift. ``inter_raw``
     is substituted by ``kmv_overlap_sql``; the envelope arithmetic
     mirrors the Spark expressions term for term (same association
-    order) so the booleans compare bit-equal doubles."""
+    order) so the booleans compare bit-equal doubles. ``k`` is the
+    sketch size, threaded exactly like ``_containment_matrix(base,
+    k)``'s (defaults to KMV_K — the graded oracles use the default,
+    but a non-default caller must be able to keep both engines on the
+    same envelope)."""
     from .events import KMV_K
+
+    if k is None:
+        k = KMV_K
 
     def err(e: str) -> str:
         return (
-            f"(CASE WHEN {e} < {KMV_K} THEN 0.0 "
-            f"ELSE {e} / sqrt({KMV_K} - 2.0) END)"
+            f"(CASE WHEN {e} < {k} THEN 0.0 "
+            f"ELSE {e} / sqrt({k} - 2.0) END)"
         )
 
     env = (
