@@ -54,6 +54,11 @@ PIPELINE = [
     # curation manifest (q62's near-dup stage plus three more stages)
     "q127_html_extract",
     "q132_curation_manifest",
+    # r14 additions: the residual PQ probed serve and the composed
+    # probes+ADC+re-rank production path (the heaviest new ANN rungs —
+    # q133's per-(query,list) LUTs and q135's re-rank tail on top)
+    "q133_pq_residual_ivf_topk",
+    "q135_pq_residual_rerank_topk",
 ]
 
 # The published pipeline walls above run on the harness's TEMPLATE
