@@ -148,6 +148,35 @@ def main() -> None:
         f"(J_eff {cal.effective_jaccard})"
     )
 
+    # ---- PQ serving ladder (r14): the composed production serve ----
+    # Stored bytes drop 32x (nibble-packed codes); the ONE topk call
+    # below runs directory-pruned probes -> packed-ADC shortlist ->
+    # exact re-rank reading only |Q|*k*expand raw rows. Residual
+    # encoding (true IVF-PQ) is the same layout/lifecycle with codes
+    # quantizing vector - coarse centroid — pick it when the coarse
+    # step explains real variance (see SCALING.md r14 and
+    # tools/pq_residual_demo.py for the measured decision rule).
+    from aerovaldb_spark.operators.pq import ResidualPQIVFIndex
+    from aerovaldb_spark.operators.similarity import (
+        frozen_ivf_centroids,
+    )
+
+    proot = tempfile.mkdtemp(prefix="pq-")
+    ResidualPQIVFIndex.build(emb, frozen_ivf_centroids(spark)).save(
+        proot
+    )
+    pidx = ResidualPQIVFIndex.load(spark, proot)
+    queries = emb.filter(F.col("vec_id") < 3)
+    served = pidx.topk(
+        queries, k=5, n_probe=4, rerank_expand=10, vectors=emb
+    )
+    print("composed PQ serve (probes+ADC+re-rank), top-5 for 3 queries:")
+    for r in served.orderBy("query_id", "ann_rank").collect()[:6]:
+        print(
+            f"  q{r['query_id']} #{r['ann_rank']}: "
+            f"{r['neighbor_id']} (l2 {r['l2_d2']:.3f})"
+        )
+
 
 if __name__ == "__main__":
     main()
