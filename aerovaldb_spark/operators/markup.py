@@ -109,7 +109,14 @@ ENTITIES = (
 # runs over the LEXICALLY SORTED distinct references present (both
 # engines sort the same — pure-ASCII keys, binary collation), so the
 # one re-decode edge (&#38; sorting before a reference it
-# synthesizes) is deterministic and engine-identical.
+# synthesizes) is deterministic and engine-identical. A related spec
+# quirk, also deterministic on both engines: text synthesized BY the
+# numeric stage is still visible to the later &amp; replace
+# ("&#38;amp;" decodes to "&amp;" and then to "&" — one step deeper
+# than a browser, which stops after the numeric decode). Real pages
+# double-encode with &amp;# (handled exactly: stays literal one
+# level), not &#38;amp;, so the quirk is accepted rather than
+# special-cased.
 PAT_NUMENT = r"&#(?:[0-9]{1,7}|[xX][0-9a-fA-F]{1,6});"
 
 # (pattern, spark replacement, sql replacement expr) for stages 1-3,

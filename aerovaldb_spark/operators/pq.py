@@ -704,12 +704,20 @@ class PQIVFIndex:
         corpus."""
         from ._scope import scoped_persist
 
-        if rerank_expand is not None and vectors is None:
-            raise ValueError(
-                "topk(rerank_expand=...) needs the raw corpus as "
-                "vectors= — the index stores only PQ codes, and the "
-                "exact re-rank reads |Q|*k*expand raw rows from it"
-            )
+        if rerank_expand is not None:
+            if rerank_expand < 1:
+                raise ValueError(
+                    f"rerank_expand={rerank_expand}: the shortlist "
+                    "must hold at least k candidates (expand >= 1); "
+                    "pass None for the codes-only serve"
+                )
+            if vectors is None:
+                raise ValueError(
+                    "topk(rerank_expand=...) needs the raw corpus as "
+                    "vectors= — the index stores only PQ codes, and "
+                    "the exact re-rank reads |Q|*k*expand raw rows "
+                    "from it"
+                )
         shortlist_k = k * rerank_expand if rerank_expand else k
         probe = scoped_persist(self._probe_luts(query, n_probe, vec_col))
         pruned = _pruned_by_probes(self.assignments, probe, "list_id")

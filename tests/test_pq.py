@@ -317,6 +317,11 @@ def test_pq_topk_rerank_requires_vectors(spark):
     idx = PQIVFIndex.build(emb, frozen_ivf_centroids(spark))
     with pytest.raises(ValueError, match="vectors="):
         idx.topk(emb.filter("vec_id < 2"), k=5, rerank_expand=10)
+    with pytest.raises(ValueError, match="expand >= 1"):
+        idx.topk(
+            emb.filter("vec_id < 2"), k=5, rerank_expand=0,
+            vectors=emb,
+        )
 
 
 @pq_families
