@@ -258,6 +258,11 @@ def test_extraction_invariants_on_adversarial_input(spark):
                 "<p>", "</p>", "<!--", "-->", "&amp;", "&lt;",
                 "&#39;", "<div", ">", "\x01", "\x02", "\x00\x07",
                 "\r\n\t", "<<>>", "<a<a>", "é",
+                # numeric references (r14): valid dec/hex, controls,
+                # surrogate, astral, truncated, double-encoded
+                "&#72;", "&#x2713;", "&#10;", "&#1;", "&#xD800;",
+                "&#x110000;", "&#", "&#;", "&#x;", "&amp;#60;",
+                "&#38;", "&#0160;",
             ]
         ),
     )
@@ -355,3 +360,60 @@ SELECT coalesce(list_aggregate(list_transform(
 FROM l
 """
     assert con.execute(sql, [page]).fetchone()[0] == row["clean_text"]
+
+
+def test_numeric_entity_engine_differential(spark):
+    """Byte-identical stage-4 output between the Spark expressions
+    and the SQL mirror over ADVERSARIAL numeric references — every
+    boundary of the decode window (31/32, 126/127/128, the surrogate
+    block edges 0xD7FF/0xD800/0xDFFF/0xE000, 0xFFFF/0x10000), both
+    radixes and cases, leading zeros, truncated pseudo-references,
+    repeated and chained forms, and the documented &#38;-synthesis
+    quirks. The UTF-8 byte construction (Spark) vs chr() (DuckDB)
+    must agree on every multi-byte character."""
+    import duckdb
+
+    from aerovaldb_spark.operators.markup import (
+        _tagged_sql,
+        tagged_text_col,
+    )
+
+    cases = [
+        "a &#31; &#32; b",          # control boundary: 31 literal, 32 = space
+        "&#126;&#127;&#128;",       # DEL excluded, 0x80 two-byte
+        "&#x7FF;&#x800;",            # two-byte/three-byte boundary
+        "&#xD7FF; &#xD800; &#xDFFF; &#xE000;",  # surrogate block edges
+        "&#xFFFF; &#x10000; &#65535; &#65536;",  # BMP cap both radixes
+        "&#0000065;&#x00041;",      # leading zeros, 7/5 digits
+        "&#X48;&#x48;&#X4a;",       # upper/lower radix marker + hex case
+        "&#72;&#72;&#72; thrice",   # repeated identical reference
+        "&#38;#60; and &amp;#60;",  # synthesis quirk vs standard double-enc
+        "&# &#; &#x; &#xG; &#12",   # truncated / malformed stay literal
+        "&#160;&#xA0; nbsp twins",  # whitespace family via both radixes
+        "mixed &lt;&#60;&#x3C; lt", # named + dec + hex of the same char
+        "&#945;&#x3B1; alpha",      # multi-byte Greek, both radixes
+        "&#12354;&#x3042; kana",    # three-byte CJK range
+        "&#9999999; &#999999999;",  # 7-digit valid-out-of-window, 9-digit no-match
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i long, html string"
+    )
+    got = {
+        r["i"]: r["t"]
+        for r in df.select(
+            "i", tagged_text_col(F.col("html")).alias("t")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, c in enumerate(cases):
+        want = con.execute(
+            f"SELECT {_tagged_sql('?')}", [c]
+        ).fetchone()[0]
+        assert got[i] == want, (c, got[i], want)
+    # spot-check semantics, not just agreement
+    assert got[0] == "a &#31;   b"          # 32 decodes to a space
+    assert got[3] == "퟿ &#xD800; &#xDFFF; "
+    # one-level decode both ways: &#38;#60; synthesizes a literal
+    # &#60; (not re-decoded — it was never in the original distinct
+    # set), exactly like &amp;#60;
+    assert got[8] == "&#60; and &#60;"
