@@ -559,20 +559,21 @@ def test_nibble_pack_roundtrip_and_layout_bytes(spark):
     )
 
 
+@pq_families
 def test_pq_ivf_streaming_ingest_crash_and_redelivery(
-    spark, tmp_path, monkeypatch
+    spark, tmp_path, monkeypatch, family
 ):
-    """PQIVFIndex is a valid index_ingest_fn target: the generic
-    epoch protocol (intent → packed add → marker) survives a crash in
-    the add→marker window — the redelivered batch rolls back and
-    re-appends, and the served top-k is bit-equal to a clean one-shot
-    build over the union (no doubled packed rows)."""
+    """Both PQ families are valid index_ingest_fn targets: the
+    generic epoch protocol (intent → packed add → marker) survives a
+    crash in the add→marker window — the redelivered batch rolls back
+    and re-appends, and the served top-k is bit-equal to a clean
+    one-shot build over the union (no doubled packed rows)."""
     import aerovaldb_spark.streaming as st
-    from aerovaldb_spark.operators.pq import PQIVFIndex
     from aerovaldb_spark.operators.similarity import (
         frozen_ivf_centroids,
     )
 
+    PQIVFIndex = _family_cls(family)
     emb = _emb(spark)
     old = emb.where("vec_id % 2 = 0")
     new = emb.where("vec_id % 2 = 1").withColumn(
