@@ -526,6 +526,46 @@ FROM orders GROUP BY 1, 2, 3
 # later stage rescans raw text (plan-tested); the near-dup stage runs
 # only on exact-canonical survivors and keeps q62's
 # banded-candidates-then-verify discipline (never all-pairs).
+QUALITY_MIN_TOKENS = 20
+QUALITY_STOP_RATIO = 0.5
+
+
+def quality_stage_cols(df: DataFrame, text_col: str = "text"):
+    """The q39 quality stage's derived columns (fp / n_tokens /
+    stop_hits) plus the drop predicate — ONE definition shared by the
+    batch manifest (q132) and ``streaming.curation_manifest_gate`` so
+    the stream/batch twins cannot drift (r14 review: this rule
+    previously existed as four inline copies, and the gate's
+    stream ≡ batch test compares the gate against ITSELF — only a
+    shared expression pins it to the manifest). The stop list is the
+    canonical ``text.STOPWORDS['en']``. Returns ``(frame_with_cols,
+    bad_quality_predicate)``."""
+    from .text import STOPWORDS
+
+    toks = F.split(text_col, " ")
+    out = (
+        df.withColumn("fp", F.md5(text_col))
+        .withColumn("n_tokens", F.size(toks))
+        .withColumn(
+            "stop_hits",
+            F.size(
+                F.filter(
+                    toks, lambda t: t.isin(*STOPWORDS["en"])
+                )
+            ),
+        )
+    )
+    bad = (
+        F.col(text_col).isNull()
+        | (F.col("n_tokens") < QUALITY_MIN_TOKENS)
+        | (
+            F.col("stop_hits").cast("double") / F.col("n_tokens")
+            >= QUALITY_STOP_RATIO
+        )
+    )
+    return out, bad
+
+
 def curation_manifest(docs: DataFrame) -> DataFrame:
     """One row per input doc: (doc_id, source, lang, n_tokens,
     verdict, canonical_id, n_copies, split) where verdict ∈ {'keep',
@@ -537,28 +577,10 @@ def curation_manifest(docs: DataFrame) -> DataFrame:
     from .dedup import dedup_pipeline
     from .text import split_col
 
-    toks = F.split("text", " ")
-    base = scoped_persist(
-        docs.select(
-            "doc_id",
-            "source",
-            "lang",
-            "text",
-            F.md5("text").alias("fp"),
-            F.size(toks).alias("n_tokens"),
-            F.size(
-                F.filter(toks, lambda t: t.isin("the", "a", "of", "and"))
-            ).alias("stop_hits"),
-        )
+    with_q, bad_quality = quality_stage_cols(
+        docs.select("doc_id", "source", "lang", "text")
     )
-    bad_quality = (
-        F.col("text").isNull()
-        | (F.col("n_tokens") < 20)
-        | (
-            F.col("stop_hits").cast("double") / F.col("n_tokens")
-            >= 0.5
-        )
-    )
+    base = scoped_persist(with_q)
     qok = base.filter(~bad_quality)
     grp = qok.groupBy("fp").agg(
         F.min("doc_id").alias("canonical"),

@@ -17,10 +17,12 @@ graded oracle cannot drift from the operator:
 3. anchor marking (``<a>``/``</a>`` → sentinel chars, so stage 5 can
    measure per-line link density AFTER the generic tag strip), block
    tags → newline, every remaining tag → space;
-4. entity decoding over the FROZEN named set (``ENTITIES``; ``&amp;``
-   last so double-encoded text decodes one level, the standard
-   order). Arbitrary numeric entities are out of scope for the
-   SQL-replayable rung — they survive literally;
+4. entity decoding: the FROZEN named set (``ENTITIES``), then
+   numeric character references (``PAT_NUMENT`` — decimal and hex,
+   decode window 32..0xFFFF minus DEL and the surrogate block;
+   out-of-window references survive literally), then ``&amp;`` last
+   so double-encoded text of either kind decodes one level (the
+   standard order);
 5. line-based boilerplate rules (the Gopher-family heuristics q59's
    stats feed): per line, collapse whitespace, drop empty lines
    silently, drop lines with fewer than ``MIN_LINE_WORDS`` words

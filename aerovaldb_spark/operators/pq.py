@@ -511,7 +511,20 @@ class PQIVFIndex:
     def compact(
         cls, spark: SparkSession, path: str, id_col: str = "vec_id"
     ) -> "PQIVFIndex":
-        """One file per list directory — run after many ``add``s."""
+        """One file per list directory — run after many ``add``s.
+        The family tag is checked BEFORE the rewrite: raw and
+        residual layouts are bit-compatible, so a cross-family
+        compact would otherwise mutate the foreign layout first and
+        only raise at the post-compact load — leaving a crashed
+        compact's recovery state under the wrong family's
+        maintenance (r14 review)."""
+        from ._staging import read_meta_row
+
+        meta = read_meta_row(spark, path)
+        require_meta_family(
+            meta.asDict() if meta is not None else None, cls.FAMILY,
+            path,
+        )
         _compact_assignments(spark, path, "list_id")
         return cls.load(spark, path, id_col)
 

@@ -1010,6 +1010,7 @@ def _save_ivf_layout(
     # persist pq_m so load() can refuse a foreign code layout from
     # the one-row meta read instead of scanning assignments)
     extra = extra or {}
+    assert all(k.isidentifier() for k in extra), extra  # DDL-safe keys
     schema = "c_rows long, c_fp string, family string" + "".join(
         f", {k} long" for k in extra
     )
@@ -1267,10 +1268,18 @@ class IVFIndex:
                 "fingerprint) — appending IVF assignments into a "
                 "foreign layout would corrupt it"
             )
-        # the three IVF-layout families share this meta schema and can
+        # the IVF-layout families share this meta schema and can
         # even share frozen centroids — only the explicit tag can
-        # separate a float layout from a packed/int8 one
-        require_meta_family(md, type(self).__name__, path)
+        # separate a float layout from a packed/int8/residual one.
+        # Identity is the FAMILY attribute where a class declares one
+        # (the PQ families; save()/load() key on it, so a subclass
+        # inheriting FAMILY — e.g. a custom-codebook measurement
+        # subclass — must verify under the SAME identity it saved
+        # under), falling back to the class name for the families
+        # whose save() writes their name literally (r14 review).
+        require_meta_family(
+            md, getattr(type(self), "FAMILY", type(self).__name__), path
+        )
         verify_frozen_handle(
             path, "centroids", self._frozen_fp, _ivf_fp_from(md)
         )

@@ -779,15 +779,15 @@ def sampled_documents(
     )
 
 
-def reference_band_buckets(reference_docs: DataFrame) -> DataFrame:
-    """(band, band_sig) distinct bucket table of an existing corpus —
-    the static side of :func:`near_dup_gate`. Built batch-side with the
-    scale-safe agg minhash; refresh it periodically (stream-static
-    joins re-read the static side every micro-batch)."""
-    from ..operators.dedup import lsh_candidate_pairs, minhash_signatures  # noqa: F401
-    from ..operators.dedup import BANDS, ROWS_PER_BAND
+def _band_sig_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, band_sig) per-doc band signatures — the ONE
+    bucket-signature construction behind both reference builders
+    (r14 review: the byte format of band_sig is the collision
+    contract between gate and reference; two builders meant a format
+    tweak could silently kill every collision)."""
+    from ..operators.dedup import ROWS_PER_BAND, minhash_signatures
 
-    sig = minhash_signatures(reference_docs)
+    sig = minhash_signatures(docs)
     return (
         sig.withColumn("band", (F.col("seed") / ROWS_PER_BAND).cast("int"))
         .groupBy("doc_id", "band")
@@ -796,9 +796,17 @@ def reference_band_buckets(reference_docs: DataFrame) -> DataFrame:
                 ",", F.array_sort(F.collect_list(F.concat_ws(":", "seed", "minhash")))
             ).alias("band_sig")
         )
-        .select("band", "band_sig")
-        .distinct()
     )
+
+
+def reference_band_buckets(reference_docs: DataFrame) -> DataFrame:
+    """(band, band_sig) distinct bucket table of an existing corpus —
+    the static side of :func:`near_dup_gate`. Built batch-side with the
+    scale-safe agg minhash; refresh it periodically (stream-static
+    joins re-read the static side every micro-batch)."""
+    return _band_sig_frame(reference_docs).select(
+        "band", "band_sig"
+    ).distinct()
 
 
 def near_dup_gate(docs: DataFrame, reference_buckets: DataFrame) -> DataFrame:
@@ -854,25 +862,11 @@ def manifest_reference(
     (:func:`reference_band_buckets` without the representative stays
     for the boolean-only gate). Build batch-side from the curated
     corpus; refresh out-of-band like every frozen-reference frame."""
-    from ..operators.dedup import ROWS_PER_BAND, minhash_signatures
-
     fps = reference_docs.groupBy(F.md5("text").alias("fp")).agg(
         F.min("doc_id").alias("canonical_id")
     )
-    sig = minhash_signatures(reference_docs)
     buckets = (
-        sig.withColumn(
-            "band", (F.col("seed") / ROWS_PER_BAND).cast("int")
-        )
-        .groupBy("doc_id", "band")
-        .agg(
-            F.concat_ws(
-                ",",
-                F.array_sort(
-                    F.collect_list(F.concat_ws(":", "seed", "minhash"))
-                ),
-            ).alias("band_sig")
-        )
+        _band_sig_frame(reference_docs)
         .groupBy("band", "band_sig")
         .agg(F.min("doc_id").alias("canonical_id"))
     )
@@ -910,30 +904,11 @@ def curation_manifest_gate(
     buckets, both independent of stream length); at 100 TB-reference
     scale swap the broadcasts for shuffled joins per
     :func:`near_dup_screen_join`'s ladder note."""
+    from ..operators.advanced import quality_stage_cols
     from ..operators.dedup import BANDS, minhash_band_cols
     from ..operators.text import split_col
 
-    toks = F.split("text", " ")
-    base = (
-        docs.withColumn("fp", F.md5("text"))
-        .withColumn("n_tokens", F.size(toks))
-        .withColumn(
-            "stop_hits",
-            F.size(
-                F.filter(
-                    toks, lambda t: t.isin("the", "a", "of", "and")
-                )
-            ),
-        )
-    )
-    bad_quality = (
-        F.col("text").isNull()
-        | (F.col("n_tokens") < 20)
-        | (
-            F.col("stop_hits").cast("double") / F.col("n_tokens")
-            >= 0.5
-        )
-    )
+    base, bad_quality = quality_stage_cols(docs)
     out = minhash_band_cols(base)
     for b in range(BANDS):
         ref_b = band_buckets.filter(F.col("band") == b).select(

@@ -613,3 +613,55 @@ def test_pq_ivf_streaming_ingest_crash_and_redelivery(
     )
     got = sorted(map(tuple, served.topk(q, k=5).collect()))
     assert got == want
+
+
+def test_custom_subclass_add_uses_family_identity(spark, tmp_path):
+    """A subclass inheriting FAMILY (the pq_residual_demo
+    custom-codebook shape) saves under FAMILY — so the frozen-handle
+    guard must verify under FAMILY too, not the class NAME, or the
+    subclass is refused on its own layout (r14 review finding)."""
+    from aerovaldb_spark.operators.pq import PQIVFIndex
+    from aerovaldb_spark.operators.similarity import (
+        frozen_ivf_centroids,
+    )
+
+    class CustomPQIVFIndex(PQIVFIndex):
+        pass  # inherits FAMILY = "PQIVFIndex"
+
+    emb = _emb(spark).where("vec_id < 60")
+    cents = frozen_ivf_centroids(spark)
+    p = str(tmp_path / "custom")
+    CustomPQIVFIndex.build(emb.where("vec_id < 40"), cents).save(p)
+    idx = CustomPQIVFIndex.load(spark, p)
+    grown = idx.add(emb.where("vec_id >= 40"), path=p)  # must not raise
+    assert grown.assignments.count() == 60
+
+
+def test_cross_family_compact_refused_before_mutation(
+    spark, tmp_path
+):
+    """Raw and residual layouts are bit-compatible, so a cross-family
+    compact must be refused BEFORE any rewrite touches the foreign
+    layout (r14 review finding) — afterwards the rightful family
+    still loads the intact index."""
+    from aerovaldb_spark.operators.pq import (
+        PQIVFIndex,
+        ResidualPQIVFIndex,
+    )
+    from aerovaldb_spark.operators.similarity import (
+        frozen_ivf_centroids,
+    )
+
+    emb = _emb(spark).where("vec_id < 50")
+    p = str(tmp_path / "raw")
+    PQIVFIndex.build(emb, frozen_ivf_centroids(spark)).save(p)
+    before = sorted(
+        map(tuple, PQIVFIndex.load(spark, p).assignments.collect())
+    )
+    with pytest.raises(ValueError, match="family"):
+        ResidualPQIVFIndex.compact(spark, p)
+    spark.catalog.refreshByPath(p)
+    after = sorted(
+        map(tuple, PQIVFIndex.load(spark, p).assignments.collect())
+    )
+    assert after == before

@@ -200,15 +200,22 @@ def mutated_source(src: str, site) -> str | None:
 
 
 def run_suite() -> bool:
-    """True when the kill suite PASSES (mutant survived)."""
-    r = subprocess.run(
-        [sys.executable, "-m", "pytest", "-q", "-x", "-p",
-         "no:cacheprovider", *KILL_SUITE],
-        cwd=REPO,
-        stdout=subprocess.DEVNULL,
-        stderr=subprocess.DEVNULL,
-        timeout=600,
-    )
+    """True when the kill suite PASSES (mutant survived). A hang is
+    a kill: a mutant that flips a loop guard into non-termination
+    changed behavior as surely as a wrong answer, and letting
+    TimeoutExpired propagate would abort the whole run and lose the
+    table (r14 review)."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest", "-q", "-x", "-p",
+             "no:cacheprovider", *KILL_SUITE],
+            cwd=REPO,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+            timeout=600,
+        )
+    except subprocess.TimeoutExpired:
+        return False
     return r.returncode == 0
 
 
