@@ -15,8 +15,10 @@ downstream — encode (nearest sub-centroid, round6 distances, ties to
 the lowest code), the per-query ADC lookup table, and the probed
 serve path — is deterministic column arithmetic, so the graded
 queries carry FULL DuckDB oracles (codebooks as VALUES rows). ADC
-sums run in DECIMAL(18,6) (order-free, the cross-engine sum
-convention) because a SQL GROUP BY's double-sum order is unspecified.
+sums accumulate exact integer MICROS in bigints (each addend is a
+round6 value, so its micros are exact — order-free like the oracle's
+DECIMAL GROUP BY sum, bit-identical to the previous decimal fold)
+because a SQL GROUP BY's double-sum order is unspecified.
 
 The serving ladder, graded:
 - q129 ``pq_adc_topk``: brute-force ADC over the whole corpus — the
@@ -55,12 +57,21 @@ of the builder's pipeline surface.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves the pandas_udf type
+# hints: `from __future__ import annotations` stringifies them, and
+# pyspark's get_type_hints evaluates the strings in THIS module's
+# globals, so `pd` must be a module-level name.
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .._round import round6
 from ..catalog import load_table
-from .pq_codebooks_frozen import CODEBOOKS, PQ_DSUB, PQ_K, PQ_M
+from .pq_codebooks_frozen import (
+    CODEBOOKS,
+    PQ_DSUB,
+    PQ_K,  # noqa: F401 — re-exported (tests/tools import it from here)
+    PQ_M,
+)
 from .pq_residual_codebooks_frozen import RESIDUAL_CODEBOOKS
 from ._staging import require_meta_family
 from .similarity import (
@@ -108,19 +119,171 @@ def _cb_col(books=None) -> "F.Column":
     )
 
 
-def _sub_d2(v, cb, m, k) -> "F.Column":
-    """round6 squared distance between ``v``'s m-th sub-vector and
-    codebook entry (m, k) — the ONE distance both encode and the ADC
-    table compute (m, k are 0-based int columns)."""
-    cent = F.element_at(F.element_at(cb, m + 1), k + 1)
-    return round6(
-        F.aggregate(
-            F.sequence(F.lit(1), F.lit(PQ_DSUB)),
-            F.lit(0.0),
-            lambda a, j: a
-            + (F.element_at(v, m * PQ_DSUB + j) - F.element_at(cent, j))
-            * (F.element_at(v, m * PQ_DSUB + j) - F.element_at(cent, j)),
+def _name(col, what: str) -> str:
+    """The flat ADC builders compile to ONE SQL string (a single
+    F.expr) instead of dozens of py4j Column calls. SQL text can only
+    reference columns by name, so these builders take names, not
+    Column expressions."""
+    if not isinstance(col, str):
+        raise TypeError(
+            f"{what} needs a column NAME (the flat SQL builders "
+            f"cannot embed an anonymous Column expression); got "
+            f"{type(col).__name__} — alias the expression in a prior "
+            "select and pass its name"
         )
+    return f"`{col}`"
+
+
+def _np_books(books):
+    """Frozen codebooks as an (M, K, DSUB) float64 ndarray — the
+    executor-side constant of the Arrow-vectorized encode/LUT."""
+    import numpy as np
+
+    return np.asarray(books, dtype=np.float64)
+
+
+def _np_d2_table(v2d, C):
+    """(n, M, K) round6 squared sub-distances between each row's M
+    sub-vectors and every codebook entry — the ONE distance both
+    encode and the ADC table compute, vectorized over the batch.
+
+    Bit-identical to the original per-row expression fold:
+
+    - subtraction/multiply are the same IEEE double ops;
+    - the DSUB adds are LEFT-ASSOCIATED exactly like the fold
+      (whose ``0.0 + t1`` first step equals ``t1`` bit-for-bit —
+      squares are nonnegative);
+    - round6 is applied via the validated half-away model
+      (``_round.round6_py``): at scale 0, Spark's
+      ``F.round(y, 0)`` provably equals half-away-from-zero on the
+      binary double, and the sub-distances are nonnegative, so
+      ``floor(y) + (y - floor(y) >= 0.5)`` IS that rounding —
+      the vectorized transcription of ``round6_py``.
+
+    Why numpy at all (guide §4.2): the M×K×DSUB arithmetic is ~1k
+    expression nodes per row. The interpreted higher-order fold paid
+    ~10k Catalyst evals/row (measured ~9 s to encode 2,000 rows);
+    flattening it into literal SQL trees made the generated Java
+    exceed the JVM's 64 KB method limit, so codegen FAILED and fell
+    back to interpreted execution while adding ~5 s of plan
+    compilation per action. Handing whole Arrow batches to numpy
+    does the same arithmetic at memory bandwidth and keeps the plan
+    tiny."""
+    import numpy as np
+
+    n = v2d.shape[0]
+    M, K, DSUB = C.shape
+    lut = np.empty((n, M, K), dtype=np.float64)
+    for m in range(M):
+        sub = v2d[:, m * DSUB:(m + 1) * DSUB]          # (n, DSUB)
+        d = sub[:, None, :] - C[m][None, :, :]          # (n, K, DSUB)
+        t = d * d
+        s = t[..., 0]
+        for j in range(1, DSUB):                        # left-assoc
+            s = s + t[..., j]
+        y = s * 1_000_000.0
+        f = np.floor(y)
+        lut[:, m, :] = (f + ((y - f) >= 0.5)) / 1_000_000.0
+    return lut
+
+
+def _vec_batch(series):
+    """A pandas Series of array cells as an (n, dim) float64 matrix
+    (None cells → a mask; Arrow hands float32 storage back as numpy
+    arrays, and the float64 widening is exact — identical to the
+    JVM-side CAST AS DOUBLE)."""
+    import numpy as np
+
+    vals = series.to_numpy()
+    mask = np.array([v is None for v in vals])
+    if mask.all():
+        return None, mask
+    first = next(v for v in vals if v is not None)
+    dim = len(first)
+    out = np.zeros((len(vals), dim), dtype=np.float64)
+    for i, v in enumerate(vals):
+        if v is not None:
+            out[i] = np.asarray(v, dtype=np.float64)
+    return out, mask
+
+
+def _codes_udf(books):
+    """Arrow-batched encoder: array<vector> → array<tinyint> of M
+    nearest-code indices (round6 d2, ties to the LOWEST code — the
+    ivf_assign convention; ``np.argmin`` keeps the first minimum,
+    identical to the old strict-``<`` fold). One vectorized numpy
+    pass per batch; the codebook ndarray is captured once in the
+    closure and shipped with the task."""
+    import pandas as pd
+
+    C = _np_books(books)
+
+    @F.pandas_udf("array<tinyint>")
+    def enc(vs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        v2d, mask = _vec_batch(vs)
+        out = [None] * len(vs)
+        if v2d is not None:
+            codes = np.argmin(_np_d2_table(v2d, C), axis=2).astype(
+                np.int8
+            )
+            for i in range(len(vs)):
+                if not mask[i]:
+                    out[i] = codes[i]
+        return pd.Series(out)
+
+    return enc
+
+
+def _lut_udf(books):
+    """Arrow-batched ADC-table builder: array<vector> →
+    array<array<double>> of M×K round6 sub-distances (the per-query
+    lookup table; scoring any candidate afterwards is M lookups in
+    codegen'd JVM arithmetic)."""
+    import pandas as pd
+
+    C = _np_books(books)
+
+    @F.pandas_udf("array<array<double>>")
+    def lut(vs: pd.Series) -> pd.Series:
+        v2d, mask = _vec_batch(vs)
+        out = [None] * len(vs)
+        if v2d is not None:
+            t = _np_d2_table(v2d, C)
+            for i in range(len(vs)):
+                if not mask[i]:
+                    out[i] = [row for row in t[i]]
+        return pd.Series(out)
+
+    return lut
+
+
+_UDF_CACHE: dict = {}
+
+
+def _cached_udf(kind: str, books):
+    """One UDF object per (kind, codebook identity) — re-creating the
+    pandas_udf per call would re-register and re-pickle the closure
+    every time a query is constructed."""
+    key = (kind, id(books))
+    if key not in _UDF_CACHE:
+        maker = _codes_udf if kind == "codes" else _lut_udf
+        _UDF_CACHE[key] = maker(books)
+    return _UDF_CACHE[key]
+
+
+def pq_lut_col(vec_col, books=None) -> "F.Column":
+    """The per-query ADC lookup table: lut[m][k] = round6 d2 between
+    the query's m-th sub-vector and codebook entry (m, k) — M×K
+    doubles computed ONCE per (query row); scoring any candidate
+    afterwards is M lookups. Arrow-vectorized (see
+    :func:`_np_d2_table` for the bit-identity argument); accepts a
+    column name or Column."""
+    if books is None:
+        books = CODEBOOKS
+    return _cached_udf("lut", books)(
+        F.col(vec_col) if isinstance(vec_col, str) else vec_col
     )
 
 
@@ -129,65 +292,38 @@ def pq_codes_col(vec_col, books=None) -> "F.Column":
     the nearest codebook entry (round6 d2, ties to the LOWEST code —
     the ivf_assign tie convention). Well-defined for every vector
     including all-zeros (no per-vector scale division, unlike q89's
-    int8 path). ``vec_col`` is a column name or an array<double>
-    Column (the residual family passes a materialized residual
-    column; pass a NAMED column, not a deep expression — the MxK
-    encode references it hundreds of times)."""
-    v = _dbl(vec_col)
-    cb = _cb_col(books)
-
-    def code_for(m):
-        init = F.struct(
-            F.lit(float("inf")).alias("d"), F.lit(0).alias("k")
-        )
-
-        def step(acc, k):
-            d = _sub_d2(v, cb, m, k)
-            return F.when(
-                d < acc["d"],
-                F.struct(d.alias("d"), k.alias("k")),
-            ).otherwise(acc)
-
-        return F.aggregate(
-            F.sequence(F.lit(0), F.lit(PQ_K - 1)), init, step
-        )["k"]
-
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
-        lambda m: code_for(m).cast("tinyint"),
-    )
-
-
-def pq_lut_col(vec_col, books=None) -> "F.Column":
-    """The per-query ADC lookup table: lut[m][k] = round6 d2 between
-    the query's m-th sub-vector and codebook entry (m, k) — M×K
-    doubles computed ONCE per (query row); scoring any candidate
-    afterwards is M lookups. Accepts a name or Column like
-    :func:`pq_codes_col` (same materialize-first caveat)."""
-    v = _dbl(vec_col)
-    cb = _cb_col(books)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
-        lambda m: F.transform(
-            F.sequence(F.lit(0), F.lit(PQ_K - 1)),
-            lambda k: _sub_d2(v, cb, m, k),
-        ),
+    int8 path). Arrow-vectorized — the M×K table never materializes
+    as a column, so the multiply-reference re-evaluation hazard (the
+    r13 pack-after-encode 9×/11× finding) is gone by construction:
+    ArrowEvalPython materializes its output once."""
+    if books is None:
+        books = CODEBOOKS
+    return _cached_udf("codes", books)(
+        F.col(vec_col) if isinstance(vec_col, str) else vec_col
     )
 
 
 def _adc_col(lut, codes) -> "F.Column":
-    """ADC distance: sum over m of lut[m][codes[m]] — DECIMAL(18,6)
-    accumulation (each term is round6'd, so the decimal sum is exact
-    and ORDER-FREE, matching the oracle's GROUP BY sum)."""
-    return F.aggregate(
-        F.sequence(F.lit(1), F.lit(PQ_M)),
-        F.lit("0").cast("decimal(38,6)"),
-        lambda a, m: a
-        + F.element_at(
-            F.element_at(lut, m),
-            F.element_at(codes, m).cast("int") + 1,
-        ).cast("decimal(18,6)"),
-    ).cast("double")
+    """ADC distance: sum over m of lut[m][codes[m]] — exact
+    order-free accumulation in LONG micros (each term is a round6
+    double, i.e. a 6-dp value whose exact integer micros
+    ``floor(t*1e6 + 0.5)`` recovers — the term is within 1 ulp of the
+    6-dp value, so the product sits ≪ 0.5 from the integer), summed
+    as bigints (exact, like the previous DECIMAL(38,6) fold, but flat
+    and codegen-able) and divided once back to double — the same
+    final double the decimal cast produced, matching the oracle's
+    GROUP BY decimal sum."""
+    lt = _name(lut, "_adc_col lut")
+    ct = _name(codes, "_adc_col codes")
+    acc = None
+    for m in range(1, PQ_M + 1):
+        t = (
+            f"element_at(element_at({lt}, {m}), "
+            f"CAST(element_at({ct}, {m}) AS INT) + 1)"
+        )
+        tm = f"FLOOR({t} * 1000000.0D + 0.5D)"
+        acc = tm if acc is None else f"({acc} + {tm})"
+    return F.expr(f"CAST(({acc}) / 1000000.0D AS DOUBLE)")
 
 
 def pack_codes_col(codes) -> "F.Column":
@@ -197,22 +333,31 @@ def pack_codes_col(codes) -> "F.Column":
     32×). Each byte carries (even_code*16 + odd_code) shifted by -128
     so the 0..255 pack fits tinyint; :func:`unpack_code` inverts it
     exactly (pure integer arithmetic, roundtrip property-tested)."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(PQ_M // 2 - 1)),
-        lambda i: (
-            F.element_at(codes, 2 * i + 1).cast("int") * 16
-            + F.element_at(codes, 2 * i + 2).cast("int")
-            - 128
-        ).cast("tinyint"),
+    return F.array(
+        *[
+            (
+                F.element_at(codes, 2 * i + 1).cast("int") * 16
+                + F.element_at(codes, 2 * i + 2).cast("int")
+                - 128
+            ).cast("tinyint")
+            for i in range(PQ_M // 2)
+        ]
     )
 
 
 def unpack_code(packed, m) -> "F.Column":
     """The ``m``-th (1-based, Column or plain int) code index from a
     packed array — the inline unpack the serve path runs per lookup
-    (two int ops; stays in whole-stage codegen)."""
+    (two int ops; stays in whole-stage codegen). A plain-int ``m``
+    resolves the odd/even branch at plan-construction time, leaving a
+    branch-free arithmetic leaf."""
     if isinstance(m, int):
-        m = F.lit(m)
+        b = (
+            F.element_at(packed, (m + 1) // 2).cast("int") + 128
+        )
+        return (
+            F.floor(b / 16).cast("int") if m % 2 == 1 else b % 16
+        )
     b = (
         F.element_at(packed, F.floor((m + 1) / 2).cast("int")).cast(
             "int"
@@ -227,23 +372,38 @@ def unpack_code(packed, m) -> "F.Column":
 def unpack_codes_col(packed) -> "F.Column":
     """Full M-entry code array from the packed form (build's
     ``pq_codes_col`` output, exactly)."""
-    return F.transform(
-        F.sequence(F.lit(1), F.lit(PQ_M)),
-        lambda m: unpack_code(packed, m).cast("tinyint"),
+    return F.array(
+        *[
+            unpack_code(packed, m).cast("tinyint")
+            for m in range(1, PQ_M + 1)
+        ]
     )
 
 
+def _unpack_code_sql(packed_name: str, m: int) -> str:
+    """SQL text of :func:`unpack_code` for a plain-int ``m`` — the
+    odd/even branch resolved at build time, matching the int fast
+    path exactly."""
+    b = f"(CAST(element_at({packed_name}, {(m + 1) // 2}) AS INT) + 128)"
+    if m % 2 == 1:
+        return f"CAST(FLOOR({b} / 16) AS INT)"
+    return f"({b} % 16)"
+
+
 def _adc_packed_col(lut, packed) -> "F.Column":
-    """:func:`_adc_col` over the packed layout — same DECIMAL
-    accumulation, lookups go through the inline unpack."""
-    return F.aggregate(
-        F.sequence(F.lit(1), F.lit(PQ_M)),
-        F.lit("0").cast("decimal(38,6)"),
-        lambda a, m: a
-        + F.element_at(
-            F.element_at(lut, m), unpack_code(packed, m) + 1
-        ).cast("decimal(18,6)"),
-    ).cast("double")
+    """:func:`_adc_col` over the packed layout — the same exact
+    long-micros accumulation, lookups go through the inline unpack."""
+    lt = _name(lut, "_adc_packed_col lut")
+    pt = _name(packed, "_adc_packed_col packed")
+    acc = None
+    for m in range(1, PQ_M + 1):
+        t = (
+            f"element_at(element_at({lt}, {m}), "
+            f"{_unpack_code_sql(pt, m)} + 1)"
+        )
+        tm = f"FLOOR({t} * 1000000.0D + 0.5D)"
+        acc = tm if acc is None else f"({acc} + {tm})"
+    return F.expr(f"CAST(({acc}) / 1000000.0D AS DOUBLE)")
 
 
 def pq_rebuild_verdict(
@@ -364,7 +524,7 @@ def pq_adc_topk(
             F.broadcast(probes),
             F.col("neighbor_id") != F.col("query_id"),
         )
-        .withColumn("adc_d2", _adc_col(F.col("_lut"), F.col("_codes")))
+        .withColumn("adc_d2", _adc_col("_lut", "_codes"))
         .withColumn("ann_rank", F.row_number().over(w))
         .filter(F.col("ann_rank") <= k)
         .select("query_id", "ann_rank", "neighbor_id", "adc_d2")
@@ -429,24 +589,20 @@ class PQIVFIndex:
     @classmethod
     def _encode_packed(cls, assigned: DataFrame, centroids: DataFrame,
                        vec_col: str, id_col: str) -> DataFrame:
-        """Encode + pack in TWO projections: packing the expensive
-        MxK encode expression directly would re-evaluate it per
-        element_at reference inside the pack lambda (measured ~11x on
-        the build path); materializing the tinyint codes as a named
-        column first lets CollapseProject keep one evaluation. The
+        """Encode + pack: the Arrow-batched encoder materializes the
+        tinyint codes once (ArrowEvalPython output is a real column —
+        the r13 multiply-reference re-evaluation hazard cannot recur),
+        then the nibble pack is 8 integer expressions in codegen. The
         base family encodes the raw vector; ``centroids`` is unused
         here (the residual override joins it)."""
-        return (
-            assigned.select(
-                id_col,
-                "list_id",
-                pq_codes_col(vec_col, cls._books()).alias("_unpacked"),
-            )
-            .select(
-                id_col,
-                pack_codes_col(F.col("_unpacked")).alias("codes"),
-                "list_id",
-            )
+        return assigned.select(
+            id_col,
+            "list_id",
+            pq_codes_col(vec_col, cls._books()).alias("_unpacked"),
+        ).select(
+            id_col,
+            pack_codes_col(F.col("_unpacked")).alias("codes"),
+            "list_id",
         )
 
     @classmethod
@@ -458,7 +614,10 @@ class PQIVFIndex:
         id_col: str = "vec_id",
     ) -> "PQIVFIndex":
         assignments = cls._encode_packed(
-            ivf_assign(vectors, centroids, vec_col, id_col),
+            ivf_assign(
+                vectors, centroids, vec_col, id_col,
+                dim=PQ_M * PQ_DSUB,
+            ),
             centroids,
             vec_col,
             id_col,
@@ -482,7 +641,10 @@ class PQIVFIndex:
         if path is not None:
             IVFIndex._verify_frozen(self, vectors.sparkSession, path)
         new = cls._encode_packed(
-            ivf_assign(vectors, self.centroids, vec_col, self.id_col),
+            ivf_assign(
+                vectors, self.centroids, vec_col, self.id_col,
+                dim=PQ_M * PQ_DSUB,
+            ),
             self.centroids,
             vec_col,
             self.id_col,
@@ -572,12 +734,14 @@ class PQIVFIndex:
         where the per-vector-scaled int8 store cannot."""
         cb = _cb_col(type(self)._books())
         return F.flatten(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
-                lambda m: F.element_at(
-                    F.element_at(cb, m + 1),
-                    unpack_code(F.col("codes"), m + 1) + 1,
-                ),
+            F.array(
+                *[
+                    F.element_at(
+                        F.element_at(cb, m + 1),
+                        unpack_code(F.col("codes"), m + 1) + 1,
+                    )
+                    for m in range(PQ_M)
+                ]
             )
         )
 
@@ -682,12 +846,13 @@ class PQIVFIndex:
         one code path with the residual family, whose LUT genuinely
         differs per list."""
         probe = _probe_lists(
-            query, self.centroids, n_probe, vec_col, self.id_col
+            query, self.centroids, n_probe, vec_col, self.id_col,
+            dim=PQ_M * PQ_DSUB,
         )
         return probe.select(
             "query_id",
             "list_id",
-            pq_lut_col(F.col("qvec"), type(self)._books()).alias("_lut"),
+            pq_lut_col("qvec", type(self)._books()).alias("_lut"),
         )
 
     def topk(
@@ -742,7 +907,7 @@ class PQIVFIndex:
             .filter(F.col(self.id_col) != F.col("query_id"))
             .withColumn(
                 "adc_d2",
-                _adc_packed_col(F.col("_lut"), F.col("codes")),
+                _adc_packed_col("_lut", "codes"),
             )
             .select(
                 "query_id",
@@ -790,11 +955,9 @@ class ResidualPQIVFIndex(PQIVFIndex):
     def _encode_packed(cls, assigned: DataFrame, centroids: DataFrame,
                        vec_col: str, id_col: str) -> DataFrame:
         """Residual encode: join the (broadcast, n_lists-row) coarse
-        centroids, materialize the residual as a NAMED column in its
-        own projection (the MxK encode references its elements
-        hundreds of times — an inline zip_with expression would be
-        re-evaluated per reference, the r13 9× finding), then encode
-        + pack through the same two-projection split as the base."""
+        centroids, materialize the residual as a NAMED column (the
+        encoder consumes it whole through one Arrow batch), then
+        encode + pack like the base family."""
         res = assigned.join(
             F.broadcast(centroids.select("list_id", "centroid")),
             "list_id",
@@ -805,19 +968,14 @@ class ResidualPQIVFIndex(PQIVFIndex):
                 _dbl(vec_col), "centroid", lambda x, y: x - y
             ).alias("_res"),
         )
-        return (
-            res.select(
-                id_col,
-                "list_id",
-                pq_codes_col(F.col("_res"), cls._books()).alias(
-                    "_unpacked"
-                ),
-            )
-            .select(
-                id_col,
-                pack_codes_col(F.col("_unpacked")).alias("codes"),
-                "list_id",
-            )
+        return res.select(
+            id_col,
+            "list_id",
+            pq_codes_col("_res", cls._books()).alias("_unpacked"),
+        ).select(
+            id_col,
+            pack_codes_col(F.col("_unpacked")).alias("codes"),
+            "list_id",
         )
 
     def _recon_frame(self) -> DataFrame:
@@ -845,7 +1003,8 @@ class ResidualPQIVFIndex(PQIVFIndex):
         (same re-evaluation discipline as the encode), then the M×K
         table over the residual codebooks."""
         probe = _probe_lists(
-            query, self.centroids, n_probe, vec_col, self.id_col
+            query, self.centroids, n_probe, vec_col, self.id_col,
+            dim=PQ_M * PQ_DSUB,
         ).join(
             F.broadcast(self.centroids.select("list_id", "centroid")),
             "list_id",
@@ -859,7 +1018,7 @@ class ResidualPQIVFIndex(PQIVFIndex):
         return probe.select(
             "query_id",
             "list_id",
-            pq_lut_col(F.col("_qres"), type(self)._books()).alias("_lut"),
+            pq_lut_col("_qres", type(self)._books()).alias("_lut"),
         )
 
 

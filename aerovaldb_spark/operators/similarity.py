@@ -55,6 +55,31 @@ def pair_dot_col(a: str = "vec_a", b: str = "vec_b") -> Column:
     )
 
 
+def _l2_d2_flat(a: str, b: str, dim: int) -> Column:
+    """round6 squared L2 distance between two array columns (by NAME)
+    of STATICALLY KNOWN length ``dim`` — a flat left-associated
+    ``element_at`` chain instead of the generic ``zip_with`` +
+    ``aggregate`` fold. Bit-identical to the fold for length-``dim``
+    inputs (same add order; the fold's ``0.0 + t1`` first step equals
+    ``t1`` — squares are nonnegative; an input shorter than ``dim``
+    nulls out in both forms), but the chain stays inside whole-stage
+    codegen where the higher-order fold is interpreted per row.
+    Compiled as ONE SQL string so plan construction is a single
+    ``F.expr`` instead of ~8·dim py4j calls (the pq module's _name
+    rationale). Only pass ``dim`` when every row is exactly that
+    length (the PQ module's frozen layout guarantees it); the generic
+    fold remains the default everywhere else."""
+    acc = None
+    for j in range(1, dim + 1):
+        d = (
+            f"(CAST(element_at(`{a}`, {j}) AS DOUBLE) - "
+            f"CAST(element_at(`{b}`, {j}) AS DOUBLE))"
+        )
+        t = f"({d} * {d})"
+        acc = t if acc is None else f"({acc} + {t})"
+    return F.expr(f"(round(({acc}) * 1000000.0D, 0) / 1000000.0D)")
+
+
 def _over_guard(vectors: DataFrame, id_col: str, max_rows: int) -> bool:
     """Size guard for the O(n²) validation baselines: a column-pruned
     ``LIMIT max_rows+1`` count instead of a full scan — short-circuits
@@ -601,6 +626,7 @@ def _probe_lists(
     n_probe: int,
     vec_col: str,
     id_col: str,
+    dim: int | None = None,
 ) -> DataFrame:
     """(query_id, qvec, list_id): each query's ``n_probe`` nearest
     centroids — ENTIRELY executor-side.
@@ -618,13 +644,21 @@ def _probe_lists(
     qv = query.select(
         F.col(id_col).alias("query_id"), _dbl(vec_col).alias("qvec")
     )
-    d2 = round6(
-        F.aggregate(
-            F.zip_with("qvec", "centroid", lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    if dim is not None:
+        # statically-known width (e.g. the PQ module's frozen layout):
+        # flat codegen chain, bit-identical to the fold for dim-length
+        # rows — see _l2_d2_flat
+        d2 = _l2_d2_flat("qvec", "centroid", dim)
+    else:
+        d2 = round6(
+            F.aggregate(
+                F.zip_with(
+                    "qvec", "centroid", lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
         )
-    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("_d2").asc(), F.col("list_id").asc()
     )
@@ -860,6 +894,7 @@ def ivf_assign(
     centroids: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """(id, vec, list_id): nearest-centroid assignment — the
     deterministic half of IVF indexing. The n_lists-row centroid
@@ -868,13 +903,20 @@ def ivf_assign(
     convention, ties on list_id ascending), and a per-vector window
     keeps the argmin: one distributed pass, n × n_lists cheap rows,
     no shuffle of the vectors themselves beyond the window's."""
-    d2 = round6(
-        F.aggregate(
-            F.zip_with("_v", "centroid", lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    if dim is not None:
+        # statically-known width: flat codegen chain (see
+        # _l2_d2_flat); bit-identical for dim-length rows
+        d2 = _l2_d2_flat("_v", "centroid", dim)
+    else:
+        d2 = round6(
+            F.aggregate(
+                F.zip_with(
+                    "_v", "centroid", lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
         )
-    )
     w = Window.partitionBy(id_col).orderBy(
         F.col("_d2").asc(), F.col("list_id").asc()
     )
