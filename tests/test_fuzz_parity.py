@@ -666,8 +666,8 @@ def test_tfidf_verify_shapes_bit_equal_fuzzed(spark, tmp_path_factory):
 def test_tfidf_verify_auto_switch(spark):
     """auto picks the map plan on the short-doc template corpus and the
     keyed plan once avg terms/doc crosses the documented threshold —
-    observable in the analyzed plan (only the map form folds with
-    map_zip_with)."""
+    observable in the analyzed plan (only the map form verifies
+    through the Arrow merge-intersect's `_micros` column)."""
     from aerovaldb_spark.catalog import load_table
     from aerovaldb_spark.operators.text import (
         TFIDF_VERIFY_KEYED_MIN_AVG_TERMS,
@@ -678,7 +678,7 @@ def test_tfidf_verify_auto_switch(spark):
     plan_short = (
         tfidf_cosine_knn(short)._jdf.queryExecution().analyzed().toString()
     )
-    assert "map_zip_with" in plan_short
+    assert "_micros" in plan_short
 
     # two identical long docs + one disjoint doc: the shared terms
     # have df=2 of 3 (idf > 0 — terms in EVERY doc would weigh zero),
@@ -696,7 +696,7 @@ def test_tfidf_verify_auto_switch(spark):
         .analyzed()
         .toString()
     )
-    assert "map_zip_with" not in plan_long
+    assert "_micros" not in plan_long
 
     # and the two shapes agree on the long corpus too
     a = sorted(

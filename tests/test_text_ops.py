@@ -894,3 +894,58 @@ def test_screen_index_staleness_direction(spark):
         assert 0.0 <= r["new_term_mass"] <= 1.0
         assert 0.0 <= r["top_term_churn"] <= 1.0
         assert r["idf_drift_max"] >= r["idf_drift_mad"] >= 0.0
+
+
+def test_arrow_verify_equals_fold_and_missing_doc_rule(spark):
+    """The r14 Arrow-vectorized map verify (sorted term-id arrays +
+    mapInArrow merge-intersect) must be bit-identical to its previous
+    pure-JVM fold form ('map_fold'), including the dot=0 rule for
+    candidate pairs referencing docs ABSENT from the weight frame —
+    the internals this optimization round changed."""
+    from pyspark.sql import functions as F
+
+    from aerovaldb_spark.catalog import load_table
+    from aerovaldb_spark.operators._scope import release_scoped_persists
+    from aerovaldb_spark.operators.text import (
+        _verified_dots,
+        tfidf_allpairs_candidates,
+        tfidf_weight_frame,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    try:
+        w, _stats, _n = tfidf_weight_frame(docs)
+        cand = tfidf_allpairs_candidates(w, 0.5)
+        got = {
+            shape: sorted(
+                map(
+                    tuple,
+                    _verified_dots(
+                        cand, w, w, "doc_a", "doc_b", shape
+                    ).collect(),
+                )
+            )
+            for shape in ("map", "map_fold", "keyed")
+        }
+        assert got["map"] == got["map_fold"] == got["keyed"]
+        assert len(got["map"]) > 0
+        assert any(float(t[2]) > 0.0 for t in got["map"])
+        # absent-doc pairs: dot must be exactly 0.000000 in all shapes
+        ghost = spark.createDataFrame(
+            [(1, 10**9), (10**9, 2), (10**9, 10**9 + 1)],
+            "doc_a bigint, doc_b bigint",
+        )
+        for shape in ("map", "map_fold", "keyed"):
+            rows = sorted(
+                map(
+                    tuple,
+                    _verified_dots(
+                        ghost, w, w, "doc_a", "doc_b", shape
+                    ).collect(),
+                )
+            )
+            assert len(rows) == 3 and all(
+                float(t[2]) == 0.0 for t in rows
+            ), (shape, rows)
+    finally:
+        release_scoped_persists()
