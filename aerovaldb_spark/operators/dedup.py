@@ -569,6 +569,15 @@ def connected_components(
             )
             prop = labels.join(nbr_min, labels.v == nbr_min.u, "left").select(
                 "v",
+                # carry the iteration's STARTING label so convergence is
+                # a narrow filter over the checkpointed result instead of
+                # a join of two label frames: at 100 TB labels outgrow
+                # the broadcast threshold and that join is a full
+                # |V|-vs-|V| shuffle PER ITERATION (guide §2.4 — remove
+                # shuffles outright); labels only ever decrease, so
+                # label < prev over `new` is exactly the old
+                # new-vs-labels comparison.
+                F.col("label").alias("prev"),
                 F.least(
                     F.col("label"), F.coalesce("nbr_min", F.col("label"))
                 ).alias("label"),
@@ -589,24 +598,23 @@ def connected_components(
                 prop.join(lut, prop.label == lut._lv, "left")
                 .select(
                     "v",
+                    "prev",
                     F.least(
                         F.col("label"), F.coalesce("_ll", F.col("label"))
                     ).alias("label"),
                 )
                 .localCheckpoint()
             )
+            labels = new.select("v", "label")
             if it == 0 and max_iter > 1:
                 # the first pass always lowers some label when any edge
                 # exists — skip its convergence count (one job saved)
-                labels = new
                 continue
-            changed = (
-                new.alias("n")
-                .join(labels.alias("o"), "v")
-                .filter(F.col("n.label") < F.col("o.label"))
-                .count()
-            )
-            labels = new
+            # narrow scan of the just-checkpointed partitions: no join,
+            # no broadcast build, no shuffle — the label frame is read
+            # once where the old new⋈labels comparison read (and at
+            # scale shuffled) two of them
+            changed = new.filter(F.col("label") < F.col("prev")).count()
             if changed == 0:
                 break
         if changed != 0:

@@ -271,3 +271,24 @@ def test_connected_components_long_chain_pointer_jumping(spark):
     rows = comp.collect()
     assert len(rows) == 1000
     assert all(r["component"] == 0 for r in rows)
+
+
+def test_connected_components_converges_at_exact_budget(spark):
+    """r14 optimization regression pin: the convergence check is now a
+    narrow ``label < prev`` filter over the just-checkpointed label
+    frame (no new-vs-old join — at scale that join is a per-iteration
+    |V|-vs-|V| shuffle). A star graph (diameter 2) must settle within
+    max_iter=2: iteration 0 lowers every leaf (its count is skipped),
+    iteration 1's count sees zero changes and breaks WITHOUT raising —
+    if the new check ever under-counts, the guard would fire here; if
+    it over-counts (e.g. compares against the wrong iteration's
+    labels), convergence would never be detected."""
+    from aerovaldb_spark.operators.dedup import connected_components
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 8)], ["doc_a", "doc_b"]
+    )
+    comp = connected_components(star, max_iter=2)
+    rows = comp.collect()
+    assert len(rows) == 8
+    assert all(r["component"] == 0 for r in rows)
