@@ -2663,7 +2663,11 @@ def _term_id_frame(left_w: DataFrame, right_w: DataFrame) -> DataFrame:
 
 def _weight_array_frame(w: DataFrame, tids: DataFrame) -> DataFrame:
     """(doc_id, ts, ws): each doc's weights as PARALLEL arrays sorted
-    by term id — ts array<long> ascending, ws array<double> aligned.
+    by term id — ts array<int> ascending, ws array<double> aligned
+    (tids are dense row_numbers over the vocabulary, so int32 always
+    holds them; the narrower id halves the key bytes every candidate
+    pair hauls through the verify joins and the Arrow boundary —
+    guide §2.3 narrower types).
     The Arrow verify's per-doc representation: a sorted-int zip of the
     same (term → w) pairs `_weight_map_frame` carries as a map. Built
     from ONE sorted struct list so the two arrays cannot desync.
@@ -2683,9 +2687,7 @@ def _weight_array_frame(w: DataFrame, tids: DataFrame) -> DataFrame:
         )
         .select(
             "doc_id",
-            F.transform("_es", lambda e: e["tid"].cast("long")).alias(
-                "ts"
-            ),
+            F.transform("_es", lambda e: e["tid"]).alias("ts"),
             F.transform("_es", lambda e: e["w"]).alias("ws"),
         )
     )
