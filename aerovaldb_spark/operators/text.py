@@ -2643,31 +2643,66 @@ def _weight_map_frame(w: DataFrame) -> DataFrame:
 
 
 def _term_id_frame(left_w: DataFrame, right_w: DataFrame) -> DataFrame:
-    """(term, tid): dense 1-based ids over the UNION of both weight
-    frames' vocabularies — the Arrow verify's integer key space. Ids
-    are assigned by a deterministic global sort (row_number over term
-    ascending; the window is a single partition of |vocabulary| rows,
-    tiny relative to the candidate volume it serves). Injective by
-    construction, and covering BOTH sides, so tid equality ⇔ term
-    equality for every lookup the verify performs."""
+    """(term, tid): 1-based integer ids over the UNION of both weight
+    frames' vocabularies — the Arrow verify's integer key space.
+    Injective and covering BOTH sides, so tid equality ⇔ term equality
+    for every lookup the verify performs (the verify needs nothing
+    more — not density, not global order).
+
+    Assignment is PARALLEL (guide §2.4 — the previous global
+    row_number() windowed over Window.orderBy was an Exchange
+    SinglePartition + sort of the whole vocabulary, the verify path's
+    serial ceiling at 100 TB corpora): terms hash into B buckets
+    (xxhash64 — deterministic), each bucket ranks its own terms by a
+    within-partition sort, and tid = (rank-1)·B + bucket + 1 — a
+    stride interleave that is injective because bucket < B and
+    (rank, bucket) is unique per term. Everything is deterministic
+    (hash + fixed B + total order within bucket), so the two
+    weight-array materializations that read this frame always see the
+    same mapping.
+
+    Ceiling: ids must stay below 2^31 (the arrays carry them as int32
+    and the Arrow kernel packs tid into the low 32 bits of its
+    composite key) — max tid ≈ B · max_bucket_size ≈ |vocabulary| ·
+    (max/mean bucket skew, ~1 under xxhash64 for |V| ≫ B), so the
+    union vocabulary is capped at ~2^31 terms, the same bound the old
+    dense row_number had."""
     from pyspark.sql import Window
 
     t = left_w.select("term")
     if right_w is not left_w:
         t = t.union(right_w.select("term"))
-    return t.distinct().select(
-        "term",
-        F.row_number().over(Window.orderBy("term")).alias("tid"),
+    spark = left_w.sparkSession
+    try:
+        nb = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        nb = spark.sparkContext.defaultParallelism
+    nb = max(nb, 1)
+    rn = F.row_number().over(
+        Window.partitionBy("_b").orderBy("term")
+    )
+    return (
+        t.distinct()
+        .withColumn(
+            "_b", F.pmod(F.xxhash64("term"), F.lit(nb)).cast("int")
+        )
+        .repartition(nb, "_b")
+        .select(
+            "term",
+            (
+                (rn - 1).cast("bigint") * F.lit(nb) + F.col("_b") + 1
+            ).cast("int").alias("tid"),
+        )
     )
 
 
 def _weight_array_frame(w: DataFrame, tids: DataFrame) -> DataFrame:
     """(doc_id, ts, ws): each doc's weights as PARALLEL arrays sorted
     by term id — ts array<int> ascending, ws array<double> aligned
-    (tids are dense row_numbers over the vocabulary, so int32 always
-    holds them; the narrower id halves the key bytes every candidate
-    pair hauls through the verify joins and the Arrow boundary —
-    guide §2.3 narrower types).
+    (tids stay below 2^31 by the `_term_id_frame` ceiling, so int32
+    always holds them; the narrower id halves the key bytes every
+    candidate pair hauls through the verify joins and the Arrow
+    boundary — guide §2.3 narrower types).
     The Arrow verify's per-doc representation: a sorted-int zip of the
     same (term → w) pairs `_weight_map_frame` carries as a map. Built
     from ONE sorted struct list so the two arrays cannot desync.
@@ -2765,7 +2800,7 @@ def _arrow_micros(joined: DataFrame, left_id: str, right_id: str) -> DataFrame:
                 # row-major composite keys: rows ascending, tids
                 # ascending within each row (sort_array upstream) →
                 # both key arrays are GLOBALLY sorted; tid < 2^31 by
-                # construction (dense ids over the vocabulary)
+                # construction (_term_id_frame's documented ceiling)
                 ka = rows_a * np.int64(1 << 32) + ta_v[idx_a]
                 kb = rows_b * np.int64(1 << 32) + tb_v[idx_b]
                 pos = np.searchsorted(kb, ka)

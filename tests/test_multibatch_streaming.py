@@ -528,10 +528,25 @@ def test_idle_timeout_evicts_and_restarts_sketch(spark, tmp_path):
     (n_updates back to 1, kept set = batch-3 values only). This pins
     the r9 fix: the timeout is actually ARMED via setTimeoutDuration —
     a timeoutConf alone never fires — and the expiry path removes
-    state instead of re-emitting a spurious update."""
+    state instead of re-emitting a spurious update.
+
+    Determinism (the r14 driver run caught the old one-query shape
+    flaking under load): the three batches run as three availableNow
+    restarts of the SAME checkpoint, and the >timeout idle gap elapses
+    while the query is STOPPED — no micro-batch runs during the gap,
+    so nothing can evict the always-active key early, and when the
+    next phase starts its first batch's processing time is provably
+    past the silent key's deadline, making the expiry a Spark
+    semantics guarantee (timed-out keys without new data are processed
+    in any later batch), not a race against the scheduler. The restart
+    also exercises that the armed deadline itself survives in the
+    state store across recovery."""
+    import time
+
     from aerovaldb_spark.streaming import stream_kmv_user_distinct
 
     d = str(tmp_path / "ev_kmv_timeout")
+    ckpt = str(tmp_path / "ev_kmv_timeout_ckpt")
     os.makedirs(d)
     base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
 
@@ -555,42 +570,83 @@ def test_idle_timeout_evicts_and_restarts_sketch(spark, tmp_path):
         )
         pq.write_table(table, os.path.join(d, f"part{i}.parquet"))
 
+    # the timeout must comfortably exceed one loaded micro-batch's
+    # execution + the post-commit stop latency (the only window in
+    # which a cleanup batch could evict the active key); 8 s is ~20x
+    # the loaded-host batch time for these 8-row batches
+    timeout_ms = 8_000
+
+    # rows per committed micro-batch, accumulated across the three
+    # phases. foreachBatch (the memory sink refuses checkpoint
+    # recovery) is at-least-once — a stop racing the commit log can
+    # re-deliver a batch on restart — but keyed by batchId the replay
+    # OVERWRITES its own identical rows (state-store versioning makes
+    # the recomputation exact), so the accumulated dict is effectively
+    # exactly-once without weakening any assertion
+    by_batch: dict[int, list] = {}
+
+    def run_phase(pred, what):
+        """availableNow pass over whatever is new in the source dir.
+        With a processing-time timeout armed, availableNow keeps
+        scheduling state-cleanup batches after the data is exhausted
+        (pyspark 4.1 behavior — documented in the operator docstring),
+        so awaitTermination would hang: poll the collected rows for
+        the phase's expected output, then stop explicitly."""
+        q = (
+            stream_kmv_user_distinct(
+                _event_stream_two_batches(spark, d),
+                k=8,
+                idle_timeout_ms=timeout_ms,
+            )
+            .writeStream.foreachBatch(
+                lambda df, epoch: by_batch.__setitem__(
+                    int(epoch), df.collect()
+                )
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                rows = [r for b in by_batch.values() for r in b]
+                if any(pred(r) for r in rows):
+                    return
+                time.sleep(0.1)
+            raise AssertionError(
+                f"timed out waiting for {what}; got="
+                + repr(sorted(map(tuple, rows)))
+            )
+        finally:
+            q.stop()
+            q.awaitTermination()
+
     write_batch(0, [(i, i, "evict") for i in range(1, 6)]
                 + [(10 + i, i, "keep") for i in range(1, 4)])
+    run_phase(
+        lambda r: r["event_type"] == "evict" and r["n_kept"] == 5,
+        "batch-1 evict row",
+    )
+    # stopped: nothing runs, nothing can expire — now let the silent
+    # key's deadline (batch-1 time + timeout) pass on the wall clock
+    time.sleep(timeout_ms / 1000 + 1.0)
     write_batch(1, [(20 + i, i, "keep") for i in range(4, 6)])
+    # phase 2's first batch evicts the silent key (deadline passed, no
+    # data for it) and updates the active key from restored state
+    run_phase(
+        lambda r: r["event_type"] == "keep" and r["n_updates"] == 2,
+        "batch-2 keep row",
+    )
+    time.sleep(timeout_ms / 1000 + 1.0)
     write_batch(2, [(30 + i, i, "evict") for i in range(6, 9)]
                 + [(40, 6, "keep")])
-
-    # with a processing-time timeout armed, availableNow keeps
-    # scheduling state-cleanup batches after the data is exhausted
-    # (pyspark 4.1 behavior — documented in the operator docstring),
-    # so awaitTermination would hang: poll the sink for the final
-    # expected row, then stop explicitly
-    import time
-
-    q = (
-        stream_kmv_user_distinct(
-            _event_stream_two_batches(spark, d), k=8, idle_timeout_ms=1
-        )
-        .writeStream.format("memory")
-        .queryName("kmv_timeout_mb")
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
+    run_phase(
+        lambda r: r["event_type"] == "evict" and r["n_kept"] == 3,
+        "batch-3 fresh evict row",
     )
-    try:
-        deadline = time.time() + 300
-        rows = []
-        while time.time() < deadline:
-            rows = spark.table("kmv_timeout_mb").collect()
-            if any(
-                r["event_type"] == "evict" and r["n_kept"] == 3
-                for r in rows
-            ):
-                break
-            time.sleep(2)
-    finally:
-        q.stop()
+    rows = [r for b in by_batch.values() for r in b]
 
     evict = sorted(
         (r["n_updates"], r["n_kept"], r["kmv_users"])
