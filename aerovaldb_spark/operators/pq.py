@@ -581,6 +581,13 @@ class PQIVFIndex:
         self.assignments = assignments
         self.id_col = id_col
         self._frozen_fp: tuple | None = None
+        # True only for disk-backed handles (set by load()): the
+        # probed-id IN prefilter directory-prunes the partitioned
+        # parquet scan at planning time, at the cost of one eager
+        # collect job per serve. An ephemeral build has no scan to
+        # prune — topk's inner join on the probe frame already
+        # restricts to probed lists — so it skips the prefilter job.
+        self._scan_pruned = False
 
     @classmethod
     def _books(cls):
@@ -656,6 +663,7 @@ class PQIVFIndex:
                 self.id_col,
             )
             out._frozen_fp = self._frozen_fp
+            out._scan_pruned = self._scan_pruned
             return out
         _append_assignments(new, path, "list_id", "centroids")
         return cls.load(new.sparkSession, path, self.id_col)
@@ -725,6 +733,7 @@ class PQIVFIndex:
                 )
         idx = cls(centroids, assignments, id_col)
         idx._frozen_fp = _ivf_fp_from(md)
+        idx._scan_pruned = True
         return idx
 
     def reconstruct_col(self) -> "F.Column":
@@ -898,7 +907,14 @@ class PQIVFIndex:
                 )
         shortlist_k = k * rerank_expand if rerank_expand else k
         probe = scoped_persist(self._probe_luts(query, n_probe, vec_col))
-        pruned = _pruned_by_probes(self.assignments, probe, "list_id")
+        # ephemeral builds skip the prefilter and its eager collect
+        # job (see __init__._scan_pruned); the broadcast inner join on
+        # the probe frame below restricts to probed lists either way
+        pruned = (
+            _pruned_by_probes(self.assignments, probe, "list_id")
+            if self._scan_pruned
+            else self.assignments
+        )
         w = Window.partitionBy("query_id").orderBy(
             F.col("adc_d2").asc(), F.col("neighbor_id").asc()
         )

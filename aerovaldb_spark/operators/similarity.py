@@ -1209,6 +1209,16 @@ class IVFIndex:
         # save()/load(), lazily computed for never-saved handles; the
         # add(path=...) guard against a rebuild-swapped layout
         self._frozen_fp: tuple | None = None
+        # True only for disk-backed handles (set by load()): the
+        # probed-id IN prefilter exists to directory-prune the
+        # partitioned parquet scan at planning time, which costs one
+        # eager collect job per serve (_pruned_by_probes). An
+        # EPHEMERAL build has no scan to prune — the serve's inner
+        # join on the probe frame already restricts to probed
+        # partitions row-for-row — so serves skip the prefilter and
+        # its job entirely (guide §5: no driver actions the plan
+        # doesn't need).
+        self._scan_pruned = False
 
     @staticmethod
     def build(
@@ -1284,6 +1294,9 @@ class IVFIndex:
                 self.id_col,
             )
             out._frozen_fp = self._frozen_fp
+            # an in-memory append onto a disk-backed handle: the IN
+            # prefilter still prunes the parquet child of the union
+            out._scan_pruned = self._scan_pruned
             return out
         _append_assignments(new, path, "list_id", "centroids")
         return IVFIndex.load(
@@ -1354,6 +1367,7 @@ class IVFIndex:
         require_meta_family(md, "IVFIndex", path)
         idx = IVFIndex(centroids, assignments, vec_col, id_col)
         idx._frozen_fp = _ivf_fp_from(md)
+        idx._scan_pruned = True
         return idx
 
     def staleness(
@@ -1450,7 +1464,13 @@ class IVFIndex:
         # read every list. Distinct probed ids are bounded by n_lists
         # here; _pruned_by_probes caps the collect and falls back to a
         # broadcast semi-join past PROBE_LITERAL_CAP regardless.
-        pruned = _pruned_by_probes(self.assignments, qdf, "list_id")
+        # Ephemeral builds have no scan to prune — skip the prefilter
+        # and its eager collect job (see __init__._scan_pruned).
+        pruned = (
+            _pruned_by_probes(self.assignments, qdf, "list_id")
+            if self._scan_pruned
+            else self.assignments
+        )
 
         w = Window.partitionBy("query_id").orderBy(
             F.col("cosine").desc(), F.col("neighbor_id")
@@ -2791,6 +2811,10 @@ class SRPIndex:
         self.planes = planes
         self.vec_col = vec_col
         self.id_col = id_col
+        # disk-backed handles prefilter the bucket-partitioned scan
+        # (IVFIndex.__init__ documents the trade); ephemeral builds
+        # skip the prefilter's eager collect job
+        self._scan_pruned = False
 
     @staticmethod
     def build(
@@ -2837,10 +2861,12 @@ class SRPIndex:
             ).alias("bucket"),
         )
         if path is None:
-            return SRPIndex(
+            out = SRPIndex(
                 self.assignments.unionByName(new),
                 self.dim, self.planes, self.vec_col, self.id_col,
             )
+            out._scan_pruned = self._scan_pruned
+            return out
         _append_assignments(new, path, "bucket", "meta")
         return SRPIndex.load(
             new.sparkSession, path, self.vec_col, self.id_col
@@ -2898,7 +2924,7 @@ class SRPIndex:
                 "SRPIndex layout"
             )
         require_meta_family(meta.asDict(), "SRPIndex", path)
-        return SRPIndex(
+        idx = SRPIndex(
             spark.read.parquet(
                 resolve_live(_os.path.join(path, "assignments"))
             ),
@@ -2907,6 +2933,8 @@ class SRPIndex:
             vec_col,
             id_col,
         )
+        idx._scan_pruned = True
+        return idx
 
     def occupancy(self) -> DataFrame:
         """(bucket, c) histogram of the current assignments — snapshot
@@ -3038,7 +3066,11 @@ class SRPIndex:
         # past PROBE_LITERAL_CAP the helper swaps to a broadcast
         # semi-join instead of pushing a giant IN-list through the
         # driver
-        pruned = _pruned_by_probes(self.assignments, probe, "bucket")
+        pruned = (
+            _pruned_by_probes(self.assignments, probe, "bucket")
+            if self._scan_pruned
+            else self.assignments
+        )
         return _score_probed(pruned, probe, k, self.vec_col, self.id_col)
 
 
@@ -3114,6 +3146,8 @@ class QuantizedSRPIndex:
         self.dim = dim
         self.planes = planes
         self.id_col = id_col
+        # see IVFIndex.__init__: prefilter only disk-backed scans
+        self._scan_pruned = False
 
     @staticmethod
     def build(
@@ -3218,7 +3252,7 @@ class QuantizedSRPIndex:
                 "QuantizedSRPIndex layout"
             )
         require_meta_family(meta.asDict(), "QuantizedSRPIndex", path)
-        return QuantizedSRPIndex(
+        idx = QuantizedSRPIndex(
             spark.read.parquet(
                 resolve_live(_os.path.join(path, "assignments"))
             ),
@@ -3226,6 +3260,8 @@ class QuantizedSRPIndex:
             int(meta["planes"]),
             id_col,
         )
+        idx._scan_pruned = True
+        return idx
 
     def occupancy(self) -> DataFrame:
         """(bucket, c) histogram — see :meth:`SRPIndex.occupancy`."""
@@ -3327,8 +3363,10 @@ class QuantizedSRPIndex:
         from ._scope import scoped_persist
 
         probe = scoped_persist(probe)
-        pruned = _pruned_by_probes(
-            self.assignments, probe, "bucket"
+        pruned = (
+            _pruned_by_probes(self.assignments, probe, "bucket")
+            if self._scan_pruned
+            else self.assignments
         ).withColumn("codes", F.transform("codes", lambda x: x.cast("double")))
         return _score_probed(
             pruned, probe, k, "codes", self.id_col
@@ -3411,6 +3449,8 @@ class QuantizedIVFIndex:
         # frozen-centroid fingerprint — the IVFIndex add(path=...)
         # guard (see IVFIndex._verify_frozen), shared layout
         self._frozen_fp: tuple | None = None
+        # see IVFIndex.__init__: prefilter only disk-backed scans
+        self._scan_pruned = False
 
     @staticmethod
     def build(
@@ -3473,6 +3513,7 @@ class QuantizedIVFIndex:
                 self.id_col,
             )
             out._frozen_fp = self._frozen_fp
+            out._scan_pruned = self._scan_pruned
             return out
         _append_assignments(new, path, "list_id", "centroids")
         return QuantizedIVFIndex.load(new.sparkSession, path, self.id_col)
@@ -3500,6 +3541,7 @@ class QuantizedIVFIndex:
         require_meta_family(md, "QuantizedIVFIndex", path)
         idx = QuantizedIVFIndex(centroids, assignments, id_col)
         idx._frozen_fp = _ivf_fp_from(md)
+        idx._scan_pruned = True
         return idx
 
     def staleness(
@@ -3610,8 +3652,10 @@ class QuantizedIVFIndex:
         # one probe set for both the pruning collect and the scoring
         # join (same two-action reuse as SRPIndex.topk)
         probe = scoped_persist(probe.join(qcodes, "query_id"))
-        pruned = _pruned_by_probes(
-            self.assignments, probe, "list_id"
+        pruned = (
+            _pruned_by_probes(self.assignments, probe, "list_id")
+            if self._scan_pruned
+            else self.assignments
         ).withColumn(
             "codes", F.transform("codes", lambda x: x.cast("double"))
         )
