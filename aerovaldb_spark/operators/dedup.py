@@ -594,6 +594,15 @@ def connected_components(
             lut = prop.select(
                 F.col("v").alias("_lv"), F.col("label").alias("_ll")
             )
+            # the convergence count rides INSIDE the checkpoint job as
+            # an observed metric (CollectMetrics accumulates while the
+            # checkpoint materializes), so each iteration is ONE Spark
+            # job instead of a checkpoint + count pair — the count's
+            # separate narrow rescan of the checkpointed partitions
+            # (and its per-job scheduling floor) is gone
+            from pyspark.sql import Observation
+
+            obs = Observation()
             new = (
                 prop.join(lut, prop.label == lut._lv, "left")
                 .select(
@@ -603,18 +612,19 @@ def connected_components(
                         F.col("label"), F.coalesce("_ll", F.col("label"))
                     ).alias("label"),
                 )
+                .observe(
+                    obs,
+                    F.count(
+                        F.when(F.col("label") < F.col("prev"), F.lit(1))
+                    ).alias("changed"),
+                )
                 .localCheckpoint()
             )
             labels = new.select("v", "label")
-            if it == 0 and max_iter > 1:
-                # the first pass always lowers some label when any edge
-                # exists — skip its convergence count (one job saved)
-                continue
-            # narrow scan of the just-checkpointed partitions: no join,
-            # no broadcast build, no shuffle — the label frame is read
-            # once where the old new⋈labels comparison read (and at
-            # scale shuffled) two of them
-            changed = new.filter(F.col("label") < F.col("prev")).count()
+            # the metric is free, so it is read every iteration (the
+            # previous shape skipped iteration 0's count to save its
+            # job; there is no longer a job to save)
+            changed = int(obs.get["changed"])
             if changed == 0:
                 break
         if changed != 0:
