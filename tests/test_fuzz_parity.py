@@ -664,21 +664,52 @@ def test_tfidf_verify_shapes_bit_equal_fuzzed(spark, tmp_path_factory):
 
 
 def test_tfidf_verify_auto_switch(spark):
-    """auto picks the map plan on the short-doc template corpus and the
-    keyed plan once avg terms/doc crosses the documented threshold —
-    observable in the analyzed plan (only the map form verifies
-    through the Arrow merge-intersect's `_micros` column)."""
+    """auto picks the Arrow map plan on a dense (candidate-flooded)
+    corpus, the pure-JVM map_fold once avg document frequency drops
+    below the documented threshold (the pruned regime where the Arrow
+    machinery's fixed costs outweigh its per-pair win), and the keyed
+    plan once avg terms/doc crosses its threshold — observable in the
+    analyzed plan (only the Arrow map form verifies through the
+    merge-intersect's `_micros` column; only keyed drops the map
+    carry)."""
     from aerovaldb_spark.catalog import load_table
     from aerovaldb_spark.operators.text import (
         TFIDF_VERIFY_KEYED_MIN_AVG_TERMS,
         tfidf_cosine_knn,
     )
 
-    short = load_table(spark, "/root/testdata/sf0.001", "documents")
-    plan_short = (
-        tfidf_cosine_knn(short)._jdf.queryExecution().analyzed().toString()
+    # template corpus: small shared vocabulary -> avg df ~365 at
+    # sf0.001 (measured), well above the Arrow threshold
+    dense = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plan_dense = (
+        tfidf_cosine_knn(dense)._jdf.queryExecution().analyzed().toString()
     )
-    assert "_micros" in plan_short
+    assert "_micros" in plan_dense
+
+    # near-disjoint vocabularies (one shared near-dup pair): avg df
+    # ~1, below the threshold — auto must fall back to the pure-JVM
+    # fold (no Arrow column, but still the map carry: map_zip_with
+    # appears only in the fold)
+    sparse_docs = spark.createDataFrame(
+        [(i, " ".join(f"t{i}_{j}" for j in range(12)))
+         for i in range(30)]
+        + [(100, "dup dup alpha beta gamma delta"),
+           (101, "dup dup alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    plan_sparse = (
+        tfidf_cosine_knn(sparse_docs)
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert "_micros" not in plan_sparse
+    assert "map_zip_with" in plan_sparse
+    # and the fold regime still finds the planted duplicate pair
+    got = tfidf_cosine_knn(sparse_docs).collect()
+    assert {(r["doc_id"], r["neighbor_id"]) for r in got} == {
+        (100, 101), (101, 100)
+    }
 
     # two identical long docs + one disjoint doc: the shared terms
     # have df=2 of 3 (idf > 0 — terms in EVERY doc would weigh zero),
